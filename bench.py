@@ -1,0 +1,61 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Materialization uses the noop sink (full pipeline execution, no driver
+collect overhead). Session build time is excluded; one warmup query runs
+first so JVM/codegen startup doesn't pollute query timings.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from spark_extensions_spark.queries import registry  # noqa: E402
+from spark_extensions_spark.session import get_spark  # noqa: E402
+
+# Approximate/pandas-UDF paths excluded from the headline wall-clock
+# (they have no oracle / are scale-path variants).
+SKIP = {"ann_lsh"}
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark("bench")
+
+    # warmup: tiny query to absorb JVM/codegen startup cost
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for q in registry():
+        if q.name in SKIP:
+            continue
+        t0 = time.time()
+        df = q.spark(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[q.name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "t2_query_suite_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

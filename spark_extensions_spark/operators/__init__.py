@@ -1,0 +1,30 @@
+"""Relational + data-pipeline operators built on public PySpark APIs."""
+
+from spark_extensions_spark.operators.joins import asof_join, interval_join
+from spark_extensions_spark.operators.dedup import (
+    exact_dedup,
+    minhash_signatures,
+    minhash_lsh_candidates,
+    simhash,
+    ngram_jaccard_pairs,
+    embedding_neardup_pairs,
+)
+from spark_extensions_spark.operators.similarity import (
+    cosine_similarity_col,
+    ann_bruteforce_topk,
+    ann_lsh_topk,
+)
+
+__all__ = [
+    "asof_join",
+    "interval_join",
+    "exact_dedup",
+    "minhash_signatures",
+    "minhash_lsh_candidates",
+    "simhash",
+    "ngram_jaccard_pairs",
+    "embedding_neardup_pairs",
+    "cosine_similarity_col",
+    "ann_bruteforce_topk",
+    "ann_lsh_topk",
+]

@@ -1,0 +1,322 @@
+"""Deduplication operators for large-scale text corpora.
+
+All operators are pure DataFrame compositions (whole-stage-codegen'd
+built-ins, no Python in the row path) and follow the shuffle-minimal
+shapes that survive 100 TB:
+
+- exact dedup: hash + groupBy (one shuffle on the content hash).
+- MinHash signatures: computed **row-locally** — shingle the text and take
+  per-seed array minima inside a single projection; NO explode, NO
+  shuffle. Signature cost is O(shingles × num_hashes) CPU per row.
+- LSH candidates: explode per-band keys and self-join on the band hash —
+  the one unavoidable shuffle, keyed by band buckets (uniform by
+  construction since keys are md5 values).
+- SimHash: row-local bit-majority over word hashes, zero shuffle.
+- n-gram Jaccard: distinct-shingle inverted-index self-join (standard
+  scalable set-similarity join).
+
+Determinism: all hashing is md5-based (identical across Spark and the
+DuckDB oracle); no rand(), no JVM-specific hash functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _words(text: Column) -> Column:
+    """Lowercased word tokens (letters+digits runs)."""
+    return F.expr(f"regexp_extract_all(lower({_sql(text)}), '[a-z0-9]+', 0)")
+
+
+def _sql(col: Column) -> str:
+    # Column -> SQL fragment for use inside F.expr compositions.
+    # We accept plain column-name strings everywhere instead, so this is
+    # only used with simple named columns.
+    if isinstance(col, str):
+        return col
+    raise TypeError("pass column names as strings to dedup operators")
+
+
+def shingles_from_words(words_col: str, n: int) -> Column:
+    """Word n-gram shingles from a *materialized* words-array column.
+
+    Keeping the tokenizer in its own projection step (see
+    :func:`word_shingles` callers) stops Catalyst from inlining the
+    regex into the per-element lambda — tokenization runs once per row,
+    not once per shingle.
+
+    Guarded for short texts: fewer than ``n`` words yields an empty array
+    (Spark's ``sequence(0, negative)`` would otherwise count down).
+    """
+    return F.expr(
+        f"""
+        case when size({words_col}) < {n} then array()
+             else transform(
+               sequence(0, size({words_col}) - {n}),
+               i -> concat_ws(' ', slice({words_col}, i + 1, {n}))
+             )
+        end
+        """
+    )
+
+
+def word_shingles(text_col: str, n: int = 3) -> Column:
+    """Word n-gram shingles of ``text_col`` as array<string> (row-local)."""
+    words = f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)"
+    return shingles_from_words(words, n)
+
+
+def exact_dedup(
+    df: DataFrame, content_col: str, id_col: str, keep: str = "min"
+) -> DataFrame:
+    """Exact duplicate grouping by content hash.
+
+    Returns one row per distinct content: ``(content_hash, keep_id,
+    dup_count)``. One shuffle, partial aggregation map-side; at 100 TB
+    the md5 groupBy distributes uniformly (no skew by construction).
+    """
+    agg_id = F.min(id_col) if keep == "min" else F.max(id_col)
+    return (
+        df.select(F.md5(F.col(content_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(agg_id.alias("keep_id"), F.count("*").alias("dup_count"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 12,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """MinHash signature per document, computed row-locally (no shuffle).
+
+    ``sig[i] = min over shingles s of md5(i || ':' || s)`` — lexicographic
+    min over hex digests is a valid uniform min-hash family and is
+    reproducible in any engine with md5. Empty shingle sets yield nulls.
+
+    The whole signature is ONE sequential fold over the shingle array
+    (``aggregate`` + elementwise ``least``): shingles are constructed and
+    hashed exactly once per row regardless of ``num_hashes``, immune to
+    Catalyst projection-collapse re-inlining (which made the naive
+    per-seed ``array_min(transform(...))`` formulation O(shingles²)).
+    """
+    sentinel = "g" * 32  # > every md5 hex digest ('g' > 'f')
+    words = df.select(
+        F.col(id_col),
+        F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)").alias(
+            "__words"
+        ),
+    )
+    shingled = words.select(
+        F.col(id_col), shingles_from_words("__words", shingle_words).alias("__sh")
+    )
+    seed_hashes = ", ".join(f"md5(concat('{i}:', s))" for i in range(num_hashes))
+    fold = (
+        f"aggregate(__sh, array_repeat('{sentinel}', {num_hashes}), "
+        f"(acc, s) -> zip_with(acc, array({seed_hashes}), (x, y) -> least(x, y)))"
+    )
+    return shingled.select(
+        F.col(id_col),
+        F.expr(f"transform({fold}, x -> nullif(x, '{sentinel}'))").alias(
+            "minhash_sig"
+        ),
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash + LSH banding.
+
+    Signature is split into ``bands`` bands of ``num_hashes // bands``
+    rows; documents sharing any band hash become a candidate pair.
+    Output: distinct ``(id_a, id_b)`` with ``id_a < id_b``.
+
+    Scale shape: explode to ``bands`` rows per doc, shuffle once on the
+    band bucket (md5 → uniform), self-join within buckets. Huge buckets
+    only arise from genuinely duplicated content, and AQE's skew-join
+    splitting handles those.
+    """
+    r = num_hashes // bands
+    assert bands * r == num_hashes, "num_hashes must be divisible by bands"
+    # Signatures via explode + min-aggregate rather than the row-local
+    # fold of minhash_signatures(): md5 stays inside whole-stage codegen
+    # (the fold's zip_with allocates a num_hashes array per shingle and
+    # interprets ~5× slower), and the map-side partial min keeps the
+    # shuffle tiny. Values are identical — same md5 set, same min.
+    # Docs with no shingles drop out here (they'd otherwise all collide
+    # on md5 of the empty band).
+    words = df.select(
+        F.col(id_col),
+        F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)").alias(
+            "__words"
+        ),
+    )
+    exploded = words.select(
+        F.col(id_col),
+        F.explode(shingles_from_words("__words", shingle_words)).alias("__s"),
+    )
+    mins = exploded.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("__s")))).alias(f"__h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    sigs = mins.select(
+        F.col(id_col),
+        F.array(*[F.col(f"__h{i}") for i in range(num_hashes)]).alias("minhash_sig"),
+    )
+    banded = sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(F.concat_ws("|", F.slice(F.col("minhash_sig"), b * r + 1, r)))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_key"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def hash64_expr(inner_sql: str) -> str:
+    """SQL fragment: 60-bit integer hash of a string expression via md5.
+
+    Engine-portable (Spark ``conv`` / DuckDB hex cast both decode the same
+    15 hex chars of md5) — used so oracles can mirror bit-level ops.
+    """
+    return f"cast(conv(substr(md5({inner_sql}), 1, 15), 16, 10) as bigint)"
+
+
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 32
+) -> DataFrame:
+    """Row-local SimHash fingerprint over word hashes (no shuffle).
+
+    For each bit j: set it iff the count of words whose 60-bit md5-derived
+    hash has bit j set is >= half the word count (ties round up). Output:
+    ``(id_col, simhash bigint, n_words int)``.
+    """
+    words_sql = f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)"
+    hashes_sql = f"transform({words_sql}, w -> {hash64_expr('w')})"
+    bit_terms = " + ".join(
+        f"(case when 2 * aggregate(__h, 0L, (acc, v) -> acc + ((v >> {j}) & 1)) >= size(__h) "
+        f"then cast({1 << j} as bigint) else 0L end)"
+        for j in range(bits)
+    )
+    return (
+        df.select(F.col(id_col), F.expr(hashes_sql).alias("__h"))
+        .select(
+            F.col(id_col),
+            F.expr(f"case when size(__h) = 0 then 0L else {bit_terms} end").alias(
+                "simhash"
+            ),
+            F.expr("size(__h)").alias("n_words"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs over an inverted index.
+
+    jaccard(A,B) = |A∩B| / (|A| + |B| - |A∩B|) over distinct word
+    n-gram shingles. Intersections come from a self-join on the shingle
+    (inverted index), so only pairs sharing at least one shingle are ever
+    materialized — the standard scalable set-similarity join. Integer
+    arithmetic until the final division → deterministic across engines.
+
+    Output: ``(id_a, id_b, inter_cnt, jaccard)`` with ``id_a < id_b`` and
+    ``jaccard >= threshold``.
+    """
+    words = df.select(
+        F.col(id_col),
+        F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)").alias(
+            "__words"
+        ),
+    )
+    shingled = words.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles_from_words("__words", n))).alias("sh"),
+    )
+    sizes = shingled.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = shingled.alias("a")
+    b = shingled.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count("*").alias("inter_cnt"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "inter_cnt",
+            (
+                F.col("inter_cnt")
+                / (F.col("n_a") + F.col("n_b") - F.col("inter_cnt"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Near-duplicate pairs by exact cosine similarity.
+
+    Brute-force all-pairs (id_a < id_b) with a sequential-fold dot product
+    (deterministic IEEE order → engine-reproducible). Suitable as the
+    small-N exact path; at corpus scale compose with
+    :func:`spark_extensions_spark.operators.similarity.ann_lsh_topk`
+    bucketing to restrict candidate pairs first.
+    """
+    from spark_extensions_spark.operators.similarity import cosine_pandas_cols
+
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return pairs.select(
+        "id_a",
+        "id_b",
+        cosine_pandas_cols(F.col("va"), F.col("vb")).alias("cosine"),
+    ).filter(F.col("cosine") >= threshold)

@@ -1,0 +1,149 @@
+"""Join operators Spark lacks as built-ins: as-of join, interval join.
+
+The reference library inherits plain Spark joins (SURVEY.md §2.E;
+``/root/reference/pom.xml:360-386`` — all relational capability is
+provided-scope Spark). As-of / interval joins have no DataFrame built-in
+in either, so we compose them from public primitives.
+
+Scale posture: ``asof_join`` uses the union + partitioned-window
+formulation — ONE shuffle on the join key, no row explosion, no skew
+amplification from range self-joins. This is the strategy that survives
+100 TB: a naive ``t_left >= t_right`` theta join explodes to
+O(|L|·|R|) per key, while the union trick is O(|L|+|R|) with a single
+sort per key partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_time: str,
+    right_time: str,
+    right_values: list[str] | None = None,
+    how: str = "left",
+    tolerance: Column | None = None,
+    right_tiebreak: str | None = None,
+) -> DataFrame:
+    """Backward as-of join: for each left row, attach the latest right row
+    with ``right_time <= left_time`` within the same ``on`` key group.
+
+    Implementation (scalable, single-shuffle): tag both sides, union by
+    matching schema, sort within each key partition by
+    ``(time, side, tiebreak)`` with right rows before left rows at equal
+    times (so a right row at exactly ``left_time`` matches), then carry
+    the right columns forward with ``last_value(..., ignoreNulls)``.
+    Left rows then re-filter out. Ties on ``right_time`` resolve to the
+    greatest ``right_tiebreak`` value (deterministic output).
+
+    ``tolerance``: optional max age (a Column interval or double seconds
+    depending on the time columns' type arithmetic) — matches older than
+    ``left_time - tolerance`` are nulled out.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if right_values is None:
+        right_values = [c for c in right.columns if c not in keys and c != right_time]
+    if how not in ("left", "inner"):
+        raise ValueError("asof_join supports how in ('left','inner')")
+
+    lcols = [c for c in left.columns]
+    # Build a common schema: left columns + right payload (+ right time copy).
+    rtime_out = f"__asof_rtime"
+    l_tagged = left.select(
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_values],
+        F.lit(None).cast(right.schema[right_time].dataType).alias(rtime_out),
+        F.col(left_time).alias("__asof_t"),
+        F.lit(1).alias("__side"),
+    )
+    r_tagged = right.select(
+        *[F.col(k) for k in keys],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in keys],
+        *[F.col(c).alias(f"__r_{c}") for c in right_values],
+        F.col(right_time).alias(rtime_out),
+        F.col(right_time).alias("__asof_t"),
+        F.lit(0).alias("__side"),
+    ).select(  # re-order to the union schema
+        *[F.col(c) for c in lcols],
+        *[F.col(f"__r_{c}") for c in right_values],
+        F.col(rtime_out),
+        F.col("__asof_t"),
+        F.col("__side"),
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+
+    order = [F.col("__asof_t").asc(), F.col("__side").asc()]
+    if right_tiebreak is not None:
+        # among right rows with equal time, the largest tiebreak wins
+        # (it sorts last and last_value picks it up)
+        order.append(
+            F.when(F.col("__side") == 0, F.col(f"__r_{right_tiebreak}")).asc_nulls_first()
+        )
+    w = (
+        Window.partitionBy(*[F.col(k) for k in keys])
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        *[F.col(c) for c in lcols],
+        *[
+            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"__m_{c}")
+            for c in right_values
+        ],
+        F.last(F.col(rtime_out), ignorenulls=True).over(w).alias("__m_rtime"),
+        F.col("__asof_t"),
+        F.col("__side"),
+    ).filter(F.col("__side") == 1)
+
+    if tolerance is not None:
+        too_old = F.col("__m_rtime") < (F.col("__asof_t") - tolerance)
+        carried = carried.select(
+            *[F.col(c) for c in lcols],
+            *[
+                F.when(too_old, F.lit(None)).otherwise(F.col(f"__m_{c}")).alias(f"__m_{c}")
+                for c in right_values
+            ],
+            F.when(too_old, F.lit(None)).otherwise(F.col("__m_rtime")).alias("__m_rtime"),
+        )
+
+    out = carried.select(
+        *[F.col(c) for c in lcols],
+        *[F.col(f"__m_{c}").alias(f"{c}_right" if c in lcols else c) for c in right_values],
+        F.col("__m_rtime").alias(f"{right_time}_right" if right_time in lcols else right_time),
+    )
+    if how == "inner":
+        out = out.filter(F.col(f"{right_time}_right" if right_time in lcols else right_time).isNotNull())
+    return out
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str] | None,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+) -> DataFrame:
+    """Interval-overlap join: rows whose [start,end] ranges intersect.
+
+    Overlap predicate ``a.start <= b.end AND b.start <= a.end``
+    (SURVEY.md §2.E "Joins — as-of / interval"). With equi keys present
+    Catalyst plans a sort-merge/shuffled-hash join on the keys and applies
+    the range predicate as a post-join filter — the scalable shape. A
+    keyless interval join degenerates to a broadcast-nested-loop; callers
+    at scale should bucket time into coarse grains and join on the grain.
+    """
+    cond = (F.col(f"l.{left_start}") <= F.col(f"r.{right_end}")) & (
+        F.col(f"r.{right_start}") <= F.col(f"l.{left_end}")
+    )
+    if on:
+        keys = [on] if isinstance(on, str) else list(on)
+        for k in keys:
+            cond = cond & (F.col(f"l.{k}") == F.col(f"r.{k}"))
+    return left.alias("l").join(right.alias("r"), cond)

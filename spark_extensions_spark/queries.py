@@ -1,0 +1,1185 @@
+"""t2 query registry: every operator class from SURVEY.md §2 as a
+(PySpark DataFrame builder, DuckDB oracle SQL) pair.
+
+Determinism rules (Spark vs DuckDB value-hash equality):
+- Double *sums/avgs* go through DECIMAL casts (exact, order-free), then
+  ROUND + CAST(double) — identical in both engines.
+- Per-row double arithmetic (products, divisions) is written identically
+  on both sides → identical IEEE results.
+- Sequential folds (``aggregate``/``list_reduce``) fix FP summation order
+  for embedding dot products.
+- Every window/top-k order carries a unique tiebreak column.
+- All hashing is md5 (hex, portable). No rand(), no engine hash().
+- Column names and types are aliased/cast identically on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spark_extensions_spark.session import load_tables
+from spark_extensions_spark.operators.joins import asof_join
+from spark_extensions_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    simhash,
+    ngram_jaccard_pairs,
+    embedding_neardup_pairs,
+)
+from spark_extensions_spark.operators.similarity import (
+    ann_bruteforce_topk,
+    ann_lsh_topk,
+)
+from spark_extensions_spark.functions.text import (
+    lang_id,
+    lang_id_oracle_sql,
+    quality_features,
+    token_count,
+    word_count,
+    doc_fingerprint,
+)
+
+
+@dataclass(frozen=True)
+class Query:
+    """One verified operator: Spark builder + optional DuckDB oracle."""
+
+    name: str
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str = ""
+
+
+_REGISTRY: list[Query] = []
+
+
+def _register(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn):
+        _REGISTRY.append(Query(name, fn, oracle, doc))
+        return fn
+
+    return deco
+
+
+def registry() -> list[Query]:
+    return list(_REGISTRY)
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return load_tables(spark, sf_dir, *names)
+
+
+# --- helpers: decimal-exact aggregation fragments (Spark SQL dialect) ----
+
+def dsum(expr: str, scale: int = 2) -> F.Column:
+    """Spark: order-free exact sum of a double expr → rounded double."""
+    return F.expr(
+        f"cast(round(sum(cast({expr} as decimal(18,4))), {scale}) as double)"
+    )
+
+
+def dsum_duck(expr: str, alias: str, scale: int = 2) -> str:
+    return (
+        f"CAST(ROUND(SUM(CAST({expr} AS DECIMAL(18,4))), {scale}) AS DOUBLE) AS {alias}"
+    )
+
+
+def davg(expr: str) -> F.Column:
+    """Spark: avg = double(decimal sum) / count — deterministic."""
+    return F.expr(
+        f"round(cast(sum(cast({expr} as decimal(18,4))) as double) / count(*), 6)"
+    )
+
+
+def davg_duck(expr: str, alias: str) -> str:
+    return (
+        f"ROUND(CAST(SUM(CAST({expr} AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS {alias}"
+    )
+
+
+# =====================================================================
+# Projection / filter  (SURVEY §2.E "Projection/filter")
+# =====================================================================
+
+@_register(
+    "filter_project",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           l_extendedprice * (1 - l_discount) AS net_price
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1999-01-01'
+      AND l_discount BETWEEN 0.02 AND 0.07
+      AND l_returnflag <> 'A'
+    """,
+    doc="Filtered projection with range/BETWEEN/inequality predicates; "
+    "filters + column pruning push down to the parquet scan.",
+)
+def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.02, 0.07)
+            & (F.col("l_returnflag") != "A")
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).alias(
+                "net_price"
+            ),
+        )
+    )
+
+
+# =====================================================================
+# Joins  (SURVEY §2.E "Joins — equi/broadcast/semi/anti/theta/as-of")
+# =====================================================================
+
+@_register(
+    "join_inner",
+    """
+    SELECT l.l_orderkey, l.l_linenumber, o.o_orderdate, o.o_orderpriority,
+           l.l_extendedprice * (1 - l.l_discount) AS net_price
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_quantity > 45
+    """,
+    doc="Inner equi-join; Catalyst picks shuffled hash/sort-merge, AQE may "
+    "convert to broadcast at runtime.",
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "lineitem", "orders")
+    return (
+        t["lineitem"]
+        .filter(F.col("l_quantity") > 45)
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "o_orderdate",
+            "o_orderpriority",
+            (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).alias(
+                "net_price"
+            ),
+        )
+    )
+
+
+@_register(
+    "join_left",
+    """
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    """,
+    doc="Left outer equi-join preserving unmatched build-side rows.",
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "customer", "orders")
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+    )
+
+
+@_register(
+    "join_semi",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+    doc="Left-semi join (EXISTS).",
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "customer", "orders")
+    big = t["orders"].filter(F.col("o_totalprice") > 400000)
+    return (
+        t["customer"]
+        .join(big, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    )
+
+
+@_register(
+    "join_anti",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    doc="Left-anti join (NOT EXISTS).",
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "customer", "orders")
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+@_register(
+    "join_broadcast",
+    """
+    SELECT n.n_nationkey, n.n_name, r.r_name
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+    doc="Broadcast-hinted dimension join (explicit F.broadcast).",
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "nation", "region")
+    return (
+        t["nation"]
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name", "r_name")
+    )
+
+
+@_register(
+    "join_theta",
+    """
+    SELECT a.n_name AS name_a, b.n_name AS name_b
+    FROM nation a JOIN nation b
+      ON a.n_nationkey < b.n_nationkey AND a.n_regionkey <> b.n_regionkey
+    """,
+    doc="Pure non-equi (theta) self-join → broadcast nested loop.",
+)
+def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _t(spark, sf_dir, "nation")["nation"]
+    a, b = n.alias("a"), n.alias("b")
+    return a.join(
+        b,
+        (F.col("a.n_nationkey") < F.col("b.n_nationkey"))
+        & (F.col("a.n_regionkey") != F.col("b.n_regionkey")),
+    ).select(F.col("a.n_name").alias("name_a"), F.col("b.n_name").alias("name_b"))
+
+
+@_register(
+    "join_range",
+    """
+    SELECT o1.o_custkey AS custkey, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM orders o1 JOIN orders o2
+      ON o1.o_custkey = o2.o_custkey AND o1.o_orderdate < o2.o_orderdate
+    GROUP BY o1.o_custkey
+    """,
+    doc="Equi + range self-join (sort-merge on key, range as residual).",
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")["orders"]
+    a, b = o.alias("a"), o.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.o_orderdate") < F.col("b.o_orderdate")),
+        )
+        .groupBy(F.col("a.o_custkey").alias("custkey"))
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+@_register(
+    "join_asof",
+    """
+    SELECT event_id, user_id, ts, click_id, click_ts FROM (
+      SELECT e.event_id, e.user_id, e.ts,
+             c.event_id AS click_id, c.ts AS click_ts,
+             ROW_NUMBER() OVER (PARTITION BY e.event_id
+                                ORDER BY c.ts DESC, c.event_id DESC) AS rn
+      FROM (SELECT * FROM events WHERE event_type = 'error') e
+      LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON c.user_id = e.user_id AND c.ts <= e.ts
+    ) WHERE rn = 1
+    """,
+    doc="Backward as-of join via the scalable union+window operator "
+    "(operators/joins.py:asof_join) — single shuffle, no row explosion; "
+    "oracle mirrors with a ranked range join.",
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")["events"]
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = asof_join(
+        errors,
+        clicks,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        right_values=["event_id"],
+        right_tiebreak="event_id",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("event_id_right").alias("click_id"),
+        F.col("ts_right").alias("click_ts"),
+    )
+
+
+# =====================================================================
+# Aggregation  (SURVEY §2.E "Aggregation", "Grouping sets/rollup/cube")
+# =====================================================================
+
+@_register(
+    "agg_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {dsum_duck('l_quantity', 'sum_qty')},
+           {dsum_duck('l_extendedprice', 'sum_base_price')},
+           {dsum_duck('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+           {davg_duck('l_quantity', 'avg_qty')},
+           {davg_duck('l_discount', 'avg_disc')},
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1-shaped pricing summary: hash aggregate with map-side "
+    "partial aggregation; decimal-exact sums.",
+)
+def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum("l_extendedprice * (1 - l_discount)").alias("sum_disc_price"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@_register(
+    "agg_count_distinct",
+    """
+    SELECT c.c_nationkey AS nationkey,
+           CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_cust,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_nationkey
+    """,
+    doc="Exact count(distinct) per group (expand + two-phase agg in Spark).",
+)
+def q_agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "orders", "customer")
+    return (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.countDistinct("o_custkey").alias("n_cust"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@_register(
+    "agg_rollup",
+    f"""
+    SELECT n.n_name, CAST(YEAR(o.o_orderdate) AS INT) AS order_year,
+           CAST(GROUPING(n.n_name) AS INT) AS g_nation,
+           CAST(GROUPING(CAST(YEAR(o.o_orderdate) AS INT)) AS INT) AS g_year,
+           {dsum_duck('o.o_totalprice', 'sum_price')},
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY ROLLUP(n.n_name, CAST(YEAR(o.o_orderdate) AS INT))
+    """,
+    doc="ROLLUP multi-level aggregate with grouping() indicators.",
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "orders", "customer", "nation")
+    joined = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["nation"], F.col("c_nationkey") == F.col("n_nationkey"))
+        .withColumn("order_year", F.year("o_orderdate").cast("int"))
+    )
+    return (
+        joined.rollup("n_name", "order_year")
+        .agg(
+            F.grouping("n_name").cast("int").alias("g_nation"),
+            F.grouping("order_year").cast("int").alias("g_year"),
+            dsum("o_totalprice").alias("sum_price"),
+            F.count("*").alias("n_orders"),
+        )
+        .select(
+            "n_name", "order_year", "g_nation", "g_year", "sum_price", "n_orders"
+        )
+    )
+
+
+@_register(
+    "window_tumbling",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start,
+           time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS win_end,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+    doc="Tumbling event-time window aggregate (F.window) — the batch twin "
+    "of the streaming windowed aggregation.",
+)
+def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")["events"]
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.expr(
+                "cast(round(sum(cast(value as decimal(18,4))), 2) as double)"
+            ).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# =====================================================================
+# Window functions  (SURVEY §2.E "Window — ranking/analytic/frames")
+# =====================================================================
+
+@_register(
+    "window_rank",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rn, rnk, drnk FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+             CAST(RANK() OVER w AS BIGINT) AS rnk,
+             CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    ) WHERE rn <= 3
+    """,
+    doc="Ranking windows (row_number/rank/dense_rank), top-3 per customer.",
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")["orders"]
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("bigint").alias("rn"),
+            F.rank().over(w).cast("bigint").alias("rnk"),
+            F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@_register(
+    "window_lag_lead",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           LAG(o_totalprice) OVER w AS prev_price,
+           LEAD(o_totalprice) OVER w AS next_price,
+           FIRST_VALUE(o_totalprice) OVER w AS first_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    doc="Analytic windows: lag/lead/first_value over per-customer order history.",
+)
+def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")["orders"]
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.first("o_totalprice").over(w).alias("first_price"),
+    )
+
+
+@_register(
+    "window_running_sum",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS running_total
+    FROM orders
+    """,
+    doc="Framed window: running sum rowsBetween(unboundedPreceding, currentRow); "
+    "decimal accumulation keeps it order-exact.",
+)
+def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")["orders"]
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .over(w)
+        .cast("double")
+        .alias("running_total"),
+    )
+
+
+# =====================================================================
+# Sort / limit / set ops  (SURVEY §2.E)
+# =====================================================================
+
+@_register(
+    "topk_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+    doc="Global top-k (TakeOrderedAndProject — no full sort materialized).",
+)
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")["orders"]
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        .limit(100)
+    )
+
+
+@_register(
+    "set_union_distinct",
+    """
+    SELECT DISTINCT k FROM (
+      SELECT c_custkey AS k FROM customer
+      UNION ALL SELECT o_custkey AS k FROM orders
+    )
+    """,
+    doc="UNION ALL + DISTINCT.",
+)
+def q_set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "customer", "orders")
+    return (
+        t["customer"]
+        .select(F.col("c_custkey").alias("k"))
+        .unionAll(t["orders"].select(F.col("o_custkey").alias("k")))
+        .distinct()
+    )
+
+
+@_register(
+    "set_intersect",
+    """
+    SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000
+    INTERSECT
+    SELECT o_custkey AS k FROM orders
+    """,
+    doc="INTERSECT (distinct semantics).",
+)
+def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "customer", "orders")
+    return (
+        t["customer"]
+        .filter(F.col("c_acctbal") > 5000)
+        .select(F.col("c_custkey").alias("k"))
+        .intersect(t["orders"].select(F.col("o_custkey").alias("k")))
+    )
+
+
+@_register(
+    "set_except",
+    """
+    SELECT c_custkey AS k FROM customer
+    EXCEPT
+    SELECT o_custkey AS k FROM orders
+    """,
+    doc="EXCEPT (distinct semantics).",
+)
+def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "customer", "orders")
+    return (
+        t["customer"]
+        .select(F.col("c_custkey").alias("k"))
+        .subtract(t["orders"].select(F.col("o_custkey").alias("k")))
+    )
+
+
+# =====================================================================
+# Scalar function batteries  (SURVEY §2.E "Scalar functions")
+# =====================================================================
+
+@_register(
+    "string_battery",
+    """
+    SELECT p_partkey,
+           concat(p_brand, '#', p_name) AS branded,
+           substring(p_name, 1, 8) AS name_prefix,
+           upper(p_brand) AS brand_upper,
+           lower(p_type) AS type_lower,
+           CAST(length(p_name) AS INT) AS name_len,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+           regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+           replace(p_type, ' ', '_') AS type_snake,
+           CAST(strpos(p_name, 'a') AS INT) AS a_pos,
+           CAST(levenshtein(p_brand, 'Brand#1') AS INT) AS brand_dist
+    FROM part
+    """,
+    doc="String battery: concat/substring/case/length/lpad/regexp_extract/"
+    "replace/instr/levenshtein.",
+)
+def q_string_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")["part"]
+    return p.select(
+        "p_partkey",
+        F.concat(F.col("p_brand"), F.lit("#"), F.col("p_name")).alias("branded"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.lower("p_type").alias("type_lower"),
+        F.length("p_name").cast("int").alias("name_len"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
+        F.expr("replace(p_type, ' ', '_')").alias("type_snake"),
+        F.instr("p_name", "a").cast("int").alias("a_pos"),
+        F.levenshtein(F.col("p_brand"), F.lit("Brand#1")).cast("int").alias(
+            "brand_dist"
+        ),
+    )
+
+
+@_register(
+    "date_battery",
+    """
+    SELECT o_orderkey,
+           CAST(YEAR(o_orderdate) AS INT) AS y,
+           CAST(MONTH(o_orderdate) AS INT) AS m,
+           CAST(DAY(o_orderdate) AS INT) AS d,
+           CAST(QUARTER(o_orderdate) AS INT) AS q,
+           date_trunc('month', o_orderdate)::DATE AS month_start,
+           CAST(datediff('day', o_orderdate::DATE, DATE '2002-01-01') AS INT)
+             AS days_to_2002,
+           (o_orderdate + INTERVAL '30 days')::DATE AS plus30,
+           CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+    FROM orders
+    """,
+    doc="Date/time battery: extract fields, trunc, diff, interval add, epoch.",
+)
+def q_date_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")["orders"]
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("y"),
+        F.month("o_orderdate").cast("int").alias("m"),
+        F.dayofmonth("o_orderdate").cast("int").alias("d"),
+        F.quarter("o_orderdate").cast("int").alias("q"),
+        F.to_date(F.date_trunc("month", F.col("o_orderdate"))).alias("month_start"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate")).cast(
+            "int"
+        ).alias("days_to_2002"),
+        F.to_date(F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("plus30"),
+        F.unix_timestamp("o_orderdate").cast("bigint").alias("epoch_s"),
+    )
+
+
+@_register(
+    "math_battery",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice, 1) AS price_r1,
+           abs(l_discount - 0.05) AS disc_dev,
+           CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+           CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+           sqrt(l_quantity) AS qty_sqrt,
+           CAST(l_orderkey % 7 AS BIGINT) AS key_mod,
+           (l_extendedprice * l_extendedprice) AS price_sq,
+           CAST(greatest(l_quantity, 25.0) AS DOUBLE) AS qty_hi,
+           CAST(least(l_quantity, 25.0) AS DOUBLE) AS qty_lo
+    FROM lineitem
+    """,
+    doc="Math battery: round/abs/floor/ceil/sqrt/mod/greatest/least — all "
+    "IEEE-exact or integral (portable across engines).",
+)
+def q_math_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice"), 1).alias("price_r1"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.floor("l_extendedprice").cast("bigint").alias("price_floor"),
+        F.ceil("l_extendedprice").cast("bigint").alias("price_ceil"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        F.pmod(F.col("l_orderkey"), F.lit(7)).cast("bigint").alias("key_mod"),
+        (F.col("l_extendedprice") * F.col("l_extendedprice")).alias("price_sq"),
+        F.greatest(F.col("l_quantity"), F.lit(25.0)).cast("double").alias("qty_hi"),
+        F.least(F.col("l_quantity"), F.lit(25.0)).cast("double").alias("qty_lo"),
+    )
+
+
+@_register(
+    "array_battery",
+    """
+    SELECT p_partkey,
+           string_split(p_type, ' ')[1] AS first_tok,
+           CAST(len(string_split(p_type, ' ')) AS INT) AS n_tok,
+           array_to_string(list_sort(list_distinct(string_split(p_type, ' '))), ',')
+             AS sorted_toks,
+           array_to_string(list_transform(string_split(p_type, ' '), x -> upper(x)), '|')
+             AS upper_toks,
+           CAST(list_contains(string_split(p_type, ' '), 'steel') AS BOOLEAN)
+             AS has_steel
+    FROM part
+    """,
+    doc="Array battery: split/element_at/size/sort/distinct/transform/contains "
+    "(higher-order functions).",
+)
+def q_array_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")["part"]
+    toks = F.split(F.col("p_type"), " ")
+    return p.select(
+        "p_partkey",
+        F.element_at(toks, 1).alias("first_tok"),
+        F.size(toks).cast("int").alias("n_tok"),
+        F.concat_ws(",", F.array_sort(F.array_distinct(toks))).alias("sorted_toks"),
+        F.concat_ws("|", F.transform(toks, lambda x: F.upper(x))).alias("upper_toks"),
+        F.array_contains(toks, "steel").alias("has_steel"),
+    )
+
+
+@_register(
+    "map_battery",
+    """
+    SELECT p_partkey,
+           map_extract(map(['brand', 'type'], [p_brand, p_type]), 'brand')[1]
+             AS brand_v,
+           CAST(cardinality(map(['brand', 'type'], [p_brand, p_type])) AS INT)
+             AS n_keys,
+           array_to_string(map_keys(map(['brand', 'type'], [p_brand, p_type])), ',')
+             AS keys_csv
+    FROM part
+    """,
+    doc="Map battery: map construction, element_at, map_keys, cardinality.",
+)
+def q_map_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")["part"]
+    m = F.create_map(
+        F.lit("brand"), F.col("p_brand"), F.lit("type"), F.col("p_type")
+    )
+    return p.select(
+        "p_partkey",
+        F.element_at(m, "brand").alias("brand_v"),
+        F.size(m).cast("int").alias("n_keys"),
+        F.concat_ws(",", F.map_keys(m)).alias("keys_csv"),
+    )
+
+
+@_register(
+    "json_battery",
+    """
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
+           to_json(struct_pack(et := event_type, uid := user_id)) AS packed,
+           json_extract_string(to_json(struct_pack(et := event_type, uid := user_id)),
+                               '$.et') AS et_roundtrip
+    FROM events
+    """,
+    doc="JSON battery: get_json_object extraction, to_json(struct) build, "
+    "extract-after-build roundtrip.",
+)
+def q_json_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")["events"]
+    packed = F.to_json(
+        F.struct(F.col("event_type").alias("et"), F.col("user_id").alias("uid"))
+    )
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_num"),
+        packed.alias("packed"),
+        F.get_json_object(packed, "$.et").alias("et_roundtrip"),
+    )
+
+
+@_register(
+    "cond_null_battery",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_discount > 0.06 THEN 'HIGH'
+                WHEN l_discount > 0.03 THEN 'MID'
+                ELSE 'LOW' END AS disc_band,
+           nullif(l_tax, 0.0) AS tax_or_null,
+           coalesce(nullif(l_tax, 0.0), -1.0) AS tax_coalesced,
+           CAST(l_tax = 0.0 AS BOOLEAN) AS tax_is_zero,
+           CASE WHEN l_returnflag = 'N' THEN NULL ELSE l_returnflag END
+             AS flag_or_null
+    FROM lineitem
+    """,
+    doc="Conditional/null battery: CASE WHEN, nullif, coalesce, boolean expr.",
+)
+def q_cond_null_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_discount") > 0.06, "HIGH")
+        .when(F.col("l_discount") > 0.03, "MID")
+        .otherwise("LOW")
+        .alias("disc_band"),
+        F.nullif(F.col("l_tax"), F.lit(0.0)).alias("tax_or_null"),
+        F.coalesce(F.nullif(F.col("l_tax"), F.lit(0.0)), F.lit(-1.0)).alias(
+            "tax_coalesced"
+        ),
+        (F.col("l_tax") == 0.0).alias("tax_is_zero"),
+        F.when(F.col("l_returnflag") == "N", F.lit(None).cast("string"))
+        .otherwise(F.col("l_returnflag"))
+        .alias("flag_or_null"),
+    )
+
+
+# =====================================================================
+# LLM-pipeline operators: dedup  (north-star; SURVEY §7 M5)
+# =====================================================================
+
+@_register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS content_hash,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+           CAST(COUNT(*) AS BIGINT) AS dup_count
+    FROM documents GROUP BY md5(text)
+    """,
+    doc="Exact dedup via content-hash groupBy (operators/dedup.py:exact_dedup).",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return exact_dedup(docs, "text", "doc_id")
+
+
+def _minhash_oracle(num_hashes: int = 12, bands: int = 4, n: int = 3) -> str:
+    r = num_hashes // bands
+    sig_items = ", ".join(
+        f"list_aggregate(list_transform(shingles, s -> md5('{i}:' || s)), 'min')"
+        for i in range(num_hashes)
+    )
+    return f"""
+    WITH words AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(ws) < {n} THEN []
+                  ELSE list_transform(generate_series(0, len(ws) - {n}),
+                                      i -> array_to_string(ws[i+1:i+{n}], ' '))
+             END AS shingles
+      FROM words
+    ), sig AS (
+      SELECT doc_id, [{sig_items}] AS s FROM sh WHERE len(shingles) > 0
+    ), bands AS (
+      SELECT doc_id, j AS band_idx,
+             md5(array_to_string(s[j*{r}+1 : j*{r}+{r}], '|')) AS band_key
+      FROM (SELECT doc_id, s, unnest([{", ".join(str(b) for b in range(bands))}]) AS j
+            FROM sig)
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+     AND a.doc_id < b.doc_id
+    """
+
+
+@_register(
+    "dedup_minhash_lsh",
+    _minhash_oracle(),
+    doc="MinHash+LSH near-dup candidates: row-local signatures (no shuffle), "
+    "band-bucket self-join (operators/dedup.py:minhash_lsh_candidates).",
+)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return minhash_lsh_candidates(
+        docs, "doc_id", "text", num_hashes=12, bands=4, shingle_words=3
+    )
+
+
+def _simhash_oracle(bits: int = 32) -> str:
+    bit_terms = " + ".join(
+        f"(CASE WHEN 2 * list_sum(list_transform(hs, v -> (v >> {j}) & 1)) >= len(hs) "
+        f"THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(bits)
+    )
+    return f"""
+    WITH h AS (
+      SELECT doc_id,
+             list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                            w -> ('0x' || substr(md5(w), 1, 15))::BIGINT) AS hs
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN len(hs) = 0 THEN 0 ELSE {bit_terms} END AS BIGINT)
+             AS simhash,
+           CAST(len(hs) AS INT) AS n_words
+    FROM h
+    """
+
+
+@_register(
+    "dedup_simhash",
+    _simhash_oracle(),
+    doc="SimHash fingerprint: row-local bit-majority over 60-bit md5-derived "
+    "word hashes (operators/dedup.py:simhash).",
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    out = simhash(docs, "doc_id", "text", bits=32)
+    return out.select(
+        "doc_id", "simhash", F.col("n_words").cast("int").alias("n_words")
+    )
+
+
+def _jaccard_oracle(n: int = 3, threshold: float = 0.5) -> str:
+    return f"""
+    WITH words AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct(
+               CASE WHEN len(ws) < {n} THEN []
+                    ELSE list_transform(generate_series(0, len(ws) - {n}),
+                                        i -> array_to_string(ws[i+1:i+{n}], ' '))
+               END)) AS s
+      FROM words
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS inter_cnt
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b, inter_cnt,
+           inter_cnt / (sa.n_sh + sb.n_sh - inter_cnt) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE inter_cnt / (sa.n_sh + sb.n_sh - inter_cnt) >= {threshold}
+    """
+
+
+@_register(
+    "dedup_ngram_jaccard",
+    _jaccard_oracle(),
+    doc="Exact n-gram Jaccard pairs over an inverted-index self-join "
+    "(operators/dedup.py:ngram_jaccard_pairs).",
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+
+
+def _cosine_duck(a: str, b: str, dim: int) -> str:
+    def dot(x: str, y: str) -> str:
+        return (
+            f"list_reduce(list_transform(generate_series(1, {dim}), "
+            f"i -> CAST({x}[i] AS DOUBLE) * CAST({y}[i] AS DOUBLE)), (p, q) -> p + q)"
+        )
+
+    return f"{dot(a, b)} / (sqrt({dot(a, a)}) * sqrt({dot(b, b)}))"
+
+
+EMB_DIM = 64
+
+
+@_register(
+    "dedup_embedding",
+    f"""
+    SELECT id_a, id_b, cosine FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             {_cosine_duck('a.embedding', 'b.embedding', EMB_DIM)} AS cosine
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    ) WHERE cosine >= 0.30
+    """,
+    doc="Embedding-cosine near-dup pairs; sequential-fold dot product is "
+    "bit-deterministic across engines (operators/dedup.py).",
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    return embedding_neardup_pairs(
+        emb, "vec_id", "embedding", dim=EMB_DIM, threshold=0.30
+    )
+
+
+# =====================================================================
+# LLM-pipeline operators: similarity search
+# =====================================================================
+
+@_register(
+    "ann_bruteforce",
+    f"""
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_cosine_duck('q.embedding', 'c.embedding', EMB_DIM)} AS cosine,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {_cosine_duck('q.embedding', 'c.embedding', EMB_DIM)} DESC,
+                        c.vec_id) AS BIGINT) AS rank
+      FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
+      CROSS JOIN embeddings c
+    ) WHERE rank <= 5
+    """,
+    doc="Exact brute-force cosine top-k: broadcast query set × corpus scan "
+    "(operators/similarity.py:ann_bruteforce_topk).",
+)
+def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = ann_bruteforce_topk(
+        emb, queries, "vec_id", "embedding", "vec_id", "embedding", k=5, dim=EMB_DIM
+    )
+    return out.select(
+        "query_id", "neighbor_id", "cosine", F.col("rank").cast("bigint").alias("rank")
+    )
+
+
+@_register(
+    "ann_lsh",
+    None,  # approximate + numpy-seeded planes: no SQL oracle; rows-only check
+    doc="LSH-bucketed approximate top-k (random hyperplanes, pandas UDF "
+    "bucketing, same-bucket scoring) — scale path for ANN.",
+)
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ann_lsh_topk(
+        emb,
+        queries,
+        "vec_id",
+        "embedding",
+        "vec_id",
+        "embedding",
+        k=5,
+        dim=EMB_DIM,
+        n_planes=8,
+    )
+
+
+# =====================================================================
+# LLM-pipeline operators: text analysis
+# =====================================================================
+
+@_register(
+    "text_lang_id",
+    f"""
+    SELECT doc_id, lang AS labeled_lang,
+           {lang_id_oracle_sql('text')} AS lang_guess
+    FROM documents
+    """,
+    doc="Language-ID heuristic: stopword votes per language inside one "
+    "projection (functions/text.py:lang_id).",
+)
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        lang_id("text").alias("lang_guess"),
+    )
+
+
+@_register(
+    "text_quality",
+    """
+    SELECT doc_id,
+           CAST(length(text) AS INT) AS n_chars_obs,
+           CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS INT) AS n_words,
+           CASE WHEN len(regexp_extract_all(lower(text), '[a-z0-9]+')) = 0 THEN 0.0
+                ELSE list_sum(list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                                             w -> length(w)))
+                     / CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS DOUBLE)
+           END AS avg_word_len,
+           CASE WHEN length(text) = 0 THEN 0.0
+                ELSE length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                     / CAST(length(text) AS DOUBLE) END AS alpha_ratio,
+           CASE WHEN len(regexp_extract_all(lower(text), '[a-z0-9]+')) = 0 THEN 0.0
+                ELSE len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                         w -> list_contains(['the','and','of','to','in','is','that','with','for','on'], w)))
+                     / CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS DOUBLE)
+           END AS stopword_ratio,
+           CASE WHEN length(text) = 0 THEN 0.0
+                ELSE length(regexp_replace(text, '[^A-Z]', '', 'g'))
+                     / CAST(length(text) AS DOUBLE) END AS upper_ratio
+    FROM documents
+    """,
+    doc="Quality-scoring features: length/word/alpha/stopword/upper ratios "
+    "(functions/text.py:quality_features).",
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    feats = quality_features("text")
+    # cast int-ish features to match oracle types
+    return docs.select(
+        "doc_id",
+        feats[0].cast("int").alias("n_chars_obs"),
+        feats[1].cast("int").alias("n_words"),
+        *feats[2:],
+    )
+
+
+@_register(
+    "text_token_count",
+    """
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS INT) AS n_words,
+           CAST(COALESCE(list_sum(list_transform(
+                  regexp_extract_all(lower(text), '[a-z0-9]+'),
+                  w -> CAST(ceil(length(w) / 4.0) AS BIGINT))), 0) AS BIGINT)
+             AS n_tokens
+    FROM documents
+    """,
+    doc="Token counting: word tokens + BPE-ish ceil(len/4) sub-token "
+    "estimate (functions/text.py:token_count).",
+)
+def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return docs.select(
+        "doc_id",
+        word_count("text").cast("int").alias("n_words"),
+        token_count("text").alias("n_tokens"),
+    )
+
+
+@_register(
+    "text_fingerprint",
+    r"""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+    doc="Document fingerprint: md5 over normalized text "
+    "(functions/text.py:doc_fingerprint).",
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return docs.select("doc_id", doc_fingerprint("text").alias("fingerprint"))

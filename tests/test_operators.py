@@ -1,0 +1,114 @@
+"""Unit tests for custom operators on tiny in-memory frames."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from spark_extensions_spark.operators.joins import asof_join, interval_join
+from spark_extensions_spark.operators.dedup import (
+    exact_dedup,
+    minhash_signatures,
+    simhash,
+)
+from spark_extensions_spark.operators.similarity import ann_bruteforce_topk
+
+
+def ts(s: str) -> datetime.datetime:
+    return datetime.datetime.fromisoformat(s)
+
+
+def test_asof_join_basic(spark):
+    left = spark.createDataFrame(
+        [(1, ts("2024-01-01T10:00:00"), "L1"), (1, ts("2024-01-01T12:00:00"), "L2"),
+         (2, ts("2024-01-01T09:00:00"), "L3")],
+        "k int, t timestamp, lv string",
+    )
+    right = spark.createDataFrame(
+        [(1, ts("2024-01-01T09:30:00"), "R1"), (1, ts("2024-01-01T11:00:00"), "R2"),
+         (3, ts("2024-01-01T00:00:00"), "R3")],
+        "k int, t timestamp, rv string",
+    )
+    out = asof_join(left, right, on="k", left_time="t", right_time="t",
+                    right_values=["rv"])
+    got = {(r["k"], r["lv"]): r["rv"] for r in out.collect()}
+    assert got == {(1, "L1"): "R1", (1, "L2"): "R2", (2, "L3"): None}
+
+
+def test_asof_join_equal_ts_matches(spark):
+    left = spark.createDataFrame([(1, ts("2024-01-01T10:00:00"), "L")],
+                                 "k int, t timestamp, lv string")
+    right = spark.createDataFrame([(1, ts("2024-01-01T10:00:00"), "R")],
+                                  "k int, t timestamp, rv string")
+    out = asof_join(left, right, on="k", left_time="t", right_time="t",
+                    right_values=["rv"]).collect()
+    assert out[0]["rv"] == "R"
+
+
+def test_asof_join_inner_drops_unmatched(spark):
+    left = spark.createDataFrame([(1, ts("2024-01-01T08:00:00"), "L")],
+                                 "k int, t timestamp, lv string")
+    right = spark.createDataFrame([(1, ts("2024-01-01T10:00:00"), "R")],
+                                  "k int, t timestamp, rv string")
+    out = asof_join(left, right, on="k", left_time="t", right_time="t",
+                    right_values=["rv"], how="inner").collect()
+    assert out == []
+
+
+def test_interval_join_overlap(spark):
+    a = spark.createDataFrame([(1, 0, 10), (1, 20, 30)], "k int, s int, e int")
+    b = spark.createDataFrame([(1, 5, 25), (1, 40, 50)], "k int, s int, e int")
+    out = interval_join(a, b, on="k", left_start="s", left_end="e",
+                        right_start="s", right_end="e")
+    assert out.count() == 2  # [0,10]∩[5,25], [20,30]∩[5,25]
+
+
+def test_exact_dedup_groups(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")], "id long, txt string"
+    )
+    out = {r["keep_id"]: r["dup_count"] for r in
+           exact_dedup(df, "txt", "id").collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_minhash_identical_docs_share_signature(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog"),
+         (3, "completely different words entirely here now")],
+        "id long, txt string",
+    )
+    sigs = {r["id"]: tuple(r["minhash_sig"]) for r in
+            minhash_signatures(df, "id", "txt", num_hashes=8).collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[3]
+
+
+def test_minhash_short_doc_null_signature(spark):
+    df = spark.createDataFrame([(1, "two words")], "id long, txt string")
+    sig = minhash_signatures(df, "id", "txt", num_hashes=4).collect()[0]
+    assert all(v is None for v in sig["minhash_sig"])
+
+
+def test_simhash_identical_and_empty(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "")],
+        "id long, txt string",
+    )
+    got = {r["id"]: (r["simhash"], r["n_words"]) for r in
+           simhash(df, "id", "txt").collect()}
+    assert got[1] == got[2]
+    assert got[3] == (0, 0)
+
+
+def test_ann_bruteforce_self_is_nearest(spark):
+    df = spark.createDataFrame(
+        [(i, [float(i == j) for j in range(4)]) for i in range(4)],
+        "vec_id long, embedding array<float>",
+    )
+    out = ann_bruteforce_topk(df, df, "vec_id", "embedding", "vec_id",
+                              "embedding", k=1, dim=4)
+    for r in out.collect():
+        assert r["neighbor_id"] == r["query_id"] and abs(r["cosine"] - 1.0) < 1e-12
