@@ -1,0 +1,333 @@
+"""Unit tests for schema/{avro,json_schema}.py.
+
+Ports the reference's golden-schema and roundtrip tests
+(JsonSchemaConverterTest.scala, AvroSchemaConverter usage in
+ConfluentAvroCatalystTest.scala) to pytest — no Spark session needed.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    BooleanType,
+    DateType,
+    DecimalType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from spark_extensions_spark.schema.avro import (
+    IncompatibleSchemaException,
+    avro_to_spark,
+    min_bytes_for_precision,
+    spark_to_avro,
+)
+from spark_extensions_spark.schema.json_schema import (
+    JsonSchemaError,
+    json_schema_to_spark,
+    spark_to_json_schema,
+)
+
+
+# ---------------------------------------------------------------- avro → spark
+
+def test_avro_primitives():
+    rec = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "b", "type": "boolean"},
+            {"name": "i", "type": "int"},
+            {"name": "l", "type": "long"},
+            {"name": "f", "type": "float"},
+            {"name": "d", "type": "double"},
+            {"name": "s", "type": "string"},
+            {"name": "by", "type": "bytes"},
+        ],
+    }
+    dt, nullable = avro_to_spark(rec)
+    assert not nullable
+    assert dt == StructType(
+        [
+            StructField("b", BooleanType(), False),
+            StructField("i", IntegerType(), False),
+            StructField("l", LongType(), False),
+            StructField("f", FloatType(), False),
+            StructField("d", DoubleType(), False),
+            StructField("s", StringType(), False),
+            StructField("by", BinaryType(), False),
+        ]
+    )
+
+
+def test_avro_logical_types():
+    rec = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "d", "type": {"type": "int", "logicalType": "date"}},
+            {
+                "name": "ts",
+                "type": {"type": "long", "logicalType": "timestamp-micros"},
+            },
+            {
+                "name": "tsm",
+                "type": {"type": "long", "logicalType": "timestamp-millis"},
+            },
+            {
+                "name": "dec",
+                "type": {
+                    "type": "bytes",
+                    "logicalType": "decimal",
+                    "precision": 10,
+                    "scale": 2,
+                },
+            },
+        ],
+    }
+    dt, _ = avro_to_spark(rec)
+    assert dt["d"].dataType == DateType()
+    assert dt["ts"].dataType == TimestampType()
+    assert dt["tsm"].dataType == TimestampType()
+    assert dt["dec"].dataType == DecimalType(10, 2)
+
+
+def test_avro_unions():
+    # null union → nullable
+    dt, n = avro_to_spark(["null", "string"])
+    assert (dt, n) == (StringType(), True)
+    # int/long promotion
+    dt, n = avro_to_spark(["int", "long"])
+    assert (dt, n) == (LongType(), False)
+    dt, n = avro_to_spark(["float", "double"])
+    assert (dt, n) == (DoubleType(), False)
+    # heterogeneous → member struct
+    dt, n = avro_to_spark(["string", "int"])
+    assert dt == StructType(
+        [
+            StructField("member0", StringType(), True),
+            StructField("member1", IntegerType(), True),
+        ]
+    )
+    # null + 2 others → nullable member struct
+    dt, n = avro_to_spark(["null", "string", "int"])
+    assert n is True
+    assert isinstance(dt, StructType)
+
+
+def test_avro_array_map_enum():
+    dt, _ = avro_to_spark({"type": "array", "items": ["null", "int"]})
+    assert dt == ArrayType(IntegerType(), containsNull=True)
+    dt, _ = avro_to_spark({"type": "map", "values": "long"})
+    assert dt == MapType(StringType(), LongType(), valueContainsNull=False)
+    dt, _ = avro_to_spark(
+        {"type": "enum", "name": "e", "symbols": ["A", "B"]}
+    )
+    assert dt == StringType()
+
+
+def test_avro_recursion_rejected():
+    rec = {
+        "type": "record",
+        "name": "Node",
+        "fields": [{"name": "next", "type": ["null", "Node"]}],
+    }
+    # a self-reference arrives as the bare name "Node" — unknown type here,
+    # but a nested full record with the same name must be rejected
+    nested = {
+        "type": "record",
+        "name": "Node",
+        "fields": [
+            {
+                "name": "next",
+                "type": {
+                    "type": "record",
+                    "name": "Node",
+                    "fields": [{"name": "x", "type": "int"}],
+                },
+            }
+        ],
+    }
+    with pytest.raises(IncompatibleSchemaException):
+        avro_to_spark(nested)
+    del rec
+
+
+# ---------------------------------------------------------------- spark → avro
+
+def test_spark_to_avro_nullability_fixes():
+    st = StructType(
+        [
+            StructField("a", IntegerType(), False),
+            StructField("b", StringType(), True),
+        ]
+    )
+    out = spark_to_avro(st, nullable=False, record_name="rec")
+    fields = {f["name"]: f for f in out["fields"]}
+    # nullable field: null-FIRST union + default null (reference fix,
+    # AvroSchemaConverter.scala:187,195-197)
+    assert fields["b"]["type"] == ["null", "string"]
+    assert fields["b"]["default"] is None
+    assert fields["a"]["type"] == "int"
+    assert "default" not in fields["a"]
+
+
+def test_spark_to_avro_decimal_fixed():
+    out = spark_to_avro(DecimalType(10, 2), record_name="rec")
+    assert out["type"] == "fixed"
+    assert out["precision"] == 10 and out["scale"] == 2
+    assert out["size"] == min_bytes_for_precision(10)
+    assert min_bytes_for_precision(1) == 1
+    assert min_bytes_for_precision(3) == 2
+    assert min_bytes_for_precision(38) == 16
+
+
+def test_avro_roundtrip():
+    st = StructType(
+        [
+            StructField("i", IntegerType(), False),
+            StructField("s", StringType(), True),
+            StructField("ts", TimestampType(), False),
+            StructField("arr", ArrayType(LongType(), True), True),
+            StructField("m", MapType(StringType(), DoubleType(), False), False),
+            StructField(
+                "nested",
+                StructType([StructField("x", BooleanType(), True)]),
+                True,
+            ),
+        ]
+    )
+    avro = spark_to_avro(st, record_name="top")
+    back, nullable = avro_to_spark(avro)
+    assert back == st
+    assert not nullable
+
+
+def test_spark_to_avro_map_key_guard():
+    with pytest.raises(IncompatibleSchemaException):
+        spark_to_avro(MapType(IntegerType(), StringType()))
+
+
+# ----------------------------------------------------------- json-schema → spark
+
+VERBOSE = {
+    "$schema": "http://json-schema.org/draft-04/schema#",
+    "type": "object",
+    "properties": {
+        "id": {"type": "integer"},
+        "name": {"type": ["string", "null"]},
+        "score": {"type": "number"},
+        "active": {"type": "boolean"},
+        "created": {"type": "date-time"},
+        "tags": {"type": "array", "items": {"type": "string"}},
+        "address": {
+            "type": "object",
+            "properties": {
+                "street": {"type": "string"},
+                "zip": {"type": "integer"},
+            },
+            "required": ["street"],
+        },
+        "attrs": {
+            "type": "object",
+            "additionalProperties": {"type": "number"},
+        },
+    },
+    "required": ["id", "score"],
+}
+
+
+def test_json_schema_basic():
+    st = json_schema_to_spark(VERBOSE)
+    assert st["id"].dataType == LongType() and not st["id"].nullable
+    assert st["name"].dataType == StringType() and st["name"].nullable
+    assert st["score"].dataType == DoubleType() and not st["score"].nullable
+    assert st["created"].dataType == TimestampType()
+    # reference: containsNull = item type's own nullability
+    # (JsonToSparkSchemaConverter.scala:126)
+    assert st["tags"].dataType == ArrayType(StringType(), containsNull=False)
+    addr = st["address"].dataType
+    assert isinstance(addr, StructType)
+    assert not addr["street"].nullable and addr["zip"].nullable
+    assert st["attrs"].dataType == MapType(StringType(), DoubleType())
+
+
+def test_json_schema_refs():
+    schema = {
+        "type": "object",
+        "definitions": {
+            "pt": {
+                "type": "object",
+                "properties": {"x": {"type": "number"}},
+                "required": ["x"],
+            }
+        },
+        "properties": {
+            "p": {"$ref": "#/definitions/pt"},
+            "ps": {"type": "array", "items": {"$ref": "#/definitions/pt"}},
+        },
+        "required": ["p"],
+    }
+    st = json_schema_to_spark(schema)
+    pt = StructType([StructField("x", DoubleType(), False)])
+    assert st["p"].dataType == pt and not st["p"].nullable
+    assert st["ps"].dataType == ArrayType(pt, containsNull=False)
+
+
+def test_json_schema_strict_vs_lenient():
+    schema = {
+        "type": "object",
+        "properties": {"u": {"type": ["string", "integer", "null"]}},
+    }
+    with pytest.raises(JsonSchemaError):
+        json_schema_to_spark(schema, strict=True)
+    st = json_schema_to_spark(schema, strict=False)
+    assert st["u"].dataType == StringType() and st["u"].nullable
+
+
+def test_json_schema_errors():
+    with pytest.raises(JsonSchemaError):
+        json_schema_to_spark({"type": "string"})  # root must be object
+    with pytest.raises(JsonSchemaError):
+        json_schema_to_spark({"type": "object"})  # needs properties
+    with pytest.raises(JsonSchemaError):
+        json_schema_to_spark(
+            {"type": "object", "properties": {"x": {"$ref": "#/nope/x"}}}
+        )
+
+
+def test_json_schema_roundtrip():
+    """json → spark → json == identity (JsonSchemaConverterTest.scala:472-482)."""
+    st = json_schema_to_spark(VERBOSE)
+    out = spark_to_json_schema(st)
+    back = json_schema_to_spark(out)
+    assert back == st
+    # structural checks on the emitted schema
+    assert out["$schema"].startswith("http://json-schema.org/draft-04")
+    assert out["additionalProperties"] is False
+    assert set(out["required"]) == {"id", "score"}
+    assert out["properties"]["attrs"] == {
+        "type": "object",
+        "additionalProperties": {"type": "number"},
+    }
+
+
+def test_spark_to_json_schema_decimal():
+    st = StructType(
+        [
+            StructField("i", DecimalType(10, 0), True),
+            StructField("n", DecimalType(10, 2), True),
+        ]
+    )
+    out = spark_to_json_schema(st)
+    assert out["properties"]["i"] == {"type": "integer"}
+    assert out["properties"]["n"] == {"type": "number"}
