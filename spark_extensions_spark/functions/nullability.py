@@ -29,9 +29,9 @@ def make_not_nullable(col: Column | str, error: str = "null in not-nullable colu
     null flows through (mirrors ``SetNullable``'s IllegalStateException,
     ``NullableHelper.scala:31-34``)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.when(
-        F.assert_true(c.isNotNull(), F.lit(error)).isNull(), c
-    ).otherwise(c)
+    # raise_error sits in the null branch, so the optimizer can't prune it
+    # (an assert_true guard in an always-true `when` gets folded away)
+    return F.when(c.isNull(), F.raise_error(F.lit(error))).otherwise(c)
 
 
 def make_nullable(col: Column | str) -> Column:
