@@ -1,0 +1,177 @@
+"""Tests for the sources facade and multimodal column plumbing."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from spark_extensions_spark.multimodal import (
+    attach_media_metadata,
+    decode_image,
+    extract_features,
+    frame_sample,
+    resize_image,
+)
+from spark_extensions_spark.sources import (
+    cloud_committer_conf,
+    read_table,
+    write_table,
+)
+
+
+# ------------------------------------------------------------------- sources
+
+@pytest.mark.parametrize("fmt", ["parquet", "csv", "json", "orc"])
+def test_write_read_roundtrip(spark, fmt):
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5), (3, None, None)], ["id", "s", "x"]
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="io_"), fmt)
+    wopts = {"header": True} if fmt == "csv" else {}
+    write_table(df, path, fmt=fmt, mode="overwrite", **wopts)
+    opts = {"header": True} if fmt == "csv" else {}
+    back = read_table(
+        spark, path, fmt=fmt,
+        schema=df.schema if fmt in ("csv", "json") else None, **opts,
+    )
+    assert back.count() == 3
+    assert {r["id"] for r in back.collect()} == {1, 2, 3}
+
+
+def test_write_partitioned(spark):
+    df = spark.createDataFrame(
+        [(i, "even" if i % 2 == 0 else "odd") for i in range(10)], ["id", "par"]
+    )
+    path = tempfile.mkdtemp(prefix="part_") + "/t"
+    write_table(df, path, mode="overwrite", partition_by=["par"])
+    assert sorted(
+        d for d in os.listdir(path) if d.startswith("par=")
+    ) == ["par=even", "par=odd"]
+    # partition pruning: only one directory scanned
+    pruned = read_table(spark, path).filter(F.col("par") == "even")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert pruned.count() == 5
+    assert "par=odd" not in plan
+
+
+def test_write_bucketed(spark):
+    df = spark.createDataFrame([(i, i % 3) for i in range(30)], ["id", "k"])
+    path = tempfile.mkdtemp(prefix="bkt_") + "/t"
+    name = "bucketed_t_test"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    write_table(
+        df, path, mode="overwrite", bucket_by=(4, ["k"]), sort_by=["id"],
+        table_name=name,
+    )
+    got = spark.table(name)
+    assert got.count() == 30
+    # bucketed table joins on k avoid the shuffle on the bucketed side
+    with pytest.raises(ValueError, match="table_name"):
+        write_table(df, path, bucket_by=(4, ["k"]))
+
+
+def test_unsupported_format(spark):
+    with pytest.raises(ValueError, match="Unsupported format"):
+        read_table(spark, "/tmp/x", fmt="xml")
+
+
+def test_cloud_committer_conf():
+    conf = cloud_committer_conf()
+    assert conf["spark.sql.sources.commitProtocolClass"].endswith(
+        "PathOutputCommitProtocol"
+    )
+    assert conf["spark.hadoop.fs.s3a.committer.name"] == "magic"
+    assert "reject.fileoutput" not in str(cloud_committer_conf())
+    assert (
+        cloud_committer_conf(reject_file_output=True)[
+            "spark.hadoop.pathoutputcommit.reject.fileoutput"
+        ]
+        == "true"
+    )
+
+
+# ---------------------------------------------------------------- multimodal
+
+@pytest.fixture(scope="module")
+def media_df(spark):
+    rows = [
+        Row(doc_id=i, content=bytes([i]) * (100 + i), kind="image/png")
+        for i in range(8)
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_attach_media_metadata(spark, media_df):
+    out = attach_media_metadata(media_df, "content", mime=F.col("kind"))
+    meta = out.select("media_meta.*")
+    r = {x["doc_id"]: x for x in out.select("doc_id", "media_meta").collect()}
+    assert r[0]["media_meta"]["mime"] == "image/png"
+    assert r[3]["media_meta"]["size_bytes"] == 103
+    assert "width" in meta.columns and "sample_rate" in meta.columns
+    # metadata predicates are plain struct-field filters (no decode)
+    assert out.filter(F.col("media_meta.size_bytes") > 104).count() == 3
+
+
+def test_decode_image_fake(spark, media_df):
+    out = decode_image(media_df, "content", deterministic_fake=True)
+    rows = out.collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert 16 <= r["width"] < 80 and 16 <= r["height"] < 80
+        assert r["n_channels"] == 3
+        assert len(r["mean_pixel"]) == 3
+    # determinism: same bytes → same decode
+    again = decode_image(media_df, "content", deterministic_fake=True).collect()
+    assert {(r["doc_id"], r["width"]) for r in rows} == {
+        (r["doc_id"], r["width"]) for r in again
+    }
+
+
+def test_decode_image_real_is_stubbed(spark, media_df):
+    with pytest.raises(Exception, match="NotImplementedError|PIL"):
+        decode_image(media_df, "content", deterministic_fake=False).collect()
+
+
+def test_resize_image_fake(spark, media_df):
+    out = resize_image(
+        media_df, 224, 224, "content", deterministic_fake=True
+    ).collect()
+    for r in out:
+        assert r["resized_width"] == 224 and r["resized_height"] == 224
+        assert bytes(r["content"]).startswith(b"RSZ1")
+
+
+def test_frame_sample_fake(spark, media_df):
+    out = frame_sample(
+        media_df, every_n_ms=500, content_col="content",
+        id_cols=["doc_id"], deterministic_fake=True,
+    )
+    rows = out.collect()
+    assert len(rows) > 8  # explosion happened
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, frames in per_doc.items():
+        idxs = sorted(f["frame_idx"] for f in frames)
+        assert idxs == list(range(len(idxs)))
+        assert all(f["frame_ts_ms"] == f["frame_idx"] * 500 for f in frames)
+
+
+def test_extract_features(spark, media_df):
+    out = extract_features(media_df, dim=16)
+    rows = out.collect()
+    for r in rows:
+        v = r["embedding"]
+        assert len(v) == 16
+        norm = sum(x * x for x in v) ** 0.5
+        assert abs(norm - 1.0) < 1e-5
+    # deterministic across runs
+    again = extract_features(media_df, dim=16).collect()
+    a = {r["doc_id"]: tuple(r["embedding"]) for r in rows}
+    b = {r["doc_id"]: tuple(r["embedding"]) for r in again}
+    assert a == b
