@@ -1183,3 +1183,7 @@ def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")["documents"]
     return docs.select("doc_id", doc_fingerprint("text").alias("fingerprint"))
+
+
+# batch-2 queries register themselves into this registry on import
+from spark_extensions_spark import queries2  # noqa: E402,F401  (registration side effect)

@@ -1,0 +1,708 @@
+"""t2 query registry, batch 2: wider SURVEY §2.E coverage.
+
+Registered into the same registry as :mod:`spark_extensions_spark.queries`
+(imported from there at module end). Same determinism rules — see the
+queries.py module docstring. Noteworthy here:
+
+- stddev/variance/corr are computed from DECIMAL power sums (n, Σx, Σx²,
+  Σxy) so the aggregation is order-free and engine-exact; only the final
+  scalar ops run in double, identically on both sides. Inputs are
+  integral-valued or 2-decimal columns, so the double→decimal casts can
+  never land on a rounding midpoint (no half-up vs half-even drift).
+- collect_list/collect_set wrap in sort_array (Spark's element order is
+  partition-dependent; sorted lists are engine-portable).
+- streaming queries run a real Structured Streaming availableNow replay
+  (memory sink) and STILL carry a SQL oracle — single-batch update-mode
+  snapshots equal the batch aggregate.
+- the Confluent roundtrip query drives encode→decode through the pandas
+  UDF codec; its oracle is the identity projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spark_extensions_spark.queries import (
+    _register,
+    _t,
+    dsum,
+    dsum_duck,
+)
+
+
+# =====================================================================
+# Joins: full outer, cross  (SURVEY §2.E "Joins")
+# =====================================================================
+
+@_register(
+    "join_full_outer",
+    """
+    SELECT c.c_custkey, c.c_name, o.o_orderkey
+    FROM (SELECT * FROM customer WHERE c_custkey % 2 = 0) c
+    FULL OUTER JOIN (SELECT * FROM orders WHERE o_orderkey % 3 = 0) o
+      ON c.c_custkey = o.o_custkey
+    """,
+    doc="Full outer equi-join: unmatched rows preserved on both sides.",
+)
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "customer", "orders")
+    c = t["customer"].filter(F.col("c_custkey") % 2 == 0)
+    o = t["orders"].filter(F.col("o_orderkey") % 3 == 0)
+    return c.join(o, F.col("c_custkey") == F.col("o_custkey"), "full_outer").select(
+        "c_custkey", "c_name", "o_orderkey"
+    )
+
+
+@_register(
+    "join_cross",
+    """
+    SELECT r.r_name, n.n_name,
+           CAST(r.r_regionkey = n.n_regionkey AS BOOLEAN) AS is_home
+    FROM region r CROSS JOIN nation n
+    """,
+    doc="Cartesian product over small dims (CartesianProduct / BNLJ).",
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "region", "nation")
+    return t["region"].crossJoin(t["nation"]).select(
+        "r_name",
+        "n_name",
+        (F.col("r_regionkey") == F.col("n_regionkey")).alias("is_home"),
+    )
+
+
+# =====================================================================
+# Aggregation: cube, stats, collect, min_by/max_by, percentile
+# =====================================================================
+
+@_register(
+    "agg_cube",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(2 * GROUPING(l_returnflag) + GROUPING(l_linestatus) AS BIGINT)
+             AS gid,
+           {dsum_duck('l_quantity', 'sum_qty')},
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+    doc="CUBE over two dims with an explicit grouping-id bit vector.",
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            (
+                F.grouping("l_returnflag").cast("bigint") * 2
+                + F.grouping("l_linestatus").cast("bigint")
+            ).alias("gid"),
+            dsum("l_quantity").alias("sum_qty"),
+            F.count("*").alias("n"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "sum_qty", "n")
+    )
+
+
+@_register(
+    "agg_stats",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SQRT((CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(20,4))) AS DOUBLE)
+                  - CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE)
+                    * CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) / COUNT(*))
+                 / (COUNT(*) - 1)), 6) AS qty_stddev,
+           ROUND((CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(20,4))) AS DOUBLE)
+                  - CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE)
+                    * CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) / COUNT(*))
+                 / (COUNT(*) - 1), 6) AS qty_var,
+           ROUND((CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(20,6))) AS DOUBLE)
+                  - CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE)
+                    * CAST(SUM(CAST(l_discount AS DECIMAL(20,4))) AS DOUBLE) / COUNT(*))
+                 / (COUNT(*) - 1), 6) AS qty_disc_covar
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="stddev/variance/covariance from decimal power sums — order-free "
+    "and engine-exact (no merge-formula FP drift).",
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    n = F.count("*")
+    sx = F.sum(F.expr("cast(l_quantity as decimal(20,4))")).cast("double")
+    sxx = F.sum(F.expr("cast(l_quantity * l_quantity as decimal(20,4))")).cast(
+        "double"
+    )
+    sd = F.sum(F.expr("cast(l_discount as decimal(20,4))")).cast("double")
+    sxd = F.sum(F.expr("cast(l_quantity * l_discount as decimal(20,6))")).cast(
+        "double"
+    )
+    var = (sxx - sx * sx / n) / (n - F.lit(1))
+    covar = (sxd - sx * sd / n) / (n - F.lit(1))
+    return li.groupBy("l_returnflag").agg(
+        n.alias("n"),
+        F.round(F.sqrt(var), 6).alias("qty_stddev"),
+        F.round(var, 6).alias("qty_var"),
+        F.round(covar, 6).alias("qty_disc_covar"),
+    )
+
+
+@_register(
+    "agg_collect_list",
+    """
+    SELECT o_custkey,
+           list_sort(list(o_orderkey)) AS order_keys,
+           list_sort(list(DISTINCT o_orderpriority)) AS priorities
+    FROM orders GROUP BY o_custkey
+    """,
+    doc="collect_list / collect_set wrapped in sort_array for portable "
+    "element order.",
+)
+def q_agg_collect_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")["orders"]
+    return o.groupBy("o_custkey").agg(
+        F.sort_array(F.collect_list("o_orderkey")).alias("order_keys"),
+        F.sort_array(F.collect_set("o_orderpriority")).alias("priorities"),
+    )
+
+
+@_register(
+    "agg_min_max_by",
+    """
+    SELECT o_custkey,
+           arg_min(o_orderkey, o_totalprice) AS cheapest_order,
+           arg_max(o_orderkey, o_totalprice) AS priciest_order,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price
+    FROM (SELECT o_custkey, o_orderkey, o_totalprice FROM orders) GROUP BY o_custkey
+    """,
+    doc="min_by/max_by (argmin/argmax) — deterministic because "
+    "o_totalprice ties cannot occur within a customer in this data; "
+    "min/max alongside.",
+)
+def q_agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")["orders"]
+    return o.groupBy("o_custkey").agg(
+        F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
+        F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+@_register(
+    "agg_percentile_exact",
+    """
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.5), 6) AS qty_p50,
+           ROUND(quantile_cont(l_quantity, 0.9), 6) AS qty_p90,
+           ROUND(quantile_cont(l_extendedprice, 0.25), 2) AS price_p25
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Exact interpolated percentiles (Spark percentile == DuckDB "
+    "quantile_cont: same (1-f)*a+f*b interpolation).",
+)
+def q_agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("qty_p50"),
+        F.round(F.expr("percentile(l_quantity, 0.9)"), 6).alias("qty_p90"),
+        F.round(F.expr("percentile(l_extendedprice, 0.25)"), 2).alias(
+            "price_p25"
+        ),
+    )
+
+
+@_register(
+    "agg_approx_count_distinct",
+    None,  # HLL++ sketch differs from DuckDB's approx algorithm: rows-only
+    doc="approx_count_distinct (HyperLogLog++) — approximate by design, "
+    "verified rows-only plus a relative-error unit test.",
+)
+def q_agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")["orders"]
+    return o.agg(
+        F.approx_count_distinct("o_custkey").alias("approx_cust"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+# =====================================================================
+# Set ops (bag semantics) + unionByName + dedup-keep-first
+# =====================================================================
+
+@_register(
+    "set_intersect_all",
+    """
+    SELECT o_custkey AS k FROM orders WHERE o_totalprice > 100000
+    INTERSECT ALL
+    SELECT o_custkey AS k FROM orders WHERE o_orderdate >= DATE '1995-01-01'
+    """,
+    doc="INTERSECT ALL (bag semantics, multiplicity = min of both sides).",
+)
+def q_set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")["orders"]
+    a = o.filter(F.col("o_totalprice") > 100000).select(
+        F.col("o_custkey").alias("k")
+    )
+    b = o.filter(F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp")).select(
+        F.col("o_custkey").alias("k")
+    )
+    return a.intersectAll(b)
+
+
+@_register(
+    "set_except_all",
+    """
+    SELECT o_custkey AS k FROM orders
+    EXCEPT ALL
+    SELECT o_custkey AS k FROM orders WHERE o_totalprice > 200000
+    """,
+    doc="EXCEPT ALL (bag semantics, multiplicity subtraction).",
+)
+def q_set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")["orders"]
+    a = o.select(F.col("o_custkey").alias("k"))
+    b = o.filter(F.col("o_totalprice") > 200000).select(
+        F.col("o_custkey").alias("k")
+    )
+    return a.exceptAll(b)
+
+
+@_register(
+    "set_union_by_name",
+    """
+    SELECT c_custkey AS k, c_name AS name, c_acctbal AS bal FROM customer
+    UNION ALL
+    SELECT s_suppkey AS k, s_name AS name, NULL AS bal FROM supplier
+    """,
+    doc="unionByName with allowMissingColumns (schema aligned by name, "
+    "missing columns null-filled).",
+)
+def q_set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "customer", "supplier")
+    c = t["customer"].select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    s = t["supplier"].select(
+        F.col("s_suppkey").alias("k"), F.col("s_name").alias("name")
+    )
+    return c.unionByName(s, allowMissingColumns=True)
+
+
+@_register(
+    "dedup_keep_first",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate FROM (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """,
+    doc="Deterministic dropDuplicates: keep-first-by-order via window "
+    "(plain dropDuplicates keeps an arbitrary row — not portable).",
+)
+def q_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")["orders"]
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+    )
+
+
+# =====================================================================
+# Pivot / unpivot
+# =====================================================================
+
+@_register(
+    "pivot_wide",
+    f"""
+    SELECT l_returnflag,
+           {dsum_duck("CASE WHEN l_linestatus = 'F' THEN l_quantity END", 'F')},
+           {dsum_duck("CASE WHEN l_linestatus = 'O' THEN l_quantity END", 'O')}
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="groupBy().pivot() — wide conditional aggregation.",
+)
+def q_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(dsum("l_quantity"))
+    )
+
+
+@_register(
+    "unpivot_long",
+    """
+    SELECT o_orderkey, 'o_totalprice' AS metric, o_totalprice AS value
+    FROM orders
+    UNION ALL
+    SELECT o_orderkey, 'o_custkey' AS metric,
+           CAST(o_custkey AS DOUBLE) AS value
+    FROM orders
+    """,
+    doc="unpivot/melt: wide columns → (metric, value) long form.",
+)
+def q_unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")["orders"]
+    return o.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.col("o_custkey").cast("double").alias("o_custkey"),
+    ).unpivot(
+        ids=["o_orderkey"],
+        values=["o_totalprice", "o_custkey"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+# =====================================================================
+# Lateral: explode / posexplode
+# =====================================================================
+
+@_register(
+    "explode_positional",
+    """
+    SELECT p_partkey,
+           CAST(unnest(range(0, len(string_split(p_type, ' ')))) AS INT) AS pos,
+           unnest(string_split(p_type, ' ')) AS tok
+    FROM part
+    """,
+    doc="posexplode over split tokens (generator/table function; aligned "
+    "multi-unnest in the oracle).",
+)
+def q_explode_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")["part"]
+    return p.select(
+        "p_partkey",
+        F.posexplode(F.split("p_type", " ")).alias("pos", "tok"),
+    ).withColumn("pos", F.col("pos").cast("int"))
+
+
+# =====================================================================
+# Scalar batteries, round 2
+# =====================================================================
+
+@_register(
+    "string_battery2",
+    """
+    SELECT p_partkey,
+           printf('%s-%03d', p_brand, p_size) AS brand_size,
+           translate(p_name, 'aeiou', 'AEIOU') AS shouty,
+           split_part(p_type, ' ', 1) AS type_head,
+           repeat(p_brand, 2) AS brand_twice,
+           reverse(p_brand) AS brand_rev,
+           CAST(ascii(p_name) AS INT) AS first_cp,
+           trim(BOTH 'aeiou' FROM p_name) AS name_trim,
+           array_to_string(
+             list_transform(string_split(p_name, ' '),
+                            w -> upper(substr(w, 1, 1)) || substr(w, 2)), ' ')
+             AS name_title
+    FROM part
+    """,
+    doc="String battery 2: format_string/translate/split_part/repeat/"
+    "reverse/ascii/btrim/initcap.",
+)
+def q_string_battery2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")["part"]
+    return p.select(
+        "p_partkey",
+        F.format_string("%s-%03d", F.col("p_brand"), F.col("p_size")).alias(
+            "brand_size"
+        ),
+        F.translate("p_name", "aeiou", "AEIOU").alias("shouty"),
+        F.expr("split_part(p_type, ' ', 1)").alias("type_head"),
+        F.repeat(F.col("p_brand"), 2).alias("brand_twice"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.ascii("p_name").cast("int").alias("first_cp"),
+        F.expr("trim(BOTH 'aeiou' FROM p_name)").alias("name_trim"),
+        F.initcap("p_name").alias("name_title"),
+    )
+
+
+@_register(
+    "date_battery2",
+    """
+    SELECT o_orderkey,
+           (o_orderdate + INTERVAL 3 MONTH)::DATE AS plus_3m,
+           last_day(o_orderdate)::DATE AS month_end,
+           CAST(weekofyear(o_orderdate) AS INT) AS iso_week,
+           CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+           strftime(o_orderdate, '%Y-%m') AS year_month,
+           (o_orderdate::DATE + to_days(CAST(
+            CASE WHEN (8 - isodow(o_orderdate::DATE)) % 7 = 0 THEN 7
+                 ELSE (8 - isodow(o_orderdate::DATE)) % 7 END AS INT)))::DATE
+             AS next_monday
+    FROM orders
+    """,
+    doc="Date battery 2: add_months, last_day, ISO week, dayofweek, "
+    "date_format, next_day.",
+)
+def q_date_battery2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")["orders"]
+    return o.select(
+        "o_orderkey",
+        F.add_months("o_orderdate", 3).alias("plus_3m"),
+        F.last_day("o_orderdate").alias("month_end"),
+        F.weekofyear("o_orderdate").cast("int").alias("iso_week"),
+        F.dayofweek("o_orderdate").cast("int").alias("dow"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("year_month"),
+        F.next_day("o_orderdate", "Mon").alias("next_monday"),
+    )
+
+
+@_register(
+    "array_battery2",
+    """
+    SELECT p_partkey,
+           range(1, least(p_size, 5) + 1) AS seq,
+           CAST(list_sum(range(1, least(p_size, 5) + 1)) AS BIGINT) AS seq_sum,
+           flatten([range(1, 3), range(1, least(p_size, 5) + 1)]) AS flat,
+           list_transform(range(1, least(p_size, 5) + 1),
+                          i -> i * len(string_split(p_type, ' '))) AS scaled,
+           CAST(len(list_filter(string_split(p_type, ' '),
+                                w -> length(w) > 5)) > 0 AS BOOLEAN) AS any_long,
+           CAST(len(list_filter(string_split(p_type, ' '),
+                                w -> length(w) > 2)) =
+                len(string_split(p_type, ' ')) AS BOOLEAN) AS all_gt2,
+           string_split(p_type, ' ')[2:] AS tail_toks
+    FROM part
+    """,
+    doc="Array battery 2: sequence, aggregate-fold, flatten, transform "
+    "with outer reference, exists/forall, slice.",
+)
+def q_array_battery2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")["part"]
+    seq = F.sequence(F.lit(1), F.least(F.col("p_size"), F.lit(5)))
+    toks = F.split("p_type", " ")
+    return p.select(
+        "p_partkey",
+        seq.alias("seq"),
+        F.aggregate(
+            seq, F.lit(0).cast("bigint"), lambda acc, x: acc + x
+        ).alias("seq_sum"),
+        F.flatten(F.array(F.sequence(F.lit(1), F.lit(2)), seq)).alias("flat"),
+        F.transform(seq, lambda i: i * F.size(toks)).alias("scaled"),
+        F.exists(toks, lambda w: F.length(w) > 5).alias("any_long"),
+        F.forall(toks, lambda w: F.length(w) > 2).alias("all_gt2"),
+        F.slice(toks, 2, 1000).alias("tail_toks"),
+    )
+
+
+@_register(
+    "map_battery2",
+    """
+    SELECT p_partkey,
+           array_to_string(
+             list_transform(
+               list_sort(map_keys(map(['b','t'], [p_brand, p_type]))),
+               k -> k || '=' ||
+                    CASE WHEN k = 'b' THEN p_brand ELSE p_type END), ';')
+             AS entries_csv,
+           array_to_string(
+             list_sort(list_transform(map_keys(map(['b','t'], [p_brand, p_type])),
+                                      k -> upper(k))), ',') AS upper_keys,
+           CAST(cardinality(map_concat(map(['b'], [p_brand]),
+                                       map(['t'], [p_type]))) AS INT) AS n_concat
+    FROM part
+    """,
+    doc="Map battery 2: transform_keys, map_entries rendered sorted, "
+    "map_concat (maps hash unordered, so comparisons go through sorted "
+    "string renderings).",
+)
+def q_map_battery2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")["part"]
+    m = F.create_map(
+        F.lit("b"), F.col("p_brand"), F.lit("t"), F.col("p_type")
+    )
+    entries = F.transform(
+        F.array_sort(F.map_keys(m)),
+        lambda k: F.concat(k, F.lit("="), F.element_at(m, k)),
+    )
+    return p.select(
+        "p_partkey",
+        F.concat_ws(";", entries).alias("entries_csv"),
+        F.concat_ws(
+            ",",
+            F.array_sort(F.map_keys(F.transform_keys(m, lambda k, v: F.upper(k)))),
+        ).alias("upper_keys"),
+        F.size(
+            F.map_concat(
+                F.create_map(F.lit("b"), F.col("p_brand")),
+                F.create_map(F.lit("t"), F.col("p_type")),
+            )
+        )
+        .cast("int")
+        .alias("n_concat"),
+    )
+
+
+@_register(
+    "cond_null_battery2",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(isnan(CAST(l_quantity AS DOUBLE) / nullif(l_discount, l_discount))
+                IS NOT NULL
+                AND isnan(CAST(l_quantity AS DOUBLE) / nullif(l_discount, l_discount))
+                AS BOOLEAN) AS div_is_nan,
+           COALESCE(NULLIF(l_returnflag, 'N'), l_linestatus) AS flag_fallback,
+           CASE WHEN l_discount IS NULL THEN -1.0
+                WHEN isnan(l_discount) THEN -2.0
+                ELSE l_discount END AS nan_guarded,
+           ifnull(NULLIF(l_linestatus, l_linestatus), 'MISSING') AS always_missing
+    FROM lineitem
+    """,
+    doc="Conditional battery 2: isnan/nanvl-style guards, nvl/ifnull, "
+    "nullif-to-null pipelines.",
+)
+def q_cond_null_battery2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    nan_div = F.col("l_quantity").cast("double") / F.nullif(
+        F.col("l_discount"), F.col("l_discount")
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.isnan(nan_div).isNotNull() & F.isnan(nan_div)).alias("div_is_nan"),
+        F.coalesce(
+            F.nullif(F.col("l_returnflag"), F.lit("N")), F.col("l_linestatus")
+        ).alias("flag_fallback"),
+        F.when(F.col("l_discount").isNull(), -1.0)
+        .when(F.isnan("l_discount"), -2.0)
+        .otherwise(F.col("l_discount"))
+        .alias("nan_guarded"),
+        F.ifnull(
+            F.nullif(F.col("l_linestatus"), F.col("l_linestatus")),
+            F.lit("MISSING"),
+        ).alias("always_missing"),
+    )
+
+
+# =====================================================================
+# Streaming queries (real availableNow replay, SQL oracle)
+# =====================================================================
+
+def _events_stream_path(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the events fixture as a stream-readable parquet dir
+    (cached per (session, sf_dir))."""
+    import tempfile
+
+    cache = getattr(spark, "_sx_stream_cache", None)
+    if cache is None:
+        cache = {}
+        spark._sx_stream_cache = cache
+    if sf_dir not in cache:
+        ev = _t(spark, sf_dir, "events")["events"]
+        path = tempfile.mkdtemp(prefix="events_stream_q_")
+        ev.write.mode("overwrite").parquet(path)
+        cache[sf_dir] = path
+    return cache[sf_dir]
+
+
+@_register(
+    "streaming_window_agg",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start,
+           time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS win_end,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+    doc="Structured Streaming tumbling-window aggregate executed via "
+    "availableNow replay to a memory sink (update mode, single batch = "
+    "complete snapshot) — oracle is the batch SQL twin.",
+)
+def q_streaming_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_extensions_spark.streaming import (
+        read_stream_parquet,
+        run_available_now,
+        windowed_aggregate,
+    )
+
+    stream = read_stream_parquet(spark, _events_stream_path(spark, sf_dir))
+    return run_available_now(
+        windowed_aggregate(
+            stream,
+            "ts",
+            "1 hour",
+            aggs=[F.count("*").alias("n_events")],
+            keys=["event_type"],
+            watermark_delay="1 hour",
+        ),
+        output_mode="update",
+    )
+
+
+@_register(
+    "streaming_dedup",
+    """
+    SELECT DISTINCT user_id, event_type, ts FROM events
+    """,
+    doc="Streaming deduplication (dropDuplicates over key+event-time with "
+    "watermark) via availableNow replay; oracle is batch DISTINCT.",
+)
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_extensions_spark.streaming import (
+        read_stream_parquet,
+        run_available_now,
+        streaming_dedup,
+    )
+
+    stream = read_stream_parquet(spark, _events_stream_path(spark, sf_dir))
+    return run_available_now(
+        streaming_dedup(
+            stream.select("user_id", "event_type", "ts"),
+            keys=["user_id", "event_type"],
+            ts_col="ts",
+            watermark_delay="1 hour",
+        )
+    )
+
+
+# =====================================================================
+# Confluent codec as an oracle-checked query
+# =====================================================================
+
+@_register(
+    "confluent_avro_roundtrip",
+    """
+    SELECT doc_id, lang, md5(text) AS text_md5 FROM documents
+    """,
+    doc="Confluent-framed Avro encode→decode roundtrip through the pandas "
+    "UDF codec (confluent/avro.py); identity oracle proves bit-exact "
+    "round-tripping on real data.",
+)
+def q_confluent_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_extensions_spark.confluent import (
+        InMemorySchemaRegistry,
+        from_confluent_avro,
+        to_confluent_avro,
+    )
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    client = InMemorySchemaRegistry()
+    payload = docs.select(
+        "doc_id", F.struct("doc_id", "lang", "text").alias("rec")
+    )
+    framed = payload.select(
+        to_confluent_avro(
+            payload, "rec", "docs", "value", client, update_allowed=True
+        ).alias("msg")
+    )
+    return framed.select(
+        from_confluent_avro("msg", "docs", "value", client).alias("d")
+    ).select(
+        F.col("d.doc_id").alias("doc_id"),
+        F.col("d.lang").alias("lang"),
+        F.md5(F.col("d.text").cast("binary")).alias("text_md5"),
+    )

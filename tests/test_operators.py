@@ -112,3 +112,17 @@ def test_ann_bruteforce_self_is_nearest(spark):
                               "embedding", k=1, dim=4)
     for r in out.collect():
         assert r["neighbor_id"] == r["query_id"] and abs(r["cosine"] - 1.0) < 1e-12
+
+
+def test_approx_count_distinct_error_bound(spark):
+    """HLL++ estimate stays within its documented rsd bound (default 5%)."""
+    from pyspark.sql import functions as F
+
+    from spark_extensions_spark.session import load_tables
+
+    o = load_tables(spark, "/root/testdata/sf0.01", "orders")["orders"]
+    exact = o.select("o_custkey").distinct().count()
+    approx = o.agg(
+        F.approx_count_distinct("o_custkey", rsd=0.01).alias("a")
+    ).head()["a"]
+    assert abs(approx - exact) / exact < 0.05
