@@ -304,19 +304,81 @@ def embedding_neardup_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs by exact cosine similarity.
 
-    Brute-force all-pairs (id_a < id_b) with a sequential-fold dot product
-    (deterministic IEEE order → engine-reproducible). Suitable as the
-    small-N exact path; at corpus scale compose with
+    All-pairs (id_a < id_b), computed as a broadcast-matrix scan: the
+    corpus matrix (n×dim float64, e.g. 500k×64 ≈ 256 MB — executor-memory
+    small) broadcasts once per worker, and each task scores its slice of
+    rows against the whole matrix with numpy. This replaces the naive
+    pair-join formulation, which shipped BOTH vectors through Arrow for
+    every one of the n²/2 pairs (~6 GB at n=5k) — the matrix scan moves
+    each vector once.
+
+    Determinism: accumulation loops over dimensions left-to-right
+    (``dot += a_i * b_i`` per dim, vectorized across the corpus axis), so
+    every pair's sum is the exact IEEE sequence of the sequential fold —
+    bit-identical to the DuckDB ``list_reduce`` oracle. Final expression
+    is ``dot / (sqrt(na) * sqrt(nb))``, same op order on both sides.
+
+    Beyond broadcastable corpus sizes, compose with
     :func:`spark_extensions_spark.operators.similarity.ann_lsh_topk`
     bucketing to restrict candidate pairs first.
     """
-    from spark_extensions_spark.operators.similarity import cosine_pandas_cols
+    import numpy as np
+    import pandas as pd
 
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    return pairs.select(
-        "id_a",
-        "id_b",
-        cosine_pandas_cols(F.col("va"), F.col("vb")).alias("cosine"),
-    ).filter(F.col("cosine") >= threshold)
+    spark = df.sparkSession
+    id_type = df.schema[id_col].dataType.simpleString()
+    rows = df.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows])
+    mat = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    n, d = mat.shape
+    bc = spark.sparkContext.broadcast((ids, mat))
+
+
+    def score(batches):
+        ids_b, m = bc.value
+        nb, nd = m.shape
+        nrm2 = np.zeros(nb)
+        for i in range(nd):
+            nrm2 += m[:, i] * m[:, i]
+        nrm = np.sqrt(nrm2)
+        col_idx = np.arange(nb)
+        # block size bounded so the (block × corpus) dot matrix stays
+        # ~100 MB regardless of corpus size
+        block = max(64, int(1.2e7) // max(nb, 1))
+        for pdf in batches:
+            idxs_all = pdf["__idx"].to_numpy()
+            frames = []
+            for s in range(0, len(idxs_all), block):
+                idxs = idxs_all[s : s + block]
+                a_blk = m[idxs]  # (mb, d)
+                dot = np.zeros((len(idxs), nb))
+                for i in range(nd):
+                    # per-dim outer-product accumulation: every pair's sum
+                    # keeps the sequential-fold IEEE order
+                    dot += np.outer(a_blk[:, i], m[:, i])
+                cos = dot / np.outer(nrm[idxs], nrm)
+                mask = (col_idx[None, :] > idxs[:, None]) & (cos >= threshold)
+                rsel, csel = np.nonzero(mask)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "id_a": ids_b[idxs[rsel]],
+                            "id_b": ids_b[csel],
+                            "cosine": cos[rsel, csel],
+                        }
+                    )
+                )
+            yield (
+                pd.concat(frames, ignore_index=True)
+                if frames
+                else pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+            )
+
+    n_parts = max(2, spark.sparkContext.defaultParallelism)
+    idx_df = spark.range(0, n, 1, n_parts).select(
+        F.col("id").cast("int").alias("__idx")
+    )
+    schema = f"id_a {id_type}, id_b {id_type}, cosine double"
+    return idx_df.mapInPandas(score, schema)

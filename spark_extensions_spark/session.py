@@ -66,6 +66,34 @@ def get_spark(
     return spark
 
 
+def ensure_workers_can_import(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers via ``addPyFile``.
+
+    pandas-UDF closures reference module-level functions, which pickle by
+    reference — workers must import ``spark_extensions_spark`` even when
+    the driver process launched from a foreign cwd with no PYTHONPATH.
+    Idempotent per session; the zip is tiny (pure Python).
+    """
+    if getattr(spark, "_sx_pyfiles_added", False):
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(pkg_dir)
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"spark_extensions_spark_pkg_{os.getpid()}.zip"
+    )
+    with zipfile.ZipFile(zpath, "w") as z:
+        for dirpath, _, files in os.walk(pkg_dir):
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(dirpath, fn)
+                    z.write(full, os.path.relpath(full, root))
+    spark.sparkContext.addPyFile(zpath)
+    spark._sx_pyfiles_added = True
+
+
 def load_tables(spark: SparkSession, sf_dir: str, *names: str):
     """Read the driver's parquet fixtures and register temp views.
 
@@ -76,9 +104,11 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str):
     from pyspark.sql.types import LongType
 
     # Callers may hand us a session we didn't build (the driver harness
-    # does); pin the runtime confs correctness depends on.
+    # does); pin the runtime confs correctness depends on, and make the
+    # package importable on executor workers (pandas-UDF paths).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ensure_workers_can_import(spark)
 
     out = {}
     for name in names:
