@@ -706,3 +706,217 @@ def q_confluent_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d.lang").alias("lang"),
         F.md5(F.col("d.text").cast("binary")).alias("text_md5"),
     )
+
+
+# =====================================================================
+# Batch 3: analytic windows, subqueries, outer explode, PII, sessions
+# =====================================================================
+
+@_register(
+    "window_analytic2",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(NTILE(4) OVER w AS INT) AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 8) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 8) AS cume,
+           CAST(NTH_VALUE(o_orderkey, 2) OVER
+             (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS BIGINT) AS second_priciest
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    doc="Analytic windows round 2: ntile, percent_rank, cume_dist, "
+    "nth_value over an unbounded frame.",
+)
+def q_window_analytic2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")["orders"]
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.round(F.percent_rank().over(w), 8).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 8).alias("cume"),
+        F.nth_value("o_orderkey", 2).over(w_full).cast("bigint").alias(
+            "second_priciest"
+        ),
+    )
+
+
+@_register(
+    "subquery_battery",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice >
+          (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                  / COUNT(*) FROM orders)
+      AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 0)
+    """,
+    doc="Subqueries: uncorrelated scalar (decimal-exact average) + IN "
+    "list; Catalyst rewrites IN to a semi join and inlines the scalar.",
+)
+def q_subquery_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "orders", "customer")
+    # temp views registered by load_tables make spark.sql available
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice >
+              (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                      / COUNT(*) FROM orders)
+          AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 0)
+        """
+    )
+
+
+@_register(
+    "explode_outer_battery",
+    """
+    SELECT p_partkey, tok FROM (
+      SELECT p_partkey,
+             unnest(CASE WHEN len(long_toks) = 0 THEN [NULL] ELSE long_toks END)
+               AS tok
+      FROM (SELECT p_partkey,
+                   list_filter(string_split(p_type, ' '), w -> length(w) > 7)
+                     AS long_toks
+            FROM part)
+    )
+    """,
+    doc="explode_outer: rows with empty arrays survive with a null "
+    "(oracle pads empty lists with [NULL] before unnest).",
+)
+def q_explode_outer_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")["part"]
+    long_toks = F.filter(F.split("p_type", " "), lambda w: F.length(w) > 7)
+    return p.select(
+        "p_partkey", F.explode_outer(long_toks).alias("tok")
+    )
+
+
+@_register(
+    "text_pii",
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(text,
+             '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS INT) AS n_phones,
+           CAST(len(regexp_extract_all(text,
+             '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS INT) AS n_ssn_like,
+           CAST(len(regexp_extract_all(text,
+             '[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}')) AS INT)
+             AS n_cc_like,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) > 0
+             OR len(regexp_extract_all(text, '[0-9]{3}-[0-9]{2}-[0-9]{4}')) > 0
+             AS BOOLEAN) AS has_pii
+    FROM documents
+    """,
+    doc="PII scrubbing battery: email/phone/SSN-like/CC-like regex counts "
+    "and an aggregate flag (training-data hygiene pass; RE2/Java-common "
+    "regex subset so Spark and the oracle agree).",
+)
+def q_text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
+    ssn = r"[0-9]{3}-[0-9]{2}-[0-9]{4}"
+    cc = r"[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}"
+
+    def n_matches(pat: str) -> F.Column:
+        return F.size(F.expr(f"regexp_extract_all(text, '{pat}', 0)")).cast("int")
+
+    return docs.select(
+        "doc_id",
+        n_matches(email).alias("n_emails"),
+        n_matches(phone).alias("n_phones"),
+        n_matches(ssn).alias("n_ssn_like"),
+        n_matches(cc).alias("n_cc_like"),
+        ((n_matches(email) > 0) | (n_matches(ssn) > 0)).alias("has_pii"),
+    )
+
+
+@_register(
+    "session_gaps_islands",
+    """
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS is_new
+      FROM (SELECT DISTINCT user_id, ts FROM events)
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), numbered AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id,
+           MIN(ts) AS win_start,
+           MAX(ts) + INTERVAL '30 minutes' AS win_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM numbered GROUP BY user_id, session_id
+    """,
+    doc="Batch session windows (F.session_window) checked against a "
+    "gaps-and-islands SQL oracle — proves Spark's session semantics "
+    "(window end = last event + gap) down to the row.",
+)
+def q_session_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")["events"]
+    return (
+        ev.select("user_id", "ts")
+        .distinct()
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "n_events",
+        )
+    )
+
+
+@_register(
+    "join_interval",
+    """
+    SELECT l.o_orderkey AS key_a, r.o_orderkey AS key_b
+    FROM orders l JOIN orders r
+      ON l.o_custkey = r.o_custkey
+     AND l.o_orderdate <= r.o_orderdate + INTERVAL '30 days'
+     AND r.o_orderdate <= l.o_orderdate + INTERVAL '30 days'
+     AND l.o_orderkey <> r.o_orderkey
+    """,
+    doc="Interval-overlap join (operators/joins.py:interval_join): "
+    "per-customer 30-day order windows that intersect; equi key keeps "
+    "it a hash/sort-merge join with the range as residual.",
+)
+def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_extensions_spark.operators.joins import interval_join
+
+    o = _t(spark, sf_dir, "orders")["orders"]
+    win = o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_orderdate").alias("w_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("w_end"),
+    )
+    joined = interval_join(
+        win, win, on="o_custkey",
+        left_start="w_start", left_end="w_end",
+        right_start="w_start", right_end="w_end",
+    )
+    return joined.filter(
+        F.col("l.o_orderkey") != F.col("r.o_orderkey")
+    ).select(
+        F.col("l.o_orderkey").alias("key_a"),
+        F.col("r.o_orderkey").alias("key_b"),
+    )
