@@ -1,0 +1,62 @@
+"""Plan-shape tests: the properties that matter at 100 TB, pinned.
+
+A correct answer from a bad plan is a latent outage at scale — these
+tests fail if pushdown/pruning/broadcast/top-k plan shapes regress.
+"""
+
+from __future__ import annotations
+
+from spark_extensions_spark.plans import (
+    plan_has,
+    pushed_filters,
+    read_schema_columns,
+)
+from spark_extensions_spark.queries import registry
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _q(name):
+    return {q.name: q for q in registry()}[name]
+
+
+def test_filter_pushdown_and_pruning(spark):
+    df = _q("filter_project").spark(spark, SF_DIR)
+    pf = pushed_filters(df)
+    assert any("l_shipdate" in f for f in pf)
+    assert any("l_discount" in f for f in pf)
+    # column pruning: the scan reads only the 7 referenced columns of 11
+    (cols,) = read_schema_columns(df)
+    assert set(cols) == {
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_returnflag",
+        "l_shipdate",
+    }
+
+
+def test_dim_join_broadcasts(spark):
+    df = _q("join_broadcast").spark(spark, SF_DIR)
+    assert plan_has(df, "BroadcastHashJoin")
+    assert not plan_has(df, "SortMergeJoin")
+
+
+def test_topk_uses_take_ordered(spark):
+    df = _q("topk_orders").spark(spark, SF_DIR)
+    assert plan_has(df, "TakeOrderedAndProject")
+    # no global Sort node materializing the full ordering
+    assert "Sort [" not in df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_agg_has_partial_phase(spark):
+    df = _q("agg_pricing_summary").spark(spark, SF_DIR)
+    df.write.format("noop").mode("overwrite").save()
+    assert plan_has(df, "partial_sum")  # map-side combine before shuffle
+
+
+def test_semi_join_planned(spark):
+    df = _q("join_semi").spark(spark, SF_DIR)
+    assert "LeftSemi" in df._jdf.queryExecution().executedPlan().toString()
