@@ -196,3 +196,91 @@ def ann_lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def ann_ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+    k: int,
+    dim: int,
+    n_lists: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Approximate top-k via IVF-flat (inverted-file) partitioning.
+
+    The 100 TB shape of ANN search:
+
+    1. **Coarse quantizer** — ``n_lists`` centroids chosen
+       deterministically from the corpus (rows with the smallest
+       ``md5(id)``, i.e. a uniform pseudo-random sample with no RNG
+       state); tiny, broadcast to every task.
+    2. **Assignment** — one Arrow-batched pass tags each corpus vector
+       with its nearest-centroid ``list_id``. At scale this column is
+       written once and the corpus is bucketed/partitioned by it.
+    3. **Probe** — each query explodes to its ``n_probe`` nearest
+       centroid lists, joins corpus rows on ``list_id`` (one shuffle,
+       keyed by list), scores only those candidates (~n_probe/n_lists of
+       the corpus), then windows the top k.
+
+    Scoring uses the same deterministic cosine as the exact path, so
+    results are reproducible run-to-run; recall tunes with ``n_probe``.
+    """
+    spark = corpus.sparkSession
+    cent_rows = (
+        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+        .withColumn("__r", F.md5(F.col("cid").cast("string")))
+        .orderBy("__r")
+        .limit(n_lists)
+        .collect()
+    )
+    centroids = np.array([list(r["cv"]) for r in cent_rows], dtype=np.float64)
+    cnorm = np.sqrt((centroids * centroids).sum(axis=1))
+    bc = spark.sparkContext.broadcast((centroids, cnorm))
+
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    def _nearest_lists(vecs: pd.Series, n: int):
+        cents, cn = bc.value
+        mat = np.stack(vecs.apply(lambda v: np.asarray(v, dtype="float64")))
+        sims = (mat @ cents.T) / (
+            np.sqrt((mat * mat).sum(axis=1))[:, None] * cn[None, :]
+        )
+        # stable order: similarity desc, list id asc
+        order = np.lexsort((np.arange(sims.shape[1])[None, :].repeat(len(mat), 0), -sims))
+        return order[:, :n]
+
+    @F.pandas_udf(IntegerType())
+    def assign(vecs: pd.Series) -> pd.Series:
+        return pd.Series(_nearest_lists(vecs, 1)[:, 0].astype("int32"))
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def probe(vecs: pd.Series) -> pd.Series:
+        return pd.Series(list(_nearest_lists(vecs, n_probe).astype("int32")))
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        assign(F.col(vec_col)).alias("list_id"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("qv"),
+        F.explode(probe(F.col(query_vec_col))).alias("list_id"),
+    )
+    scored = q.join(c, "list_id").select(
+        "query_id",
+        "neighbor_id",
+        cosine_pandas_cols(F.col("qv"), F.col("cv")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -920,3 +920,22 @@ def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l.o_orderkey").alias("key_a"),
         F.col("r.o_orderkey").alias("key_b"),
     )
+
+
+@_register(
+    "ann_ivf",
+    None,  # approximate (probe subset): rows-only check + recall unit test
+    doc="IVF-flat approximate top-k: md5-sampled centroids, one-pass "
+    "list assignment, n_probe-list candidate join "
+    "(operators/similarity.py:ann_ivf_topk) — the partitioned ANN shape "
+    "for corpus sizes past broadcast range.",
+)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_extensions_spark.operators.similarity import ann_ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ann_ivf_topk(
+        emb, queries, "vec_id", "embedding", "vec_id", "embedding",
+        k=5, dim=64, n_lists=16, n_probe=4,
+    )

@@ -126,3 +126,55 @@ def test_approx_count_distinct_error_bound(spark):
         F.approx_count_distinct("o_custkey", rsd=0.01).alias("a")
     ).head()["a"]
     assert abs(approx - exact) / exact < 0.05
+
+
+def test_ann_lsh_and_ivf_recall(spark):
+    """Approximate ANN paths recover most of the exact top-k (recall@5)."""
+    from pyspark.sql import functions as F
+
+    from spark_extensions_spark.operators.similarity import (
+        ann_bruteforce_topk,
+        ann_ivf_topk,
+        ann_lsh_topk,
+    )
+    from spark_extensions_spark.session import load_tables
+
+    emb = load_tables(spark, "/root/testdata/sf0.01", "embeddings")["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 20)
+    args = (emb, queries, "vec_id", "embedding", "vec_id", "embedding")
+    exact = ann_bruteforce_topk(*args, k=5, dim=64)
+    truth = {
+        (r["query_id"], r["neighbor_id"]) for r in exact.collect()
+    }
+
+    def recall(df):
+        got = {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+        return len(got & truth) / len(truth)
+
+    # generous bounds: randomized structures, deterministic seeds
+    assert recall(ann_ivf_topk(*args, k=5, dim=64, n_lists=8, n_probe=4)) > 0.5
+    assert recall(ann_lsh_topk(*args, k=5, dim=64, n_planes=4)) > 0.3
+
+
+def test_bucketed_join_skips_shuffle(spark):
+    """Bucketed tables joined on the bucket key: no Exchange on either side."""
+    import tempfile
+
+    from spark_extensions_spark.sources import write_table
+
+    df = spark.createDataFrame(
+        [(i, i % 7, f"v{i}") for i in range(100)], ["id", "k", "v"]
+    )
+    base = tempfile.mkdtemp(prefix="bktj_")
+    for name in ("bkt_a_t", "bkt_b_t"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        write_table(
+            df, f"{base}/{name}", mode="overwrite", bucket_by=(4, ["k"]),
+            table_name=name,
+        )
+    joined = spark.table("bkt_a_t").join(spark.table("bkt_b_t"), "k")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+    if "BroadcastHashJoin" not in plan:
+        # bucketing removed the shuffles: no Exchange below the join
+        assert "Exchange hashpartitioning" not in plan
