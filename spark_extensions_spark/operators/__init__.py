@@ -1,6 +1,10 @@
 """Relational + data-pipeline operators built on public PySpark APIs."""
 
-from spark_extensions_spark.operators.joins import asof_join, interval_join
+from spark_extensions_spark.operators.joins import (
+    asof_join,
+    interval_join,
+    salted_join,
+)
 from spark_extensions_spark.operators.dedup import (
     exact_dedup,
     minhash_signatures,
@@ -13,11 +17,13 @@ from spark_extensions_spark.operators.similarity import (
     cosine_similarity_col,
     ann_bruteforce_topk,
     ann_lsh_topk,
+    ann_ivf_topk,
 )
 
 __all__ = [
     "asof_join",
     "interval_join",
+    "salted_join",
     "exact_dedup",
     "minhash_signatures",
     "minhash_lsh_candidates",
@@ -27,4 +33,5 @@ __all__ = [
     "cosine_similarity_col",
     "ann_bruteforce_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
 ]

@@ -29,9 +29,15 @@ def asof_join(
     how: str = "left",
     tolerance: Column | None = None,
     right_tiebreak: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: for each left row, attach the latest right row
-    with ``right_time <= left_time`` within the same ``on`` key group.
+    """As-of join: for each left row, attach the nearest right row at or
+    before (``direction="backward"``, the default) or at or after
+    (``"forward"``) its time, within the same ``on`` key group.
+
+    Both directions share the single-shuffle union+window plan; forward
+    simply flips the within-partition sort to descending time so the
+    carried right row is the earliest at-or-after match.
 
     Implementation (scalable, single-shuffle): tag both sides, union by
     matching schema, sort within each key partition by
@@ -50,6 +56,9 @@ def asof_join(
         right_values = [c for c in right.columns if c not in keys and c != right_time]
     if how not in ("left", "inner"):
         raise ValueError("asof_join supports how in ('left','inner')")
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    backward = direction == "backward"
 
     lcols = [c for c in left.columns]
     # Build a common schema: left columns + right payload (+ right time copy).
@@ -77,13 +86,14 @@ def asof_join(
     )
     unioned = l_tagged.unionByName(r_tagged)
 
-    order = [F.col("__asof_t").asc(), F.col("__side").asc()]
+    t_order = F.col("__asof_t").asc() if backward else F.col("__asof_t").desc()
+    order = [t_order, F.col("__side").asc()]
     if right_tiebreak is not None:
-        # among right rows with equal time, the largest tiebreak wins
-        # (it sorts last and last_value picks it up)
-        order.append(
-            F.when(F.col("__side") == 0, F.col(f"__r_{right_tiebreak}")).asc_nulls_first()
-        )
+        # among right rows with equal time, the winner is the one sorting
+        # last (last_value picks it up): largest tiebreak for backward,
+        # smallest for forward
+        tb = F.when(F.col("__side") == 0, F.col(f"__r_{right_tiebreak}"))
+        order.append(tb.asc_nulls_first() if backward else tb.desc_nulls_first())
     w = (
         Window.partitionBy(*[F.col(k) for k in keys])
         .orderBy(*order)
@@ -101,7 +111,11 @@ def asof_join(
     ).filter(F.col("__side") == 1)
 
     if tolerance is not None:
-        too_old = F.col("__m_rtime") < (F.col("__asof_t") - tolerance)
+        too_old = (
+            F.col("__m_rtime") < (F.col("__asof_t") - tolerance)
+            if backward
+            else F.col("__m_rtime") > (F.col("__asof_t") + tolerance)
+        )
         carried = carried.select(
             *[F.col(c) for c in lcols],
             *[
@@ -147,3 +161,44 @@ def interval_join(
         for k in keys:
             cond = cond & (F.col(f"l.{k}") == F.col(f"r.{k}"))
     return left.alias("l").join(right.alias("r"), cond)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    n_salts: int = 16,
+    how: str = "inner",
+    salt_source: str | None = None,
+) -> DataFrame:
+    """Skew-resistant equi-join via key salting.
+
+    A hot join key concentrates a whole shuffle partition on one task;
+    salting splits each key into ``n_salts`` sub-partitions: the left
+    side gets a deterministic salt derived from one of its own columns
+    (``salt_source``, default: all non-key columns via xxhash64), and the
+    right side is replicated ``n_salts`` times so every (key, salt)
+    bucket finds its match. Join result is EXACTLY the plain equi-join
+    (verified by oracle query ``join_salted``); cost is ``n_salts``× the
+    right side's shuffle volume — use when the right side is small-ish
+    but too big to broadcast and the left is skewed.
+
+    AQE's skew-join splitting handles most cases at runtime; explicit
+    salting remains the tool for extreme single-key skew and for
+    stream-stream joins where AQE does not apply.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if salt_source is not None:
+        salt_basis = [F.col(salt_source)]
+    else:
+        salt_basis = [F.col(c) for c in left.columns if c not in keys] or [
+            F.lit(0)
+        ]
+    l_salted = left.withColumn(
+        "__salt", F.pmod(F.xxhash64(*salt_basis), F.lit(n_salts)).cast("int")
+    )
+    r_salted = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    out = l_salted.join(r_salted, keys + ["__salt"], how)
+    return out.drop("__salt")

@@ -939,3 +939,131 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries, "vec_id", "embedding", "vec_id", "embedding",
         k=5, dim=64, n_lists=16, n_probe=4,
     )
+
+
+@_register(
+    "join_asof_forward_tol",
+    """
+    SELECT event_id, user_id, ts, next_click_id FROM (
+      SELECT e.event_id, e.user_id, e.ts,
+             CASE WHEN c.ts <= e.ts + INTERVAL '2 hours'
+                  THEN c.event_id END AS next_click_id,
+             ROW_NUMBER() OVER (PARTITION BY e.event_id
+                                ORDER BY c.ts ASC, c.event_id ASC) AS rn
+      FROM (SELECT * FROM events WHERE event_type = 'error') e
+      LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON c.user_id = e.user_id AND c.ts >= e.ts
+    ) WHERE rn = 1
+    """,
+    doc="Forward as-of join with tolerance: earliest click at-or-after "
+    "each error, nulled past 2 hours (operators/joins.py:asof_join "
+    "direction='forward'); oracle mirrors with a ranked range join.",
+)
+def q_join_asof_forward_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_extensions_spark.operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")["events"]
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = asof_join(
+        errors,
+        clicks,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        right_values=["event_id"],
+        right_tiebreak="event_id",
+        direction="forward",
+        tolerance=F.expr("INTERVAL 2 HOURS"),
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("event_id_right").alias("next_click_id"),
+    )
+
+
+@_register(
+    "join_salted",
+    """
+    SELECT l.l_orderkey, l.l_linenumber, o.o_orderpriority
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_quantity > 48
+    """,
+    doc="Salted equi-join (operators/joins.py:salted_join): identical "
+    "result to the plain join — the oracle IS the plain join — while the "
+    "physical plan splits each key into n_salts shuffle buckets "
+    "(extreme-skew mitigation).",
+)
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_extensions_spark.operators.joins import salted_join
+
+    t = _t(spark, sf_dir, "lineitem", "orders")
+    li = t["lineitem"].filter(F.col("l_quantity") > 48).select(
+        "l_orderkey", "l_linenumber"
+    )
+    o = t["orders"].select("o_orderkey", "o_orderpriority")
+    out = salted_join(
+        li.withColumnRenamed("l_orderkey", "k"),
+        o.withColumnRenamed("o_orderkey", "k"),
+        on="k",
+        n_salts=8,
+    )
+    return out.select(
+        F.col("k").alias("l_orderkey"), "l_linenumber", "o_orderpriority"
+    )
+
+
+@_register(
+    "pipeline_clean_corpus",
+    r"""
+    WITH scored AS (
+      SELECT doc_id, text, lang,
+             len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_words,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                       / CAST(length(text) AS DOUBLE) END AS alpha_ratio
+      FROM documents
+    ), kept AS (
+      SELECT * FROM scored WHERE n_words >= 10 AND alpha_ratio >= 0.5
+    ), canonical AS (
+      SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id
+      FROM kept GROUP BY md5(text)
+    )
+    SELECT k.doc_id, k.lang, CAST(k.n_words AS INT) AS n_words
+    FROM kept k JOIN canonical c ON k.doc_id = c.keep_id
+    """,
+    doc="Composite training-data pipeline: quality filter (word count + "
+    "alpha ratio) -> exact dedup keep-min -> surviving corpus. One scan, "
+    "one agg shuffle, one semi-join-shaped join; the operator-composition "
+    "showcase.",
+)
+def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_extensions_spark.operators.dedup import exact_dedup
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    scored = docs.select(
+        "doc_id",
+        "text",
+        "lang",
+        F.expr("size(regexp_extract_all(lower(text), '[a-z0-9]+', 0))").alias(
+            "n_words"
+        ),
+        F.expr(
+            "case when length(text) = 0 then 0.0d else "
+            "length(regexp_replace(text, '[^A-Za-z]', '')) / "
+            "cast(length(text) as double) end"
+        ).alias("alpha_ratio"),
+    )
+    kept = scored.filter((F.col("n_words") >= 10) & (F.col("alpha_ratio") >= 0.5))
+    canonical = exact_dedup(kept, "text", "doc_id").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    return kept.join(canonical, "doc_id").select(
+        "doc_id", "lang", F.col("n_words").cast("int").alias("n_words")
+    )

@@ -178,3 +178,50 @@ def test_bucketed_join_skips_shuffle(spark):
     if "BroadcastHashJoin" not in plan:
         # bucketing removed the shuffles: no Exchange below the join
         assert "Exchange hashpartitioning" not in plan
+
+
+def test_asof_join_forward(spark):
+    left = spark.createDataFrame(
+        [(1, ts("2024-01-01T10:00:00"), "L1"), (1, ts("2024-01-01T23:00:00"), "L2")],
+        "k int, t timestamp, lv string",
+    )
+    right = spark.createDataFrame(
+        [(1, ts("2024-01-01T11:00:00"), "R1"), (1, ts("2024-01-01T12:00:00"), "R2")],
+        "k int, t timestamp, rv string",
+    )
+    out = asof_join(left, right, on="k", left_time="t", right_time="t",
+                    right_values=["rv"], direction="forward")
+    got = {r["lv"]: r["rv"] for r in out.collect()}
+    # L1 10:00 -> earliest at-or-after is R1 11:00; L2 23:00 -> nothing after
+    assert got == {"L1": "R1", "L2": None}
+
+
+def test_asof_join_tolerance(spark):
+    left = spark.createDataFrame([(1, ts("2024-01-01T10:00:00"), "L")],
+                                 "k int, t timestamp, lv string")
+    right = spark.createDataFrame([(1, ts("2024-01-01T06:00:00"), "R")],
+                                  "k int, t timestamp, rv string")
+    near = asof_join(left, right, on="k", left_time="t", right_time="t",
+                     right_values=["rv"],
+                     tolerance=F.expr("INTERVAL 5 HOURS")).collect()
+    assert near[0]["rv"] == "R"
+    far = asof_join(left, right, on="k", left_time="t", right_time="t",
+                    right_values=["rv"],
+                    tolerance=F.expr("INTERVAL 2 HOURS")).collect()
+    assert far[0]["rv"] is None
+
+
+def test_salted_join_matches_plain(spark):
+    from spark_extensions_spark.operators.joins import salted_join
+
+    # skewed left: 90% of rows share key 0
+    left = spark.createDataFrame(
+        [(0 if i % 10 else i % 3, i) for i in range(1000)], ["k", "v"]
+    )
+    right = spark.createDataFrame([(i, f"r{i}") for i in range(3)], ["k", "rv"])
+    plain = {(r["k"], r["v"], r["rv"]) for r in left.join(right, "k").collect()}
+    salted = {
+        (r["k"], r["v"], r["rv"])
+        for r in salted_join(left, right, on="k", n_salts=4).collect()
+    }
+    assert salted == plain and len(plain) > 0
