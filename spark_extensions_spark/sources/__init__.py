@@ -6,6 +6,7 @@ output committers as configuration). This module exposes the same
 surface PySpark-natively.
 """
 
+from spark_extensions_spark.sources.avro_file import read_avro, write_avro
 from spark_extensions_spark.sources.io import (
     cloud_committer_conf,
     read_table,
@@ -15,6 +16,8 @@ from spark_extensions_spark.sources.io import (
 )
 
 __all__ = [
+    "read_avro",
+    "write_avro",
     "read_table",
     "write_table",
     "cloud_committer_conf",

@@ -175,3 +175,82 @@ def test_extract_features(spark, media_df):
     a = {r["doc_id"]: tuple(r["embedding"]) for r in rows}
     b = {r["doc_id"]: tuple(r["embedding"]) for r in again}
     assert a == b
+
+
+def test_jdbc_roundtrip_embedded_derby(spark):
+    """JDBC source/sink against the embedded Derby engine Spark ships
+    (SURVEY §2.E scans row 'jdbc') — write, read back, predicate pushdown."""
+    url = "jdbc:derby:memory:sxtest;create=true"
+    df = spark.createDataFrame(
+        [(1, "a", 10.5), (2, "b", 20.5), (3, "c", 30.5)], ["id", "s", "x"]
+    )
+    (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "t_jdbc")
+        .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+        .mode("overwrite")
+        .save()
+    )
+    back = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "t_jdbc")
+        .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+        .load()
+    )
+    assert back.count() == 3
+    filtered = back.filter(back.id >= 2)
+    assert filtered.count() == 2
+    # predicate reached the JDBC scan
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan or "pushedfilters" in plan.lower()
+
+
+def test_avro_container_roundtrip(spark):
+    """Avro OCF write→read roundtrip on the pure-Python codec, null and
+    deflate codecs (SURVEY §2.E scans row 'avro')."""
+    import datetime
+
+    from spark_extensions_spark.sources import read_avro, write_avro
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha", 1.5, datetime.date(2024, 1, 1), ["x", "y"]),
+            (2, None, None, None, []),
+            (3, "gamma", -2.25, datetime.date(1999, 12, 31), ["z"]),
+        ],
+        "id long, s string, x double, d date, tags array<string>",
+    )
+    for codec in ("null", "deflate"):
+        path = tempfile.mkdtemp(prefix=f"avro_{codec}_") + "/t"
+        write_avro(df, path, codec=codec)
+        back = read_avro(spark, path)
+        assert back.schema.fieldNames() == df.schema.fieldNames()
+        got = {r["id"]: r for r in back.collect()}
+        for r in df.collect():
+            g = got[r["id"]]
+            assert (g["s"], g["x"], g["d"]) == (r["s"], r["x"], r["d"])
+            assert list(g["tags"] or []) == list(r["tags"] or [])
+
+
+def test_avro_container_schema_resolution(spark):
+    """Read with an evolved reader schema: added field defaults, removed
+    field skipped — classic Avro resolution at the file level."""
+    from spark_extensions_spark.sources import read_avro, write_avro
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    path = tempfile.mkdtemp(prefix="avro_evo_") + "/t"
+    write_avro(df, path)
+    reader = {
+        "type": "record",
+        "name": "topLevelRecord",
+        "fields": [
+            {"name": "id", "type": ["null", "long"]},
+            {"name": "extra", "type": ["null", "string"], "default": None},
+        ],
+    }
+    back = read_avro(spark, path, reader_schema=reader)
+    rows = {r["id"]: r for r in back.collect()}
+    assert set(back.columns) == {"id", "extra"}
+    assert rows[1]["extra"] is None and rows[2]["extra"] is None
