@@ -253,3 +253,51 @@ def test_json_roundtrip_dataframe(spark, sample_df):
     rows = {r["id"]: r for r in back.collect()}
     assert rows[1]["name"] == "alice" and rows[3]["score"] == 1.25
     assert rows[2]["score"] is None
+
+
+def test_avro_decode_mixed_writer_schemas(spark):
+    """One binary column carrying messages framed with TWO different
+    writer schema ids decodes correctly in a single pass (per-schema-id
+    decoder dispatch, ConfluentAvroDataToCatalyst.scala:37-46)."""
+    client = InMemorySchemaRegistry()
+    v1 = {
+        "type": "record",
+        "name": "topLevelRecord",
+        "fields": [{"name": "id", "type": ["null", "long"], "default": None}],
+    }
+    v2 = {
+        "type": "record",
+        "name": "topLevelRecord",
+        "fields": [
+            {"name": "id", "type": ["null", "long"], "default": None},
+            {"name": "tag", "type": ["null", "string"], "default": None},
+        ],
+    }
+    id1, _ = client.set_or_update_schema("mix-value", v1)
+    id2, _ = client.set_or_update_schema("mix-value", v2)
+    assert id1 != id2
+
+    from spark_extensions_spark.confluent.avro import _frame
+    from spark_extensions_spark.schema.avro_codec import make_encoder
+
+    e1, e2 = make_encoder(v1), make_encoder(v2)
+    msgs = [
+        (_frame(id1, e1({"id": 1})),),
+        (_frame(id2, e2({"id": 2, "tag": "t2"})),),
+        (_frame(id1, e1({"id": 3})),),
+    ]
+    df = spark.createDataFrame(msgs, "msg binary")
+    out = df.select(
+        from_confluent_avro("msg", "mix", "value", client).alias("d")
+    ).select("d.id", "d.tag")
+    rows = {r["id"]: r["tag"] for r in out.collect()}
+    # reader = latest (v2): v1 messages default tag to null
+    assert rows == {1: None, 2: "t2", 3: None}
+
+
+def test_registry_query_names_unique():
+    from spark_extensions_spark.queries import registry
+
+    names = [q.name for q in registry()]
+    assert len(names) == len(set(names))
+    assert len(names) >= 70
