@@ -331,3 +331,61 @@ def test_spark_to_json_schema_decimal():
     out = spark_to_json_schema(st)
     assert out["properties"]["i"] == {"type": "integer"}
     assert out["properties"]["n"] == {"type": "number"}
+
+
+# ---------------------------------------------------- reference golden fixtures
+
+import os
+
+REF_JSON = "/root/reference/src/test/resources/jsonSchema"
+REF_XSD = "/root/reference/src/test/resources/xmlSchema"
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_JSON), reason="reference absent")
+def test_reference_json_schema_fixtures_convert():
+    """The reference's own golden JSON-Schema files (test DATA, not code)
+    convert cleanly and roundtrip (JsonSchemaConverterTest.scala:35-92,
+    461-482)."""
+    import json as _json
+
+    for name in (
+        "testJsonSchemaVerbose.json",
+        "testJsonSchemaSlim.json",
+        "testJsonSchemaRefs.json",
+        "testJsonSchemaMap.json",
+    ):
+        with open(os.path.join(REF_JSON, name)) as f:
+            schema = _json.load(f)
+        st = json_schema_to_spark(schema, strict=False)
+        assert isinstance(st, StructType) and len(st.fields) > 0
+        # spark -> json -> spark is a fixed point
+        back = json_schema_to_spark(spark_to_json_schema(st), strict=False)
+        assert back == st
+    # the Map fixture produces a MapType somewhere
+    with open(os.path.join(REF_JSON, "testJsonSchemaMap.json")) as f:
+        st = json_schema_to_spark(_json.load(f), strict=False)
+    assert any(
+        isinstance(fld.dataType, MapType)
+        or (
+            isinstance(fld.dataType, StructType)
+            and any(isinstance(x.dataType, MapType) for x in fld.dataType.fields)
+        )
+        for fld in st.fields
+    )
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_XSD), reason="reference absent")
+def test_reference_xsd_fixtures_convert():
+    """The reference's golden XSDs convert: basket (nested array entries),
+    complex, lists (XsdSchemaConverterTest.scala:27-49)."""
+    from spark_extensions_spark.schema.xsd import xsd_to_spark
+
+    basket = xsd_to_spark(os.path.join(REF_XSD, "basket.xsd"))
+    assert isinstance(basket["entry"].dataType, ArrayType)
+    entry = basket["entry"].dataType.elementType
+    assert isinstance(entry, StructType)
+    assert set(entry.fieldNames()) == {"key", "value"}
+
+    for name in ("complex.xsd", "lists.xsd"):
+        st = xsd_to_spark(os.path.join(REF_XSD, name))
+        assert isinstance(st, StructType) and len(st.fields) > 0
