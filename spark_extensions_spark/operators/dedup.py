@@ -127,6 +127,22 @@ def minhash_signatures(
     )
 
 
+MINHASH_PRIME = 2_147_483_647  # 2^31 - 1
+
+
+def minhash_seed_constants(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (A_i, B_i) multiplier/offset pairs, all < 2^31, for
+    the universal-hash family ``(base*A + B) mod (2^31-1)`` shared with
+    the DuckDB oracle."""
+    return [
+        (
+            (1103515245 + 12820163 * i) % MINHASH_PRIME,
+            (12345 + 1013904223 * i) % MINHASH_PRIME,
+        )
+        for i in range(num_hashes)
+    ]
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str,
@@ -149,12 +165,16 @@ def minhash_lsh_candidates(
     r = num_hashes // bands
     assert bands * r == num_hashes, "num_hashes must be divisible by bands"
     # Signatures via explode + min-aggregate rather than the row-local
-    # fold of minhash_signatures(): md5 stays inside whole-stage codegen
-    # (the fold's zip_with allocates a num_hashes array per shingle and
-    # interprets ~5× slower), and the map-side partial min keeps the
-    # shuffle tiny. Values are identical — same md5 set, same min.
+    # fold of minhash_signatures(): the hash stays inside whole-stage
+    # codegen (the fold's zip_with allocates a num_hashes array per
+    # shingle and interprets ~5× slower), and the map-side partial min
+    # keeps the shuffle tiny. Each shingle is md5'd ONCE to a 28-bit base,
+    # then the per-seed hashes are universal-hash mixes
+    # ``(base*A_i + B_i) mod (2^31-1)`` — products stay < 2^59, so the
+    # arithmetic is exact under ANSI bigint semantics in both engines
+    # (12× fewer md5 evaluations than hashing per seed).
     # Docs with no shingles drop out here (they'd otherwise all collide
-    # on md5 of the empty band).
+    # on the empty band).
     words = df.select(
         F.col(id_col),
         F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)").alias(
@@ -164,23 +184,31 @@ def minhash_lsh_candidates(
     exploded = words.select(
         F.col(id_col),
         F.explode(shingles_from_words("__words", shingle_words)).alias("__s"),
+    ).select(
+        F.col(id_col),
+        F.expr(
+            "cast(conv(substr(md5(__s), 1, 7), 16, 10) as bigint)"
+        ).alias("__base"),
     )
     mins = exploded.groupBy(id_col).agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("__s")))).alias(f"__h{i}")
-            for i in range(num_hashes)
+            F.min(
+                F.expr(f"pmod(__base * {a} + {b}, {MINHASH_PRIME})")
+            ).alias(f"__h{i}")
+            for i, (a, b) in enumerate(minhash_seed_constants(num_hashes))
         ]
     )
     sigs = mins.select(
         F.col(id_col),
         F.array(*[F.col(f"__h{i}") for i in range(num_hashes)]).alias("minhash_sig"),
     )
+    sig_str = F.expr("transform(minhash_sig, x -> cast(x as string))")
     banded = sigs.select(
         F.col(id_col),
         F.posexplode(
             F.array(
                 *[
-                    F.md5(F.concat_ws("|", F.slice(F.col("minhash_sig"), b * r + 1, r)))
+                    F.md5(F.concat_ws("|", F.slice(sig_str, b * r + 1, r)))
                     for b in range(bands)
                 ]
             )

@@ -881,10 +881,18 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_oracle(num_hashes: int = 12, bands: int = 4, n: int = 3) -> str:
+    from spark_extensions_spark.operators.dedup import (
+        MINHASH_PRIME,
+        minhash_seed_constants,
+    )
+
     r = num_hashes // bands
+    # same universal-hash family as the operator: one md5 per shingle to a
+    # 28-bit base, then (base*A_i + B_i) mod (2^31-1) per seed — exact
+    # 64-bit integer arithmetic in both engines
     sig_items = ", ".join(
-        f"list_aggregate(list_transform(shingles, s -> md5('{i}:' || s)), 'min')"
-        for i in range(num_hashes)
+        f"list_min(list_transform(base, h -> (h * {a} + {b}) % {MINHASH_PRIME}))"
+        for a, b in minhash_seed_constants(num_hashes)
     )
     return f"""
     WITH words AS (
@@ -897,8 +905,13 @@ def _minhash_oracle(num_hashes: int = 12, bands: int = 4, n: int = 3) -> str:
                                       i -> array_to_string(ws[i+1:i+{n}], ' '))
              END AS shingles
       FROM words
+    ), based AS (
+      SELECT doc_id,
+             list_transform(shingles,
+                            s -> ('0x' || substr(md5(s), 1, 7))::BIGINT) AS base
+      FROM sh WHERE len(shingles) > 0
     ), sig AS (
-      SELECT doc_id, [{sig_items}] AS s FROM sh WHERE len(shingles) > 0
+      SELECT doc_id, [{sig_items}] AS s FROM based
     ), bands AS (
       SELECT doc_id, j AS band_idx,
              md5(array_to_string(s[j*{r}+1 : j*{r}+{r}], '|')) AS band_key
