@@ -291,10 +291,18 @@ def ngram_jaccard_pairs(
             "__words"
         ),
     )
-    shingled = words.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(shingles_from_words("__words", n))).alias("sh"),
+    # join on 60-bit md5-derived shingle hashes instead of the shingle
+    # strings: the shuffle moves 8-byte keys, not n-word text. Both the
+    # operator and the oracle hash identically and dedupe AFTER hashing,
+    # so even a (cosmically unlikely) collision yields identical result
+    # sets on both sides.
+    sh_hashes = F.array_distinct(
+        F.transform(
+            shingles_from_words("__words", n),
+            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint"),
+        )
     )
+    shingled = words.select(F.col(id_col), F.explode(sh_hashes).alias("sh"))
     sizes = shingled.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = shingled.alias("a")
     b = shingled.alias("b")

@@ -979,11 +979,12 @@ def _jaccard_oracle(n: int = 3, threshold: float = 0.5) -> str:
       SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
       FROM documents
     ), sh AS (
-      SELECT doc_id, unnest(list_distinct(
+      SELECT doc_id, unnest(list_distinct(list_transform(
                CASE WHEN len(ws) < {n} THEN []
                     ELSE list_transform(generate_series(0, len(ws) - {n}),
                                         i -> array_to_string(ws[i+1:i+{n}], ' '))
-               END)) AS s
+               END,
+               s -> ('0x' || substr(md5(s), 1, 15))::BIGINT))) AS s
       FROM words
     ), sizes AS (
       SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
