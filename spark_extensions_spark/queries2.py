@@ -1067,3 +1067,51 @@ def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.join(canonical, "doc_id").select(
         "doc_id", "lang", F.col("n_words").cast("int").alias("n_words")
     )
+
+
+@_register(
+    "window_range_frame",
+    """
+    SELECT o_custkey, o_orderkey, day_n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+             PARTITION BY o_custkey ORDER BY day_n
+             RANGE BETWEEN 90 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS spend_90d,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+             PARTITION BY o_custkey ORDER BY day_n, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING) AS DOUBLE)
+             AS spend_nearby
+    FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 CAST(epoch(o_orderdate) / 86400 AS BIGINT) AS day_n
+          FROM orders)
+    """,
+    doc="Window frames: value-based RANGE BETWEEN 90 PRECEDING (trailing "
+    "90-day spend) and bounded ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING; "
+    "decimal accumulation keeps both frames order-exact.",
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")["orders"]
+    base = o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        (F.unix_timestamp("o_orderdate") / 86400).cast("bigint").alias("day_n"),
+    )
+    w_range = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day_n")
+        .rangeBetween(-90, Window.currentRow)
+    )
+    w_rows = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day_n", "o_orderkey")
+        .rowsBetween(-2, 1)
+    )
+    dec_price = F.col("o_totalprice").cast("decimal(18,4)")
+    return base.select(
+        "o_custkey",
+        "o_orderkey",
+        "day_n",
+        F.sum(dec_price).over(w_range).cast("double").alias("spend_90d"),
+        F.sum(dec_price).over(w_rows).cast("double").alias("spend_nearby"),
+    )
