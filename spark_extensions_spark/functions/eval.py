@@ -163,11 +163,22 @@ class ExpressionEvaluator:
         self.spark.udf.register(name, fn, return_type)
 
     def __call__(self, obj: Any) -> Any:
-        row = _to_row(obj)
-        if not isinstance(row, Row):
-            row = Row(value=row)
-        df = self.spark.createDataFrame([row], self.schema)
-        out = df.select(self.expr.alias("result")).head()
-        return out["result"]
+        return self.apply_many([obj])[0]
+
+    def apply_many(self, objs: list) -> list:
+        """Evaluate the expression for a batch of objects in ONE local job.
+
+        The per-call path costs a Spark job each; amortize over batches
+        when throughput matters (the reference's evaluator is reused the
+        same way, one compiled expression over many objects).
+        """
+        rows = []
+        for obj in objs:
+            row = _to_row(obj)
+            if not isinstance(row, Row):
+                row = Row(value=row)
+            rows.append(row)
+        df = self.spark.createDataFrame(rows, self.schema)
+        return [r["result"] for r in df.select(self.expr.alias("result")).collect()]
 
     apply = __call__

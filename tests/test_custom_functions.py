@@ -212,3 +212,9 @@ def test_nullability_helpers(spark):
 
     rewritten = set_nullable_schema(df, {"s": False})
     assert not rewritten.schema["s"].nullable
+
+
+def test_eval_apply_many(spark):
+    ev = ExpressionEvaluator("concat(b, '-', cast(a*2 as int))", EvalObj, spark)
+    objs = [EvalObj(i, f"v{i}", [], {}, None) for i in range(5)]
+    assert ev.apply_many(objs) == [f"v{i}-{2*i}" for i in range(5)]
