@@ -30,8 +30,12 @@ def main() -> int:
     sf = sf_dir.rstrip("/").split("sf")[-1]
     spark = get_spark("bench")
 
-    # warmup: tiny query to absorb JVM/codegen startup cost
+    # warmup: absorb JVM/codegen startup, executor package shipping
+    # (addPyFile zip) and parquet footer reads before timing queries
+    from spark_extensions_spark.session import load_tables
+
     spark.range(1000).selectExpr("sum(id)").collect()
+    load_tables(spark, sf_dir, "lineitem")["lineitem"].count()
 
     timings: dict[str, float] = {}
     for q in registry():

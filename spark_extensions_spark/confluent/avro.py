@@ -37,10 +37,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import BinaryType, StructType
 
-from spark_extensions_spark.confluent.client import (
-    SchemaRegistryClient,
-    SubjectType,
-)
+from spark_extensions_spark.confluent.client import SchemaRegistryClient
 from spark_extensions_spark.schema.avro import avro_to_spark, spark_to_avro
 from spark_extensions_spark.schema.avro_codec import make_decoder, make_encoder
 

@@ -36,7 +36,6 @@ from pyspark.sql.types import (
     DataType,
     DateType,
     DoubleType,
-    IntegerType,
     LongType,
     MapType,
     StringType,
