@@ -389,3 +389,71 @@ def test_reference_xsd_fixtures_convert():
     for name in ("complex.xsd", "lists.xsd"):
         st = xsd_to_spark(os.path.join(REF_XSD, name))
         assert isinstance(st, StructType) and len(st.fields) > 0
+
+
+# ------------------------------------------------------- property-based fuzz
+
+from hypothesis import given, settings
+from hypothesis import strategies as hst
+
+_scalar_types = hst.sampled_from(
+    [
+        BooleanType(),
+        IntegerType(),
+        LongType(),
+        FloatType(),
+        DoubleType(),
+        StringType(),
+        DateType(),
+        TimestampType(),
+    ]
+)
+
+
+def _struct_types(max_depth: int = 2):
+    def extend(inner):
+        return hst.one_of(
+            inner,
+            inner.map(lambda t: ArrayType(t, containsNull=False)),
+            hst.tuples(inner).map(
+                lambda ts: MapType(StringType(), ts[0], valueContainsNull=False)
+            ),
+        )
+
+    leaf = _scalar_types
+    branch = hst.recursive(leaf, extend, max_leaves=4)
+    fields = hst.lists(
+        hst.tuples(
+            hst.from_regex(r"[a-z][a-z0-9_]{0,8}", fullmatch=True),
+            branch,
+            hst.booleans(),
+        ),
+        min_size=1,
+        max_size=5,
+        unique_by=lambda t: t[0],
+    )
+    return fields.map(
+        lambda fs: StructType([StructField(n, t, nb) for n, t, nb in fs])
+    )
+
+
+@settings(max_examples=60, deadline=None)
+@given(_struct_types())
+def test_avro_schema_roundtrip_property(st):
+    """spark → avro → spark is the identity for generated StructTypes."""
+    back, nullable = avro_to_spark(spark_to_avro(st, record_name="t"))
+    assert back == st and not nullable
+
+
+@settings(max_examples=60, deadline=None)
+@given(_struct_types())
+def test_json_schema_roundtrip_property(st):
+    """spark → json-schema → spark reaches a fixed point in one hop.
+
+    Types JSON-Schema cannot represent collapse deterministically
+    (float→number→double, date→date-time→timestamp), so compare after
+    one normalizing pass.
+    """
+    once = json_schema_to_spark(spark_to_json_schema(st))
+    twice = json_schema_to_spark(spark_to_json_schema(once))
+    assert twice == once
