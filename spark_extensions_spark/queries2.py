@@ -1115,3 +1115,180 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dec_price).over(w_range).cast("double").alias("spend_90d"),
         F.sum(dec_price).over(w_rows).cast("double").alias("spend_nearby"),
     )
+
+
+# =====================================================================
+# Batch 5: deep analytical shapes (multi-join, funnel, corpus stats)
+# =====================================================================
+
+@_register(
+    "analytic_revenue_by_nation",
+    f"""
+    SELECT n.n_name,
+           {dsum_duck('l.l_extendedprice * (1 - l.l_discount)', 'revenue')},
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1994-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    """,
+    doc="TPC-H Q5-shaped 6-table join: fact-fact join on orderkey, three "
+    "broadcast dims (supplier/nation/region under the 64MB threshold), "
+    "filters pushed below every join; Catalyst + AQE pick the order.",
+)
+def q_analytic_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(
+        spark, sf_dir, "customer", "orders", "lineitem", "supplier",
+        "nation", "region",
+    )
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1994-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    r = t["region"].filter(F.col("r_name") == "ASIA")
+    return (
+        t["customer"]
+        .join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["nation"], F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            dsum("l_extendedprice * (1 - l_discount)").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@_register(
+    "analytic_returned_customers",
+    f"""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           {dsum_duck('l.l_extendedprice * (1 - l.l_discount)', 'lost_revenue')}
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY lost_revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10-shaped returned-item ranking: 4-table join, aggregate, "
+    "deterministic top-20 (TakeOrderedAndProject over the agg).",
+)
+def q_analytic_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "customer", "orders", "lineitem", "nation")
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(
+            t["lineitem"].filter(F.col("l_returnflag") == "R"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(t["nation"], F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum("l_extendedprice * (1 - l_discount)").alias("lost_revenue"))
+        .orderBy(F.col("lost_revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@_register(
+    "analytic_funnel",
+    """
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(COUNT(t_view) AS BIGINT) AS n_viewed,
+           CAST(COUNT(CASE WHEN t_click > t_view THEN 1 END) AS BIGINT)
+             AS n_clicked_after_view,
+           CAST(COUNT(CASE WHEN t_purchase > t_click AND t_click > t_view
+                           THEN 1 END) AS BIGINT) AS n_full_funnel
+    FROM firsts
+    """,
+    doc="Event funnel: per-user first-touch times via conditional MIN "
+    "(one shuffle), ordered-stage conversion counts — the standard "
+    "product-analytics query shape.",
+)
+def q_analytic_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")["events"]
+    first_of = lambda et: F.min(
+        F.when(F.col("event_type") == et, F.col("ts"))
+    )
+    firsts = ev.groupBy("user_id").agg(
+        first_of("view").alias("t_view"),
+        first_of("click").alias("t_click"),
+        first_of("purchase").alias("t_purchase"),
+    )
+    return firsts.agg(
+        F.count("*").alias("n_users"),
+        F.count("t_view").alias("n_viewed"),
+        F.count(F.when(F.col("t_click") > F.col("t_view"), 1)).alias(
+            "n_clicked_after_view"
+        ),
+        F.count(
+            F.when(
+                (F.col("t_purchase") > F.col("t_click"))
+                & (F.col("t_click") > F.col("t_view")),
+                1,
+            )
+        ).alias("n_full_funnel"),
+    )
+
+
+@_register(
+    "text_top_ngrams",
+    """
+    SELECT gram, n_docs, total FROM (
+      SELECT gram,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(COUNT(*) AS BIGINT) AS total,
+             ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, gram) AS rn
+      FROM (
+        SELECT doc_id,
+               unnest(CASE WHEN len(ws) < 2 THEN []
+                           ELSE list_transform(generate_series(0, len(ws) - 2),
+                                               i -> array_to_string(ws[i+1:i+2], ' '))
+                      END) AS gram
+        FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+              FROM documents)
+      ) GROUP BY gram
+    ) WHERE rn <= 50
+    """,
+    doc="Corpus bigram frequency top-50: explode word 2-grams, one "
+    "count shuffle, deterministic tiebroken top-k — the vocabulary/"
+    "contamination-analysis primitive for training corpora.",
+)
+def q_text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_extensions_spark.operators.dedup import shingles_from_words
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    words = docs.select(
+        "doc_id",
+        F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").alias("__words"),
+    )
+    grams = words.select(
+        "doc_id", F.explode(shingles_from_words("__words", 2)).alias("gram")
+    )
+    counted = grams.groupBy("gram").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count("*").alias("total"),
+    )
+    return (
+        counted.orderBy(F.col("total").desc(), F.col("gram"))
+        .limit(50)
+        .select("gram", "n_docs", "total")
+    )
