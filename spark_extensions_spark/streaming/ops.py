@@ -150,3 +150,28 @@ def run_available_now(
     )
     q.awaitTermination()
     return result.sparkSession.table(name)
+
+
+def run_foreach_batch(
+    result: DataFrame,
+    batch_fn,
+    checkpoint_dir: str | None = None,
+) -> None:
+    """Execute a streaming DataFrame to completion through a
+    ``foreachBatch`` sink (``batch_fn(batch_df, batch_id)``) with
+    ``trigger(availableNow=True)``.
+
+    The custom-sink escape hatch (SURVEY §2.E "Sinks"): each micro-batch
+    arrives as a BATCH DataFrame, so any batch writer (jdbc, upsert
+    logic, multi-sink fan-out) becomes a streaming sink. Spark retries
+    failed batches with the same batch_id — make ``batch_fn`` idempotent
+    per (checkpoint, batch_id) for exactly-once sinks.
+    """
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_fb_")
+    q = (
+        result.writeStream.foreachBatch(batch_fn)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

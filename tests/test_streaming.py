@@ -203,3 +203,34 @@ def test_running_aggregate_stateful(spark, events_stream):
         n, s = got[r["event_type"]]
         assert n == r["n_events"]
         assert s == round(r["sum_value"], 6)
+
+
+def test_foreach_batch_sink(spark, events_stream):
+    """foreachBatch: custom batch-writer sink sees every row exactly once
+    across availableNow micro-batches."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from spark_extensions_spark.streaming import run_foreach_batch
+
+    out_dir = tempfile.mkdtemp(prefix="fb_out_")
+
+    def write_batch(batch_df, batch_id):
+        batch_df.groupBy("event_type").agg(
+            F.count("*").alias("n")
+        ).withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    stream = read_stream_parquet(spark, events_stream, max_files_per_trigger=1)
+    run_foreach_batch(stream, write_batch)
+    agg = spark.read.parquet(out_dir).groupBy("event_type").agg(
+        F.sum("n").alias("total")
+    )
+    batch = (
+        spark.read.parquet(events_stream).groupBy("event_type").count()
+    )
+    got = {r["event_type"]: r["total"] for r in agg.collect()}
+    for r in batch.collect():
+        assert got[r["event_type"]] == r["count"]
