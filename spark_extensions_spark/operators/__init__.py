@@ -13,6 +13,13 @@ from spark_extensions_spark.operators.dedup import (
     ngram_jaccard_pairs,
     embedding_neardup_pairs,
 )
+from spark_extensions_spark.operators.sketches import (
+    approx_quantiles,
+    bloom_filter,
+    bloom_semi_join,
+    count_min_sketch,
+    freq_items,
+)
 from spark_extensions_spark.operators.similarity import (
     cosine_similarity_col,
     ann_bruteforce_topk,
@@ -34,4 +41,9 @@ __all__ = [
     "ann_bruteforce_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "count_min_sketch",
+    "bloom_filter",
+    "bloom_semi_join",
+    "freq_items",
+    "approx_quantiles",
 ]

@@ -225,3 +225,53 @@ def test_salted_join_matches_plain(spark):
         for r in salted_join(left, right, on="k", n_salts=4).collect()
     }
     assert salted == plain and len(plain) > 0
+
+
+def test_sketches(spark):
+    from spark_extensions_spark.operators.sketches import (
+        approx_quantiles,
+        bloom_filter,
+        count_min_sketch,
+        freq_items,
+    )
+    from spark_extensions_spark.session import load_tables
+
+    o = load_tables(spark, "/root/testdata/sf0.01", "orders")["orders"]
+    # count-min: estimate >= true count, within eps*N at confidence
+    cms = count_min_sketch(o, "o_custkey", eps=0.001)
+    true_n = o.filter(F.col("o_custkey") == 7).count()
+    est = cms.estimate_count(7)
+    assert est >= true_n and est <= true_n + 0.001 * o.count() * 3
+    # bloom: no false negatives
+    bf = bloom_filter(o, "o_orderkey", expected_items=20000)
+    for r in o.select("o_orderkey").limit(50).collect():
+        assert bf.might_contain(r["o_orderkey"])
+    # freq items returns a row of arrays
+    fi = freq_items(o, ["o_orderpriority"], support=0.1).head()
+    assert len(fi[0]) >= 1
+    # approx quantiles bracket the exact median
+    q50 = approx_quantiles(o, "o_totalprice", [0.5], 0.01)[0]
+    exact = o.selectExpr("percentile(o_totalprice, 0.5)").head()[0]
+    lo, hi = o.approxQuantile("o_totalprice", [0.45, 0.55], 0.001)
+    assert lo <= q50 <= hi and lo <= exact <= hi
+
+
+def test_bloom_semi_join(spark):
+    from spark_extensions_spark.operators.sketches import bloom_semi_join
+    from spark_extensions_spark.session import load_tables
+
+    t = load_tables(spark, "/root/testdata/sf0.01", "lineitem", "orders")
+    dim = t["orders"].filter(F.col("o_totalprice") > 400000).select("o_orderkey")
+    fact = t["lineitem"]
+    filtered = bloom_semi_join(fact, dim, "l_orderkey", "o_orderkey")
+    true_match = fact.join(dim, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+    n_true, n_filtered, n_fact = true_match.count(), filtered.count(), fact.count()
+    # no false negatives: every true match survives
+    assert n_filtered >= n_true
+    # real selectivity: the filter removed the vast majority of non-matches
+    assert n_filtered <= n_true + 0.05 * n_fact
+    # follow-up real join gives exactly the true semi-join
+    assert (
+        filtered.join(dim, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi").count()
+        == n_true
+    )
