@@ -7,6 +7,15 @@ linearly mergeable, exactly like Spark's partial aggregates). The JVM
 ``countMinSketch``/``bloomFilter`` stat helpers were never exposed to
 PySpark, so these are Python-native.
 
+Hashing has two modes, chosen from the column's Spark type:
+
+- ``int64`` — integral keys hash with a splitmix64-style finalizer,
+  fully vectorized in numpy (no per-row Python). This is the hot path
+  for join keys; a 600k-row probe is a handful of array ops.
+- ``str`` — everything else goes through one md5 per value
+  (Kirsch-Mitzenmacher double hashing derives all k positions from the
+  two 64-bit md5 lanes).
+
 - :func:`count_min_sketch` → :class:`CountMinSketch`: approximate item
   frequencies, overestimate-only, error ≤ eps·N with prob ≥ confidence.
 - :func:`bloom_filter` → :class:`BloomFilter`: approximate membership,
@@ -28,32 +37,123 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+_M64 = (1 << 64) - 1
+_C1, _C2, _C3 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+_D1, _D2, _D3 = 0xD6E8FEB86659FD93, 0xFF51AFD7ED558CCD, 0xC4CEB9FE1A85EC53
+
+_INT_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
 
 
-def _hash_lanes(value: str) -> tuple[int, int]:
-    """(h1, h2) 64-bit lanes from one md5 — Kirsch-Mitzenmacher double
-    hashing derives all k positions as h1 + i*h2."""
+def _hash_mode(df: DataFrame, col: str) -> str:
+    return "int64" if isinstance(df.schema[col].dataType, _INT_TYPES) else "str"
+
+
+def _md5_lanes(value: str) -> tuple[int, int]:
+    """(h1, h2) 64-bit lanes from one md5."""
     d = hashlib.md5(value.encode("utf-8")).digest()
     return int.from_bytes(d[:8], "big"), int.from_bytes(d[8:], "big") | 1
+
+
+def _splitmix_lanes(v: int) -> tuple[int, int]:
+    """Scalar mirror of :func:`_splitmix_lanes_np` (same bit pattern)."""
+    x = ((int(v) & _M64) + _C1) & _M64
+    z = x
+    z ^= z >> 30
+    z = (z * _C2) & _M64
+    z ^= z >> 27
+    z = (z * _C3) & _M64
+    z ^= z >> 31
+    z2 = x ^ _D1
+    z2 = (z2 * _D2) & _M64
+    z2 ^= z2 >> 33
+    z2 = (z2 * _D3) & _M64
+    z2 ^= z2 >> 33
+    return z, z2 | 1
+
+
+def _splitmix_lanes_np(arr: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized (h1, h2) lanes over a uint64 array (wrapping math)."""
+    with np.errstate(over="ignore"):
+        x = arr + np.uint64(_C1)
+        z = x.copy()
+        z ^= z >> np.uint64(30)
+        z *= np.uint64(_C2)
+        z ^= z >> np.uint64(27)
+        z *= np.uint64(_C3)
+        z ^= z >> np.uint64(31)
+        z2 = x ^ np.uint64(_D1)
+        z2 *= np.uint64(_D2)
+        z2 ^= z2 >> np.uint64(33)
+        z2 *= np.uint64(_D3)
+        z2 ^= z2 >> np.uint64(33)
+    return z, z2 | np.uint64(1)
+
+
+def _to_uint64(series: pd.Series) -> np.ndarray:
+    """Non-null pandas values → uint64 keys (Arrow may hand back float
+    with NaN-for-null for nullable int columns)."""
+    s = series.dropna()
+    arr = s.to_numpy()
+    if arr.dtype.kind == "f":
+        arr = arr.astype(np.int64)
+    elif arr.dtype == object:
+        arr = np.array([int(v) for v in arr], dtype=np.int64)
+    return arr.astype(np.int64, copy=False).view(np.uint64)
+
+
+def _scalar_lanes(value, mode: str) -> tuple[int, int]:
+    if mode == "int64":
+        return _splitmix_lanes(int(value))
+    return _md5_lanes(str(value))
+
+
+def _series_lanes(series: pd.Series, mode: str):
+    """(h1, h2) lane arrays + the surviving (non-null) positional index."""
+    if mode == "int64":
+        s = series.dropna()
+        return (*_splitmix_lanes_np(_to_uint64(series)), s.index)
+    s = series.dropna()
+    pairs = [_md5_lanes(str(v)) for v in s]
+    if not pairs:
+        return np.array([], np.uint64), np.array([], np.uint64), s.index
+    h = np.array(pairs, dtype=np.uint64)
+    return h[:, 0], h[:, 1], s.index
 
 
 class BloomFilter:
     """Fixed-size bit-array membership sketch (mergeable via OR)."""
 
-    def __init__(self, m_bits: int, k: int, bits: np.ndarray):
+    def __init__(self, m_bits: int, k: int, bits: np.ndarray, mode: str = "str"):
         self.m = m_bits
         self.k = k
         self.bits = bits
+        self.mode = mode
 
     def might_contain(self, value) -> bool:
         if value is None:
             return False
-        h1, h2 = _hash_lanes(str(value))
+        h1, h2 = _scalar_lanes(value, self.mode)
         for i in range(self.k):
-            pos = (h1 + i * h2) % self.m
+            pos = ((h1 + i * h2) & _M64) % self.m
             if not (self.bits[pos >> 6] >> np.uint64(pos & 63)) & np.uint64(1):
                 return False
         return True
+
+    def might_contain_many(self, series: pd.Series) -> pd.Series:
+        """Vectorized membership over a pandas Series (nulls → False)."""
+        h1, h2, idx = _series_lanes(series, self.mode)
+        mask = np.ones(len(h1), dtype=bool)
+        m = np.uint64(self.m)
+        with np.errstate(over="ignore"):
+            for i in range(self.k):
+                pos = (h1 + np.uint64(i) * h2) % m
+                word = self.bits[(pos >> np.uint64(6)).astype(np.int64)]
+                mask &= ((word >> (pos & np.uint64(63))) & np.uint64(1)).astype(bool)
+        out = pd.Series(False, index=series.index)
+        out.loc[idx] = mask
+        return out
 
     @staticmethod
     def params(expected_items: int, fpp: float) -> tuple[int, int]:
@@ -70,41 +170,46 @@ def bloom_filter(
     if expected_items is None:
         expected_items = max(1024, df.count())
     m, k = BloomFilter.params(expected_items, fpp)
+    mode = _hash_mode(df, col)
 
     def build(batches):
         bits = np.zeros(m // 64, dtype=np.uint64)
-        one = np.uint64(1)
         for pdf in batches:
-            for v in pdf.iloc[:, 0]:
-                if v is None:
-                    continue
-                h1, h2 = _hash_lanes(str(v))
+            h1, h2, _ = _series_lanes(pdf.iloc[:, 0], mode)
+            with np.errstate(over="ignore"):
                 for i in range(k):
-                    pos = (h1 + i * h2) % m
-                    bits[pos >> 6] |= one << np.uint64(pos & 63)
+                    pos = (h1 + np.uint64(i) * h2) % np.uint64(m)
+                    np.bitwise_or.at(
+                        bits,
+                        (pos >> np.uint64(6)).astype(np.int64),
+                        np.uint64(1) << (pos & np.uint64(63)),
+                    )
         yield pd.DataFrame({"bits": [bits.tobytes()]})
 
     combined = np.zeros(m // 64, dtype=np.uint64)
     for row in df.select(col).mapInPandas(build, "bits binary").collect():
         combined |= np.frombuffer(row["bits"], dtype=np.uint64)
-    return BloomFilter(m, k, combined)
+    return BloomFilter(m, k, combined, mode)
 
 
 class CountMinSketch:
     """depth×width counter table; estimates are min-over-rows (never
     underestimates; overestimate ≤ eps·N with prob ≥ confidence)."""
 
-    def __init__(self, depth: int, width: int, table: np.ndarray, total: int):
+    def __init__(
+        self, depth: int, width: int, table: np.ndarray, total: int, mode: str = "str"
+    ):
         self.depth = depth
         self.width = width
         self.table = table
         self.total = total
+        self.mode = mode
 
     def estimate_count(self, value) -> int:
-        h1, h2 = _hash_lanes(str(value))
+        h1, h2 = _scalar_lanes(value, self.mode)
         return int(
             min(
-                self.table[i][(h1 + i * h2) % self.width]
+                self.table[i][((h1 + i * h2) & _M64) % self.width]
                 for i in range(self.depth)
             )
         )
@@ -121,18 +226,18 @@ def count_min_sketch(
 ) -> CountMinSketch:
     """Build a CountMinSketch of ``col`` in one distributed pass."""
     depth, width = CountMinSketch.params(eps, confidence)
+    mode = _hash_mode(df, col)
 
     def build(batches):
         table = np.zeros((depth, width), dtype=np.int64)
         n = 0
         for pdf in batches:
-            for v in pdf.iloc[:, 0]:
-                if v is None:
-                    continue
-                n += 1
-                h1, h2 = _hash_lanes(str(v))
+            h1, h2, _ = _series_lanes(pdf.iloc[:, 0], mode)
+            n += len(h1)
+            with np.errstate(over="ignore"):
                 for i in range(depth):
-                    table[i][(h1 + i * h2) % width] += 1
+                    pos = ((h1 + np.uint64(i) * h2) % np.uint64(width)).astype(np.int64)
+                    np.add.at(table[i], pos, 1)
         yield pd.DataFrame({"table": [table.tobytes()], "n": [n]})
 
     combined = np.zeros((depth, width), dtype=np.int64)
@@ -144,7 +249,7 @@ def count_min_sketch(
             depth, width
         )
         total += row["n"]
-    return CountMinSketch(depth, width, combined, total)
+    return CountMinSketch(depth, width, combined, total, mode)
 
 
 def freq_items(df: DataFrame, cols: list[str], support: float = 0.01):
@@ -171,21 +276,20 @@ def bloom_semi_join(
     """Filter ``fact`` down to rows whose key *might* exist in ``dim``.
 
     Builds the Bloom filter distributed over the dim side, broadcasts
-    the fixed-size bit array, and applies an Arrow-batched membership
+    the fixed-size bit array, and applies a numpy-vectorized membership
     test on the fact side. False positives pass through (callers follow
     with the real join); false negatives cannot occur — non-matching
     fact rows never enter the join shuffle.
     """
     bf = bloom_filter(dim, dim_key, expected_items, fpp)
     bc = fact.sparkSession.sparkContext.broadcast(
-        (bf.m, bf.k, bf.bits.tobytes())
+        (bf.m, bf.k, bf.bits.tobytes(), bf.mode)
     )
 
     def test(batches):
-        m, k, raw = bc.value
-        local = BloomFilter(m, k, np.frombuffer(raw, dtype=np.uint64))
+        m, k, raw, mode = bc.value
+        local = BloomFilter(m, k, np.frombuffer(raw, dtype=np.uint64), mode)
         for pdf in batches:
-            mask = [local.might_contain(v) for v in pdf[fact_key]]
-            yield pdf[pd.Series(mask, index=pdf.index)]
+            yield pdf[local.might_contain_many(pdf[fact_key])]
 
     return fact.mapInPandas(test, fact.schema)

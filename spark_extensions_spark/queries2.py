@@ -1292,3 +1292,7 @@ def q_text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(50)
         .select("gram", "n_docs", "total")
     )
+
+
+# batch-6 queries register themselves into the shared registry on import
+from spark_extensions_spark import queries3  # noqa: E402,F401  (registration side effect)
