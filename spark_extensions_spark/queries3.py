@@ -188,3 +188,7 @@ def q_join_bloom_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(F.count("*").alias("n_items"), dsum("l_extendedprice").alias("revenue"))
     )
+
+
+# batch-7 queries register themselves into the shared registry on import
+from spark_extensions_spark import queries4  # noqa: E402,F401  (registration side effect)

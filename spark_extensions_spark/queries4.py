@@ -1,0 +1,136 @@
+"""t2 query registry, batch 7: deterministic sampling/splits and
+near-dup cluster resolution — the training-data-pipeline layer.
+
+Registered into the shared registry (imported from queries3 at module
+end). Same determinism rules as the queries.py docstring. Noteworthy:
+
+- The sampling queries are *fully* oracle-checked because the sampling
+  itself is md5-hash-deterministic (operators/sampling.py) — the DuckDB
+  side recomputes the identical hex math, so these verify row-level
+  membership, not just counts.
+- ``dedup_clusters`` checks the iterative hash-min connected-components
+  operator (operators/graph.py) against an exact recursive-CTE
+  transitive closure in DuckDB — an iterative distributed algorithm
+  with an exact relational oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_extensions_spark.queries import (
+    _jaccard_oracle,
+    _register,
+    _t,
+    dsum,
+    dsum_duck,
+)
+from spark_extensions_spark.operators.dedup import ngram_jaccard_pairs
+from spark_extensions_spark.operators.graph import neardup_clusters
+from spark_extensions_spark.operators.sampling import (
+    hash_bucket,
+    hash_bucket_duck,
+    hash_split,
+    hash_split_case_duck,
+    stratified_cap,
+)
+
+_SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+@_register(
+    "sample_hash_split",
+    f"""
+    SELECT doc_id,
+           {hash_bucket_duck('doc_id', 'split')} AS bucket,
+           {hash_split_case_duck('doc_id', _SPLITS)} AS split
+    FROM documents
+    """,
+    doc="Deterministic train/val/test assignment by key hash — "
+    "row-local, zero-shuffle, reproducible on any cluster layout "
+    "(operators/sampling.py:hash_split). Row-level oracle: DuckDB "
+    "recomputes the identical md5 bucket math.",
+)
+def q_sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return hash_split(docs, "doc_id", _SPLITS).select(
+        "doc_id", hash_bucket("doc_id", "split").alias("bucket"), "split"
+    )
+
+
+@_register(
+    "sample_percent",
+    f"""
+    SELECT l_returnflag, COUNT(*) AS n_items,
+           {dsum_duck('l_extendedprice', 'revenue')}
+    FROM lineitem
+    WHERE {hash_bucket_duck("l_orderkey || '#' || l_linenumber", 'pct')} < 1000
+    GROUP BY l_returnflag
+    """,
+    doc="Deterministic 10% subsample (hash-bucket filter on the "
+    "composite row key) feeding an aggregate — the reproducible "
+    "corpus-thinning primitive; the filter is a codegen'd row-local "
+    "predicate evaluated at the scan.",
+)
+def q_sample_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    key = "concat(cast(l_orderkey as string), '#', cast(l_linenumber as string))"
+    return (
+        li.filter(hash_bucket(key, "pct") < 1000)
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n_items"), dsum("l_extendedprice").alias("revenue"))
+    )
+
+
+@_register(
+    "sample_stratified_cap",
+    f"""
+    SELECT o_custkey, o_orderkey, rn FROM (
+      SELECT o_custkey, o_orderkey,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_custkey
+               ORDER BY {hash_bucket_duck('o_orderkey', 'cap', 1 << 60)},
+                        o_orderkey
+             ) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+    doc="At most 3 orders per customer, chosen by deterministic hash "
+    "order (operators/sampling.py:stratified_cap) — reproducible "
+    "uniform within-group sampling, one shuffle on the group key.",
+)
+def q_sample_stratified_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")["orders"]
+    capped = stratified_cap(
+        o, "o_custkey", "o_orderkey", cap=3, salt="cap", out_col="rn"
+    )
+    return capped.select("o_custkey", "o_orderkey", F.col("rn").cast("long"))
+
+
+@_register(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE pairs AS ({_jaccard_oracle()}),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+    FROM reach GROUP BY a
+    """,
+    doc="Near-dup pairs resolved to duplicate groups: iterative "
+    "hash-min connected components (operators/graph.py) over the "
+    "n-gram-Jaccard pair set, checked against DuckDB's exact "
+    "recursive-CTE transitive closure.",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    return neardup_clusters(pairs)

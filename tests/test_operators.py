@@ -275,3 +275,72 @@ def test_bloom_semi_join(spark):
         filtered.join(dim, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi").count()
         == n_true
     )
+
+
+def test_hash_split_deterministic_and_complete(spark):
+    from spark_extensions_spark.operators.sampling import hash_split
+
+    df = spark.range(0, 5000).withColumnRenamed("id", "k")
+    splits = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = hash_split(df, "k", splits).groupBy("split").count().collect()
+    b = hash_split(df.repartition(13), "k", splits).groupBy("split").count().collect()
+    ca = {r["split"]: r["count"] for r in a}
+    cb = {r["split"]: r["count"] for r in b}
+    # partitioning-independent, covers every row, ~weights
+    assert ca == cb
+    assert sum(ca.values()) == 5000
+    assert 3700 < ca["train"] < 4300 and 300 < ca["val"] < 700
+
+
+def test_hash_split_disjoint_salts_differ(spark):
+    from spark_extensions_spark.operators.sampling import hash_bucket
+
+    df = spark.range(0, 1000).withColumnRenamed("id", "k")
+    n_diff = (
+        df.select(
+            (hash_bucket("k", "a") != hash_bucket("k", "b")).alias("d")
+        )
+        .filter("d")
+        .count()
+    )
+    assert n_diff > 900  # salts decorrelate assignments
+
+
+def test_stratified_cap_bounds_and_determinism(spark):
+    from spark_extensions_spark.operators.sampling import stratified_cap
+
+    df = spark.createDataFrame(
+        [(g, i) for g in range(10) for i in range(g + 1)], "g int, k int"
+    )
+    kept = stratified_cap(df, "g", "k", cap=3)
+    counts = {r["g"]: r["count"] for r in kept.groupBy("g").count().collect()}
+    for g in range(10):
+        assert counts[g] == min(g + 1, 3)
+    again = stratified_cap(df.repartition(7), "g", "k", cap=3)
+    assert sorted(map(tuple, kept.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_connected_components_two_components_and_chain(spark):
+    from spark_extensions_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        # component {1,2,3,4} as a chain (diameter 3) + clique {10,11,12}
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12)],
+        "a long, b long",
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, "a", "b").collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_connected_components_singleton_edge(spark):
+    from spark_extensions_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame([(7, 9)], "a long, b long")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, "a", "b").collect()
+    }
+    assert got == {7: 7, 9: 7}
