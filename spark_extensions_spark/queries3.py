@@ -175,8 +175,12 @@ def q_join_bloom_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = _t(spark, sf_dir, "lineitem", "orders")
     dim = t["orders"].filter(F.col("o_totalprice") > 400000).select("o_orderkey")
+    # Prune before the Arrow-batched bloom stage: mapInPandas passes its
+    # input schema through, so projecting first keeps the parquet scan
+    # (and every Arrow batch) at 3 columns instead of 11.
+    fact = t["lineitem"].select("l_orderkey", "l_returnflag", "l_extendedprice")
     pre = bloom_semi_join(
-        t["lineitem"], dim, "l_orderkey", "o_orderkey",
+        fact, dim, "l_orderkey", "o_orderkey",
         expected_items=100_000, fpp=0.01,
     )
     return (
