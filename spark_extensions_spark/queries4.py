@@ -109,6 +109,37 @@ def q_sample_stratified_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "join_right",
+    """
+    SELECT o_orderstatus,
+           COUNT(*) AS n_rows,
+           COUNT(l.l_orderkey) AS n_matched,
+           COUNT(*) - COUNT(l.l_orderkey) AS n_unmatched
+    FROM (SELECT l_orderkey FROM lineitem WHERE l_quantity > 45) l
+    RIGHT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o_orderstatus
+    """,
+    doc="Right outer join: every order retained, null-extended where no "
+    "high-quantity lineitem matches; counts distinguish matched from "
+    "null-extended rows. Same BroadcastHashJoin/shuffle shape as "
+    "join_left with build/preserve sides swapped.",
+)
+def q_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "lineitem", "orders")
+    big = t["lineitem"].filter(F.col("l_quantity") > 45).select("l_orderkey")
+    n_matched = F.count("l_orderkey")
+    return (
+        big.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"), "right")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            n_matched.alias("n_matched"),
+            (F.count(F.lit(1)) - n_matched).alias("n_unmatched"),
+        )
+    )
+
+
+@_register(
     "dedup_clusters",
     f"""
     WITH RECURSIVE pairs AS ({_jaccard_oracle()}),
