@@ -140,6 +140,51 @@ def q_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "scalar_battery3",
+    """
+    SELECT l_orderkey, l_linenumber,
+           list_transform(
+             list_zip([l_quantity, l_extendedprice], [l_discount, l_tax]),
+             s -> s[1] + s[2]) AS zipped,
+           json_extract_string(
+             concat('{"ord":', CAST(l_orderkey AS VARCHAR),
+                    ',"line":', CAST(l_linenumber AS VARCHAR), '}'),
+             '$.ord') AS ord_json,
+           LEAST(GREATEST(CAST(FLOOR(l_discount * 10 / 1.0) AS BIGINT) + 1, 0),
+                 11) AS disc_bucket
+    FROM lineitem WHERE l_orderkey < 2000
+    """,
+    doc="Scalar battery 3: zip_with (element-wise lambda over paired "
+    "arrays), json_tuple field extraction, width_bucket histogram "
+    "binning — all row-local codegen'd expressions; DuckDB mirrors "
+    "zip_with via list_zip+list_transform and width_bucket via the "
+    "floor/clamp definition. JSON payload is built from integer casts "
+    "so string formatting is engine-independent.",
+)
+def q_scalar_battery3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    payload = F.concat(
+        F.lit('{"ord":'), F.col("l_orderkey").cast("string"),
+        F.lit(',"line":'), F.col("l_linenumber").cast("string"), F.lit("}"),
+    )
+    return (
+        li.filter(F.col("l_orderkey") < 2000)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.zip_with(
+                F.array("l_quantity", "l_extendedprice"),
+                F.array("l_discount", "l_tax"),
+                lambda x, y: x + y,
+            ).alias("zipped"),
+            F.json_tuple(payload, "ord").alias("ord_json"),
+            F.width_bucket(F.col("l_discount"), F.lit(0.0), F.lit(1.0), F.lit(10))
+            .alias("disc_bucket"),
+        )
+    )
+
+
+@_register(
     "dedup_clusters",
     f"""
     WITH RECURSIVE pairs AS ({_jaccard_oracle()}),
