@@ -185,6 +185,45 @@ def q_scalar_battery3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "date_battery3",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN day(l_shipdate) = 15
+                THEN CAST((year(l_shipdate) - 1995) * 12
+                          + (month(l_shipdate) - 3) AS DOUBLE)
+                ELSE CAST((year(l_shipdate) - 1995) * 12
+                          + (month(l_shipdate) - 3) AS DOUBLE)
+                     + (CAST((day(l_shipdate) - 15) * 86400 AS DOUBLE)
+                        / 2678400.0)
+           END AS mb_raw,
+           last_day(CAST(l_shipdate AS DATE)) AS eom,
+           CAST(l_shipdate + INTERVAL 2 MONTH AS DATE) AS plus2m
+    FROM lineitem WHERE l_orderkey < 2000
+    """,
+    doc="Date battery 3: months_between (roundOff=False — the raw "
+    "integer-months + day-delta/31 formula, mirrored op-for-op in "
+    "DuckDB so the single IEEE division hashes identically; anchor "
+    "1995-03-15 is never a month end, so the both-last-day branch is "
+    "statically false), last_day, add_months. Timestamps in the "
+    "fixtures are midnight-only, so the seconds terms vanish.",
+)
+def q_date_battery3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    anchor = F.lit("1995-03-15").cast("timestamp")
+    return (
+        li.filter(F.col("l_orderkey") < 2000)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.months_between(F.col("l_shipdate"), anchor, roundOff=False)
+            .alias("mb_raw"),
+            F.last_day("l_shipdate").alias("eom"),
+            F.add_months("l_shipdate", 2).alias("plus2m"),
+        )
+    )
+
+
+@_register(
     "dedup_clusters",
     f"""
     WITH RECURSIVE pairs AS ({_jaccard_oracle()}),
