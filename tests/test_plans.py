@@ -60,3 +60,20 @@ def test_agg_has_partial_phase(spark):
 def test_semi_join_planned(spark):
     df = _q("join_semi").spark(spark, SF_DIR)
     assert "LeftSemi" in df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_right_join_broadcasts_filtered_side(spark):
+    df = _q("join_right").spark(spark, SF_DIR)
+    assert plan_has(df, "BroadcastHashJoin")
+    assert not plan_has(df, "SortMergeJoin")
+    # the quantity filter reaches the lineitem scan
+    assert any("l_quantity" in f for f in pushed_filters(df))
+
+
+def test_scalar_batteries_stay_row_local(spark):
+    # zero exchanges: scalar batteries must never shuffle
+    for name in ("scalar_battery3", "date_battery3"):
+        df = _q(name).spark(spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, name
+        assert any("l_orderkey" in f for f in pushed_filters(df)), name
