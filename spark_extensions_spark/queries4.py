@@ -224,6 +224,29 @@ def q_date_battery3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "agg_hll_sketch",
+    None,
+    doc="DataSketches HLL: fine-grained (status, priority) sketches "
+    "built in one scan, then hll_union_agg merges them up to status — "
+    "sketches as mergeable partial aggregates, so rollups re-aggregate "
+    "stored sketch bytes instead of rescanning the fact table (the "
+    "100 TB cube-maintenance pattern). Approximate by design → "
+    "rows-only driver check; the 5% error bound is pinned by "
+    "tests/test_operators.py::test_hll_sketch_error_and_merge.",
+)
+def q_agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")["orders"]
+    fine = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk")
+    )
+    return fine.groupBy("o_orderstatus").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk"))
+        .cast("long")
+        .alias("approx_cust")
+    )
+
+
+@_register(
     "dedup_clusters",
     f"""
     WITH RECURSIVE pairs AS ({_jaccard_oracle()}),

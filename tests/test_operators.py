@@ -128,6 +128,34 @@ def test_approx_count_distinct_error_bound(spark):
     assert abs(approx - exact) / exact < 0.05
 
 
+def test_hll_sketch_error_and_merge(spark):
+    """DataSketches HLL: estimates produced by union-merging fine-grained
+    (status, priority) sketches up to status stay within 5% of exact —
+    merging partial sketches must not degrade the estimate."""
+    from spark_extensions_spark.queries import registry
+
+    q = {x.name: x for x in registry()}["agg_hll_sketch"]
+    rows = {
+        r["o_orderstatus"]: r["approx_cust"]
+        for r in q.spark(spark, "/root/testdata/sf0.01").collect()
+    }
+
+    from pyspark.sql import functions as F
+
+    from spark_extensions_spark.session import load_tables
+
+    o = load_tables(spark, "/root/testdata/sf0.01", "orders")["orders"]
+    exact = {
+        r["o_orderstatus"]: r["n"]
+        for r in o.groupBy("o_orderstatus")
+        .agg(F.count_distinct("o_custkey").alias("n"))
+        .collect()
+    }
+    assert set(rows) == set(exact)
+    for k, est in rows.items():
+        assert abs(est - exact[k]) / exact[k] < 0.05, k
+
+
 def test_ann_lsh_and_ivf_recall(spark):
     """Approximate ANN paths recover most of the exact top-k (recall@5)."""
     from pyspark.sql import functions as F
