@@ -418,3 +418,58 @@ def embedding_neardup_pairs(
     )
     schema = f"id_a {id_type}, id_b {id_type}, cosine double"
     return idx_df.mapInPandas(score, schema)
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    bench: DataFrame,
+    corpus_id: str,
+    corpus_text: str,
+    bench_id: str,
+    bench_text: str,
+    n: int = 3,
+    min_overlap: int = 2,
+) -> DataFrame:
+    """Benchmark-contamination check: corpus docs sharing ``min_overlap``
+    or more distinct word n-gram shingles with ANY benchmark document.
+
+    Scale shape: the benchmark side collapses to its distinct 60-bit
+    shingle-hash set (tiny — benchmarks are MBs, corpora are TBs) and is
+    broadcast; the corpus side is filtered by a broadcast hash join at
+    the scan and then aggregated once on the doc id. The big side is
+    never shuffled on shingles and never self-joined — O(|corpus|)
+    rows moved, all with 8-byte keys.
+
+    Hashing is the same md5-60-bit scheme as :func:`ngram_jaccard_pairs`
+    (dedupe after hashing), so an engine-independent oracle can mirror
+    it exactly. Output: ``(corpus_id, overlap_cnt)``.
+    """
+    def shingle_hashes(df: DataFrame, id_c: str, text_c: str) -> DataFrame:
+        words = df.select(
+            F.col(id_c),
+            F.expr(
+                f"regexp_extract_all(lower({text_c}), '[a-z0-9]+', 0)"
+            ).alias("__words"),
+        )
+        hashes = F.array_distinct(
+            F.transform(
+                shingles_from_words("__words", n),
+                lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast(
+                    "bigint"
+                ),
+            )
+        )
+        return words.select(F.col(id_c), F.explode(hashes).alias("__sh"))
+
+    bench_set = (
+        shingle_hashes(bench, bench_id, bench_text).select("__sh").distinct()
+    )
+    # per-doc shingles are distinct before the explode, so count(*) after
+    # the join IS the distinct-overlap count
+    return (
+        shingle_hashes(corpus, corpus_id, corpus_text)
+        .join(F.broadcast(bench_set), "__sh")
+        .groupBy(corpus_id)
+        .agg(F.count("*").alias("overlap_cnt"))
+        .filter(F.col("overlap_cnt") >= min_overlap)
+    )

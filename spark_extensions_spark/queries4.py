@@ -247,6 +247,54 @@ def q_agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "text_contamination",
+    f"""
+    WITH words AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               CASE WHEN len(ws) < 3 THEN []
+                    ELSE list_transform(generate_series(0, len(ws) - 3),
+                                        i -> array_to_string(ws[i+1:i+3], ' '))
+               END,
+               s -> ('0x' || substr(md5(s), 1, 15))::BIGINT))) AS s
+      FROM words
+    ), bench AS (
+      SELECT DISTINCT s FROM sh
+      WHERE {hash_bucket_duck('doc_id', 'contam')} < 2000
+    )
+    SELECT c.doc_id, COUNT(*) AS overlap_cnt
+    FROM sh c JOIN bench b ON c.s = b.s
+    WHERE NOT ({hash_bucket_duck('doc_id', 'contam')} < 2000)
+    GROUP BY c.doc_id
+    HAVING COUNT(*) >= 2
+    """,
+    doc="Benchmark-contamination check: a deterministic 20% hash split "
+    "of documents acts as the benchmark; corpus docs sharing >= 2 "
+    "distinct 3-gram shingles with it are flagged. The benchmark "
+    "collapses to a broadcast distinct-shingle-hash set, so the corpus "
+    "side is never shuffled on shingles "
+    "(operators/dedup.py:ngram_contamination).",
+)
+def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_extensions_spark.operators.dedup import ngram_contamination
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    is_bench = hash_bucket("doc_id", "contam") < 2000
+    return ngram_contamination(
+        docs.filter(~is_bench),
+        docs.filter(is_bench),
+        "doc_id",
+        "text",
+        "doc_id",
+        "text",
+        n=3,
+        min_overlap=2,
+    )
+
+
+@_register(
     "dedup_clusters",
     f"""
     WITH RECURSIVE pairs AS ({_jaccard_oracle()}),

@@ -372,3 +372,33 @@ def test_connected_components_singleton_edge(spark):
         for r in connected_components(edges, "a", "b").collect()
     }
     assert got == {7: 7, 9: 7}
+
+
+def test_ngram_contamination_flags_copied_text(spark):
+    """A corpus doc that copies a benchmark passage is flagged with the
+    right distinct-overlap count; disjoint and sub-threshold docs are not."""
+    from spark_extensions_spark.operators.dedup import ngram_contamination
+
+    bench = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "bid int, btext string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # verbatim copy: every benchmark 3-gram matches
+            (10, "the quick brown fox jumps over the lazy dog"),
+            # one shared 3-gram ("quick brown fox") — below min_overlap=2
+            (11, "a quick brown fox sat still"),
+            # disjoint vocabulary
+            (12, "completely unrelated words here entirely"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        r["doc_id"]: r["overlap_cnt"]
+        for r in ngram_contamination(
+            corpus, bench, "doc_id", "text", "bid", "btext", n=3, min_overlap=2
+        ).collect()
+    }
+    # 9 words -> 7 trigrams, all distinct
+    assert out == {10: 7}
