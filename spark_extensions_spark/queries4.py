@@ -295,6 +295,55 @@ def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "streaming_session_agg",
+    """
+    WITH d AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM d
+    )
+    SELECT user_id, MIN(ts) AS win_start,
+           MAX(ts) + INTERVAL '30 minutes' AS win_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+    doc="Structured Streaming session windows (F.session_window, 30 min "
+    "gap) via availableNow replay — oracle is the batch gaps-and-islands "
+    "sessionization. Spark merges sessions only while the half-open "
+    "windows overlap, so a gap of exactly 30 minutes starts a NEW "
+    "session: the oracle's new-session condition is >=, not >.",
+)
+def q_streaming_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_extensions_spark.queries2 import _events_stream_path
+    from spark_extensions_spark.streaming import (
+        read_stream_parquet,
+        run_available_now,
+        session_aggregate,
+    )
+
+    stream = read_stream_parquet(spark, _events_stream_path(spark, sf_dir))
+    return run_available_now(
+        session_aggregate(
+            stream,
+            "ts",
+            "30 minutes",
+            aggs=[F.count("*").alias("n_events")],
+            keys=["user_id"],
+            watermark_delay="1 hour",
+        ),
+        output_mode="complete",
+    )
+
+
+@_register(
     "dedup_clusters",
     f"""
     WITH RECURSIVE pairs AS ({_jaccard_oracle()}),
