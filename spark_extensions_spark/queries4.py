@@ -369,3 +369,6 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")["documents"]
     pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
     return neardup_clusters(pairs)
+
+
+from spark_extensions_spark import queries5  # noqa: E402,F401  (registration side effect)

@@ -1,0 +1,102 @@
+"""Known-vector tests for scalar functions DuckDB cannot mirror
+(soundex, crc32, xxhash64, sha1/sha2/md5, murmur3 hash, MIME base64),
+plus the sortWithinPartitions plan/ordering contract.
+
+These complete the SURVEY §2.E scalar rows that the oracle-checked
+batteries (queries5.py) can't carry: the vectors are externally
+validated where a published check value exists (CRC-32 of
+"123456789" is the standard 0xCBF43926; SHA/MD5 of "abc" are the
+NIST/RFC vectors), and pinned-from-run otherwise (xxhash64 with
+Spark's fixed seed 42).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_hash_known_vectors(spark):
+    row = (
+        spark.range(1)
+        .select(
+            F.soundex(F.lit("Robert")).alias("s1"),
+            F.soundex(F.lit("Tymczak")).alias("s2"),
+            F.crc32(F.lit("123456789").cast("binary")).alias("c1"),
+            F.xxhash64(F.lit("spark")).alias("x1"),
+            F.xxhash64(F.lit(42).cast("long")).alias("x2"),
+            F.sha2(F.lit("abc").cast("binary"), 256).alias("h256"),
+            F.sha1(F.lit("abc").cast("binary")).alias("h1"),
+            F.md5(F.lit("abc").cast("binary")).alias("m1"),
+            F.hash(F.lit("abc")).alias("mm3"),
+        )
+        .collect()[0]
+    )
+    assert row["s1"] == "R163"
+    assert row["s2"] == "T522"
+    # standard CRC-32 check value 0xCBF43926
+    assert row["c1"] == 3421780262
+    # xxhash64 with Spark's fixed seed 42 (pinned from run — algorithmic
+    # constant, stable across sessions and partitioning)
+    assert row["x1"] == -1960931134668248110
+    assert row["x2"] == -6876166290308861218
+    # NIST vectors for "abc"
+    assert (
+        row["h256"]
+        == "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad"
+    )
+    assert row["h1"] == "a9993e364706816aba3e25717850c26c9cd0d89d"
+    assert row["m1"] == "900150983cd24fb0d6963f7d28e17f72"
+    # murmur3 with Spark's seed 42 (same function used for shuffle
+    # partitioning — a silent change here would reshuffle every table)
+    assert row["mm3"] == 1322437556
+
+
+def test_base64_is_mime_chunked(spark):
+    """Spark's base64 emits RFC-2045 MIME lines (CRLF every 76 chars) —
+    a parity gotcha vs most engines' unchunked base64. The oracle-checked
+    battery (string_battery3) therefore only base64s short values; this
+    test pins the long-value behavior and the unbase64 round-trip."""
+    row = (
+        spark.range(1)
+        .select(
+            F.base64(F.lit("x" * 100).cast("binary")).alias("b64"),
+            F.unbase64(F.base64(F.lit("x" * 100).cast("binary")))
+            .cast("string")
+            .alias("rt"),
+        )
+        .collect()[0]
+    )
+    assert "\r\n" in row["b64"]
+    assert row["rt"] == "x" * 100
+
+
+def test_sort_within_partitions(spark, sf_dir):
+    """repartition(key).sortWithinPartitions adds exactly one Exchange
+    (the repartition) and no global Sort — rows are non-decreasing
+    within each partition."""
+    from spark_extensions_spark.plans import executed_plan
+    from spark_extensions_spark.session import load_tables
+
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    df = (
+        li.select("l_orderkey", "l_quantity")
+        .repartition(4, "l_orderkey")
+        .sortWithinPartitions("l_quantity")
+    )
+    plan = executed_plan(df)
+    assert plan.count("Exchange") == 1, plan
+    # per-partition (local) sort: Sort's global flag printed as ", false, 0"
+    import re
+
+    assert re.search(r"Sort \[l_quantity[^\]]*\], false, 0", plan), plan
+
+    def check(it):
+        import pandas as pd
+
+        for pdf in it:
+            d = pdf["l_quantity"].to_numpy()
+            assert (d[1:] >= d[:-1]).all()
+            yield pd.DataFrame({"n": [len(pdf)]})
+
+    counts = df.mapInPandas(check, "n long").collect()
+    assert sum(r["n"] for r in counts) == li.count()
