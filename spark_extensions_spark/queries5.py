@@ -411,3 +411,6 @@ def q_explode_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select(
         "p_partkey", F.expr("stack(2, 'brand', p_brand, 'type', p_type) as (k, v)")
     )
+
+
+from spark_extensions_spark import queries6  # noqa: E402,F401  (registration side effect)
