@@ -640,6 +640,7 @@ def q_streaming_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             watermark_delay="1 hour",
         ),
         output_mode="update",
+        state_partitions=8,
     )
 
 
@@ -665,7 +666,8 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             keys=["user_id", "event_type"],
             ts_col="ts",
             watermark_delay="1 hour",
-        )
+        ),
+        state_partitions=8,
     )
 
 

@@ -340,6 +340,7 @@ def q_streaming_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             watermark_delay="1 hour",
         ),
         output_mode="complete",
+        state_partitions=8,
     )
 
 

@@ -337,3 +337,6 @@ def q_sample_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash_bucket("doc_id", "mix")
         < F.floor(F.col("keep_frac") * 10000).cast("bigint")
     ).select("doc_id", "source")
+
+
+from spark_extensions_spark import queries7  # noqa: E402,F401  (registration side effect)

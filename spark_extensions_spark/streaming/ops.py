@@ -129,6 +129,7 @@ def run_available_now(
     result: DataFrame,
     output_mode: str = "append",
     checkpoint_dir: str | None = None,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Execute a streaming DataFrame to completion with
     ``trigger(availableNow=True)`` into an in-memory table; returns the
@@ -137,19 +138,37 @@ def run_available_now(
     Deterministic replay harness: all available input is processed, the
     query stops, and the memory sink snapshot equals the batch-twin
     result (used by both tests and the oracle-checked streaming queries).
+
+    ``state_partitions`` temporarily overrides
+    ``spark.sql.shuffle.partitions`` for the run. A stateful query's
+    state-store count is pinned to that conf at first checkpoint (a
+    stream-stream join opens FOUR stores per partition), so it should be
+    sized to the stateful-key cardinality, not the session-wide shuffle
+    width — on a real cluster that's hundreds, for a local replay over
+    fixture-sized state a handful. Restored after the query stops; safe
+    because each replay uses a fresh checkpoint dir.
     """
+    spark = result.sparkSession
     name = f"mem_{uuid.uuid4().hex[:12]}"
     ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_")
-    q = (
-        result.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return result.sparkSession.table(name)
+    prev = None
+    if state_partitions is not None:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            result.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
 
 
 def run_foreach_batch(

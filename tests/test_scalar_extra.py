@@ -100,3 +100,44 @@ def test_sort_within_partitions(spark, sf_dir):
 
     counts = df.mapInPandas(check, "n long").collect()
     assert sum(r["n"] for r in counts) == li.count()
+
+
+def test_stat_api_surface(spark, sf_dir):
+    """df.stat: approxQuantile, freqItems, corr/cov — the DataFrame
+    statistics API (approximate/driver-returning, so test-verified
+    rather than oracle-checked)."""
+    from spark_extensions_spark.session import load_tables
+
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    qs = li.stat.approxQuantile("l_quantity", [0.0, 0.5, 1.0], 0.0)
+    mn, md, mx = qs
+    assert mn <= md <= mx
+    row = li.agg(
+        F.min("l_quantity").alias("mn"), F.max("l_quantity").alias("mx")
+    ).collect()[0]
+    assert mn == row["mn"] and mx == row["mx"]  # relativeError=0 -> exact
+    freq = li.stat.freqItems(["l_linenumber"], support=0.1).collect()[0][0]
+    assert 1 in freq  # linenumber 1 occurs in >10% of rows
+    c = li.stat.corr("l_quantity", "l_extendedprice")
+    assert -1.0 <= c <= 1.0
+    assert isinstance(li.stat.cov("l_quantity", "l_discount"), float)
+
+
+def test_observe_metrics(spark, sf_dir):
+    """df.observe: named accumulator-style metrics collected during a
+    batch action via the Observation helper — the run-time data-quality
+    hook (row counts / sums piggybacked on a real job, no extra scan)."""
+    from pyspark.sql import Observation
+
+    from spark_extensions_spark.session import load_tables
+
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    obs = Observation("qc")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((F.col("l_quantity") < 0).cast("long")).alias("neg_qty"),
+    )
+    n = observed.count()
+    assert obs.get["n_rows"] == n
+    assert obs.get["neg_qty"] == 0
