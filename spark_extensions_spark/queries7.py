@@ -211,3 +211,6 @@ def q_agg_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("try_qty_avg"),
         F.expr("cast(try_sum(l_orderkey) as bigint)").alias("try_key_sum"),
     )
+
+
+from spark_extensions_spark import queries8  # noqa: E402,F401  (registration side effect)
