@@ -187,3 +187,65 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_channels",
         "mean_pixel",
     )
+
+
+@_register(
+    "confluent_json_roundtrip",
+    """
+    SELECT event_id, event_type, CAST(json_extract_string(props, '$.k') AS BIGINT)
+             AS k
+    FROM events
+    """,
+    doc="Confluent JSON encode->decode roundtrip: to_confluent_json "
+    "registers the subject JSON-Schema (draft-04, via the "
+    "schema/json_schema.py converter) at plan time, from_confluent_json "
+    "resolves it back to a StructType and decodes with the built-in "
+    "from_json — the whole data path is JVM-side (SURVEY §2.A rows 3-4). "
+    "Identity oracle on real data.",
+)
+def q_confluent_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_extensions_spark.confluent import (
+        InMemorySchemaRegistry,
+        from_confluent_json,
+        to_confluent_json,
+    )
+
+    ev = _t(spark, sf_dir, "events")["events"]
+    client = InMemorySchemaRegistry()
+    payload = ev.select(
+        F.struct(
+            "event_id",
+            "event_type",
+            F.expr("cast(get_json_object(props, '$.k') as bigint)").alias("k"),
+        ).alias("rec")
+    )
+    framed = payload.select(
+        to_confluent_json(
+            payload, "rec", "events", "value", client, update_allowed=True
+        ).alias("msg")
+    )
+    return framed.select(
+        from_confluent_json("msg", "events", "value", client).alias("d")
+    ).select(
+        F.col("d.event_id").alias("event_id"),
+        F.col("d.event_type").alias("event_type"),
+        F.col("d.k").alias("k"),
+    )
+
+
+@_register(
+    "dedup_ngram_prefix",
+    __import__("spark_extensions_spark.queries", fromlist=["_jaccard_oracle"])._jaccard_oracle(),
+    doc="Prefix-filtered exact n-gram Jaccard (AllPairs/PPJoin-style, "
+    "operators/dedup.py:ngram_jaccard_pairs_prefix): each doc indexes "
+    "only its globally-rarest ceil((1-t)|A|)+1 shingles, the "
+    "prefix-prefix join generates candidates, full sorted sets verify "
+    "exactly. Same oracle as dedup_ngram_jaccard — the two strategies "
+    "are equivalence-tested; this one is the 100 TB path (candidate "
+    "cost collapses from sum df^2 to the rare-shingle tail).",
+)
+def q_dedup_ngram_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_extensions_spark.operators.dedup import ngram_jaccard_pairs_prefix
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return ngram_jaccard_pairs_prefix(docs, "doc_id", "text", n=3, threshold=0.5)

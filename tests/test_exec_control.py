@@ -1,0 +1,97 @@
+"""Execution-control surface: join-strategy hints, range repartitioning,
+partition/file introspection columns, seeded randomSplit, catalog API.
+
+These are §2.E capabilities with no oracle-expressible output (they
+control HOW the plan executes, not WHAT it computes), so they are
+plan-shape- and invariant-tested instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_extensions_spark.plans import executed_plan
+from spark_extensions_spark.session import load_tables
+
+
+def _tables(spark, sf_dir):
+    t = load_tables(spark, sf_dir, "lineitem", "orders")
+    return t["lineitem"], t["orders"]
+
+
+def test_join_hints_honored(spark, sf_dir):
+    li, o = _tables(spark, sf_dir)
+    j_b = li.join(o.hint("broadcast"), li["l_orderkey"] == o["o_orderkey"])
+    assert "BroadcastHashJoin" in executed_plan(j_b)
+    j_m = li.join(o.hint("merge"), li["l_orderkey"] == o["o_orderkey"])
+    assert "SortMergeJoin" in executed_plan(j_m)
+    j_h = li.join(o.hint("shuffle_hash"), li["l_orderkey"] == o["o_orderkey"])
+    assert "ShuffledHashJoin" in executed_plan(j_h)
+    # all three strategies return identical results
+    n = j_b.count()
+    assert j_m.count() == n and j_h.count() == n
+
+
+def test_repartition_by_range(spark, sf_dir):
+    li, _ = _tables(spark, sf_dir)
+    df = li.select("l_orderkey").repartitionByRange(4, "l_orderkey")
+    assert "rangepartitioning" in executed_plan(df).lower()
+
+    # partitions hold disjoint, ordered key ranges
+    def bounds(it):
+        import pandas as pd
+
+        for pdf in it:
+            if len(pdf):
+                yield pd.DataFrame(
+                    {"lo": [int(pdf["l_orderkey"].min())],
+                     "hi": [int(pdf["l_orderkey"].max())]}
+                )
+
+    parts = sorted(
+        (r["lo"], r["hi"]) for r in df.mapInPandas(bounds, "lo long, hi long").collect()
+    )
+    for (_, hi_prev), (lo, _) in zip(parts, parts[1:]):
+        assert hi_prev <= lo
+
+
+def test_partition_introspection_columns(spark, sf_dir):
+    li, _ = _tables(spark, sf_dir)
+    df = li.select(
+        F.monotonically_increasing_id().alias("mid"),
+        F.spark_partition_id().alias("pid"),
+        F.input_file_name().alias("fname"),
+    )
+    agg = df.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("mid").alias("n_mid"),
+        F.countDistinct("pid").alias("n_pid"),
+        F.min(F.length("fname")).alias("min_fname"),
+    ).collect()[0]
+    assert agg["n_mid"] == agg["n"]  # ids unique across partitions
+    assert agg["n_pid"] >= 1
+    assert agg["min_fname"] > 0  # every row tagged with its source file
+
+
+def test_random_split_seeded(spark, sf_dir):
+    li, _ = _tables(spark, sf_dir)
+    base = li.select("l_orderkey", "l_linenumber", "l_quantity")
+    a, b = base.randomSplit([0.8, 0.2], seed=7)
+    na, nb, n = a.count(), b.count(), base.count()
+    assert na + nb == n
+    assert 0.7 * n < na < 0.9 * n  # proportions approximate
+    # same seed reproduces the same split sizes
+    a2, _ = base.randomSplit([0.8, 0.2], seed=7)
+    assert a2.count() == na
+
+
+def test_catalog_api(spark, sf_dir):
+    li, _ = _tables(spark, sf_dir)
+    li.createOrReplaceTempView("cat_probe_view")
+    names = [t.name for t in spark.catalog.listTables()]
+    assert "cat_probe_view" in names
+    cols = {c.name for c in spark.catalog.listColumns("cat_probe_view")}
+    assert "l_orderkey" in cols
+    assert spark.catalog.tableExists("cat_probe_view")
+    spark.catalog.dropTempView("cat_probe_view")
+    assert not spark.catalog.tableExists("cat_probe_view")

@@ -402,3 +402,27 @@ def test_ngram_contamination_flags_copied_text(spark):
     }
     # 9 words -> 7 trigrams, all distinct
     assert out == {10: 7}
+
+
+def test_ngram_prefix_equals_plain(spark, sf_dir):
+    """The prefix-filtered set-similarity join (AllPairs/PPJoin prefix
+    lemma) must produce EXACTLY the plain inverted-index join's pairs."""
+    from spark_extensions_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+    from spark_extensions_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    for t in (0.3, 0.5, 0.8):
+        plain = {
+            tuple(r)
+            for r in ngram_jaccard_pairs(docs, "doc_id", "text", 3, t).collect()
+        }
+        pref = {
+            tuple(r)
+            for r in ngram_jaccard_pairs_prefix(
+                docs, "doc_id", "text", 3, t
+            ).collect()
+        }
+        assert plain == pref, f"threshold {t}: {len(plain)} vs {len(pref)}"
