@@ -47,6 +47,8 @@ def main() -> int:
         timings[q.name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+    ordered = sorted(timings.values())
+    median = round(ordered[len(ordered) // 2], 3) if ordered else 0.0
     print(
         json.dumps(
             {
@@ -54,6 +56,11 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                # normalization aids: the suite GROWS between rounds, so
+                # total wall is not comparable round-over-round — per-query
+                # median and count are.
+                "n_queries": len(timings),
+                "median_query_sec": median,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -233,6 +233,9 @@ def q_confluent_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from spark_extensions_spark import queries9  # noqa: E402,F401  (registration side effect)
+
+
 @_register(
     "dedup_ngram_prefix",
     __import__("spark_extensions_spark.queries", fromlist=["_jaccard_oracle"])._jaccard_oracle(),
