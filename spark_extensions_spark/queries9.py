@@ -135,3 +135,6 @@ def q_grouped_apply_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id long, n_events long, first_ts timestamp_ntz, "
         "last_ts timestamp_ntz, types_csv string",
     )
+
+
+from spark_extensions_spark import queries10  # noqa: E402,F401  (registration side effect)
