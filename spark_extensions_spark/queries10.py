@@ -153,3 +153,6 @@ def q_agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("qty_quartiles"),
         F.approx_percentile("l_extendedprice", 0.95, 1000000).alias("price_p95"),
     )
+
+
+from spark_extensions_spark import queries11  # noqa: E402,F401  (registration side effect)
