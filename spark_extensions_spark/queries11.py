@@ -191,3 +191,6 @@ def q_pipeline_full_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+from spark_extensions_spark import queries12  # noqa: E402,F401  (registration side effect)

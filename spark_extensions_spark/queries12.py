@@ -1,0 +1,75 @@
+"""t2 query registry, batch 15: DataFrame.transpose and the
+variant_explode table function (both Spark 4.0).
+
+Registered into the shared registry (imported from queries11 at module
+end). Same determinism rules as the queries.py docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_extensions_spark.queries import _register, _t
+
+
+@_register(
+    "transpose_wide",
+    """
+    WITH a AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n_lines,
+             CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE)
+               AS sum_qty
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT 'n_lines' AS key,
+           max(CASE WHEN l_returnflag = 'A' THEN n_lines END) AS A,
+           max(CASE WHEN l_returnflag = 'N' THEN n_lines END) AS N,
+           max(CASE WHEN l_returnflag = 'R' THEN n_lines END) AS R
+    FROM a
+    UNION ALL
+    SELECT 'sum_qty',
+           max(CASE WHEN l_returnflag = 'A' THEN sum_qty END),
+           max(CASE WHEN l_returnflag = 'N' THEN sum_qty END),
+           max(CASE WHEN l_returnflag = 'R' THEN sum_qty END)
+    FROM a
+    """,
+    doc="DataFrame.transpose (Spark 4.0): rows become columns keyed by "
+    "the first column's values (returnflag A/N/R), metric names become "
+    "the key column. Values unify to DOUBLE. Oracle: conditional-max "
+    "pivot per metric.",
+)
+def q_transpose_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    agg = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n_lines"),
+        F.expr("cast(round(sum(cast(l_quantity as decimal(18,4))), 2) as double)")
+        .alias("sum_qty"),
+    )
+    return agg.transpose()
+
+
+@_register(
+    "variant_explode_battery",
+    """
+    SELECT event_id, 0 AS pos, 'k' AS vkey,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS vval
+    FROM events
+    """,
+    doc="variant_explode table function (Spark 4.0) over parse_json'd "
+    "objects via LATERAL join: one row per variant field with "
+    "(pos, key, value), the value cast back to BIGINT. Oracle: the "
+    "single-field object flattens to a constant shape per event.",
+)
+def q_variant_explode_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")["events"]
+    ev.createOrReplaceTempView("__variant_events")
+    return spark.sql(
+        """
+        SELECT e.event_id, v.pos, v.key AS vkey,
+               CAST(v.value AS BIGINT) AS vval
+        FROM __variant_events e,
+        LATERAL variant_explode(parse_json(e.props)) v
+        """
+    )

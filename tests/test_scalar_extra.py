@@ -141,3 +141,61 @@ def test_observe_metrics(spark, sf_dir):
     n = observed.count()
     assert obs.get["n_rows"] == n
     assert obs.get["neg_qty"] == 0
+
+
+def test_regr_family_tolerance(spark, sf_dir):
+    """Linear-regression aggregates (regr_slope/intercept/r2/avgx/avgy,
+    Spark 3.4+): checked against the closed-form decimal-power-sum
+    computation within 1e-9 relative tolerance — the built-ins use
+    merge-formula accumulation whose last-ulp order dependence keeps
+    them off the hash-exact oracle path."""
+    from spark_extensions_spark.session import load_tables
+
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    row = li.agg(
+        F.expr("regr_slope(l_extendedprice, l_quantity)").alias("slope"),
+        F.expr("regr_intercept(l_extendedprice, l_quantity)").alias("icpt"),
+        F.expr("regr_r2(l_extendedprice, l_quantity)").alias("r2"),
+        F.expr("regr_avgx(l_extendedprice, l_quantity)").alias("ax"),
+        F.expr("regr_avgy(l_extendedprice, l_quantity)").alias("ay"),
+        F.count("*").alias("n"),
+        F.expr("cast(sum(cast(l_quantity as decimal(20,4))) as double)").alias("sx"),
+        F.expr("cast(sum(cast(l_extendedprice as decimal(20,4))) as double)").alias(
+            "sy"
+        ),
+        F.expr(
+            "cast(sum(cast(l_quantity*l_quantity as decimal(25,4))) as double)"
+        ).alias("sxx"),
+        F.expr(
+            "cast(sum(cast(l_quantity*l_extendedprice as decimal(25,4))) as double)"
+        ).alias("sxy"),
+    ).collect()[0]
+    n = row["n"]
+    mx, my = row["sx"] / n, row["sy"] / n
+    cov = row["sxy"] / n - mx * my
+    var = row["sxx"] / n - mx * mx
+    slope = cov / var
+    icpt = my - slope * mx
+    assert abs(row["slope"] - slope) < 1e-9 * abs(slope)
+    assert abs(row["icpt"] - icpt) < 1e-6 * max(1.0, abs(icpt))
+    assert 0.0 <= row["r2"] <= 1.0
+    assert abs(row["ax"] - mx) < 1e-9 * abs(mx)
+    assert abs(row["ay"] - my) < 1e-9 * abs(my)
+
+
+def test_histogram_numeric(spark, sf_dir):
+    """histogram_numeric: adaptive equi-height histogram sketch — bin
+    centers ordered and within the data range, weights sum to the row
+    count (approximate aggregate, so invariant-tested)."""
+    from spark_extensions_spark.session import load_tables
+
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    bins = li.agg(F.expr("histogram_numeric(l_quantity, 8)").alias("h")).collect()[
+        0
+    ]["h"]
+    assert len(bins) == 8
+    centers = [b["x"] for b in bins]
+    assert centers == sorted(centers)
+    lo, hi = li.agg(F.min("l_quantity"), F.max("l_quantity")).collect()[0]
+    assert lo <= centers[0] and centers[-1] <= hi
+    assert abs(sum(b["y"] for b in bins) - li.count()) < 1e-6
