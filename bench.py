@@ -28,7 +28,13 @@ SKIP = {"ann_lsh"}
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
-    spark = get_spark("bench")
+    # Size shuffle width to the bench machine: the suite's per-query cost
+    # at bench SF is dominated by task scheduling, and AQE re-derives
+    # parallelism from data size on a real cluster anyway.
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(
+        "bench", extra_conf={"spark.sql.shuffle.partitions": cpus}
+    )
 
     # warmup: absorb JVM/codegen startup, executor package shipping
     # (addPyFile zip) and parquet footer reads before timing queries

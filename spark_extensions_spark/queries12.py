@@ -73,3 +73,45 @@ def q_variant_explode_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         LATERAL variant_explode(parse_json(e.props)) v
         """
     )
+
+
+@_register(
+    "join_null_safe",
+    """
+    WITH l AS (SELECT l_orderkey, l_linenumber,
+                      CASE WHEN l_linenumber % 7 = 0 THEN NULL
+                           ELSE l_suppkey % 50 END AS k
+               FROM lineitem),
+         r AS (SELECT DISTINCT CASE WHEN s_suppkey % 11 = 0 THEN NULL
+                                    ELSE s_suppkey % 50 END AS k
+               FROM supplier)
+    SELECT l.l_orderkey, l.l_linenumber, l.k AS lk,
+           CAST(COUNT(*) AS BIGINT) AS n_matches
+    FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+    GROUP BY l.l_orderkey, l.l_linenumber, l.k
+    """,
+    doc="Null-safe equality join (<=> / eqNullSafe): NULL keys MATCH "
+    "each other, unlike plain equi-join where they never do — the "
+    "semantic needed when joining on nullable surrogate keys. Oracle: "
+    "IS NOT DISTINCT FROM. The grouped count also pins that NULL "
+    "groups aggregate as one key.",
+)
+def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "lineitem", "supplier")
+    li, s = t["lineitem"], t["supplier"]
+    l = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_linenumber") % 7 == 0, F.lit(None))
+        .otherwise(F.col("l_suppkey") % 50)
+        .alias("lk"),
+    )
+    r = s.select(
+        F.when(F.col("s_suppkey") % 11 == 0, F.lit(None))
+        .otherwise(F.col("s_suppkey") % 50)
+        .alias("rk")
+    ).distinct()
+    joined = l.join(r, l["lk"].eqNullSafe(r["rk"]))
+    return joined.groupBy("l_orderkey", "l_linenumber", "lk").agg(
+        F.count("*").cast("bigint").alias("n_matches")
+    )
