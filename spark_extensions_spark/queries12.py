@@ -115,3 +115,32 @@ def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("l_orderkey", "l_linenumber", "lk").agg(
         F.count("*").cast("bigint").alias("n_matches")
     )
+
+
+@_register(
+    "python_ds_scan",
+    """
+    SELECT CAST(i AS BIGINT) AS doc_id,
+           'doc-' || i AS title,
+           md5(CAST(i AS VARCHAR)) AS body,
+           CAST(i % 997 AS DOUBLE) / 997.0 AS score
+    FROM range(300, 4000) t(i)
+    """,
+    doc="Custom Python DataSource scan (sources/python_ds.py, Spark 4 "
+    "DataSource API): a partitioned deterministic synthetic-corpus "
+    "connector with pushFilters — the >= / < predicates prune row "
+    "GENERATION inside the source (Python analogue of row-group "
+    "pruning), so the filter never materializes pruned rows. The "
+    "oracle regenerates the identical content from range().",
+)
+def q_python_ds_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_extensions_spark.sources.python_ds import register_python_sources
+
+    register_python_sources(spark)
+    df = (
+        spark.read.format("synthetic_docs")
+        .option("n", 5000)
+        .option("parts", 8)
+        .load()
+    )
+    return df.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 4000))

@@ -95,3 +95,40 @@ def test_catalog_api(spark, sf_dir):
     assert spark.catalog.tableExists("cat_probe_view")
     spark.catalog.dropTempView("cat_probe_view")
     assert not spark.catalog.tableExists("cat_probe_view")
+
+
+def test_python_datasource_batch(spark):
+    """Custom Python DataSource: partition planning, deterministic
+    content, and pushFilters range pruning (result correctness across
+    the pushdown boundary)."""
+    from spark_extensions_spark.sources.python_ds import register_python_sources
+
+    register_python_sources(spark)
+    df = (
+        spark.read.format("synthetic_docs")
+        .option("n", 200)
+        .option("parts", 3)
+        .load()
+    )
+    assert df.count() == 200
+    assert df.rdd.getNumPartitions() == 3
+    got = df.filter("doc_id = 7").collect()
+    assert len(got) == 1 and got[0]["title"] == "doc-7"
+    import hashlib
+
+    assert got[0]["body"] == hashlib.md5(b"7").hexdigest()
+    rng = df.filter("doc_id >= 150 AND doc_id < 160")
+    assert sorted(r["doc_id"] for r in rng.collect()) == list(range(150, 160))
+
+
+def test_python_datasource_stream(spark):
+    """Custom streaming Python DataSource: offset-tracked counter
+    replayed to completion equals the batch generation."""
+    from spark_extensions_spark.sources.python_ds import register_python_sources
+    from spark_extensions_spark.streaming import run_available_now
+
+    register_python_sources(spark)
+    s = spark.readStream.format("counter_stream").option("n", 100).load()
+    out = run_available_now(s, state_partitions=4)
+    rows = sorted(r["doc_id"] for r in out.collect())
+    assert rows == list(range(100))
