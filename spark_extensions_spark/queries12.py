@@ -144,3 +144,61 @@ def q_python_ds_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
     )
     return df.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 4000))
+
+
+@_register(
+    "crypto_roundtrip",
+    """
+    SELECT doc_id, lang AS lang_rt, md5(text) AS text_md5
+    FROM documents
+    """,
+    doc="aes_encrypt/aes_decrypt roundtrip (GCM with per-row random IV, "
+    "so ciphertext is nondeterministic but decrypt(encrypt(x)) == x "
+    "exactly) — identity oracle on the decrypted values, same pattern "
+    "as the Confluent codec queries.",
+)
+def q_crypto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    key = F.lit("0123456789abcdef")  # 16-byte AES-128 key
+    enc = F.aes_encrypt(F.col("lang").cast("binary"), key.cast("binary"))
+    dec = F.aes_decrypt(enc, key.cast("binary")).cast("string")
+    enc_t = F.aes_encrypt(F.col("text").cast("binary"), key.cast("binary"))
+    dec_t = F.aes_decrypt(enc_t, key.cast("binary"))
+    return docs.select(
+        "doc_id",
+        dec.alias("lang_rt"),
+        F.md5(dec_t).alias("text_md5"),
+    )
+
+
+@_register(
+    "agg_bitmap_rollup",
+    """
+    SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts_global
+    FROM lineitem
+    """,
+    doc="bitmap_or_agg: per-(flag, bucket) bitmaps OR-merged across "
+    "flags to the global level, then popcounted — the rollup pattern "
+    "for exact distinct over pre-aggregated bitmap sketches (no "
+    "re-scan of the fact table to widen the grouping). Oracle: global "
+    "COUNT(DISTINCT).",
+)
+def q_agg_bitmap_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    per_flag = (
+        li.groupBy(
+            "l_returnflag",
+            F.bitmap_bucket_number(F.col("l_partkey")).alias("__bkt"),
+        )
+        .agg(
+            F.bitmap_construct_agg(F.bitmap_bit_position(F.col("l_partkey"))).alias(
+                "__bm"
+            )
+        )
+    )
+    merged = per_flag.groupBy("__bkt").agg(
+        F.expr("bitmap_or_agg(__bm)").alias("__bm")
+    )
+    return merged.agg(
+        F.sum(F.bitmap_count(F.col("__bm"))).cast("bigint").alias("n_parts_global")
+    )
