@@ -7,6 +7,8 @@ end). Same determinism rules as the queries.py docstring.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -201,4 +203,37 @@ def q_agg_bitmap_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return merged.agg(
         F.sum(F.bitmap_count(F.col("__bm"))).cast("bigint").alias("n_parts_global")
+    )
+
+
+@_register(
+    "pandas_udaf_sum",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS ln_sum,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Grouped-aggregate pandas UDF (GROUPED_AGG): an Arrow-batched "
+    "Python UDAF usable in groupBy().agg — integer summation, so the "
+    "numpy accumulation is exact and hash-matches the SQL oracle. "
+    "Completes the pandas-UDF matrix: scalar (codec queries), grouped "
+    "map (grouped_apply_summary), map iterator (multimodal), grouped "
+    "agg (this).",
+)
+def q_pandas_udaf_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("bigint")
+    def int_sum(v: pd.Series) -> np.int64:
+        return np.int64(v.astype("int64").sum())
+
+    @pandas_udf("bigint")
+    def row_count(v: pd.Series) -> np.int64:
+        return np.int64(len(v))
+
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        int_sum(F.col("l_linenumber")).alias("ln_sum"),
+        row_count(F.col("l_linenumber")).alias("n"),
     )
