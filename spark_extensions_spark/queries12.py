@@ -237,3 +237,66 @@ def q_pandas_udaf_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         int_sum(F.col("l_linenumber")).alias("ln_sum"),
         row_count(F.col("l_linenumber")).alias("n"),
     )
+
+
+@_register(
+    "quality_rules",
+    """
+    WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM lineitem)
+    SELECT 'qty_positive' AS rule,
+           CAST(count_if(NOT (l_quantity > 0)) AS BIGINT) AS n_violations,
+           n.n_rows,
+           CAST(count_if(NOT (l_quantity > 0)) AS DOUBLE) / n.n_rows
+             AS violation_rate
+    FROM lineitem, n GROUP BY n.n_rows
+    UNION ALL
+    SELECT 'discount_range',
+           CAST(count_if(l_discount < 0 OR l_discount > 0.6) AS BIGINT),
+           n.n_rows,
+           CAST(count_if(l_discount < 0 OR l_discount > 0.6) AS DOUBLE) / n.n_rows
+    FROM lineitem, n GROUP BY n.n_rows
+    UNION ALL
+    SELECT 'shipdate_not_null',
+           CAST(count_if(l_shipdate IS NULL) AS BIGINT),
+           n.n_rows,
+           CAST(count_if(l_shipdate IS NULL) AS DOUBLE) / n.n_rows
+    FROM lineitem, n GROUP BY n.n_rows
+    UNION ALL
+    SELECT 'referential',
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT),
+           n.n_rows,
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey)) AS DOUBLE)
+             / n.n_rows
+    FROM lineitem, n GROUP BY n.n_rows
+    """,
+    doc="Declarative data-quality validation (operators/quality.py): N "
+    "rules compile to ONE aggregate pass (conditional counts — one "
+    "scan, not N), plus a referential-integrity anti-join against the "
+    "orders dimension. The publish-gate a production ingestion "
+    "pipeline runs per partition.",
+)
+def q_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_extensions_spark.operators.quality import (
+        check_referential,
+        check_rules,
+    )
+
+    t = _t(spark, sf_dir, "lineitem", "orders")
+    li, o = t["lineitem"], t["orders"]
+    rules = check_rules(
+        li,
+        [
+            ("qty_positive", ~(F.col("l_quantity") > 0)),
+            (
+                "discount_range",
+                (F.col("l_discount") < 0) | (F.col("l_discount") > 0.6),
+            ),
+            ("shipdate_not_null", F.col("l_shipdate").isNull()),
+        ],
+    )
+    ref = check_referential(li, "l_orderkey", o, "o_orderkey")
+    return rules.unionAll(ref)

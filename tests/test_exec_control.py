@@ -132,3 +132,18 @@ def test_python_datasource_stream(spark):
     out = run_available_now(s, state_partitions=4)
     rows = sorted(r["doc_id"] for r in out.collect())
     assert rows == list(range(100))
+
+
+def test_cache_and_unpersist(spark, sf_dir):
+    """df.cache(): the second action reads an InMemoryTableScan;
+    unpersist removes it."""
+    from spark_extensions_spark.session import load_tables
+
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    df = li.select("l_orderkey").distinct().cache()
+    try:
+        n1 = df.count()
+        assert "InMemoryTableScan" in executed_plan(df)
+        assert df.count() == n1
+    finally:
+        df.unpersist(blocking=True)
