@@ -129,3 +129,52 @@ def doc_fingerprint(text_col: str) -> Column:
     """Stable content fingerprint: md5 of lowercase, whitespace-collapsed
     text. Identical fingerprints ⇒ exact near-normalized duplicates."""
     return F.md5(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")))
+
+
+def chunk_windows(
+    df,
+    id_col: str,
+    text_col: str,
+    window_tokens: int,
+    stride: int,
+):
+    """Split documents into fixed-size token windows with overlap — the
+    context-window chunking step that turns a cleaned corpus into
+    training sequences.
+
+    Tokens are whitespace words (swap in a BPE tokenizer behind the
+    same signature). Windows start at 0, stride, 2*stride, ... while a
+    window has at least one token; each output row is
+    ``(id, chunk_id, chunk_text, n_tokens)``. Entirely row-local
+    (split + sequence + transform + explode): zero shuffle, scales as a
+    single pass at any corpus size, and chunk identity is deterministic
+    under any partitioning.
+    """
+    from pyspark.sql import functions as F
+
+    ws = F.split(F.col(text_col), " ")
+    n = F.size(ws)
+    n_chunks = F.when(
+        n <= window_tokens, F.lit(1)
+    ).otherwise(
+        F.floor((n - window_tokens + stride - 1) / F.lit(stride)).cast("int") + 1
+    )
+    starts = F.sequence(F.lit(0), (n_chunks - 1) * stride, F.lit(stride))
+    chunks = F.transform(
+        starts,
+        lambda s, i: F.struct(
+            i.cast("int").alias("chunk_id"),
+            F.concat_ws(" ", F.slice(ws, s + 1, window_tokens)).alias(
+                "chunk_text"
+            ),
+            F.least(n - s, F.lit(window_tokens)).cast("int").alias("n_tokens"),
+        ),
+    )
+    return df.select(
+        F.col(id_col), F.explode(chunks).alias("__c")
+    ).select(
+        id_col,
+        F.col("__c.chunk_id").alias("chunk_id"),
+        F.col("__c.chunk_text").alias("chunk_text"),
+        F.col("__c.n_tokens").alias("n_tokens"),
+    )

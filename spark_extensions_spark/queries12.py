@@ -300,3 +300,32 @@ def q_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ref = check_referential(li, "l_orderkey", o, "o_orderkey")
     return rules.unionAll(ref)
+
+
+@_register(
+    "text_chunk_windows",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         c AS (SELECT doc_id, ws, len(ws) AS n,
+                      CASE WHEN len(ws) <= 64 THEN 1
+                           ELSE CAST(floor((len(ws) - 64 + 47) / 48) AS INT) + 1
+                      END AS n_chunks
+               FROM w)
+    SELECT doc_id,
+           CAST(i AS INT) AS chunk_id,
+           array_to_string(ws[i*48 + 1 : i*48 + 64], ' ') AS chunk_text,
+           CAST(least(n - i*48, 64) AS INT) AS n_tokens
+    FROM c, LATERAL unnest(range(0, n_chunks)) t(i)
+    """,
+    doc="Context-window chunking (functions/text.py:chunk_windows): "
+    "64-token windows with stride 48 (16-token overlap), the step that "
+    "turns a cleaned corpus into training sequences. Row-local "
+    "split+sequence+explode — zero shuffle, chunk identity is "
+    "deterministic under any partitioning. Oracle recomputes windows "
+    "with list slices.",
+)
+def q_text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_extensions_spark.functions.text import chunk_windows
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return chunk_windows(docs, "doc_id", "text", window_tokens=64, stride=48)
