@@ -178,3 +178,48 @@ def chunk_windows(
         F.col("__c.chunk_text").alias("chunk_text"),
         F.col("__c.n_tokens").alias("n_tokens"),
     )
+
+
+def pack_chunks(
+    df,
+    group_col: str,
+    order_cols: list[str],
+    token_col: str,
+    budget: int,
+    bin_col: str = "bin_id",
+):
+    """Greedy sequential packing of chunks into fixed-token-budget bins
+    (training-batch/sequence packing).
+
+    Within each group, chunks are taken in ``order_cols`` order and
+    appended to the current bin until adding one would exceed
+    ``budget``; then a new bin starts (an oversized chunk gets a bin of
+    its own). Deterministic under any partitioning because the fill
+    order is a total order, and parallel across groups — each group
+    packs independently inside one ``applyInPandas`` call (the
+    inherently sequential scan is per-group and memory-light: one
+    counter, not the data).
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F  # noqa: F401
+    from pyspark.sql.types import IntegerType, StructType
+
+    out_schema = StructType(
+        list(df.schema.fields)
+    ).add(bin_col, IntegerType(), False)
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols).reset_index(drop=True)
+        bins = []
+        cur, b = 0, 0
+        for t in pdf[token_col]:
+            t = int(t)
+            if cur > 0 and cur + t > budget:
+                b += 1
+                cur = 0
+            cur += t
+            bins.append(b)
+        pdf[bin_col] = pd.array(bins, dtype="int32")
+        return pdf
+
+    return df.groupBy(group_col).applyInPandas(pack, out_schema)

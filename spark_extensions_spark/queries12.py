@@ -329,3 +329,59 @@ def q_text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")["documents"]
     return chunk_windows(docs, "doc_id", "text", window_tokens=64, stride=48)
+
+
+@_register(
+    "text_pack_sequences",
+    """
+    WITH RECURSIVE w AS (
+      SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents
+    ), c AS (
+      SELECT doc_id, source, len(ws) AS n,
+             CASE WHEN len(ws) <= 64 THEN 1
+                  ELSE CAST(floor((len(ws) - 64 + 47) / 48) AS INT) + 1
+             END AS n_chunks
+      FROM w
+    ), chunks AS (
+      SELECT doc_id, source,
+             CAST(i AS INT) AS chunk_id,
+             CAST(least(n - i*48, 64) AS INT) AS n_tokens
+      FROM c, LATERAL unnest(range(0, n_chunks)) t(i)
+    ), ordered AS (
+      SELECT *, row_number() OVER (PARTITION BY source
+                                   ORDER BY doc_id, chunk_id) AS rn
+      FROM chunks
+    ), rec AS (
+      SELECT source, rn, doc_id, chunk_id, n_tokens,
+             0 AS bin_id, n_tokens AS cur
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.source, o.rn, o.doc_id, o.chunk_id, o.n_tokens,
+             CASE WHEN r.cur + o.n_tokens > 512 THEN r.bin_id + 1
+                  ELSE r.bin_id END,
+             CASE WHEN r.cur + o.n_tokens > 512 THEN o.n_tokens
+                  ELSE r.cur + o.n_tokens END
+      FROM rec r JOIN ordered o ON o.source = r.source AND o.rn = r.rn + 1
+    )
+    SELECT source, doc_id, chunk_id, n_tokens, CAST(bin_id AS INT) AS bin_id
+    FROM rec
+    """,
+    doc="Sequence packing (functions/text.py:pack_chunks): 64/48-token "
+    "chunks greedily packed into 512-token training bins per source, "
+    "in (doc_id, chunk_id) order — deterministic under any "
+    "partitioning, parallel across groups, sequential only within a "
+    "group (one counter of state). Oracle: DuckDB recursive CTE "
+    "replays the same greedy fill.",
+)
+def q_text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_extensions_spark.functions.text import chunk_windows, pack_chunks
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    chunks = chunk_windows(docs, "doc_id", "text", window_tokens=64, stride=48)
+    chunks = chunks.join(
+        F.broadcast(docs.select("doc_id", "source")), "doc_id"
+    ).select("doc_id", "source", "chunk_id", "n_tokens")
+    packed = pack_chunks(
+        chunks, "source", ["doc_id", "chunk_id"], "n_tokens", budget=512
+    )
+    return packed.select("source", "doc_id", "chunk_id", "n_tokens", "bin_id")
