@@ -385,3 +385,36 @@ def q_text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         chunks, "source", ["doc_id", "chunk_id"], "n_tokens", budget=512
     )
     return packed.select("source", "doc_id", "chunk_id", "n_tokens", "bin_id")
+
+
+@_register(
+    "agg_approx_top_k",
+    """
+    WITH c AS (SELECT l_linenumber, CAST(COUNT(*) AS BIGINT) AS cnt
+               FROM lineitem GROUP BY l_linenumber
+               ORDER BY cnt DESC, l_linenumber LIMIT 3)
+    SELECT array_to_string(list(l_linenumber || ':' || cnt ORDER BY cnt DESC),
+                           ',') AS top3
+    FROM c
+    """,
+    doc="approx_top_k (Spark 4.1): frequent-items sketch. With "
+    "maxItemsTracked (default 10000) >= distinct values it is exact, "
+    "and linenumber counts are strictly decreasing so the order is "
+    "deterministic — serialized item:count list hash-matches the "
+    "GROUP BY top-3 oracle. Low-memory behavior is the sketch's "
+    "documented approximation regime at true high cardinality.",
+)
+def q_agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    topk = li.agg(F.expr("approx_top_k(l_linenumber, 3)").alias("tk"))
+    return topk.select(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.col("tk"),
+                lambda s: F.concat(
+                    s["item"].cast("string"), F.lit(":"), s["count"].cast("string")
+                ),
+            ),
+        ).alias("top3")
+    )
