@@ -426,3 +426,55 @@ def test_ngram_prefix_equals_plain(spark, sf_dir):
             ).collect()
         }
         assert plain == pref, f"threshold {t}: {len(plain)} vs {len(pref)}"
+
+
+def test_chunk_and_pack_properties(spark):
+    """Property-based checks for chunk_windows + pack_chunks: full
+    coverage with stride overlap, size bounds, and pack-bin budget."""
+    import random
+
+    from spark_extensions_spark.functions.text import chunk_windows, pack_chunks
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(40):
+        n = rng.randint(1, 300)
+        rows.append((i, "g%d" % (i % 3), " ".join("w%d" % j for j in range(n))))
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    W, S, B = 32, 24, 100
+    chunks = chunk_windows(df, "doc_id", "text", window_tokens=W, stride=S)
+    got = chunks.collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, source, text in rows:
+        words = text.split(" ")
+        cs = sorted(by_doc[doc_id], key=lambda r: r["chunk_id"])
+        # every chunk is the exact slice; sizes bounded; coverage complete
+        for r in cs:
+            start = r["chunk_id"] * S
+            expect = words[start : start + W]
+            assert r["chunk_text"].split(" ") == expect
+            assert 1 <= r["n_tokens"] == len(expect) <= W
+        covered = set()
+        for r in cs:
+            covered.update(range(r["chunk_id"] * S, r["chunk_id"] * S + r["n_tokens"]))
+        assert covered == set(range(len(words)))
+
+    packed = pack_chunks(
+        chunks.join(
+            df.select("doc_id", "source"), "doc_id"
+        ).select("doc_id", "source", "chunk_id", "n_tokens"),
+        "source",
+        ["doc_id", "chunk_id"],
+        "n_tokens",
+        budget=B,
+    ).collect()
+    bins = {}
+    for r in packed:
+        bins.setdefault((r["source"], r["bin_id"]), []).append(r["n_tokens"])
+    for (src, b), toks in bins.items():
+        # bins never exceed budget unless a single oversized chunk
+        assert sum(toks) <= B or len(toks) == 1
+    assert len(packed) == len(got)

@@ -234,3 +234,34 @@ def test_foreach_batch_sink(spark, events_stream):
     got = {r["event_type"]: r["total"] for r in agg.collect()}
     for r in batch.collect():
         assert got[r["event_type"]] == r["count"]
+
+
+def test_session_window_multibatch_merge(spark, events_stream):
+    """Session windows must MERGE across micro-batches: replaying one
+    file per trigger (many batches, state carried between them) yields
+    the same sessions as one-shot processing."""
+    from spark_extensions_spark.streaming import (
+        read_stream_parquet,
+        run_available_now,
+        session_aggregate,
+    )
+
+    def run(max_files):
+        stream = read_stream_parquet(
+            spark, events_stream, max_files_per_trigger=max_files
+        )
+        out = run_available_now(
+            session_aggregate(
+                stream,
+                "ts",
+                "30 minutes",
+                aggs=[F.count("*").alias("n")],
+                keys=["user_id"],
+                watermark_delay="10 years",  # never drop: exact replay
+            ),
+            output_mode="complete",
+            state_partitions=4,
+        )
+        return {tuple(r) for r in out.collect()}
+
+    assert run(1) == run(None)
