@@ -418,3 +418,34 @@ def q_agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("top3")
     )
+
+
+@_register(
+    "variant_helpers",
+    """
+    SELECT event_id,
+           false AS props_is_null,
+           true AS null_is_null,
+           'OBJECT<k: BIGINT>' AS props_ddl,
+           '{"k":' || json_extract_string(props, '$.k') || '}' AS vo_json
+    FROM events
+    """,
+    doc="Remaining VARIANT helpers (Spark 4.0): is_variant_null "
+    "(JSON-null vs missing distinction), schema_of_variant (per-row "
+    "variant schema DDL), and to_variant_object(struct) round-tripped "
+    "through to_json. The props objects share one shape, so the DDL "
+    "and canonical JSON are reconstructible in the oracle.",
+)
+def q_variant_helpers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")["events"]
+    v = F.parse_json(F.col("props"))
+    vo = F.to_variant_object(
+        F.struct(F.variant_get(v, "$.k", "bigint").alias("k"))
+    )
+    return ev.select(
+        "event_id",
+        F.is_variant_null(v).alias("props_is_null"),
+        F.is_variant_null(F.parse_json(F.lit("null"))).alias("null_is_null"),
+        F.schema_of_variant(v).alias("props_ddl"),
+        F.to_json(vo).alias("vo_json"),
+    )
