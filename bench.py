@@ -1,7 +1,9 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+COMPACT JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {<worst 10 only>}, "sf": ...} — the full per-query timing map
+goes to BENCH_DETAIL.json next to this file (the driver's stdout capture
+truncates long lines, which nulled round 1's parsed bench).
 
 Materialization uses the noop sink (full pipeline execution, no driver
 collect overhead). Session build time is excluded; one warmup query runs
@@ -55,13 +57,25 @@ def main() -> int:
     total = round(sum(timings.values()), 3)
     ordered = sorted(timings.values())
     median = round(ordered[len(ordered) // 2], 3) if ordered else 0.0
+    worst10 = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
+    )
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(
+            {"sf": sf, "n_queries": len(timings), "queries": timings}, fh,
+            indent=1, sort_keys=True,
+        )
     print(
         json.dumps(
             {
                 "metric": "t2_query_suite_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                # compact: worst-10 only; full map in BENCH_DETAIL.json
+                "queries": worst10,
                 # normalization aids: the suite GROWS between rounds, so
                 # total wall is not comparable round-over-round — per-query
                 # median and count are.

@@ -337,27 +337,38 @@ def embedding_neardup_pairs(
     vec_col: str,
     dim: int,
     threshold: float = 0.95,
+    method: str = "blocked",
+    n_blocks: int | None = None,
+    block_rows: int = 8192,
 ) -> DataFrame:
-    """Near-duplicate pairs by exact cosine similarity.
+    """Near-duplicate pairs by exact cosine similarity (id_a < id_b).
 
-    All-pairs (id_a < id_b), computed as a broadcast-matrix scan: the
-    corpus matrix (n×dim float64, e.g. 500k×64 ≈ 256 MB — executor-memory
-    small) broadcasts once per worker, and each task scores its slice of
-    rows against the whole matrix with numpy. This replaces the naive
-    pair-join formulation, which shipped BOTH vectors through Arrow for
-    every one of the n²/2 pairs (~6 GB at n=5k) — the matrix scan moves
-    each vector once.
+    Default ``method="blocked"`` is the 100 TB shape: a distributed
+    block-matrix self-join (:func:`embedding_neardup_pairs_blocked`)
+    that never materializes the corpus on the driver — rows hash into
+    ``n_blocks`` blocks, every block pair becomes one ``applyInPandas``
+    group, and each group scores an (a-block × b-block) numpy matrix.
+    Shuffle volume is n·n_blocks vectors; driver state is zero.
 
-    Determinism: accumulation loops over dimensions left-to-right
-    (``dot += a_i * b_i`` per dim, vectorized across the corpus axis), so
-    every pair's sum is the exact IEEE sequence of the sequential fold —
-    bit-identical to the DuckDB ``list_reduce`` oracle. Final expression
-    is ``dot / (sqrt(na) * sqrt(nb))``, same op order on both sides.
+    ``method="broadcast"`` keeps the small-corpus special case: collect
+    the matrix (n×dim float64, e.g. 500k×64 ≈ 256 MB) to the driver,
+    broadcast once per worker, and scan slices against it — fewer
+    shuffles while the corpus fits comfortably in driver/executor
+    memory, a driver OOM beyond that.
 
-    Beyond broadcastable corpus sizes, compose with
-    :func:`spark_extensions_spark.operators.similarity.ann_lsh_topk`
-    bucketing to restrict candidate pairs first.
+    Both paths are EXACT (identical pair sets) and bit-deterministic:
+    accumulation loops over dimensions left-to-right (``dot += a_i *
+    b_i`` per dim, vectorized across the corpus axis), so every pair's
+    sum is the exact IEEE sequence of the sequential fold — identical
+    to the DuckDB ``list_reduce`` oracle; final expression is
+    ``dot / (sqrt(na) * sqrt(nb))``, same op order on both sides.
     """
+    if method == "blocked":
+        return embedding_neardup_pairs_blocked(
+            df, id_col, vec_col, dim, threshold, n_blocks, block_rows
+        )
+    if method != "broadcast":
+        raise ValueError(f"unknown method {method!r}")
     import numpy as np
     import pandas as pd
 
@@ -370,7 +381,6 @@ def embedding_neardup_pairs(
     ids, mat = ids[order], mat[order]
     n, d = mat.shape
     bc = spark.sparkContext.broadcast((ids, mat))
-
 
     def score(batches):
         ids_b, m = bc.value
@@ -418,6 +428,120 @@ def embedding_neardup_pairs(
     )
     schema = f"id_a {id_type}, id_b {id_type}, cosine double"
     return idx_df.mapInPandas(score, schema)
+
+
+def embedding_neardup_pairs_blocked(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    threshold: float = 0.95,
+    n_blocks: int | None = None,
+    block_rows: int = 8192,
+) -> DataFrame:
+    """Exact all-pairs cosine near-dup via a distributed block-matrix join.
+
+    Rows hash into ``n_blocks`` balanced blocks (murmur3 on the id — no
+    global sort, no driver state). Each row is replicated to every block
+    PAIR it participates in: as the "a" side to pairs (own, j ≥ own) and
+    as the "b" side to pairs (i ≤ own, own) — so pair group (i, j)
+    receives exactly block i as side a and block j as side b, and every
+    row pair is scored exactly once. One shuffle of n·n_blocks vectors,
+    then an ``applyInPandas`` per block pair computes the cross-block
+    score matrix in numpy, chunked so the dot matrix stays ~100 MB.
+
+    Output emits canonical (id_a, id_b) = (min, max); cosine is
+    symmetric and both orientations compute bit-identical values
+    (per-dim products commute), so canonicalization is hash-safe.
+
+    Scale: with B = block_rows, shuffle volume is n²/B vectors — the
+    unavoidable exact-all-pairs cost, spread over nb·(nb+1)/2
+    independent tasks with zero driver involvement. For approximate
+    candidate generation at even larger n, compose with the LSH/IVF
+    bucketing in ``operators/similarity.py`` instead.
+    """
+    import numpy as np
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    if n_blocks is None:
+        n = df.count()
+        n_blocks = max(1, -(-n // block_rows))
+    nb = int(n_blocks)
+
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__vec"),
+        F.pmod(F.hash(F.col(id_col)), F.lit(nb)).alias("__blk"),
+    )
+    a_side = base.select(
+        F.col("__blk").alias("__bi"),
+        F.explode(
+            F.sequence(F.col("__blk"), F.lit(nb - 1))
+        ).alias("__bj"),
+        F.lit("a").alias("__role"),
+        "__id",
+        "__vec",
+    )
+    b_side = base.select(
+        F.explode(F.sequence(F.lit(0), F.col("__blk"))).alias("__bi"),
+        F.col("__blk").alias("__bj"),
+        F.lit("b").alias("__role"),
+        "__id",
+        "__vec",
+    )
+    both = a_side.unionByName(b_side)
+
+    def score(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        bi, bj = int(key[0]), int(key[1])
+        a = pdf[pdf["__role"] == "a"]
+        b = pdf[pdf["__role"] == "b"]
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        if a.empty or b.empty:
+            return empty
+        ids_a = a["__id"].to_numpy()
+        ids_b = b["__id"].to_numpy()
+        ma = np.array([list(v) for v in a["__vec"]], dtype=np.float64)
+        mb = np.array([list(v) for v in b["__vec"]], dtype=np.float64)
+        na, nd = ma.shape
+        nbr = mb.shape[0]
+        # per-dim accumulation keeps the sequential-fold IEEE order
+        nrm2_a = np.zeros(na)
+        nrm2_b = np.zeros(nbr)
+        for i in range(nd):
+            nrm2_a += ma[:, i] * ma[:, i]
+            nrm2_b += mb[:, i] * mb[:, i]
+        nrm_a, nrm_b = np.sqrt(nrm2_a), np.sqrt(nrm2_b)
+        frames = []
+        # chunk the a side so the (chunk × nbr) dot matrix stays ~100 MB
+        chunk = max(64, int(1.2e7) // max(nbr, 1))
+        for s in range(0, na, chunk):
+            a_blk = ma[s : s + chunk]
+            dot = np.zeros((a_blk.shape[0], nbr))
+            for i in range(nd):
+                dot += np.outer(a_blk[:, i], mb[:, i])
+            cos = dot / np.outer(nrm_a[s : s + chunk], nrm_b)
+            ia = ids_a[s : s + chunk]
+            # score only distinct unordered pairs once: ids differ AND
+            # (off-diagonal groups hold disjoint blocks; the diagonal
+            # group holds the same block on both sides, so keep a < b)
+            if bi == bj:
+                mask = (ia[:, None] < ids_b[None, :]) & (cos >= threshold)
+            else:
+                mask = (ia[:, None] != ids_b[None, :]) & (cos >= threshold)
+            rsel, csel = np.nonzero(mask)
+            if rsel.size:
+                lo = np.minimum(ia[rsel], ids_b[csel])
+                hi = np.maximum(ia[rsel], ids_b[csel])
+                frames.append(
+                    pd.DataFrame(
+                        {"id_a": lo, "id_b": hi, "cosine": cos[rsel, csel]}
+                    )
+                )
+        return pd.concat(frames, ignore_index=True) if frames else empty
+
+    schema = f"id_a {id_type}, id_b {id_type}, cosine double"
+    return both.groupBy("__bi", "__bj").applyInPandas(score, schema)
 
 
 def ngram_contamination(

@@ -50,6 +50,13 @@ def connected_components(
     distinct endpoint of ``edges``. Raises if ``max_iter`` rounds don't
     reach a fixpoint (guards against silent wrong answers on graphs
     deeper than expected — raise the cap or switch algorithms then).
+
+    One Spark action per round: the checkpoint is LAZY and the
+    changed-label aggregate is the action that materializes it — the
+    convergence probe rides the same job instead of re-scanning (an
+    eager checkpoint + separate count would be two actions, and
+    deferring the probe to every N rounds would trade a cheap scalar
+    count for a full redundant propagation round).
     """
     sym = (
         edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
@@ -65,7 +72,7 @@ def connected_components(
     )
     labels = labels.localCheckpoint(eager=True)
 
-    for _ in range(max_iter):
+    for it in range(max_iter):
         # neighbor minimum of current labels
         nbr_labels = labels.withColumnRenamed("node", "nbr").withColumnRenamed(
             "component", "nbr_comp"
@@ -86,8 +93,12 @@ def connected_components(
                 (F.col("nbr_comp") < F.col("component")).alias("__changed"),
             )
         )
-        updated = updated.localCheckpoint(eager=True)
-        changed = updated.filter(F.col("__changed")).limit(1).count()
+        # lazy checkpoint: the full-scan aggregate below is the action
+        # that materializes it (and truncates lineage for next round)
+        updated = updated.localCheckpoint(eager=False)
+        changed = updated.agg(
+            F.count_if(F.col("__changed")).alias("c")
+        ).head()["c"]
         labels = updated.drop("__changed")
         if changed == 0:
             return labels

@@ -1,19 +1,23 @@
 """Declarative data-quality validation over DataFrames.
 
 A rule set compiles to ONE aggregate pass (conditional counts — no
-per-rule scans), plus an optional referential-integrity check that
-anti-joins a foreign key against its dimension. This is the
-expectations layer a production ingestion pipeline runs before
-publishing a partition; at 100 TB the single-pass shape matters — N
-rules cost one scan, not N.
+per-rule scans): a single ``agg`` computes every violation count plus
+the row total, and the 1-row result is unpivoted with ``stack`` into
+one output row per rule. This is the expectations layer a production
+ingestion pipeline runs before publishing a partition; at 100 TB the
+single-pass shape matters — N rules cost one scan, not N.
+
+The referential-integrity check is likewise lazy and single-job: a
+left join against the (broadcastable) dimension keys feeds a
+conditional count — no eager ``.count()`` actions, and it composes
+with ``check_rules`` via ``referential_rule`` so fact-table rules AND
+the FK check share one scan of the fact table.
 
 Each rule is (name, violation_predicate Column). Output one row per
 rule: (rule, n_violations, n_rows, violation_rate).
 """
 
 from __future__ import annotations
-
-from functools import reduce
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -25,25 +29,57 @@ def check_rules(df: DataFrame, rules: list[tuple[str, Column]]) -> DataFrame:
     ``rules``: list of (rule_name, predicate) where the predicate is
     TRUE for a VIOLATING row. Returns (rule, n_violations, n_rows,
     violation_rate) — rate as an exact integer-division double.
+
+    Plan shape: one scan + one partial/final agg producing a single
+    row, then a ``stack`` unpivot of that row (no re-execution of the
+    aggregate per rule, which a naive union-of-selects would cause).
     """
+    if not rules:
+        raise ValueError("check_rules requires at least one rule")
     aggs = [F.count(F.lit(1)).cast("bigint").alias("__n")]
     for name, pred in rules:
         aggs.append(
             F.sum(pred.cast("long")).cast("bigint").alias(f"__v_{name}")
         )
     row = df.agg(*aggs)
-    per_rule = [
-        row.select(
-            F.lit(name).alias("rule"),
-            F.col(f"__v_{name}").alias("n_violations"),
-            F.col("__n").alias("n_rows"),
-            (F.col(f"__v_{name}").cast("double") / F.col("__n")).alias(
-                "violation_rate"
-            ),
-        )
-        for name, _ in rules
-    ]
-    return reduce(DataFrame.unionAll, per_rule)
+    pairs: list[Column] = []
+    for name, _ in rules:
+        pairs.append(F.lit(name))
+        pairs.append(F.coalesce(F.col(f"__v_{name}"), F.lit(0)))
+    return row.select(
+        F.stack(F.lit(len(rules)), *pairs).alias("rule", "n_violations"),
+        F.col("__n").alias("n_rows"),
+    ).select(
+        "rule",
+        "n_violations",
+        "n_rows",
+        (F.col("n_violations").cast("double") / F.col("n_rows")).alias(
+            "violation_rate"
+        ),
+    )
+
+
+def referential_rule(
+    fact: DataFrame,
+    fact_key: str,
+    dim: DataFrame,
+    dim_key: str,
+    hit_col: str = "__ref_hit",
+) -> tuple[DataFrame, Column]:
+    """Stage a referential-integrity check as a check_rules rule.
+
+    Left-joins the fact against the distinct (broadcast) dimension
+    keys and returns (joined_fact, violation_predicate) so the FK
+    check rides the SAME single aggregate scan as the other rules.
+    The join preserves fact cardinality (dim keys deduplicated).
+    """
+    keys = (
+        dim.select(F.col(dim_key).alias(fact_key))
+        .distinct()
+        .withColumn(hit_col, F.lit(1))
+    )
+    joined = fact.join(F.broadcast(keys), fact_key, "left")
+    return joined, F.col(hit_col).isNull()
 
 
 def check_referential(
@@ -55,18 +91,10 @@ def check_referential(
 ) -> DataFrame:
     """Count fact rows whose key has no match in the dimension.
 
-    Anti-join shape: the dimension side is typically broadcastable; at
-    scale this is one broadcast (or one shuffle for giant dims) — never
-    a row explosion, since only missing keys survive.
+    Lazy, single-job shape: broadcast the distinct dimension keys,
+    left-join, and take one conditional-count aggregate — never an
+    eager ``.count()`` on the driver, never a row explosion (the join
+    is at-most-one-match because the dim side is deduplicated).
     """
-    n_rows = fact.count()
-    missing = fact.join(
-        dim.select(F.col(dim_key).alias(fact_key)).distinct(),
-        fact_key,
-        "left_anti",
-    ).count()
-    spark = fact.sparkSession
-    return spark.createDataFrame(
-        [(rule_name, missing, n_rows, missing / n_rows if n_rows else 0.0)],
-        "rule string, n_violations bigint, n_rows bigint, violation_rate double",
-    )
+    joined, violated = referential_rule(fact, fact_key, dim, dim_key)
+    return check_rules(joined, [(rule_name, violated)])

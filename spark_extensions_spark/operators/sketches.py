@@ -2,8 +2,12 @@
 
 The 100 TB companions to exact aggregation: each sketch builds in a
 single distributed pass with fixed memory per partition — one partial
-sketch per partition (mapInPandas), merged on the driver (sketches are
-linearly mergeable, exactly like Spark's partial aggregates). The JVM
+sketch per partition (mapInPandas), then a two-level ``treeReduce``
+merge on the EXECUTORS (sketches are linearly mergeable, exactly like
+Spark's partial aggregates); only the single fully-merged sketch ever
+reaches the driver. With tens of thousands of partitions a driver-side
+merge loop would pull partitions × m/8 bytes through one process — the
+tree merge keeps that traffic executor-side and logarithmic. The JVM
 ``countMinSketch``/``bloomFilter`` stat helpers were never exposed to
 PySpark, so these are Python-native.
 
@@ -163,10 +167,22 @@ class BloomFilter:
         return m, k
 
 
+def _tree_depth(df: DataFrame) -> int:
+    """treeReduce depth from the partition count: 2 levels handle up to
+    ~sqrt-thousands of partials; add a level per extra order of scale."""
+    n = df.rdd.getNumPartitions()
+    return 2 if n <= 4096 else 3
+
+
 def bloom_filter(
     df: DataFrame, col: str, expected_items: int | None = None, fpp: float = 0.01
 ) -> BloomFilter:
-    """Build a BloomFilter of ``col`` in one distributed pass."""
+    """Build a BloomFilter of ``col`` in one distributed pass.
+
+    Per-partition partial bit arrays (Arrow-batched numpy build) merge
+    with a ``treeReduce`` OR on the executors; the driver receives only
+    the final m/8-byte array.
+    """
     if expected_items is None:
         expected_items = max(1024, df.count())
     m, k = BloomFilter.params(expected_items, fpp)
@@ -186,9 +202,17 @@ def bloom_filter(
                     )
         yield pd.DataFrame({"bits": [bits.tobytes()]})
 
-    combined = np.zeros(m // 64, dtype=np.uint64)
-    for row in df.select(col).mapInPandas(build, "bits binary").collect():
-        combined |= np.frombuffer(row["bits"], dtype=np.uint64)
+    partials = df.select(col).mapInPandas(build, "bits binary")
+
+    def or_blobs(a: bytes, b: bytes) -> bytes:
+        return (
+            np.frombuffer(a, dtype=np.uint64) | np.frombuffer(b, dtype=np.uint64)
+        ).tobytes()
+
+    blob = partials.rdd.map(lambda r: bytes(r[0])).treeReduce(
+        or_blobs, depth=_tree_depth(df)
+    )
+    combined = np.frombuffer(blob, dtype=np.uint64).copy()
     return BloomFilter(m, k, combined, mode)
 
 
@@ -224,7 +248,11 @@ class CountMinSketch:
 def count_min_sketch(
     df: DataFrame, col: str, eps: float = 0.001, confidence: float = 0.99
 ) -> CountMinSketch:
-    """Build a CountMinSketch of ``col`` in one distributed pass."""
+    """Build a CountMinSketch of ``col`` in one distributed pass.
+
+    Per-partition partial tables merge with a ``treeReduce`` add on the
+    executors; the driver receives only the final depth×width table.
+    """
     depth, width = CountMinSketch.params(eps, confidence)
     mode = _hash_mode(df, col)
 
@@ -240,16 +268,22 @@ def count_min_sketch(
                     np.add.at(table[i], pos, 1)
         yield pd.DataFrame({"table": [table.tobytes()], "n": [n]})
 
-    combined = np.zeros((depth, width), dtype=np.int64)
-    total = 0
-    for row in (
-        df.select(col).mapInPandas(build, "table binary, n long").collect()
-    ):
-        combined += np.frombuffer(row["table"], dtype=np.int64).reshape(
-            depth, width
+    partials = df.select(col).mapInPandas(build, "table binary, n long")
+
+    def add_blobs(a: tuple[bytes, int], b: tuple[bytes, int]) -> tuple[bytes, int]:
+        return (
+            (
+                np.frombuffer(a[0], dtype=np.int64)
+                + np.frombuffer(b[0], dtype=np.int64)
+            ).tobytes(),
+            a[1] + b[1],
         )
-        total += row["n"]
-    return CountMinSketch(depth, width, combined, total, mode)
+
+    blob, total = partials.rdd.map(lambda r: (bytes(r[0]), int(r[1]))).treeReduce(
+        add_blobs, depth=_tree_depth(df)
+    )
+    combined = np.frombuffer(blob, dtype=np.int64).reshape(depth, width).copy()
+    return CountMinSketch(depth, width, combined, int(total), mode)
 
 
 def freq_items(df: DataFrame, cols: list[str], support: float = 0.01):

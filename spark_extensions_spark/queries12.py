@@ -274,21 +274,22 @@ def q_pandas_udaf_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem, n GROUP BY n.n_rows
     """,
     doc="Declarative data-quality validation (operators/quality.py): N "
-    "rules compile to ONE aggregate pass (conditional counts — one "
-    "scan, not N), plus a referential-integrity anti-join against the "
-    "orders dimension. The publish-gate a production ingestion "
-    "pipeline runs per partition.",
+    "rules + the referential-integrity check compile to ONE aggregate "
+    "pass over lineitem (broadcast left join against orders keys, then "
+    "conditional counts unpivoted with stack — one scan, not N). The "
+    "publish-gate a production ingestion pipeline runs per partition.",
 )
 def q_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_extensions_spark.operators.quality import (
-        check_referential,
         check_rules,
+        referential_rule,
     )
 
     t = _t(spark, sf_dir, "lineitem", "orders")
     li, o = t["lineitem"], t["orders"]
-    rules = check_rules(
-        li,
+    joined, ref_violated = referential_rule(li, "l_orderkey", o, "o_orderkey")
+    return check_rules(
+        joined,
         [
             ("qty_positive", ~(F.col("l_quantity") > 0)),
             (
@@ -296,10 +297,9 @@ def q_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("l_discount") < 0) | (F.col("l_discount") > 0.6),
             ),
             ("shipdate_not_null", F.col("l_shipdate").isNull()),
+            ("referential", ref_violated),
         ],
     )
-    ref = check_referential(li, "l_orderkey", o, "o_orderkey")
-    return rules.unionAll(ref)
 
 
 @_register(

@@ -152,18 +152,25 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect_list",
     """
     SELECT o_custkey,
-           list_sort(list(o_orderkey)) AS order_keys,
-           list_sort(list(DISTINCT o_orderpriority)) AS priorities
+           array_to_string(list_sort(list(o_orderkey)), ',') AS order_keys,
+           array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',')
+               AS priorities
     FROM orders GROUP BY o_custkey
     """,
     doc="collect_list / collect_set wrapped in sort_array for portable "
-    "element order.",
+    "element order; emitted as a canonical comma-joined string so the "
+    "driver's pandas canonicalizer can hash the column (raw "
+    "array<bigint> cells are unhashable in pandas.sort_values).",
 )
 def q_agg_collect_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")["orders"]
     return o.groupBy("o_custkey").agg(
-        F.sort_array(F.collect_list("o_orderkey")).alias("order_keys"),
-        F.sort_array(F.collect_set("o_orderpriority")).alias("priorities"),
+        F.array_join(
+            F.sort_array(F.collect_list("o_orderkey")), ","
+        ).alias("order_keys"),
+        F.array_join(
+            F.sort_array(F.collect_set("o_orderpriority")), ","
+        ).alias("priorities"),
     )
 
 

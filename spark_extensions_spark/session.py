@@ -101,7 +101,7 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str):
     columns/filters down to the parquet reader.
     """
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     # Callers may hand us a session we didn't build (the driver harness
     # does); pin the runtime confs correctness depends on, and make the
@@ -120,6 +120,14 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str):
             df = df.withColumn(
                 "ts", F.expr("timestamp_micros(cast(ts div 1000 as long))")
             )
+        # Fixtures that store ts as TIMESTAMP(MICROS, isAdjustedToUTC=false)
+        # read as TIMESTAMP_NTZ in Spark 4; watermarks (streaming paths)
+        # require TIMESTAMP. Session tz is pinned UTC, so the cast is
+        # value-preserving and matches DuckDB's naive timestamps.
+        if name == "events" and isinstance(
+            df.schema["ts"].dataType, TimestampNTZType
+        ):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         df.createOrReplaceTempView(name)
         out[name] = df
     return out

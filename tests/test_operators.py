@@ -478,3 +478,65 @@ def test_chunk_and_pack_properties(spark):
         # bins never exceed budget unless a single oversized chunk
         assert sum(toks) <= B or len(toks) == 1
     assert len(packed) == len(got)
+
+
+def test_check_rules_single_pass(spark):
+    from spark_extensions_spark.operators.quality import (
+        check_referential,
+        check_rules,
+        referential_rule,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -1.0), (3, 0.0), (4, None)],
+        "id int, v double",
+    )
+    out = check_rules(
+        df,
+        [
+            ("v_positive", ~(F.col("v") > 0)),
+            ("v_not_null", F.col("v").isNull()),
+        ],
+    )
+    rows = {r["rule"]: r for r in out.collect()}
+    # NULL > 0 is NULL -> cast long -> NULL; sum skips it, so the
+    # v_positive violation count covers rows 2 and 3 only.
+    assert rows["v_positive"]["n_violations"] == 2
+    assert rows["v_not_null"]["n_violations"] == 1
+    assert all(r["n_rows"] == 4 for r in rows.values())
+    assert rows["v_not_null"]["violation_rate"] == 0.25
+    # single-pass shape: exactly one scan of the input in the (final)
+    # plan — AQE's toString repeats the initial plan, so split it off
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Scan ExistingRDD") == 1
+
+    dim = spark.createDataFrame([(1,), (2,)], "id int")
+    ref = check_referential(df, "id", dim, "id")
+    r = ref.collect()[0]
+    assert (r["rule"], r["n_violations"], r["n_rows"]) == ("referential", 2, 4)
+
+    # composed: fact rules + FK check share one aggregate pass
+    joined, violated = referential_rule(df, "id", dim, "id")
+    both = check_rules(joined, [("v_null", F.col("v").isNull()), ("fk", violated)])
+    got = {r["rule"]: r["n_violations"] for r in both.collect()}
+    assert got == {"v_null": 1, "fk": 2}
+
+
+def test_embedding_neardup_blocked_equals_broadcast(spark, sf_dir):
+    from spark_extensions_spark.operators.dedup import embedding_neardup_pairs
+    from spark_extensions_spark.session import load_tables
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    kw = dict(id_col="vec_id", vec_col="embedding", dim=64, threshold=0.30)
+    blocked = embedding_neardup_pairs(emb, method="blocked", n_blocks=5, **kw)
+    exact = embedding_neardup_pairs(emb, method="broadcast", **kw)
+    b = {(r.id_a, r.id_b): r.cosine for r in blocked.collect()}
+    e = {(r.id_a, r.id_b): r.cosine for r in exact.collect()}
+    assert set(b) == set(e) and len(b) > 0
+    # bit-identical scores: same IEEE accumulation order on both paths
+    assert all(b[k] == e[k] for k in b)
+    # default path plans no driver-side collect: it is a grouped
+    # applyInPandas over the block-pair shuffle
+    plan = blocked._jdf.queryExecution().logical().toString()
+    assert "FlatMapGroupsInPandas" in plan
