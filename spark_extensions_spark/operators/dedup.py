@@ -492,7 +492,7 @@ def embedding_neardup_pairs_blocked(
     )
     both = a_side.unionByName(b_side)
 
-    def score(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+    def score(key, pdf):
         bi, bj = int(key[0]), int(key[1])
         a = pdf[pdf["__role"] == "a"]
         b = pdf[pdf["__role"] == "b"]

@@ -372,4 +372,40 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_clusters(pairs)
 
 
+@_register(
+    "dedup_clusters_star",
+    f"""
+    WITH RECURSIVE pairs AS ({_jaccard_oracle()}),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+    FROM reach GROUP BY a
+    """,
+    doc="Same duplicate-group resolution as dedup_clusters but via "
+    "alternating large-star/small-star (Kiveris et al. SoCC'14, "
+    "operators/graph.py:connected_components_star): O(log^2 n) rounds "
+    "independent of graph diameter — the variant to reach for when the "
+    "near-dup closure contains long chains. Identical recursive-CTE "
+    "oracle; both algorithms are exact.",
+)
+def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_extensions_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    return connected_components_star(pairs, "id_a", "id_b").select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
 from spark_extensions_spark import queries5  # noqa: E402,F401  (registration side effect)

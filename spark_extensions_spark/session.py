@@ -57,6 +57,16 @@ def get_spark(
         master = f"local[{cpus}]"
     builder = SparkSession.builder.appName(app_name).master(master)
     conf = dict(_DEFAULT_CONF)
+    # local[N] runs driver + all executor threads in ONE JVM whose
+    # default heap is 1g — far too small for N-way parallel shuffles /
+    # broadcasts (observed OOM at ~50k-doc similarity joins). Only
+    # effective at JVM launch: the first get_spark in the process wins;
+    # sessions we didn't build (driver harness) keep their own setting.
+    if master.startswith("local"):
+        conf.setdefault(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        )
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

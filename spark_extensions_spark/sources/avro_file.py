@@ -8,11 +8,15 @@ reader/writer over the public Avro 1.11 container spec:
 ``avro.codec``: null | deflate) → 16-byte sync marker → blocks of
 ``(count, byte_size, records…, sync)``.
 
-Read path: ``spark.read.format("binaryFile")`` lists and splits files
-across tasks (one task per file — Avro blocks are not sub-split here;
-at scale write many files), then ``mapInPandas`` decodes each file with
+Read path: files are listed (``binaryFile`` metadata only — content is
+never shipped through Spark rows) and cut into ``split_size`` byte
+ranges; each task seeks to its range, scans forward to the next 16-byte
+sync marker (the same convention Hadoop's ``DataFileReader.sync`` uses)
+and decodes the blocks that START inside its range with
 :mod:`spark_extensions_spark.schema.avro_codec`, honoring classic
-writer→reader schema resolution when ``reader_schema`` is given.
+writer→reader schema resolution when ``reader_schema`` is given. A
+single multi-gigabyte container therefore fans out across tasks instead
+of pinning one task per file.
 
 Write path: each partition serializes to one ``part-*.avro`` container
 (deflate optional) via ``foreachPartition``. Plain ``open()`` I/O —
@@ -86,27 +90,120 @@ def _iter_records(buf: bytes, decoder, codec: str):
             yield rec
 
 
+def _local_path(uri: str) -> str:
+    if uri.startswith("file:"):
+        p = uri[5:]
+        while p.startswith("//"):
+            p = p[1:]
+        return p
+    return uri
+
+
+def _header_from_file(f) -> tuple[dict, bytes, int]:
+    """Parse the container header reading a bounded file prefix."""
+    size = 1 << 16
+    while True:
+        f.seek(0)
+        buf = f.read(size)
+        try:
+            meta, sync, end = _read_header(buf)
+        except IndexError:
+            meta, end = None, size + 1  # truncated mid-varint: grow
+        if meta is not None and end <= len(buf):
+            return meta, sync, end
+        if len(buf) < size:
+            raise ValueError("Avro container corrupt: header exceeds file")
+        if size > (64 << 20):
+            raise ValueError("Avro header larger than 64 MB — refusing")
+        size *= 2
+
+
+def _scan_sync(f, sync: bytes, from_pos: int) -> int | None:
+    """Absolute position just AFTER the first sync marker at or beyond
+    ``from_pos`` (None when no further marker exists)."""
+    f.seek(from_pos)
+    pos = from_pos
+    prev = b""
+    while True:
+        chunk = f.read(1 << 20)
+        if not chunk:
+            return None
+        hay = prev + chunk
+        i = hay.find(sync)
+        if i >= 0:
+            return pos - len(prev) + i + 16
+        prev = hay[-15:]
+        pos += len(chunk)
+
+
+def _read_long_file(f) -> int | None:
+    """Zigzag-varint from the file's current position (None at EOF)."""
+    shift = 0
+    acc = 0
+    while True:
+        b = f.read(1)
+        if not b:
+            return None
+        byte = b[0]
+        acc |= (byte & 0x7F) << shift
+        if not (byte & 0x80):
+            break
+        shift += 7
+    return (acc >> 1) ^ -(acc & 1)
+
+
+def _iter_records_range(f, sync: bytes, decoder, codec: str, start: int, end: int):
+    """Decode records of every block whose first byte lies in
+    [start, end) — the split-ownership rule that makes ranges disjoint
+    and exhaustive across tasks."""
+    pos = start
+    while pos < end:
+        f.seek(pos)
+        count = _read_long_file(f)
+        if count is None:
+            return  # EOF
+        size = _read_long_file(f)
+        block = f.read(size)
+        if f.read(16) != sync:
+            raise ValueError("Avro container corrupt: sync marker mismatch")
+        if codec == "deflate":
+            block = zlib.decompress(block, -15)
+        bmv = memoryview(block)
+        bpos = 0
+        for _ in range(count):
+            rec, bpos = decoder(bmv, bpos)
+            yield rec
+        pos = f.tell()
+
+
 def read_avro(
     spark: SparkSession,
     path: str,
     reader_schema: dict | str | None = None,
+    split_size: int = 32 << 20,
 ) -> DataFrame:
     """Read Avro container files into a DataFrame.
 
     ``reader_schema`` (Avro JSON) activates schema resolution against
     each file's writer schema; default reads with the writer schema of
-    the first file.
+    the first file. Files larger than ``split_size`` are processed as
+    multiple byte-range splits (block-aligned via sync-marker scan), so
+    one giant file does not serialize onto one task.
     """
     import pandas as pd
 
     from spark_extensions_spark.schema.avro_codec import _resolver
 
-    first = (
-        spark.read.format("binaryFile").load(path).limit(1).collect()
+    listing = (
+        spark.read.format("binaryFile")
+        .load(path)
+        .select("path", "length")
+        .collect()
     )
-    if not first:
+    if not listing:
         raise ValueError(f"no files at {path}")
-    meta, _, _ = _read_header(bytes(first[0]["content"]))
+    with open(_local_path(listing[0]["path"]), "rb") as f0:
+        meta, _, _ = _header_from_file(f0)
     writer0 = json.loads(meta["avro.schema"])
     if reader_schema is None:
         reader = writer0
@@ -122,28 +219,52 @@ def read_avro(
     from spark_extensions_spark.session import ensure_workers_can_import
 
     ensure_workers_can_import(spark)
-    files = spark.read.format("binaryFile").load(path).select("path", "content")
+    split_rows = []
+    for r in listing:
+        local = _local_path(r["path"])
+        length = int(r["length"])
+        for s in range(0, max(length, 1), split_size):
+            split_rows.append((local, s, min(s + split_size, length)))
+    splits = spark.createDataFrame(
+        split_rows, "path string, start long, end long"
+    ).repartition(len(split_rows))
 
     def parse(batches):
         decoders: dict[str, object] = {}
         for pdf in batches:
             rows = []
-            for content in pdf["content"]:
-                buf = bytes(content)
-                meta_f, _, _ = _read_header(buf)
-                schema_key = meta_f["avro.schema"].decode("utf-8")
-                codec = meta_f.get("avro.codec", b"null").decode("utf-8")
-                dec = decoders.get(schema_key)
-                if dec is None:
-                    dec = _resolver(json.loads(schema_key), reader)
-                    decoders[schema_key] = dec
-                rows.extend(_iter_records(buf, dec, codec))
+            for fpath, s, e in zip(pdf["path"], pdf["start"], pdf["end"]):
+                with open(fpath, "rb") as f:
+                    meta_f, sync, header_end = _header_from_file(f)
+                    schema_key = meta_f["avro.schema"].decode("utf-8")
+                    codec = meta_f.get("avro.codec", b"null").decode("utf-8")
+                    dec = decoders.get(schema_key)
+                    if dec is None:
+                        dec = _resolver(json.loads(schema_key), reader)
+                        decoders[schema_key] = dec
+                    if s == 0:
+                        first = header_end
+                    else:
+                        # first block starting at or after byte s: a sync
+                        # ending exactly at s puts the block boundary at s.
+                        # Floor at header_end-16 (the header's trailing
+                        # sync) so a header crossing the split boundary
+                        # still yields the first block to this split.
+                        first = _scan_sync(
+                            f, sync, max(int(s) - 16, header_end - 16)
+                        )
+                    if first is not None:
+                        rows.extend(
+                            _iter_records_range(
+                                f, sync, dec, codec, first, int(e)
+                            )
+                        )
             yield pd.DataFrame(
                 [[r.get(c) for c in field_names] for r in rows],
                 columns=field_names,
             )
 
-    return files.mapInPandas(parse, spark_type)
+    return splits.mapInPandas(parse, spark_type)
 
 
 def write_avro(

@@ -540,3 +540,38 @@ def test_embedding_neardup_blocked_equals_broadcast(spark, sf_dir):
     # applyInPandas over the block-pair shuffle
     plan = blocked._jdf.queryExecution().logical().toString()
     assert "FlatMapGroupsInPandas" in plan
+
+
+def test_connected_components_star_matches_hashmin(spark):
+    import random
+
+    from spark_extensions_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(80)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "s long, d long")
+    hm = {r["node"]: r["component"]
+          for r in connected_components(df, "s", "d").collect()}
+    st = {r["node"]: r["component"]
+          for r in connected_components_star(df, "s", "d").collect()}
+    assert st == hm
+
+
+def test_connected_components_star_deep_chain(spark):
+    """A 400-node path has diameter 399: hash-min label propagation
+    cannot finish in its default 25 rounds, large-star/small-star
+    converges in O(log^2 n)."""
+    from spark_extensions_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    chain = [(i, i + 1) for i in range(400)]
+    df = spark.createDataFrame(chain, "s long, d long")
+    out = connected_components_star(df, "s", "d")
+    rows = out.collect()
+    assert len(rows) == 401
+    assert all(r["component"] == 0 for r in rows)

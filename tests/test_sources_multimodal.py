@@ -254,3 +254,73 @@ def test_avro_container_schema_resolution(spark):
     rows = {r["id"]: r for r in back.collect()}
     assert set(back.columns) == {"id", "extra"}
     assert rows[1]["extra"] is None and rows[2]["extra"] is None
+
+
+def test_avro_multiblock_single_file_splits(spark, tmp_path):
+    """One container file with many blocks reads correctly when cut into
+    multiple byte-range splits (sync-marker scan), and every split_size
+    choice yields the identical row set."""
+    import hashlib
+    import io
+    import json
+    import os
+
+    from spark_extensions_spark.schema.avro import spark_to_avro
+    from spark_extensions_spark.schema.avro_codec import (
+        _write_long,
+        make_encoder,
+    )
+    from spark_extensions_spark.sources import read_avro
+    from spark_extensions_spark.sources.avro_file import MAGIC
+
+    rows = [{"id": i, "txt": f"value-{i:04d}" * 3} for i in range(500)]
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    st = StructType(
+        [StructField("id", LongType(), False), StructField("txt", StringType(), False)]
+    )
+    avro_schema = spark_to_avro(st, nullable=False, record_name="rec")
+    schema_json = json.dumps(avro_schema)
+    enc = make_encoder(avro_schema)
+    sync = hashlib.md5(b"multiblock-test").digest()
+
+    out = io.BytesIO()
+    out.write(MAGIC)
+    meta = {"avro.schema": schema_json.encode(), "avro.codec": b"null"}
+    _write_long(out, len(meta))
+    for k, v in meta.items():
+        kb = k.encode()
+        _write_long(out, len(kb))
+        out.write(kb)
+        _write_long(out, len(v))
+        out.write(v)
+    _write_long(out, 0)
+    out.write(sync)
+    # 25 blocks of 20 records each
+    for b in range(25):
+        body = b"".join(enc(r) for r in rows[b * 20 : (b + 1) * 20])
+        _write_long(out, 20)
+        _write_long(out, len(body))
+        out.write(body)
+        out.write(sync)
+
+    path = str(tmp_path / "mb")
+    os.makedirs(path)
+    fpath = os.path.join(path, "part-00000.avro")
+    with open(fpath, "wb") as f:
+        f.write(out.getvalue())
+    fsize = os.path.getsize(fpath)
+    assert fsize > 4096  # must actually exercise >1 split below
+
+    whole = read_avro(spark, path, split_size=1 << 30)
+    expected = {(r["id"], r["txt"]) for r in whole.collect()}
+    assert len(expected) == 500
+
+    for split_size in (997, 4096, fsize // 3):
+        got = read_avro(spark, path, split_size=split_size)
+        assert {(r["id"], r["txt"]) for r in got.collect()} == expected, split_size

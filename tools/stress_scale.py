@@ -1,0 +1,128 @@
+"""Synthetic scale-up stress: no sf1 fixtures exist, so union sf0.1 K
+times with key offsets (distinct ids, same value distributions) into a
+temp parquet dataset, then drive the scale-critical operators at ~10x
+the per-round bench size. Surfaces skew/memory/driver-state issues
+invisible at sf0.1 — e.g. a driver collect that sf0.1 hides.
+
+Usage: python tools/stress_scale.py [K] [sf_dir]
+Prints one line per operator: name, rows_out, seconds.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from spark_extensions_spark.session import get_spark, load_tables  # noqa: E402
+
+
+def scaled(df, key_cols: dict[str, int], k: int):
+    """Union K shifted copies; ``key_cols`` maps column -> offset stride
+    (ids stay distinct across copies; non-key columns repeat)."""
+    parts = []
+    for i in range(k):
+        p = df
+        for c, stride in key_cols.items():
+            p = p.withColumn(c, (F.col(c) + F.lit(i * stride)).cast("long"))
+        parts.append(p)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def main() -> int:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    spark = get_spark("stress_scale")
+    t = load_tables(spark, sf_dir, "documents", "embeddings", "lineitem", "orders")
+
+    base = tempfile.mkdtemp(prefix="stress_sf_")
+    docs_p = os.path.join(base, "documents")
+    emb_p = os.path.join(base, "embeddings")
+    li_p = os.path.join(base, "lineitem")
+    scaled(t["documents"], {"doc_id": 1_000_000}, k).write.parquet(docs_p)
+    scaled(t["embeddings"], {"vec_id": 1_000_000}, k).write.parquet(emb_p)
+    scaled(t["lineitem"], {"l_orderkey": 100_000_000}, k).write.parquet(li_p)
+    docs = spark.read.parquet(docs_p)
+    emb = spark.read.parquet(emb_p)
+    li = spark.read.parquet(li_p)
+    orders = t["orders"]
+    print(
+        f"scaled x{k}: docs={docs.count()} emb={emb.count()} li={li.count()}",
+        flush=True,
+    )
+
+    def run(name, thunk):
+        t0 = time.time()
+        try:
+            n = thunk()
+            print(f"OK   {name:28s} rows={n:>9} {time.time()-t0:7.1f}s", flush=True)
+        except Exception as e:
+            print(f"FAIL {name:28s} {str(e)[:160]}", flush=True)
+
+    from spark_extensions_spark.operators.dedup import (
+        embedding_neardup_pairs,
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs_prefix,
+    )
+    from spark_extensions_spark.operators.graph import neardup_clusters
+    from spark_extensions_spark.operators.quality import (
+        check_rules,
+        referential_rule,
+    )
+    from spark_extensions_spark.operators.sketches import bloom_semi_join
+
+    run(
+        "minhash_lsh_candidates",
+        lambda: minhash_lsh_candidates(docs, "doc_id", "text").count(),
+    )
+    run(
+        "ngram_prefix_pairs",
+        lambda: ngram_jaccard_pairs_prefix(
+            docs, "doc_id", "text", threshold=0.5
+        ).count(),
+    )
+    run(
+        "embedding_blocked",
+        lambda: embedding_neardup_pairs(
+            emb, "vec_id", "embedding", dim=64, threshold=0.30
+        ).count(),
+    )
+    run(
+        "neardup_clusters",
+        lambda: neardup_clusters(
+            minhash_lsh_candidates(docs, "doc_id", "text")
+        ).count(),
+    )
+    run(
+        "bloom_semi_join",
+        lambda: bloom_semi_join(li, orders, "l_orderkey", "o_orderkey").count(),
+    )
+
+    def q_rules():
+        joined, viol = referential_rule(li, "l_orderkey", orders, "o_orderkey")
+        return check_rules(
+            joined,
+            [
+                ("qty_positive", ~(F.col("l_quantity") > 0)),
+                ("referential", viol),
+            ],
+        ).count()
+
+    run("quality_rules", q_rules)
+
+    import shutil
+
+    shutil.rmtree(base, ignore_errors=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
