@@ -21,6 +21,9 @@ DuckDB oracle); no rand(), no JVM-specific hash functions.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -542,6 +545,102 @@ def embedding_neardup_pairs_blocked(
 
     schema = f"id_a {id_type}, id_b {id_type}, cosine double"
     return both.groupBy("__bi", "__bj").applyInPandas(score, schema)
+
+
+def embedding_neardup_pairs_ivf(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    threshold: float = 0.95,
+    n_lists: int = 16,
+) -> DataFrame:
+    """APPROXIMATE near-dup pairs via IVF coarse quantization.
+
+    The stand-in for :func:`embedding_neardup_pairs` when even the
+    blocked exact all-pairs (n²/B shuffle) is too expensive: vectors
+    are assigned to their nearest of ``n_lists`` deterministic
+    centroids (smallest-md5(id) corpus sample — no RNG state, same
+    scheme as ``operators/similarity.ann_ivf_topk``), and pairs are
+    scored only WITHIN a list — total work drops to ~n²/n_lists with
+    one shuffle on the list id. Pairs whose members quantize to
+    different lists are missed, so recall < 1 by design (bounded in
+    tests/test_operators.py); at genuine near-dup thresholds (≥0.9)
+    near-identical vectors co-quantize and recall is high.
+
+    Scores of emitted pairs are bit-identical to the exact paths (same
+    per-dim sequential-fold accumulation).
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    id_type = df.schema[id_col].dataType.simpleString()
+    cent_rows = (
+        df.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+        .withColumn("__r", F.md5(F.col("cid").cast("string")))
+        .orderBy("__r")
+        .limit(n_lists)
+        .collect()
+    )
+    centroids = np.array([list(r["cv"]) for r in cent_rows], dtype=np.float64)
+    cnorm = np.sqrt((centroids * centroids).sum(axis=1))
+    cnorm[cnorm == 0] = 1.0
+    bc = spark.sparkContext.broadcast((centroids, cnorm))
+
+    @F.pandas_udf("int")
+    def nearest_list(vecs: pd.Series) -> pd.Series:
+        C, cn = bc.value
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int32")
+        M = np.stack(vecs.to_numpy()).astype(np.float64)
+        nm = np.sqrt((M * M).sum(axis=1))
+        nm[nm == 0] = 1.0
+        sims = (M @ C.T) / np.outer(nm, cn)
+        return pd.Series(np.argmax(sims, axis=1).astype("int32"))
+
+    assigned = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__vec"),
+        nearest_list(F.col(vec_col)).alias("__list"),
+    )
+
+    def score(key, pdf):
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        if len(pdf) < 2:
+            return empty
+        ids = pdf["__id"].to_numpy()
+        m = np.array([list(v) for v in pdf["__vec"]], dtype=np.float64)
+        n, nd = m.shape
+        nrm2 = np.zeros(n)
+        for i in range(nd):
+            nrm2 += m[:, i] * m[:, i]
+        nrm = np.sqrt(nrm2)
+        frames = []
+        chunk = max(64, int(1.2e7) // n)
+        for s in range(0, n, chunk):
+            blk = m[s : s + chunk]
+            dot = np.zeros((blk.shape[0], n))
+            for i in range(nd):
+                dot += np.outer(blk[:, i], m[:, i])
+            cos = dot / np.outer(nrm[s : s + chunk], nrm)
+            ia = ids[s : s + chunk]
+            mask = (ia[:, None] < ids[None, :]) & (cos >= threshold)
+            rsel, csel = np.nonzero(mask)
+            if rsel.size:
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "id_a": ia[rsel],
+                            "id_b": ids[csel],
+                            "cosine": cos[rsel, csel],
+                        }
+                    )
+                )
+        return pd.concat(frames, ignore_index=True) if frames else empty
+
+    schema = f"id_a {id_type}, id_b {id_type}, cosine double"
+    return assigned.groupBy("__list").applyInPandas(score, schema)
 
 
 def ngram_contamination(

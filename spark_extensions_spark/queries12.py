@@ -449,3 +449,6 @@ def q_variant_helpers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.schema_of_variant(v).alias("props_ddl"),
         F.to_json(vo).alias("vo_json"),
     )
+
+
+from spark_extensions_spark import queries13  # noqa: E402,F401  (registration side effect)

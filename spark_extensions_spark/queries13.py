@@ -1,0 +1,154 @@
+"""t2 query registry, batch 16: semantic-dedup pipeline compositions.
+
+Registered into the shared registry (imported from queries12 at module
+end). Same determinism rules as the queries.py docstring.
+
+These close the loop on the embedding layer: exact blocked all-pairs
+scoring -> connected-component closure -> survivor selection, all
+hash-checked end-to-end against a recursive-CTE DuckDB oracle; plus
+the approximate IVF-blocked variant (rows-only, recall-tested in
+pytest) that stands in when exact all-pairs is too expensive.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_extensions_spark.queries import EMB_DIM, _cosine_duck, _register, _t
+
+
+def _emb_pairs_oracle(threshold: float = 0.30) -> str:
+    return f"""
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE {_cosine_duck('a.embedding', 'b.embedding', EMB_DIM)} >= {threshold}
+    """
+
+
+@_register(
+    "pipeline_semantic_dedup",
+    f"""
+    WITH RECURSIVE pairs AS ({_emb_pairs_oracle()}),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (
+      SELECT a AS vec_id, LEAST(a, MIN(b)) AS cluster_id
+      FROM reach GROUP BY a
+    ),
+    labeled AS (
+      SELECT e.vec_id, e.label,
+             COALESCE(c.cluster_id, e.vec_id) AS cluster_id
+      FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.vec_id
+    )
+    SELECT cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           arg_min(label, vec_id) AS survivor_label
+    FROM labeled GROUP BY cluster_id
+    """,
+    doc="End-to-end semantic dedup, fully hash-checked: exact blocked "
+    "all-pairs cosine (operators/dedup.py:embedding_neardup_pairs, "
+    "distributed block-matrix join) -> large-star/small-star closure "
+    "(operators/graph.py) -> one survivor row per cluster "
+    "(min-id keep-first, min_by label). Every stage is the 100 TB "
+    "shape: no driver state, diameter-independent convergence, one "
+    "final groupBy. Oracle: recursive-CTE transitive closure over the "
+    "same exact pair set.",
+)
+def q_pipeline_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_extensions_spark.operators.dedup import embedding_neardup_pairs
+    from spark_extensions_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    pairs = embedding_neardup_pairs(
+        emb, "vec_id", "embedding", dim=EMB_DIM, threshold=0.30
+    )
+    comp = connected_components_star(pairs, "id_a", "id_b").select(
+        F.col("node").alias("vec_id"), F.col("component").alias("cluster_id")
+    )
+    labeled = emb.select("vec_id", "label").join(comp, "vec_id", "left").select(
+        "vec_id",
+        "label",
+        F.coalesce("cluster_id", "vec_id").alias("cluster_id"),
+    )
+    return labeled.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.min_by("label", "vec_id").alias("survivor_label"),
+    )
+
+
+@_register(
+    "dedup_embedding_ivf",
+    None,
+    doc="Approximate embedding near-dup at the scale where even the "
+    "blocked exact all-pairs is too expensive: IVF coarse quantization "
+    "(deterministic seeded centroids, operators/similarity.py) buckets "
+    "vectors into lists; pairs are scored only within a list. Recall "
+    "vs the exact pair set is bounded in pytest "
+    "(test_embedding_ivf_neardup_recall); rows-only here because the "
+    "bucketing is approximate by design.",
+)
+def q_dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_extensions_spark.operators.dedup import (
+        embedding_neardup_pairs_ivf,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    return embedding_neardup_pairs_ivf(
+        emb, "vec_id", "embedding", dim=EMB_DIM, threshold=0.30, n_lists=8
+    )
+
+
+@_register(
+    "multimodal_framesample",
+    """
+    WITH m AS (SELECT doc_id, octet_length(text::BLOB) AS len,
+                      1000 + CAST(('0x' || substr(sha256(text), 1, 4)) AS INT)
+                             % 9000 AS dur
+               FROM documents),
+    n AS (SELECT doc_id, len, GREATEST(1, dur // 500) AS n_frames FROM m)
+    SELECT doc_id,
+           CAST(i AS INT) AS frame_idx,
+           CAST(i * 500 AS BIGINT) AS frame_ts_ms,
+           CAST(LEAST(len, 64) + 4 AS INT) AS frame_len
+    FROM n, LATERAL unnest(generate_series(0, CAST(n_frames - 1 AS INT))) t(i)
+    """,
+    doc="Video frame-sampling stage (multimodal/media.py:frame_sample): "
+    "binary content -> one row per sampled frame, the row explosion "
+    "happening INSIDE mapInPandas (no driver involvement, Arrow "
+    "batches in and out) — the shape a 100 TB video pipeline needs. "
+    "Deterministic fake codec (duration from sha256) exactly mirrored "
+    "by the DuckDB oracle via generate_series, so frame counts, "
+    "timestamps and frame sizes are all hash-checked; a real ffmpeg "
+    "decoder slots in behind the same signature.",
+)
+def q_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_extensions_spark.multimodal.media import frame_sample
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    media = docs.select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("content")
+    )
+    frames = frame_sample(
+        media,
+        every_n_ms=500,
+        content_col="content",
+        id_cols=["doc_id"],
+        deterministic_fake=True,
+    )
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        "frame_ts_ms",
+        F.octet_length("frame").cast("int").alias("frame_len"),
+    )

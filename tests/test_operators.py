@@ -575,3 +575,95 @@ def test_connected_components_star_deep_chain(spark):
     rows = out.collect()
     assert len(rows) == 401
     assert all(r["component"] == 0 for r in rows)
+
+
+def test_embedding_ivf_neardup_recall(spark):
+    """IVF-blocked approximate near-dup recovers nearly all true
+    near-dup pairs at a high threshold: near-identical vectors
+    co-quantize to the same list. Scores of recovered pairs are
+    bit-identical to the exact path."""
+    import random
+
+    from spark_extensions_spark.operators.dedup import (
+        embedding_neardup_pairs,
+        embedding_neardup_pairs_ivf,
+    )
+
+    rng = random.Random(11)
+    rows = []
+    vid = 0
+    for g in range(40):
+        base = [rng.uniform(-1, 1) for _ in range(16)]
+        for _ in range(3):  # 3 near-identical copies per group
+            rows.append(
+                (vid, [v + rng.uniform(-1e-3, 1e-3) for v in base])
+            )
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kw = dict(id_col="vec_id", vec_col="embedding", dim=16, threshold=0.999)
+    exact = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_neardup_pairs(df, method="broadcast", **kw).collect()
+    }
+    ivf = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_neardup_pairs_ivf(df, n_lists=8, **kw).collect()
+    }
+    assert len(exact) >= 100  # the 40 groups produce >=120 true pairs
+    assert set(ivf) <= set(exact)  # no false pairs (same threshold)
+    recall = len(set(ivf) & set(exact)) / len(exact)
+    assert recall > 0.9, recall
+    # emitted scores bit-match the exact path
+    assert all(ivf[k] == exact[k] for k in ivf)
+
+
+def test_new_operators_edge_cases(spark):
+    """Empty/degenerate inputs through the round-2 operators."""
+    from spark_extensions_spark.operators.dedup import (
+        embedding_neardup_pairs,
+        embedding_neardup_pairs_ivf,
+    )
+    from spark_extensions_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    # single vector: no pairs from either path
+    one = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    assert (
+        embedding_neardup_pairs(
+            one, "vec_id", "embedding", dim=2, threshold=0.5, n_blocks=3
+        ).count()
+        == 0
+    )
+    assert (
+        embedding_neardup_pairs_ivf(
+            one, "vec_id", "embedding", dim=2, threshold=0.5, n_lists=2
+        ).count()
+        == 0
+    )
+
+    # two identical vectors across an n_blocks > n corpus
+    two = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    pairs = embedding_neardup_pairs(
+        two, "vec_id", "embedding", dim=2, threshold=0.99, n_blocks=5
+    ).collect()
+    assert [(r.id_a, r.id_b) for r in pairs] == [(1, 2)]
+
+    # star CC: single edge and self-loop-only node set
+    e1 = spark.createDataFrame([(5, 3)], "s long, d long")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components_star(e1, "s", "d").collect()
+    }
+    assert got == {3: 3, 5: 3}
+    eself = spark.createDataFrame([(7, 7)], "s long, d long")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components_star(eself, "s", "d").collect()
+    }
+    assert got == {7: 7}
