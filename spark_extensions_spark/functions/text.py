@@ -223,3 +223,35 @@ def pack_chunks(
         return pdf
 
     return df.groupBy(group_col).applyInPandas(pack, out_schema)
+
+
+def corpus_line_dedup(df, id_col: str, text_col: str, sep: str = "\n"):
+    """C4-style corpus-level line deduplication.
+
+    Split every document into lines and keep only the FIRST occurrence
+    (ordered by (doc id, line position)) of each distinct line across
+    the WHOLE corpus — the boilerplate-removal pass that drops repeated
+    headers/footers/navigation from a web crawl. Returns
+    ``(id, pos, line)`` for the surviving lines; callers re-assemble
+    documents with a grouped ``array_join`` when needed.
+
+    Scale shape: posexplode (no driver state) then ONE shuffle keyed by
+    the line text for the global first-occurrence window; skew from
+    ultra-frequent lines (empty string, boilerplate) is bounded because
+    only rank-1 survives — the window needs no full sort spill per key
+    beyond the min (id, pos) pair. At 100 TB swap the raw line key for
+    ``xxhash64(line)`` to shrink shuffle width (kept textual here so
+    the DuckDB oracle can mirror it exactly).
+    """
+    from pyspark.sql.window import Window
+
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    )
+    w = Window.partitionBy("line").orderBy(id_col, "pos")
+    return (
+        lines.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -643,6 +643,55 @@ def embedding_neardup_pairs_ivf(
     return assigned.groupBy("__list").applyInPandas(score, schema)
 
 
+def fuzzy_blocked_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_dist: int = 2,
+    prefix_len: int = 4,
+) -> DataFrame:
+    """Entity-resolution pair matching: edit-distance join with blocking.
+
+    Classic record-linkage shape: candidates are generated by a cheap
+    BLOCKING key (lowercased ``prefix_len``-char prefix), then verified
+    with the exact Levenshtein distance; a length-band pre-filter
+    (|len(a)-len(b)| <= max_dist, a lower bound on edit distance) prunes
+    candidates before the quadratic distance computation. One shuffle
+    keyed by block; per-block cost is |block|², so choose the key to
+    keep blocks small (the standard blocking trade-off — pairs whose
+    first ``prefix_len`` characters differ are not compared, which is
+    the declared semantics, not silent loss).
+
+    Output: (id_a, id_b, dist) with id_a < id_b, dist <= max_dist.
+    Everything is built-in expressions (levenshtein is JVM-side), so the
+    whole operator is codegen'd and exactly mirrored by the DuckDB
+    oracle's levenshtein.
+    """
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.lower(F.col(text_col)).alias("__nm"),
+    ).withColumn("__blk", F.substring(F.col("__nm"), 1, prefix_len))
+    a = base.select(
+        F.col("__id").alias("id_a"), F.col("__nm").alias("__nm_a"), "__blk"
+    )
+    b = base.select(
+        F.col("__id").alias("id_b"), F.col("__nm").alias("__nm_b"), "__blk"
+    )
+    return (
+        a.join(b, "__blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.abs(F.length("__nm_a") - F.length("__nm_b")) <= max_dist
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("__nm_a", "__nm_b").cast("int").alias("dist"),
+        )
+        .filter(F.col("dist") <= max_dist)
+    )
+
+
 def ngram_contamination(
     corpus: DataFrame,
     bench: DataFrame,

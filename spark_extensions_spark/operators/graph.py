@@ -135,14 +135,18 @@ def connected_components_star(
     E = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
         F.col("u") != F.col("v")
     )
+    # plain lazy projection (used once, in the final left join) — no
+    # checkpoint needed
     nodes = (
         edges.select(F.col(src).alias("node"))
         .union(edges.select(F.col(dst).alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     E = E.localCheckpoint(eager=True)
 
+    # one distinct per ROUND (after small_star): intermediate duplicate
+    # edges don't change either phase's min aggregates, so per-phase
+    # distincts would only add shuffles
     def large_star(e: DataFrame) -> DataFrame:
         bi = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         m = bi.groupBy("u").agg(
@@ -152,7 +156,6 @@ def connected_components_star(
             bi.join(m, "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .distinct()
         )
 
     def small_star(e: DataFrame) -> DataFrame:
@@ -163,7 +166,7 @@ def connected_components_star(
             F.least(F.min("v"), F.first("u")).alias("m")
         )
         with_self = directed.union(
-            directed.select("u", F.col("u").alias("v")).distinct()
+            directed.select("u", F.col("u").alias("v"))
         )
         return (
             with_self.join(m, "u")

@@ -152,3 +152,68 @@ def q_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frame_ts_ms",
         F.octet_length("frame").cast("int").alias("frame_len"),
     )
+
+
+@_register(
+    "dedup_fuzzy_name",
+    """
+    WITH p AS (SELECT p_partkey, lower(p_name) AS nm FROM part),
+    b AS (SELECT p_partkey, nm, substr(nm, 1, 4) AS blk FROM p)
+    SELECT a.p_partkey AS id_a, c.p_partkey AS id_b,
+           CAST(levenshtein(a.nm, c.nm) AS INT) AS dist
+    FROM b a JOIN b c ON a.blk = c.blk AND a.p_partkey < c.p_partkey
+    WHERE abs(length(a.nm) - length(c.nm)) <= 3
+      AND levenshtein(a.nm, c.nm) <= 3
+    """,
+    doc="Entity-resolution fuzzy matching "
+    "(operators/dedup.py:fuzzy_blocked_pairs): prefix blocking -> "
+    "length-band prune -> exact Levenshtein verify, all built-in "
+    "JVM-side expressions (one shuffle on the block key). The "
+    "record-linkage primitive a curation pipeline needs for "
+    "near-identical titles/names; oracle mirrors the identical "
+    "blocking + distance semantics.",
+)
+def q_dedup_fuzzy_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_extensions_spark.operators.dedup import fuzzy_blocked_pairs
+
+    part = _t(spark, sf_dir, "part")["part"]
+    return fuzzy_blocked_pairs(
+        part, "p_partkey", "p_name", max_dist=3, prefix_len=4
+    )
+
+
+@_register(
+    "text_line_dedup",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    c AS (SELECT doc_id, ws, CAST(ceil(len(ws) / 8.0) AS INT) AS k FROM w),
+    l AS (SELECT doc_id, i AS pos,
+                 array_to_string(ws[i*8+1 : i*8+8], ' ') AS line
+          FROM c, LATERAL unnest(generate_series(0, k - 1)) t(i)),
+    r AS (SELECT doc_id, pos, line,
+                 row_number() OVER (PARTITION BY line
+                                    ORDER BY doc_id, pos) AS rn
+          FROM l)
+    SELECT doc_id, CAST(pos AS INT) AS pos, line FROM r WHERE rn = 1
+    """,
+    doc="Corpus-level line deduplication "
+    "(functions/text.py:corpus_line_dedup), the C4 boilerplate pass: "
+    "documents split into 8-word lines (synthesized expression-side, "
+    "identically in both engines), then only the globally-first "
+    "occurrence of each distinct line survives — posexplode + one "
+    "line-keyed window shuffle, no driver state.",
+)
+def q_text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_extensions_spark.functions.text import corpus_line_dedup
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    ws = F.split(F.col("text"), " ")
+    k = F.ceil(F.size(ws) / F.lit(8.0)).cast("int")
+    lines_arr = F.transform(
+        F.sequence(F.lit(0), k - F.lit(1)),
+        lambda i: F.array_join(F.slice(ws, i * 8 + 1, 8), " "),
+    )
+    with_nl = docs.select(
+        "doc_id", F.array_join(lines_arr, "\n").alias("text_nl")
+    )
+    return corpus_line_dedup(with_nl, "doc_id", "text_nl")

@@ -667,3 +667,29 @@ def test_new_operators_edge_cases(spark):
         for r in connected_components_star(eself, "s", "d").collect()
     }
     assert got == {7: 7}
+
+
+def test_fuzzy_blocked_pairs(spark):
+    from spark_extensions_spark.operators.dedup import fuzzy_blocked_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "Johnson Controls"),
+            (2, "Jonson Controls"),   # dist 1, same 4-prefix? "john" vs "jons" -> different block
+            (3, "Johnson Kontrols"),  # dist 1 vs id 1, same block "john"
+            (4, "Completely Other"),
+            (5, "JOHNSON CONTROLS"),  # dist 0 vs id 1 after lowering
+        ],
+        "id long, name string",
+    )
+    out = {
+        (r.id_a, r.id_b): r.dist
+        for r in fuzzy_blocked_pairs(df, "id", "name", max_dist=2).collect()
+    }
+    assert out[(1, 5)] == 0
+    assert out[(1, 3)] == 1
+    assert out[(3, 5)] == 1
+    # (1,2) is a true dist-1 pair but blocks differ ("john" vs "jons") —
+    # declared blocking semantics, not silent loss
+    assert (1, 2) not in out
+    assert all(k[0] < k[1] and v <= 2 for k, v in out.items())
