@@ -255,3 +255,26 @@ def corpus_line_dedup(df, id_col: str, text_col: str, sep: str = "\n"):
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
+PII_SSN = r"[0-9]{3}-[0-9]{2}-[0-9]{4}"
+PII_CC = r"[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}"
+
+
+def pii_redact(text_col) -> Column:
+    """Replace PII-shaped spans with typed placeholders.
+
+    Order matters: credit-card first (its 4-4-4-4 shape embeds
+    phone/SSN-shaped substrings), then SSN (3-2-4), then phone (3-3-4),
+    then email. Pure regexp_replace chain — JVM-side, codegen'd, and
+    the RE2/Java-common regex subset keeps the DuckDB oracle
+    bit-identical (oracle needs the 'g' flag; Spark replaces all
+    occurrences by default).
+    """
+    c = F.regexp_replace(text_col, PII_CC, "<CC>")
+    c = F.regexp_replace(c, PII_SSN, "<SSN>")
+    c = F.regexp_replace(c, PII_PHONE, "<PHONE>")
+    c = F.regexp_replace(c, PII_EMAIL, "<EMAIL>")
+    return c

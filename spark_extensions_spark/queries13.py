@@ -217,3 +217,109 @@ def q_text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.array_join(lines_arr, "\n").alias("text_nl")
     )
     return corpus_line_dedup(with_nl, "doc_id", "text_nl")
+
+
+@_register(
+    "text_pii_redact",
+    r"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id ||
+             '@example.com or 555-123-4567 ssn 123-45-6789 card' ||
+             ' 1234-5678-9012-3456' AS t
+      FROM documents
+    ),
+    red AS (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(t,
+                     '[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}', '<CC>', 'g'),
+                   '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g'),
+                 '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')
+               AS redacted
+      FROM aug
+    )
+    SELECT doc_id, md5(redacted) AS redacted_md5,
+           CAST(len(regexp_extract_all(redacted, '<(EMAIL|PHONE|SSN|CC)>'))
+                AS INT) AS n_redactions
+    FROM red
+    """,
+    doc="PII redaction (functions/text.py:pii_redact): typed-placeholder "
+    "replacement with the overlap-safe order CC -> SSN -> PHONE -> "
+    "EMAIL, pure codegen'd regexp_replace chain. The query injects "
+    "synthetic PII expression-side (identically in both engines) so "
+    "the replacement path is actually exercised; output hash-checks "
+    "the full redacted text via md5.",
+)
+def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_extensions_spark.functions.text import pii_redact
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-123-4567 ssn 123-45-6789 card"),
+        F.lit(" 1234-5678-9012-3456"),
+    )
+    red = pii_redact(aug)
+    return docs.select(
+        "doc_id",
+        F.md5(red).alias("redacted_md5"),
+        F.size(
+            F.expr(
+                "regexp_extract_all("
+                "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+                "concat(text, ' contact user', cast(doc_id as string), "
+                "'@example.com or 555-123-4567 ssn 123-45-6789 card', "
+                "' 1234-5678-9012-3456'), "
+                r"'[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}', '<CC>'), "
+                r"'[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>'), "
+                r"'[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>'), "
+                r"'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>'), "
+                "'<(EMAIL|PHONE|SSN|CC)>', 0)"
+            )
+        ).cast("int").alias("n_redactions"),
+    )
+
+
+def _zorder_oracle() -> str:
+    from spark_extensions_spark.operators.layout import zorder_sql
+
+    z = zorder_sql(["s1", "s2"], bits=8)
+    return f"""
+    WITH s AS (SELECT min(l_partkey) AS mn1, max(l_partkey) AS mx1,
+                      min(l_suppkey) AS mn2, max(l_suppkey) AS mx2
+               FROM lineitem),
+    sc AS (SELECT l_orderkey, l_linenumber,
+                  CAST(floor((l_partkey - mn1) * 255.0
+                             / greatest(mx1 - mn1, 1)) AS BIGINT) AS s1,
+                  CAST(floor((l_suppkey - mn2) * 255.0
+                             / greatest(mx2 - mn2, 1)) AS BIGINT) AS s2
+           FROM lineitem, s)
+    SELECT l_orderkey, l_linenumber, CAST({z} AS BIGINT) AS zval FROM sc
+    """
+
+
+@_register(
+    "layout_zorder",
+    _zorder_oracle(),
+    doc="Z-order (Morton) clustering key (operators/layout.py): "
+    "min/max stats pass broadcast back into the plan, linear scaling "
+    "to 8-bit ranks, codegen'd bit interleave — the layout that makes "
+    "parquet row-group min/max pruning effective on MULTIPLE filter "
+    "columns at once (what Delta/Iceberg OPTIMIZE ZORDER does). "
+    "write_zordered() adds repartitionByRange + sortWithinPartitions "
+    "so files cover disjoint curve segments; the file-skipping win is "
+    "asserted in pytest via real parquet row-group statistics.",
+)
+def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_extensions_spark.operators.layout import with_zorder
+
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    return with_zorder(li, ["l_partkey", "l_suppkey"], bits=8).select(
+        "l_orderkey", "l_linenumber", "zval"
+    )

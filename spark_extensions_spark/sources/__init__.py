@@ -10,6 +10,7 @@ from spark_extensions_spark.sources.avro_file import read_avro, write_avro
 from spark_extensions_spark.sources.io import (
     cloud_committer_conf,
     read_table,
+    overwrite_partitions,
     write_table,
     kafka_stream_reader,
     kafka_writer,
@@ -19,6 +20,7 @@ __all__ = [
     "read_avro",
     "write_avro",
     "read_table",
+    "overwrite_partitions",
     "write_table",
     "cloud_committer_conf",
     "kafka_stream_reader",

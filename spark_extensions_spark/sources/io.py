@@ -162,3 +162,34 @@ def kafka_writer(
     for k, v in options.items():
         writer = writer.option(k, v)
     return writer
+
+
+def overwrite_partitions(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    fmt: str = "parquet",
+) -> None:
+    """Incremental publish: replace ONLY the partitions present in
+    ``df``, leaving all other partitions of the target untouched.
+
+    The idempotent re-run primitive of a partitioned ingestion pipeline
+    (reprocess one day/source without rewriting the table). Implemented
+    with Spark's dynamic partition-overwrite mode — the conf is set per
+    write and restored afterwards, so sessions we share (the driver
+    harness's) keep their own static default, where overwrite replaces
+    the whole table.
+    """
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "STATIC")
+    spark.conf.set(key, "dynamic")
+    try:
+        (
+            df.write.format(fmt)
+            .mode("overwrite")
+            .partitionBy(*partition_by)
+            .save(path)
+        )
+    finally:
+        spark.conf.set(key, prev)

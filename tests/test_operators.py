@@ -693,3 +693,40 @@ def test_fuzzy_blocked_pairs(spark):
     # declared blocking semantics, not silent loss
     assert (1, 2) not in out
     assert all(k[0] < k[1] and v <= 2 for k, v in out.items())
+
+
+def test_zorder_write_shrinks_rowgroup_spans(spark, tmp_path):
+    """Z-ordered files cover narrow ranges of BOTH cluster columns:
+    the per-file (max-min) span summed over files is far below the
+    natural-order layout's, which is what parquet min/max pruning
+    feeds on."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from spark_extensions_spark.operators.layout import write_zordered
+    from spark_extensions_spark.session import load_tables
+
+    li = load_tables(spark, "/root/testdata/sf0.01", "lineitem")["lineitem"]
+    zpath = str(tmp_path / "zord")
+    npath = str(tmp_path / "nat")
+    write_zordered(li, zpath, ["l_partkey", "l_suppkey"], n_files=16)
+    li.repartition(16).write.mode("overwrite").parquet(npath)
+
+    def span_sum(path, col):
+        total = 0
+        for f in glob.glob(path + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    c = md.row_group(rg).column(ci)
+                    if c.path_in_schema == col:
+                        st = c.statistics
+                        total += st.max - st.min
+        return total
+
+    for col in ("l_partkey", "l_suppkey"):
+        z, n = span_sum(zpath, col), span_sum(npath, col)
+        # natural layout: every file spans ~the full domain; z-order
+        # should cut the summed span at least in half on both columns
+        assert z < 0.5 * n, (col, z, n)

@@ -324,3 +324,39 @@ def test_avro_multiblock_single_file_splits(spark, tmp_path):
     for split_size in (997, 4096, fsize // 3):
         got = read_avro(spark, path, split_size=split_size)
         assert {(r["id"], r["txt"]) for r in got.collect()} == expected, split_size
+
+
+def test_overwrite_partitions_incremental(spark, tmp_path):
+    """Dynamic partition overwrite replaces only the partitions present
+    in the incoming frame; other partitions survive, and the session's
+    static default is restored afterwards."""
+    from spark_extensions_spark.sources.io import overwrite_partitions
+
+    path = str(tmp_path / "ptab")
+    base = spark.createDataFrame(
+        [("2024-01-01", 1, "a"), ("2024-01-01", 2, "b"),
+         ("2024-01-02", 3, "c")],
+        "dt string, id int, v string",
+    )
+    base.write.partitionBy("dt").parquet(path)
+
+    fix = spark.createDataFrame(
+        [("2024-01-02", 3, "c2"), ("2024-01-02", 4, "d")],
+        "dt string, id int, v string",
+    )
+    overwrite_partitions(fix, path, ["dt"])
+
+    got = {
+        (str(r["dt"]), r["id"]): r["v"]
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {
+        ("2024-01-01", 1): "a",
+        ("2024-01-01", 2): "b",
+        ("2024-01-02", 3): "c2",
+        ("2024-01-02", 4): "d",
+    }
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode").upper()
+        == "STATIC"
+    )
