@@ -648,29 +648,42 @@ def fuzzy_blocked_pairs(
     id_col: str,
     text_col: str,
     max_dist: int = 2,
-    prefix_len: int = 4,
+    prefix_len: int | None = None,
+    block_words: int | None = None,
 ) -> DataFrame:
     """Entity-resolution pair matching: edit-distance join with blocking.
 
     Classic record-linkage shape: candidates are generated by a cheap
-    BLOCKING key (lowercased ``prefix_len``-char prefix), then verified
-    with the exact Levenshtein distance; a length-band pre-filter
-    (|len(a)-len(b)| <= max_dist, a lower bound on edit distance) prunes
-    candidates before the quadratic distance computation. One shuffle
-    keyed by block; per-block cost is |block|², so choose the key to
-    keep blocks small (the standard blocking trade-off — pairs whose
-    first ``prefix_len`` characters differ are not compared, which is
-    the declared semantics, not silent loss).
+    BLOCKING key, then verified with the exact Levenshtein distance; a
+    length-band pre-filter (|len(a)-len(b)| <= max_dist, a lower bound
+    on edit distance) prunes candidates before the quadratic distance
+    computation. One shuffle keyed by block; per-block cost is
+    |block|², so the key choice is the whole game — pairs in different
+    blocks are not compared (declared semantics, not silent loss).
+
+    Two key families: ``prefix_len`` (lowercased char prefix — right
+    when typos cluster at the tail) or ``block_words`` (first N words —
+    right for multi-word names drawn from a small vocabulary, where a
+    short char prefix would put thousands of rows in one block and the
+    quadratic verify blows up). Exactly one must be set.
 
     Output: (id_a, id_b, dist) with id_a < id_b, dist <= max_dist.
     Everything is built-in expressions (levenshtein is JVM-side), so the
     whole operator is codegen'd and exactly mirrored by the DuckDB
     oracle's levenshtein.
     """
+    if (prefix_len is None) == (block_words is None):
+        raise ValueError("set exactly one of prefix_len / block_words")
+    nm = F.lower(F.col(text_col))
+    if prefix_len is not None:
+        blk = F.substring(nm, 1, prefix_len)
+    else:
+        blk = F.array_join(F.slice(F.split(nm, " "), 1, block_words), " ")
     base = df.select(
         F.col(id_col).alias("__id"),
-        F.lower(F.col(text_col)).alias("__nm"),
-    ).withColumn("__blk", F.substring(F.col("__nm"), 1, prefix_len))
+        nm.alias("__nm"),
+        blk.alias("__blk"),
+    )
     a = base.select(
         F.col("__id").alias("id_a"), F.col("__nm").alias("__nm_a"), "__blk"
     )

@@ -157,8 +157,12 @@ def q_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "dedup_fuzzy_name",
     """
-    WITH p AS (SELECT p_partkey, lower(p_name) AS nm FROM part),
-    b AS (SELECT p_partkey, nm, substr(nm, 1, 4) AS blk FROM p)
+    WITH p AS (SELECT p_partkey,
+                      lower(p_brand || ' ' || p_name || ' ' || p_type) AS nm
+               FROM part),
+    b AS (SELECT p_partkey, nm,
+                 array_to_string(string_split(nm, ' ')[1:3], ' ') AS blk
+          FROM p)
     SELECT a.p_partkey AS id_a, c.p_partkey AS id_b,
            CAST(levenshtein(a.nm, c.nm) AS INT) AS dist
     FROM b a JOIN b c ON a.blk = c.blk AND a.p_partkey < c.p_partkey
@@ -166,19 +170,25 @@ def q_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND levenshtein(a.nm, c.nm) <= 3
     """,
     doc="Entity-resolution fuzzy matching "
-    "(operators/dedup.py:fuzzy_blocked_pairs): prefix blocking -> "
-    "length-band prune -> exact Levenshtein verify, all built-in "
-    "JVM-side expressions (one shuffle on the block key). The "
-    "record-linkage primitive a curation pipeline needs for "
-    "near-identical titles/names; oracle mirrors the identical "
-    "blocking + distance semantics.",
+    "(operators/dedup.py:fuzzy_blocked_pairs) over a composed entity "
+    "name (brand + name + type): first-3-words blocking -> length-band "
+    "prune -> exact Levenshtein verify, all built-in JVM-side "
+    "expressions (one shuffle on the block key). Word-level blocking "
+    "keeps blocks small when names draw from a small vocabulary — the "
+    "4-char prefix variant piled hundreds of rows per block and the "
+    "|block|^2 verify cost 46s at sf0.1; this shape runs in ~2s. "
+    "Oracle mirrors the identical blocking + distance semantics.",
 )
 def q_dedup_fuzzy_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_extensions_spark.operators.dedup import fuzzy_blocked_pairs
 
     part = _t(spark, sf_dir, "part")["part"]
+    named = part.withColumn(
+        "__entity_nm",
+        F.concat_ws(" ", F.col("p_brand"), F.col("p_name"), F.col("p_type")),
+    )
     return fuzzy_blocked_pairs(
-        part, "p_partkey", "p_name", max_dist=3, prefix_len=4
+        named, "p_partkey", "__entity_nm", max_dist=3, block_words=3
     )
 
 

@@ -684,7 +684,7 @@ def test_fuzzy_blocked_pairs(spark):
     )
     out = {
         (r.id_a, r.id_b): r.dist
-        for r in fuzzy_blocked_pairs(df, "id", "name", max_dist=2).collect()
+        for r in fuzzy_blocked_pairs(df, "id", "name", max_dist=2, prefix_len=4).collect()
     }
     assert out[(1, 5)] == 0
     assert out[(1, 3)] == 1
