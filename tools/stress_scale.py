@@ -118,6 +118,42 @@ def main() -> int:
 
     run("quality_rules", q_rules)
 
+    from spark_extensions_spark.functions.text import corpus_line_dedup
+    from spark_extensions_spark.operators.dedup import fuzzy_blocked_pairs
+    from spark_extensions_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    run(
+        "star_clusters",
+        lambda: connected_components_star(
+            minhash_lsh_candidates(docs, "doc_id", "text"), "id_a", "id_b"
+        ).count(),
+    )
+    run(
+        "fuzzy_blocked_pairs",
+        lambda: fuzzy_blocked_pairs(
+            docs.withColumn(
+                "__nm", F.concat_ws(" ", F.col("lang"), F.col("text"))
+            ),
+            "doc_id",
+            "__nm",
+            max_dist=3,
+            block_words=4,
+        ).count(),
+    )
+    run(
+        "corpus_line_dedup",
+        lambda: corpus_line_dedup(
+            docs.select(
+                "doc_id",
+                F.regexp_replace(F.col("text"), " ", "\n").alias("t"),
+            ),
+            "doc_id",
+            "t",
+        ).count(),
+    )
+
     import shutil
 
     shutil.rmtree(base, ignore_errors=True)
