@@ -1,0 +1,188 @@
+"""Incremental-load operators: CDC snapshot diff, merge-upsert, SCD2.
+
+The reference library ships inside SmartDataLakeBuilder, whose bread
+and butter is incremental lake loading — historization (SCD2) and
+deduplicating merges of periodic full snapshots (see
+`/root/reference/README.md:2` "Modified Spark code for
+SmartDataLakeBuilder"). These operators re-express that layer
+Spark-first, as single-join plans with no driver state:
+
+- :func:`snapshot_diff` — change-data-capture between two full
+  snapshots: one full-outer join, null-safe column compare, I/U/D tag.
+- :func:`merge_upsert` — deduplicating merge of a change set into a
+  target (source wins per key): one left-anti join + union.
+- :func:`scd2_apply` — slowly-changing-dimension type-2 historization:
+  one full-outer join between the OPEN slice of the history and the
+  new snapshot, then an ``inline`` explode that emits 0–2 history rows
+  per key (close-out and/or new open version). Closed rows stream
+  through untouched. No iterative logic, no window over the whole
+  history — the plan is join + generate + union, which survives 100 TB
+  because the open slice is at most one row per business key.
+
+Determinism: comparisons are null-safe (``eqNullSafe``), outputs carry
+explicit integer load versions (callers may use epoch millis), and row
+identity never depends on engine-specific hashing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _any_changed(left: str, right: str, cols: list[str]) -> Column:
+    """TRUE iff any tracked column differs (null-safe) between sides."""
+    pred = F.lit(False)
+    for c in cols:
+        pred = pred | ~F.col(f"{left}.{c}").eqNullSafe(F.col(f"{right}.{c}"))
+    return pred
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Diff two full snapshots into an I/U/D change set.
+
+    Returns one row per changed business key with ``change_type`` in
+    {'I','U','D'}, the key columns, and ``old_<c>`` / ``new_<c>`` for
+    every compared column. Unchanged keys are dropped.
+
+    Plan: ONE full-outer shuffle join on the keys plus a null-safe
+    column compare — the minimal CDC shape. At 100 TB both sides hash-
+    partition on the same keys; with bucketed tables the exchange
+    disappears entirely.
+    """
+    if compare_cols is None:
+        compare_cols = [c for c in old.columns if c not in keys]
+    o = old.alias("o")
+    n = new.alias("n")
+    cond = [F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}")) for k in keys]
+    joined = o.join(n, cond, "full_outer")
+    has_old = F.col(f"o.{keys[0]}").isNotNull()
+    has_new = F.col(f"n.{keys[0]}").isNotNull()
+    change = (
+        F.when(has_old & has_new, F.lit("U"))
+        .when(has_new, F.lit("I"))
+        .otherwise(F.lit("D"))
+    )
+    out = [F.coalesce(F.col(f"o.{k}"), F.col(f"n.{k}")).alias(k) for k in keys]
+    out.append(change.alias("change_type"))
+    for c in compare_cols:
+        out.append(F.col(f"o.{c}").alias(f"old_{c}"))
+        out.append(F.col(f"n.{c}").alias(f"new_{c}"))
+    return (
+        joined.filter(
+            ~(has_old & has_new) | _any_changed("o", "n", compare_cols)
+        ).select(*out)
+    )
+
+
+def merge_upsert(
+    target: DataFrame, source: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Merge a change set into a target table; source wins per key.
+
+    Equivalent to ``MERGE INTO target USING source ON keys WHEN MATCHED
+    THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`` — expressed as a
+    left-anti join (target rows whose key has no source row) unioned
+    with the source. One shuffle; broadcastable when the change set is
+    small (the common incremental case — Catalyst/AQE picks BHJ under
+    the threshold automatically).
+    """
+    keep = target.join(source.select(*keys).distinct(), keys, "left_anti")
+    return keep.unionByName(source.select(*target.columns))
+
+
+def scd2_apply(
+    history: DataFrame,
+    snapshot: DataFrame,
+    keys: list[str],
+    tracked: list[str],
+    load_version: int,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    is_current: str = "is_current",
+) -> DataFrame:
+    """Apply a full snapshot to an SCD2 history table.
+
+    ``history`` columns: keys + tracked + ``valid_from``/``valid_to``
+    (bigint load versions; open rows have NULL ``valid_to``) +
+    ``is_current`` boolean. ``snapshot`` columns: keys + tracked.
+
+    Semantics per business key (the SmartDataLakeBuilder historization
+    contract):
+
+    - open row, unchanged in snapshot  -> passes through unchanged
+    - open row, changed in snapshot    -> closed at ``load_version``
+      AND a new open row with the snapshot values
+    - open row, absent from snapshot   -> closed (logical delete)
+    - snapshot key with no open row    -> new open row
+    - already-closed rows              -> pass through untouched
+
+    Plan shape: filter the open slice (pushed to the scan), ONE
+    full-outer join against the snapshot on the keys, then a single
+    ``inline(CASE ... array-of-structs)`` generate that emits 0–2 rows
+    per joined key — no second pass, no window, no driver state. The
+    closed slice unions in from a parallel scan branch. Both scans
+    prune on ``is_current`` so the join input is one row per key no
+    matter how deep the history is.
+    """
+    out_cols = keys + tracked + [valid_from, valid_to, is_current]
+    closed = history.filter(~F.col(is_current)).select(*out_cols)
+    open_rows = history.filter(F.col(is_current)).select(*out_cols)
+
+    t = open_rows.alias("t")
+    s = snapshot.alias("s")
+    cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in keys]
+    joined = t.join(s, cond, "full_outer")
+
+    has_t = F.col(f"t.{keys[0]}").isNotNull()
+    has_s = F.col(f"s.{keys[0]}").isNotNull()
+    changed = _any_changed("t", "s", tracked)
+
+    def _row(side: str, vfrom: Column, vto: Column, cur: Column) -> Column:
+        fields = [F.col(f"{side}.{c}").alias(c) for c in keys + tracked]
+        fields += [
+            vfrom.cast("bigint").alias(valid_from),
+            vto.cast("bigint").alias(valid_to),
+            cur.alias(is_current),
+        ]
+        return F.struct(*fields)
+
+    keep_open = _row(
+        "t", F.col(f"t.{valid_from}"), F.lit(None), F.lit(True)
+    )
+    close_old = _row(
+        "t", F.col(f"t.{valid_from}"), F.lit(load_version), F.lit(False)
+    )
+    open_new = _row("s", F.lit(load_version), F.lit(None), F.lit(True))
+
+    rows = (
+        F.when(has_t & has_s & ~changed, F.array(keep_open))
+        .when(has_t & has_s & changed, F.array(close_old, open_new))
+        .when(has_t & ~has_s, F.array(close_old))
+        .otherwise(F.array(open_new))
+    )
+    applied = joined.select(F.inline(rows))
+    return closed.unionByName(applied)
+
+
+def scd2_init(
+    snapshot: DataFrame,
+    keys: list[str],
+    tracked: list[str],
+    load_version: int,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    is_current: str = "is_current",
+) -> DataFrame:
+    """Bootstrap an SCD2 history from a first full snapshot."""
+    return snapshot.select(
+        *(keys + tracked),
+        F.lit(load_version).cast("bigint").alias(valid_from),
+        F.lit(None).cast("bigint").alias(valid_to),
+        F.lit(True).alias(is_current),
+    )

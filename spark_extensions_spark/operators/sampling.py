@@ -134,3 +134,93 @@ def stratified_cap(
     if out_col is None:
         return kept.drop("__rn")
     return kept.withColumnRenamed("__rn", out_col)
+
+
+def token_budget_cap(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    token_col: Column | str,
+    budget: int,
+    salt: str = "budget",
+    cum_col: str = "cum_tokens",
+) -> DataFrame:
+    """Keep documents per group until a cumulative token budget fills.
+
+    Training mixes are usually specified in *tokens*, not documents
+    ("200 B tokens of web, 30 B of code…"). This takes rows per group in
+    deterministic hash order, accumulates their token counts, and keeps
+    every row whose running total still fits ``budget`` — a reproducible
+    token-budgeted subsample whose selection is independent of input
+    order and cluster layout.
+
+    One shuffle on ``group_col`` (the window partition); the running sum
+    is a single window pass. Same skew note as :func:`stratified_cap`.
+    """
+    tok = F.col(token_col) if isinstance(token_col, str) else token_col
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(hash_bucket(key_col, salt, 1 << 60), F.col(key_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df.withColumn(cum_col, F.sum(tok.cast("bigint")).over(w))
+    return out.filter(F.col(cum_col) <= budget)
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    key_col: str,
+    salt: str = "shuffle",
+    out_col: str = "shuffle_pos",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Assign a deterministic global pseudo-random position to each row.
+
+    Training wants the corpus in a *reproducible* shuffled order. Row
+    order = ``md5(key ':' salt)`` with the key as tiebreak — a total
+    order, so the result is unique regardless of partitioning.
+
+    Scale shape (the classic two-phase global sort-index): range-
+    repartition on the hash + local sort + ``localCheckpoint`` (one
+    materialization, so the count job and the index job see identical
+    partitions), then per-partition local indices from
+    ``monotonically_increasing_id`` (``pid * 2^33 + local_row``,
+    sequential within a partition — local_row recovers as
+    ``mid % 2^33``) are offset by the preceding partitions' row counts.
+    The only driver traffic is one integer per partition — no global-
+    window single-partition bottleneck, no RDD round-trip. The
+    checkpoint is also what you'd want at 100 TB anyway: it stops the
+    upstream lineage from executing twice.
+    """
+    hcol = hash_bucket(key_col, salt, 1 << 60)
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        df.withColumn("__h", hcol)
+        .repartitionByRange(parts, F.col("__h"), F.col(key_col))
+        .sortWithinPartitions("__h", key_col)
+        .localCheckpoint()
+    )
+    counts = (
+        ranged.groupBy(F.spark_partition_id().alias("__pid"))
+        .count()
+        .collect()
+    )
+    offsets: dict[int, int] = {}
+    acc = 0
+    for row in sorted(counts, key=lambda r: r["__pid"]):
+        offsets[row["__pid"]] = acc
+        acc += row["count"]
+    offset_df = F.broadcast(
+        df.sparkSession.createDataFrame(
+            [(int(p), int(o)) for p, o in offsets.items()],
+            "__pid int, __offset bigint",
+        )
+    )
+    local = F.col("__mid") % F.lit(1 << 33)
+    return (
+        ranged.withColumn("__mid", F.monotonically_increasing_id())
+        .withColumn("__pid", F.spark_partition_id())
+        .join(offset_df, "__pid")
+        .withColumn(out_col, (F.col("__offset") + local).cast("bigint"))
+        .drop("__h", "__pid", "__mid", "__offset")
+    )

@@ -333,3 +333,6 @@ def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_zorder(li, ["l_partkey", "l_suppkey"], bits=8).select(
         "l_orderkey", "l_linenumber", "zval"
     )
+
+
+from spark_extensions_spark import queries14  # noqa: E402,F401  (registration side effect)

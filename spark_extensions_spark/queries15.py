@@ -1,0 +1,186 @@
+"""t2 query registry, batch 18: LM scoring, token-budget sampling,
+deterministic shuffle order, winsorization, time-series gap-fill.
+
+Registered into the shared registry (imported from queries14 at module
+end). Same determinism rules as the queries.py docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spark_extensions_spark.queries import _register, _t
+from spark_extensions_spark.functions.text import token_count
+from spark_extensions_spark.operators.lm import (
+    bigram_lm_scores,
+    bigram_lm_scores_oracle_sql,
+)
+from spark_extensions_spark.operators.sampling import (
+    deterministic_shuffle,
+    hash_bucket_duck,
+    token_budget_cap,
+)
+from spark_extensions_spark.operators.timeseries import gapfill_grid
+
+
+@_register(
+    "lm_perplexity",
+    bigram_lm_scores_oracle_sql("documents", "doc_id", "text"),
+    doc="Corpus self-perplexity under an add-one bigram LM "
+    "(operators/lm.py:bigram_lm_scores) — the CCNet/FineWeb quality "
+    "signal. Bigram extraction is row-local (transform over the token "
+    "array, no positional self-join); the LM table is two hash aggs; "
+    "scoring shuffles occurrences on the bigram key (AQE broadcasts "
+    "small vocabularies). Per-distinct-bigram log-probs rounded to 6dp "
+    "then DECIMAL-summed per doc — order-free, engine-portable.",
+)
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return bigram_lm_scores(docs, "doc_id", "text")
+
+
+_TOKENS_DUCK = (
+    "CAST(COALESCE(list_sum(list_transform("
+    "regexp_extract_all(lower(text), '[a-z0-9]+'), "
+    "w -> CAST(ceil(length(w) / 4.0) AS BIGINT))), 0) AS BIGINT)"
+)
+
+
+@_register(
+    "sample_token_budget",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source, {_TOKENS_DUCK} AS n_tokens FROM documents
+    ), cum AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(SUM(n_tokens) OVER (
+               PARTITION BY source
+               ORDER BY {hash_bucket_duck('doc_id', 'budget', 1 << 60)},
+                        doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum_tokens
+      FROM toks
+    )
+    SELECT doc_id, source, n_tokens, cum_tokens
+    FROM cum WHERE cum_tokens <= 3000
+    """,
+    doc="Token-budgeted subsampling (operators/sampling.py:"
+    "token_budget_cap): training mixes are specified in tokens, not "
+    "docs — take documents per source in deterministic md5 order until "
+    "3000 tokens accumulate. One shuffle (window on source); selection "
+    "is independent of input order and cluster layout.",
+)
+def q_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    with_tok = docs.select(
+        "doc_id", "source", token_count("text").alias("n_tokens")
+    )
+    return token_budget_cap(
+        with_tok, "source", "doc_id", "n_tokens", budget=3000
+    ).select("doc_id", "source", "n_tokens", "cum_tokens")
+
+
+@_register(
+    "sample_shuffle_index",
+    f"""
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (
+             ORDER BY {hash_bucket_duck('doc_id', 'shuffle', 1 << 60)},
+                      doc_id
+           ) - 1 AS BIGINT) AS shuffle_pos
+    FROM documents
+    """,
+    doc="Deterministic global shuffle order (operators/sampling.py:"
+    "deterministic_shuffle): reproducible pseudo-random training order "
+    "via the two-phase sort-index — range partition on md5(key), local "
+    "sort, per-partition monotonic ids offset by partition counts "
+    "(driver sees one integer per partition). No single-partition "
+    "global window; the oracle IS that global window, proving "
+    "equivalence of the distributed shape.",
+)
+def q_sample_shuffle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return deterministic_shuffle(docs.select("doc_id"), "doc_id").select(
+        "doc_id", "shuffle_pos"
+    )
+
+
+@_register(
+    "feature_winsorize",
+    """
+    WITH bounds AS (
+      SELECT c_mktsegment,
+             round(quantile_cont(c_acctbal, 0.05), 6) AS p05,
+             round(quantile_cont(c_acctbal, 0.95), 6) AS p95
+      FROM customer GROUP BY c_mktsegment
+    )
+    SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal,
+           least(greatest(c.c_acctbal, b.p05), b.p95) AS acctbal_clipped
+    FROM customer c JOIN bounds b USING (c_mktsegment)
+    """,
+    doc="Per-group winsorization (outlier clipping to the exact "
+    "5th/95th percentile): one small percentile aggregate per group, "
+    "broadcast back, row-local clip. The feature-normalization pass a "
+    "curation pipeline runs before model scoring; at 100 TB the bounds "
+    "table is group-cardinality-sized, so the fact side never "
+    "shuffles. Spark exact `percentile` == DuckDB quantile_cont "
+    "(both linear interpolation), rounded to 6dp before the clip.",
+)
+def q_feature_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")["customer"]
+    bounds = c.groupBy("c_mktsegment").agg(
+        F.round(F.expr("percentile(c_acctbal, 0.05)"), 6).alias("p05"),
+        F.round(F.expr("percentile(c_acctbal, 0.95)"), 6).alias("p95"),
+    )
+    return (
+        c.join(F.broadcast(bounds), "c_mktsegment")
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            "c_acctbal",
+            F.least(
+                F.greatest(F.col("c_acctbal"), F.col("p05")), F.col("p95")
+            ).alias("acctbal_clipped"),
+        )
+    )
+
+
+@_register(
+    "ts_gapfill",
+    """
+    WITH bucketed AS (
+      SELECT user_id, date_trunc('hour', ts) AS bucket_ts,
+             max(value) AS v
+      FROM events GROUP BY user_id, date_trunc('hour', ts)
+    ), spans AS (
+      SELECT user_id, min(bucket_ts) AS lo, max(bucket_ts) AS hi
+      FROM bucketed GROUP BY user_id
+    ), grid AS (
+      SELECT user_id,
+             unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_ts
+      FROM spans
+    )
+    SELECT g.user_id, g.bucket_ts,
+           last_value(b.v IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.bucket_ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS value,
+           b.v IS NULL AS filled
+    FROM grid g
+    LEFT JOIN bucketed b
+      ON g.user_id = b.user_id AND g.bucket_ts = b.bucket_ts
+    """,
+    doc="Per-key dense time grid + forward fill (operators/"
+    "timeseries.py:gapfill_grid): hour buckets (max-aggregated — "
+    "order-free, unlike a double avg), sequence() between each key's "
+    "span (row-local explode after the min/max agg, so grid size is "
+    "span/step per key, not event count), left join observed buckets, "
+    "one last(ignorenulls) window pass. Grid and events hash-partition "
+    "on the key; no driver state.",
+)
+def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")["events"]
+    return gapfill_grid(
+        ev, "user_id", "ts", "value", step="1 hour", trunc_unit="hour"
+    )

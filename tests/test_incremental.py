@@ -1,0 +1,114 @@
+"""Unit tests for operators/incremental.py (CDC diff, upsert, SCD2)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from spark_extensions_spark.operators.incremental import (
+    merge_upsert,
+    scd2_apply,
+    scd2_init,
+    snapshot_diff,
+)
+
+
+def _snaps(spark):
+    old = spark.createDataFrame(
+        [
+            Row(k=1, v="a", w=10),   # unchanged
+            Row(k=2, v="b", w=20),   # updated (v)
+            Row(k=3, v="c", w=30),   # deleted
+            Row(k=4, v=None, w=40),  # null-safe unchanged
+        ]
+    )
+    new = spark.createDataFrame(
+        [
+            Row(k=1, v="a", w=10),
+            Row(k=2, v="B", w=20),
+            Row(k=4, v=None, w=40),
+            Row(k=5, v="e", w=50),   # inserted
+        ]
+    )
+    return old, new
+
+
+def test_snapshot_diff_iud(spark):
+    old, new = _snaps(spark)
+    got = {
+        r["k"]: r["change_type"]
+        for r in snapshot_diff(old, new, ["k"]).collect()
+    }
+    assert got == {2: "U", 3: "D", 5: "I"}
+
+
+def test_snapshot_diff_column_payload(spark):
+    old, new = _snaps(spark)
+    rows = {
+        r["k"]: r
+        for r in snapshot_diff(old, new, ["k"], ["v"]).collect()
+    }
+    assert rows[2]["old_v"] == "b" and rows[2]["new_v"] == "B"
+    assert rows[3]["new_v"] is None and rows[5]["old_v"] is None
+
+
+def test_merge_upsert_source_wins(spark):
+    old, new = _snaps(spark)
+    merged = {r["k"]: r for r in merge_upsert(old, new, ["k"]).collect()}
+    assert set(merged) == {1, 2, 3, 4, 5}
+    assert merged[2]["v"] == "B"      # updated from source
+    assert merged[3]["v"] == "c"      # untouched target-only row
+
+
+def test_scd2_lifecycle_and_idempotence(spark):
+    old, new = _snaps(spark)
+    hist1 = scd2_init(old, ["k"], ["v", "w"], load_version=1)
+    hist2 = scd2_apply(hist1, new, ["k"], ["v", "w"], load_version=2)
+    rows = sorted(
+        hist2.collect(), key=lambda r: (r["k"], r["valid_from"])
+    )
+    by_key: dict[int, list] = {}
+    for r in rows:
+        by_key.setdefault(r["k"], []).append(r)
+    # unchanged (incl. null-safe): one open row from load 1
+    for k in (1, 4):
+        (r,) = by_key[k]
+        assert r["is_current"] and r["valid_to"] is None
+        assert r["valid_from"] == 1
+    # updated: closed v1 + open v2
+    r_old, r_new = by_key[2]
+    assert (r_old["v"], r_old["valid_to"], r_old["is_current"]) == (
+        "b", 2, False,
+    )
+    assert (r_new["v"], r_new["valid_from"], r_new["is_current"]) == (
+        "B", 2, True,
+    )
+    assert r_new["valid_to"] is None
+    # deleted: closed only
+    (r3,) = by_key[3]
+    assert not r3["is_current"] and r3["valid_to"] == 2
+    # inserted: open at v2
+    (r5,) = by_key[5]
+    assert r5["is_current"] and r5["valid_from"] == 2
+
+    # idempotence: re-applying the same snapshot changes nothing
+    hist3 = scd2_apply(hist2, new, ["k"], ["v", "w"], load_version=3)
+    a = sorted(map(tuple, hist2.collect()))
+    b = sorted(map(tuple, hist3.collect()))
+    assert a == b
+
+
+def test_scd2_closed_rows_pass_through(spark):
+    old, new = _snaps(spark)
+    hist1 = scd2_init(old, ["k"], ["v", "w"], load_version=1)
+    hist2 = scd2_apply(hist1, new, ["k"], ["v", "w"], load_version=2)
+    closed_before = {
+        tuple(r)
+        for r in hist2.filter(~F.col("is_current")).collect()
+    }
+    hist3 = scd2_apply(hist2, new, ["k"], ["v", "w"], load_version=3)
+    closed_after = {
+        tuple(r)
+        for r in hist3.filter(~F.col("is_current")).collect()
+    }
+    assert closed_before <= closed_after

@@ -1,0 +1,118 @@
+"""Unit tests for the batch-18 pipeline operators: bigram LM scoring,
+token-budget sampling, deterministic shuffle index, time-series
+gap-fill."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from spark_extensions_spark.operators.lm import (
+    bigram_lm_scores,
+    bigram_occurrences,
+)
+from spark_extensions_spark.operators.sampling import (
+    deterministic_shuffle,
+    hash_bucket,
+    token_budget_cap,
+)
+from spark_extensions_spark.operators.timeseries import gapfill_grid
+
+
+def test_bigram_occurrences_rowlocal(spark):
+    df = spark.createDataFrame(
+        [Row(id=1, text="a b c"), Row(id=2, text="x"), Row(id=3, text="")]
+    )
+    rows = bigram_occurrences(df, "id", "text").collect()
+    got = {(r["id"], r["w1"], r["w2"]) for r in rows}
+    assert got == {(1, "a", "b"), (1, "b", "c")}
+
+
+def test_bigram_lm_scores_hand_computed(spark):
+    # corpus: "a b", "a b", "a c"  ->  c(a,b)=2 c(a,c)=1, c1(a)=3, V=3
+    df = spark.createDataFrame(
+        [
+            Row(id=1, text="a b"),
+            Row(id=2, text="a b"),
+            Row(id=3, text="a c"),
+            Row(id=4, text="solo"),
+        ]
+    )
+    out = {r["id"]: r for r in bigram_lm_scores(df, "id", "text").collect()}
+    lp_ab = round(math.log(3 / 6), 6)   # (2+1)/(3+3)
+    lp_ac = round(math.log(2 / 6), 6)   # (1+1)/(3+3)
+    assert out[1]["n_bigrams"] == 1
+    assert abs(out[1]["nll"] - round(-lp_ab, 6)) < 1e-9
+    assert abs(out[3]["nll"] - round(-lp_ac, 6)) < 1e-9
+    # a doc with fewer than two tokens scores NULL, zero bigrams
+    assert out[4]["n_bigrams"] == 0 and out[4]["nll"] is None
+
+
+def test_token_budget_cap_respects_budget_and_order(spark):
+    df = spark.createDataFrame(
+        [Row(g="s", k=i, tok=40) for i in range(10)]
+        + [Row(g="t", k=i, tok=500) for i in range(3)]
+    )
+    kept = token_budget_cap(df, "g", "k", "tok", budget=100).collect()
+    per_group: dict[str, list] = {}
+    for r in kept:
+        per_group.setdefault(r["g"], []).append(r)
+    # 40-token docs: floor(100/40) = 2 survive; 500-token docs: none fit
+    assert len(per_group.get("s", [])) == 2
+    assert "t" not in per_group
+    assert all(r["cum_tokens"] <= 100 for r in kept)
+    # deterministic: survivors are the hash-least keys, not input order
+    expect = [
+        r["k"]
+        for r in df.filter(F.col("g") == "s")
+        .select("k", hash_bucket("k", "budget", 1 << 60).alias("h"))
+        .orderBy("h", "k")
+        .collect()
+    ][:2]
+    assert sorted(r["k"] for r in per_group["s"]) == sorted(expect)
+
+
+def test_deterministic_shuffle_is_total_permutation(spark):
+    df = spark.createDataFrame([Row(k=i) for i in range(100)])
+    out = deterministic_shuffle(df, "k", num_partitions=7)
+    rows = out.collect()
+    assert sorted(r["shuffle_pos"] for r in rows) == list(range(100))
+    # matches the single-window global order (the oracle shape)
+    expected = {
+        r["k"]: i
+        for i, r in enumerate(
+            df.select("k", hash_bucket("k", "shuffle", 1 << 60).alias("h"))
+            .orderBy("h", "k")
+            .collect()
+        )
+    }
+    got = {r["k"]: r["shuffle_pos"] for r in rows}
+    assert got == expected
+    # partition-count independent
+    got3 = {
+        r["k"]: r["shuffle_pos"]
+        for r in deterministic_shuffle(df, "k", num_partitions=3).collect()
+    }
+    assert got3 == expected
+
+
+def test_gapfill_forward_fill(spark):
+    df = spark.createDataFrame(
+        [
+            Row(k=1, ts="2024-01-01 00:05:00", v=1.0),
+            Row(k=1, ts="2024-01-01 03:10:00", v=4.0),
+            Row(k=2, ts="2024-01-01 00:00:00", v=9.0),
+        ]
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"), "v")
+    out = gapfill_grid(df, "k", "ts", "v", step="1 hour", trunc_unit="hour")
+    rows = sorted(
+        out.collect(), key=lambda r: (r["k"], r["bucket_ts"])
+    )
+    k1 = [r for r in rows if r["k"] == 1]
+    assert len(k1) == 4  # hours 00..03
+    assert [r["v"] for r in k1] == [1.0, 1.0, 1.0, 4.0]
+    assert [r["filled"] for r in k1] == [False, True, True, False]
+    k2 = [r for r in rows if r["k"] == 2]
+    assert len(k2) == 1 and k2[0]["v"] == 9.0 and not k2[0]["filled"]
