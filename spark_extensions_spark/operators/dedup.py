@@ -146,7 +146,7 @@ def minhash_seed_constants(num_hashes: int) -> list[tuple[int, int]]:
     ]
 
 
-def minhash_lsh_candidates(
+def minhash_band_table(
     df: DataFrame,
     id_col: str,
     text_col: str,
@@ -154,16 +154,12 @@ def minhash_lsh_candidates(
     bands: int = 4,
     shingle_words: int = 3,
 ) -> DataFrame:
-    """Near-duplicate candidate pairs via MinHash + LSH banding.
+    """LSH band table ``(id, band_idx, band_key)`` for a document set.
 
-    Signature is split into ``bands`` bands of ``num_hashes // bands``
-    rows; documents sharing any band hash become a candidate pair.
-    Output: distinct ``(id_a, id_b)`` with ``id_a < id_b``.
-
-    Scale shape: explode to ``bands`` rows per doc, shuffle once on the
-    band bucket (md5 → uniform), self-join within buckets. Huge buckets
-    only arise from genuinely duplicated content, and AQE's skew-join
-    splitting handles those.
+    This is the persistable dedup *index*: in production you write it
+    out partitioned/bucketed on ``(band_idx, band_key)`` once, and every
+    later ingest joins its (small) new-batch band table against it —
+    see :func:`minhash_lsh_candidates_incremental`.
     """
     r = num_hashes // bands
     assert bands * r == num_hashes, "num_hashes must be divisible by bands"
@@ -206,7 +202,7 @@ def minhash_lsh_candidates(
         F.array(*[F.col(f"__h{i}") for i in range(num_hashes)]).alias("minhash_sig"),
     )
     sig_str = F.expr("transform(minhash_sig, x -> cast(x as string))")
-    banded = sigs.select(
+    return sigs.select(
         F.col(id_col),
         F.posexplode(
             F.array(
@@ -216,6 +212,30 @@ def minhash_lsh_candidates(
                 ]
             )
         ).alias("band_idx", "band_key"),
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash + LSH banding.
+
+    Signature is split into ``bands`` bands of ``num_hashes // bands``
+    rows; documents sharing any band hash become a candidate pair.
+    Output: distinct ``(id_a, id_b)`` with ``id_a < id_b``.
+
+    Scale shape: explode to ``bands`` rows per doc, shuffle once on the
+    band bucket (md5 → uniform), self-join within buckets. Huge buckets
+    only arise from genuinely duplicated content, and AQE's skew-join
+    splitting handles those.
+    """
+    banded = minhash_band_table(
+        df, id_col, text_col, num_hashes, bands, shingle_words
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -228,6 +248,54 @@ def minhash_lsh_candidates(
         )
         .select(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_lsh_candidates_incremental(
+    new_batch: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """Near-dup candidates of a NEW batch against an EXISTING corpus.
+
+    The daily-ingest shape at 100 TB: you never re-pair the whole
+    corpus — the historical band table (:func:`minhash_band_table`,
+    persisted bucketed on the band key) stays put, and only the new
+    batch's bands (small) join against it. No corpus self-join, no
+    new-batch self-join; with a bucketed index the corpus side doesn't
+    even shuffle. Output: distinct ``(new_id, index_id)``.
+
+    Here both band tables are computed inline; in production pass an
+    ``index`` DataFrame read from the persisted band table with columns
+    ``(id_col, band_idx, band_key)`` — detected by column shape.
+    """
+    nb = minhash_band_table(
+        new_batch, id_col, text_col, num_hashes, bands, shingle_words
+    )
+    idx_cols = {id_col, "band_idx", "band_key"}
+    if set(index.columns) >= idx_cols:
+        ib = index.select(*idx_cols)
+    else:
+        ib = minhash_band_table(
+            index, id_col, text_col, num_hashes, bands, shingle_words
+        )
+    n = nb.alias("n")
+    i = ib.alias("i")
+    return (
+        n.join(
+            i,
+            (F.col("n.band_idx") == F.col("i.band_idx"))
+            & (F.col("n.band_key") == F.col("i.band_key")),
+        )
+        .select(
+            F.col(f"n.{id_col}").alias("new_id"),
+            F.col(f"i.{id_col}").alias("index_id"),
         )
         .distinct()
     )

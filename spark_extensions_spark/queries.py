@@ -880,7 +880,10 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(docs, "text", "doc_id")
 
 
-def _minhash_oracle(num_hashes: int = 12, bands: int = 4, n: int = 3) -> str:
+def _minhash_bands_cte(num_hashes: int = 12, bands: int = 4, n: int = 3) -> str:
+    """The shared WITH-body producing the ``bands`` CTE (doc_id,
+    band_idx, band_key) — composed by the self-join and incremental
+    oracles below."""
     from spark_extensions_spark.operators.dedup import (
         MINHASH_PRIME,
         minhash_seed_constants,
@@ -918,6 +921,12 @@ def _minhash_oracle(num_hashes: int = 12, bands: int = 4, n: int = 3) -> str:
       FROM (SELECT doc_id, s, unnest([{", ".join(str(b) for b in range(bands))}]) AS j
             FROM sig)
     )
+    """
+
+
+def _minhash_oracle(num_hashes: int = 12, bands: int = 4, n: int = 3) -> str:
+    return f"""
+    {_minhash_bands_cte(num_hashes, bands, n)}
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
     FROM bands a JOIN bands b
       ON a.band_idx = b.band_idx AND a.band_key = b.band_key

@@ -184,3 +184,209 @@ def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gapfill_grid(
         ev, "user_id", "ts", "value", step="1 hour", trunc_unit="hour"
     )
+
+
+def _incremental_minhash_oracle() -> str:
+    from spark_extensions_spark.queries import _minhash_bands_cte
+
+    return f"""
+    {_minhash_bands_cte()}
+    SELECT DISTINCT n.doc_id AS new_id, i.doc_id AS index_id
+    FROM bands n JOIN bands i
+      ON n.band_idx = i.band_idx AND n.band_key = i.band_key
+    WHERE n.doc_id % 10 = 0 AND i.doc_id % 10 <> 0
+    """
+
+
+@_register(
+    "dedup_incremental",
+    _incremental_minhash_oracle(),
+    doc="Incremental near-dup check of a new ingest batch against the "
+    "existing corpus (operators/dedup.py:"
+    "minhash_lsh_candidates_incremental): only the new batch's LSH "
+    "bands join the persisted corpus band index "
+    "(minhash_band_table) — no corpus self-join, no batch re-pairing; "
+    "with the index bucketed on the band key the corpus side never "
+    "shuffles. THE daily-dedup shape at 100 TB. Batch = doc_id%10==0, "
+    "index = the rest; oracle joins the same band CTE with the roles "
+    "fixed.",
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_extensions_spark.operators.dedup import (
+        minhash_lsh_candidates_incremental,
+    )
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    new_batch = docs.filter(F.col("doc_id") % 10 == 0)
+    index = docs.filter(F.col("doc_id") % 10 != 0)
+    return minhash_lsh_candidates_incremental(
+        new_batch, index, "doc_id", "text"
+    )
+
+
+def _url_variants_duck() -> str:
+    return """
+      SELECT doc_id,
+             'https://' || source || '.org/doc/' || doc_id AS url
+      FROM documents
+      UNION ALL
+      SELECT doc_id,
+             'HTTPS://' || upper(source) || '.ORG/doc/' || doc_id
+               || '/?utm_source=feed&fbclid=x17#top' AS url
+      FROM documents
+    """
+
+
+def _url_oracle() -> str:
+    from spark_extensions_spark.functions.url import url_canonicalize_duck
+
+    return f"""
+    WITH urls AS ({_url_variants_duck()})
+    SELECT {url_canonicalize_duck('url')} AS canonical_url,
+           CAST(COUNT(*) AS BIGINT) AS n_variants,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_id
+    FROM urls GROUP BY 1
+    """
+
+
+@_register(
+    "url_canonical_dedup",
+    _url_oracle(),
+    doc="URL canonicalization dedup (functions/url.py:url_canonicalize): "
+    "lowercase scheme/host, strip fragment + tracking params (utm_*, "
+    "fbclid, …), sort surviving query params, trim trailing slash — "
+    "then group by canonical URL. Two deterministic spellings per doc "
+    "collapse to one canonical key. Row-local built-ins (parse_url + "
+    "array HOFs), zero shuffle before the final dedup agg — the first "
+    "pass of a crawl pipeline.",
+)
+def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_extensions_spark.functions.url import url_canonicalize
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    v1 = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".org/doc/"),
+            F.col("doc_id"),
+        ).alias("url"),
+    )
+    v2 = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTPS://"),
+            F.upper(F.col("source")),
+            F.lit(".ORG/doc/"),
+            F.col("doc_id"),
+            F.lit("/?utm_source=feed&fbclid=x17#top"),
+        ).alias("url"),
+    )
+    urls = v1.unionByName(v2)
+    return (
+        urls.select(
+            "doc_id", url_canonicalize("url").alias("canonical_url")
+        )
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_variants"),
+            F.min("doc_id").alias("keep_id"),
+        )
+    )
+
+
+def _minhash_bands_cte_indented() -> str:
+    """The bands CTE chain without the leading WITH, for splicing into a
+    larger WITH list."""
+    from spark_extensions_spark.queries import _minhash_bands_cte
+
+    return _minhash_bands_cte().strip().removeprefix("WITH").strip()
+
+
+@_register(
+    "pipeline_incremental_ingest",
+    f"""
+    WITH batch AS (
+      SELECT * FROM documents WHERE doc_id % 10 = 0
+    ), gated AS (
+      SELECT doc_id, text, source
+      FROM batch
+      WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+')) >= 10
+    ), canonical AS (
+      SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY md5(text)
+    ), batch_dedup AS (
+      SELECT g.doc_id, g.source FROM gated g
+      JOIN canonical c ON g.doc_id = c.doc_id
+    ),
+    {_minhash_bands_cte_indented()}
+    , hits AS (
+      SELECT DISTINCT n.doc_id
+      FROM bands n JOIN bands i
+        ON n.band_idx = i.band_idx AND n.band_key = i.band_key
+      WHERE n.doc_id % 10 = 0 AND i.doc_id % 10 <> 0
+    ), accepted AS (
+      SELECT b.doc_id, b.source FROM batch_dedup b
+      WHERE NOT EXISTS (SELECT 1 FROM hits h WHERE h.doc_id = b.doc_id)
+    ), corpus AS (
+      SELECT doc_id, source, FALSE AS is_new
+      FROM documents WHERE doc_id % 10 <> 0
+      UNION ALL
+      SELECT doc_id, source, TRUE AS is_new FROM accepted
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_ingested,
+           CAST(MIN(CASE WHEN is_new THEN doc_id END) AS BIGINT)
+             AS first_new_id
+    FROM corpus GROUP BY source
+    """,
+    doc="End-to-end incremental ingest, the composition the new "
+    "operator families exist for: quality-gate the new batch -> "
+    "within-batch exact dedup (keep-min) -> drop near-dups of the "
+    "EXISTING corpus via the incremental LSH band join (no corpus "
+    "self-join) -> union into the corpus -> per-source admission "
+    "stats. Every stage is the 100 TB shape; the corpus is only ever "
+    "touched by its (persistable) band index and the final union.",
+)
+def q_pipeline_incremental_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from spark_extensions_spark.operators.dedup import (
+        exact_dedup,
+        minhash_lsh_candidates_incremental,
+    )
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+
+    gated = batch.filter(
+        F.expr("size(regexp_extract_all(lower(text), '[a-z0-9]+', 0))")
+        >= 10
+    )
+    keep = exact_dedup(gated, "text", "doc_id").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    batch_dedup = gated.join(keep, "doc_id")
+
+    hits = minhash_lsh_candidates_incremental(
+        batch, corpus, "doc_id", "text"
+    ).select(F.col("new_id").alias("doc_id")).distinct()
+    accepted = batch_dedup.join(hits, "doc_id", "left_anti")
+
+    combined = corpus.select(
+        "doc_id", "source", F.lit(False).alias("is_new")
+    ).unionByName(
+        accepted.select("doc_id", "source", F.lit(True).alias("is_new"))
+    )
+    return combined.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("is_new"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_ingested"),
+        F.min(F.when(F.col("is_new"), F.col("doc_id")))
+        .cast("bigint")
+        .alias("first_new_id"),
+    )

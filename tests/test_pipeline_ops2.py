@@ -98,6 +98,71 @@ def test_deterministic_shuffle_is_total_permutation(spark):
     assert got3 == expected
 
 
+def test_incremental_minhash_matches_full_selfjoin(spark, sf_dir):
+    from spark_extensions_spark.operators.dedup import (
+        minhash_band_table,
+        minhash_lsh_candidates,
+        minhash_lsh_candidates_incremental,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    new_batch = docs.filter(F.col("doc_id") % 10 == 0)
+    index = docs.filter(F.col("doc_id") % 10 != 0)
+    inc = {
+        (r["new_id"], r["index_id"])
+        for r in minhash_lsh_candidates_incremental(
+            new_batch, index, "doc_id", "text"
+        ).collect()
+    }
+    # ground truth: cross-subset pairs of the full self-join
+    full = minhash_lsh_candidates(docs, "doc_id", "text").collect()
+    expect = set()
+    for r in full:
+        a, b = r["id_a"], r["id_b"]
+        if a % 10 == 0 and b % 10 != 0:
+            expect.add((a, b))
+        elif b % 10 == 0 and a % 10 != 0:
+            expect.add((b, a))
+    assert inc == expect
+    # a precomputed band-table index is accepted verbatim
+    band_index = minhash_band_table(index, "doc_id", "text")
+    inc2 = {
+        (r["new_id"], r["index_id"])
+        for r in minhash_lsh_candidates_incremental(
+            new_batch, band_index, "doc_id", "text"
+        ).collect()
+    }
+    assert inc2 == inc
+
+
+def test_url_canonicalize_variants(spark):
+    from spark_extensions_spark.functions.url import url_canonicalize
+
+    cases = [
+        # mixed case, fragment, tracking-only query, trailing slash
+        ("HTTPS://Ex.COM/a/b/?utm_source=x&fbclid=1#frag",
+         "https://ex.com/a/b"),
+        # param reorder + tracking strip + kept params sorted
+        ("https://ex.com/p?b=2&utm_campaign=z&a=1",
+         "https://ex.com/p?a=1&b=2"),
+        # no query, no path
+        ("http://EX.com", "http://ex.com"),
+        # root slash trimmed
+        ("https://ex.com/", "https://ex.com"),
+    ]
+    df = spark.createDataFrame(
+        [Row(i=i, url=u) for i, (u, _) in enumerate(cases)]
+    )
+    got = {
+        r["i"]: r["c"]
+        for r in df.select(
+            "i", url_canonicalize("url").alias("c")
+        ).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (cases[i][0], got[i], want)
+
+
 def test_gapfill_forward_fill(spark):
     df = spark.createDataFrame(
         [

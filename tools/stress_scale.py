@@ -41,7 +41,16 @@ def main() -> int:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     spark = get_spark("stress_scale")
-    t = load_tables(spark, sf_dir, "documents", "embeddings", "lineitem", "orders")
+    t = load_tables(
+        spark,
+        sf_dir,
+        "documents",
+        "embeddings",
+        "lineitem",
+        "orders",
+        "customer",
+        "events",
+    )
 
     base = tempfile.mkdtemp(prefix="stress_sf_")
     docs_p = os.path.join(base, "documents")
@@ -151,6 +160,66 @@ def main() -> int:
             ),
             "doc_id",
             "t",
+        ).count(),
+    )
+
+    # --- round-2 additions: incremental load, LM scoring, shuffle index,
+    # incremental dedup, gap-fill ------------------------------------
+    from spark_extensions_spark.operators.dedup import (
+        minhash_lsh_candidates_incremental,
+    )
+    from spark_extensions_spark.operators.incremental import (
+        scd2_apply,
+        scd2_init,
+    )
+    from spark_extensions_spark.operators.lm import bigram_lm_scores
+    from spark_extensions_spark.operators.sampling import (
+        deterministic_shuffle,
+    )
+    from spark_extensions_spark.operators.timeseries import gapfill_grid
+
+    cust = scaled(t["customer"], {"c_custkey": 10_000_000}, k)
+    ev = scaled(t["events"], {"event_id": 10_000_000, "user_id": 100_000}, k)
+
+    def q_scd2():
+        base_t = cust.select("c_custkey", "c_acctbal", "c_mktsegment")
+        snap = base_t.filter(F.col("c_custkey") % 37 != 0).withColumn(
+            "c_acctbal",
+            F.when(
+                F.col("c_custkey") % 5 == 0, F.col("c_acctbal") + 100.0
+            ).otherwise(F.col("c_acctbal")),
+        )
+        hist = scd2_init(
+            base_t, ["c_custkey"], ["c_acctbal", "c_mktsegment"], 1
+        )
+        return scd2_apply(
+            hist, snap, ["c_custkey"], ["c_acctbal", "c_mktsegment"], 2
+        ).count()
+
+    run("scd2_apply", q_scd2)
+    run(
+        "bigram_lm_scores",
+        lambda: bigram_lm_scores(docs, "doc_id", "text").count(),
+    )
+    run(
+        "deterministic_shuffle",
+        lambda: deterministic_shuffle(
+            docs.select("doc_id"), "doc_id"
+        ).count(),
+    )
+    run(
+        "dedup_incremental",
+        lambda: minhash_lsh_candidates_incremental(
+            docs.filter(F.col("doc_id") % 10 == 0),
+            docs.filter(F.col("doc_id") % 10 != 0),
+            "doc_id",
+            "text",
+        ).count(),
+    )
+    run(
+        "ts_gapfill",
+        lambda: gapfill_grid(
+            ev, "user_id", "ts", "value", step="1 hour", trunc_unit="hour"
         ).count(),
     )
 
