@@ -83,6 +83,67 @@ def quality_features(text_col: str) -> list[Column]:
     ]
 
 
+def gopher_rules(
+    text_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_ratio: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> list[Column]:
+    """Gopher-style document-quality rule battery (Rae et al. 2021,
+    "Scaling Language Models" §A1.1 repetition/quality filters — public
+    thresholds, re-expressed as portable row-local SQL).
+
+    Returns the rule inputs plus a ``gopher_pass`` flag: word count in
+    range, mean word length in [3,10], symbol-to-word ratio (#/… )
+    below 0.1, >80% of words containing an alphabetic character, and at
+    least 2 distinct English stopwords present. Everything is exact
+    integer arithmetic + one double division per ratio — zero shuffle,
+    engine-portable.
+    """
+    words = _words_sql(text_col)
+    n_words = f"size({words})"
+    total_word_chars = f"aggregate({words}, 0L, (acc, w) -> acc + length(w))"
+    mean_wl = (
+        f"case when {n_words} = 0 then 0.0d "
+        f"else round({total_word_chars} / cast({n_words} as double), 6) end"
+    )
+    n_symbols = f"size(regexp_extract_all({text_col}, '#|\\\\.\\\\.\\\\.', 0))"
+    sym_ratio = (
+        f"case when {n_words} = 0 then 0.0d "
+        f"else round({n_symbols} / cast({n_words} as double), 6) end"
+    )
+    n_alpha_words = f"size(filter({words}, w -> w rlike '[a-z]'))"
+    alpha_ratio = (
+        f"case when {n_words} = 0 then 0.0d "
+        f"else round({n_alpha_words} / cast({n_words} as double), 6) end"
+    )
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    stop_hits = (
+        f"size(array_intersect(array_distinct({words}), "
+        f"array({stop_list})))"
+    )
+    gpass = (
+        f"{n_words} >= {min_words} AND {n_words} <= {max_words} "
+        f"AND ({mean_wl}) >= {min_mean_word_len} "
+        f"AND ({mean_wl}) <= {max_mean_word_len} "
+        f"AND ({sym_ratio}) <= {max_symbol_ratio} "
+        f"AND ({alpha_ratio}) > {min_alpha_word_ratio} "
+        f"AND ({stop_hits}) >= {min_stopword_hits}"
+    )
+    return [
+        F.expr(n_words).cast("int").alias("n_words"),
+        F.expr(mean_wl).alias("mean_word_len"),
+        F.expr(sym_ratio).alias("symbol_ratio"),
+        F.expr(alpha_ratio).alias("alpha_word_ratio"),
+        F.expr(stop_hits).cast("int").alias("stopword_hits"),
+        F.expr(gpass).alias("gopher_pass"),
+    ]
+
+
 def _stop_votes_sql(text_col: str, lang: str) -> str:
     stop_list = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
     return f"size(filter({_words_sql(text_col)}, w -> array_contains(array({stop_list}), w)))"

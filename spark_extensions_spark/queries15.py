@@ -304,6 +304,63 @@ def _minhash_bands_cte_indented() -> str:
     return _minhash_bands_cte().strip().removeprefix("WITH").strip()
 
 
+def _gopher_oracle() -> str:
+    from spark_extensions_spark.functions.text import STOPWORDS
+
+    stop = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    ws = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+    n = f"len({ws})"
+    mean = (
+        f"CASE WHEN {n} = 0 THEN 0.0 ELSE round("
+        f"list_sum(list_transform({ws}, w -> length(w)))"
+        f" / CAST({n} AS DOUBLE), 6) END"
+    )
+    nsym = r"len(regexp_extract_all(text, '#|\.\.\.'))"
+    sym = (
+        f"CASE WHEN {n} = 0 THEN 0.0 "
+        f"ELSE round({nsym} / CAST({n} AS DOUBLE), 6) END"
+    )
+    nalpha = f"len(list_filter({ws}, w -> regexp_matches(w, '[a-z]')))"
+    alpha = (
+        f"CASE WHEN {n} = 0 THEN 0.0 "
+        f"ELSE round({nalpha} / CAST({n} AS DOUBLE), 6) END"
+    )
+    hits = f"len(list_intersect(list_distinct({ws}), [{stop}]))"
+    gpass = (
+        f"{n} >= 50 AND {n} <= 100000 AND ({mean}) >= 3.0 "
+        f"AND ({mean}) <= 10.0 AND ({sym}) <= 0.1 "
+        f"AND ({alpha}) > 0.8 AND ({hits}) >= 2"
+    )
+    return f"""
+    SELECT doc_id,
+           CAST({n} AS INT) AS n_words,
+           {mean} AS mean_word_len,
+           {sym} AS symbol_ratio,
+           {alpha} AS alpha_word_ratio,
+           CAST({hits} AS INT) AS stopword_hits,
+           {gpass} AS gopher_pass
+    FROM documents
+    """
+
+
+@_register(
+    "text_gopher_rules",
+    _gopher_oracle(),
+    doc="Gopher-style quality rule battery (functions/text.py:"
+    "gopher_rules — Rae et al. 2021 A1.1 thresholds): word-count "
+    "range, mean word length, symbol-to-word ratio, alpha-word "
+    "ratio, distinct-stopword hits, and the combined pass flag. All "
+    "row-local exact-int arithmetic + one rounded double division per "
+    "ratio; zero shuffle.",
+)
+def q_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_extensions_spark.functions.text import gopher_rules
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return docs.select("doc_id", *gopher_rules("text"))
+
+
+
 @_register(
     "pipeline_incremental_ingest",
     f"""

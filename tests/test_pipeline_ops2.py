@@ -135,6 +135,51 @@ def test_incremental_minhash_matches_full_selfjoin(spark, sf_dir):
     assert inc2 == inc
 
 
+def test_band_index_persisted_bucketed_join(spark, sf_dir):
+    """The dedup index written bucketed on the band key: the incremental
+    join reuses the bucketing — the corpus side scans without an
+    Exchange, only the (small) new-batch side shuffles."""
+    import tempfile
+
+    from spark_extensions_spark.operators.dedup import (
+        minhash_band_table,
+        minhash_lsh_candidates_incremental,
+    )
+    from spark_extensions_spark.sources import write_table
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+
+    name = "band_index_t_test"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    base = tempfile.mkdtemp(prefix="bandidx_")
+    write_table(
+        minhash_band_table(corpus, "doc_id", "text"),
+        f"{base}/{name}",
+        mode="overwrite",
+        bucket_by=(8, ["band_idx", "band_key"]),
+        table_name=name,
+    )
+    index = spark.table(name)
+    pairs = minhash_lsh_candidates_incremental(
+        batch, index, "doc_id", "text"
+    )
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    if "BroadcastHashJoin" not in plan:
+        # exactly one shuffle below the join: the batch side; the
+        # bucketed index scan must not re-Exchange
+        n_exch = plan.count("Exchange hashpartitioning")
+        assert n_exch <= 1, plan
+    # same answer as computing the index inline
+    inline = minhash_lsh_candidates_incremental(
+        batch, corpus, "doc_id", "text"
+    )
+    assert {tuple(r) for r in pairs.collect()} == {
+        tuple(r) for r in inline.collect()
+    }
+
+
 def test_url_canonicalize_variants(spark):
     from spark_extensions_spark.functions.url import url_canonicalize
 

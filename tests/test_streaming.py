@@ -265,3 +265,37 @@ def test_session_window_multibatch_merge(spark, events_stream):
         return {tuple(r) for r in out.collect()}
 
     assert run(1) == run(None)
+
+
+def test_streaming_upsert_sink(spark, events_stream):
+    """foreachBatch upsert sink: the final snapshot holds the
+    order-cols-max row per key, independent of batch chopping, and
+    matches the batch-mode answer."""
+    import tempfile
+
+    from spark_extensions_spark.streaming import run_foreach_batch
+    from spark_extensions_spark.streaming.incremental import (
+        latest_per_key,
+        merge_batch_fn,
+        read_upsert_table,
+    )
+
+    target = tempfile.mkdtemp(prefix="upsert_tgt_")
+    stream = read_stream_parquet(
+        spark, events_stream, max_files_per_trigger=1
+    )
+    run_foreach_batch(
+        stream,
+        merge_batch_fn(target, ["user_id"], order_cols=["ts", "event_id"]),
+    )
+    final = read_upsert_table(spark, target)
+    batch = spark.read.parquet(events_stream)
+    expect = latest_per_key(batch, ["user_id"], ["ts", "event_id"])
+    got = {
+        r["user_id"]: (r["event_id"], r["value"]) for r in final.collect()
+    }
+    want = {
+        r["user_id"]: (r["event_id"], r["value"]) for r in expect.collect()
+    }
+    assert got == want
+    assert len(got) == batch.select("user_id").distinct().count()
