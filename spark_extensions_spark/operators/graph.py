@@ -132,17 +132,20 @@ def connected_components_star(
     same job that materializes the lazy per-round checkpoint (count +
     order-insensitive hash signature of the edge set).
     """
-    E = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
-        F.col("u") != F.col("v")
-    )
-    # plain lazy projection (used once, in the final left join) — no
-    # checkpoint needed
+    # Materialize the raw pair list BEFORE the self-loop filter: both
+    # the iteration's edge set AND the final node roster derive from
+    # this one checkpoint, so the (potentially expensive) upstream
+    # pair-generation lineage executes exactly once — deriving nodes
+    # from `edges` directly would re-run it in the final join.
+    E0 = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).localCheckpoint(eager=True)
+    E = E0.filter(F.col("u") != F.col("v"))
     nodes = (
-        edges.select(F.col(src).alias("node"))
-        .union(edges.select(F.col(dst).alias("node")))
+        E0.select(F.col("u").alias("node"))
+        .union(E0.select(F.col("v").alias("node")))
         .distinct()
     )
-    E = E.localCheckpoint(eager=True)
 
     # one distinct per ROUND (after small_star): intermediate duplicate
     # edges don't change either phase's min aggregates, so per-phase

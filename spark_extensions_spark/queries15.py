@@ -447,3 +447,6 @@ def q_pipeline_incremental_ingest(
         .cast("bigint")
         .alias("first_new_id"),
     )
+
+
+from spark_extensions_spark import queries16  # noqa: E402,F401  (registration side effect)

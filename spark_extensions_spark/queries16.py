@@ -1,0 +1,201 @@
+"""t2 query registry, batch 19: one-scan multi-column statistics.
+
+Registered into the shared registry (imported from queries15 at module
+end). Same determinism rules as the queries.py docstring.
+
+These extend the one-aggregate-pass pattern (quality_rules) to feature
+statistics: a full pairwise correlation matrix and a column profile,
+each computed in a SINGLE scan + single aggregate row, then unpivoted
+with ``stack``. The N-statistics-one-scan shape is what a 100 TB
+profiling pass must be — never one job per column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_extensions_spark.queries import _register, _t
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+_SHORT = {
+    "l_quantity": "qty",
+    "l_extendedprice": "price",
+    "l_discount": "disc",
+    "l_tax": "tax",
+}
+
+
+def _corr_sum_aliases() -> list[tuple[str, str]]:
+    """(alias, sql-expr) pairs for the exact decimal power sums."""
+    out: list[tuple[str, str]] = []
+    for i, x in enumerate(_CORR_COLS):
+        out.append(
+            (f"s_{_SHORT[x]}", f"CAST({x} AS DECIMAL(28,10))")
+        )
+        for y in _CORR_COLS[i:]:
+            out.append(
+                (
+                    f"s_{_SHORT[x]}_{_SHORT[y]}",
+                    f"CAST({x} * {y} AS DECIMAL(28,10))",
+                )
+            )
+    return out
+
+
+def _corr_expr(x: str, y: str) -> str:
+    """Textually identical corr-from-power-sums formula (both engines)."""
+    a, b = _SHORT[x], _SHORT[y]
+    sxy = f"s_{a}_{b}"
+    return (
+        f"round((n * {sxy} - s_{a} * s_{b}) / "
+        f"sqrt((n * s_{a}_{a} - s_{a} * s_{a}) "
+        f"* (n * s_{b}_{b} - s_{b} * s_{b})), 6)"
+    )
+
+
+def _corr_pairs() -> list[tuple[str, str]]:
+    return [
+        (x, y)
+        for i, x in enumerate(_CORR_COLS)
+        for y in _CORR_COLS[i + 1 :]
+    ]
+
+
+def _corr_oracle() -> str:
+    sums = ", ".join(
+        f"CAST(SUM({expr}) AS DOUBLE) AS {alias}"
+        for alias, expr in _corr_sum_aliases()
+    )
+    rows = "\n      UNION ALL\n".join(
+        f"SELECT '{_SHORT[x]}' AS col_x, '{_SHORT[y]}' AS col_y, "
+        f"{_corr_expr(x, y)} AS corr FROM sums"
+        for x, y in _corr_pairs()
+    )
+    return f"""
+    WITH sums AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n, {sums} FROM lineitem
+    )
+    {rows}
+    """
+
+
+@_register(
+    "stat_correlation_matrix",
+    _corr_oracle(),
+    doc="Full pairwise Pearson correlation matrix (6 pairs over 4 "
+    "lineitem measures) from exact DECIMAL power sums in ONE scan + "
+    "ONE aggregate row, unpivoted with stack — the "
+    "N-statistics-one-pass profiling shape. Order-free (decimal sums "
+    "are exact) and engine-portable (the corr-from-sums double "
+    "arithmetic is textually identical on both sides).",
+)
+def q_stat_correlation_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    for alias, expr in _corr_sum_aliases():
+        aggs.append(F.expr(f"SUM({expr})").cast("double").alias(alias))
+    sums = li.agg(*aggs)
+    parts = []
+    for x, y in _corr_pairs():
+        parts.append(f"'{_SHORT[x]}', '{_SHORT[y]}', {_corr_expr(x, y)}")
+    return sums.select(
+        F.expr(
+            f"stack({len(_corr_pairs())}, {', '.join(parts)}) "
+            "AS (col_x, col_y, corr)"
+        )
+    )
+
+
+_PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _profile_oracle() -> str:
+    rows = "\n      UNION ALL\n".join(
+        f"""SELECT '{c}' AS col_name,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,
+               round(MIN({c}), 6) AS min_val,
+               round(MAX({c}), 6) AS max_val,
+               round(CAST(SUM(CAST({c} AS DECIMAL(28,10))) AS DOUBLE), 6)
+                 AS sum_val
+           FROM lineitem"""
+        for c in _PROFILE_COLS
+    )
+    return rows
+
+
+@_register(
+    "stat_profile",
+    _profile_oracle(),
+    doc="Column profile (count / nulls / min / max / exact decimal sum) "
+    "for 4 measures in ONE scan + ONE aggregate row, stack-unpivoted "
+    "to one row per column — the profiling pass an ingestion pipeline "
+    "runs before publishing; never one job per column. Oracle spells "
+    "it as per-column UNION ALL (same values, N scans — DuckDB is the "
+    "spec here, the Spark plan is the one-scan claim, pinned in "
+    "PLANS.md).",
+)
+def q_stat_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).cast("bigint").alias(
+                f"null_{c}"
+            ),
+            F.round(F.min(c), 6).alias(f"min_{c}"),
+            F.round(F.max(c), 6).alias(f"max_{c}"),
+            F.round(
+                F.sum(F.expr(f"CAST({c} AS DECIMAL(28,10))")).cast(
+                    "double"
+                ),
+                6,
+            ).alias(f"sum_{c}"),
+        ]
+    row = li.agg(*aggs)
+    parts = []
+    for c in _PROFILE_COLS:
+        parts.append(
+            f"'{c}', n, null_{c}, min_{c}, max_{c}, sum_{c}"
+        )
+    return row.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {', '.join(parts)}) "
+            "AS (col_name, n, n_null, min_val, max_val, sum_val)"
+        )
+    )
+
+
+@_register(
+    "feature_quantile_bucketize",
+    """
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           CAST(ntile(10) OVER (
+             PARTITION BY c_mktsegment
+             ORDER BY c_acctbal, c_custkey
+           ) AS INT) AS decile
+    FROM customer
+    """,
+    doc="Per-group equi-depth quantile bucketing (decile assignment via "
+    "ntile with a total order — value + unique key tiebreak): the "
+    "feature-binning pass before hashing/embedding categorical "
+    "features. One shuffle (the window partition).",
+)
+def q_feature_quantile_bucketize(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    c = _t(spark, sf_dir, "customer")["customer"]
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        "c_acctbal", "c_custkey"
+    )
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.ntile(10).over(w).cast("int").alias("decile"),
+    )
