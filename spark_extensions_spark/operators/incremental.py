@@ -170,6 +170,29 @@ def scd2_apply(
     return closed.unionByName(applied)
 
 
+def scd2_as_of(
+    history: DataFrame,
+    version: int,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    is_current: str = "is_current",
+) -> DataFrame:
+    """Reconstruct the snapshot as of a load version (time travel).
+
+    A row is visible at ``version`` iff it became valid at or before it
+    and was closed strictly after it (or never). Pure row-local filter
+    over the history — pushes to the scan, no shuffle; with the history
+    partitioned on ``valid_to`` NULL-vs-range the scan prunes to the
+    open slice + the closing loads after ``version``. The SCD2
+    bookkeeping columns are dropped (``is_current`` describes the
+    latest version, not the reconstructed one).
+    """
+    return history.filter(
+        (F.col(valid_from) <= version)
+        & (F.col(valid_to).isNull() | (F.col(valid_to) > version))
+    ).drop(valid_from, valid_to, is_current)
+
+
 def scd2_init(
     snapshot: DataFrame,
     keys: list[str],

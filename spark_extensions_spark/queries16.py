@@ -199,3 +199,118 @@ def q_feature_quantile_bucketize(
         "c_acctbal",
         F.ntile(10).over(w).cast("int").alias("decile"),
     )
+
+
+@_register(
+    "scd2_time_travel",
+    """
+    WITH base AS (SELECT c_custkey, c_acctbal, c_mktsegment FROM customer),
+    snap AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 100.0
+                  ELSE c_acctbal END AS c_acctbal,
+             c_mktsegment
+      FROM customer WHERE c_custkey % 37 <> 0
+      UNION ALL
+      SELECT c_custkey + 1000000, CAST(0.0 AS DOUBLE), c_mktsegment
+      FROM customer WHERE c_custkey % 53 = 0
+    )
+    SELECT * FROM base
+    """,
+    doc="SCD2 time travel (operators/incremental.py:scd2_as_of): apply "
+    "the load-2 snapshot to the load-1 history, then reconstruct 'as "
+    "of load 1' — a pure row-local validity filter (pushes to the "
+    "scan, zero shuffle) that must return exactly the original "
+    "snapshot. The oracle IS that original snapshot: round-trip "
+    "equality is the whole check.",
+)
+def q_scd2_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_extensions_spark.operators.incremental import (
+        scd2_apply,
+        scd2_as_of,
+        scd2_init,
+    )
+    from spark_extensions_spark.queries14 import _base_and_snap
+
+    base, snap = _base_and_snap(spark, sf_dir)
+    hist = scd2_init(
+        base, ["c_custkey"], ["c_acctbal", "c_mktsegment"], load_version=1
+    )
+    hist2 = scd2_apply(
+        hist, snap, ["c_custkey"], ["c_acctbal", "c_mktsegment"],
+        load_version=2,
+    )
+    return scd2_as_of(hist2, 1)
+
+
+@_register(
+    "quality_drift",
+    """
+    WITH per_src AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             round(CAST(SUM(CAST(n_chars AS DECIMAL(28,6))) AS DOUBLE)
+                   / COUNT(*), 6) AS mean_chars
+      FROM documents GROUP BY source
+    ), overall AS (
+      SELECT CAST(SUM(n_docs) AS BIGINT) AS total_docs,
+             CAST(COUNT(*) AS BIGINT) AS n_sources,
+             round(CAST(SUM(CAST(mean_chars AS DECIMAL(28,6))) AS DOUBLE)
+                   / COUNT(*), 6) AS grand_mean
+      FROM per_src
+    )
+    SELECT p.source, p.n_docs, p.mean_chars,
+           round(p.n_docs / (CAST(o.total_docs AS DOUBLE) / o.n_sources),
+                 6) AS volume_ratio,
+           round(p.mean_chars - o.grand_mean, 6) AS mean_chars_delta,
+           (p.n_docs < 0.5 * (CAST(o.total_docs AS DOUBLE) / o.n_sources)
+            OR p.n_docs > 2.0 * (CAST(o.total_docs AS DOUBLE) / o.n_sources))
+             AS volume_anomaly
+    FROM per_src p CROSS JOIN overall o
+    """,
+    doc="Partition-drift check before publishing an ingest: per-source "
+    "volume and mean-length vs the cross-source expectation, with a "
+    "0.5x/2x volume-anomaly flag — the circuit-breaker an ingestion "
+    "pipeline evaluates per load. Two tiny aggregates (source-"
+    "cardinality rows) + a broadcast of ONE overall row; the fact "
+    "table scans once. Decimal-exact means keep both engines "
+    "bit-identical.",
+)
+def q_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.round(
+            F.sum(F.expr("CAST(n_chars AS DECIMAL(28,6))")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_chars"),
+    )
+    overall = per_src.agg(
+        F.sum("n_docs").cast("bigint").alias("total_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+        F.round(
+            F.sum(F.expr("CAST(mean_chars AS DECIMAL(28,6))")).cast(
+                "double"
+            )
+            / F.count(F.lit(1)),
+            6,
+        ).alias("grand_mean"),
+    )
+    expect = F.col("total_docs").cast("double") / F.col("n_sources")
+    return (
+        per_src.crossJoin(F.broadcast(overall))
+        .select(
+            "source",
+            "n_docs",
+            "mean_chars",
+            F.round(F.col("n_docs") / expect, 6).alias("volume_ratio"),
+            F.round(
+                F.col("mean_chars") - F.col("grand_mean"), 6
+            ).alias("mean_chars_delta"),
+            (
+                (F.col("n_docs") < 0.5 * expect)
+                | (F.col("n_docs") > 2.0 * expect)
+            ).alias("volume_anomaly"),
+        )
+    )

@@ -98,6 +98,19 @@ def test_scd2_lifecycle_and_idempotence(spark):
     assert a == b
 
 
+def test_scd2_as_of_round_trip(spark):
+    from spark_extensions_spark.operators.incremental import scd2_as_of
+
+    old, new = _snaps(spark)
+    hist1 = scd2_init(old, ["k"], ["v", "w"], load_version=1)
+    hist2 = scd2_apply(hist1, new, ["k"], ["v", "w"], load_version=2)
+    # as-of load 1 == the original snapshot; as-of load 2 == the new one
+    as1 = sorted(map(tuple, scd2_as_of(hist2, 1).collect()))
+    as2 = sorted(map(tuple, scd2_as_of(hist2, 2).collect()))
+    assert as1 == sorted(map(tuple, old.collect()))
+    assert as2 == sorted(map(tuple, new.collect()))
+
+
 def test_scd2_closed_rows_pass_through(spark):
     old, new = _snaps(spark)
     hist1 = scd2_init(old, ["k"], ["v", "w"], load_version=1)

@@ -77,3 +77,18 @@ def test_scalar_batteries_stay_row_local(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, name
         assert any("l_orderkey" in f for f in pushed_filters(df)), name
+
+
+def test_one_scan_stats_queries(spark):
+    """stat_profile / stat_correlation_matrix must stay ONE file scan
+    (the quality_rules N-scan regression, pinned for the stats batch)."""
+    for name in ("stat_profile", "stat_correlation_matrix"):
+        df = _q(name).spark(spark, SF_DIR)
+        scans = read_schema_columns(df)
+        assert len(scans) == 1, (name, scans)
+        assert set(scans[0]) == {
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+        }, (name, scans)
