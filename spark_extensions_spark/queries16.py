@@ -314,3 +314,51 @@ def q_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("volume_anomaly"),
         )
     )
+
+
+def _shard_manifest_oracle(n_shards: int = 8) -> str:
+    from spark_extensions_spark.operators.sampling import hash_bucket_duck
+
+    bucket = hash_bucket_duck("doc_id", "shard", 1 << 60)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKENS_DUCK_EXPORT} AS n_tok,
+             CAST({bucket} % {n_shards} AS INT) AS shard
+      FROM documents
+    )
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           md5(array_to_string(list_sort(list(CAST(doc_id AS VARCHAR))), ','))
+             AS content_hash
+    FROM toks GROUP BY shard
+    """
+
+
+_TOKENS_DUCK_EXPORT = (
+    "CAST(COALESCE(list_sum(list_transform("
+    "regexp_extract_all(lower(text), '[a-z0-9]+'), "
+    "w -> CAST(ceil(length(w) / 4.0) AS BIGINT))), 0) AS BIGINT)"
+)
+
+
+@_register(
+    "export_shard_manifest",
+    _shard_manifest_oracle(),
+    doc="Training-export shard manifest (sources/export.py:"
+    "shard_manifest): deterministic md5-bucket shard assignment + per-"
+    "shard row count, token total, and an order-insensitive content "
+    "hash (md5 over the sorted key list) — the receipt the training "
+    "side verifies before consuming the shards. One shuffle on the "
+    "shard id; pairs with write_shards (one hash repartition + "
+    "partitioned write, pytest-verified).",
+)
+def q_export_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_extensions_spark.functions.text import token_count
+    from spark_extensions_spark.sources.export import shard_manifest
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    with_tok = docs.select(
+        "doc_id", token_count("text").alias("n_tok")
+    )
+    return shard_manifest(with_tok, "doc_id", 8, token_col="n_tok")

@@ -180,6 +180,38 @@ def test_band_index_persisted_bucketed_join(spark, sf_dir):
     }
 
 
+def test_write_shards_matches_manifest(spark, sf_dir):
+    import tempfile
+
+    from spark_extensions_spark.sources.export import (
+        shard_manifest,
+        write_shards,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    n_shards = 4
+    path = tempfile.mkdtemp(prefix="shards_") + "/out"
+    write_shards(docs, path, "doc_id", n_shards)
+    manifest = {
+        r["shard"]: r["n_rows"]
+        for r in shard_manifest(docs, "doc_id", n_shards).collect()
+    }
+    back = spark.read.parquet(path)
+    got = {
+        r["shard"]: r["n"]
+        for r in back.groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == manifest
+    assert back.count() == docs.count()
+    # every shard nonempty and reasonably balanced on this corpus
+    assert set(got) == set(range(n_shards))
+    assert max(got.values()) < 2 * min(got.values())
+
+
 def test_url_canonicalize_variants(spark):
     from spark_extensions_spark.functions.url import url_canonicalize
 
