@@ -362,3 +362,29 @@ def q_export_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", token_count("text").alias("n_tok")
     )
     return shard_manifest(with_tok, "doc_id", 8, token_col="n_tok")
+
+
+@_register(
+    "embedding_kmeans",
+    None,  # iterative — not SQL-expressible; numpy-twin + invariance pytest
+    doc="Distributed k-means over the embedding column (operators/"
+    "clustering.py): deterministic hash-min init, codegen'd argmin "
+    "assignment (zero shuffle), decimal-exact centroid updates "
+    "(partition-layout-invariant — pinned by test), driver traffic "
+    "k*dim numbers per iteration. Output: cluster sizes. Rows-only by "
+    "design (iterative); correctness pinned by a numpy twin test "
+    "(same init/update rule, assignments match), inertia-monotonicity "
+    "and partitioning-invariance tests, plus sample_diverse (per-"
+    "cluster stratified cap) for topic-balanced subsets.",
+)
+def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_extensions_spark.operators.clustering import (
+        kmeans_assignments,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    return (
+        kmeans_assignments(emb, "vec_id", "embedding", k=8, iters=3)
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
+    )

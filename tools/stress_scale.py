@@ -223,6 +223,17 @@ def main() -> int:
         ).count(),
     )
 
+    from spark_extensions_spark.operators.clustering import (
+        kmeans_assignments,
+    )
+
+    run(
+        "embedding_kmeans",
+        lambda: kmeans_assignments(
+            emb, "vec_id", "embedding", k=8, iters=2
+        ).count(),
+    )
+
     import shutil
 
     shutil.rmtree(base, ignore_errors=True)
