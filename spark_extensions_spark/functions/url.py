@@ -41,8 +41,9 @@ def _keep_param_pred_sql(p: str) -> str:
     return " AND ".join(conds)
 
 
-def url_canonicalize(url_col: str) -> Column:
-    """Canonical URL string (see module docstring for the form)."""
+def url_canonicalize_sql(url_col: str) -> str:
+    """Spark-SQL text computing the canonical URL (single expression —
+    also consumed verbatim by the SQL-UDF registry)."""
     scheme = f"lower(regexp_extract({url_col}, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
     host = f"lower(parse_url({url_col}, 'HOST'))"
     path = (
@@ -53,10 +54,15 @@ def url_canonicalize(url_col: str) -> Column:
         f"coalesce(parse_url({url_col}, 'QUERY'), ''), '&'), "
         f"p -> {_keep_param_pred_sql('p')})), '&')"
     )
-    return F.expr(
+    return (
         f"concat({scheme}, '://', {host}, {path}, "
         f"if({kept} = '', '', concat('?', {kept})))"
     )
+
+
+def url_canonicalize(url_col: str) -> Column:
+    """Canonical URL string (see module docstring for the form)."""
+    return F.expr(url_canonicalize_sql(url_col))
 
 
 def url_canonicalize_duck(url_col: str) -> str:

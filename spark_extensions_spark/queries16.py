@@ -388,3 +388,46 @@ def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cluster")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
     )
+
+
+@_register(
+    "sql_udf_battery",
+    """
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS INT)
+             AS wc,
+           CAST(COALESCE(list_sum(list_transform(
+                  regexp_extract_all(lower(text), '[a-z0-9]+'),
+                  w -> CAST(ceil(length(w) / 4.0) AS BIGINT))), 0) AS BIGINT)
+             AS tc,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || 'split'),
+                           1, 15))::BIGINT % 10000 AS bucket
+    FROM documents
+    """,
+    doc="The pure-SQL operator surface (functions/sql_registry.py): "
+    "word/token counts, content fingerprint, and hash bucketing "
+    "invoked as Spark 4 SQL UDFs (CREATE FUNCTION ... RETURN expr) "
+    "from a plain spark.sql string — the SQL-only-user path. SQL UDFs "
+    "macro-expand in the analyzer (no BatchEvalPython, pinned by "
+    "test); bodies are the same fragments the Column builders emit.",
+)
+def q_sql_udf_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_extensions_spark.functions.sql_registry import (
+        install_sql_functions,
+    )
+
+    install_sql_functions(spark)
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    docs.createOrReplaceTempView("__sql_udf_docs")
+    return spark.sql(
+        """
+        SELECT doc_id,
+               se_word_count(text) AS wc,
+               se_token_count(text) AS tc,
+               se_fingerprint(text) AS fp,
+               se_hash_bucket(CAST(doc_id AS STRING), 'split', 10000)
+                 AS bucket
+        FROM __sql_udf_docs
+        """
+    )

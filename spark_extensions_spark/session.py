@@ -76,6 +76,47 @@ def get_spark(
     return spark
 
 
+def recommended_conf(
+    input_bytes: int,
+    executor_cores: int = 4,
+    num_executors: int | None = None,
+    executor_mem_bytes: int = 16 * 1024**3,
+) -> dict[str, str]:
+    """Scale-out configuration for a given input size — the 100 TB
+    sizing rules of thumb, encoded.
+
+    - ``shuffle.partitions``: target ~192 MiB of shuffled data per
+      partition (fits a task comfortably in a few GiB of heap with
+      2-3x expansion), rounded up to a multiple of the total core
+      count so no wave runs ragged; floor of 2x cores.
+    - ``files.maxPartitionBytes``: 256 MiB — big enough that a 100 TB
+      scan is ~400k tasks (scheduler-fine), small enough to rebalance
+      skewed file layouts.
+    - ``autoBroadcastJoinThreshold``: min(10% of executor memory,
+      256 MiB) — broadcast as much as safely fits; AQE upgrades at
+      runtime anyway.
+    - AQE on with skew-join handling (non-negotiable at scale).
+
+    Pass the result to ``get_spark(extra_conf=...)`` or a cluster
+    submit; values are strings, ready for ``--conf``.
+    """
+    target_part = 192 * 1024**2
+    parts = max(1, (input_bytes + target_part - 1) // target_part)
+    total_cores = executor_cores * (num_executors or 1)
+    if num_executors is not None:
+        parts = max(parts, 2 * total_cores)
+        parts = ((parts + total_cores - 1) // total_cores) * total_cores
+    bcast = min(executor_mem_bytes // 10, 256 * 1024**2)
+    return {
+        "spark.sql.shuffle.partitions": str(parts),
+        "spark.sql.files.maxPartitionBytes": str(256 * 1024**2),
+        "spark.sql.autoBroadcastJoinThreshold": str(bcast),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    }
+
+
 def ensure_workers_can_import(spark: SparkSession) -> None:
     """Ship this package to executor Python workers via ``addPyFile``.
 
