@@ -7,21 +7,45 @@ when the answer is right) and by developers via ``explain_str``.
 
 from __future__ import annotations
 
+import contextlib
+import io
 import re
 
 from pyspark.sql import DataFrame
 
 
+def _explain_via_stdout(df: DataFrame, mode: str) -> str:
+    """Spark Connect fallback: ``df.explain`` only PRINTS there (no
+    ``_jdf``), so capture stdout — the text format is identical."""
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
 def executed_plan(df: DataFrame) -> str:
-    """The physical plan as text (final AQE plan when already executed)."""
-    return df._jdf.queryExecution().executedPlan().toString()
+    """The physical plan as text (final AQE plan when already executed).
+
+    Classic mode reads the JVM queryExecution directly; under Spark
+    Connect (no ``_jdf``) falls back to the printed simple explain —
+    same physical operators, minus the post-execution AQE final-plan
+    detail.
+    """
+    try:
+        return df._jdf.queryExecution().executedPlan().toString()
+    except AttributeError:
+        return _explain_via_stdout(df, "simple")
 
 
 def explain_str(df: DataFrame, mode: str = "formatted") -> str:
-    """``df.explain(mode)`` rendered to a returned string."""
-    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
-        df._jdf.queryExecution(), mode
-    )
+    """``df.explain(mode)`` rendered to a returned string (classic JVM
+    path when available, stdout capture under Spark Connect)."""
+    try:
+        return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+            df._jdf.queryExecution(), mode
+        )
+    except AttributeError:
+        return _explain_via_stdout(df, mode)
 
 
 def plan_has(df: DataFrame, *fragments: str) -> bool:
