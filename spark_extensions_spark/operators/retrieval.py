@@ -1,0 +1,228 @@
+"""Distributed lexical retrieval: inverted index, BM25, TF-IDF.
+
+A training-data pipeline needs keyword retrieval for targeted corpus
+audits ("show me the docs about X"), decontamination review, and
+quality slicing — at 100 TB that means a *distributed inverted index*,
+never a driver-side scan.
+
+Everything here is built from groupBy/join shuffle shapes that survive
+scale:
+
+- ``tokenize`` is a zero-shuffle projection (split + explode).
+- ``term_frequencies`` / ``doc_lengths`` are single hash aggregates
+  (map-side partial combine).
+- ``bm25_search`` filters the posting list to the query terms *before*
+  any join (predicate pushes to the tf aggregate output), broadcasts
+  the tiny per-term df table and the 1-row corpus stats, and only
+  shuffles the candidate postings — the corpus itself is touched by
+  exactly the two index-building aggregates. On a real deployment the
+  (tf, dl, df) index tables would be written once and reused per
+  query; the builder functions are factored so callers can persist
+  them (same pattern as ``dedup.minhash_band_table``).
+
+Determinism contract (DuckDB oracle hash-equality): token order never
+matters (hash aggregates), per-term BM25 contributions are rounded to
+8 decimals and summed as DECIMAL (order-free), ln/÷ are written
+identically on both engines.
+
+Reference parity note: the reference repo (smart-data-lake/
+spark-extensions) has no retrieval surface; this extends the
+LLM-pipeline layer mandated by the build brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+TOKEN_RE = "[^a-z0-9]+"
+
+# BM25 constants (Robertson/Sparck Jones defaults).
+K1 = 1.2
+B = 0.75
+
+
+def tokenize(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Lowercase word tokens, one row per (doc, token). Zero shuffle."""
+    return (
+        df.select(
+            F.col(id_col),
+            F.explode(F.split(F.lower(F.col(text_col)), TOKEN_RE)).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+
+
+def term_frequencies(tokens: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc, term, tf) posting list — the inverted index fact table."""
+    return tokens.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+
+
+def doc_lengths(tokens: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc, dl) token counts."""
+    return tokens.groupBy(id_col).agg(F.count("*").alias("dl"))
+
+
+def bm25_search(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+) -> DataFrame:
+    """Top-k docs by BM25 for a bag of query terms.
+
+    Plan shape: 2 index aggregates over the corpus, then joins confined
+    to the filtered posting list (broadcast df + stats, co-keyed dl
+    join), window top-k. No driver-side state.
+    """
+    toks = tokenize(df, text_col, id_col)
+    tf = term_frequencies(toks, id_col)
+    dl = doc_lengths(toks, id_col)
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    dfreq = (
+        tf.filter(F.col("term").isin(query_terms))
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    postings = (
+        tf.filter(F.col("term").isin(query_terms))
+        .join(F.broadcast(dfreq), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+    )
+    contrib = postings.select(
+        F.col(id_col),
+        F.expr(
+            f"cast(round("
+            f"  ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)"
+            f"  * (tf * ({K1} + 1.0))"
+            f"  / (tf + {K1} * (1.0 - {B} + {B} * dl / avgdl))"
+            f", 8) as decimal(20,8))"
+        ).alias("c"),
+    )
+    scored = contrib.groupBy(id_col).agg(
+        F.expr("cast(round(sum(c), 6) as double)").alias("score")
+    )
+    # orderBy + limit compiles to TakeOrderedAndProject: per-partition
+    # top-k then a k-row driver merge — no single-partition window.
+    return (
+        scored.orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+        .select(id_col, "score")
+    )
+
+
+def bm25_oracle_sql(query_terms: list[str], k: int = 20) -> str:
+    """DuckDB twin of :func:`bm25_search` (textually identical math)."""
+    terms = ", ".join(f"'{t}'" for t in query_terms)
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, term FROM (
+        SELECT doc_id,
+               UNNEST(STRING_SPLIT_REGEX(LOWER(text), '{TOKEN_RE}')) AS term
+        FROM documents
+      ) WHERE term <> ''
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dl
+    ),
+    dfreq AS (
+      SELECT term, COUNT(*) AS df FROM tf
+      WHERE term IN ({terms}) GROUP BY term
+    ),
+    contrib AS (
+      SELECT tf.doc_id,
+             CAST(ROUND(
+               LN((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+               * (tf.tf * ({K1} + 1.0))
+               / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl))
+             , 8) AS DECIMAL(20,8)) AS c
+      FROM tf
+      JOIN dfreq ON tf.term = dfreq.term
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats
+    ),
+    scored AS (
+      SELECT doc_id, CAST(ROUND(SUM(c), 6) AS DOUBLE) AS score
+      FROM contrib GROUP BY doc_id
+    )
+    SELECT doc_id, score FROM (
+      SELECT doc_id, score,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rn
+      FROM scored
+    ) WHERE rn <= {k}
+    """
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_per_doc: int = 3,
+    min_len: int = 3,
+) -> DataFrame:
+    """Top-n characteristic terms per doc by smoothed TF-IDF.
+
+    tfidf = tf * (ln((1 + N) / (1 + df)) + 1), rounded to 6 decimals
+    for cross-engine hash equality; ties broken lexicographically.
+    Plan: two aggregates + one broadcast(df-per-term is corpus-sized,
+    so it stays a shuffled join) + window per doc.
+    """
+    toks = tokenize(df, text_col, id_col).filter(F.length("term") >= min_len)
+    tf = term_frequencies(toks, id_col)
+    n_docs = df.agg(F.count("*").alias("n_docs"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "term",
+            F.expr(
+                "cast(round(tf * (ln((1.0 + n_docs) / (1.0 + df)) + 1.0), 6)"
+                " as double)"
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.col("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_per_doc)
+        .select(id_col, "term", "tfidf", F.col("rn").cast("int").alias("rn"))
+    )
+
+
+def tfidf_oracle_sql(top_per_doc: int = 3, min_len: int = 3) -> str:
+    """DuckDB twin of :func:`tfidf_top_terms`."""
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, term FROM (
+        SELECT doc_id,
+               UNNEST(STRING_SPLIT_REGEX(LOWER(text), '{TOKEN_RE}')) AS term
+        FROM documents
+      ) WHERE term <> '' AND LENGTH(term) >= {min_len}
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             CAST(ROUND(tf.tf * (LN((1.0 + nd.n_docs) / (1.0 + dfreq.df)) + 1.0), 6)
+                  AS DOUBLE) AS tfidf
+      FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN nd
+    )
+    SELECT doc_id, term, tfidf, CAST(rn AS INT) AS rn FROM (
+      SELECT doc_id, term, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term) AS rn
+      FROM scored
+    ) WHERE rn <= {top_per_doc}
+    """

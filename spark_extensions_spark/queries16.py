@@ -443,3 +443,6 @@ def q_sql_udf_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM __sql_udf_docs
         """
     )
+
+
+from spark_extensions_spark import queries17  # noqa: E402,F401  (registration side effect)
