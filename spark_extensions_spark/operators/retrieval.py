@@ -77,8 +77,16 @@ def bm25_search(
     join), window top-k. No driver-side state.
     """
     toks = tokenize(df, text_col, id_col)
-    tf = term_frequencies(toks, id_col)
-    dl = doc_lengths(toks, id_col)
+    # Materialize the (doc, term, tf) index once (lazy localCheckpoint):
+    # four downstream branches (postings, df, dl, stats) otherwise each
+    # re-run the corpus scan + explode — the term-filter pushdown makes
+    # their subplans non-identical, so ReuseExchange can't dedupe them.
+    # On a persistent deployment you'd write tf out and reuse it across
+    # queries (same pattern as dedup.minhash_band_table).
+    tf = term_frequencies(toks, id_col).localCheckpoint(eager=False)
+    # dl = sum(tf) per doc ≡ token count, derived from the index instead
+    # of a second tokenize pass.
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     stats = dl.agg(
         F.count("*").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
