@@ -935,3 +935,101 @@ def ngram_jaccard_pairs_prefix(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 40,
+    stride: int = 20,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document repeated character spans (substring-level dedup).
+
+    Document-level near-dup (MinHash/SimHash) misses *partial* overlap:
+    boilerplate headers, license blocks, quoted passages duplicated
+    across otherwise-distinct documents. The substring-dedup recipe
+    (Lee et al. 2021, "Deduplicating Training Data Makes Language
+    Models Better") finds repeated spans; the exact suffix-array
+    construction doesn't distribute, so the scalable variant hashes
+    overlapping fixed-width windows (``window`` chars every ``stride``)
+    and groups by window hash — a duplicated region ≥ window+stride
+    chars long is guaranteed to produce at least one colliding window
+    in every copy.
+
+    Plan: row-local window expansion (sequence → transform → explode —
+    zero shuffle, no Python), one hash aggregate keyed by the md5 of
+    the span text. Positions are folded into ``min(doc_id * 1_000_000 +
+    pos)`` so the earliest occurrence comes out of the same aggregate —
+    integer math, engine-portable. At 100 TB the span table is the
+    corpus × (1/stride) — tune ``stride`` up for the first pass, then
+    re-scan candidates exactly.
+
+    Output: ``(span_hash, n_docs, n_occurrences, first_doc, first_pos,
+    span)`` for spans seen in ≥ ``min_docs`` distinct documents.
+    """
+    assert window > 0 and stride > 0
+    pos = F.expr(
+        f"case when length({text_col}) >= {window} then "
+        f"sequence(1, length({text_col}) - {window} + 1, {stride}) "
+        f"else array() end"
+    )
+    spans = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(pos).alias("pos"),
+        F.col(text_col).alias("__text"),
+    ).select(
+        "__id",
+        "pos",
+        F.expr(f"substring(__text, pos, {window})").alias("span"),
+    )
+    return (
+        spans.groupBy(F.md5(F.col("span")).alias("span_hash"))
+        .agg(
+            F.countDistinct("__id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+            F.min(F.col("__id") * 1_000_000 + F.col("pos")).alias("__k"),
+            F.min("span").alias("span"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+        .select(
+            "span_hash",
+            "n_docs",
+            "n_occurrences",
+            F.expr("__k div 1000000").alias("first_doc"),
+            (F.col("__k") % 1_000_000).cast("bigint").alias("first_pos"),
+            "span",
+        )
+    )
+
+
+def duplicate_spans_oracle_sql(
+    window: int = 40,
+    stride: int = 20,
+    min_docs: int = 2,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`duplicate_spans` (same integer folding)."""
+    return f"""
+    WITH spans AS (
+      SELECT {id_col} AS id, CAST(p AS BIGINT) AS pos,
+             SUBSTRING({text_col}, CAST(p AS INT), {window}) AS span
+      FROM {table}
+      CROSS JOIN UNNEST(
+        CASE WHEN LENGTH({text_col}) >= {window}
+             THEN range(1, LENGTH({text_col}) - {window} + 2, {stride})
+             ELSE [] END) AS t(p)
+    )
+    SELECT md5(span) AS span_hash,
+           COUNT(DISTINCT id) AS n_docs,
+           COUNT(*) AS n_occurrences,
+           MIN(id * 1000000 + pos) // 1000000 AS first_doc,
+           CAST(MIN(id * 1000000 + pos) % 1000000 AS BIGINT) AS first_pos,
+           MIN(span) AS span
+    FROM spans
+    GROUP BY md5(span)
+    HAVING COUNT(DISTINCT id) >= {min_docs}
+    """

@@ -207,6 +207,122 @@ def connected_components_star(
     )
 
 
+PAGERANK_SCALE = 1_000_000_000_000  # 1e12: integer-scaled rank units
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list.
+
+    A training-data pipeline uses link-graph centrality as a document /
+    domain quality prior (the Common-Crawl curation recipe: rank hosts
+    by the hyperlink graph, upweight central ones). This is the generic
+    operator: ``edges(src, dst)`` in, ``(node, rank_scaled, rank)`` out
+    after exactly ``iterations`` synchronous power-iteration rounds.
+
+    All arithmetic is *integer-scaled* (ranks live in units of
+    1/PAGERANK_SCALE): per-edge contribution is ``rank div outdeg``,
+    the damping blend is ``(damping_pct * sum) div 100`` — every step
+    is exact 64-bit integer math, so the result is bit-identical on any
+    engine and any partitioning (no FP summation-order hazard at all).
+    Truncation loses ≤ outdeg units of mass per node per round —
+    irrelevant for ranking at 1e12 scale.
+
+    Scale shape: the edge list is checkpointed once (upstream lineage —
+    e.g. a fact-table distinct — runs exactly once); each round is one
+    co-keyed join (edges ⋈ ranks on src) + one groupBy(dst) shuffle;
+    nothing but the node count ever reaches the driver. Rounds are
+    fixed (no convergence probe) — the common production choice for a
+    quality prior, and what makes the DuckDB oracle an exact unrolled
+    CTE chain.
+    """
+    E = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        E.select(F.col("src").alias("node"))
+        .union(E.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    outdeg = E.groupBy("src").agg(F.count("*").alias("outdeg"))
+    e_deg = E.join(outdeg, "src").localCheckpoint(eager=True)
+
+    base = (PAGERANK_SCALE * (100 - damping_pct)) // (100 * n)
+    r0 = PAGERANK_SCALE // n
+    ranks = nodes.select("node", F.lit(r0).cast("bigint").alias("r"))
+    for _ in range(iterations):
+        contrib = e_deg.join(
+            ranks, e_deg["src"] == ranks["node"]
+        ).select(F.col("dst"), F.expr("r div outdeg").alias("c"))
+        s = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        ranks = (
+            nodes.join(s, nodes["node"] == s["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(f"({damping_pct} * coalesce(s, 0L)) div 100")
+                ).cast("bigint").alias("r"),
+            )
+        )
+    return ranks.select(
+        "node",
+        F.col("r").alias("rank_scaled"),
+        (F.col("r").cast("double") / F.lit(float(PAGERANK_SCALE))).alias("rank"),
+    )
+
+
+def pagerank_oracle_sql(
+    edges_sql: str,
+    iterations: int = 3,
+    damping_pct: int = 85,
+) -> str:
+    """DuckDB twin of :func:`pagerank`: exact unrolled iteration CTEs.
+
+    ``edges_sql`` must select distinct ``(src, dst)``. Integer ``//``
+    floor-division matches Spark's ``div`` bit-for-bit on the
+    non-negative ranks used here.
+    """
+    sc = PAGERANK_SCALE
+    parts = [
+        f"WITH e AS ({edges_sql})",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "st AS (SELECT COUNT(*) AS n FROM nodes)",
+        "outdeg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src)",
+        f"r0 AS (SELECT node, CAST({sc} // st.n AS BIGINT) AS r "
+        "FROM nodes CROSS JOIN st)",
+    ]
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"c{i} AS (SELECT e.dst, SUM({prev}.r // outdeg.outdeg) AS s "
+            f"FROM e JOIN outdeg USING (src) "
+            f"JOIN {prev} ON {prev}.node = e.src GROUP BY e.dst)"
+        )
+        parts.append(
+            f"r{i} AS (SELECT nodes.node, CAST("
+            f"({sc} * (100 - {damping_pct})) // (100 * st.n) "
+            f"+ ({damping_pct} * COALESCE(c{i}.s, 0)) // 100 AS BIGINT) AS r "
+            f"FROM nodes CROSS JOIN st "
+            f"LEFT JOIN c{i} ON c{i}.dst = nodes.node)"
+        )
+        prev = f"r{i}"
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT node, r AS rank_scaled, "
+        f"CAST(r AS DOUBLE) / {float(sc)} AS rank FROM {prev}"
+    )
+
+
 def neardup_clusters(
     pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
 ) -> DataFrame:

@@ -234,3 +234,76 @@ def tfidf_oracle_sql(top_per_doc: int = 3, min_len: int = 3) -> str:
       FROM scored
     ) WHERE rn <= {top_per_doc}
     """
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k0: int = 60,
+    k: int = 20,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two ranked candidate lists.
+
+    The standard hybrid-retrieval merge (Cormack/Clarke/Buettcher,
+    SIGIR'09): ``score(d) = Σ 1 / (k0 + rank_i(d))`` over the lists the
+    document appears in. Rank-based, so the lexical and dense scores
+    need no calibration against each other.
+
+    Inputs are ``(id, rank)`` lists (rank 1-based). Plan: one full-outer
+    join on the doc id (both lists are top-N sized — tiny next to the
+    corpus, and broadcastable), fixed two-term double sum (no FP
+    order hazard, so the score needs no rounding to hash-match an
+    oracle), TakeOrderedAndProject top-k.
+
+    Output: ``(id, rrf_score, rank_a, rank_b)`` — ranks NULL where the
+    doc missed that list.
+    """
+    a = ranked_a.select(F.col(id_col).alias("id"), F.col(rank_col).alias("rank_a"))
+    b = ranked_b.select(F.col(id_col).alias("id"), F.col(rank_col).alias("rank_b"))
+    fused = a.join(b, "id", "full_outer").select(
+        "id",
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(k0) + F.col("rank_a")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(k0) + F.col("rank_b")), F.lit(0.0))
+        ).alias("rrf_score"),
+        F.col("rank_a").cast("int").alias("rank_a"),
+        F.col("rank_b").cast("int").alias("rank_b"),
+    )
+    return (
+        fused.orderBy(F.desc("rrf_score"), F.col("id"))
+        .limit(k)
+        .select(F.col("id").alias(id_col), "rrf_score", "rank_a", "rank_b")
+    )
+
+
+def rrf_oracle_sql(
+    lex_sql: str,
+    dense_sql: str,
+    k0: int = 60,
+    k: int = 20,
+) -> str:
+    """DuckDB twin of :func:`rrf_fuse` over two ranked-list subqueries.
+
+    Each input SQL must yield ``(doc_id, rank)``. The two reciprocal
+    terms are written in the same fixed order as the Spark expression,
+    in double — bit-identical, unrounded.
+    """
+    return f"""
+    WITH lex AS ({lex_sql}),
+         dense AS ({dense_sql}),
+         fused AS (
+           SELECT COALESCE(lex.doc_id, dense.doc_id) AS doc_id,
+                  COALESCE(CAST(1 AS DOUBLE) / ({k0} + lex.rank), CAST(0 AS DOUBLE))
+                  + COALESCE(CAST(1 AS DOUBLE) / ({k0} + dense.rank), CAST(0 AS DOUBLE))
+                    AS rrf_score,
+                  CAST(lex.rank AS INT) AS rank_a,
+                  CAST(dense.rank AS INT) AS rank_b
+           FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.doc_id
+         )
+    SELECT doc_id, rrf_score, rank_a, rank_b FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id) AS rn
+      FROM fused
+    ) WHERE rn <= {k}
+    """

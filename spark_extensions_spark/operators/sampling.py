@@ -224,3 +224,151 @@ def deterministic_shuffle(
         .withColumn(out_col, (F.col("__offset") + local).cast("bigint"))
         .drop("__h", "__pid", "__mid", "__offset")
     )
+
+
+# ---------------------------------------------------------------------
+# DSIR: data selection via importance resampling (Xie et al., NeurIPS
+# 2023, "Data Selection for Language Models via Importance Resampling")
+# ---------------------------------------------------------------------
+
+_DSIR_FEATS = (
+    "concat(__ws, transform(slice(__ws, 1, greatest(size(__ws) - 1, 0)),"
+    " (w, i) -> concat(w, ' ', element_at(__ws, i + 2))))"
+)
+
+
+def dsir_weights(
+    df: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+    salt: str = "dsir",
+) -> DataFrame:
+    """Per-document DSIR importance weights against a target subcorpus.
+
+    The public DSIR recipe: represent each document as hashed word
+    uni+bigram features, fit add-one-smoothed bucket distributions for
+    the raw corpus (``df``) and the target domain (``target``), and
+    weight every document by the log importance ratio of its features:
+
+        weight(d) = Σ_f  ln( p_target(bucket(f)) / p_raw(bucket(f)) )
+
+    High weight = looks like the target domain — sample by weight to
+    re-mix a 100 TB crawl toward a quality domain without training a
+    classifier.
+
+    Scale shape: feature extraction is row-local (token array transform
+    + explode, zero Python); both distributions are single hash
+    aggregates over the bucket key (max ``n_buckets`` rows out — a
+    broadcastable table); the per-doc score is one join of occurrences
+    to that broadcast table + one groupBy(id). No driver state.
+
+    Determinism: bucket ids come from the engine-portable md5 hash
+    (:func:`hash_bucket`); each bucket's log-ratio is one ``ln`` over a
+    quotient of exact-integer-valued doubles, rounded to 8 decimals;
+    per-document sums run in DECIMAL (order-free).
+
+    Returns ``(id_col, n_feats bigint, weight decimal(28,8))`` for
+    every document of ``df`` (NULLs for token-free documents).
+    """
+    def occurrences(data: DataFrame) -> DataFrame:
+        return data.select(
+            F.col(id_col),
+            F.expr(
+                f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)"
+            ).alias("__ws"),
+        ).select(
+            id_col, F.explode(F.expr(_DSIR_FEATS)).alias("feat")
+        ).select(
+            F.col(id_col),
+            hash_bucket("feat", salt, n_buckets).alias("bucket"),
+        )
+
+    # Materialize occurrences once (lazy): three branches (raw counts,
+    # totals, per-doc scoring join) would otherwise each re-run the
+    # corpus tokenize+explode.
+    occ = occurrences(df).localCheckpoint(eager=False)
+    occ_tgt = occurrences(target)
+    raw = occ.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_raw"))
+    tgt = occ_tgt.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_tgt"))
+    tot = raw.agg(F.sum("c_raw").alias("t_raw")).crossJoin(
+        tgt.agg(F.sum("c_tgt").alias("t_tgt"))
+    )
+    lr = (
+        raw.join(tgt, "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.expr(
+                "cast(round(ln("
+                " (cast(coalesce(c_tgt, 0) + 1 as double)"
+                "  * cast(t_raw + {b} as double))"
+                " / (cast(t_tgt + {b} as double)"
+                "    * cast(c_raw + 1 as double))"
+                "), 8) as decimal(20,8))".format(b=n_buckets)
+            ).alias("lr8"),
+        )
+    )
+    scored = (
+        occ.join(F.broadcast(lr), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum("lr8").cast("decimal(28,8)").alias("weight"),
+        )
+    )
+    return df.select(id_col).join(scored, id_col, "left")
+
+
+def dsir_oracle_sql(
+    target_where: str,
+    n_buckets: int = 1024,
+    salt: str = "dsir",
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`dsir_weights` (target = ``table`` filtered
+    by ``target_where``)."""
+    bucket = hash_bucket_duck("feat", salt, n_buckets)
+    feats = f"""
+      SELECT {id_col} AS id, {bucket} AS bucket FROM (
+        SELECT {id_col}, UNNEST(ws || list_transform(
+                 ws[1:GREATEST(LEN(ws) - 1, 0)],
+                 (w, i) -> w || ' ' || ws[i + 1])) AS feat
+        FROM (SELECT {id_col},
+                     regexp_extract_all(LOWER({text_col}), '[a-z0-9]+') AS ws
+              FROM {table}) d
+      )
+    """
+    return f"""
+    WITH occ AS ({feats}),
+    occ_tgt AS (
+      SELECT occ.id, occ.bucket FROM occ
+      JOIN {table} t ON t.{id_col} = occ.id
+      WHERE {target_where}
+    ),
+    raw AS (SELECT bucket, COUNT(*) AS c_raw FROM occ GROUP BY bucket),
+    tgt AS (SELECT bucket, COUNT(*) AS c_tgt FROM occ_tgt GROUP BY bucket),
+    tot AS (SELECT (SELECT SUM(c_raw) FROM raw) AS t_raw,
+                   (SELECT SUM(c_tgt) FROM tgt) AS t_tgt),
+    lr AS (
+      SELECT raw.bucket,
+             CAST(ROUND(LN(
+               (CAST(COALESCE(tgt.c_tgt, 0) + 1 AS DOUBLE)
+                * CAST(tot.t_raw + {n_buckets} AS DOUBLE))
+               / (CAST(tot.t_tgt + {n_buckets} AS DOUBLE)
+                  * CAST(raw.c_raw + 1 AS DOUBLE))
+             ), 8) AS DECIMAL(20,8)) AS lr8
+      FROM raw LEFT JOIN tgt ON raw.bucket = tgt.bucket CROSS JOIN tot
+    ),
+    scored AS (
+      SELECT occ.id, COUNT(*) AS n_feats,
+             CAST(SUM(lr8) AS DECIMAL(28,8)) AS weight
+      FROM occ JOIN lr ON occ.bucket = lr.bucket
+      GROUP BY occ.id
+    )
+    SELECT d.{id_col}, scored.n_feats, scored.weight
+    FROM {table} d LEFT JOIN scored ON scored.id = d.{id_col}
+    """

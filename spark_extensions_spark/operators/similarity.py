@@ -284,3 +284,105 @@ def ann_ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits_max: int = 127,
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization of an embedding column.
+
+    The storage/serving step of an embedding index: each vector is
+    scaled by ``scale = max|x| / 127`` and rounded to int8, cutting the
+    column 4x (float32 → int8) — the standard recipe before shipping a
+    100 TB index to an ANN server. Emits the quantized codes plus the
+    reconstruction-error audit every quantization pipeline reports.
+
+    Entirely row-local built-ins (transform/aggregate folds) — zero
+    shuffle, no Python. Deterministic across engines: scale and the
+    per-dimension errors are pure IEEE double arithmetic (division,
+    ``floor(x + 0.5)`` rounding, multiply-subtract — no libm); the
+    squared-error sum accumulates in DECIMAL (order-free).
+
+    Output: ``(id, n_dims, scale, q array<int>, max_abs_err double,
+    sse decimal(30,18))``.
+    """
+    xd = f"transform({vec_col}, x -> cast(x as double))"
+    amax = f"aggregate({xd}, 0.0d, (a, v) -> greatest(a, abs(v)))"
+    scale = f"(greatest({amax}, 1e-30d) / {float(bits_max)}d)"
+    q = (
+        f"transform({xd}, x -> cast(greatest(least("
+        f"floor(x / __scale + 0.5d), {float(bits_max)}d), "
+        f"{float(-bits_max)}d) as int))"
+    )
+    err = f"zip_with({xd}, __q, (x, c) -> x - cast(c as double) * __scale)"
+    return (
+        df.select(
+            F.col(id_col),
+            F.expr(f"size({vec_col})").alias("n_dims"),
+            F.expr(scale).alias("__scale"),
+            F.col(vec_col),
+        )
+        .withColumn("__q", F.expr(q))
+        .select(
+            id_col,
+            "n_dims",
+            F.col("__scale").alias("scale"),
+            F.col("__q").alias("q"),
+            F.expr(
+                f"aggregate({err}, 0.0d, (a, v) -> greatest(a, abs(v)))"
+            ).alias("max_abs_err"),
+            F.expr(
+                f"aggregate({err}, cast(0 as decimal(30,18)), "
+                f"(a, v) -> cast(a + cast(round(v * v, 18) as decimal(30,18))"
+                f" as decimal(30,18)))"
+            ).alias("sse"),
+        )
+    )
+
+
+def quantize_oracle_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits_max: int = 127,
+) -> str:
+    """DuckDB twin of :func:`quantize_embeddings` (same FP sequence)."""
+    m = float(bits_max)
+    xd = f"list_transform({vec_col}, x -> CAST(x AS DOUBLE))"
+    amax = f"list_max(list_transform({vec_col}, x -> ABS(CAST(x AS DOUBLE))))"
+    return f"""
+    WITH base AS (
+      SELECT {id_col} AS id, LEN({vec_col}) AS n_dims,
+             GREATEST({amax}, 1e-30) / {m} AS scale,
+             {xd} AS xd
+      FROM {table}
+    ),
+    qz AS (
+      SELECT id, n_dims, scale,
+             list_transform(xd, x -> CAST(GREATEST(LEAST(
+               FLOOR(x / scale + 0.5), {m}), {-m}) AS INT)) AS q,
+             xd
+      FROM base
+    ),
+    errs AS (
+      SELECT id, n_dims, scale, q,
+             list_transform(range(1, n_dims + 1),
+               i -> xd[i] - CAST(q[i] AS DOUBLE) * scale) AS e
+      FROM qz
+    ),
+    per_dim AS (
+      SELECT id, UNNEST(e) AS ev FROM errs
+    ),
+    agg AS (
+      SELECT id, MAX(ABS(ev)) AS max_abs_err,
+             SUM(CAST(ROUND(ev * ev, 18) AS DECIMAL(30,18))) AS sse
+      FROM per_dim GROUP BY id
+    )
+    SELECT errs.id AS {id_col}, CAST(errs.n_dims AS INT) AS n_dims,
+           errs.scale, errs.q,
+           agg.max_abs_err, CAST(agg.sse AS DECIMAL(30,18)) AS sse
+    FROM errs JOIN agg ON agg.id = errs.id
+    """

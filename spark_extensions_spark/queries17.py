@@ -594,3 +594,6 @@ def q_text_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval.tfidf_top_terms(docs, top_per_doc=3, min_len=3).filter(
         F.col("doc_id") < 50
     )
+
+
+from spark_extensions_spark import queries18  # noqa: E402,F401  (registration side effect)

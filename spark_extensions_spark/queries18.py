@@ -1,0 +1,213 @@
+"""t2 query registry, batch 21: graph centrality, hybrid retrieval,
+substring dedup, DSIR domain re-mixing, embedding quantization.
+
+Registered into the shared registry (imported from queries17 at module
+end). Same determinism rules as the queries.py docstring.
+
+Five additions to the LLM-data-pipeline layer, each with a full DuckDB
+oracle:
+
+- ``graph_pagerank``: integer-scaled fixed-iteration PageRank over the
+  customer↔supplier interaction graph (operators/graph.py:pagerank) —
+  the link-centrality quality prior of web-crawl curation, bit-exact by
+  construction (pure int64 math, unrolled-CTE oracle).
+- ``retrieval_rrf``: reciprocal-rank fusion of the BM25 lexical top-50
+  and the embedding-cosine dense top-50 (operators/retrieval.py:
+  rrf_fuse) — the hybrid-search merge.
+- ``dedup_spans``: cross-document repeated character spans via strided
+  window hashing (operators/dedup.py:duplicate_spans) — substring-level
+  dedup à la Lee et al. 2021.
+- ``sample_dsir``: hashed-ngram importance weights against a target
+  subcorpus (operators/sampling.py:dsir_weights) — DSIR (Xie et al.
+  2023) domain re-mixing without a trained classifier.
+- ``embedding_quantize``: symmetric int8 quantization with the
+  reconstruction-error audit (operators/similarity.py:
+  quantize_embeddings) — row-local, zero shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spark_extensions_spark.queries import _cosine_duck, _register, _t, EMB_DIM
+from spark_extensions_spark.operators import retrieval
+from spark_extensions_spark.operators.dedup import (
+    duplicate_spans,
+    duplicate_spans_oracle_sql,
+)
+from spark_extensions_spark.operators.graph import pagerank, pagerank_oracle_sql
+from spark_extensions_spark.operators.sampling import dsir_oracle_sql, dsir_weights
+from spark_extensions_spark.operators.similarity import (
+    cosine_similarity_col,
+    quantize_embeddings,
+    quantize_oracle_sql,
+)
+
+
+# =====================================================================
+# PageRank over the customer↔supplier interaction graph
+# =====================================================================
+
+_PR_EDGES_DUCK = """
+SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+       's' || CAST(l_suppkey AS VARCHAR) AS dst
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1, 2
+UNION ALL
+SELECT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+       'c' || CAST(o_custkey AS VARCHAR) AS dst
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1, 2
+"""
+
+
+@_register(
+    "graph_pagerank",
+    pagerank_oracle_sql(_PR_EDGES_DUCK, iterations=3, damping_pct=85),
+    doc="Fixed-iteration integer-scaled PageRank (operators/graph.py:"
+    "pagerank) over the bipartite customer↔supplier graph derived from "
+    "the order fact table: one checkpointed distinct-edge derivation, "
+    "then per round one co-keyed join + one groupBy(dst) shuffle. "
+    "Bit-exact on any engine/partitioning: every step is int64 math "
+    "(rank div outdeg contributions, damping as (85*s) div 100).",
+)
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "lineitem", "orders")
+    pairs = (
+        t["lineitem"]
+        .join(t["orders"], t["lineitem"]["l_orderkey"] == t["orders"]["o_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("cn"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("sn"),
+        )
+    )
+    edges = pairs.select(F.col("cn").alias("src"), F.col("sn").alias("dst")).union(
+        pairs.select(F.col("sn").alias("src"), F.col("cn").alias("dst"))
+    )
+    return pagerank(edges, "src", "dst", iterations=3, damping_pct=85)
+
+
+# =====================================================================
+# Hybrid retrieval: BM25 ⊕ dense cosine via reciprocal-rank fusion
+# =====================================================================
+
+_RRF_TERMS = ["data", "model", "training", "quality"]
+_RRF_N = 50  # candidates per list
+_RRF_K = 20  # fused result size
+_RRF_QVEC = 0  # query = embedding of vec_id 0 (doc ids ↔ vec ids)
+
+
+def _ranked(df: DataFrame, score_col: str, id_col: str) -> DataFrame:
+    # top-N first (TakeOrderedAndProject — no corpus-wide single
+    # partition window), then rank the N-row result.
+    top = df.orderBy(F.desc(score_col), F.col(id_col)).limit(_RRF_N)
+    w = Window.orderBy(F.desc(score_col), F.col(id_col))
+    return top.select(id_col, F.row_number().over(w).alias("rank"))
+
+
+@_register(
+    "retrieval_rrf",
+    retrieval.rrf_oracle_sql(
+        lex_sql=(
+            "SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)"
+            f" AS rank FROM ({retrieval.bm25_oracle_sql(_RRF_TERMS, k=_RRF_N)})"
+        ),
+        dense_sql=(
+            "SELECT doc_id, rank FROM ("
+            " SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS rank"
+            " FROM ("
+            "  SELECT e.vec_id AS doc_id, "
+            + _cosine_duck("e.embedding", "q.qv", EMB_DIM)
+            + "  AS cos"
+            "  FROM embeddings e CROSS JOIN (SELECT embedding AS qv FROM"
+            f"   embeddings WHERE vec_id = {_RRF_QVEC}) q"
+            f"  WHERE e.vec_id <> {_RRF_QVEC}"
+            f" )) WHERE rank <= {_RRF_N}"
+        ),
+        k0=60,
+        k=_RRF_K,
+    ),
+    doc="Hybrid search: BM25 lexical top-50 and embedding-cosine dense "
+    "top-50 merged by reciprocal-rank fusion (operators/retrieval.py:"
+    "rrf_fuse, k0=60). Rank-based, so no score calibration; the fused "
+    "score is a fixed-order two-term double sum — bit-exact unrounded.",
+)
+def q_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "documents", "embeddings")
+    lex = _ranked(
+        retrieval.bm25_search(t["documents"], _RRF_TERMS, k=_RRF_N),
+        "score",
+        "doc_id",
+    )
+    emb = t["embeddings"]
+    qv = emb.filter(F.col("vec_id") == _RRF_QVEC).select(
+        F.col("embedding").alias("qv")
+    )
+    dense_scored = (
+        emb.filter(F.col("vec_id") != _RRF_QVEC)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            cosine_similarity_col("embedding", "qv", EMB_DIM).alias("cos"),
+        )
+    )
+    dense = _ranked(dense_scored, "cos", "doc_id")
+    return retrieval.rrf_fuse(lex, dense, "doc_id", "rank", k0=60, k=_RRF_K)
+
+
+# =====================================================================
+# Substring-level dedup: repeated cross-document spans
+# =====================================================================
+
+@_register(
+    "dedup_spans",
+    duplicate_spans_oracle_sql(window=40, stride=20, min_docs=2),
+    doc="Cross-document repeated 40-char spans at stride 20 "
+    "(operators/dedup.py:duplicate_spans): row-local strided window "
+    "expansion + one hash aggregate on the span md5 — the distributed "
+    "stand-in for suffix-array substring dedup (Lee et al. 2021).",
+)
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return duplicate_spans(docs, "doc_id", "text", window=40, stride=20, min_docs=2)
+
+
+# =====================================================================
+# DSIR: importance weights toward a target domain
+# =====================================================================
+
+_DSIR_TARGET = "t.lang = 'en'"
+
+
+@_register(
+    "sample_dsir",
+    dsir_oracle_sql(_DSIR_TARGET, n_buckets=1024, salt="dsir"),
+    doc="DSIR importance weights (operators/sampling.py:dsir_weights; "
+    "Xie et al. 2023): hashed word uni+bigram bucket distributions for "
+    "corpus vs the lang='en' target, per-doc Σ log-ratio over a "
+    "broadcast 1024-row table. Row-local features, two hash "
+    "aggregates, one broadcast join — no classifier, no driver state.",
+)
+def q_sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    target = docs.filter(F.col("lang") == "en")
+    return dsir_weights(docs, target, "doc_id", "text", n_buckets=1024)
+
+
+# =====================================================================
+# Embedding int8 quantization + reconstruction-error audit
+# =====================================================================
+
+@_register(
+    "embedding_quantize",
+    quantize_oracle_sql(),
+    doc="Symmetric per-vector int8 quantization with reconstruction "
+    "error audit (operators/similarity.py:quantize_embeddings): "
+    "row-local transform/aggregate folds, zero shuffle; scale and "
+    "errors are pure IEEE double arithmetic (no libm), SSE accumulates "
+    "in DECIMAL — bit-exact vs the DuckDB twin.",
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    return quantize_embeddings(emb, "vec_id", "embedding")
