@@ -1,0 +1,454 @@
+"""Distributed two-sample / drift test statistics.
+
+The data-drift layer of a training-data pipeline: before a new crawl
+snapshot is admitted, its feature distributions are compared against
+the reference corpus with classical test statistics.  Every statistic
+here is computed in ONE scan + ONE (small) aggregate, from EXACT
+integer/decimal sums, with the final floating-point formula written in
+a fixed textual order so the DuckDB oracle reproduces it bit-for-bit
+(see NOTES.md "FP determinism contract" — no libm beyond correctly
+rounded sqrt).
+
+Reference provenance: the reference repo has no statistics module —
+this extends SURVEY.md §2.E's aggregate surface (exact percentile /
+stats batteries) with the drift tests a 100 TB ingest gate needs.
+
+Scale shapes:
+- ``ks_statistic``: group-by-value first (domain-sized, optionally
+  quantized), then ONE window over the distinct-value table.  The
+  window is a single sort over the *domain*, not the data — quantize
+  continuous columns (``round_to``) to keep the domain bounded.
+- ``tvd_drift`` / ``chi_squared`` / ``welch_ttest``: conditional
+  aggregation, one hash-agg row, no joins.
+- ``group_ols``: one hash aggregate keyed by the group column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------
+# Kolmogorov–Smirnov two-sample D statistic
+# ---------------------------------------------------------------------
+
+
+def ks_statistic(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Two-sample KS D = max_x |F_a(x) - F_b(x)| as a 1-row DataFrame.
+
+    Counts per distinct value per sample (ONE scan, hash agg), then a
+    cumulative-count window over the distinct-value axis.  ``round_to``
+    quantizes continuous values first so the distinct domain — and the
+    final sort — stays bounded at 100 TB (the D of the quantized
+    distributions; document the bucket width with the result).
+
+    Exact integer cross-multiplied form: the numerator
+    |cum_a*n_b - cum_b*n_a| stays in integer arithmetic — only ONE
+    double division at the very end, so the statistic is order-free
+    and engine-portable.
+
+    Output: d_stat (double), n_a, n_b (bigint).
+    """
+    v = F.col(value_col)
+    if round_to is not None:
+        v = F.round(v, round_to)
+    counts = (
+        df.filter(F.col(group_col).isin(group_a, group_b))
+        .groupBy(v.alias("v"))
+        .agg(
+            F.count(F.when(F.col(group_col) == group_a, 1)).alias("ca"),
+            F.count(F.when(F.col(group_col) == group_b, 1)).alias("cb"),
+        )
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = counts.select(
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+    )
+    wt = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    with_tot = cum.select(
+        "cum_a",
+        "cum_b",
+        F.max("cum_a").over(wt).alias("n_a"),
+        F.max("cum_b").over(wt).alias("n_b"),
+    )
+    return with_tot.groupBy("n_a", "n_b").agg(
+        F.max(
+            F.abs(F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a"))
+        ).alias("num")
+    ).select(
+        (
+            F.col("num").cast("double")
+            / (F.col("n_a") * F.col("n_b")).cast("double")
+        ).alias("d_stat"),
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+    )
+
+
+def ks_oracle_sql(
+    table: str,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    round_to: int | None = None,
+) -> str:
+    v = f"round({value_col}, {round_to})" if round_to is not None else value_col
+    return f"""
+    WITH counts AS (
+      SELECT {v} AS v,
+             COUNT(*) FILTER ({group_col} = '{group_a}') AS ca,
+             COUNT(*) FILTER ({group_col} = '{group_b}') AS cb
+      FROM {table}
+      WHERE {group_col} IN ('{group_a}', '{group_b}')
+      GROUP BY 1
+    ), cum AS (
+      SELECT SUM(ca) OVER (ORDER BY v) AS cum_a,
+             SUM(cb) OVER (ORDER BY v) AS cum_b
+      FROM counts
+    ), tot AS (
+      SELECT cum_a, cum_b,
+             MAX(cum_a) OVER () AS n_a, MAX(cum_b) OVER () AS n_b
+      FROM cum
+    )
+    SELECT CAST(MAX(ABS(cum_a * n_b - cum_b * n_a)) AS DOUBLE)
+             / CAST(n_a * n_b AS DOUBLE) AS d_stat,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b
+    FROM tot GROUP BY n_a, n_b
+    """
+
+
+# ---------------------------------------------------------------------
+# Total variation distance (drift over a categorical / bucketed column)
+# ---------------------------------------------------------------------
+
+
+def tvd_drift(
+    df: DataFrame,
+    bucket_col: str,
+    split_col,
+) -> DataFrame:
+    """TVD = 0.5 * Σ_b |p_a(b) - p_b(b)| between the two sides of a
+    boolean split, as a 1-row DataFrame.
+
+    Exact form: Σ|ca*n_b - cb*n_a| / (2*n_a*n_b) — the numerator is an
+    exact integer sum (order-free), the single division happens once.
+    ONE scan, one bucket-keyed hash agg, one scalar agg.
+
+    ``split_col`` is a boolean Column (True → sample a).
+    """
+    counts = df.groupBy(F.col(bucket_col).alias("b")).agg(
+        F.count(F.when(split_col, 1)).alias("ca"),
+        F.count(F.when(~split_col, 1)).alias("cb"),
+    )
+    wt = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    with_tot = counts.select(
+        "ca",
+        "cb",
+        F.sum("ca").over(wt).alias("n_a"),
+        F.sum("cb").over(wt).alias("n_b"),
+    )
+    return with_tot.groupBy("n_a", "n_b").agg(
+        F.sum(
+            F.abs(
+                F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a")
+            ).cast("decimal(38,0)")
+        ).alias("num")
+    ).select(
+        (
+            F.col("num").cast("double")
+            / (F.lit(2) * F.col("n_a") * F.col("n_b")).cast("double")
+        ).alias("tvd"),
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+    )
+
+
+def tvd_oracle_sql(table: str, bucket_col: str, split_sql: str) -> str:
+    return f"""
+    WITH counts AS (
+      SELECT {bucket_col} AS b,
+             COUNT(*) FILTER ({split_sql}) AS ca,
+             COUNT(*) FILTER (NOT ({split_sql})) AS cb
+      FROM {table} GROUP BY 1
+    ), tot AS (
+      SELECT ca, cb, SUM(ca) OVER () AS n_a, SUM(cb) OVER () AS n_b
+      FROM counts
+    )
+    SELECT CAST(SUM(CAST(ABS(ca * n_b - cb * n_a) AS DECIMAL(38,0)))
+                AS DOUBLE)
+             / CAST(2 * n_a * n_b AS DOUBLE) AS tvd,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b
+    FROM tot GROUP BY n_a, n_b
+    """
+
+
+# ---------------------------------------------------------------------
+# Chi-squared independence statistic over two SMALL categorical columns
+# ---------------------------------------------------------------------
+
+
+def _chi2_term(a: str, b: str) -> str:
+    """One cell's (o - e)^2 / e with e = r*c/n, fixed textual order."""
+    o, r, c = f"o_{a}_{b}", f"r_{a}", f"c_{b}"
+    return (
+        f"(({o} - {r} * {c} / n) * ({o} - {r} * {c} / n) / ({r} * {c} / n))"
+    )
+
+
+def chi2_exprs(
+    col_x: str, cats_x: list[str], col_y: str, cats_y: list[str]
+) -> tuple[list[tuple[str, str]], str]:
+    """(alias, SQL-aggregate) pairs + the final chi2 formula.
+
+    Categories must be enumerated ahead (the operator targets LOW
+    cardinality dims — flags, statuses); the statistic is then a
+    fixed-order sum of |X|*|Y| double terms, textually identical on
+    both engines (order-free inputs: all sums are integer counts).
+    """
+    aggs: list[tuple[str, str]] = []
+    for a in cats_x:
+        aggs.append(
+            (
+                f"r_{a}",
+                f"CAST(COUNT(*) FILTER (WHERE {col_x} = '{a}') AS DOUBLE)",
+            )
+        )
+    for b in cats_y:
+        aggs.append(
+            (
+                f"c_{b}",
+                f"CAST(COUNT(*) FILTER (WHERE {col_y} = '{b}') AS DOUBLE)",
+            )
+        )
+    for a in cats_x:
+        for b in cats_y:
+            aggs.append(
+                (
+                    f"o_{a}_{b}",
+                    f"CAST(COUNT(*) FILTER (WHERE {col_x} = '{a}' "
+                    f"AND {col_y} = '{b}') AS DOUBLE)",
+                )
+            )
+    terms = [_chi2_term(a, b) for a in cats_x for b in cats_y]
+    formula = " + ".join(terms)
+    return aggs, f"({formula})"
+
+
+def chi_squared(
+    df: DataFrame,
+    col_x: str,
+    cats_x: list[str],
+    col_y: str,
+    cats_y: list[str],
+) -> DataFrame:
+    """Chi-squared independence statistic: ONE scan, one aggregate row.
+
+    Output: chi2 (double), dof (bigint), n (bigint).
+    """
+    aggs, formula = chi2_exprs(col_x, cats_x, col_y, cats_y)
+    row = df.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        *[F.expr(sql).alias(alias) for alias, sql in aggs],
+    )
+    dof = (len(cats_x) - 1) * (len(cats_y) - 1)
+    return row.select(
+        F.expr(formula).alias("chi2"),
+        F.lit(dof).cast("bigint").alias("dof"),
+        F.col("n").cast("bigint").alias("n"),
+    )
+
+
+def chi2_oracle_sql(
+    table: str,
+    col_x: str,
+    cats_x: list[str],
+    col_y: str,
+    cats_y: list[str],
+) -> str:
+    aggs, formula = chi2_exprs(col_x, cats_x, col_y, cats_y)
+    agg_sql = ", ".join(f"{sql} AS {alias}" for alias, sql in aggs)
+    dof = (len(cats_x) - 1) * (len(cats_y) - 1)
+    return f"""
+    WITH cells AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n, {agg_sql} FROM {table}
+    )
+    SELECT {formula} AS chi2,
+           CAST({dof} AS BIGINT) AS dof,
+           CAST(n AS BIGINT) AS n
+    FROM cells
+    """
+
+
+# ---------------------------------------------------------------------
+# Welch's two-sample t statistic from exact scaled integer sums
+# ---------------------------------------------------------------------
+
+
+def _welch_formula() -> str:
+    """t and Welch–Satterthwaite dof from per-sample n/sum/sumsq.
+
+    Inputs are exact (integer-scaled) so every engine sees identical
+    doubles; the formula below is textually shared.  Scaling by S
+    cancels: mean_a - mean_b and sqrt(var/n) both carry 1/S.
+    """
+    return (
+        "(sa / na - sb / nb) / "
+        "sqrt((qa - sa * sa / na) / (na - 1) / na "
+        "+ (qb - sb * sb / nb) / (nb - 1) / nb)"
+    )
+
+
+def welch_ttest(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    scale: int = 100,
+) -> DataFrame:
+    """Welch's t between two groups: ONE scan, one aggregate row.
+
+    ``scale`` makes ``round(value*scale)`` an exact integer (values with
+    ≤ log10(scale) decimal places); sums/sum-squares run in DECIMAL, so
+    the aggregation is order-free, and t is scale-invariant.
+
+    Output: t_stat (double), n_a, n_b (bigint).
+    """
+    x = F.round(F.col(value_col) * scale).cast("bigint")
+    ga, gb = F.col(group_col) == group_a, F.col(group_col) == group_b
+    row = df.filter(ga | gb).agg(
+        F.count(F.when(ga, 1)).cast("double").alias("na"),
+        F.count(F.when(gb, 1)).cast("double").alias("nb"),
+        F.sum(F.when(ga, x).cast("decimal(38,0)")).cast("double").alias("sa"),
+        F.sum(F.when(gb, x).cast("decimal(38,0)")).cast("double").alias("sb"),
+        F.sum(F.when(ga, x * x).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("qa"),
+        F.sum(F.when(gb, x * x).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("qb"),
+    )
+    return row.select(
+        F.expr(_welch_formula()).alias("t_stat"),
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+    )
+
+
+def welch_oracle_sql(
+    table: str,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    scale: int = 100,
+) -> str:
+    x = f"CAST(ROUND({value_col} * {scale}) AS BIGINT)"
+    ga = f"{group_col} = '{group_a}'"
+    gb = f"{group_col} = '{group_b}'"
+    return f"""
+    WITH sums AS (
+      SELECT CAST(COUNT(*) FILTER ({ga}) AS DOUBLE) AS na,
+             CAST(COUNT(*) FILTER ({gb}) AS DOUBLE) AS nb,
+             CAST(SUM(CAST({x} AS DECIMAL(38,0))) FILTER ({ga}) AS DOUBLE) AS sa,
+             CAST(SUM(CAST({x} AS DECIMAL(38,0))) FILTER ({gb}) AS DOUBLE) AS sb,
+             CAST(SUM(CAST({x} * {x} AS DECIMAL(38,0))) FILTER ({ga}) AS DOUBLE) AS qa,
+             CAST(SUM(CAST({x} * {x} AS DECIMAL(38,0))) FILTER ({gb}) AS DOUBLE) AS qb
+      FROM {table} WHERE ({ga}) OR ({gb})
+    )
+    SELECT {_welch_formula()} AS t_stat,
+           CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b
+    FROM sums
+    """
+
+
+# ---------------------------------------------------------------------
+# Per-group OLS (y ~ x): slope / intercept / r2 from exact sums
+# ---------------------------------------------------------------------
+
+
+def _ols_exprs() -> dict[str, str]:
+    """slope/intercept/r2 from n, sx, sy, sxx, syy, sxy (exact inputs).
+
+    With x scaled by Sx and y by Sy: slope carries Sy/Sx (undone by the
+    caller via a literal factor), intercept carries Sy, r2 is
+    scale-free.  We keep x and y at the SAME scale here so slope is
+    scale-free too; intercept is divided by the scale literal.
+    """
+    return {
+        "slope": "(n * sxy - sx * sy) / (n * sxx - sx * sx)",
+        "intercept": "(sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n",
+        "r2": "((n * sxy - sx * sy) * (n * sxy - sx * sy)) / "
+        "((n * sxx - sx * sx) * (n * syy - sy * sy))",
+    }
+
+
+def group_ols(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    scale: int = 100,
+) -> DataFrame:
+    """Per-group simple linear regression: ONE scan, one grouped agg.
+
+    x and y are integer-scaled by the same factor (slope scale-free;
+    intercept divided back by the literal).  Output one row per group:
+    slope, intercept, r2 rounded to 9 dp (identical double pipelines on
+    both engines — rounding only trims display noise).
+    """
+    xs = F.round(F.col(x_col) * scale).cast("bigint")
+    ys = F.round(F.col(y_col) * scale).cast("bigint")
+    sums = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(xs.cast("decimal(38,0)")).cast("double").alias("sx"),
+        F.sum(ys.cast("decimal(38,0)")).cast("double").alias("sy"),
+        F.sum((xs * xs).cast("decimal(38,0)")).cast("double").alias("sxx"),
+        F.sum((ys * ys).cast("decimal(38,0)")).cast("double").alias("syy"),
+        F.sum((xs * ys).cast("decimal(38,0)")).cast("double").alias("sxy"),
+    )
+    e = _ols_exprs()
+    return sums.select(
+        "grp",
+        F.round(F.expr(e["slope"]), 9).alias("slope"),
+        F.round(F.expr(f"({e['intercept']}) / {scale}"), 9).alias("intercept"),
+        F.round(F.expr(e["r2"]), 9).alias("r2"),
+    )
+
+
+def ols_oracle_sql(
+    table: str, group_col: str, x_col: str, y_col: str, scale: int = 100
+) -> str:
+    xs = f"CAST(ROUND({x_col} * {scale}) AS BIGINT)"
+    ys = f"CAST(ROUND({y_col} * {scale}) AS BIGINT)"
+    e = _ols_exprs()
+    return f"""
+    WITH sums AS (
+      SELECT {group_col} AS grp,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST({xs} AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST({ys} AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST({xs} * {xs} AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST({ys} * {ys} AS DECIMAL(38,0))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST({xs} * {ys} AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+      FROM {table} GROUP BY 1
+    )
+    SELECT grp,
+           round({e['slope']}, 9) AS slope,
+           round(({e['intercept']}) / {scale}, 9) AS intercept,
+           round({e['r2']}, 9) AS r2
+    FROM sums
+    """

@@ -211,3 +211,5 @@ def q_sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")["embeddings"]
     return quantize_embeddings(emb, "vec_id", "embedding")
+
+from spark_extensions_spark import queries19  # noqa: E402,F401  (registration side effect)
