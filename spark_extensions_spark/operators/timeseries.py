@@ -70,3 +70,252 @@ def gapfill_grid(
         F.last("__v", ignorenulls=True).over(w).alias(value_col),
         F.col("__v").isNull().alias("filled"),
     )
+
+
+# ---------------------------------------------------------------------
+# Fixed-window EWMA (deterministic weighted sum over the last k lags)
+# ---------------------------------------------------------------------
+
+
+def ewma_exprs(value_sql: str, lag_fmt: str, alpha: float, k: int) -> str:
+    """Shared EWMA formula over the last ``k`` observations.
+
+    ``lag_fmt`` renders the i-th lag of ``value_sql`` in the host
+    dialect (e.g. ``"lag({v}, {i}) OVER w"``).  Weights
+    ``alpha*(1-alpha)^i`` are precomputed Python doubles injected as
+    repr() literals, so BOTH engines parse the identical IEEE values;
+    the numerator/denominator are FIXED-ORDER left-to-right sums —
+    bit-exact across engines (NOTES.md determinism contract).
+    Missing lags (series head) drop out of both sums via COALESCE/CASE.
+    """
+    num_terms, den_terms = [], []
+    for i in range(k):
+        w = repr(alpha * (1.0 - alpha) ** i)
+        x_i = value_sql if i == 0 else lag_fmt.format(v=value_sql, i=i)
+        num_terms.append(f"COALESCE({w} * ({x_i}), 0.0)")
+        den_terms.append(
+            f"(CASE WHEN ({x_i}) IS NULL THEN 0.0 ELSE {w} END)"
+        )
+    num = " + ".join(num_terms)
+    den = " + ".join(den_terms)
+    return f"(({num}) / ({den}))"
+
+
+def ewma(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+    k: int = 8,
+) -> DataFrame:
+    """Per-key fixed-window EWMA (last ``k`` points, renormalized head).
+
+    One shuffle (the per-key window); the k-lag weighted sum is
+    row-local arithmetic over the frame — no UDF, no recursion, and
+    the truncated-window form is what an incremental 100 TB pipeline
+    recomputes per micro-batch anyway (the infinite-memory recursive
+    EWMA needs per-key state, see streaming/stateful.py for that
+    shape).  Total order inside a key: (ts, id) — collision-safe.
+    """
+    lag_fmt = (
+        f"lag({{v}}, {{i}}) OVER (PARTITION BY {key_col} "
+        f"ORDER BY {ts_col}, {id_col})"
+    )
+    expr = ewma_exprs(value_col, lag_fmt, alpha, k)
+    return df.select(
+        F.col(key_col),
+        F.col(ts_col),
+        F.col(value_col),
+        F.round(F.expr(expr), 9).alias("ewma"),
+    )
+
+
+def ewma_oracle_sql(
+    table: str,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+    k: int = 8,
+) -> str:
+    lag_fmt = (
+        f"lag({{v}}, {{i}}) OVER (PARTITION BY {key_col} "
+        f"ORDER BY {ts_col}, {id_col})"
+    )
+    expr = ewma_exprs(value_col, lag_fmt, alpha, k)
+    return f"""
+    SELECT {key_col}, {ts_col}, {value_col},
+           round({expr}, 9) AS ewma
+    FROM {table}
+    """
+
+
+# ---------------------------------------------------------------------
+# Rolling z-score anomaly flags (exact integer-scaled window sums)
+# ---------------------------------------------------------------------
+
+
+def _z_formula() -> str:
+    """z from exact scaled frame sums: xs, s=Σxs, q=Σxs², c=count.
+
+    All inputs exact integers (value scaled ×100) so the shared double
+    expression is engine-portable; sample variance over the PRECEDING
+    frame only (the tested point is excluded from its own baseline).
+    """
+    return (
+        "(CAST(xs AS DOUBLE) - CAST(s AS DOUBLE) / CAST(c AS DOUBLE)) / "
+        "sqrt((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) "
+        "/ CAST(c AS DOUBLE)) / (CAST(c AS DOUBLE) - 1.0))"
+    )
+
+
+def rolling_zscore(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    k: int = 20,
+    threshold: float = 3.0,
+    scale: int = 100,
+) -> DataFrame:
+    """Per-key rolling z-score vs the previous ``k`` points.
+
+    ONE shuffle (per-key window); sums of ``round(value*scale)`` and
+    its square run in exact integer/decimal arithmetic over the
+    ``k PRECEDING .. 1 PRECEDING`` frame, so the baseline is order-free.
+    Rows with fewer than 3 prior points emit NULL z.  Output:
+    (key, ts, value, z rounded to 9 dp, is_anomaly).
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(-k, -1)
+    )
+    xs = F.round(F.col(value_col) * scale).cast("bigint")
+    base = df.select(
+        F.col(key_col),
+        F.col(ts_col),
+        F.col(value_col),
+        xs.alias("xs"),
+        F.sum(xs.cast("decimal(38,0)")).over(w).cast("bigint").alias("s"),
+        F.sum((xs * xs).cast("decimal(38,0)"))
+        .over(w)
+        .cast("bigint")
+        .alias("q"),
+        F.count(xs).over(w).alias("c"),
+    )
+    z = F.when(F.col("c") >= 3, F.round(F.expr(_z_formula()), 9))
+    return base.select(
+        key_col,
+        ts_col,
+        value_col,
+        z.alias("z"),
+        F.when(F.col("c") >= 3, F.abs(F.expr(_z_formula())) > threshold)
+        .alias("is_anomaly"),
+    )
+
+
+def zscore_oracle_sql(
+    table: str,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    k: int = 20,
+    threshold: float = 3.0,
+    scale: int = 100,
+) -> str:
+    z = _z_formula()
+    return f"""
+    WITH base AS (
+      SELECT {key_col}, {ts_col}, {value_col},
+             CAST(ROUND({value_col} * {scale}) AS BIGINT) AS xs,
+             CAST(SUM(CAST(CAST(ROUND({value_col} * {scale}) AS BIGINT)
+                   AS DECIMAL(38,0))) OVER w AS BIGINT) AS s,
+             CAST(SUM(CAST(CAST(ROUND({value_col} * {scale}) AS BIGINT)
+                   * CAST(ROUND({value_col} * {scale}) AS BIGINT)
+                   AS DECIMAL(38,0))) OVER w AS BIGINT) AS q,
+             COUNT(*) OVER w AS c
+      FROM {table}
+      WINDOW w AS (PARTITION BY {key_col} ORDER BY {ts_col}, {id_col}
+                   ROWS BETWEEN {k} PRECEDING AND 1 PRECEDING)
+    )
+    SELECT {key_col}, {ts_col}, {value_col},
+           CASE WHEN c >= 3 THEN round({z}, 9) END AS z,
+           CASE WHEN c >= 3 THEN abs({z}) > {threshold} END AS is_anomaly
+    FROM base
+    """
+
+
+# ---------------------------------------------------------------------
+# OHLC downsampling (open/high/low/close per key × time bucket)
+# ---------------------------------------------------------------------
+
+
+def resample_ohlc(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    trunc_unit: str = "day",
+) -> DataFrame:
+    """Downsample to one OHLC row per key × bucket.
+
+    open/close via ``min_by``/``max_by`` on the (ts, id) total order —
+    one hash aggregate, one shuffle, values pass through untouched
+    (no arithmetic → trivially engine-exact).
+    """
+    order = F.struct(F.col(ts_col), F.col(id_col))
+    return (
+        df.select(
+            F.col(key_col),
+            F.date_trunc(trunc_unit, F.col(ts_col)).alias("bucket_ts"),
+            order.alias("__o"),
+            F.col(value_col).alias("__v"),
+        )
+        .groupBy(key_col, "bucket_ts")
+        .agg(
+            F.min_by("__v", "__o").alias("open"),
+            F.max("__v").alias("high"),
+            F.min("__v").alias("low"),
+            F.max_by("__v", "__o").alias("close"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def ohlc_oracle_sql(
+    table: str,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    trunc_unit: str = "day",
+) -> str:
+    return f"""
+    WITH o AS (
+      SELECT {key_col},
+             CAST(date_trunc('{trunc_unit}', {ts_col}) AS TIMESTAMP)
+               AS bucket_ts,
+             {value_col} AS v,
+             row_number() OVER (
+               PARTITION BY {key_col}, date_trunc('{trunc_unit}', {ts_col})
+               ORDER BY {ts_col}, {id_col}) AS rn_a,
+             row_number() OVER (
+               PARTITION BY {key_col}, date_trunc('{trunc_unit}', {ts_col})
+               ORDER BY {ts_col} DESC, {id_col} DESC) AS rn_d
+      FROM {table}
+    )
+    SELECT {key_col}, bucket_ts,
+           MAX(CASE WHEN rn_a = 1 THEN v END) AS open,
+           MAX(v) AS high,
+           MIN(v) AS low,
+           MAX(CASE WHEN rn_d = 1 THEN v END) AS close,
+           COUNT(*) AS n
+    FROM o GROUP BY 1, 2
+    """

@@ -122,3 +122,5 @@ def q_stat_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stat_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")["lineitem"]
     return group_ols(li, "l_returnflag", "l_quantity", "l_extendedprice")
+
+from spark_extensions_spark import queries20  # noqa: E402,F401  (registration side effect)
