@@ -336,3 +336,101 @@ def neardup_clusters(
     return connected_components(pairs, id_a, id_b).select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
     )
+
+
+# ---------------------------------------------------------------------
+# Triangle counting / degree distribution (undirected graphs)
+# ---------------------------------------------------------------------
+
+
+def canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Undirected edge list canonicalized to src < dst, deduplicated.
+
+    One hash-distinct shuffle; self-loops dropped. The canonical
+    orientation is what makes the triangle join enumerate each triangle
+    exactly once (the standard compact-forward trick).
+    """
+    a, b = F.col(src), F.col(dst)
+    return (
+        edges.select(
+            F.least(a, b).alias("src"), F.greatest(a, b).alias("dst")
+        )
+        .filter(F.col("src") < F.col("dst"))
+        .distinct()
+    )
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Count triangles: two self-joins over the canonical edge list.
+
+    With edges oriented src<dst, wedge (a<b<c) closes iff (a,c) is an
+    edge — each triangle counted exactly once, no post-division by 6.
+    Scale shape: both joins shuffle on an edge endpoint; for power-law
+    graphs pre-filter high-degree vertices or salt the hot keys (the
+    compact-forward orientation already sends each wedge to its
+    lowest-id vertex, the standard skew mitigation).
+    Output: one row (n_triangles bigint).
+    """
+    e = canonical_edges(edges, src, dst)
+    e1 = e.alias("e1")
+    e2 = e.alias("e2")
+    e3 = e.alias("e3")
+    wedges = e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
+    closed = wedges.join(
+        e3,
+        (F.col("e1.src") == F.col("e3.src"))
+        & (F.col("e2.dst") == F.col("e3.dst")),
+    )
+    return closed.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+
+
+def degree_distribution(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Degree histogram of the undirected graph: (degree, n_nodes).
+
+    Canonicalize, explode both endpoints, two hash aggregates — the
+    degree sequence summary used for skew diagnosis before running the
+    heavier graph passes.
+    """
+    e = canonical_edges(edges, src, dst)
+    nodes = e.select(F.col("src").alias("node")).unionAll(
+        e.select(F.col("dst").alias("node"))
+    )
+    deg = nodes.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    return (
+        deg.groupBy("degree")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+        .select(F.col("degree").cast("bigint").alias("degree"), "n_nodes")
+    )
+
+
+def cooccurrence_edges_sql(table: str, group_col: str, item_col: str) -> str:
+    """Shared SQL: canonical co-occurrence edges (items sharing a group)."""
+    return f"""
+      SELECT DISTINCT a.{item_col} AS src, b.{item_col} AS dst
+      FROM {table} a JOIN {table} b
+        ON a.{group_col} = b.{group_col} AND a.{item_col} < b.{item_col}
+    """
+
+
+def triangle_oracle_sql(table: str, group_col: str, item_col: str) -> str:
+    edges = cooccurrence_edges_sql(table, group_col, item_col)
+    return f"""
+    WITH e AS ({edges})
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM e e1 JOIN e e2 ON e1.dst = e2.src
+              JOIN e e3 ON e1.src = e3.src AND e2.dst = e3.dst
+    """
+
+
+def degree_oracle_sql(table: str, group_col: str, item_col: str) -> str:
+    edges = cooccurrence_edges_sql(table, group_col, item_col)
+    return f"""
+    WITH e AS ({edges}),
+    nodes AS (SELECT src AS node FROM e UNION ALL SELECT dst FROM e),
+    deg AS (SELECT node, COUNT(*) AS degree FROM nodes GROUP BY 1)
+    SELECT CAST(degree AS BIGINT) AS degree,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY 1
+    """

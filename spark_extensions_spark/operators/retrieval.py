@@ -307,3 +307,115 @@ def rrf_oracle_sql(
       FROM fused
     ) WHERE rn <= {k}
     """
+
+
+# ---------------------------------------------------------------------
+# Collocation mining: lift-scored bigrams (log-free PMI analogue)
+# ---------------------------------------------------------------------
+
+_LIFT = (
+    "round((CAST(c_xy AS DOUBLE) * CAST(nu AS DOUBLE) * CAST(nu AS DOUBLE))"
+    " / (CAST(nb AS DOUBLE) * CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE)), 6)"
+)
+
+
+def collocations(
+    docs: DataFrame,
+    text_col: str,
+    min_count: int = 5,
+    k: int = 50,
+) -> DataFrame:
+    """Top-k lift-scored word bigrams over the corpus.
+
+    lift = P(xy) / (P(x)·P(y)) — the monotone log-free PMI analogue
+    (exp(PMI)); integer counts + one shared double expression keep the
+    score engine-portable (NOTES.md: no libm). Plan: one scan feeds
+    both the unigram and bigram counts, two hash aggregates, two
+    broadcast-able joins of the bigram table against the unigram
+    counts, deterministic tiebroken top-k.
+    Output: (gram, c_xy, lift) ordered for display.
+    """
+    from spark_extensions_spark.operators.dedup import shingles_from_words
+
+    words = docs.select(
+        F.expr(
+            f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)"
+        ).alias("__w")
+    )
+    uni = (
+        words.select(F.explode("__w").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    big = (
+        words.select(F.explode(shingles_from_words("__w", 2)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .filter(F.col("c_xy") >= min_count)
+    )
+    nu = uni.agg(F.sum("c").alias("nu"))
+    nb_all = (
+        words.select(
+            (F.greatest(F.size("__w") - 1, F.lit(0))).alias("nb_doc")
+        )
+        .agg(F.sum("nb_doc").alias("nb"))
+    )
+    split = big.select(
+        "gram",
+        "c_xy",
+        F.split(F.col("gram"), " ").getItem(0).alias("w1"),
+        F.split(F.col("gram"), " ").getItem(1).alias("w2"),
+    )
+    joined = (
+        split.join(uni.select(F.col("w").alias("w1"), F.col("c").alias("cx")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("cy")), "w2")
+        .crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(nb_all))
+    )
+    scored = joined.select(
+        "gram",
+        F.col("c_xy").cast("bigint").alias("c_xy"),
+        F.expr(_LIFT).alias("lift"),
+    )
+    return scored.orderBy(
+        F.col("lift").desc(), F.col("gram")
+    ).limit(k)
+
+
+def collocations_oracle_sql(
+    table: str, text_col: str, min_count: int = 5, k: int = 50
+) -> str:
+    return f"""
+    WITH w AS (
+      SELECT regexp_extract_all(lower({text_col}), '[a-z0-9]+') AS ws
+      FROM {table}
+    ),
+    uni AS (
+      SELECT unnest(ws) AS w FROM w
+    ),
+    unic AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY 1),
+    big AS (
+      SELECT unnest(CASE WHEN len(ws) < 2 THEN []
+                         ELSE list_transform(generate_series(0, len(ws) - 2),
+                                             i -> array_to_string(ws[i+1:i+2], ' '))
+                    END) AS gram
+      FROM w
+    ),
+    bigc AS (
+      SELECT gram, COUNT(*) AS c_xy FROM big GROUP BY 1
+      HAVING COUNT(*) >= {min_count}
+    ),
+    tot AS (
+      SELECT (SELECT SUM(c) FROM unic) AS nu,
+             (SELECT SUM(GREATEST(len(ws) - 1, 0)) FROM w) AS nb
+    )
+    SELECT gram, CAST(c_xy AS BIGINT) AS c_xy, lift FROM (
+      SELECT b.gram, b.c_xy, {_LIFT} AS lift,
+             ROW_NUMBER() OVER (ORDER BY {_LIFT} DESC, b.gram) AS rn
+      FROM bigc b
+      JOIN unic u1 ON u1.w = split_part(b.gram, ' ', 1)
+      JOIN unic u2 ON u2.w = split_part(b.gram, ' ', 2)
+      CROSS JOIN tot,
+      LATERAL (SELECT u1.c AS cx, u2.c AS cy) s
+    ) WHERE rn <= {k}
+    """

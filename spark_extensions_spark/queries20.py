@@ -66,3 +66,5 @@ def q_ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ts_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")["events"]
     return resample_ohlc(ev, "user_id", "ts", "event_id", "value")
+
+from spark_extensions_spark import queries21  # noqa: E402,F401  (registration side effect)

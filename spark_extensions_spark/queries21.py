@@ -1,0 +1,165 @@
+"""t2 query registry, batch 24: graph structure, modal/histogram
+aggregates, collocation mining.
+
+Registered into the shared registry (imported from queries20 at module
+end). Same determinism rules as the queries.py docstring.
+
+- ``graph_triangles``: triangle count over the supplier co-occurrence
+  graph (suppliers sharing an order) — canonical src<dst orientation,
+  two shuffle joins, each triangle counted once
+  (operators/graph.py:triangle_count).
+- ``graph_degrees``: degree histogram of the same graph — the skew
+  diagnosis pass before heavier graph jobs
+  (operators/graph.py:degree_distribution).
+- ``agg_histogram``: 20-bucket equi-width histogram of extendedprice;
+  min/max from one aggregate broadcast into the bucketing expression —
+  two scans total, shared floor-division formula.
+- ``agg_mode``: per-user modal event type with deterministic
+  (count desc, type asc) tiebreak — counts + one window.
+- ``text_collocations``: lift-scored bigrams (log-free PMI analogue)
+  over the document corpus (operators/retrieval.py:collocations).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spark_extensions_spark.queries import _register, _t
+from spark_extensions_spark.operators.graph import (
+    degree_distribution,
+    degree_oracle_sql,
+    triangle_count,
+    triangle_oracle_sql,
+)
+from spark_extensions_spark.operators.retrieval import (
+    collocations,
+    collocations_oracle_sql,
+)
+
+
+def _supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers co-occurring in an order: the raw (directed, dup) pairs."""
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    a = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sa")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sb")
+    )
+    return a.join(b, "ok").filter(F.col("sa") < F.col("sb")).select(
+        F.col("sa").alias("src"), F.col("sb").alias("dst")
+    )
+
+
+@_register(
+    "graph_triangles",
+    triangle_oracle_sql("lineitem", "l_orderkey", "l_suppkey"),
+    doc="Triangle count of the supplier co-purchase graph "
+    "(operators/graph.py:triangle_count): canonical src<dst edges, "
+    "wedge join + closing-edge join — each triangle exactly once, "
+    "compact-forward orientation as the skew mitigation.",
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return triangle_count(_supplier_edges(spark, sf_dir))
+
+
+@_register(
+    "graph_degrees",
+    degree_oracle_sql("lineitem", "l_orderkey", "l_suppkey"),
+    doc="Degree histogram of the supplier co-purchase graph "
+    "(operators/graph.py:degree_distribution): canonical edges, "
+    "endpoint explode, two hash aggregates.",
+)
+def q_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return degree_distribution(_supplier_edges(spark, sf_dir))
+
+
+_BUCKET = (
+    "LEAST(CAST(FLOOR((l_extendedprice - lo) / ((hi - lo) / 20.0)) AS INT)"
+    ", 19)"
+)
+
+
+@_register(
+    "agg_histogram",
+    f"""
+    WITH mm AS (
+      SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
+      FROM lineitem
+    )
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+      SELECT {_BUCKET} AS bucket
+      FROM lineitem CROSS JOIN mm
+    ) GROUP BY 1
+    """,
+    doc="Equi-width 20-bucket histogram of extendedprice: min/max in "
+    "one aggregate row broadcast into the shared floor-division bucket "
+    "formula, then one count shuffle — the 2-pass histogram every "
+    "profiler runs; never a per-bucket job.",
+)
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    mm = li.agg(
+        F.min("l_extendedprice").alias("lo"),
+        F.max("l_extendedprice").alias("hi"),
+    )
+    return (
+        li.crossJoin(F.broadcast(mm))
+        .select(F.expr(_BUCKET).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+@_register(
+    "agg_mode",
+    """
+    WITH c AS (
+      SELECT user_id, event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT user_id, event_type AS mode_type, CAST(n AS BIGINT) AS n
+    FROM (
+      SELECT user_id, event_type, n,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY n DESC, event_type) AS rn
+      FROM c
+    ) WHERE rn = 1
+    """,
+    doc="Per-user modal event type: count aggregate + one window with "
+    "the deterministic (count desc, type asc) tiebreak — the "
+    "categorical mode at group scale (two shuffles, both on user_id, "
+    "AQE coalesced).",
+)
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")["events"]
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("n").desc(), F.col("event_type")
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("mode_type"),
+            F.col("n").cast("bigint").alias("n"),
+        )
+    )
+
+
+@_register(
+    "text_collocations",
+    collocations_oracle_sql("documents", "text"),
+    doc="Lift-scored bigram collocations over the corpus "
+    "(operators/retrieval.py:collocations): exp(PMI) analogue from "
+    "exact integer counts — one scan feeds unigram+bigram aggregates, "
+    "two joins against the vocab counts, deterministic top-50.",
+)
+def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return collocations(docs, "text")

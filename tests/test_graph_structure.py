@@ -1,0 +1,43 @@
+"""Triangle count / degree distribution on known toy graphs."""
+
+from __future__ import annotations
+
+from spark_extensions_spark.operators.graph import (
+    canonical_edges,
+    degree_distribution,
+    triangle_count,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src bigint, dst bigint")
+
+
+def test_triangle_count_k4(spark):
+    # complete graph on 4 nodes: C(4,3) = 4 triangles
+    pairs = [(a, b) for a in range(4) for b in range(4) if a != b]
+    assert triangle_count(_edges(spark, pairs)).first().n_triangles == 4
+
+
+def test_triangle_count_handles_dups_and_orientation(spark):
+    # one triangle given as mixed orientations + duplicates + self-loop
+    pairs = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 3), (2, 2), (3, 4)]
+    assert triangle_count(_edges(spark, pairs)).first().n_triangles == 1
+
+
+def test_triangle_free_graph(spark):
+    # a path has no triangles
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 5)]
+    assert triangle_count(_edges(spark, pairs)).first().n_triangles == 0
+
+
+def test_canonical_edges(spark):
+    out = canonical_edges(_edges(spark, [(2, 1), (1, 2), (3, 3)]), "src", "dst")
+    assert [(r.src, r.dst) for r in out.collect()] == [(1, 2)]
+
+
+def test_degree_distribution_star(spark):
+    # star K1,4: center degree 4, four leaves degree 1
+    pairs = [(0, i) for i in range(1, 5)]
+    out = {r.degree: r.n_nodes for r in degree_distribution(_edges(spark, pairs)).collect()}
+    assert out == {4: 1, 1: 4}
