@@ -112,6 +112,17 @@ _PRIORITY: tuple[str, ...] = (
     "confluent_avro_roundtrip",
     "json_variant",
     "multimodal_decode",
+    # round-2 second-half families (one flagship each)
+    "stat_ks_test",
+    "stat_linreg",
+    "ts_anomaly",
+    "graph_triangles",
+    "text_collocations",
+    "retrieval_rrf",
+    "sample_dsir",
+    "embedding_quantize",
+    "graph_pagerank",
+    "dedup_spans",
 )
 
 

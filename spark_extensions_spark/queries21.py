@@ -163,3 +163,5 @@ def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")["documents"]
     return collocations(docs, "text")
+
+from spark_extensions_spark import queries22  # noqa: E402,F401  (registration side effect)
