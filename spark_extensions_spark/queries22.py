@@ -266,3 +266,5 @@ def q_text_vocab_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_tokens"),
         )
     )
+
+from spark_extensions_spark import queries23  # noqa: E402,F401  (registration side effect)

@@ -77,3 +77,75 @@ def running_aggregate(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def ewma_state(
+    stream: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    alpha_num: int = 3,
+    alpha_den: int = 10,
+    scale: int = 100,
+) -> DataFrame:
+    """Per-key RECURSIVE EWMA (y = α·x + (1-α)·y_prev) with exact
+    integer state — the stateful-streaming twin of the batch
+    ``operators/timeseries.py:ewma`` truncated-window form.
+
+    The recursion runs in scaled integer arithmetic with floor
+    division: ``y' = (alpha_num·x + (alpha_den-alpha_num)·y) div
+    alpha_den`` over ``x = round(value·scale)`` — every step exact, so
+    the result is bit-identical to any replay AND to a recursive-CTE
+    oracle, with no float accumulation drift.  State per key: one
+    (y_int, n) tuple — bounded at any scale.
+
+    Rows are processed in (ts, id) order *within* each micro-batch;
+    cross-batch order must be non-decreasing in event time per key
+    (true for keyed, per-partition-ordered sources like Kafka; the
+    availableNow parquet replay delivers one batch).  Output per
+    trigger: (key, n_events, ewma double).
+    """
+    key_field = stream.select(key_col).schema.fields[0]
+    out_schema = StructType()
+    out_schema.add(key_field.name, key_field.dataType, True)
+    out_schema.add("n_events", "long", True)
+    out_schema.add("ewma", "double", True)
+
+    state_schema = StructType()
+    state_schema.add("y", "long", True)
+    state_schema.add("n", "long", True)
+
+    beta = alpha_den - alpha_num
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        y, n = state.get if state.exists else (None, 0)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values([ts_col, id_col])
+        for v in batch[value_col]:
+            x = int(round(float(v) * scale))
+            if y is None:
+                y = x
+            else:
+                y = (alpha_num * x + beta * y) // alpha_den
+            n += 1
+        state.update((int(y), int(n)))
+        yield pd.DataFrame(
+            [{key_field.name: key[0], "n_events": n, "ewma": y / scale}]
+        )
+
+    return (
+        stream.withWatermark(ts_col, "1 hour")
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -299,3 +299,35 @@ def test_streaming_upsert_sink(spark, events_stream):
     }
     assert got == want
     assert len(got) == batch.select("user_id").distinct().count()
+
+
+def test_ewma_state_matches_batch_recursion(spark, events_stream):
+    """ewma_state over the availableNow replay equals a driver-side
+    integer recursion over the same (ts, id)-ordered events, and is
+    independent of batch chopping when files arrive in time order."""
+    from spark_extensions_spark.streaming import (
+        read_stream_parquet,
+        run_available_now,
+    )
+    from spark_extensions_spark.streaming.stateful import ewma_state
+
+    ev = load_tables(spark, SF_DIR, "events")["events"]
+    rows = (
+        ev.select("user_id", "ts", "event_id", "value")
+        .orderBy("ts", "event_id")
+        .collect()
+    )
+    ref: dict = {}
+    for r in rows:
+        x = int(round(r.value * 100))
+        y = ref.get(r.user_id)
+        ref[r.user_id] = x if y is None else (3 * x + 7 * y) // 10
+
+    stream = read_stream_parquet(spark, events_stream)
+    out = run_available_now(
+        ewma_state(stream, "user_id", "ts", "event_id", "value"),
+        output_mode="update",
+        state_partitions=4,
+    )
+    got = {r.user_id: r.ewma for r in out.collect()}
+    assert got == {k: y / 100 for k, y in ref.items()}
