@@ -272,3 +272,146 @@ def extract_features(
             yield pdf
 
     return df.mapInPandas(run, out_schema)
+
+
+# ---------------------------------------------------------------------
+# Perceptual hash (pHash): DCT low-frequency signature + banded dedup
+# ---------------------------------------------------------------------
+
+_PHASH_N = 32  # fake-decode raster side
+_PHASH_K = 8  # low-frequency block side (64-bit hash)
+
+
+def _dct_matrix(n: int) -> np.ndarray:
+    """Orthonormal DCT-II basis (float64), computed once per worker."""
+    i = np.arange(n)
+    m = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * i[None, :] + 1) * i[:, None] / (2 * n))
+    m[0, :] = np.sqrt(1.0 / n)
+    return m
+
+
+_DCT_M = _dct_matrix(_PHASH_N)
+
+
+def phash_from_pixels(pixels: np.ndarray) -> int:
+    """64-bit perceptual hash of a 32x32 grayscale raster.
+
+    2-D DCT (two float64 matmuls), take the top-left 8x8 low-frequency
+    block minus the DC term, threshold each coefficient against the
+    block median — the standard pHash construction. Pure numpy,
+    bit-deterministic.
+    """
+    coef = _DCT_M @ pixels.astype(np.float64) @ _DCT_M.T
+    block = coef[:_PHASH_K, :_PHASH_K].flatten()
+    block = block[1:]  # drop DC
+    med = np.median(block)
+    bits = block > med
+    h = 0
+    for b in bits:
+        h = (h << 1) | int(b)
+    return h  # 63 significant bits — fits a signed int64
+
+
+def _fake_pixels(content: bytes) -> np.ndarray:
+    """Deterministic fake 32x32 grayscale raster from sha256(content).
+
+    STUB for the real decode+resize (no image libs in this container);
+    same role as _fake_decode — near-duplicate *pixels* only arise
+    from identical bytes, which the tests exploit.
+    """
+    seed = hashlib.sha256(content).digest()
+    blocks = [
+        hashlib.sha256(seed + i.to_bytes(4, "big")).digest()
+        for i in range((_PHASH_N * _PHASH_N) // 32)
+    ]
+    buf = np.frombuffer(b"".join(blocks), dtype=np.uint8)
+    return buf.reshape(_PHASH_N, _PHASH_N).astype(np.float64)
+
+
+def phash_images(
+    df: DataFrame,
+    content_col: str = "content",
+    out_col: str = "phash",
+    deterministic_fake: bool = False,
+) -> DataFrame:
+    """Add a 64-bit perceptual-hash column via Arrow-batched mapInPandas.
+
+    The only Python stage in the pipeline (it IS the decode path);
+    everything downstream (banding, candidate join, hamming filter)
+    stays JVM-side. Real codecs slot in at ``_fake_pixels``.
+    """
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, LongType(), True)]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            vals = []
+            for c in pdf[content_col]:
+                if c is None:
+                    vals.append(None)
+                elif not deterministic_fake:
+                    raise NotImplementedError(
+                        "Real image decode needs PIL/opencv; the fake "
+                        "path exercises the full Spark plumbing."
+                    )
+                else:
+                    vals.append(phash_from_pixels(_fake_pixels(bytes(c))))
+            pdf[out_col] = pd.Series(vals, dtype="Int64")
+            yield pdf
+
+    return df.mapInPandas(run, out_schema)
+
+
+def phash_candidates(
+    df: DataFrame,
+    id_col: str,
+    hash_col: str = "phash",
+    bands: int = 4,
+    max_hamming: int = 8,
+) -> DataFrame:
+    """Near-duplicate image pairs by banded pHash matching.
+
+    LSH-style: split the 64-bit hash into ``bands`` equal bit-bands;
+    pairs sharing ANY band collide (guaranteed for hamming < bands by
+    pigeonhole), then the exact ``bit_count(xor)`` hamming filter
+    verifies. All JVM-side: band explode, one self-join on (band id,
+    band bits), xor/popcount built-ins — never an all-pairs scan.
+    Output: (id_a, id_b, hamming) with id_a < id_b.
+    """
+    width = 64 // bands
+    mask = (1 << width) - 1
+    banded = df.select(
+        F.col(id_col).alias("id"),
+        F.col(hash_col).alias("h"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(
+                            F.col(hash_col), i * width
+                        ).bitwiseAND(F.lit(mask)).alias("bits"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "h", F.col("bb.band").alias("band"), F.col("bb.bits").alias("bits"))
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bits") == F.col("b.bits"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.expr("bit_count(a.h ^ b.h)").alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)

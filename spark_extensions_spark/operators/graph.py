@@ -360,21 +360,76 @@ def canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
     )
 
 
-def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
-    """Count triangles: two self-joins over the canonical edge list.
+def triangle_count(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    degree_ordered: bool = True,
+) -> DataFrame:
+    """Count triangles: two self-joins over an oriented edge list.
 
-    With edges oriented src<dst, wedge (a<b<c) closes iff (a,c) is an
-    edge — each triangle counted exactly once, no post-division by 6.
-    Scale shape: both joins shuffle on an edge endpoint; for power-law
-    graphs pre-filter high-degree vertices or salt the hot keys (the
-    compact-forward orientation already sends each wedge to its
-    lowest-id vertex, the standard skew mitigation).
-    Output: one row (n_triangles bigint).
+    ``degree_ordered=True`` re-orients every canonical edge from its
+    lower-(degree, id) endpoint to the higher one before the wedge
+    join.  Wedges are then generated only at each triangle's
+    LOWEST-RANK vertex — Σ C(outdeg, 2) work instead of Σ C(deg, 2),
+    the standard degree-ordering bound (O(m^1.5) total wedges for any
+    graph); on power-law graphs this is the difference between a
+    hot-key blowup and an even spread, because hubs get high rank and
+    generate no wedges.  Costs one extra aggregate + two rank-attach
+    joins — broadcastable while the degree table fits, shuffle joins
+    beyond.  ``False`` skips straight to the id-oriented join (cheaper
+    on small uniform graphs).
+
+    Orientation never changes the count: each triangle is counted
+    exactly once either way.  Output: one row (n_triangles bigint).
+
+    The canonical edge list is localCheckpoint-ed first: it feeds
+    three join aliases (plus the degree aggregate), and truncating the
+    lineage materializes the upstream pair-generation ONCE instead of
+    per-alias (same trick as connected_components).
     """
-    e = canonical_edges(edges, src, dst)
-    e1 = e.alias("e1")
-    e2 = e.alias("e2")
-    e3 = e.alias("e3")
+    e = canonical_edges(edges, src, dst).localCheckpoint(eager=False)
+    if degree_ordered:
+        nodes = e.select(F.col("src").alias("node")).unionAll(
+            e.select(F.col("dst").alias("node"))
+        )
+        deg = nodes.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+        with_d = (
+            e.join(deg.withColumnRenamed("node", "src"), "src")
+            .withColumnRenamed("deg", "ds")
+            .join(deg.withColumnRenamed("node", "dst"), "dst")
+            .withColumnRenamed("deg", "dd")
+        )
+        lo_first = (F.col("ds") < F.col("dd")) | (
+            (F.col("ds") == F.col("dd")) & (F.col("src") < F.col("dst"))
+        )
+        e = with_d.select(
+            F.when(lo_first, F.col("src")).otherwise(F.col("dst")).alias("src"),
+            F.when(lo_first, F.struct("ds", F.col("src").alias("n")))
+            .otherwise(F.struct(F.col("dd").alias("ds"), F.col("dst").alias("n")))
+            .alias("src_rank"),
+            F.when(lo_first, F.col("dst")).otherwise(F.col("src")).alias("dst"),
+            F.when(lo_first, F.struct(F.col("dd").alias("ds"), F.col("dst").alias("n")))
+            .otherwise(F.struct("ds", F.col("src").alias("n")))
+            .alias("dst_rank"),
+        )
+        e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+        # wedge at the lowest-rank vertex u: two out-edges (u,v), (u,w)
+        # with rank(v) < rank(w); closes iff oriented edge (v,w) exists
+        wedges = e1.join(
+            e2,
+            (F.col("e1.src") == F.col("e2.src"))
+            & (F.col("e1.dst_rank") < F.col("e2.dst_rank")),
+        )
+        closed = wedges.join(
+            e3,
+            (F.col("e1.dst") == F.col("e3.src"))
+            & (F.col("e2.dst") == F.col("e3.dst")),
+        )
+        return closed.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+        )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     wedges = e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
     closed = wedges.join(
         e3,

@@ -38,41 +38,49 @@ from spark_extensions_spark.operators.retrieval import (
 )
 
 
-def _supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Suppliers co-occurring in an order: the raw (directed, dup) pairs."""
+def _part_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts co-occurring in an order ("bought together") — raw pairs.
+
+    The part graph stays SPARSE as the data grows (nodes scale with
+    the catalog, edges with order width²), unlike the supplier graph,
+    which saturates into a near-complete — and inherently Θ(n³) for
+    triangles — clique at larger SFs.
+    """
     li = _t(spark, sf_dir, "lineitem")["lineitem"]
     a = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sa")
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa")
     )
     b = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sb")
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb")
     )
-    return a.join(b, "ok").filter(F.col("sa") < F.col("sb")).select(
-        F.col("sa").alias("src"), F.col("sb").alias("dst")
+    return a.join(b, "ok").filter(F.col("pa") < F.col("pb")).select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
     )
 
 
 @_register(
     "graph_triangles",
-    triangle_oracle_sql("lineitem", "l_orderkey", "l_suppkey"),
-    doc="Triangle count of the supplier co-purchase graph "
+    triangle_oracle_sql("lineitem", "l_orderkey", "l_partkey"),
+    doc="Triangle count of the part bought-together graph "
     "(operators/graph.py:triangle_count): canonical src<dst edges, "
-    "wedge join + closing-edge join — each triangle exactly once, "
-    "compact-forward orientation as the skew mitigation.",
+    "wedge join + closing-edge join — each triangle exactly once. "
+    "id-oriented here (the catalog graph is degree-uniform, measured "
+    "both ways); degree_ordered=True is the skew-safe default for "
+    "power-law graphs.",
 )
 def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return triangle_count(_supplier_edges(spark, sf_dir))
+    return triangle_count(_part_edges(spark, sf_dir), degree_ordered=False)
 
 
 @_register(
     "graph_degrees",
-    degree_oracle_sql("lineitem", "l_orderkey", "l_suppkey"),
-    doc="Degree histogram of the supplier co-purchase graph "
+    degree_oracle_sql("lineitem", "l_orderkey", "l_partkey"),
+    doc="Degree histogram of the part bought-together graph "
     "(operators/graph.py:degree_distribution): canonical edges, "
     "endpoint explode, two hash aggregates.",
 )
 def q_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return degree_distribution(_supplier_edges(spark, sf_dir))
+    return degree_distribution(_part_edges(spark, sf_dir))
 
 
 _BUCKET = (

@@ -59,3 +59,5 @@ def q_streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_stream_parquet(spark, _events_stream_path(spark, sf_dir))
     out = ewma_state(stream, "user_id", "ts", "event_id", "value")
     return run_available_now(out, output_mode="update", state_partitions=8)
+
+from spark_extensions_spark import queries24  # noqa: E402,F401  (registration side effect)
