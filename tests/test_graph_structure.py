@@ -41,3 +41,14 @@ def test_degree_distribution_star(spark):
     pairs = [(0, i) for i in range(1, 5)]
     out = {r.degree: r.n_nodes for r in degree_distribution(_edges(spark, pairs)).collect()}
     assert out == {4: 1, 1: 4}
+
+
+def test_triangle_orientations_agree(spark):
+    import random
+
+    rng = random.Random(5)
+    pairs = list({(rng.randrange(30), rng.randrange(30)) for _ in range(150)})
+    e = _edges(spark, [(a, b) for a, b in pairs if a != b])
+    n_deg = triangle_count(e, degree_ordered=True).first().n_triangles
+    n_id = triangle_count(e, degree_ordered=False).first().n_triangles
+    assert n_deg == n_id > 0

@@ -360,3 +360,38 @@ def test_overwrite_partitions_incremental(spark, tmp_path):
         spark.conf.get("spark.sql.sources.partitionOverwriteMode").upper()
         == "STATIC"
     )
+
+
+def test_phash_deterministic_and_discriminative(spark):
+    from spark_extensions_spark.multimodal.media import (
+        phash_candidates,
+        phash_images,
+    )
+
+    rows = [
+        (1, b"image-bytes-alpha"),
+        (2, b"image-bytes-alpha"),  # byte-identical dup
+        (3, b"image-bytes-beta"),
+        (4, b"image-bytes-gamma"),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, content binary")
+    hashed = phash_images(df, deterministic_fake=True)
+    hs = {r.id: r.phash for r in hashed.collect()}
+    assert hs[1] == hs[2]
+    assert hs[1] != hs[3] and hs[3] != hs[4]
+    pairs = phash_candidates(hashed, "id").collect()
+    assert [(p.id_a, p.id_b, p.hamming) for p in pairs] == [(1, 2, 0)]
+
+
+def test_phash_real_codec_gate(spark):
+    from spark_extensions_spark.multimodal.media import phash_images
+
+    df = spark.createDataFrame([(1, b"x")], "id bigint, content binary")
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    with _pytest.raises(Exception) as ei:
+        phash_images(df, deterministic_fake=False).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, Py4JJavaError
+    )
