@@ -234,6 +234,58 @@ def main() -> int:
         ).count(),
     )
 
+    # --- round-2 second-half additions: drift stats, time-series
+    # windows, graph structure, collocations, pHash ------------------
+    from spark_extensions_spark.operators.graph import triangle_count
+    from spark_extensions_spark.operators.retrieval import collocations
+    from spark_extensions_spark.operators.stats import ks_statistic
+    from spark_extensions_spark.operators.timeseries import rolling_zscore
+    from spark_extensions_spark.multimodal.media import (
+        phash_candidates,
+        phash_images,
+    )
+
+    run(
+        "ks_statistic",
+        lambda: ks_statistic(
+            li, "l_extendedprice", "l_returnflag", "R", "N", round_to=0
+        ).count(),
+    )
+    run(
+        "rolling_zscore",
+        lambda: rolling_zscore(
+            ev, "user_id", "ts", "event_id", "value"
+        ).count(),
+    )
+
+    def q_triangles():
+        a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+        b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+        e = (
+            a.join(b, "ok")
+            .filter(F.col("pa") < F.col("pb"))
+            .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        )
+        return triangle_count(e, degree_ordered=True).first().n_triangles
+
+    run("triangle_count", q_triangles)
+    run(
+        "collocations",
+        lambda: collocations(docs, "text").count(),
+    )
+    run(
+        "phash_pairs",
+        lambda: phash_candidates(
+            phash_images(
+                docs.select(
+                    "doc_id", F.col("text").cast("binary").alias("content")
+                ),
+                deterministic_fake=True,
+            ).select("doc_id", "phash"),
+            "doc_id",
+        ).count(),
+    )
+
     import shutil
 
     shutil.rmtree(base, ignore_errors=True)
