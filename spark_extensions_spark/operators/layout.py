@@ -19,7 +19,7 @@ z-values bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -105,3 +105,87 @@ def write_zordered(
         .mode("overwrite")
         .save(path)
     )
+
+
+# ---------------------------------------------------------------------
+# Small-file compaction planning (lakehouse OPTIMIZE bin-packing)
+# ---------------------------------------------------------------------
+
+
+def compaction_plan(
+    files: DataFrame,
+    partition_col: str,
+    file_col: str,
+    size_col: str,
+    target_bytes: int,
+) -> DataFrame:
+    """Assign files to compaction bins of ~``target_bytes`` per
+    partition — the planning half of a lakehouse OPTIMIZE/compact job.
+
+    Deterministic cumulative-sum packing: files ordered (size desc,
+    name) inside each partition, bin = floor((cumsum - size) / target)
+    — every bin lands within [target, target + max_file) bytes except
+    the last, no driver state, ONE window shuffle on the partition
+    column.  (Greedy first-fit would need sequential state; the
+    cumulative-sum rule is the order-free distributed equivalent and
+    within one file of optimal for size-sorted input.)
+
+    Output: (partition, bin, n_files, bin_bytes, file list csv) — the
+    driver of the actual rewrite job.
+    """
+    w = Window.partitionBy(partition_col).orderBy(
+        F.col(size_col).desc(), F.col(file_col)
+    )
+    cum = files.select(
+        F.col(partition_col).alias("part"),
+        F.col(file_col).alias("file"),
+        F.col(size_col).alias("bytes"),
+        F.sum(size_col)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+    )
+    binned = cum.select(
+        "part",
+        "file",
+        "bytes",
+        F.floor((F.col("cum") - F.col("bytes")) / F.lit(target_bytes))
+        .cast("bigint")
+        .alias("bin"),
+    )
+    return (
+        binned.groupBy("part", "bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_files"),
+            F.sum("bytes").cast("bigint").alias("bin_bytes"),
+            F.array_join(F.sort_array(F.collect_list("file")), ",").alias(
+                "files"
+            ),
+        )
+    )
+
+
+def compaction_oracle_sql(
+    table: str,
+    partition_col: str,
+    file_col: str,
+    size_col: str,
+    target_bytes: int,
+) -> str:
+    return f"""
+    WITH cum AS (
+      SELECT {partition_col} AS part, {file_col} AS file,
+             {size_col} AS bytes,
+             SUM({size_col}) OVER (
+               PARTITION BY {partition_col}
+               ORDER BY {size_col} DESC, {file_col}
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM {table}
+    )
+    SELECT part, CAST(FLOOR((cum - bytes) / {target_bytes}) AS BIGINT)
+             AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(bytes) AS BIGINT) AS bin_bytes,
+           array_to_string(list_sort(list(file)), ',') AS files
+    FROM cum
+    GROUP BY 1, 2
+    """

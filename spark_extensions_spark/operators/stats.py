@@ -452,3 +452,83 @@ def ols_oracle_sql(
            round({e['r2']}, 9) AS r2
     FROM sums
     """
+
+
+# ---------------------------------------------------------------------
+# One-scan higher moments: skewness / excess kurtosis per group
+# ---------------------------------------------------------------------
+
+
+def _moment_formulas() -> dict[str, str]:
+    """Central moments from raw power sums (n, s1..s4 as doubles).
+
+    Fixed textual order; inputs are exact DECIMAL sums cast to double
+    (correctly rounded on both engines), every later op is shared IEEE
+    arithmetic.  skew and kurtosis are scale-invariant, so the ×scale
+    integerization cancels.
+    """
+    m2 = "((s2 - s1 * s1 / n) / n)"
+    m3 = "((s3 - 3.0 * s1 * s2 / n + 2.0 * s1 * s1 * s1 / (n * n)) / n)"
+    m4 = (
+        "((s4 - 4.0 * s1 * s3 / n + 6.0 * s1 * s1 * s2 / (n * n) "
+        "- 3.0 * s1 * s1 * s1 * s1 / (n * n * n)) / n)"
+    )
+    return {
+        "skew": f"({m3} / ({m2} * sqrt({m2})))",
+        "kurt": f"({m4} / ({m2} * {m2}) - 3.0)",
+    }
+
+
+def group_moments(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    scale: int = 100,
+) -> DataFrame:
+    """Per-group skewness + excess kurtosis in ONE scan, one hash agg.
+
+    Power sums Σx..Σx⁴ of the integer-scaled value accumulate in
+    DECIMAL(38,0) (order-free); the moment arithmetic is the shared
+    double formula rounded to 6 dp.  Output: (grp, n, skew, kurt).
+    """
+    x = F.round(F.col(value_col) * scale).cast("bigint")
+    sums = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x.cast("decimal(38,0)")).cast("double").alias("s1"),
+        F.sum((x * x).cast("decimal(38,0)")).cast("double").alias("s2"),
+        F.sum((x * x * x).cast("decimal(38,0)")).cast("double").alias("s3"),
+        F.sum((x * x * x * x).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("s4"),
+    )
+    e = _moment_formulas()
+    return sums.select(
+        "grp",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.expr(e["skew"]), 6).alias("skew"),
+        F.round(F.expr(e["kurt"]), 6).alias("kurt"),
+    )
+
+
+def moments_oracle_sql(
+    table: str, group_col: str, value_col: str, scale: int = 100
+) -> str:
+    x = f"CAST(ROUND({value_col} * {scale}) AS BIGINT)"
+    e = _moment_formulas()
+    return f"""
+    WITH sums AS (
+      SELECT {group_col} AS grp,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST({x} AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST({x} * {x} AS DECIMAL(38,0))) AS DOUBLE) AS s2,
+             CAST(SUM(CAST({x} * {x} * {x} AS DECIMAL(38,0))) AS DOUBLE)
+               AS s3,
+             CAST(SUM(CAST({x} * {x} * {x} * {x} AS DECIMAL(38,0)))
+                  AS DOUBLE) AS s4
+      FROM {table} GROUP BY 1
+    )
+    SELECT grp, CAST(n AS BIGINT) AS n,
+           round({e['skew']}, 6) AS skew,
+           round({e['kurt']}, 6) AS kurt
+    FROM sums
+    """

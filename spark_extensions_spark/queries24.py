@@ -65,3 +65,5 @@ def q_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_candidates(hashed, "doc_id").select(
         "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
     )
+
+from spark_extensions_spark import queries25  # noqa: E402,F401  (registration side effect)

@@ -1,0 +1,75 @@
+"""t2 query registry, batch 28: higher moments + compaction planning.
+
+Registered into the shared registry (imported from queries24 at module
+end). Same determinism rules as the queries.py docstring.
+
+- ``agg_moments``: per-event-type skewness + excess kurtosis from
+  exact DECIMAL power sums Σx..Σx⁴ in ONE scan
+  (operators/stats.py:group_moments) — the one-pass distribution-shape
+  profile.
+- ``layout_compaction``: small-file compaction bins via deterministic
+  cumulative-sum packing per partition
+  (operators/layout.py:compaction_plan) — the planning half of a
+  lakehouse OPTIMIZE job, one window shuffle, no driver state; file
+  inventory simulated from the documents table (file=doc, size=
+  n_chars, partition=lang).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_extensions_spark.queries import _register, _t
+from spark_extensions_spark.operators.layout import (
+    compaction_oracle_sql,
+    compaction_plan,
+)
+from spark_extensions_spark.operators.stats import (
+    group_moments,
+    moments_oracle_sql,
+)
+
+
+@_register(
+    "agg_moments",
+    moments_oracle_sql("events", "event_type", "value"),
+    doc="Per-event-type skewness and excess kurtosis "
+    "(operators/stats.py:group_moments): exact integer-scaled DECIMAL "
+    "power sums Σx..Σx⁴ in one scan + one hash agg, shared "
+    "central-moment double formula rounded to 6 dp.",
+)
+def q_agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")["events"]
+    return group_moments(ev, "event_type", "value")
+
+
+_COMPACT_FILES_SQL = """
+      SELECT lang,
+             'doc_' || CAST(doc_id AS VARCHAR) AS file,
+             CAST(n_chars AS BIGINT) AS bytes
+      FROM documents
+"""
+
+
+@_register(
+    "layout_compaction",
+    compaction_oracle_sql(
+        f"({_COMPACT_FILES_SQL})", "lang", "file", "bytes", 5000
+    ),
+    doc="Small-file compaction plan (operators/layout.py:"
+    "compaction_plan): deterministic cumulative-sum bin packing to "
+    "~5000-byte bins per partition — one window shuffle, no driver "
+    "state; the OPTIMIZE planning pass over a simulated file "
+    "inventory.",
+)
+def q_layout_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    files = docs.select(
+        "lang",
+        F.concat(F.lit("doc_"), F.col("doc_id").cast("string")).alias(
+            "file"
+        ),
+        F.col("n_chars").cast("bigint").alias("bytes"),
+    )
+    return compaction_plan(files, "lang", "file", "bytes", 5000)
