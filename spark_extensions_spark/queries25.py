@@ -73,3 +73,31 @@ def q_layout_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").cast("bigint").alias("bytes"),
     )
     return compaction_plan(files, "lang", "file", "bytes", 5000)
+
+
+@_register(
+    "arrow_roundtrip",
+    """
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+    FROM documents
+    """,
+    doc="Arrow IPC (Feather v2) file sink + source roundtrip "
+    "(sources/arrow_ipc.py): one IPC file per partition via "
+    "foreachPartition, read back one-task-per-file with pyarrow inside "
+    "mapInPandas (Arrow on disk -> Arrow on the wire). Oracle is the "
+    "source table — the roundtrip must be lossless.",
+)
+def q_arrow_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from spark_extensions_spark.sources.arrow_ipc import (
+        read_arrow_ipc,
+        write_arrow_ipc,
+    )
+
+    docs = _t(spark, sf_dir, "documents")["documents"].select(
+        "doc_id", "lang", F.col("n_chars").cast("bigint").alias("n_chars")
+    )
+    path = tempfile.mkdtemp(prefix="arrow_rt_q_")
+    write_arrow_ipc(docs.repartition(4), path)
+    return read_arrow_ipc(spark, path)
