@@ -101,3 +101,79 @@ def q_arrow_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = tempfile.mkdtemp(prefix="arrow_rt_q_")
     write_arrow_ipc(docs.repartition(4), path)
     return read_arrow_ipc(spark, path)
+
+
+@_register(
+    "analytic_attribution",
+    """
+    WITH clicks AS (
+      SELECT user_id, event_id AS cid, ts AS cts
+      FROM events WHERE event_type = 'click'
+    ),
+    purch AS (
+      SELECT user_id, event_id AS pid, ts AS pts, value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    att AS (
+      SELECT p.pid, p.pts, p.value,
+             (SELECT c.cid FROM clicks c
+              WHERE c.user_id = p.user_id
+                AND c.cts <= p.pts
+                AND c.cts >= p.pts - INTERVAL 7 DAY
+              ORDER BY c.cts DESC, c.cid DESC LIMIT 1) AS click_id
+      FROM purch p
+    )
+    SELECT CAST(date_trunc('day', pts) AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(COUNT(click_id) AS BIGINT) AS n_attributed,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                FILTER (click_id IS NOT NULL) AS BIGINT)
+             AS attributed_cents
+    FROM att GROUP BY 1
+    """,
+    doc="Last-touch marketing attribution: each purchase takes the "
+    "nearest click at-or-before it within a 7-day lookback via the "
+    "single-shuffle union+window as-of join "
+    "(operators/joins.py:asof_join — the oracle spells it as a "
+    "correlated top-1 subquery), then a daily attribution rollup with "
+    "exact integer-cent revenue.",
+)
+def q_analytic_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_extensions_spark.operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")["events"]
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("cid"),
+        F.col("ts").alias("cts"),
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("pid"),
+        F.col("ts").alias("pts"),
+        "value",
+    )
+    att = asof_join(
+        purch,
+        clicks,
+        on="user_id",
+        left_time="pts",
+        right_time="cts",
+        right_values=["cid"],
+        tolerance=F.expr("INTERVAL 7 DAYS"),
+        right_tiebreak="cid",
+    )
+    return att.groupBy(
+        F.date_trunc("day", F.col("pts")).cast("date").alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+        F.count("cid").cast("bigint").alias("n_attributed"),
+        F.sum(
+            F.when(
+                F.col("cid").isNotNull(),
+                F.round(F.col("value") * 100).cast("bigint"),
+            )
+        )
+        .cast("bigint")
+        .alias("attributed_cents"),
+    )
