@@ -382,6 +382,10 @@ def phash_candidates(
     """
     width = 64 // bands
     mask = (1 << width) - 1
+    # the hash column feeds BOTH sides of the self-join: truncate the
+    # lineage so the (Python) hashing stage materializes once, not per
+    # alias
+    df = df.localCheckpoint(eager=False)
     banded = df.select(
         F.col(id_col).alias("id"),
         F.col(hash_col).alias("h"),
