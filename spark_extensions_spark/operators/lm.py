@@ -113,10 +113,9 @@ def bigram_lm_scores(
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(
-                -F.sum(F.col("lp6").cast("decimal(28,6)")).cast("double")
-                / F.count(F.lit(1)),
-                6,
+            F.expr(
+                "floor((-cast(sum(cast(lp6 as decimal(28,6))) as double)"
+                " / count(1)) * 1000000.0d + 0.5d) / 1000000.0d"
             ).alias("nll"),
         )
     )
@@ -168,8 +167,8 @@ def bigram_lm_scores_oracle_sql(
       FROM c2 JOIN c1 USING (w1) CROSS JOIN v
     ), sc AS (
       SELECT {id_col}, count(*) AS n_bigrams,
-             round(-CAST(sum(CAST(lp6 AS DECIMAL(28,6))) AS DOUBLE)
-                   / count(*), 6) AS nll
+             FLOOR((-CAST(sum(CAST(lp6 AS DECIMAL(28,6))) AS DOUBLE)
+                    / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS nll
       FROM big JOIN lp USING (w1, w2) GROUP BY {id_col}
     )
     SELECT d.{id_col},

@@ -304,10 +304,14 @@ def quantize_embeddings(
     shuffle, no Python. Deterministic across engines: scale and the
     per-dimension errors are pure IEEE double arithmetic (division,
     ``floor(x + 0.5)`` rounding, multiply-subtract — no libm); the
-    squared-error sum accumulates in DECIMAL (order-free).
+    squared error is fixed-point quantized to 1e-18 units via a shared
+    ``floor(v*v*1e18 + 0.5)`` (exact while v² < 2^53/1e18 ≈ 9e-3 —
+    always true for quantization errors of unit-scale embeddings) and
+    summed in DECIMAL (order-free; engine-identical, unlike round()
+    whose rescale path differs between engines at digit boundaries).
 
     Output: ``(id, n_dims, scale, q array<int>, max_abs_err double,
-    sse decimal(30,18))``.
+    sse_e18 decimal(38,0))`` — squared error in 1e-18 units.
     """
     xd = f"transform({vec_col}, x -> cast(x as double))"
     amax = f"aggregate({xd}, 0.0d, (a, v) -> greatest(a, abs(v)))"
@@ -335,10 +339,11 @@ def quantize_embeddings(
                 f"aggregate({err}, 0.0d, (a, v) -> greatest(a, abs(v)))"
             ).alias("max_abs_err"),
             F.expr(
-                f"aggregate({err}, cast(0 as decimal(30,18)), "
-                f"(a, v) -> cast(a + cast(round(v * v, 18) as decimal(30,18))"
-                f" as decimal(30,18)))"
-            ).alias("sse"),
+                f"aggregate({err}, cast(0 as decimal(38,0)), "
+                f"(a, v) -> cast(a + cast(floor(v * v "
+                f"* 1000000000000000000.0d + 0.5d) as decimal(38,0))"
+                f" as decimal(38,0)))"
+            ).alias("sse_e18"),
         )
     )
 
@@ -378,11 +383,12 @@ def quantize_oracle_sql(
     ),
     agg AS (
       SELECT id, MAX(ABS(ev)) AS max_abs_err,
-             SUM(CAST(ROUND(ev * ev, 18) AS DECIMAL(30,18))) AS sse
+             SUM(CAST(FLOOR(ev * ev * 1000000000000000000.0 + 0.5)
+                      AS DECIMAL(38,0))) AS sse_e18
       FROM per_dim GROUP BY id
     )
     SELECT errs.id AS {id_col}, CAST(errs.n_dims AS INT) AS n_dims,
            errs.scale, errs.q,
-           agg.max_abs_err, CAST(agg.sse AS DECIMAL(30,18)) AS sse
+           agg.max_abs_err, CAST(agg.sse_e18 AS DECIMAL(38,0)) AS sse_e18
     FROM errs JOIN agg ON agg.id = errs.id
     """

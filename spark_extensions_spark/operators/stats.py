@@ -327,19 +327,17 @@ def welch_ttest(
 
     Output: t_stat (double), n_a, n_b (bigint).
     """
-    x = F.round(F.col(value_col) * scale).cast("bigint")
+    xd = F.round(F.col(value_col) * scale).cast("bigint").cast(
+        "decimal(18,0)"
+    )
     ga, gb = F.col(group_col) == group_a, F.col(group_col) == group_b
     row = df.filter(ga | gb).agg(
         F.count(F.when(ga, 1)).cast("double").alias("na"),
         F.count(F.when(gb, 1)).cast("double").alias("nb"),
-        F.sum(F.when(ga, x).cast("decimal(38,0)")).cast("double").alias("sa"),
-        F.sum(F.when(gb, x).cast("decimal(38,0)")).cast("double").alias("sb"),
-        F.sum(F.when(ga, x * x).cast("decimal(38,0)"))
-        .cast("double")
-        .alias("qa"),
-        F.sum(F.when(gb, x * x).cast("decimal(38,0)"))
-        .cast("double")
-        .alias("qb"),
+        F.sum(F.when(ga, xd)).cast("double").alias("sa"),
+        F.sum(F.when(gb, xd)).cast("double").alias("sb"),
+        F.sum(F.when(ga, xd * xd)).cast("double").alias("qa"),
+        F.sum(F.when(gb, xd * xd)).cast("double").alias("qb"),
     )
     return row.select(
         F.expr(_welch_formula()).alias("t_stat"),
@@ -356,17 +354,17 @@ def welch_oracle_sql(
     group_b: str,
     scale: int = 100,
 ) -> str:
-    x = f"CAST(ROUND({value_col} * {scale}) AS BIGINT)"
+    x = f"CAST(CAST(ROUND({value_col} * {scale}) AS BIGINT) AS HUGEINT)"
     ga = f"{group_col} = '{group_a}'"
     gb = f"{group_col} = '{group_b}'"
     return f"""
     WITH sums AS (
       SELECT CAST(COUNT(*) FILTER ({ga}) AS DOUBLE) AS na,
              CAST(COUNT(*) FILTER ({gb}) AS DOUBLE) AS nb,
-             CAST(SUM(CAST({x} AS DECIMAL(38,0))) FILTER ({ga}) AS DOUBLE) AS sa,
-             CAST(SUM(CAST({x} AS DECIMAL(38,0))) FILTER ({gb}) AS DOUBLE) AS sb,
-             CAST(SUM(CAST({x} * {x} AS DECIMAL(38,0))) FILTER ({ga}) AS DOUBLE) AS qa,
-             CAST(SUM(CAST({x} * {x} AS DECIMAL(38,0))) FILTER ({gb}) AS DOUBLE) AS qb
+             CAST(SUM({x}) FILTER ({ga}) AS DOUBLE) AS sa,
+             CAST(SUM({x}) FILTER ({gb}) AS DOUBLE) AS sb,
+             CAST(SUM({x} * {x}) FILTER ({ga}) AS DOUBLE) AS qa,
+             CAST(SUM({x} * {x}) FILTER ({gb}) AS DOUBLE) AS qb
       FROM {table} WHERE ({ga}) OR ({gb})
     )
     SELECT {_welch_formula()} AS t_stat,
@@ -410,15 +408,15 @@ def group_ols(
     slope, intercept, r2 rounded to 9 dp (identical double pipelines on
     both engines — rounding only trims display noise).
     """
-    xs = F.round(F.col(x_col) * scale).cast("bigint")
-    ys = F.round(F.col(y_col) * scale).cast("bigint")
+    xs = F.round(F.col(x_col) * scale).cast("bigint").cast("decimal(18,0)")
+    ys = F.round(F.col(y_col) * scale).cast("bigint").cast("decimal(18,0)")
     sums = df.groupBy(F.col(group_col).alias("grp")).agg(
         F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum(xs.cast("decimal(38,0)")).cast("double").alias("sx"),
-        F.sum(ys.cast("decimal(38,0)")).cast("double").alias("sy"),
-        F.sum((xs * xs).cast("decimal(38,0)")).cast("double").alias("sxx"),
-        F.sum((ys * ys).cast("decimal(38,0)")).cast("double").alias("syy"),
-        F.sum((xs * ys).cast("decimal(38,0)")).cast("double").alias("sxy"),
+        F.sum(xs).cast("double").alias("sx"),
+        F.sum(ys).cast("double").alias("sy"),
+        F.sum(xs * xs).cast("double").alias("sxx"),
+        F.sum(ys * ys).cast("double").alias("syy"),
+        F.sum(xs * ys).cast("double").alias("sxy"),
     )
     e = _ols_exprs()
     return sums.select(
@@ -432,18 +430,18 @@ def group_ols(
 def ols_oracle_sql(
     table: str, group_col: str, x_col: str, y_col: str, scale: int = 100
 ) -> str:
-    xs = f"CAST(ROUND({x_col} * {scale}) AS BIGINT)"
-    ys = f"CAST(ROUND({y_col} * {scale}) AS BIGINT)"
+    xs = f"CAST(CAST(ROUND({x_col} * {scale}) AS BIGINT) AS HUGEINT)"
+    ys = f"CAST(CAST(ROUND({y_col} * {scale}) AS BIGINT) AS HUGEINT)"
     e = _ols_exprs()
     return f"""
     WITH sums AS (
       SELECT {group_col} AS grp,
              CAST(COUNT(*) AS DOUBLE) AS n,
-             CAST(SUM(CAST({xs} AS DECIMAL(38,0))) AS DOUBLE) AS sx,
-             CAST(SUM(CAST({ys} AS DECIMAL(38,0))) AS DOUBLE) AS sy,
-             CAST(SUM(CAST({xs} * {xs} AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
-             CAST(SUM(CAST({ys} * {ys} AS DECIMAL(38,0))) AS DOUBLE) AS syy,
-             CAST(SUM(CAST({xs} * {ys} AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+             CAST(SUM({xs}) AS DOUBLE) AS sx,
+             CAST(SUM({ys}) AS DOUBLE) AS sy,
+             CAST(SUM({xs} * {xs}) AS DOUBLE) AS sxx,
+             CAST(SUM({ys} * {ys}) AS DOUBLE) AS syy,
+             CAST(SUM({xs} * {ys}) AS DOUBLE) AS sxy
       FROM {table} GROUP BY 1
     )
     SELECT grp,
@@ -491,15 +489,18 @@ def group_moments(
     DECIMAL(38,0) (order-free); the moment arithmetic is the shared
     double formula rounded to 6 dp.  Output: (grp, n, skew, kurt).
     """
-    x = F.round(F.col(value_col) * scale).cast("bigint")
+    # products run DECIMAL-first: x^4 of a 10^7-scale value overflows
+    # int64 (found by the sf0.1 sweep under ANSI mode) — decimal
+    # multiplication is exact to 38 digits on both engines
+    xd = F.round(F.col(value_col) * scale).cast("bigint").cast(
+        "decimal(18,0)"
+    )
     sums = df.groupBy(F.col(group_col).alias("grp")).agg(
         F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum(x.cast("decimal(38,0)")).cast("double").alias("s1"),
-        F.sum((x * x).cast("decimal(38,0)")).cast("double").alias("s2"),
-        F.sum((x * x * x).cast("decimal(38,0)")).cast("double").alias("s3"),
-        F.sum((x * x * x * x).cast("decimal(38,0)"))
-        .cast("double")
-        .alias("s4"),
+        F.sum(xd).cast("double").alias("s1"),
+        F.sum(xd * xd).cast("double").alias("s2"),
+        F.sum(xd * xd * xd).cast("double").alias("s3"),
+        F.sum(xd * xd * xd * xd).cast("double").alias("s4"),
     )
     e = _moment_formulas()
     return sums.select(
@@ -513,18 +514,16 @@ def group_moments(
 def moments_oracle_sql(
     table: str, group_col: str, value_col: str, scale: int = 100
 ) -> str:
-    x = f"CAST(ROUND({value_col} * {scale}) AS BIGINT)"
+    x = f"CAST(CAST(ROUND({value_col} * {scale}) AS BIGINT) AS HUGEINT)"
     e = _moment_formulas()
     return f"""
     WITH sums AS (
       SELECT {group_col} AS grp,
              CAST(COUNT(*) AS DOUBLE) AS n,
-             CAST(SUM(CAST({x} AS DECIMAL(38,0))) AS DOUBLE) AS s1,
-             CAST(SUM(CAST({x} * {x} AS DECIMAL(38,0))) AS DOUBLE) AS s2,
-             CAST(SUM(CAST({x} * {x} * {x} AS DECIMAL(38,0))) AS DOUBLE)
-               AS s3,
-             CAST(SUM(CAST({x} * {x} * {x} * {x} AS DECIMAL(38,0)))
-                  AS DOUBLE) AS s4
+             CAST(SUM({x}) AS DOUBLE) AS s1,
+             CAST(SUM({x} * {x}) AS DOUBLE) AS s2,
+             CAST(SUM({x} * {x} * {x}) AS DOUBLE) AS s3,
+             CAST(SUM({x} * {x} * {x} * {x}) AS DOUBLE) AS s4
       FROM {table} GROUP BY 1
     )
     SELECT grp, CAST(n AS BIGINT) AS n,

@@ -124,11 +124,15 @@ def ewma(
         f"ORDER BY {ts_col}, {id_col})"
     )
     expr = ewma_exprs(value_col, lag_fmt, alpha, k)
+    # floor-based fixed-point rounding: same IEEE ops on both engines
+    # (Spark's round() rescales exactly, DuckDB's in double — they can
+    # disagree one ulp from a decimal boundary; floor cannot)
+    q = f"floor(({expr}) * 1000000000.0d + 0.5d) / 1000000000.0d"
     return df.select(
         F.col(key_col),
         F.col(ts_col),
         F.col(value_col),
-        F.round(F.expr(expr), 9).alias("ewma"),
+        F.expr(q).alias("ewma"),
     )
 
 
@@ -148,7 +152,7 @@ def ewma_oracle_sql(
     expr = ewma_exprs(value_col, lag_fmt, alpha, k)
     return f"""
     SELECT {key_col}, {ts_col}, {value_col},
-           round({expr}, 9) AS ewma
+           FLOOR(({expr}) * 1000000000.0 + 0.5) / 1000000000.0 AS ewma
     FROM {table}
     """
 
@@ -196,19 +200,18 @@ def rolling_zscore(
         .rowsBetween(-k, -1)
     )
     xs = F.round(F.col(value_col) * scale).cast("bigint")
+    xd = xs.cast("decimal(18,0)")
     base = df.select(
         F.col(key_col),
         F.col(ts_col),
         F.col(value_col),
         xs.alias("xs"),
-        F.sum(xs.cast("decimal(38,0)")).over(w).cast("bigint").alias("s"),
-        F.sum((xs * xs).cast("decimal(38,0)"))
-        .over(w)
-        .cast("bigint")
-        .alias("q"),
+        F.sum(xd).over(w).cast("bigint").alias("s"),
+        F.sum(xd * xd).over(w).cast("bigint").alias("q"),
         F.count(xs).over(w).alias("c"),
     )
-    z = F.when(F.col("c") >= 3, F.round(F.expr(_z_formula()), 9))
+    zq = f"floor(({_z_formula()}) * 1000000000.0d + 0.5d) / 1000000000.0d"
+    z = F.when(F.col("c") >= 3, F.expr(zq))
     return base.select(
         key_col,
         ts_col,
@@ -234,18 +237,20 @@ def zscore_oracle_sql(
     WITH base AS (
       SELECT {key_col}, {ts_col}, {value_col},
              CAST(ROUND({value_col} * {scale}) AS BIGINT) AS xs,
-             CAST(SUM(CAST(CAST(ROUND({value_col} * {scale}) AS BIGINT)
-                   AS DECIMAL(38,0))) OVER w AS BIGINT) AS s,
-             CAST(SUM(CAST(CAST(ROUND({value_col} * {scale}) AS BIGINT)
-                   * CAST(ROUND({value_col} * {scale}) AS BIGINT)
-                   AS DECIMAL(38,0))) OVER w AS BIGINT) AS q,
+             CAST(SUM(CAST(ROUND({value_col} * {scale}) AS HUGEINT))
+                  OVER w AS BIGINT) AS s,
+             CAST(SUM(CAST(ROUND({value_col} * {scale}) AS HUGEINT)
+                   * CAST(ROUND({value_col} * {scale}) AS HUGEINT))
+                  OVER w AS BIGINT) AS q,
              COUNT(*) OVER w AS c
       FROM {table}
       WINDOW w AS (PARTITION BY {key_col} ORDER BY {ts_col}, {id_col}
                    ROWS BETWEEN {k} PRECEDING AND 1 PRECEDING)
     )
     SELECT {key_col}, {ts_col}, {value_col},
-           CASE WHEN c >= 3 THEN round({z}, 9) END AS z,
+           CASE WHEN c >= 3
+                THEN FLOOR(({z}) * 1000000000.0 + 0.5) / 1000000000.0
+           END AS z,
            CASE WHEN c >= 3 THEN abs({z}) > {threshold} END AS is_anomaly
     FROM base
     """

@@ -131,8 +131,8 @@ def _profile_oracle() -> str:
                CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,
                round(MIN({c}), 6) AS min_val,
                round(MAX({c}), 6) AS max_val,
-               round(CAST(SUM(CAST({c} AS DECIMAL(28,10))) AS DOUBLE), 6)
-                 AS sum_val
+               CAST(CAST(SUM(CAST({c} AS DECIMAL(28,10))) AS DECIMAL(28,6))
+                    AS DOUBLE) AS sum_val
            FROM lineitem"""
         for c in _PROFILE_COLS
     )
@@ -160,12 +160,10 @@ def q_stat_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.round(F.min(c), 6).alias(f"min_{c}"),
             F.round(F.max(c), 6).alias(f"max_{c}"),
-            F.round(
-                F.sum(F.expr(f"CAST({c} AS DECIMAL(28,10))")).cast(
-                    "double"
-                ),
-                6,
-            ).alias(f"sum_{c}"),
+            F.sum(F.expr(f"CAST({c} AS DECIMAL(28,10))"))
+            .cast("decimal(28,6)")
+            .cast("double")
+            .alias(f"sum_{c}"),
         ]
     row = li.agg(*aggs)
     parts = []
