@@ -531,3 +531,115 @@ def moments_oracle_sql(
            round({e['kurt']}, 6) AS kurt
     FROM sums
     """
+
+
+# ---------------------------------------------------------------------
+# Mann–Whitney U (rank-sum) with tie correction
+# ---------------------------------------------------------------------
+
+_MW_FINAL = (
+    "((r2a - na * (na + 1.0)) / 2.0 - na * nb / 2.0) / "
+    "sqrt(na * nb / 12.0 * ((na + nb + 1.0) "
+    "- ties / ((na + nb) * (na + nb - 1.0))))"
+)
+
+
+def mannwhitney_u(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Mann–Whitney U statistic + tie-corrected normal z, one row.
+
+    Rank sums never materialize per-row ranks: per distinct value,
+    sample-a's average-rank contribution is
+    ``ca·(cum_prev + (t+1)/2)`` — doubled to stay integer
+    (``ca·(2·cum_prev + t + 1)``) and summed exactly, like the KS
+    cumulative trick.  Tie correction ``Σ(t³−t)`` is an exact decimal
+    sum.  ONE scan + domain-sized window; final z is the shared
+    sqrt formula.  Output: (u_a double, z double, n_a, n_b bigint).
+    """
+    v = F.col(value_col)
+    if round_to is not None:
+        v = F.round(v, round_to)
+    counts = (
+        df.filter(F.col(group_col).isin(group_a, group_b))
+        .groupBy(v.alias("v"))
+        .agg(
+            F.count(F.when(F.col(group_col) == group_a, 1)).alias("ca"),
+            F.count(F.when(F.col(group_col) == group_b, 1)).alias("cb"),
+        )
+        .select("v", "ca", "cb", (F.col("ca") + F.col("cb")).alias("t"))
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    td = F.col("t").cast("decimal(18,0)")
+    with_cum = counts.select(
+        "ca",
+        "cb",
+        "t",
+        F.coalesce(F.sum("t").over(w), F.lit(0)).alias("cum_prev"),
+    )
+    agg = with_cum.agg(
+        F.sum("ca").cast("double").alias("na"),
+        F.sum("cb").cast("double").alias("nb"),
+        F.sum(
+            (
+                F.col("ca")
+                * (2 * F.col("cum_prev") + F.col("t") + 1)
+            ).cast("decimal(38,0)")
+        )
+        .cast("double")
+        .alias("r2a"),
+        F.sum(td * td * td - td).cast("double").alias("ties"),
+    )
+    return agg.select(
+        ((F.col("r2a") - F.col("na") * (F.col("na") + 1.0)) / 2.0).alias(
+            "u_a"
+        ),
+        F.expr(_MW_FINAL).alias("z"),
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+    )
+
+
+def mannwhitney_oracle_sql(
+    table: str,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    round_to: int | None = None,
+) -> str:
+    v = f"round({value_col}, {round_to})" if round_to is not None else value_col
+    return f"""
+    WITH counts AS (
+      SELECT {v} AS v,
+             COUNT(*) FILTER ({group_col} = '{group_a}') AS ca,
+             COUNT(*) FILTER ({group_col} = '{group_b}') AS cb
+      FROM {table}
+      WHERE {group_col} IN ('{group_a}', '{group_b}')
+      GROUP BY 1
+    ), cum AS (
+      SELECT ca, cb, ca + cb AS t,
+             COALESCE(SUM(ca + cb) OVER (
+               ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS cum_prev
+      FROM counts
+    ), agg AS (
+      SELECT CAST(SUM(ca) AS DOUBLE) AS na,
+             CAST(SUM(cb) AS DOUBLE) AS nb,
+             CAST(SUM(CAST(ca * (2 * cum_prev + t + 1) AS DECIMAL(38,0)))
+                  AS DOUBLE) AS r2a,
+             CAST(SUM(CAST(t AS DECIMAL(18,0)) * CAST(t AS DECIMAL(18,0))
+                      * CAST(t AS DECIMAL(18,0)) - CAST(t AS DECIMAL(18,0)))
+                  AS DOUBLE) AS ties
+      FROM cum
+    )
+    SELECT (r2a - na * (na + 1.0)) / 2.0 AS u_a,
+           {_MW_FINAL} AS z,
+           CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b
+    FROM agg
+    """

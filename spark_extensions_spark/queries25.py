@@ -177,3 +177,25 @@ def q_analytic_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("attributed_cents"),
     )
+
+
+@_register(
+    "stat_mannwhitney",
+    __import__(
+        "spark_extensions_spark.operators.stats", fromlist=["x"]
+    ).mannwhitney_oracle_sql(
+        "lineitem", "l_extendedprice", "l_returnflag", "R", "N", 0
+    ),
+    doc="Mann-Whitney U rank-sum test with tie correction "
+    "(operators/stats.py:mannwhitney_u): average-rank sums from the "
+    "KS-style cumulative-count trick (never per-row ranks), exact "
+    "integer doubling, tie term as exact decimal sum; one scan + "
+    "domain-sized window, shared sqrt formula for z.",
+)
+def q_stat_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_extensions_spark.operators.stats import mannwhitney_u
+
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    return mannwhitney_u(
+        li, "l_extendedprice", "l_returnflag", "R", "N", round_to=0
+    )

@@ -128,3 +128,50 @@ def test_ols_matches_numpy(spark):
     assert abs(out["g1"].intercept - ref_icpt) < 1e-6
     assert 0.9 < out["g1"].r2 <= 1.0
     assert out["g2"].slope < 0
+
+
+def test_mannwhitney_matches_scipy_formula(toy):
+    from spark_extensions_spark.operators.stats import mannwhitney_u
+
+    row = mannwhitney_u(toy, "val", "grp", "a", "b").first()
+    pdf = toy.toPandas()
+    a = pdf[pdf.grp == "a"].val.values
+    b = pdf[pdf.grp == "b"].val.values
+    import numpy as np
+
+    combined = np.concatenate([a, b])
+    order = combined.argsort(kind="mergesort")
+    ranks = np.empty(len(combined))
+    # average ranks with ties
+    sorted_v = combined[order]
+    i = 0
+    while i < len(sorted_v):
+        j = i
+        while j + 1 < len(sorted_v) and sorted_v[j + 1] == sorted_v[i]:
+            j += 1
+        ranks[order[i : j + 1]] = (i + j) / 2 + 1
+        i = j + 1
+    r_a = ranks[: len(a)].sum()
+    u_ref = r_a - len(a) * (len(a) + 1) / 2
+    assert abs(row.u_a - u_ref) < 1e-9
+    # the b sample is shifted +5: strong negative z
+    assert row.z < -3
+    assert row.n_a == len(a) and row.n_b == len(b)
+
+
+def test_mannwhitney_identical_samples(spark):
+    df = spark.range(200).select(
+        ((F.col("id") / F.lit(2)).cast("bigint") % 10)
+        .cast("double")
+        .alias("val"),
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("grp"),
+    )
+    row = mannwhitney_u_import(df)
+    assert abs(row.u_a - 100 * 100 / 2) < 1e-9  # E[U] under H0
+    assert abs(row.z) < 1e-9
+
+
+def mannwhitney_u_import(df):
+    from spark_extensions_spark.operators.stats import mannwhitney_u
+
+    return mannwhitney_u(df, "val", "grp", "a", "b").first()
