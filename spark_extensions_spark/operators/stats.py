@@ -643,3 +643,82 @@ def mannwhitney_oracle_sql(
            CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b
     FROM agg
     """
+
+
+# ---------------------------------------------------------------------
+# Population Stability Index (PSI)
+# ---------------------------------------------------------------------
+
+_PSI_TERM = (
+    "(CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb) * "
+    "ln((CAST(ca AS DOUBLE) / na) / (CAST(cb AS DOUBLE) / nb))"
+)
+
+
+def psi_drift(
+    df: DataFrame,
+    bucket_col: str,
+    split_col,
+    epsilon: int = 1,
+) -> DataFrame:
+    """Population Stability Index between the two sides of a boolean
+    split: PSI = Σ_b (p_a − p_b)·ln(p_a/p_b), one row.
+
+    Buckets missing on one side get an ``epsilon`` pseudo-count (the
+    standard PSI smoothing; without it an empty bucket is ±∞).  Each
+    bucket's term is fixed-point quantized to 1e-12 via the shared
+    ``floor(t·1e12 + 0.5)`` BEFORE the cross-bucket sum, which then
+    accumulates exactly in DECIMAL — the aggregation is order-free even
+    though ln() is involved (an engine-ulp difference in ln flips a
+    quantized term only within 1e-16 of a boundary).  ONE scan, one
+    bucket hash-agg.  Industry rule of thumb: PSI < 0.1 stable,
+    > 0.25 action.
+    """
+    counts = df.groupBy(F.col(bucket_col).alias("b")).agg(
+        (F.count(F.when(split_col, 1)) + epsilon).alias("ca"),
+        (F.count(F.when(~split_col, 1)) + epsilon).alias("cb"),
+    )
+    wt = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    with_tot = counts.select(
+        "ca",
+        "cb",
+        F.sum("ca").over(wt).cast("double").alias("na"),
+        F.sum("cb").over(wt).cast("double").alias("nb"),
+    )
+    term_q = (
+        f"cast(floor(({_PSI_TERM}) * 1000000000000.0d + 0.5d) "
+        "as decimal(38,0))"
+    )
+    return (
+        with_tot.groupBy("na", "nb")
+        .agg(F.sum(F.expr(term_q)).alias("psi_e12"))
+        .select(
+            (F.col("psi_e12").cast("double") / 1.0e12).alias("psi"),
+            F.col("na").cast("bigint").alias("n_a"),
+            F.col("nb").cast("bigint").alias("n_b"),
+        )
+    )
+
+
+def psi_oracle_sql(
+    table: str, bucket_col: str, split_sql: str, epsilon: int = 1
+) -> str:
+    return f"""
+    WITH counts AS (
+      SELECT {bucket_col} AS b,
+             COUNT(*) FILTER ({split_sql}) + {epsilon} AS ca,
+             COUNT(*) FILTER (NOT ({split_sql})) + {epsilon} AS cb
+      FROM {table} GROUP BY 1
+    ), tot AS (
+      SELECT ca, cb,
+             CAST(SUM(ca) OVER () AS DOUBLE) AS na,
+             CAST(SUM(cb) OVER () AS DOUBLE) AS nb
+      FROM counts
+    )
+    SELECT CAST(SUM(CAST(FLOOR(({_PSI_TERM}) * 1000000000000.0 + 0.5)
+                         AS DECIMAL(38,0))) AS DOUBLE) / 1.0e12 AS psi,
+           CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b
+    FROM tot GROUP BY na, nb
+    """

@@ -199,3 +199,27 @@ def q_stat_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mannwhitney_u(
         li, "l_extendedprice", "l_returnflag", "R", "N", round_to=0
     )
+
+
+@_register(
+    "stat_psi",
+    __import__(
+        "spark_extensions_spark.operators.stats", fromlist=["x"]
+    ).psi_oracle_sql(
+        "orders", "o_orderpriority", "o_orderdate < DATE '1998-01-01'"
+    ),
+    doc="Population Stability Index of the order-priority mix, "
+    "pre-1998 vs later (operators/stats.py:psi_drift): per-bucket "
+    "(p_a-p_b)*ln(p_a/p_b) terms fixed-point quantized to 1e-12 "
+    "BEFORE the cross-bucket DECIMAL sum — order-free despite ln; "
+    "epsilon-smoothed empty buckets; one scan + one bucket hash-agg.",
+)
+def q_stat_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_extensions_spark.operators.stats import psi_drift
+
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    return psi_drift(
+        orders,
+        "o_orderpriority",
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("date"),
+    )

@@ -175,3 +175,26 @@ def mannwhitney_u_import(df):
     from spark_extensions_spark.operators.stats import mannwhitney_u
 
     return mannwhitney_u(df, "val", "grp", "a", "b").first()
+
+
+def test_psi_detects_shift_and_zero_when_identical(spark):
+    from spark_extensions_spark.operators.stats import psi_drift
+
+    same = spark.range(400).select(
+        ((F.col("id") / F.lit(2)).cast("bigint") % 4)
+        .cast("string")
+        .alias("cat"),
+        (F.col("id") % 2 == 0).alias("is_a"),
+    )
+    r = psi_drift(same, "cat", F.col("is_a")).first()
+    assert abs(r.psi) < 1e-9
+
+    shifted = spark.range(400).select(
+        F.when(F.col("id") % 2 == 0, (F.col("id") % 4))
+        .otherwise((F.col("id") % 2))
+        .cast("string")
+        .alias("cat"),
+        (F.col("id") % 2 == 0).alias("is_a"),
+    )
+    r2 = psi_drift(shifted, "cat", F.col("is_a")).first()
+    assert r2.psi > 0.25  # major distribution change
