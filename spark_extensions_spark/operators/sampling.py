@@ -372,3 +372,76 @@ def dsir_oracle_sql(
     SELECT d.{id_col}, scored.n_feats, scored.weight
     FROM {table} d LEFT JOIN scored ON scored.id = d.{id_col}
     """
+
+
+# ---------------------------------------------------------------------
+# Systematic PPS sampling (probability proportional to size, exact)
+# ---------------------------------------------------------------------
+
+
+def pps_systematic(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "pps",
+) -> DataFrame:
+    """Deterministic probability-proportional-to-size sample of ~``k``
+    rows: classic systematic PPS over a hash-shuffled order.
+
+    Rows are laid on the cumulative-weight axis in md5(key) order (a
+    deterministic "random" permutation); a row is selected iff its
+    weight interval crosses a multiple of W/k.  Entirely integer
+    arithmetic via cross-multiplication —
+    ``floor(cum·k/W) > floor((cum−w)·k/W)`` — so the sample is exact,
+    engine-portable, and inclusion probability is w·k/W (large rows
+    with w ≥ W/k are always taken).  ONE window shuffle (the md5
+    order), no randomness, no libm.  The weighted-corpus subsampling
+    pass (sample documents ∝ tokens) at any scale.
+    """
+    w = Window.orderBy(
+        F.md5(F.concat(F.col(key_col).cast("string"), F.lit(":" + salt))),
+        F.col(key_col),
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    wd = F.col(weight_col).cast("decimal(38,0)")
+    cum = df.select(
+        F.col(key_col),
+        F.col(weight_col),
+        F.sum(wd).over(w).cast("bigint").alias("cum"),
+    ).select(
+        key_col,
+        weight_col,
+        "cum",
+        F.max("cum").over(wt).alias("tot"),
+    )
+    # exact integral division (div/'//') on both engines — a decimal or
+    # double floor() could round differently one ulp from a multiple
+    take = F.expr(f"(cum * {k}) div tot") > F.expr(
+        f"((cum - {weight_col}) * {k}) div tot"
+    )
+    return cum.filter(take).select(key_col, weight_col)
+
+
+def pps_oracle_sql(
+    table: str, key_col: str, weight_col: str, k: int, salt: str = "pps"
+) -> str:
+    return f"""
+    WITH cum AS (
+      SELECT {key_col}, {weight_col},
+             CAST(SUM(CAST({weight_col} AS DECIMAL(38,0))) OVER (
+               ORDER BY md5(CAST({key_col} AS VARCHAR) || ':{salt}'),
+                        {key_col}
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cum
+      FROM {table}
+    ), tot AS (
+      SELECT {key_col}, {weight_col}, cum, MAX(cum) OVER () AS tot
+      FROM cum
+    )
+    SELECT {key_col}, {weight_col}
+    FROM tot
+    WHERE (cum * {k}) // tot > ((cum - {weight_col}) * {k}) // tot
+    """

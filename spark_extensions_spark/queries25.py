@@ -223,3 +223,21 @@ def q_stat_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         F.col("o_orderdate") < F.lit("1998-01-01").cast("date"),
     )
+
+
+@_register(
+    "sample_pps",
+    __import__(
+        "spark_extensions_spark.operators.sampling", fromlist=["x"]
+    ).pps_oracle_sql("documents", "doc_id", "n_chars", 100),
+    doc="Systematic PPS sampling of ~100 docs proportional to n_chars "
+    "(operators/sampling.py:pps_systematic): md5-order cumulative "
+    "weights, integer cross-multiplied threshold crossing — exact, "
+    "deterministic, no randomness, no libm; the weighted corpus "
+    "subsampling pass.",
+)
+def q_sample_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_extensions_spark.operators.sampling import pps_systematic
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return pps_systematic(docs, "doc_id", "n_chars", 100)

@@ -198,3 +198,23 @@ def test_psi_detects_shift_and_zero_when_identical(spark):
     )
     r2 = psi_drift(shifted, "cat", F.col("is_a")).first()
     assert r2.psi > 0.25  # major distribution change
+
+
+def test_pps_systematic_properties(spark):
+    from spark_extensions_spark.operators.sampling import pps_systematic
+
+    df = spark.range(1, 2001).select(
+        F.col("id"), (F.col("id") % 97 + 1).cast("bigint").alias("w")
+    )
+    out = pps_systematic(df, "id", "w", 100).collect()
+    # ~k rows selected (systematic PPS takes exactly k when no w > W/k)
+    assert 99 <= len(out) <= 101
+    # deterministic: second run identical
+    out2 = pps_systematic(df, "id", "w", 100).collect()
+    assert {r.id for r in out} == {r.id for r in out2}
+    # heavy rows (w >= W/k) are always taken
+    big = spark.createDataFrame(
+        [(999999, 1_000_000)], "id bigint, w bigint"
+    ).unionAll(df)
+    picked = {r.id for r in pps_systematic(big, "id", "w", 50).collect()}
+    assert 999999 in picked
