@@ -19,7 +19,7 @@ rule: (rule, n_violations, n_rows, violation_rate).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -98,3 +98,72 @@ def check_referential(
     """
     joined, violated = referential_rule(fact, fact_key, dim, dim_key)
     return check_rules(joined, [(rule_name, violated)])
+
+
+def diagnose_skew(
+    df: DataFrame,
+    key_col: str,
+    top_k: int = 10,
+) -> DataFrame:
+    """Join-key skew audit: the top-``k`` heaviest keys with their share
+    of rows and the ratio to a perfectly uniform key.
+
+    The pre-flight check before choosing a join strategy at scale —
+    a max_share ≳ 1% of a 1000-partition shuffle means one straggler
+    task; ratio-to-uniform ≫ 1 says salt this key or let AQE split it.
+    ONE count aggregate + deterministic top-k; the distinct-key count
+    rides the same aggregate (no second scan).
+
+    Output: (key string, n_rows, share, ratio_to_uniform) — share and
+    ratio as exact cross-multiplied doubles, rounded to 9 dp.
+    """
+    counts = df.groupBy(F.col(key_col).cast("string").alias("key")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    wt = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    tot = counts.select(
+        "key",
+        "n_rows",
+        F.sum("n_rows").over(wt).alias("n_total"),
+        F.count(F.lit(1)).over(wt).alias("n_keys"),
+    )
+    return (
+        tot.orderBy(F.col("n_rows").desc(), F.col("key"))
+        .limit(top_k)
+        .select(
+            "key",
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            F.round(
+                F.col("n_rows").cast("double")
+                / F.col("n_total").cast("double"),
+                9,
+            ).alias("share"),
+            F.round(
+                (F.col("n_rows") * F.col("n_keys")).cast("double")
+                / F.col("n_total").cast("double"),
+                9,
+            ).alias("ratio_to_uniform"),
+        )
+    )
+
+
+def skew_oracle_sql(table: str, key_col: str, top_k: int = 10) -> str:
+    return f"""
+    WITH counts AS (
+      SELECT CAST({key_col} AS VARCHAR) AS key, COUNT(*) AS n_rows
+      FROM {table} GROUP BY 1
+    ), tot AS (
+      SELECT key, n_rows, SUM(n_rows) OVER () AS n_total,
+             COUNT(*) OVER () AS n_keys,
+             ROW_NUMBER() OVER (ORDER BY n_rows DESC, key) AS rn
+      FROM counts
+    )
+    SELECT key, CAST(n_rows AS BIGINT) AS n_rows,
+           round(CAST(n_rows AS DOUBLE) / CAST(n_total AS DOUBLE), 9)
+             AS share,
+           round(CAST(n_rows * n_keys AS DOUBLE)
+                 / CAST(n_total AS DOUBLE), 9) AS ratio_to_uniform
+    FROM tot WHERE rn <= {top_k}
+    """

@@ -241,3 +241,20 @@ def q_sample_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")["documents"]
     return pps_systematic(docs, "doc_id", "n_chars", 100)
+
+
+@_register(
+    "quality_skew_audit",
+    __import__(
+        "spark_extensions_spark.operators.quality", fromlist=["x"]
+    ).skew_oracle_sql("lineitem", "l_suppkey", 10),
+    doc="Join-key skew audit (operators/quality.py:diagnose_skew): "
+    "top-10 heaviest supplier keys with row share and "
+    "ratio-to-uniform — one count aggregate + deterministic top-k; "
+    "the pre-flight check before choosing salt/AQE-skew strategies.",
+)
+def q_quality_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_extensions_spark.operators.quality import diagnose_skew
+
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    return diagnose_skew(li, "l_suppkey", 10)
