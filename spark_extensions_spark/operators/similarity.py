@@ -392,3 +392,171 @@ def quantize_oracle_sql(
            agg.max_abs_err, CAST(agg.sse_e18 AS DECIMAL(38,0)) AS sse_e18
     FROM errs JOIN agg ON agg.id = errs.id
     """
+
+
+# ---------------------------------------------------------------------
+# IVF-PQ: product-quantized ANN with ADC scoring + exact rerank
+# ---------------------------------------------------------------------
+
+
+def _pq_train(
+    sample: np.ndarray, m: int, ksub: int, iters: int = 3
+) -> np.ndarray:
+    """Train PQ codebooks on a sample: per-subspace Lloyd k-means.
+
+    Deterministic: the first ``ksub`` sample rows seed each subspace,
+    fixed iteration count, ties broken by lowest centroid index
+    (argmin).  Returns (m, ksub, dsub) float64.
+    """
+    n, dim = sample.shape
+    dsub = dim // m
+    books = np.empty((m, ksub, dsub), dtype=np.float64)
+    for s in range(m):
+        sub = sample[:, s * dsub : (s + 1) * dsub]
+        cents = sub[:ksub].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            for c in range(ksub):
+                mask = a == c
+                if mask.any():
+                    cents[c] = sub[mask].mean(axis=0)
+        books[s] = cents
+    return books
+
+
+def ann_ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+    k: int,
+    dim: int,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    ksub: int = 16,
+    train_sample: int = 2048,
+    rerank: int = 64,
+) -> DataFrame:
+    """Approximate top-k via IVF + product quantization — the FAISS
+    IVFPQ shape (Jégou et al. 2011), Spark-first:
+
+    1. **Coarse IVF** — hash-min-sampled centroids (broadcast), corpus
+       tagged with ``list_id`` in one Arrow pass; queries probe their
+       ``n_probe`` nearest lists (identical to ann_ivf_topk).
+    2. **PQ codebooks** — trained driver-side on a bounded hash-min
+       SAMPLE (standard practice: PQ training reads a sample, never
+       the corpus), ``m`` subspaces × ``ksub`` centroids, deterministic
+       Lloyd iterations; broadcast (m·ksub·dim/m doubles — tiny).
+    3. **Encode** — one Arrow pass maps each corpus vector to ``m``
+       uint8 codes: the 100 TB index column (dim×4 bytes → m bytes,
+       32× for 64-dim float32 → 8 codes).
+    4. **ADC scoring** — per query, a (m × ksub) dot-product lookup
+       table; candidate score = Σ_s LUT[s, code_s].  Python only in
+       the Arrow-batched stages; the probe join is a JVM hash join
+       keyed by list_id.
+    5. **Exact rerank** — the ADC top-``rerank`` per query rescored
+       with the deterministic exact cosine, then the final top-k —
+       the standard recall repair.
+
+    Output: (query_id, neighbor_id, cosine, rank) — reproducible
+    run-to-run (every stage deterministic).
+    """
+    spark = corpus.sparkSession
+
+    samp_rows = (
+        corpus.select(F.col(id_col).alias("sid"), F.col(vec_col).alias("sv"))
+        .withColumn("__r", F.md5(F.col("sid").cast("string")))
+        .orderBy("__r", "sid")
+        .limit(max(train_sample, n_lists))
+        .collect()
+    )
+    samp = np.array([list(r["sv"]) for r in samp_rows], dtype=np.float64)
+    coarse = samp[:n_lists].copy()
+    cnorm = np.sqrt((coarse * coarse).sum(axis=1))
+    books = _pq_train(samp, m, ksub)
+    bc = spark.sparkContext.broadcast((coarse, cnorm, books))
+
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    dsub = dim // m
+
+    def _nearest_lists(vecs: pd.Series, n: int):
+        cents, cn, _ = bc.value
+        mat = np.stack(vecs.apply(lambda v: np.asarray(v, dtype="float64")))
+        sims = (mat @ cents.T) / (
+            np.sqrt((mat * mat).sum(axis=1))[:, None] * cn[None, :]
+        )
+        order = np.lexsort(
+            (np.arange(sims.shape[1])[None, :].repeat(len(mat), 0), -sims)
+        )
+        return order[:, :n]
+
+    @F.pandas_udf(IntegerType())
+    def assign(vecs: pd.Series) -> pd.Series:
+        return pd.Series(_nearest_lists(vecs, 1)[:, 0].astype("int32"))
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def probe(vecs: pd.Series) -> pd.Series:
+        return pd.Series(list(_nearest_lists(vecs, n_probe).astype("int32")))
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def encode(vecs: pd.Series) -> pd.Series:
+        _, _, bks = bc.value
+        mat = np.stack(vecs.apply(lambda v: np.asarray(v, dtype="float64")))
+        codes = np.empty((len(mat), m), dtype=np.int32)
+        for s in range(m):
+            sub = mat[:, s * dsub : (s + 1) * dsub]
+            d2 = ((sub[:, None, :] - bks[s][None, :, :]) ** 2).sum(axis=2)
+            codes[:, s] = d2.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    @F.pandas_udf("double")
+    def adc(qvs: pd.Series, codes: pd.Series) -> pd.Series:
+        _, _, bks = bc.value
+        out = np.empty(len(qvs))
+        for i, (qv, cd) in enumerate(zip(qvs, codes)):
+            q = np.asarray(qv, dtype="float64")
+            s = 0.0
+            for j in range(m):
+                s += float(bks[j][cd[j]] @ q[j * dsub : (j + 1) * dsub])
+            out[i] = s
+        return pd.Series(out)
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        assign(F.col(vec_col)).alias("list_id"),
+        encode(F.col(vec_col)).alias("codes"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("qv"),
+        F.explode(probe(F.col(query_vec_col))).alias("list_id"),
+    )
+    cand = q.join(c, "list_id").select(
+        "query_id", "qv", "neighbor_id", "cv",
+        adc(F.col("qv"), F.col("codes")).alias("adc"),
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("neighbor_id").asc()
+    )
+    shortlist = cand.withColumn("r0", F.row_number().over(w_adc)).filter(
+        F.col("r0") <= rerank
+    )
+    rescored = shortlist.select(
+        "query_id",
+        "neighbor_id",
+        cosine_pandas_cols(F.col("qv"), F.col("cv")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -258,3 +258,24 @@ def q_quality_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _t(spark, sf_dir, "lineitem")["lineitem"]
     return diagnose_skew(li, "l_suppkey", 10)
+
+
+@_register(
+    "ann_ivfpq",
+    None,  # approximate (probe subset + PQ): rows-only + recall test
+    doc="IVF-PQ approximate top-k (operators/similarity.py:"
+    "ann_ivfpq_topk; Jegou et al. 2011): coarse IVF probe join + "
+    "product-quantized codes (32x smaller index column), per-query "
+    "ADC lookup-table scoring, exact-cosine rerank of the shortlist — "
+    "the FAISS-shape 100 TB ANN index expressed as Spark stages; "
+    "codebooks trained on a bounded hash-min sample.",
+)
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_extensions_spark.operators.similarity import ann_ivfpq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ann_ivfpq_topk(
+        emb, queries, "vec_id", "embedding", "vec_id", "embedding",
+        k=5, dim=64, n_lists=16, n_probe=4,
+    )

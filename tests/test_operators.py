@@ -730,3 +730,42 @@ def test_zorder_write_shrinks_rowgroup_spans(spark, tmp_path):
         # natural layout: every file spans ~the full domain; z-order
         # should cut the summed span at least in half on both columns
         assert z < 0.5 * n, (col, z, n)
+
+
+def test_ann_ivfpq_recall_and_determinism(spark):
+    """IVF-PQ with exact rerank recovers most of the exact top-5; two
+    runs are identical (every stage deterministic)."""
+    from pyspark.sql import functions as F
+
+    from spark_extensions_spark.operators.similarity import (
+        ann_bruteforce_topk,
+        ann_ivfpq_topk,
+    )
+    from spark_extensions_spark.session import load_tables
+
+    emb = load_tables(spark, "/root/testdata/sf0.01", "embeddings")["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 20)
+    args = (emb, queries, "vec_id", "embedding", "vec_id", "embedding")
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_bruteforce_topk(*args, k=5, dim=64).collect()
+    }
+    out = ann_ivfpq_topk(
+        *args, k=5, dim=64, n_lists=8, n_probe=4, rerank=64
+    )
+    got = {(r["query_id"], r["neighbor_id"]) for r in out.collect()}
+    assert len(got & truth) / len(truth) > 0.5
+    # rerank means surviving pairs carry EXACT cosine: self-match = 1.0
+    self_cos = {
+        r["query_id"]: r["cosine"]
+        for r in out.collect()
+        if r["query_id"] == r["neighbor_id"]
+    }
+    assert all(abs(c - 1.0) < 1e-9 for c in self_cos.values())
+    rerun = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_ivfpq_topk(
+            *args, k=5, dim=64, n_lists=8, n_probe=4, rerank=64
+        ).collect()
+    }
+    assert rerun == got
