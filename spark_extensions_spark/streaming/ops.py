@@ -194,3 +194,44 @@ def run_foreach_batch(
         .start()
     )
     q.awaitTermination()
+
+
+def drift_monitor(
+    stream: DataFrame,
+    reference: DataFrame,
+    bucket_col: str,
+    metrics_dir: str,
+    checkpoint_dir: str | None = None,
+) -> None:
+    """Per-micro-batch categorical drift gate: each batch's bucket mix
+    is scored against a static reference distribution with the exact
+    TVD operator, and one metrics row per batch is appended to
+    ``metrics_dir`` — the streaming admission monitor in front of a
+    corpus (alert when tvd > threshold before the batch merges).
+
+    foreachBatch + the batch TVD (operators/stats.py:tvd_drift) on a
+    union tagged by side; appends are idempotent per batch_id (the
+    file overwrites into a batch-keyed subdir).
+    """
+    from pyspark.sql import functions as F
+
+    from spark_extensions_spark.operators.stats import tvd_drift
+
+    ref = reference.select(F.col(bucket_col).alias("b")).withColumn(
+        "__side", F.lit(False)
+    )
+
+    def score(batch: DataFrame, batch_id: int) -> None:
+        tagged = (
+            batch.select(F.col(bucket_col).alias("b"))
+            .withColumn("__side", F.lit(True))
+            .unionByName(ref)
+        )
+        out = tvd_drift(tagged, "b", F.col("__side")).withColumn(
+            "batch_id", F.lit(batch_id)
+        )
+        out.write.mode("overwrite").parquet(
+            f"{metrics_dir}/batch_id={batch_id}"
+        )
+
+    run_foreach_batch(stream, score, checkpoint_dir)

