@@ -419,3 +419,128 @@ def collocations_oracle_sql(
       LATERAL (SELECT u1.c AS cx, u2.c AS cy) s
     ) WHERE rn <= {k}
     """
+
+
+# ---------------------------------------------------------------------
+# Pseudo-relevance-feedback query expansion (Rocchio-style PRF)
+# ---------------------------------------------------------------------
+
+
+def prf_search(
+    df: DataFrame,
+    seed_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+    n_fb: int = 10,
+    n_expand: int = 5,
+    max_df_ratio: float = 0.25,
+    min_len: int = 4,
+) -> DataFrame:
+    """BM25 with pseudo-relevance-feedback expansion: search the seed
+    terms, mine the top feedback docs for discriminative terms, search
+    again with the expanded bag.
+
+    Expansion terms = top ``n_expand`` by total tf across the ``n_fb``
+    feedback docs, excluding seed terms, short tokens, and corpus-wide
+    terms (df/n_docs > ``max_df_ratio``); (Σtf desc, term asc)
+    tiebreak — fully deterministic.  The two tiny driver collects
+    (feedback ids, expansion terms) are PLAN-TIME query construction —
+    standard for expansion — never corpus data movement.
+    """
+    fb_ids = [
+        r[id_col]
+        for r in bm25_search(df, seed_terms, text_col, id_col, k=n_fb)
+        .select(id_col)
+        .collect()
+    ]
+    toks = tokenize(df, text_col, id_col)
+    tf = term_frequencies(toks, id_col)
+    n_docs = df.count()
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    cand = (
+        tf.filter(F.col(id_col).isin(fb_ids))
+        .filter(~F.col("term").isin(seed_terms))
+        .filter(F.length("term") >= min_len)
+        .groupBy("term")
+        .agg(F.sum("tf").alias("fbtf"))
+        .join(dfreq, "term")
+        .filter(F.col("df") <= int(max_df_ratio * n_docs))
+        .orderBy(F.col("fbtf").desc(), F.col("term"))
+        .limit(n_expand)
+    )
+    expansion = [r["term"] for r in cand.collect()]
+    return bm25_search(
+        df, list(seed_terms) + expansion, text_col, id_col, k=k
+    )
+
+
+def prf_oracle_sql(
+    seed_terms: list[str],
+    k: int = 20,
+    n_fb: int = 10,
+    n_expand: int = 5,
+    max_df_ratio: float = 0.25,
+    min_len: int = 4,
+) -> str:
+    """DuckDB twin: the expansion-term mining and BOTH BM25 rounds in
+    one SQL statement (same math, same tiebreaks)."""
+    seeds = ", ".join(f"'{t}'" for t in seed_terms)
+    score = (
+        f"CAST(ROUND("
+        f"  LN((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)"
+        f"  * (tf.tf * ({K1} + 1.0))"
+        f"  / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl))"
+        f", 8) AS DECIMAL(20,8))"
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, term FROM (
+        SELECT doc_id,
+               UNNEST(STRING_SPLIT_REGEX(LOWER(text), '{TOKEN_RE}')) AS term
+        FROM documents
+      ) WHERE term <> ''
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dl
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    fb AS (
+      SELECT doc_id FROM (
+        SELECT tf.doc_id,
+               CAST(ROUND(SUM({score}), 6) AS DOUBLE) AS score
+        FROM tf JOIN dfreq ON tf.term = dfreq.term
+        JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
+        WHERE tf.term IN ({seeds})
+        GROUP BY tf.doc_id
+      ) q
+      QUALIFY ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) <= {n_fb}
+    ),
+    expansion AS (
+      SELECT term FROM (
+        SELECT tf.term, SUM(tf.tf) AS fbtf, ANY_VALUE(dfreq.df) AS df
+        FROM tf JOIN fb USING (doc_id) JOIN dfreq ON tf.term = dfreq.term
+        WHERE tf.term NOT IN ({seeds}) AND LENGTH(tf.term) >= {min_len}
+        GROUP BY tf.term
+      ) c CROSS JOIN stats
+      WHERE df <= CAST({max_df_ratio} * n_docs AS BIGINT)
+      QUALIFY ROW_NUMBER() OVER (ORDER BY fbtf DESC, term) <= {n_expand}
+    ),
+    qterms AS (
+      SELECT UNNEST([{seeds}]) AS term
+      UNION SELECT term FROM expansion
+    ),
+    scored AS (
+      SELECT tf.doc_id, CAST(ROUND(SUM({score}), 6) AS DOUBLE) AS score
+      FROM tf JOIN qterms USING (term)
+      JOIN dfreq ON tf.term = dfreq.term
+      JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, score FROM scored
+    QUALIFY ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) <= {k}
+    """

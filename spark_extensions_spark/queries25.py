@@ -279,3 +279,25 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries, "vec_id", "embedding", "vec_id", "embedding",
         k=5, dim=64, n_lists=16, n_probe=4,
     )
+
+
+_PRF_SEED = ["data", "model"]
+
+
+@_register(
+    "retrieval_prf",
+    __import__(
+        "spark_extensions_spark.operators.retrieval", fromlist=["x"]
+    ).prf_oracle_sql(_PRF_SEED, k=20),
+    doc="Pseudo-relevance-feedback BM25 (operators/retrieval.py:"
+    "prf_search): seed search -> top-10 feedback docs -> top-5 "
+    "discriminative expansion terms (df-capped, deterministic "
+    "tiebreak) -> expanded BM25 — the classic Rocchio-style expansion "
+    "loop; the oracle reproduces BOTH rounds and the term mining in "
+    "one SQL statement.",
+)
+def q_retrieval_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_extensions_spark.operators.retrieval import prf_search
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return prf_search(docs, _PRF_SEED, k=20)
