@@ -123,6 +123,23 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_quantize",
     "graph_pagerank",
     "dedup_spans",
+    # next tier (graded if the driver's window exceeds 50)
+    "streaming_ewma",
+    "multimodal_phash",
+    "stat_psi",
+    "sample_pps",
+    "retrieval_prf",
+    "arrow_roundtrip",
+    "analytic_attribution",
+    "stat_mannwhitney",
+    "agg_moments",
+    "layout_compaction",
+    "quality_skew_audit",
+    "ts_ewma",
+    "analytic_rfm",
+    "analytic_cohort_retention",
+    "link_fs_score",
+    "text_vocab_tokens",
 )
 
 
