@@ -301,3 +301,64 @@ def q_retrieval_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")["documents"]
     return prf_search(docs, _PRF_SEED, k=20)
+
+
+@_register(
+    "pipeline_drift_gate",
+    """
+    WITH corpus AS (
+      SELECT lang FROM documents WHERE doc_id % 10 <> 0
+    ),
+    batch AS (
+      SELECT lang FROM documents WHERE doc_id % 10 = 0
+    ),
+    counts AS (
+      SELECT lang AS b,
+             COUNT(*) FILTER (src = 'batch') + 1 AS ca,
+             COUNT(*) FILTER (src = 'corpus') + 1 AS cb
+      FROM (
+        SELECT lang, 'batch' AS src FROM batch
+        UNION ALL SELECT lang, 'corpus' FROM corpus
+      ) GROUP BY 1
+    ),
+    tot AS (
+      SELECT ca, cb,
+             CAST(SUM(ca) OVER () AS DOUBLE) AS na,
+             CAST(SUM(cb) OVER () AS DOUBLE) AS nb
+      FROM counts
+    ),
+    psi AS (
+      SELECT CAST(SUM(CAST(FLOOR(((CAST(ca AS DOUBLE) / na
+                    - CAST(cb AS DOUBLE) / nb)
+                   * ln((CAST(ca AS DOUBLE) / na)
+                        / (CAST(cb AS DOUBLE) / nb)))
+                   * 1000000000000.0 + 0.5) AS DECIMAL(38,0)))
+                  AS DOUBLE) / 1.0e12 AS psi,
+             CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b
+      FROM tot GROUP BY na, nb
+    )
+    SELECT psi, n_a AS n_batch_plus_eps, n_b AS n_corpus_plus_eps,
+           psi < 0.1 AS admit
+    FROM psi
+    """,
+    doc="Drift-gated ingest admission: the new batch's language mix is "
+    "scored against the corpus with the order-free fixed-point PSI "
+    "(operators/stats.py:psi_drift) and the batch is admitted only "
+    "below the 0.1 industry threshold — the streaming drift_monitor's "
+    "batch twin wired into the ingest decision; composes with "
+    "pipeline_incremental_ingest's dedup stages.",
+)
+def q_pipeline_drift_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_extensions_spark.operators.stats import psi_drift
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    tagged = docs.select(
+        "lang", (F.col("doc_id") % 10 == 0).alias("is_batch")
+    )
+    out = psi_drift(tagged, "lang", F.col("is_batch"))
+    return out.select(
+        "psi",
+        F.col("n_a").alias("n_batch_plus_eps"),
+        F.col("n_b").alias("n_corpus_plus_eps"),
+        (F.col("psi") < 0.1).alias("admit"),
+    )
