@@ -202,3 +202,38 @@ def salted_join(
     )
     out = l_salted.join(r_salted, keys + ["__salt"], how)
     return out.drop("__salt")
+
+
+def band_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_val: str,
+    right_val: str,
+    delta: float,
+    extra_cond=None,
+) -> DataFrame:
+    """Banded numeric join: all pairs with ``|left_val − right_val| ≤
+    delta`` WITHOUT a nested-loop — the scale path for distance-band
+    theta joins.
+
+    Both sides bucket to ``floor(v / delta)``; a qualifying pair's
+    buckets differ by at most 1, so the left side explodes to its
+    {b−1, b, b+1} neighborhood and the join is a plain EQUI join on
+    the bucket (shuffle-hash/SMJ, AQE-skew-splittable) followed by the
+    exact band filter.  3× left duplication buys an O(matches) join
+    instead of O(|L|·|R|): the standard similarity-band trick.
+    ``extra_cond`` (Column) is applied after the join (e.g. key
+    inequality to deduplicate symmetric pairs).
+    """
+    lb = F.floor(F.col(left_val) / delta).cast("bigint")
+    rb = F.floor(F.col(right_val) / delta).cast("bigint")
+    l_exp = left.withColumn(
+        "__band", F.explode(F.array(lb - 1, lb, lb + 1))
+    )
+    r_b = right.withColumn("__band", rb)
+    joined = l_exp.join(r_b, "__band").filter(
+        F.abs(F.col(left_val) - F.col(right_val)) <= delta
+    )
+    if extra_cond is not None:
+        joined = joined.filter(extra_cond)
+    return joined.drop("__band")

@@ -362,3 +362,91 @@ def q_pipeline_drift_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_b").alias("n_corpus_plus_eps"),
         (F.col("psi") < 0.1).alias("admit"),
     )
+
+
+@_register(
+    "join_band",
+    """
+    SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+           a.c_acctbal AS bal_a, b.c_acctbal AS bal_b
+    FROM customer a JOIN customer b
+      ON abs(a.c_acctbal - b.c_acctbal) <= 1.0
+     AND a.c_nationkey <> b.c_nationkey
+     AND a.c_custkey < b.c_custkey
+    """,
+    doc="Banded numeric join (operators/joins.py:band_join): "
+    "|bal_a − bal_b| ≤ 1.0 across nations via floor(v/δ) bucket "
+    "explode + EQUI join + exact filter — O(matches) instead of the "
+    "O(n²) nested loop the theta predicate would otherwise plan; the "
+    "oracle spells the naive theta join (same pairs).",
+)
+def q_join_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_extensions_spark.operators.joins import band_join
+
+    cust = _t(spark, sf_dir, "customer")["customer"]
+    a = cust.select(
+        F.col("c_custkey").alias("key_a"),
+        F.col("c_acctbal").alias("bal_a"),
+        F.col("c_nationkey").alias("nat_a"),
+    )
+    b = cust.select(
+        F.col("c_custkey").alias("key_b"),
+        F.col("c_acctbal").alias("bal_b"),
+        F.col("c_nationkey").alias("nat_b"),
+    )
+    out = band_join(
+        a,
+        b,
+        "bal_a",
+        "bal_b",
+        1.0,
+        extra_cond=(F.col("nat_a") != F.col("nat_b"))
+        & (F.col("key_a") < F.col("key_b")),
+    )
+    return out.select("key_a", "key_b", "bal_a", "bal_b")
+
+
+@_register(
+    "analytic_pattern_match",
+    """
+    WITH seq AS (
+      SELECT user_id, ts, event_id, event_type,
+             lead(event_type, 1) OVER w AS t1,
+             lead(event_type, 2) OVER w AS t2,
+             lead(event_id, 2) OVER w AS id2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id AS start_id, id2 AS end_id, ts AS start_ts
+    FROM seq
+    WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+    """,
+    doc="Row-pattern matching (MATCH_RECOGNIZE-style): consecutive "
+    "view->click->purchase triples per user via lead() over the "
+    "(ts, id) total order — one window shuffle, no joins; the "
+    "sequential-pattern primitive Spark lacks as dedicated syntax.",
+)
+def q_analytic_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+        F.lead("event_id", 2).over(w).alias("id2"),
+    )
+    return seq.filter(
+        (F.col("event_type") == "view")
+        & (F.col("t1") == "click")
+        & (F.col("t2") == "purchase")
+    ).select(
+        "user_id",
+        F.col("event_id").alias("start_id"),
+        F.col("id2").alias("end_id"),
+        F.col("ts").alias("start_ts"),
+    )
