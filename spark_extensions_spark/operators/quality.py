@@ -167,3 +167,84 @@ def skew_oracle_sql(table: str, key_col: str, top_k: int = 10) -> str:
                  / CAST(n_total AS DOUBLE), 9) AS ratio_to_uniform
     FROM tot WHERE rn <= {top_k}
     """
+
+
+def expectation_suite(
+    df: DataFrame,
+    expectations: list[tuple[str, str, dict]],
+) -> DataFrame:
+    """Declarative data-expectation runner (the SmartDataLakeBuilder
+    `expectations` concept, Spark-first): every expectation compiles
+    into ONE aggregate pass — one scan for all row-local kinds plus the
+    distinct counts the ``unique`` kind needs, never a job per
+    expectation.
+
+    ``expectations``: (name, kind, params) with kinds
+
+    - ``not_null``:   {"col"}                   — no NULLs
+    - ``between``:    {"col", "lo", "hi"}       — all values in range
+    - ``matches``:    {"col", "regex"}          — all values match
+    - ``in_set``:     {"col", "values"}         — all values in set
+    - ``unique``:     {"col"}                   — no duplicate values
+    - ``row_count``:  {"lo", "hi"}              — table size in range
+
+    Output: (expectation, kind, passed, n_bad, n_rows) — ``n_bad`` is
+    the violating-row count (or excess duplicates for ``unique``, or 0
+    /1 distance for ``row_count``).
+    """
+    if not expectations:
+        raise ValueError("expectation_suite requires expectations")
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("__n")]
+    for name, kind, p in expectations:
+        if kind == "not_null":
+            bad = F.col(p["col"]).isNull()
+        elif kind == "between":
+            c = F.col(p["col"])
+            bad = ~c.between(p["lo"], p["hi"]) | c.isNull()
+        elif kind == "matches":
+            c = F.col(p["col"])
+            bad = c.isNull() | ~c.rlike(p["regex"])
+        elif kind == "in_set":
+            c = F.col(p["col"])
+            bad = c.isNull() | ~c.isin(*p["values"])
+        elif kind == "unique":
+            aggs.append(
+                (
+                    F.count(F.col(p["col"]))
+                    - F.countDistinct(F.col(p["col"]))
+                )
+                .cast("bigint")
+                .alias(f"__b_{name}")
+            )
+            continue
+        elif kind == "row_count":
+            aggs.append(
+                F.when(
+                    F.count(F.lit(1)).between(p["lo"], p["hi"]), 0
+                )
+                .otherwise(1)
+                .cast("bigint")
+                .alias(f"__b_{name}")
+            )
+            continue
+        else:
+            raise ValueError(f"unknown expectation kind: {kind}")
+        aggs.append(F.sum(bad.cast("long")).cast("bigint").alias(f"__b_{name}"))
+    row = df.agg(*aggs)
+    pairs: list[Column] = []
+    for name, kind, _ in expectations:
+        pairs.append(F.lit(name))
+        pairs.append(F.lit(kind))
+        pairs.append(F.coalesce(F.col(f"__b_{name}"), F.lit(0)))
+    return row.select(
+        F.stack(
+            F.lit(len(expectations)), *pairs
+        ).alias("expectation", "kind", "n_bad"),
+        F.col("__n").alias("n_rows"),
+    ).select(
+        "expectation",
+        "kind",
+        (F.col("n_bad") == 0).alias("passed"),
+        "n_bad",
+        "n_rows",
+    )

@@ -450,3 +450,77 @@ def q_analytic_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id2").alias("end_id"),
         F.col("ts").alias("start_ts"),
     )
+
+
+@_register(
+    "quality_expectations",
+    """
+    WITH agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS b_key_not_null,
+             CAST(SUM(CASE WHEN o_totalprice IS NULL
+                            OR NOT (o_totalprice BETWEEN 0 AND 1000000)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS b_price_range,
+             CAST(SUM(CASE WHEN o_orderpriority IS NULL
+                            OR NOT regexp_matches(o_orderpriority,
+                                                  '^[1-5]-[A-Z ]+$')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS b_priority_fmt,
+             CAST(SUM(CASE WHEN o_orderstatus IS NULL
+                            OR o_orderstatus NOT IN ('O','F','P')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS b_status_set,
+             CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey)
+                  AS BIGINT) AS b_key_unique,
+             CAST(CASE WHEN COUNT(*) BETWEEN 1 AND 100000000
+                       THEN 0 ELSE 1 END AS BIGINT) AS b_volume
+      FROM orders
+    )
+    SELECT expectation, kind, n_bad = 0 AS passed, n_bad, n_rows
+    FROM (
+      SELECT 'key_not_null' AS expectation, 'not_null' AS kind,
+             b_key_not_null AS n_bad, n_rows FROM agg
+      UNION ALL SELECT 'price_range', 'between', b_price_range, n_rows
+      FROM agg
+      UNION ALL SELECT 'priority_fmt', 'matches', b_priority_fmt, n_rows
+      FROM agg
+      UNION ALL SELECT 'status_set', 'in_set', b_status_set, n_rows
+      FROM agg
+      UNION ALL SELECT 'key_unique', 'unique', b_key_unique, n_rows
+      FROM agg
+      UNION ALL SELECT 'volume', 'row_count', b_volume, n_rows FROM agg
+    )
+    """,
+    doc="Declarative expectation suite (operators/quality.py:"
+    "expectation_suite — the SmartDataLakeBuilder expectations concept "
+    "Spark-first): 6 expectations across all kinds (not_null / "
+    "between / matches / in_set / unique / row_count) compiled into "
+    "ONE aggregate scan + stack unpivot; oracle spells the same "
+    "single-row aggregate.",
+)
+def q_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_extensions_spark.operators.quality import expectation_suite
+
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    return expectation_suite(
+        orders,
+        [
+            ("key_not_null", "not_null", {"col": "o_orderkey"}),
+            (
+                "price_range",
+                "between",
+                {"col": "o_totalprice", "lo": 0, "hi": 1000000},
+            ),
+            (
+                "priority_fmt",
+                "matches",
+                {"col": "o_orderpriority", "regex": "^[1-5]-[A-Z ]+$"},
+            ),
+            (
+                "status_set",
+                "in_set",
+                {"col": "o_orderstatus", "values": ["O", "F", "P"]},
+            ),
+            ("key_unique", "unique", {"col": "o_orderkey"}),
+            ("volume", "row_count", {"lo": 1, "hi": 100000000}),
+        ],
+    )

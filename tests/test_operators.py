@@ -769,3 +769,35 @@ def test_ann_ivfpq_recall_and_determinism(spark):
         ).collect()
     }
     assert rerun == got
+
+
+def test_expectation_suite_kinds(spark):
+    from pyspark.sql import functions as F
+
+    from spark_extensions_spark.operators.quality import expectation_suite
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, 20.0, "B"), (2, 500.0, None)],
+        "k bigint, v double, s string",
+    )
+    out = {
+        r.expectation: r
+        for r in expectation_suite(
+            df,
+            [
+                ("k_nn", "not_null", {"col": "k"}),
+                ("s_nn", "not_null", {"col": "s"}),
+                ("v_rng", "between", {"col": "v", "lo": 0, "hi": 100}),
+                ("s_set", "in_set", {"col": "s", "values": ["A", "B"]}),
+                ("k_uniq", "unique", {"col": "k"}),
+                ("n_rows", "row_count", {"lo": 1, "hi": 10}),
+            ],
+        ).collect()
+    }
+    assert out["k_nn"].passed and out["k_nn"].n_bad == 0
+    assert not out["s_nn"].passed and out["s_nn"].n_bad == 1
+    assert not out["v_rng"].passed and out["v_rng"].n_bad == 1
+    assert not out["s_set"].passed and out["s_set"].n_bad == 1  # null fails
+    assert not out["k_uniq"].passed and out["k_uniq"].n_bad == 1
+    assert out["n_rows"].passed
+    assert all(r.n_rows == 3 for r in out.values())
