@@ -524,3 +524,32 @@ def q_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("volume", "row_count", {"lo": 1, "hi": 100000000}),
         ],
     )
+
+
+@_register(
+    "webdataset_roundtrip",
+    """
+    SELECT CAST(doc_id AS VARCHAR) AS key, text,
+           '{"lang": "' || lang || '"}' AS meta
+    FROM documents
+    """,
+    doc="WebDataset tar-shard sink + source roundtrip "
+    "(sources/webdataset.py): one reproducible-bytes tar per "
+    "partition ({key}.txt + {key}.json members, zeroed tar metadata), "
+    "read back one-task-per-shard — the multimodal training-loader "
+    "interchange format. Oracle is the source table (lossless).",
+)
+def q_webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from spark_extensions_spark.sources.webdataset import (
+        read_webdataset,
+        write_webdataset,
+    )
+
+    docs = _t(spark, sf_dir, "documents")["documents"].select(
+        F.col("doc_id").cast("string").alias("k"), "text", "lang"
+    )
+    path = tempfile.mkdtemp(prefix="wds_q_")
+    write_webdataset(docs.repartition(4), path, "k", "text", ["lang"])
+    return read_webdataset(spark, path)
