@@ -553,3 +553,73 @@ def q_webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = tempfile.mkdtemp(prefix="wds_q_")
     write_webdataset(docs.repartition(4), path, "k", "text", ["lang"])
     return read_webdataset(spark, path)
+
+
+@_register(
+    "join_asof_nearest",
+    """
+    SELECT event_id, user_id, ts, near_click_id FROM (
+      SELECT e.event_id, e.user_id, e.ts,
+             c.event_id AS near_click_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.event_id
+               ORDER BY abs(date_diff('microsecond', e.ts, c.ts)),
+                        CASE WHEN c.ts <= e.ts THEN 0 ELSE 1 END,
+                        c.event_id) AS rn
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') e
+      LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON e.user_id = c.user_id
+    ) WHERE rn = 1
+    """,
+    doc="Nearest-either-direction as-of join: each purchase takes its "
+    "temporally CLOSEST click (backward wins exact ties, then id) — "
+    "composed as the backward and forward single-shuffle as-of joins "
+    "(operators/joins.py:asof_join) + a row-local argmin, never a "
+    "per-key explosion; the oracle spells the naive per-key scan.",
+)
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_extensions_spark.operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")["events"]
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("cid"),
+        F.col("ts").alias("cts"),
+        F.col("ts").alias("c_ts_val"),
+    )
+    back = asof_join(
+        purch, clicks, on="user_id", left_time="ts", right_time="cts",
+        right_values=["cid", "c_ts_val"], right_tiebreak="cid",
+    ).select(
+        "event_id", "user_id", "ts",
+        F.col("cid").alias("b_id"), F.col("c_ts_val").alias("b_ts"),
+    )
+    fwd = asof_join(
+        purch, clicks, on="user_id", left_time="ts", right_time="cts",
+        right_values=["cid", "c_ts_val"], right_tiebreak="cid",
+        direction="forward",
+    ).select(
+        F.col("event_id").alias("event_id_f"),
+        F.col("cid").alias("f_id"), F.col("c_ts_val").alias("f_ts"),
+    )
+    both = back.join(
+        fwd, back.event_id == fwd.event_id_f, "left"
+    )
+    d_b = F.abs(
+        F.col("ts").cast("double") - F.col("b_ts").cast("double")
+    )
+    d_f = F.abs(
+        F.col("f_ts").cast("double") - F.col("ts").cast("double")
+    )
+    nearest = (
+        F.when(F.col("b_ts").isNull(), F.col("f_id"))
+        .when(F.col("f_ts").isNull(), F.col("b_id"))
+        .when(d_b <= d_f, F.col("b_id"))
+        .otherwise(F.col("f_id"))
+    )
+    return both.select(
+        "event_id", "user_id", "ts", nearest.alias("near_click_id")
+    )
