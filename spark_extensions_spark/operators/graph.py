@@ -489,3 +489,88 @@ def degree_oracle_sql(table: str, group_col: str, item_col: str) -> str:
            CAST(COUNT(*) AS BIGINT) AS n_nodes
     FROM deg GROUP BY 1
     """
+
+
+# ---------------------------------------------------------------------
+# Label propagation communities (synchronous LPA, deterministic)
+# ---------------------------------------------------------------------
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007), fully deterministic: every node simultaneously adopts
+    the MODAL label among its neighbors, ties broken by the SMALLEST
+    label, fixed iteration count (synchronous + fixed rounds = the
+    reproducible variant; classic async LPA is run-order dependent).
+
+    Per round: one join (labels onto the symmetrized edge list), one
+    (node, label) count aggregate, one max_by argmax per node —
+    labels localCheckpoint-ed per round to truncate lineage (same
+    pattern as connected_components).  Output: (node, community).
+    """
+    e = canonical_edges(edges, src, dst)
+    sym = e.unionAll(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=False)
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for _ in range(iterations):
+        msgs = sym.join(
+            labels.withColumnRenamed("node", "dst"), "dst"
+        ).select(F.col("src").alias("node"), "label")
+        counts = msgs.groupBy("node", "label").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        # argmax by (count desc, label asc): max_by on (c, -label) via
+        # struct ordering — encode as struct(c, negated label)
+        new = counts.groupBy("node").agg(
+            F.max_by(
+                "label", F.struct(F.col("c"), (-F.col("label")).alias("nl"))
+            ).alias("label")
+        )
+        labels = (
+            nodes.join(new, "node", "left")
+            .select(
+                "node", F.coalesce("label", F.col("node")).alias("label")
+            )
+            .localCheckpoint(eager=False)
+        )
+    return labels.select("node", F.col("label").alias("community"))
+
+
+def lpa_oracle_sql(edges_sql: str, iterations: int = 3) -> str:
+    """DuckDB twin of :func:`label_propagation`: unrolled rounds."""
+    parts = [
+        f"WITH e0 AS ({edges_sql})",
+        "sym AS (SELECT src, dst FROM e0 "
+        "UNION ALL SELECT dst, src FROM e0)",
+        "nodes AS (SELECT DISTINCT src AS node FROM sym)",
+        "l0 AS (SELECT node, node AS label FROM nodes)",
+    ]
+    prev = "l0"
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"m{i} AS (SELECT sym.src AS node, {prev}.label, COUNT(*) AS c "
+            f"FROM sym JOIN {prev} ON {prev}.node = sym.dst "
+            f"GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"w{i} AS (SELECT node, label FROM m{i} "
+            f"QUALIFY ROW_NUMBER() OVER (PARTITION BY node "
+            f"ORDER BY c DESC, label) = 1)"
+        )
+        parts.append(
+            f"l{i} AS (SELECT nodes.node, "
+            f"COALESCE(w{i}.label, nodes.node) AS label "
+            f"FROM nodes LEFT JOIN w{i} ON w{i}.node = nodes.node)"
+        )
+        prev = f"l{i}"
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT node, label AS community FROM {prev}"
+    )

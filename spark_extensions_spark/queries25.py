@@ -623,3 +623,37 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return both.select(
         "event_id", "user_id", "ts", nearest.alias("near_click_id")
     )
+
+
+_LPA_EDGES_SQL = """
+      SELECT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+"""
+
+
+@_register(
+    "graph_communities",
+    __import__(
+        "spark_extensions_spark.operators.graph", fromlist=["x"]
+    ).lpa_oracle_sql(_LPA_EDGES_SQL, iterations=3),
+    doc="Synchronous label-propagation communities over the part "
+    "bought-together graph (operators/graph.py:label_propagation; "
+    "Raghavan et al. 2007): modal neighbor label, smallest-label "
+    "ties, fixed 3 rounds — the deterministic LPA variant; per-round "
+    "join + count + max_by argmax, lineage checkpointed. Unrolled-CTE "
+    "oracle, fully hash-checked.",
+)
+def q_graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_extensions_spark.operators.graph import label_propagation
+
+    return label_propagation(
+        _part_edges_q25(spark, sf_dir), iterations=3
+    )
+
+
+def _part_edges_q25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_extensions_spark.queries21 import _part_edges
+
+    return _part_edges(spark, sf_dir)

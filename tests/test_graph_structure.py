@@ -52,3 +52,30 @@ def test_triangle_orientations_agree(spark):
     n_deg = triangle_count(e, degree_ordered=True).first().n_triangles
     n_id = triangle_count(e, degree_ordered=False).first().n_triangles
     assert n_deg == n_id > 0
+
+
+def test_label_propagation_two_cliques(spark):
+    from spark_extensions_spark.operators.graph import label_propagation
+
+    # two 4-cliques joined by nothing: communities = min node of each
+    pairs = [(a, b) for a in range(4) for b in range(4) if a < b]
+    pairs += [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+    out = {
+        r.node: r.community
+        for r in label_propagation(_edges(spark, pairs)).collect()
+    }
+    assert all(out[n] == 0 for n in range(4))
+    assert all(out[n] == 10 for n in range(10, 14))
+
+
+def test_label_propagation_deterministic(spark):
+    import random
+
+    from spark_extensions_spark.operators.graph import label_propagation
+
+    rng = random.Random(11)
+    pairs = list({(rng.randrange(40), rng.randrange(40)) for _ in range(120)})
+    e = _edges(spark, [(a, b) for a, b in pairs if a != b])
+    r1 = sorted(map(tuple, label_propagation(e).collect()))
+    r2 = sorted(map(tuple, label_propagation(e).collect()))
+    assert r1 == r2
