@@ -209,3 +209,75 @@ def scd2_init(
         F.lit(None).cast("bigint").alias(valid_to),
         F.lit(True).alias(is_current),
     )
+
+
+def scd2_apply_changes(
+    history: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    tracked: list[str],
+    load_version: int,
+    op_col: str = "op",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    is_current: str = "is_current",
+) -> DataFrame:
+    """Apply an explicit I/U/D CHANGE SET to an SCD2 history — the
+    CDC-feed variant of :func:`scd2_apply` (full-snapshot semantics
+    treat absence as delete; a change set treats absence as NO change,
+    and deletes are explicit ``op='D'`` rows).
+
+    ``changes``: keys + tracked + ``op_col`` in ('I','U','D'), at most
+    one row per key (pre-aggregate a feed with latest-per-key first —
+    streaming/incremental.latest_per_key does exactly that).
+
+    Per key: open row w/o change passes through; I/U with different
+    tracked values closes the old slice and opens a new one (same
+    values = no-op); D closes the slice; I/U of an unseen key opens a
+    fresh row; D of an unseen key is a no-op.  Same plan shape as
+    scd2_apply: open-slice filter, ONE full-outer join, one inline
+    generate (0-2 rows/key); closed slice unions from a parallel
+    branch.  Composes with :func:`snapshot_diff`, whose I/U/D output
+    is exactly this input.
+    """
+    out_cols = keys + tracked + [valid_from, valid_to, is_current]
+    closed = history.filter(~F.col(is_current)).select(*out_cols)
+    open_rows = history.filter(F.col(is_current)).select(*out_cols)
+
+    t = open_rows.alias("t")
+    c = changes.alias("c")
+    cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"c.{k}")) for k in keys]
+    joined = t.join(c, cond, "full_outer")
+
+    has_t = F.col(f"t.{keys[0]}").isNotNull()
+    has_c = F.col(f"c.{keys[0]}").isNotNull()
+    is_del = F.col(f"c.{op_col}") == "D"
+    changed = _any_changed("t", "c", tracked)
+
+    def _row(side: str, vfrom: Column, vto: Column, cur: Column) -> Column:
+        fields = [F.col(f"{side}.{col}").alias(col) for col in keys + tracked]
+        fields += [
+            vfrom.cast("bigint").alias(valid_from),
+            vto.cast("bigint").alias(valid_to),
+            cur.alias(is_current),
+        ]
+        return F.struct(*fields)
+
+    keep_open = _row("t", F.col(f"t.{valid_from}"), F.lit(None), F.lit(True))
+    close_old = _row(
+        "t", F.col(f"t.{valid_from}"), F.lit(load_version), F.lit(False)
+    )
+    open_new = _row("c", F.lit(load_version), F.lit(None), F.lit(True))
+
+    # the otherwise() branch (delete of an unseen key) emits an EMPTY
+    # array of the same struct type (slice of a typed array)
+    rows = (
+        F.when(has_t & ~has_c, F.array(keep_open))
+        .when(has_t & has_c & is_del, F.array(close_old))
+        .when(has_t & has_c & ~changed, F.array(keep_open))
+        .when(has_t & has_c & changed, F.array(close_old, open_new))
+        .when(~has_t & has_c & ~is_del, F.array(open_new))
+        .otherwise(F.slice(F.array(keep_open), 1, 0))
+    )
+    applied = joined.select(F.inline(rows))
+    return closed.unionByName(applied)

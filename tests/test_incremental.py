@@ -125,3 +125,66 @@ def test_scd2_closed_rows_pass_through(spark):
         for r in hist3.filter(~F.col("is_current")).collect()
     }
     assert closed_before <= closed_after
+
+
+def test_scd2_apply_changes_lifecycle(spark):
+    from spark_extensions_spark.operators.incremental import (
+        scd2_apply_changes,
+        scd2_init,
+    )
+
+    base = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "k bigint, v double"
+    )
+    hist = scd2_init(base, ["k"], ["v"], 1)
+    changes = spark.createDataFrame(
+        [
+            (2, 25.0, "U"),   # changed -> close + reopen
+            (3, 30.0, "U"),   # same value -> no-op
+            (4, 40.0, "I"),   # brand new
+            (1, None, "D"),   # delete -> close
+            (99, None, "D"),  # delete of unseen key -> no-op
+        ],
+        "k bigint, v double, op string",
+    )
+    out = scd2_apply_changes(hist, changes, ["k"], ["v"], 2)
+    rows = {(r.k, r.valid_from, r.valid_to): r for r in out.collect()}
+    assert rows[(1, 1, 2)].is_current is False        # deleted
+    assert (1, 2, None) not in rows
+    assert rows[(2, 1, 2)].is_current is False        # closed
+    assert rows[(2, 2, None)].v == 25.0               # reopened
+    assert rows[(3, 1, None)].is_current is True      # untouched no-op
+    assert rows[(4, 2, None)].v == 40.0               # inserted
+    assert not any(r.k == 99 for r in out.collect())
+    # untouched key 3 keeps exactly one open row
+    assert sum(1 for (k, _, vt) in rows if k == 3) == 1
+
+
+def test_scd2_changes_compose_with_snapshot_diff(spark):
+    from spark_extensions_spark.operators.incremental import (
+        scd2_apply,
+        scd2_apply_changes,
+        scd2_init,
+        snapshot_diff,
+    )
+    from pyspark.sql import functions as F
+
+    old = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "k bigint, v double"
+    )
+    new = spark.createDataFrame(
+        [(1, 10.0), (2, 99.0), (4, 44.0)], "k bigint, v double"
+    )
+    hist = scd2_init(old, ["k"], ["v"], 1)
+    # change-set path: diff then apply
+    diff = snapshot_diff(old, new, ["k"], ["v"]).select(
+        "k",
+        F.col("new_v").alias("v"),
+        F.col("change_type").alias("op"),
+    )
+    via_changes = scd2_apply_changes(hist, diff, ["k"], ["v"], 2)
+    # snapshot path: apply the full snapshot directly
+    via_snapshot = scd2_apply(hist, new, ["k"], ["v"], 2)
+    a = sorted(map(tuple, via_changes.collect()))
+    b = sorted(map(tuple, via_snapshot.collect()))
+    assert a == b
