@@ -273,6 +273,36 @@ def main() -> int:
         "collocations",
         lambda: collocations(docs, "text").count(),
     )
+    from spark_extensions_spark.operators.graph import label_propagation
+    from spark_extensions_spark.operators.sampling import pps_systematic
+    from spark_extensions_spark.operators.quality import expectation_suite
+
+    def q_lpa():
+        a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+        b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+        e = (
+            a.join(b, "ok")
+            .filter(F.col("pa") < F.col("pb"))
+            .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        )
+        return label_propagation(e, iterations=2).count()
+
+    run("label_propagation", q_lpa)
+    run(
+        "pps_systematic",
+        lambda: pps_systematic(docs, "doc_id", "n_chars", 5000).count(),
+    )
+    run(
+        "expectation_suite",
+        lambda: expectation_suite(
+            li,
+            [
+                ("qty_pos", "between", {"col": "l_quantity", "lo": 0, "hi": 1e9}),
+                ("key_nn", "not_null", {"col": "l_orderkey"}),
+                ("flag_set", "in_set", {"col": "l_returnflag", "values": ["A", "N", "R"]}),
+            ],
+        ).count(),
+    )
     run(
         "phash_pairs",
         lambda: phash_candidates(
