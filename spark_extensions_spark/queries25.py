@@ -697,3 +697,52 @@ def q_feature_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
             "/ 1000000.0d"
         ).alias("scaled"),
     )
+
+
+@_register(
+    "dim_calendar",
+    """
+    SELECT CAST(d AS DATE) AS cal_date,
+           CAST(year(d) AS INT) AS yr,
+           CAST(quarter(d) AS INT) AS qtr,
+           CAST(month(d) AS INT) AS mth,
+           CAST(isodow(d) AS INT) AS dow_iso,
+           isodow(d) >= 6 AS is_weekend,
+           CAST(strftime(d, '%Y-%m') AS VARCHAR) AS year_month,
+           CAST(date_trunc('week', d) AS DATE) AS week_start,
+           CAST(last_day(d) AS DATE) AS month_end
+    FROM (
+      SELECT UNNEST(generate_series(DATE '1995-01-01', DATE '2001-12-31',
+                                    INTERVAL 1 DAY)) AS d
+    )
+    """,
+    doc="Calendar dimension builder: a dense date spine with "
+    "year/quarter/month/ISO-dow/weekend/month-boundary attributes via "
+    "sequence() + explode — generated, never stored as input; the "
+    "join-ready conformed dimension every warehouse pipeline needs. "
+    "Row-local generation, zero shuffle.",
+)
+def q_dim_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1995-01-01").cast("date"),
+                F.lit("2001-12-31").cast("date"),
+                F.expr("interval 1 day"),
+            )
+        ).alias("cal_date")
+    )
+    d = F.col("cal_date")
+    # Spark dayofweek: Sun=1..Sat=7 -> ISO Mon=1..Sun=7
+    dow_iso = ((F.dayofweek(d) + 5) % 7) + 1
+    return spine.select(
+        d.alias("cal_date"),
+        F.year(d).cast("int").alias("yr"),
+        F.quarter(d).cast("int").alias("qtr"),
+        F.month(d).cast("int").alias("mth"),
+        dow_iso.cast("int").alias("dow_iso"),
+        (dow_iso >= 6).alias("is_weekend"),
+        F.date_format(d, "yyyy-MM").alias("year_month"),
+        F.date_trunc("week", d).cast("date").alias("week_start"),
+        F.last_day(d).alias("month_end"),
+    )
