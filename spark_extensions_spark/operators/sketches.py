@@ -41,6 +41,7 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 _M64 = (1 << 64) - 1
@@ -327,3 +328,77 @@ def bloom_semi_join(
             yield pdf[local.might_contain_many(pdf[fact_key])]
 
     return fact.mapInPandas(test, fact.schema)
+
+
+# ---------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch — deterministic & mergeable
+# ---------------------------------------------------------------------
+
+
+def kmv_sketch(
+    df: DataFrame,
+    key_col: str,
+    k: int = 256,
+    salt: str = "kmv",
+) -> DataFrame:
+    """K-minimum-values distinct-count sketch (Bar-Yossef et al. 2002).
+
+    The k smallest ``md5(key)`` values summarize the distinct set;
+    estimate = ``(k-1) / max_kth_normalized``.  Unlike HLL this sketch
+    is fully DETERMINISTIC (md5 order — no RNG, no engine-specific
+    hashing), so the estimate — and the sketch itself — hash-matches a
+    SQL oracle exactly, and two sketches MERGE by keeping the k
+    smallest of the union (a distributed-sort top-k, the same shape as
+    building).  Plan: distinct-by-hash partial aggregation rides the
+    TakeOrdered top-k; nothing but k hashes reaches the driver side of
+    any merge.
+
+    Output: one row ``(n_seen bigint, k_used int, est_distinct
+    double)`` — exact count when the distinct count ≤ k.
+    """
+    hashed = df.select(
+        F.md5(
+            F.concat(F.col(key_col).cast("string"), F.lit(":" + salt))
+        ).alias("h")
+    ).distinct()
+    kmin = hashed.orderBy("h").limit(k)
+    # normalized position of the kth smallest hash in [0, 1): use the
+    # first 15 hex chars (60 bits — exact in a double)
+    frac = F.conv(F.substring(F.col("h"), 1, 15), 16, 10).cast(
+        "double"
+    ) / F.lit(float(1 << 60))
+    agg = kmin.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_seen"),
+        F.max(frac).alias("max_frac"),
+    )
+    return agg.select(
+        "n_seen",
+        F.lit(k).cast("int").alias("k_used"),
+        F.when(F.col("n_seen") < k, F.col("n_seen").cast("double"))
+        .otherwise((F.lit(float(k - 1))) / F.col("max_frac"))
+        .alias("est_distinct"),
+    )
+
+
+def kmv_oracle_sql(
+    table: str, key_col: str, k: int = 256, salt: str = "kmv"
+) -> str:
+    return f"""
+    WITH hashed AS (
+      SELECT DISTINCT md5(CAST({key_col} AS VARCHAR) || ':{salt}') AS h
+      FROM {table}
+    ),
+    kmin AS (
+      SELECT h FROM hashed ORDER BY h LIMIT {k}
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_seen,
+             MAX(CAST(('0x' || substr(h, 1, 15)) AS BIGINT)
+                 / CAST({float(1 << 60)} AS DOUBLE)) AS max_frac
+      FROM kmin
+    )
+    SELECT n_seen, CAST({k} AS INT) AS k_used,
+           CASE WHEN n_seen < {k} THEN CAST(n_seen AS DOUBLE)
+                ELSE {float(k - 1)} / max_frac END AS est_distinct
+    FROM agg
+    """

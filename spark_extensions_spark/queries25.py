@@ -746,3 +746,21 @@ def q_dim_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("week", d).cast("date").alias("week_start"),
         F.last_day(d).alias("month_end"),
     )
+
+
+@_register(
+    "agg_kmv_distinct",
+    __import__(
+        "spark_extensions_spark.operators.sketches", fromlist=["x"]
+    ).kmv_oracle_sql("orders", "o_custkey", 256),
+    doc="KMV distinct-count sketch over order customers "
+    "(operators/sketches.py:kmv_sketch; Bar-Yossef et al. 2002): the "
+    "k smallest md5 values -> (k-1)/max_kth estimate. Fully "
+    "DETERMINISTIC (md5 order), so unlike HLL the sketch estimate "
+    "hash-matches the SQL oracle exactly; merge = top-k of the union.",
+)
+def q_agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_extensions_spark.operators.sketches import kmv_sketch
+
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    return kmv_sketch(orders, "o_custkey", 256)

@@ -801,3 +801,22 @@ def test_expectation_suite_kinds(spark):
     assert not out["k_uniq"].passed and out["k_uniq"].n_bad == 1
     assert out["n_rows"].passed
     assert all(r.n_rows == 3 for r in out.values())
+
+
+def test_kmv_sketch_accuracy_and_merge(spark):
+    from pyspark.sql import functions as F
+
+    from spark_extensions_spark.operators.sketches import kmv_sketch
+
+    df = spark.range(20000).select(
+        (F.col("id") % 5000).cast("string").alias("k")
+    )
+    row = kmv_sketch(df, "k", 256).first()
+    assert row.n_seen == 256
+    assert abs(row.est_distinct - 5000) / 5000 < 0.15  # ~1/sqrt(k) error
+    # small set: exact
+    small = spark.range(100).select(F.col("id").cast("string").alias("k"))
+    r2 = kmv_sketch(small, "k", 256).first()
+    assert r2.est_distinct == 100.0
+    # determinism
+    assert kmv_sketch(df, "k", 256).first() == row
