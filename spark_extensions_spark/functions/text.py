@@ -339,3 +339,41 @@ def pii_redact(text_col) -> Column:
     c = F.regexp_replace(c, PII_PHONE, "<PHONE>")
     c = F.regexp_replace(c, PII_EMAIL, "<EMAIL>")
     return c
+
+
+def pseudonymize(col, secret: str, prefix: str = "id_", length: int = 16):
+    """Deterministic keyed pseudonymization: a stable, irreversible
+    token per value — referential integrity survives (the same value
+    maps to the same token in every table pseudonymized with the same
+    secret), unlike redaction, which destroys joinability.
+
+    ``token = prefix || substr(sha2(secret || ':' || value, 256),
+    length)`` — keyed so tokens can't be recomputed from public data
+    without the secret; row-local built-in, codegen, zero shuffle.
+    NULL stays NULL.
+    """
+    from pyspark.sql import functions as F
+
+    c = col if not isinstance(col, str) else F.col(col)
+    return F.when(
+        c.isNotNull(),
+        F.concat(
+            F.lit(prefix),
+            F.substring(
+                F.sha2(
+                    F.concat(F.lit(secret + ":"), c.cast("string")), 256
+                ),
+                1,
+                length,
+            ),
+        ),
+    )
+
+
+def pseudonymize_duck(col_sql: str, secret: str, prefix: str = "id_", length: int = 16) -> str:
+    """DuckDB twin of :func:`pseudonymize` (same hash, same slice)."""
+    return (
+        f"CASE WHEN {col_sql} IS NOT NULL THEN '{prefix}' || "
+        f"substr(sha256('{secret}:' || CAST({col_sql} AS VARCHAR)), "
+        f"1, {length}) END"
+    )

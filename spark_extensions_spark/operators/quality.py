@@ -248,3 +248,30 @@ def expectation_suite(
         "n_bad",
         "n_rows",
     )
+
+
+def observe_quality(
+    df: DataFrame,
+    name: str,
+    rules: list[tuple[str, Column]],
+):
+    """Attach zero-cost quality counters to a DataFrame via Spark's
+    native ``Observation`` (CollectMetrics): violation counts ride the
+    NEXT action on ``df`` — no extra scan, no extra job, executor-side
+    accumulation only.  The in-flight twin of :func:`check_rules`
+    (same (name, violation-predicate) contract): check_rules is the
+    standalone audit pass, observe_quality instruments a pipeline that
+    is running anyway.
+
+    Returns ``(instrumented_df, observation)``; after any action on
+    the instrumented frame, ``observation.get`` yields
+    ``{"n_rows": ..., "v_<rule>": ...}``.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    metrics = [F.count(F.lit(1)).alias("n_rows")] + [
+        F.sum(pred.cast("long")).alias(f"v_{rname}")
+        for rname, pred in rules
+    ]
+    return df.observe(obs, *metrics), obs

@@ -764,3 +764,30 @@ def q_agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = _t(spark, sf_dir, "orders")["orders"]
     return kmv_sketch(orders, "o_custkey", 256)
+
+
+@_register(
+    "privacy_pseudonymize",
+    f"""
+    SELECT c_custkey,
+           {__import__("spark_extensions_spark.functions.text", fromlist=["x"]).pseudonymize_duck("c_name", "s3cr3t")} AS name_token,
+           {__import__("spark_extensions_spark.functions.text", fromlist=["x"]).pseudonymize_duck("c_custkey", "s3cr3t")} AS key_token,
+           c_mktsegment
+    FROM customer
+    """,
+    doc="Keyed pseudonymization (functions/text.py:pseudonymize): "
+    "stable sha2(secret:value) tokens preserve referential integrity "
+    "across tables (same value -> same token) while being "
+    "irreversible without the secret — the privacy op redaction "
+    "can't provide; row-local, codegen, zero shuffle.",
+)
+def q_privacy_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_extensions_spark.functions.text import pseudonymize
+
+    cust = _t(spark, sf_dir, "customer")["customer"]
+    return cust.select(
+        "c_custkey",
+        pseudonymize("c_name", "s3cr3t").alias("name_token"),
+        pseudonymize("c_custkey", "s3cr3t").alias("key_token"),
+        "c_mktsegment",
+    )

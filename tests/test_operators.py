@@ -820,3 +820,24 @@ def test_kmv_sketch_accuracy_and_merge(spark):
     assert r2.est_distinct == 100.0
     # determinism
     assert kmv_sketch(df, "k", 256).first() == row
+
+
+def test_observe_quality_rides_the_action(spark):
+    from pyspark.sql import functions as F
+
+    from spark_extensions_spark.operators.quality import observe_quality
+
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 10).alias("m")
+    )
+    inst, obs = observe_quality(
+        df,
+        "gate",
+        [("m_is_9", F.col("m") == 9), ("id_neg", F.col("id") < 0)],
+    )
+    # metrics ride the action — here a count
+    assert inst.count() == 1000
+    got = obs.get
+    assert got["n_rows"] == 1000
+    assert got["v_m_is_9"] == 100
+    assert got["v_id_neg"] == 0
