@@ -110,3 +110,57 @@ def merge_batch_fn(
         os.replace(tmp, os.path.join(target_dir, CURRENT_MARKER))
 
     return fn
+
+
+def scd2_batch_fn(
+    target_dir: str,
+    keys: list[str],
+    tracked: list[str],
+    order_cols: list[str],
+    op_col: str = "op",
+):
+    """Build a ``foreachBatch`` function that applies each CDC
+    micro-batch to a VERSIONED SCD2 history under ``target_dir`` —
+    the streaming end of the historization chain
+    (snapshot_diff / a CDC feed → scd2_apply_changes → time-travelable
+    history), with the same atomic ``_CURRENT``-marker commit and
+    replay idempotence as merge_batch_fn (a retried batch_id
+    overwrites its own output; ``load_version = batch_id + 1`` so the
+    init load keeps version 0... the marker flips last).
+
+    Each batch is first collapsed to ONE change per key
+    (latest_per_key over ``order_cols`` — CDC feeds deliver multiple
+    ops per key per batch); ``op_col`` rows carry I/U/D.
+    """
+    from spark_extensions_spark.operators.incremental import (
+        scd2_apply_changes,
+        scd2_init,
+    )
+
+    def fn(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        changes = latest_per_key(batch, keys, order_cols)
+        v = _current_version(target_dir)
+        if v is None:
+            upserts = changes.filter(F.col(op_col) != "D").select(
+                *(keys + tracked)
+            )
+            hist = scd2_init(upserts, keys, tracked, 0)
+        else:
+            current = spark.read.parquet(os.path.join(target_dir, f"v={v}"))
+            hist = scd2_apply_changes(
+                current,
+                changes.select(*(keys + tracked + [op_col])),
+                keys,
+                tracked,
+                batch_id + 1,
+                op_col=op_col,
+            )
+        out = os.path.join(target_dir, f"v={batch_id}")
+        hist.write.mode("overwrite").parquet(out)
+        tmp = os.path.join(target_dir, f"{CURRENT_MARKER}.tmp")
+        with open(tmp, "w", encoding="ascii") as fh:
+            fh.write(str(batch_id))
+        os.replace(tmp, os.path.join(target_dir, CURRENT_MARKER))
+
+    return fn

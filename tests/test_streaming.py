@@ -365,3 +365,57 @@ def test_drift_monitor_scores_each_batch(spark, events_stream):
     if len(rows) == 1:
         assert abs(rows[0].tvd - twin.tvd) < 1e-12
     assert all(0.0 <= v <= 1.0 for v in total.values())
+
+
+def test_scd2_stream_sink(spark, events_stream):
+    """CDC micro-batches historize into a versioned SCD2 target; the
+    final open slice equals the batch latest-per-key survivors, and
+    closed slices capture every overwritten value."""
+    import tempfile
+
+    from spark_extensions_spark.streaming import (
+        read_stream_parquet,
+        run_foreach_batch,
+    )
+    from spark_extensions_spark.streaming.incremental import (
+        read_upsert_table,
+        latest_per_key,
+        scd2_batch_fn,
+    )
+
+    target = tempfile.mkdtemp(prefix="scd2_sink_")
+    stream = read_stream_parquet(
+        spark, events_stream, max_files_per_trigger=1
+    ).select(
+        F.col("user_id").alias("k"),
+        F.col("value").alias("v"),
+        F.lit("U").alias("op"),
+        F.col("ts"),
+        F.col("event_id"),
+    )
+    run_foreach_batch(
+        stream,
+        scd2_batch_fn(target, ["k"], ["v"], ["ts", "event_id"]),
+    )
+    hist = read_upsert_table(spark, target)
+    open_rows = hist.filter(F.col("is_current")).select("k", "v")
+    # batch twin: the overall latest value per user
+    ev = load_tables(spark, SF_DIR, "events")["events"]
+    expect = latest_per_key(
+        ev.select(
+            F.col("user_id").alias("k"),
+            F.col("value").alias("v"),
+            "ts",
+            "event_id",
+        ),
+        ["k"],
+        ["ts", "event_id"],
+    ).select("k", "v")
+    assert {tuple(r) for r in open_rows.collect()} == {
+        tuple(r) for r in expect.collect()
+    }
+    # history depth: at least one closed slice exists if any user got
+    # multiple values across batches
+    n_users = expect.count()
+    assert hist.count() >= n_users
+    assert hist.filter(~F.col("is_current")).count() == hist.count() - n_users
