@@ -377,3 +377,65 @@ def pseudonymize_duck(col_sql: str, secret: str, prefix: str = "id_", length: in
         f"substr(sha256('{secret}:' || CAST({col_sql} AS VARCHAR)), "
         f"1, {length}) END"
     )
+
+
+# ---------------------------------------------------------------------
+# HTML boilerplate stripping (web-crawl → training-text extraction)
+# ---------------------------------------------------------------------
+
+# Shared Spark/DuckDB regex constants: inline (?is) flags keep the
+# pattern STRINGS identical on both engines (Java regex and RE2 both
+# support inline flags; DuckDB only needs the 'g' option for global).
+_HTML_BLOCK_PATTERNS: list[str] = [
+    r"(?is)<script[^>]*>.*?</script>",
+    r"(?is)<style[^>]*>.*?</style>",
+    r"(?s)<!--.*?-->",
+    r"<[^>]+>",
+]
+# Fixed decode order (applied AFTER tag removal); &amp; decoded last so
+# double-escaped entities resolve one level per pass on both engines.
+_HTML_ENTITIES: list[tuple[str, str]] = [
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+]
+
+
+def html_extract_text(col):
+    """Extract visible text from raw HTML — the crawl-to-corpus step.
+
+    Boilerplate chain, entirely row-local built-ins (codegen, zero
+    shuffle, no Python): drop <script>/<style> blocks and comments
+    (dotall non-greedy), strip remaining tags, decode the six common
+    entities in a fixed order, collapse whitespace runs, trim. A
+    deliberately deterministic heuristic (the trafilatura/jusText
+    DOM-scoring extractors need an HTML parser library); at 100 TB the
+    regex chain runs inside whole-stage codegen at scan speed.
+
+    Reference scope note: no extraction surface in the reference;
+    LLM-pipeline extension layer (SURVEY.md §7 M5).
+    """
+    from pyspark.sql import functions as F
+
+    c = col if not isinstance(col, str) else F.col(col)
+    for pat in _HTML_BLOCK_PATTERNS:
+        c = F.regexp_replace(c, pat, " ")
+    for ent, rep in _HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def html_extract_duck(col_sql: str) -> str:
+    """DuckDB twin of :func:`html_extract_text` (same pattern strings)."""
+    expr = col_sql
+    for pat in _HTML_BLOCK_PATTERNS:
+        p = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{p}', ' ', 'g')"
+    for ent, rep in _HTML_ENTITIES:
+        e = ent.replace("'", "''")
+        r = rep.replace("'", "''")
+        expr = f"replace({expr}, '{e}', '{r}')"
+    return f"trim(regexp_replace({expr}, '\\s+', ' ', 'g'))"

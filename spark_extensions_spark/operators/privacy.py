@@ -1,0 +1,142 @@
+"""Privacy risk auditing: k-anonymity / l-diversity over DataFrames.
+
+Before a dataset ships to training or an external party, the release
+gate asks: how re-identifiable is each row from its quasi-identifiers
+(the attacker-observable columns), and how much does a matched class
+leak about the sensitive column? The standard measures (Sweeney 2002,
+"k-Anonymity: a model for protecting privacy"; Machanavajjhala et al.
+2006, "l-Diversity") reduce to one hash aggregate over the
+quasi-identifier tuple:
+
+- a table is k-anonymous iff every equivalence class (distinct
+  quasi-identifier combination) contains ≥ k rows;
+- a class is l-diverse iff its sensitive column takes ≥ l distinct
+  values (a k-large class with ONE sensitive value still leaks).
+
+Scale shape: one scan + one groupBy on the quasi columns (map-side
+partial aggregation collapses the long Zipf tail before the shuffle);
+the summary is a second aggregate over class-level rows — vocabulary-
+sized, trivial. No driver state, no window over the whole table.
+
+Reference scope note: the reference library has no privacy surface;
+this belongs to the LLM-data-pipeline extension layer (SURVEY.md §7
+M5 — release gating). Fully SQL-expressible → exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def k_anonymity_classes(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    k: int = 5,
+    l: int = 2,
+) -> DataFrame:
+    """Per-equivalence-class anonymity audit.
+
+    One row per distinct quasi-identifier combination:
+    (quasi..., class_size, n_sensitive, k_ok, l_ok). ``class_size`` is
+    the k-anonymity level of every row in the class; ``n_sensitive``
+    its l-diversity (distinct-count of the sensitive column).
+    """
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("class_size"),
+            F.countDistinct(F.col(sensitive_col))
+            .cast("bigint")
+            .alias("n_sensitive"),
+        )
+        .select(
+            *quasi_cols,
+            "class_size",
+            "n_sensitive",
+            (F.col("class_size") >= k).alias("k_ok"),
+            (F.col("n_sensitive") >= l).alias("l_ok"),
+        )
+    )
+
+
+def k_anonymity_summary(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    k: int = 5,
+    l: int = 2,
+) -> DataFrame:
+    """Table-level release-gate verdict in one row.
+
+    (n_rows, n_classes, min_class_size, n_rows_at_risk — rows in
+    classes below k, min_l — worst l-diversity, k_anonymous, l_diverse).
+    ``min_class_size`` IS the table's k-anonymity; the gate passes iff
+    both flags are true. Two chained aggregates (class level → table
+    level), one corpus scan total.
+    """
+    cls = k_anonymity_classes(df, quasi_cols, sensitive_col, k, l)
+    return cls.agg(
+        F.sum("class_size").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.min("class_size").cast("bigint").alias("min_class_size"),
+        F.sum(
+            F.when(F.col("class_size") < k, F.col("class_size")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("n_rows_at_risk"),
+        F.min("n_sensitive").cast("bigint").alias("min_l"),
+    ).select(
+        "n_rows",
+        "n_classes",
+        "min_class_size",
+        "n_rows_at_risk",
+        "min_l",
+        (F.col("min_class_size") >= k).alias("k_anonymous"),
+        (F.col("min_l") >= l).alias("l_diverse"),
+    )
+
+
+def k_anonymity_classes_oracle_sql(
+    table_sql: str,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    k: int = 5,
+    l: int = 2,
+) -> str:
+    q = ", ".join(quasi_cols)
+    return f"""
+    SELECT {q},
+           CAST(COUNT(*) AS BIGINT) AS class_size,
+           CAST(COUNT(DISTINCT {sensitive_col}) AS BIGINT) AS n_sensitive,
+           COUNT(*) >= {k} AS k_ok,
+           COUNT(DISTINCT {sensitive_col}) >= {l} AS l_ok
+    FROM {table_sql} GROUP BY {q}
+    """
+
+
+def k_anonymity_summary_oracle_sql(
+    table_sql: str,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    k: int = 5,
+    l: int = 2,
+) -> str:
+    inner = k_anonymity_classes_oracle_sql(
+        table_sql, quasi_cols, sensitive_col, k, l
+    )
+    return f"""
+    WITH cls AS ({inner})
+    SELECT CAST(SUM(class_size) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(MIN(class_size) AS BIGINT) AS min_class_size,
+           CAST(SUM(CASE WHEN class_size < {k} THEN class_size ELSE 0 END)
+                AS BIGINT) AS n_rows_at_risk,
+           CAST(MIN(n_sensitive) AS BIGINT) AS min_l,
+           MIN(class_size) >= {k} AS k_anonymous,
+           MIN(n_sensitive) >= {l} AS l_diverse
+    FROM cls
+    """

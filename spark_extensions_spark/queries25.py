@@ -791,3 +791,6 @@ def q_privacy_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
         pseudonymize("c_custkey", "s3cr3t").alias("key_token"),
         "c_mktsegment",
     )
+
+# batch-29 queries register themselves on import
+from spark_extensions_spark import queries26  # noqa: E402,F401  (registration side effect)
