@@ -22,9 +22,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from spark_extensions_spark.queries import registry  # noqa: E402
 from spark_extensions_spark.session import get_spark  # noqa: E402
 
-# Approximate/pandas-UDF paths excluded from the headline wall-clock
-# (they have no oracle / are scale-path variants).
-SKIP = {"ann_lsh"}
+# Nothing skipped: every registered query (incl. the deterministic
+# sign-plane ann_lsh) runs in the headline wall-clock.
+SKIP: set[str] = set()
 
 
 def main() -> int:

@@ -560,3 +560,145 @@ def ann_ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+# ---------------------------------------------------------------------
+# Deterministic sign-plane LSH (oracle-checkable bucketing)
+# ---------------------------------------------------------------------
+
+LSH_QUANT = "1000000.0"  # fixed-point scale for exact integer projections
+
+
+def signplane_signs(
+    n_planes: int, dim: int, seed: int = 42
+) -> list[list[int]]:
+    """±1 sign-plane matrix derived from md5 — no RNG state, identical
+    in any process. Sign planes (a.k.a. binary random projections) are
+    the classic SimHash trick: for cosine LSH only the DIRECTION of the
+    hyperplane matters, and ±1 entries preserve the collision-probability
+    guarantee (Charikar 2002) while making the projection an integer sum.
+    """
+    import hashlib
+
+    return [
+        [
+            1
+            if int(
+                hashlib.md5(f"lshsign:{seed}:{p}:{d}".encode()).hexdigest()[:8],
+                16,
+            )
+            & 1
+            else -1
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def quantize_vec_expr(vec_col: str) -> str:
+    """Spark SQL fragment: fixed-point int64 quantization of a float
+    array (engine-portable half-up: floor(x*1e6 + 0.5) is the same IEEE
+    sequence in Spark and DuckDB; round() is NOT portable one ulp from a
+    boundary). Projections then run in exact integer math, so bucket
+    ids are bit-identical across engines and partitionings.
+    """
+    return (
+        f"transform({vec_col}, v -> cast(floor(cast(v as double) * "
+        f"{LSH_QUANT} + 0.5d) as bigint))"
+    )
+
+
+def lsh_bucket_from_quantized(qq_col: str, planes: list[list[int]]) -> Column:
+    """Spark Column: bucket id = Σ 2^p · [proj_p ≥ 0] over the quantized
+    vector — one aggregate fold per plane, all exact int64 (order-free:
+    integer addition is associative, unlike FP)."""
+    terms = []
+    for p, signs in enumerate(planes):
+        arr = "array(" + ",".join(f"{s}L" for s in signs) + ")"
+        proj = (
+            f"aggregate(zip_with({qq_col}, {arr}, (v, s) -> v * s), "
+            f"0L, (a, b) -> a + b)"
+        )
+        terms.append(f"(case when {proj} >= 0 then {1 << p}L else 0L end)")
+    return F.expr(" + ".join(terms))
+
+
+def lsh_quantize_duck(vec_sql: str) -> str:
+    """DuckDB twin of :func:`quantize_vec_expr` (same IEEE sequence)."""
+    return (
+        f"list_transform({vec_sql}, v -> CAST(floor(CAST(v AS DOUBLE) * "
+        f"{LSH_QUANT} + 0.5) AS BIGINT))"
+    )
+
+
+def lsh_bucket_duck(qq_sql: str, planes: list[list[int]]) -> str:
+    """DuckDB twin of :func:`lsh_bucket_from_quantized`: the ±1 plane
+    splits into a positive and a negative index set, so each projection
+    is two exact integer list_sums over list_select — identical signs,
+    identical buckets."""
+    terms = []
+    for p, signs in enumerate(planes):
+        pos = [i + 1 for i, s in enumerate(signs) if s > 0]
+        neg = [i + 1 for i, s in enumerate(signs) if s < 0]
+        proj = (
+            f"(COALESCE(list_sum(list_select({qq_sql}, {pos})), 0) - "
+            f"COALESCE(list_sum(list_select({qq_sql}, {neg})), 0))"
+        )
+        terms.append(f"(CASE WHEN {proj} >= 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def ann_lsh_topk_det(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+    k: int,
+    dim: int,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via DETERMINISTIC sign-plane LSH buckets.
+
+    Same shape as :func:`ann_lsh_topk` (bucket both sides, one keyed
+    shuffle, score only same-bucket candidates, window top-k) but the
+    bucketing is exact integer math over md5-derived ±1 planes — fully
+    reproducible across engines, so the whole approximate query is
+    hash-checkable against a SQL oracle, not just rows-counted. The
+    scale path is unchanged: bucket ids are computed row-locally inside
+    codegen (no Python), and at 100 TB the corpus bucketing is a column
+    you persist once.
+    """
+    planes = signplane_signs(n_planes, dim, seed)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    ).withColumn("__qq", F.expr(quantize_vec_expr("cv")))
+    c = c.withColumn("bucket", lsh_bucket_from_quantized("__qq", planes)).drop(
+        "__qq"
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qv")
+    ).withColumn("__qq", F.expr(quantize_vec_expr("qv")))
+    q = q.withColumn("bucket", lsh_bucket_from_quantized("__qq", planes)).drop(
+        "__qq"
+    )
+    scored = q.join(c, "bucket").select(
+        "query_id",
+        "neighbor_id",
+        cosine_pandas_cols(F.col("qv"), F.col("cv")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cosine",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )

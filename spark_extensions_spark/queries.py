@@ -140,6 +140,10 @@ _PRIORITY: tuple[str, ...] = (
     "analytic_cohort_retention",
     "link_fs_score",
     "text_vocab_tokens",
+    # round-3 additions
+    "privacy_k_anonymity",
+    "text_html_extract",
+    "tokenizer_bpe",
 )
 
 
@@ -1169,16 +1173,57 @@ def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_lsh_oracle() -> str:
+    from spark_extensions_spark.operators.similarity import (
+        lsh_bucket_duck,
+        lsh_quantize_duck,
+        signplane_signs,
+    )
+
+    planes = signplane_signs(8, EMB_DIM, seed=42)
+    return f"""
+    WITH qv AS (
+      SELECT vec_id, embedding,
+             {lsh_quantize_duck('embedding')} AS qq
+      FROM embeddings
+    ), b AS (
+      SELECT vec_id, embedding,
+             {lsh_bucket_duck('qq', planes)} AS bucket
+      FROM qv
+    ), s AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_cosine_duck('q.embedding', 'c.embedding', EMB_DIM)} AS cosine
+      FROM (SELECT * FROM b WHERE vec_id < 10) q
+      JOIN b c USING (bucket)
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT query_id, neighbor_id, cosine,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+             ) AS BIGINT) AS rank
+      FROM s
+    ) WHERE rank <= 5
+    """
+
+
 @_register(
     "ann_lsh",
-    None,  # approximate + numpy-seeded planes: no SQL oracle; rows-only check
-    doc="LSH-bucketed approximate top-k (random hyperplanes, pandas UDF "
-    "bucketing, same-bucket scoring) — scale path for ANN.",
+    _ann_lsh_oracle(),
+    doc="LSH-bucketed approximate top-k, DETERMINISTIC sign-plane "
+    "variant (operators/similarity.py:ann_lsh_topk_det; Charikar 2002 "
+    "SimHash planes): md5-derived ±1 planes + fixed-point integer "
+    "projections make bucket ids exact int64 on any engine, so the "
+    "whole approximate query is hash-checked against the SQL oracle "
+    "(was rows-only with seeded-numpy planes). Bucketing is row-local "
+    "codegen; one keyed shuffle; same-bucket scoring reuses the "
+    "deterministic cosine fold.",
 )
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_extensions_spark.operators.similarity import ann_lsh_topk_det
+
     emb = _t(spark, sf_dir, "embeddings")["embeddings"]
     queries = emb.filter(F.col("vec_id") < 10)
-    return ann_lsh_topk(
+    return ann_lsh_topk_det(
         emb,
         queries,
         "vec_id",

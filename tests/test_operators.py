@@ -184,6 +184,62 @@ def test_ann_lsh_and_ivf_recall(spark):
     assert recall(ann_lsh_topk(*args, k=5, dim=64, n_planes=4)) > 0.3
 
 
+def test_ann_lsh_det_buckets_and_recall(spark):
+    """Deterministic sign-plane LSH: buckets match a pure-Python
+    recompute exactly (integer math), and recall tracks the numpy-plane
+    variant's regime."""
+    import hashlib
+    import math
+
+    from pyspark.sql import functions as F
+
+    from spark_extensions_spark.operators.similarity import (
+        ann_bruteforce_topk,
+        ann_lsh_topk_det,
+        lsh_bucket_from_quantized,
+        quantize_vec_expr,
+        signplane_signs,
+    )
+    from spark_extensions_spark.session import load_tables
+
+    emb = load_tables(spark, "/root/testdata/sf0.01", "embeddings")[
+        "embeddings"
+    ]
+    planes = signplane_signs(4, 64, seed=42)
+    # independent twin: hashlib-derived signs + python floor quantization
+    sub = emb.filter(F.col("vec_id") < 50)
+    got = {
+        r["vec_id"]: r["b"]
+        for r in sub.withColumn("__qq", F.expr(quantize_vec_expr("embedding")))
+        .select(
+            "vec_id", lsh_bucket_from_quantized("__qq", planes).alias("b")
+        )
+        .collect()
+    }
+    for r in sub.select("vec_id", "embedding").collect():
+        q = [math.floor(float(v) * 1e6 + 0.5) for v in r["embedding"]]
+        b = 0
+        for p, signs in enumerate(planes):
+            if sum(v * s for v, s in zip(q, signs)) >= 0:
+                b += 1 << p
+        assert got[r["vec_id"]] == b
+    # sanity on the md5 derivation itself
+    h = hashlib.md5(b"lshsign:42:0:0").hexdigest()
+    assert planes[0][0] == (1 if int(h[:8], 16) & 1 else -1)
+
+    queries = emb.filter(F.col("vec_id") < 20)
+    args = (emb, queries, "vec_id", "embedding", "vec_id", "embedding")
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_bruteforce_topk(*args, k=5, dim=64).collect()
+    }
+    got_det = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_lsh_topk_det(*args, k=5, dim=64, n_planes=4).collect()
+    }
+    assert len(got_det & truth) / len(truth) > 0.3
+
+
 def test_bucketed_join_skips_shuffle(spark):
     """Bucketed tables joined on the bucket key: no Exchange on either side."""
     import tempfile
