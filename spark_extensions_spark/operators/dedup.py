@@ -673,6 +673,21 @@ def embedding_neardup_pairs_ivf(
         nearest_list(F.col(vec_col)).alias("__list"),
     )
 
+    schema = f"id_a {id_type}, id_b {id_type}, cosine double"
+    return assigned.groupBy("__list").applyInPandas(
+        _pairwise_cosine_kernel(threshold), schema
+    )
+
+
+def _pairwise_cosine_kernel(threshold: float):
+    """applyInPandas kernel: all (id_a < id_b) pairs within one group
+    with exact-fold cosine ≥ threshold. Per-dimension accumulation over
+    the batch axis keeps each pair's sum the same left-to-right IEEE
+    sequence as the SQL fold (bit-identical to the exact paths); chunked
+    so the dot block stays ~100 MB regardless of group size."""
+    import numpy as np
+    import pandas as pd
+
     def score(key, pdf):
         empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
         if len(pdf) < 2:
@@ -707,8 +722,46 @@ def embedding_neardup_pairs_ivf(
                 )
         return pd.concat(frames, ignore_index=True) if frames else empty
 
+    return score
+
+
+def embedding_neardup_pairs_ivf_det(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    threshold: float = 0.95,
+    n_lists: int = 16,
+) -> DataFrame:
+    """DETERMINISTIC variant of :func:`embedding_neardup_pairs_ivf`:
+    list assignment is exact int64 squared-L2 against an md5-picked
+    fixed-point codebook (``operators/similarity.ivf_assign_expr``), so
+    which pairs co-quantize — and therefore the whole approximate
+    result — is bit-reproducible on any engine and the query is fully
+    hash-checkable against a SQL oracle. Pair scoring is the same
+    exact-fold cosine as every other embedding path.
+
+    Scale shape unchanged: codebook collect is n_lists rows, assignment
+    is row-local codegen, one shuffle on the list id, ~n²/n_lists work.
+    """
+    from spark_extensions_spark.operators.similarity import (
+        ivf_assign_expr,
+        ivf_centroids_det,
+        quantize_vec_expr,
+    )
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    cents = ivf_centroids_det(df, id_col, vec_col, n_lists)
+    assigned = (
+        df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"))
+        .withColumn("__qq", F.expr(quantize_vec_expr("__vec")))
+        .withColumn("__list", F.expr(ivf_assign_expr("__qq", cents)))
+        .drop("__qq")
+    )
     schema = f"id_a {id_type}, id_b {id_type}, cosine double"
-    return assigned.groupBy("__list").applyInPandas(score, schema)
+    return assigned.groupBy("__list").applyInPandas(
+        _pairwise_cosine_kernel(threshold), schema
+    )
 
 
 def fuzzy_blocked_pairs(

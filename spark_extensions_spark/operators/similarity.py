@@ -702,3 +702,150 @@ def ann_lsh_topk_det(
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------
+# Deterministic IVF (oracle-checkable coarse quantization)
+# ---------------------------------------------------------------------
+
+
+def ivf_centroids_det(
+    corpus: DataFrame, id_col: str, vec_col: str, n_lists: int
+) -> list[list[int]]:
+    """Deterministic IVF coarse-quantizer codebook: the ``n_lists``
+    corpus rows with the smallest ``md5(id)`` (a uniform pseudo-random
+    sample with no RNG state — same scheme as ``ann_ivf_topk``),
+    QUANTIZED to fixed-point int64 so every later distance is exact
+    integer math. Returned list index IS the list id.
+
+    The collect is bounded at ``n_lists`` rows (16ish) regardless of
+    corpus size — this is codebook training, not data movement.
+    """
+    rows = (
+        corpus.select(
+            F.col(id_col).alias("cid"),
+            F.expr(quantize_vec_expr(vec_col)).alias("cq"),
+        )
+        .withColumn("__r", F.md5(F.col("cid").cast("string")))
+        .orderBy("__r", "cid")
+        .limit(n_lists)
+        .collect()
+    )
+    return [list(r["cq"]) for r in rows]
+
+
+def ivf_dists_expr(qq_col: str, centroids: list[list[int]]) -> str:
+    """Spark SQL fragment: array of exact int64 squared-L2 distances
+    from a quantized vector column to each centroid. (v−c)² ≤ ~1.6e13
+    per term and ≤ ~1e15 per 64-dim sum — far under the ANSI int64
+    overflow line."""
+    terms = []
+    for cq in centroids:
+        arr = "array(" + ",".join(f"{int(v)}L" for v in cq) + ")"
+        terms.append(
+            f"aggregate(zip_with({qq_col}, {arr}, (v, c) -> (v - c) * (v - c)), "
+            f"0L, (a, b) -> a + b)"
+        )
+    return "array(" + ",".join(terms) + ")"
+
+
+def ivf_assign_expr(qq_col: str, centroids: list[list[int]]) -> str:
+    """Spark SQL fragment: nearest-centroid list id (argmin over the
+    exact distance array; ``array_position`` takes the FIRST minimum, so
+    ties break to the smallest list id — the same total order the DuckDB
+    twin uses). Row-local, inside codegen, zero shuffle."""
+    d = ivf_dists_expr(qq_col, centroids)
+    return f"cast(array_position({d}, array_min({d})) - 1 as int)"
+
+
+def ivf_probe_expr(
+    qq_col: str, centroids: list[list[int]], n_probe: int
+) -> str:
+    """Spark SQL fragment: the ``n_probe`` nearest list ids, ordered by
+    (distance, list id) — array_sort over (d, i) structs compares the
+    exact integers lexicographically, so the probe set is deterministic
+    on any engine."""
+    d = ivf_dists_expr(qq_col, centroids)
+    return (
+        f"slice(transform(array_sort(transform({d}, (d, i) -> "
+        f"struct(d as d, i as i))), s -> s.i), 1, {n_probe})"
+    )
+
+
+def ivf_dist_duck(eq_sql: str, cq: list[int]) -> str:
+    """DuckDB twin of one :func:`ivf_dists_expr` term (exact integer
+    squared L2 via list_zip; BIGINT in → exact sum)."""
+    arr = "[" + ",".join(str(int(v)) for v in cq) + "]"
+    return (
+        f"CAST(list_sum(list_transform(list_zip({eq_sql}, {arr}), "
+        f"p -> (p.list_1 - p.list_2) * (p.list_1 - p.list_2))) AS BIGINT)"
+    )
+
+
+def ann_ivf_topk_det(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+    k: int,
+    dim: int,
+    n_lists: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Approximate top-k via DETERMINISTIC IVF-flat partitioning.
+
+    Same inverted-file shape as :func:`ann_ivf_topk` — coarse codebook,
+    row-local list assignment, probe-list candidate join — but the
+    quantizer is exact integer math over an md5-picked codebook, so list
+    membership (and therefore the whole approximate result) is
+    bit-reproducible on any engine and the query is fully
+    hash-checkable against a SQL oracle. Assignment uses squared-L2 on
+    fixed-point vectors (the classic IVF metric, Jégou et al. 2011);
+    candidate scoring stays exact cosine with the deterministic fold.
+
+    Scale shape (100 TB): the codebook collect is n_lists rows; corpus
+    assignment is pure codegen (a column you persist/bucket by once);
+    the probed QUERY side explodes ×n_probe and broadcast-joins into the
+    corpus — the corpus is never shuffled.
+    """
+    cents = ivf_centroids_det(corpus, id_col, vec_col, n_lists)
+    c = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        )
+        .withColumn("__qq", F.expr(quantize_vec_expr("cv")))
+        .withColumn("list_id", F.expr(ivf_assign_expr("__qq", cents)))
+        .drop("__qq")
+    )
+    q = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vec_col).alias("qv"),
+        )
+        .withColumn("__qq", F.expr(quantize_vec_expr("qv")))
+        .withColumn(
+            "list_id",
+            F.explode(F.expr(ivf_probe_expr("__qq", cents, n_probe))),
+        )
+        .drop("__qq")
+    )
+    scored = F.broadcast(q).join(c, "list_id").select(
+        "query_id",
+        "neighbor_id",
+        cosine_pandas_cols(F.col("qv"), F.col("cv")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cosine",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )

@@ -87,24 +87,63 @@ def q_pipeline_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_embedding_ivf_oracle(n_lists: int = 8, threshold: float = 0.30) -> str:
+    from spark_extensions_spark.operators.similarity import lsh_quantize_duck
+
+    dist = (
+        "CAST(list_sum(list_transform(list_zip(e.qq, c.cq), "
+        "p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT)"
+    )
+    return f"""
+    WITH eq AS (
+      SELECT vec_id, embedding,
+             {lsh_quantize_duck('embedding')} AS qq
+      FROM embeddings
+    ), cent AS (
+      SELECT list_id, cq FROM (
+        SELECT ROW_NUMBER() OVER (
+                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS list_id,
+               qq AS cq
+        FROM eq
+      ) WHERE list_id < {n_lists}
+    ), assigned AS (
+      SELECT vec_id, embedding, list_id FROM (
+        SELECT e.vec_id, e.embedding, c.list_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {dist}, c.list_id) AS rn
+        FROM eq e CROSS JOIN cent c
+      ) WHERE rn = 1
+    )
+    SELECT id_a, id_b, cosine FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             {_cosine_duck('a.embedding', 'b.embedding', EMB_DIM)} AS cosine
+      FROM assigned a JOIN assigned b USING (list_id)
+      WHERE a.vec_id < b.vec_id
+    ) WHERE cosine >= {threshold}
+    """
+
+
 @_register(
     "dedup_embedding_ivf",
-    None,
+    _dedup_embedding_ivf_oracle(),
     doc="Approximate embedding near-dup at the scale where even the "
-    "blocked exact all-pairs is too expensive: IVF coarse quantization "
-    "(deterministic seeded centroids, operators/similarity.py) buckets "
-    "vectors into lists; pairs are scored only within a list. Recall "
-    "vs the exact pair set is bounded in pytest "
-    "(test_embedding_ivf_neardup_recall); rows-only here because the "
-    "bucketing is approximate by design.",
+    "blocked exact all-pairs is too expensive: DETERMINISTIC IVF "
+    "coarse quantization (operators/dedup.py:"
+    "embedding_neardup_pairs_ivf_det — exact int64 squared-L2 against "
+    "an md5-picked fixed-point codebook) buckets vectors into lists; "
+    "pairs are scored only within a list (~n²/n_lists work, one list "
+    "shuffle). List membership is bit-reproducible on any engine, so "
+    "the approximate pair set is fully hash-checked against the SQL "
+    "oracle (was rows-only with float argmax assignment). Recall vs "
+    "the exact pair set stays bounded in pytest.",
 )
 def q_dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_extensions_spark.operators.dedup import (
-        embedding_neardup_pairs_ivf,
+        embedding_neardup_pairs_ivf_det,
     )
 
     emb = _t(spark, sf_dir, "embeddings")["embeddings"]
-    return embedding_neardup_pairs_ivf(
+    return embedding_neardup_pairs_ivf_det(
         emb, "vec_id", "embedding", dim=EMB_DIM, threshold=0.30, n_lists=8
     )
 

@@ -931,20 +931,77 @@ def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_ivf_oracle(n_lists: int = 16, n_probe: int = 4, k: int = 5) -> str:
+    from spark_extensions_spark.queries import _cosine_duck
+    from spark_extensions_spark.operators.similarity import lsh_quantize_duck
+
+    dist = (
+        "CAST(list_sum(list_transform(list_zip(e.qq, c.cq), "
+        "p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT)"
+    )
+    return f"""
+    WITH eq AS (
+      SELECT vec_id, embedding,
+             {lsh_quantize_duck('embedding')} AS qq
+      FROM embeddings
+    ), cent AS (
+      SELECT list_id, cq FROM (
+        SELECT ROW_NUMBER() OVER (
+                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS list_id,
+               qq AS cq
+        FROM eq
+      ) WHERE list_id < {n_lists}
+    ), dists AS (
+      SELECT e.vec_id, e.embedding, c.list_id, {dist} AS dist
+      FROM eq e CROSS JOIN cent c
+    ), assigned AS (
+      SELECT vec_id, embedding, list_id FROM (
+        SELECT vec_id, embedding, list_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, list_id) AS rn
+        FROM dists
+      ) WHERE rn = 1
+    ), probes AS (
+      SELECT vec_id AS query_id, embedding AS qemb, list_id FROM (
+        SELECT vec_id, embedding, list_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, list_id) AS rn
+        FROM dists WHERE vec_id < 10
+      ) WHERE rn <= {n_probe}
+    ), s AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             {_cosine_duck('p.qemb', 'a.embedding', 64)} AS cosine
+      FROM probes p JOIN assigned a USING (list_id)
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT query_id, neighbor_id, cosine,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+             ) AS BIGINT) AS rank
+      FROM s
+    ) WHERE rank <= {k}
+    """
+
+
 @_register(
     "ann_ivf",
-    None,  # approximate (probe subset): rows-only check + recall unit test
-    doc="IVF-flat approximate top-k: md5-sampled centroids, one-pass "
-    "list assignment, n_probe-list candidate join "
-    "(operators/similarity.py:ann_ivf_topk) — the partitioned ANN shape "
-    "for corpus sizes past broadcast range.",
+    _ann_ivf_oracle(),
+    doc="IVF-flat approximate top-k, DETERMINISTIC variant "
+    "(operators/similarity.py:ann_ivf_topk_det; Jégou et al. 2011): "
+    "md5-picked fixed-point codebook + exact int64 squared-L2 "
+    "assignment make list membership bit-reproducible on any engine, "
+    "so the whole approximate query is hash-checked against the SQL "
+    "oracle (was rows-only with float argmax assignment). Assignment "
+    "is row-local codegen; the probed query side broadcast-joins into "
+    "an unshuffled corpus — the partitioned ANN shape for corpus "
+    "sizes past broadcast range.",
 )
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from spark_extensions_spark.operators.similarity import ann_ivf_topk
+    from spark_extensions_spark.operators.similarity import ann_ivf_topk_det
 
     emb = _t(spark, sf_dir, "embeddings")["embeddings"]
     queries = emb.filter(F.col("vec_id") < 10)
-    return ann_ivf_topk(
+    return ann_ivf_topk_det(
         emb, queries, "vec_id", "embedding", "vec_id", "embedding",
         k=5, dim=64, n_lists=16, n_probe=4,
     )

@@ -897,3 +897,94 @@ def test_observe_quality_rides_the_action(spark):
     assert got["n_rows"] == 1000
     assert got["v_m_is_9"] == 100
     assert got["v_id_neg"] == 0
+
+
+def test_ann_ivf_det_assignment_and_recall(spark):
+    """Deterministic IVF: list assignment matches a pure-Python integer
+    recompute exactly, and the probe-join top-k keeps reasonable recall
+    vs brute force."""
+    import hashlib
+    import math
+
+    from pyspark.sql import functions as F
+
+    from spark_extensions_spark.operators.similarity import (
+        ann_bruteforce_topk,
+        ann_ivf_topk_det,
+        ivf_assign_expr,
+        ivf_centroids_det,
+        quantize_vec_expr,
+    )
+    from spark_extensions_spark.session import load_tables
+
+    emb = load_tables(spark, "/root/testdata/sf0.01", "embeddings")[
+        "embeddings"
+    ]
+    cents = ivf_centroids_det(emb, "vec_id", "embedding", n_lists=8)
+    # independent centroid twin: python md5 order + floor quantization
+    rows = emb.select("vec_id", "embedding").collect()
+    order = sorted(rows, key=lambda r: (hashlib.md5(str(r["vec_id"]).encode()).hexdigest(), r["vec_id"]))
+    expected_cents = [
+        [math.floor(float(v) * 1e6 + 0.5) for v in r["embedding"]]
+        for r in order[:8]
+    ]
+    assert cents == expected_cents
+
+    sub = emb.filter(F.col("vec_id") < 50)
+    got = {
+        r["vec_id"]: r["l"]
+        for r in sub.withColumn("__qq", F.expr(quantize_vec_expr("embedding")))
+        .select("vec_id", F.expr(ivf_assign_expr("__qq", cents)).alias("l"))
+        .collect()
+    }
+    for r in sub.select("vec_id", "embedding").collect():
+        q = [math.floor(float(v) * 1e6 + 0.5) for v in r["embedding"]]
+        dists = [
+            sum((v - c) * (v - c) for v, c in zip(q, cq)) for cq in cents
+        ]
+        assert got[r["vec_id"]] == dists.index(min(dists))
+
+    queries = emb.filter(F.col("vec_id") < 20)
+    args = (emb, queries, "vec_id", "embedding", "vec_id", "embedding")
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_bruteforce_topk(*args, k=5, dim=64).collect()
+    }
+    got_det = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_ivf_topk_det(
+            *args, k=5, dim=64, n_lists=8, n_probe=3
+        ).collect()
+    }
+    assert len(got_det & truth) / len(truth) > 0.3
+
+
+def test_embedding_ivf_det_equivalence_above_threshold(spark):
+    """Det-IVF near-dup: every emitted pair is a true pair (precision 1
+    vs the exact scorer at the same threshold), and recall at a genuine
+    near-dup threshold stays useful."""
+    from spark_extensions_spark.operators.dedup import (
+        embedding_neardup_pairs,
+        embedding_neardup_pairs_ivf_det,
+    )
+    from spark_extensions_spark.session import load_tables
+
+    emb = load_tables(spark, "/root/testdata/sf0.01", "embeddings")[
+        "embeddings"
+    ]
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_neardup_pairs(
+            emb, "vec_id", "embedding", dim=64, threshold=0.30
+        ).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_neardup_pairs_ivf_det(
+            emb, "vec_id", "embedding", dim=64, threshold=0.30, n_lists=8
+        ).collect()
+    }
+    assert set(approx) <= set(exact)
+    for k, v in approx.items():
+        assert v == exact[k]  # bit-identical scores
+    assert len(approx) / max(1, len(exact)) > 0.1
