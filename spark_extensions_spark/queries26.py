@@ -162,3 +162,5 @@ def q_text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", html_extract_text(html).alias("extracted")
     )
+
+from spark_extensions_spark import queries27  # noqa: E402,F401  (registration side effect)
