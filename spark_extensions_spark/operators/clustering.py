@@ -158,3 +158,95 @@ def sample_diverse(
         kmeans_assignments(df, id_col, vec_col, k, iters), id_col
     )
     return stratified_cap(assigned, "cluster", id_col, cap, salt="diverse")
+
+
+# ---------------------------------------------------------------------
+# Deterministic integer k-means (oracle-checkable)
+# ---------------------------------------------------------------------
+
+
+def kmeans_fit_det(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 3,
+) -> list[list[int]]:
+    """Lloyd's k-means in EXACT integer arithmetic over fixed-point
+    quantized vectors — every step bit-reproducible on any engine, so
+    the result is hash-checkable against an unrolled SQL oracle.
+
+    - Init: the k smallest-md5(id) rows, quantized
+      (``similarity.ivf_centroids_det`` — no RNG state).
+    - Assign: exact int64 squared-L2 argmin, first-min tie-break
+      (``similarity.ivf_assign_expr`` — row-local codegen, zero
+      shuffle).
+    - Update: element-wise ``floor(double(Σv)/n)`` means. Portable by
+      construction: |Σv| < 2^53 so the double is exact, and the true
+      quotient is ≥ 1/n away from the floor boundary whenever it is
+      not ON it — double rounding (~1e-16 relative) can't cross.
+      (Integer ``div`` is NOT portable here: Spark truncates toward
+      zero, DuckDB floors, and negative sums would diverge.)
+    - Empty clusters keep their previous centroid.
+
+    Scale shape identical to :func:`kmeans_fit`: one posexplode
+    shuffle per iteration, k×dim numbers to the driver, never rows.
+    """
+    import math
+
+    from spark_extensions_spark.operators.similarity import (
+        ivf_assign_expr,
+        ivf_centroids_det,
+        quantize_vec_expr,
+    )
+
+    cents = ivf_centroids_det(df, id_col, vec_col, k)
+    qdf = df.select(
+        F.expr(quantize_vec_expr(vec_col)).alias("__qq")
+    )
+    for _ in range(iters):
+        sums = (
+            qdf.select(
+                F.expr(ivf_assign_expr("__qq", cents)).alias("__c"),
+                F.posexplode(F.col("__qq")).alias("__pos", "__val"),
+            )
+            .groupBy("__c", "__pos")
+            .agg(
+                F.sum("__val").alias("__s"),
+                F.count(F.lit(1)).alias("__n"),
+            )
+            .collect()
+        )
+        nxt = [list(c) for c in cents]
+        acc: dict[int, dict[int, int]] = {}
+        for r in sums:
+            acc.setdefault(int(r["__c"]), {})[int(r["__pos"])] = math.floor(
+                float(r["__s"]) / int(r["__n"])
+            )
+        for ci, dims in acc.items():
+            nxt[ci] = [dims[p] for p in sorted(dims)]
+        cents = nxt
+    return cents
+
+
+def kmeans_assignments_det(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 3,
+) -> DataFrame:
+    """``(id_col, cluster int)`` per row via :func:`kmeans_fit_det` —
+    fully deterministic cross-engine."""
+    from spark_extensions_spark.operators.similarity import (
+        ivf_assign_expr,
+        quantize_vec_expr,
+    )
+
+    cents = kmeans_fit_det(df, id_col, vec_col, k, iters)
+    return df.select(
+        id_col,
+        F.expr(
+            ivf_assign_expr(quantize_vec_expr(vec_col), cents)
+        ).alias("cluster"),
+    )

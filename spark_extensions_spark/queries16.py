@@ -374,27 +374,91 @@ def q_export_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shard_manifest(with_tok, "doc_id", 8, token_col="n_tok")
 
 
+def _kmeans_det_oracle(k: int = 8, iters: int = 3, dim: int = 64) -> str:
+    """Unrolled-iteration DuckDB twin of kmeans_fit_det +
+    kmeans_assignments_det: same md5-ordered quantized init, exact
+    int64 argmin assignment, floor(double(sum)/n) centroid means,
+    empty-cluster inheritance."""
+    from spark_extensions_spark.operators.similarity import lsh_quantize_duck
+
+    dist = (
+        "CAST(list_sum(list_transform(list_zip(e.qq, c.cq), "
+        "p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT)"
+    )
+
+    def assign(n: int) -> str:
+        return f"""a{n} AS (
+      SELECT vec_id, qq, list_id FROM (
+        SELECT e.vec_id, e.qq, c.list_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {dist}, c.list_id) AS rn
+        FROM eq e CROSS JOIN c{n} c
+      ) WHERE rn = 1
+    )"""
+
+    def update(n: int) -> str:
+        return f"""u{n} AS (
+      SELECT list_id, list(sm ORDER BY pos) AS cq FROM (
+        SELECT a.list_id, i AS pos,
+               CAST(floor(CAST(SUM(a.qq[i]) AS DOUBLE) / COUNT(*))
+                    AS BIGINT) AS sm
+        FROM a{n} a, generate_series(1, {dim}) t(i)
+        GROUP BY a.list_id, i
+      ) GROUP BY list_id
+    ), c{n + 1} AS (
+      SELECT list_id, cq FROM u{n}
+      UNION ALL
+      SELECT c.list_id, c.cq FROM c{n} c
+      WHERE c.list_id NOT IN (SELECT list_id FROM u{n})
+    )"""
+
+    rounds = ",\n    ".join(
+        assign(i) + ",\n    " + update(i) for i in range(iters)
+    )
+    return f"""
+    WITH eq AS (
+      SELECT vec_id, {lsh_quantize_duck('embedding')} AS qq
+      FROM embeddings
+    ), c0 AS (
+      SELECT list_id, cq FROM (
+        SELECT ROW_NUMBER() OVER (
+                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS list_id,
+               qq AS cq
+        FROM eq
+      ) WHERE list_id < {k}
+    ),
+    {rounds},
+    {assign(iters)}
+    SELECT CAST(list_id AS INT) AS cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM a{iters} GROUP BY list_id
+    """
+
+
 @_register(
     "embedding_kmeans",
-    None,  # iterative — not SQL-expressible; numpy-twin + invariance pytest
-    doc="Distributed k-means over the embedding column (operators/"
-    "clustering.py): deterministic hash-min init, codegen'd argmin "
-    "assignment (zero shuffle), decimal-exact centroid updates "
-    "(partition-layout-invariant — pinned by test), driver traffic "
-    "k*dim numbers per iteration. Output: cluster sizes. Rows-only by "
-    "design (iterative); correctness pinned by a numpy twin test "
-    "(same init/update rule, assignments match), inertia-monotonicity "
-    "and partitioning-invariance tests, plus sample_diverse (per-"
-    "cluster stratified cap) for topic-balanced subsets.",
+    _kmeans_det_oracle(),
+    doc="Distributed k-means over the embedding column, DETERMINISTIC "
+    "integer variant (operators/clustering.py:kmeans_fit_det): "
+    "md5-picked quantized init, exact int64 squared-L2 argmin "
+    "assignment (row-local codegen, zero shuffle), "
+    "floor(double(Σv)/n) centroid means (portable: sums < 2^53 are "
+    "exact in double and quotients sit ≥1/n from the floor boundary). "
+    "Every iteration is bit-reproducible on any engine, so the whole "
+    "iterative algorithm is hash-checked against an UNROLLED SQL "
+    "oracle (was rows-only). One posexplode shuffle per iteration; "
+    "driver traffic k*dim numbers, never rows. The float/decimal "
+    "variant (kmeans_fit) stays for callers wanting full-precision "
+    "centroids; sample_diverse gives topic-balanced subsets.",
 )
 def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_extensions_spark.operators.clustering import (
-        kmeans_assignments,
+        kmeans_assignments_det,
     )
 
     emb = _t(spark, sf_dir, "embeddings")["embeddings"]
     return (
-        kmeans_assignments(emb, "vec_id", "embedding", k=8, iters=3)
+        kmeans_assignments_det(emb, "vec_id", "embedding", k=8, iters=3)
         .groupBy("cluster")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
     )
