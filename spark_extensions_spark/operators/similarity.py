@@ -849,3 +849,154 @@ def ann_ivf_topk_det(
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------
+# Deterministic IVF-PQ (oracle-checkable product quantization)
+# ---------------------------------------------------------------------
+
+
+def pq_codebooks_det(
+    corpus: DataFrame, id_col: str, vec_col: str, m: int, ksub: int
+) -> list[list[list[int]]]:
+    """Deterministic PQ codebooks: the ``ksub`` smallest-md5(id) corpus
+    rows, quantized, split into ``m`` subvectors — codebook[s][j] is
+    subvector s of sample row j. Sampled codewords instead of k-means
+    training keeps every later distance exact integer math (recall is
+    repaired by the exact-cosine rerank stage); the collect is bounded
+    at ``ksub`` rows."""
+    rows = ivf_centroids_det(corpus, id_col, vec_col, ksub)
+    dim = len(rows[0])
+    dsub = dim // m
+    return [
+        [r[s * dsub : (s + 1) * dsub] for r in rows] for s in range(m)
+    ]
+
+
+def pq_encode_expr(qq_col: str, books: list[list[list[int]]]) -> str:
+    """Spark SQL fragment: array of ``m`` PQ codes for a quantized
+    vector — per subspace, argmin of exact int64 squared-L2 to the
+    ``ksub`` codewords (first-min ⇒ ties to the smallest code, same
+    total order as the DuckDB twin). Row-local codegen; at 100 TB this
+    is the 32×-smaller index column you persist once."""
+    codes = []
+    for s, book in enumerate(books):
+        dsub = len(book[0])
+        sub = f"slice({qq_col}, {s * dsub + 1}, {dsub})"
+        terms = []
+        for cw in book:
+            arr = "array(" + ",".join(f"{int(v)}L" for v in cw) + ")"
+            terms.append(
+                f"aggregate(zip_with({sub}, {arr}, (v, c) -> (v - c) * (v - c)), "
+                f"0L, (a, b) -> a + b)"
+            )
+        d = "array(" + ",".join(terms) + ")"
+        codes.append(f"cast(array_position({d}, array_min({d})) - 1 as int)")
+    return "array(" + ",".join(codes) + ")"
+
+
+def pq_adc_expr(
+    qq_col: str, codes_col: str, books: list[list[list[int]]]
+) -> str:
+    """Spark SQL fragment: exact int64 asymmetric distance — Σ over
+    subspaces of squared-L2 between the query subvector and the
+    codeword the candidate's code points at (codebooks inlined as
+    array-of-array literals, element_at indexed by the code)."""
+    terms = []
+    for s, book in enumerate(books):
+        dsub = len(book[0])
+        sub = f"slice({qq_col}, {s * dsub + 1}, {dsub})"
+        cb = "array(" + ",".join(
+            "array(" + ",".join(f"{int(v)}L" for v in cw) + ")" for cw in book
+        ) + ")"
+        terms.append(
+            f"aggregate(zip_with({sub}, element_at({cb}, "
+            f"element_at({codes_col}, {s + 1}) + 1), "
+            f"(v, c) -> (v - c) * (v - c)), 0L, (a, b) -> a + b)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def ann_ivfpq_topk_det(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+    k: int,
+    dim: int,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    ksub: int = 16,
+    rerank: int = 64,
+) -> DataFrame:
+    """Approximate top-k via DETERMINISTIC IVF-PQ (Jégou et al. 2011).
+
+    Same FAISS-shape stages as :func:`ann_ivfpq_topk` — coarse IVF
+    probe join, product-quantized codes, ADC shortlist, exact-cosine
+    rerank — but every stage before the rerank is exact integer math
+    over md5-derived codebooks, so the shortlist (and therefore the
+    final result) is bit-reproducible on any engine and the query is
+    fully hash-checkable against a SQL oracle.
+
+    Scale shape: the two codebook collects are n_lists/ksub rows;
+    list assignment + PQ encode are row-local codegen (the persisted
+    index columns); probed queries broadcast-join into the unshuffled
+    corpus; ADC is a row-local integer fold; only the tiny shortlist
+    reaches the Python cosine stage.
+    """
+    cents = ivf_centroids_det(corpus, id_col, vec_col, n_lists)
+    books = pq_codebooks_det(corpus, id_col, vec_col, m, ksub)
+    c = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        )
+        .withColumn("__qq", F.expr(quantize_vec_expr("cv")))
+        .withColumn("list_id", F.expr(ivf_assign_expr("__qq", cents)))
+        .withColumn("codes", F.expr(pq_encode_expr("__qq", books)))
+        .drop("__qq")
+    )
+    q = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vec_col).alias("qv"),
+        )
+        .withColumn("__qq", F.expr(quantize_vec_expr("qv")))
+        .withColumn(
+            "list_id",
+            F.explode(F.expr(ivf_probe_expr("__qq", cents, n_probe))),
+        )
+    )
+    cand = F.broadcast(q).join(c, "list_id").select(
+        "query_id",
+        "qv",
+        "neighbor_id",
+        "cv",
+        F.expr(pq_adc_expr("__qq", "codes", books)).alias("adc"),
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id").asc()
+    )
+    shortlist = cand.withColumn("r0", F.row_number().over(w_adc)).filter(
+        F.col("r0") <= rerank
+    )
+    rescored = shortlist.select(
+        "query_id",
+        "neighbor_id",
+        cosine_pandas_cols(F.col("qv"), F.col("cv")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cosine",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )

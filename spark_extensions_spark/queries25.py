@@ -260,22 +260,117 @@ def q_quality_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return diagnose_skew(li, "l_suppkey", 10)
 
 
+def _ann_ivfpq_oracle(
+    n_lists: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    ksub: int = 16,
+    rerank: int = 64,
+    k: int = 5,
+    dim: int = 64,
+) -> str:
+    from spark_extensions_spark.operators.similarity import lsh_quantize_duck
+    from spark_extensions_spark.queries import _cosine_duck
+
+    dsub = dim // m
+    dist = (
+        "CAST(list_sum(list_transform(list_zip({a}, {b}), "
+        "p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT)"
+    )
+    cdist = dist.format(a="e.qq", b="c.cq")
+    sub_e = f"list_slice(e.qq, b.sub * {dsub} + 1, b.sub * {dsub} + {dsub})"
+    edist = dist.format(a=sub_e, b="b.bw")
+    sub_c = f"list_slice(c.pqq, x.sub * {dsub} + 1, x.sub * {dsub} + {dsub})"
+    adist = dist.format(a=sub_c, b="b.bw")
+    return f"""
+    WITH eq AS (
+      SELECT vec_id, embedding,
+             {lsh_quantize_duck('embedding')} AS qq
+      FROM embeddings
+    ), smp AS (
+      SELECT rn, qq FROM (
+        SELECT ROW_NUMBER() OVER (
+                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS rn, qq
+        FROM eq
+      ) WHERE rn < {max(n_lists, ksub)}
+    ), cent AS (
+      SELECT rn AS list_id, qq AS cq FROM smp WHERE rn < {n_lists}
+    ), book AS (
+      SELECT s.s AS sub, p.rn AS code,
+             list_slice(p.qq, s.s * {dsub} + 1, s.s * {dsub} + {dsub}) AS bw
+      FROM smp p, generate_series(0, {m - 1}) s(s)
+      WHERE p.rn < {ksub}
+    ), assigned AS (
+      SELECT vec_id, qq, list_id FROM (
+        SELECT e.vec_id, e.qq, c.list_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {cdist}, c.list_id) AS rn
+        FROM eq e CROSS JOIN cent c
+      ) WHERE rn = 1
+    ), codes AS (
+      SELECT vec_id, sub, code FROM (
+        SELECT e.vec_id, b.sub, b.code,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id, b.sub
+                                  ORDER BY {edist}, b.code) AS rn
+        FROM eq e CROSS JOIN book b
+      ) WHERE rn = 1
+    ), probes AS (
+      SELECT vec_id AS query_id, qq AS pqq, list_id FROM (
+        SELECT e.vec_id, e.qq, c.list_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {cdist}, c.list_id) AS rn
+        FROM eq e CROSS JOIN cent c WHERE e.vec_id < 10
+      ) WHERE rn <= {n_probe}
+    ), adc AS (
+      SELECT c.query_id, c.neighbor_id, SUM({adist}) AS adc
+      FROM (SELECT p.query_id, p.pqq, a.vec_id AS neighbor_id
+            FROM probes p JOIN assigned a USING (list_id)) c
+      JOIN codes x ON x.vec_id = c.neighbor_id
+      JOIN book b ON b.sub = x.sub AND b.code = x.code
+      GROUP BY c.query_id, c.neighbor_id, c.pqq
+    ), short AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY adc ASC, neighbor_id) AS r0
+        FROM adc
+      ) WHERE r0 <= {rerank}
+    ), s AS (
+      SELECT sh.query_id, sh.neighbor_id,
+             {_cosine_duck('qe.embedding', 'ce.embedding', dim)} AS cosine
+      FROM short sh
+      JOIN embeddings qe ON qe.vec_id = sh.query_id
+      JOIN embeddings ce ON ce.vec_id = sh.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT query_id, neighbor_id, cosine,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+             ) AS BIGINT) AS rank
+      FROM s
+    ) WHERE rank <= {k}
+    """
+
+
 @_register(
     "ann_ivfpq",
-    None,  # approximate (probe subset + PQ): rows-only + recall test
-    doc="IVF-PQ approximate top-k (operators/similarity.py:"
-    "ann_ivfpq_topk; Jegou et al. 2011): coarse IVF probe join + "
-    "product-quantized codes (32x smaller index column), per-query "
-    "ADC lookup-table scoring, exact-cosine rerank of the shortlist — "
-    "the FAISS-shape 100 TB ANN index expressed as Spark stages; "
-    "codebooks trained on a bounded hash-min sample.",
+    _ann_ivfpq_oracle(),
+    doc="IVF-PQ approximate top-k, DETERMINISTIC variant (operators/"
+    "similarity.py:ann_ivfpq_topk_det; Jegou et al. 2011): coarse IVF "
+    "probe join + product-quantized codes (32x smaller index column) "
+    "+ ADC shortlist + exact-cosine rerank, with every pre-rerank "
+    "stage exact int64 math over md5-derived codebooks — the whole "
+    "approximate query is hash-checked against the SQL oracle (was "
+    "rows-only with float-trained codebooks). Assignment and encode "
+    "are row-local codegen (the persisted index columns); probed "
+    "queries broadcast-join into an unshuffled corpus.",
 )
 def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from spark_extensions_spark.operators.similarity import ann_ivfpq_topk
+    from spark_extensions_spark.operators.similarity import ann_ivfpq_topk_det
 
     emb = _t(spark, sf_dir, "embeddings")["embeddings"]
     queries = emb.filter(F.col("vec_id") < 10)
-    return ann_ivfpq_topk(
+    return ann_ivfpq_topk_det(
         emb, queries, "vec_id", "embedding", "vec_id", "embedding",
         k=5, dim=64, n_lists=16, n_probe=4,
     )

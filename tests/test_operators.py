@@ -988,3 +988,62 @@ def test_embedding_ivf_det_equivalence_above_threshold(spark):
     for k, v in approx.items():
         assert v == exact[k]  # bit-identical scores
     assert len(approx) / max(1, len(exact)) > 0.1
+
+
+def test_ann_ivfpq_det_codes_and_recall(spark):
+    """Deterministic IVF-PQ: PQ codes match a pure-Python integer
+    recompute, and the ADC+rerank pipeline keeps recall vs brute
+    force."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from spark_extensions_spark.operators.similarity import (
+        ann_bruteforce_topk,
+        ann_ivfpq_topk_det,
+        pq_codebooks_det,
+        pq_encode_expr,
+        quantize_vec_expr,
+    )
+    from spark_extensions_spark.session import load_tables
+
+    emb = load_tables(spark, "/root/testdata/sf0.01", "embeddings")[
+        "embeddings"
+    ]
+    m, ksub = 8, 16
+    books = pq_codebooks_det(emb, "vec_id", "embedding", m=m, ksub=ksub)
+    assert len(books) == m and all(len(b) == ksub for b in books)
+
+    sub = emb.filter(F.col("vec_id") < 30)
+    got = {
+        r["vec_id"]: list(r["codes"])
+        for r in sub.withColumn("__qq", F.expr(quantize_vec_expr("embedding")))
+        .select("vec_id", F.expr(pq_encode_expr("__qq", books)).alias("codes"))
+        .collect()
+    }
+    dsub = 64 // m
+    for r in sub.select("vec_id", "embedding").collect():
+        q = [math.floor(float(v) * 1e6 + 0.5) for v in r["embedding"]]
+        codes = []
+        for s in range(m):
+            qs = q[s * dsub : (s + 1) * dsub]
+            dists = [
+                sum((v - c) * (v - c) for v, c in zip(qs, cw))
+                for cw in books[s]
+            ]
+            codes.append(dists.index(min(dists)))
+        assert got[r["vec_id"]] == codes
+
+    queries = emb.filter(F.col("vec_id") < 20)
+    args = (emb, queries, "vec_id", "embedding", "vec_id", "embedding")
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_bruteforce_topk(*args, k=5, dim=64).collect()
+    }
+    got_pq = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_ivfpq_topk_det(
+            *args, k=5, dim=64, n_lists=8, n_probe=3
+        ).collect()
+    }
+    assert len(got_pq & truth) / len(truth) > 0.3
