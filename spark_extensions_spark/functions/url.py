@@ -84,3 +84,78 @@ def url_canonicalize_duck(url_col: str) -> str:
         f"{scheme} || '://' || {host} || {path} || "
         f"CASE WHEN {kept} = '' THEN '' ELSE '?' || {kept} END"
     )
+
+
+# ---------------------------------------------------------------------
+# Domain-suffix blocklist filtering
+# ---------------------------------------------------------------------
+
+
+def host_suffix_expr(host_col: str, lvl: int) -> str:
+    """Spark SQL fragment: the last ``lvl`` dot-labels of a hostname
+    ('a.b.example.com', lvl=2 → 'example.com'); NULL when the host has
+    fewer labels."""
+    parts = f"split({host_col}, '\\\\.')"
+    return (
+        f"if(size({parts}) >= {lvl}, "
+        f"array_join(slice({parts}, size({parts}) - {lvl} + 1, {lvl}), '.'), "
+        f"cast(null as string))"
+    )
+
+
+def url_blocklist_filter(
+    df,
+    url_col: str,
+    blocklist,
+    domain_col: str = "domain",
+    max_labels: int = 4,
+):
+    """Drop rows whose URL host matches a blocked domain by dot-suffix
+    (the standard crawl-cleaning step: blocking ``example.com`` also
+    blocks ``cdn.example.com`` but NOT ``badexample.com``).
+
+    100 TB shape: the naive formulation — an ``ends_with(host,
+    '.'||domain)`` theta join — is a broadcast NESTED-LOOP over the
+    whole blocklist (n×B comparisons). Instead the blocklist is split
+    by label count and each level becomes one broadcast HASH equi-join
+    on the host's suffix at that level: ``max_labels`` hash joins,
+    zero shuffles, row count unchanged (each level's domains are
+    distinct, so a host matches ≤ 1 per level). Blocked domains with
+    more than ``max_labels`` labels are rejected up front rather than
+    silently ignored.
+
+    Returns the kept rows with the original columns plus ``__host``
+    dropped.
+    """
+    host_sql = f"lower(parse_url({url_col}, 'HOST'))"
+    out = df.withColumn("__host", F.expr(host_sql))
+    blocklist = blocklist.select(
+        F.lower(F.col(domain_col)).alias("__dom")
+    ).distinct()
+    too_deep = blocklist.filter(
+        F.size(F.split(F.col("__dom"), r"\.")) > max_labels
+    )
+    if not too_deep.isEmpty():  # tiny action on the (small) blocklist
+        sample = [r["__dom"] for r in too_deep.limit(3).collect()]
+        raise ValueError(
+            f"blocklist domains exceed max_labels={max_labels}: {sample}; "
+            "raise max_labels to match the deepest blocked domain"
+        )
+    markers = []
+    for lvl in range(1, max_labels + 1):
+        b = blocklist.filter(
+            F.size(F.split(F.col("__dom"), r"\.")) == lvl
+        ).withColumnRenamed("__dom", f"__b{lvl}")
+        out = out.join(
+            F.broadcast(b),
+            F.expr(host_suffix_expr("__host", lvl)) == F.col(f"__b{lvl}"),
+            "left",
+        )
+        markers.append(F.col(f"__b{lvl}").isNotNull())
+    blocked = markers[0]
+    for m in markers[1:]:
+        blocked = blocked | m
+    keep = out.filter(~blocked)
+    for lvl in range(1, max_labels + 1):
+        keep = keep.drop(f"__b{lvl}")
+    return keep.drop("__host")

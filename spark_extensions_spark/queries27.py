@@ -89,3 +89,62 @@ def q_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> SELECT l_returnflag, l_linestatus, sum_qty, sum_price, n
         """
     )
+
+
+_BLOCKED_DOMAINS = ("src1.org", "src3.org", "cdn.src5.org", "src7.org")
+
+
+@_register(
+    "url_blocklist_filter",
+    f"""
+    WITH u AS (
+      SELECT doc_id,
+             lower((CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'cdn.'
+                    WHEN 1 THEN 'www.' ELSE '' END)
+                   || source || '.org') AS host
+      FROM documents
+    ), b(domain) AS (
+      VALUES {", ".join(f"('{d}')" for d in _BLOCKED_DOMAINS)}
+    )
+    SELECT doc_id, host FROM u
+    WHERE NOT EXISTS (
+      SELECT 1 FROM b
+      WHERE u.host = b.domain OR ends_with(u.host, '.' || b.domain)
+    )
+    """,
+    doc="Domain-suffix URL blocklist filtering (functions/url.py:"
+    "url_blocklist_filter) — the standard crawl-cleaning step: "
+    "blocking example.com also blocks cdn.example.com but never "
+    "badexample.com. Spark plan is per-label-count broadcast HASH "
+    "equi-joins on the host suffix (zero shuffle, no nested loop); "
+    "the oracle is the naive NOT EXISTS ends_with formulation — "
+    "equivalence of the two IS the check. URLs synthesized from "
+    "source + doc_id (fixture corpus has no native ones); blocklist "
+    "mixes 2- and 3-label domains to exercise multiple levels.",
+)
+def q_url_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from spark_extensions_spark.functions.url import url_blocklist_filter
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    sub = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("cdn."))
+        .when(F.col("doc_id") % 3 == 1, F.lit("www."))
+        .otherwise(F.lit(""))
+    )
+    u = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"), sub, F.col("source"), F.lit(".org/doc/"),
+            F.col("doc_id"),
+        ).alias("url"),
+    )
+    block = spark.createDataFrame(
+        [(d,) for d in _BLOCKED_DOMAINS], "domain string"
+    )
+    kept = url_blocklist_filter(u, "url", block)
+    return kept.select(
+        "doc_id",
+        F.expr("lower(parse_url(url, 'HOST'))").alias("host"),
+    )
