@@ -527,16 +527,17 @@ def label_propagation(
             F.count(F.lit(1)).alias("c")
         )
         # argmax by (count desc, label asc): max_by on (c, -label) via
-        # struct ordering — encode as struct(c, negated label)
-        new = counts.groupBy("node").agg(
-            F.max_by(
-                "label", F.struct(F.col("c"), (-F.col("label")).alias("nl"))
-            ).alias("label")
-        )
+        # struct ordering — encode as struct(c, negated label).
+        # sym is symmetrized, so EVERY node receives ≥1 message — the
+        # aggregate's node set is complete and no backfill join with
+        # `nodes` is needed (removing it saves one shuffle per round).
         labels = (
-            nodes.join(new, "node", "left")
-            .select(
-                "node", F.coalesce("label", F.col("node")).alias("label")
+            counts.groupBy("node")
+            .agg(
+                F.max_by(
+                    "label",
+                    F.struct(F.col("c"), (-F.col("label")).alias("nl")),
+                ).alias("label")
             )
             .localCheckpoint(eager=False)
         )
