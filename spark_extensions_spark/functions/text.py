@@ -14,6 +14,8 @@ of them is oracle-checkable in DuckDB. Designed to run over a 100 TB
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -439,3 +441,89 @@ def html_extract_duck(col_sql: str) -> str:
         r = rep.replace("'", "''")
         expr = f"replace({expr}, '{e}', '{r}')"
     return f"trim(regexp_replace({expr}, '\\s+', ' ', 'g'))"
+
+
+# ---------------------------------------------------------------------
+# Duplicate-n-gram character fraction (Gopher repetition filter)
+# ---------------------------------------------------------------------
+
+
+def word_ngrams_sql(text_col: str, n: int) -> str:
+    """Spark SQL fragment: the document's word n-grams as an array of
+    space-joined strings (empty when fewer than n words)."""
+    ws = f"split(trim({text_col}), '\\\\s+')"
+    return (
+        f"case when size({ws}) >= {n} then "
+        f"transform(sequence(1, size({ws}) - {n} + 1), "
+        f"i -> array_join(slice({ws}, i, {n}), ' ')) "
+        f"else array() end"
+    )
+
+
+def dup_chars_from_sorted_sql(sorted_col: str, text_col: str) -> str:
+    """Spark SQL fragment: fraction of characters in n-grams occurring
+    ≥2 times, given a pre-SORTED gram array COLUMN (the Rae et al.
+    2021 "fraction of characters in duplicate n-grams" repetition
+    filter; the numerator counts every occurrence of a duplicated
+    gram). Sorting makes duplicate detection a neighbor test — O(G)
+    after the O(G log G) sort, all row-local, zero shuffle. Pass a
+    materialized column (withColumn), not an inline expression: inline
+    text would re-evaluate the sort per element."""
+    s = sorted_col
+    term = (
+        f"case when (i > 1 and element_at({s}, i) = element_at({s}, i - 1)) "
+        f"or (i < size({s}) and element_at({s}, i) = element_at({s}, i + 1)) "
+        f"then cast(length(element_at({s}, i)) as bigint) else 0L end"
+    )
+    dup = (
+        f"aggregate(transform(sequence(1, size({s})), i -> {term}), "
+        f"0L, (acc, v) -> acc + v)"
+    )
+    return (
+        f"case when size({s}) > 0 and length({text_col}) > 0 "
+        f"then cast({dup} as double) / length({text_col}) else 0.0d end"
+    )
+
+
+def word_ngrams_duck(text_col: str, n: int) -> str:
+    """DuckDB twin of :func:`word_ngrams_sql`."""
+    ws = f"regexp_split_to_array(trim({text_col}), '\\s+')"
+    return (
+        f"CASE WHEN len({ws}) >= {n} THEN "
+        f"list_transform(generate_series(1, len({ws}) - {n} + 1), "
+        f"i -> array_to_string(list_slice({ws}, i, i + {n} - 1), ' ')) "
+        f"ELSE [] END"
+    )
+
+
+def dup_chars_from_sorted_duck(sorted_col: str, text_col: str) -> str:
+    """DuckDB twin of :func:`dup_chars_from_sorted_sql` (same neighbor
+    test over the same sorted gram column)."""
+    s = sorted_col
+    term = (
+        f"CASE WHEN (i > 1 AND {s}[i] = {s}[i - 1]) "
+        f"OR (i < len({s}) AND {s}[i] = {s}[i + 1]) "
+        f"THEN CAST(length({s}[i]) AS BIGINT) ELSE 0 END"
+    )
+    dup = f"list_sum(list_transform(generate_series(1, len({s})), i -> {term}))"
+    return (
+        f"CASE WHEN len({s}) > 0 AND length({text_col}) > 0 "
+        f"THEN CAST(COALESCE({dup}, 0) AS DOUBLE) / length({text_col}) "
+        f"ELSE 0.0 END"
+    )
+
+
+def nfc_normalize_col(col: Column) -> Column:
+    """Unicode NFC normalization (Arrow-batched — Spark has no builtin;
+    the canonical first step of a cross-source dedup key, collapsing
+    composed vs decomposed encodings of the same visible text)."""
+
+    @F.pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda v: unicodedata.normalize("NFC", v) if v is not None else None
+        )
+
+    return _nfc(col)

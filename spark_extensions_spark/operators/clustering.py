@@ -195,7 +195,7 @@ def kmeans_fit_det(
     import math
 
     from spark_extensions_spark.operators.similarity import (
-        ivf_assign_expr,
+        ivf_assign_int_pandas,
         ivf_centroids_det,
         quantize_vec_expr,
     )
@@ -207,7 +207,7 @@ def kmeans_fit_det(
     for _ in range(iters):
         sums = (
             qdf.select(
-                F.expr(ivf_assign_expr("__qq", cents)).alias("__c"),
+                ivf_assign_int_pandas(cents)(F.col("__qq")).alias("__c"),
                 F.posexplode(F.col("__qq")).alias("__pos", "__val"),
             )
             .groupBy("__c", "__pos")
@@ -239,14 +239,14 @@ def kmeans_assignments_det(
     """``(id_col, cluster int)`` per row via :func:`kmeans_fit_det` —
     fully deterministic cross-engine."""
     from spark_extensions_spark.operators.similarity import (
-        ivf_assign_expr,
+        ivf_assign_int_pandas,
         quantize_vec_expr,
     )
 
     cents = kmeans_fit_det(df, id_col, vec_col, k, iters)
     return df.select(
         id_col,
-        F.expr(
-            ivf_assign_expr(quantize_vec_expr(vec_col), cents)
+        ivf_assign_int_pandas(cents)(
+            F.expr(quantize_vec_expr(vec_col))
         ).alias("cluster"),
     )

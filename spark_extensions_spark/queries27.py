@@ -148,3 +148,156 @@ def q_url_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.expr("lower(parse_url(url, 'HOST'))").alias("host"),
     )
+
+
+@_register(
+    "streaming_enrich",
+    """
+    SELECT time_bucket(INTERVAL '1 day', e.ts) AS win_start,
+           time_bucket(INTERVAL '1 day', e.ts) + INTERVAL '1 day' AS win_end,
+           n.n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(ROUND(SUM(CAST(e.value AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS sum_value
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY 1, 2, 3
+    """,
+    doc="Stream-STATIC broadcast enrichment (the lookup-table pattern "
+    "missing from the stream-stream suite): the event stream joins a "
+    "static customer->nation dim with a broadcast hash join — "
+    "stateless, no watermark on the join, no state store — then a "
+    "watermarked tumbling-window aggregate. availableNow replay to a "
+    "memory sink; oracle is the batch twin. At 100 TB/day the static "
+    "side is the one you refresh per-batch and broadcast.",
+)
+def q_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from spark_extensions_spark.queries2 import _events_stream_path
+    from spark_extensions_spark.streaming import (
+        read_stream_parquet,
+        run_available_now,
+        windowed_aggregate,
+    )
+
+    t = _t(spark, sf_dir, "customer", "nation")
+    dim = (
+        t["customer"]
+        .join(t["nation"], F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(F.col("c_custkey").alias("user_id"), "n_name")
+    )
+    stream = read_stream_parquet(spark, _events_stream_path(spark, sf_dir))
+    enriched = stream.join(F.broadcast(dim), "user_id")
+    return run_available_now(
+        windowed_aggregate(
+            enriched,
+            "ts",
+            "1 day",
+            aggs=[
+                F.count("*").alias("n_events"),
+                F.expr(
+                    "cast(round(sum(cast(value as decimal(18,4))), 2) as double)"
+                ).alias("sum_value"),
+            ],
+            keys=["n_name"],
+            watermark_delay="1 hour",
+        ),
+        output_mode="update",
+        state_partitions=8,
+    )
+
+
+def _dup_ngram_oracle() -> str:
+    from spark_extensions_spark.functions.text import (
+        dup_chars_from_sorted_duck,
+        word_ngrams_duck,
+    )
+
+    return f"""
+    WITH g AS (
+      SELECT doc_id, text,
+             list_sort({word_ngrams_duck('text', 2)}) AS s2,
+             list_sort({word_ngrams_duck('text', 3)}) AS s3
+      FROM documents
+    )
+    SELECT doc_id,
+           round({dup_chars_from_sorted_duck('s2', 'text')}, 6) AS dup2_frac,
+           round({dup_chars_from_sorted_duck('s3', 'text')}, 6) AS dup3_frac
+    FROM g
+    """
+
+
+@_register(
+    "text_dup_ngrams",
+    _dup_ngram_oracle(),
+    doc="Duplicate-n-gram character fraction (functions/text.py:"
+    "dup_chars_from_sorted_sql; Rae et al. 2021 Gopher repetition "
+    "filters): fraction of characters inside word 2-/3-grams "
+    "occurring >=2 times in the document — the boilerplate/loop-spam "
+    "signal the word-level text_repetition battery can't see. "
+    "Grams are materialized + sorted once per row (withColumn), then "
+    "duplicate detection is a sorted-neighbor test: O(G log G) "
+    "row-local, zero shuffle (an inline nested-filter formulation "
+    "re-evaluates the gram array per element — measured 80x slower).",
+)
+def q_text_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from spark_extensions_spark.functions.text import (
+        dup_chars_from_sorted_sql,
+        word_ngrams_sql,
+    )
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    g = docs.withColumn(
+        "s2", F.sort_array(F.expr(word_ngrams_sql("text", 2)))
+    ).withColumn("s3", F.sort_array(F.expr(word_ngrams_sql("text", 3))))
+    return g.select(
+        "doc_id",
+        F.round(
+            F.expr(dup_chars_from_sorted_sql("s2", "text")), 6
+        ).alias("dup2_frac"),
+        F.round(
+            F.expr(dup_chars_from_sorted_sql("s3", "text")), 6
+        ).alias("dup3_frac"),
+    )
+
+
+@_register(
+    "text_nfc_dedup_key",
+    """
+    SELECT doc_id,
+           md5(nfc_normalize(text || ' cafe' || chr(769) || ' ' ||
+               chr(8242) || chr(776))) AS nfc_key,
+           CAST(length(nfc_normalize('e' || chr(769))) AS INT) AS composed_len
+    FROM documents
+    """,
+    doc="Unicode NFC dedup keying (functions/text.py:nfc_normalize_col, "
+    "Arrow-batched unicodedata — Spark has no builtin): composed vs "
+    "decomposed encodings of the same visible text collapse to one "
+    "dedup key. Exercised on synthesized decomposed suffixes "
+    "(combining acute U+0301, diaeresis U+0308) appended to each doc; "
+    "oracle is DuckDB's native nfc_normalize — two independent NFC "
+    "implementations agreeing IS the check.",
+)
+def q_text_nfc_dedup_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from spark_extensions_spark.functions.text import nfc_normalize_col
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    # NOTE: Spark's chr() is ASCII-mod-256, not a code-point function —
+    # the combining characters are Python literals instead.
+    synth = F.concat(
+        F.col("text"),
+        F.lit(" cafe\u0301 \u2032\u0308"),
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(nfc_normalize_col(synth)).alias("nfc_key"),
+        F.length(nfc_normalize_col(F.lit("e\u0301")))
+        .cast("int")
+        .alias("composed_len"),
+    )

@@ -30,3 +30,53 @@ def test_url_blocklist_filter_boundaries(spark):
     )
     with pytest.raises(ValueError, match="max_labels"):
         url_blocklist_filter(df, "url", too_deep)
+
+
+def test_dup_ngram_chars_hand_cases(spark):
+    """Duplicate-n-gram fraction on hand-built docs: clean text scores
+    0, a repeated phrase counts every occurrence's characters."""
+    from pyspark.sql import functions as F
+
+    from spark_extensions_spark.functions.text import (
+        dup_chars_from_sorted_sql,
+        word_ngrams_sql,
+    )
+
+    rows = [
+        (1, "all words here are unique tokens"),
+        (2, "spam ham spam ham spam ham"),
+        (3, "one"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    g = df.withColumn("s2", F.sort_array(F.expr(word_ngrams_sql("text", 2))))
+    got = {
+        r["id"]: r["f"]
+        for r in g.select(
+            "id",
+            F.expr(dup_chars_from_sorted_sql("s2", "text")).alias("f"),
+        ).collect()
+    }
+    assert got[1] == 0.0
+    # doc 2: 2-grams = [spam ham, ham spam, spam ham, ham spam, spam ham]
+    # all 5 duplicated, chars = 5 * 8 = 40, text length 26
+    assert got[2] == 40 / 26
+    assert got[3] == 0.0 and got[4] == 0.0
+
+
+def test_nfc_normalize_collapses_decomposed(spark):
+    """NFC key: composed and decomposed spellings collapse."""
+    from pyspark.sql import functions as F
+
+    from spark_extensions_spark.functions.text import nfc_normalize_col
+
+    rows = [(1, "café"), (2, "café"), (3, None)]
+    df = spark.createDataFrame(rows, "id int, t string")
+    got = {
+        r["id"]: r["k"]
+        for r in df.select(
+            "id", nfc_normalize_col(F.col("t")).alias("k")
+        ).collect()
+    }
+    assert got[1] == got[2] == "café"
+    assert got[3] is None
