@@ -527,3 +527,54 @@ def nfc_normalize_col(col: Column) -> Column:
         )
 
     return _nfc(col)
+
+
+# ---------------------------------------------------------------------
+# Character-entropy quality signal
+# ---------------------------------------------------------------------
+
+
+def char_entropy_cols(text_col: str):
+    """Two Spark Columns ``(s, ks)`` to materialize via withColumn
+    before calling :func:`char_entropy_sql`: the sorted char array and
+    the per-distinct-char counts (O(D·N) row-local; D = charset size).
+    Materializing keeps each array evaluated once per row."""
+    s = F.array_sort(F.split(F.col(text_col), ""))
+    ks = F.expr(
+        "transform(array_distinct(__s), c -> size(filter(__s, x -> x = c)))"
+    )
+    return s, ks
+
+
+def char_entropy_sql(ks_col: str, s_col: str) -> str:
+    """Spark SQL fragment: Shannon character entropy (nats) from the
+    materialized count array — Σ (k/n)·ln(n/k), each term rounded to
+    1e-9 (the lm.py precedent: engine log agreement at double
+    precision, rounding kills ulp drift), summed in the deterministic
+    sorted-char order by a sequential fold. Low entropy = repeated-
+    character spam; high = random noise — a standard quality gate."""
+    n = f"cast(size({s_col}) as double)"
+    return (
+        f"case when size({s_col}) > 0 then round(aggregate("
+        f"transform({ks_col}, k -> round((cast(k as double) / {n}) "
+        f"* ln({n} / cast(k as double)), 9)), "
+        f"0.0d, (a, v) -> a + v), 6) else 0.0d end"
+    )
+
+
+def char_entropy_duck(ks_col: str, s_col: str) -> str:
+    """DuckDB twin of :func:`char_entropy_sql` over the SAME
+    pre-materialized (CTE) columns — inline recomputation of the
+    sorted array per lambda element would be O(D·N·log N) per row.
+    NOTE the Spark side's array_distinct preserves the sorted input
+    order; the DuckDB materialization must use
+    list_sort(list_distinct(...)) since list_distinct alone does not
+    guarantee order."""
+    n = f"CAST(len({s_col}) AS DOUBLE)"
+    return (
+        f"CASE WHEN len({s_col}) > 0 THEN round(list_reduce("
+        f"list_prepend(CAST(0.0 AS DOUBLE), list_transform({ks_col}, "
+        f"k -> round((CAST(k AS DOUBLE) / {n}) "
+        f"* ln({n} / CAST(k AS DOUBLE)), 9))), "
+        f"(a, v) -> a + v), 6) ELSE 0.0 END"
+    )

@@ -301,3 +301,50 @@ def q_text_nfc_dedup_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("composed_len"),
     )
+
+
+def _char_entropy_oracle() -> str:
+    from spark_extensions_spark.functions.text import char_entropy_duck
+
+    return f"""
+    WITH m AS (
+      SELECT doc_id, list_sort(string_split_regex(text, '')) AS s
+      FROM documents
+    ), k AS (
+      SELECT doc_id, s,
+             list_transform(list_sort(list_distinct(s)),
+                            c -> len(list_filter(s, x -> x = c))) AS ks
+      FROM m
+    )
+    SELECT doc_id, {char_entropy_duck('ks', 's')} AS char_entropy
+    FROM k
+    """
+
+
+@_register(
+    "text_char_entropy",
+    _char_entropy_oracle(),
+    doc="Shannon character entropy per document (functions/text.py:"
+    "char_entropy_sql) — low = repeated-character spam, high = random "
+    "noise; a standard quality gate alongside the Gopher battery. "
+    "Sorted char array + per-distinct-char counts materialized once "
+    "per row (withColumn / CTE), then a deterministic sequential fold "
+    "of per-term-rounded (k/n)·ln(n/k): identical order and identical "
+    "doubles on both engines (lm.py log-portability precedent). "
+    "Row-local, zero shuffle.",
+)
+def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from spark_extensions_spark.functions.text import (
+        char_entropy_cols,
+        char_entropy_sql,
+    )
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    s_col, ks_col = char_entropy_cols("text")
+    g = docs.withColumn("__s", s_col).withColumn("__ks", ks_col)
+    return g.select(
+        "doc_id",
+        F.expr(char_entropy_sql("__ks", "__s")).alias("char_entropy"),
+    )

@@ -316,6 +316,45 @@ def main() -> int:
         ).count(),
     )
 
+    # --- round-2 closing additions: deterministic-integer ANN family
+    from spark_extensions_spark.operators.clustering import (
+        kmeans_assignments_det,
+    )
+    from spark_extensions_spark.operators.dedup import (
+        embedding_neardup_pairs_ivf_det,
+    )
+    from spark_extensions_spark.operators.similarity import (
+        ann_ivfpq_topk_det,
+    )
+
+    run(
+        "kmeans_det",
+        lambda: kmeans_assignments_det(
+            emb, "vec_id", "embedding", k=8, iters=3
+        ).count(),
+    )
+    run(
+        "ivf_neardup_det",
+        lambda: embedding_neardup_pairs_ivf_det(
+            emb, "vec_id", "embedding", dim=64, threshold=0.30, n_lists=64
+        ).count(),
+    )
+    run(
+        "ivfpq_det",
+        lambda: ann_ivfpq_topk_det(
+            emb,
+            emb.filter(F.col("vec_id") < 20),
+            "vec_id",
+            "embedding",
+            "vec_id",
+            "embedding",
+            k=5,
+            dim=64,
+            n_lists=64,
+            n_probe=4,
+        ).count(),
+    )
+
     import shutil
 
     shutil.rmtree(base, ignore_errors=True)
