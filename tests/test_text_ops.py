@@ -80,3 +80,30 @@ def test_nfc_normalize_collapses_decomposed(spark):
     }
     assert got[1] == got[2] == "café"
     assert got[3] is None
+
+
+def test_char_entropy_hand_cases(spark):
+    """Character entropy: uniform 2-char doc = ln(2); single-char doc =
+    0; empty = 0."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from spark_extensions_spark.functions.text import (
+        char_entropy_cols,
+        char_entropy_sql,
+    )
+
+    rows = [(1, "abab"), (2, "aaaa"), (3, "")]
+    df = spark.createDataFrame(rows, "id int, text string")
+    s_col, ks_col = char_entropy_cols("text")
+    g = df.withColumn("__s", s_col).withColumn("__ks", ks_col)
+    got = {
+        r["id"]: r["e"]
+        for r in g.select(
+            "id", F.expr(char_entropy_sql("__ks", "__s")).alias("e")
+        ).collect()
+    }
+    assert abs(got[1] - round(math.log(2), 6)) < 2e-6
+    assert got[2] == 0.0
+    assert got[3] == 0.0
