@@ -514,6 +514,11 @@ def label_propagation(
     pattern as connected_components).  Output: (node, community).
     """
     e = canonical_edges(edges, src, dst)
+    # At bench scale the labels side broadcasts, so the per-round join
+    # never shuffles sym and per-round cost is the two aggregate
+    # exchanges. For node sets beyond broadcast range, repartition sym
+    # by dst here ONCE (the checkpoint preserves the layout) so each
+    # round's sort-merge join reshuffles only the labels side.
     sym = e.unionAll(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=False)
