@@ -445,3 +445,54 @@ def pps_oracle_sql(
     FROM tot
     WHERE (cum * {k}) // tot > ((cum - {weight_col}) * {k}) // tot
     """
+
+
+def aexpj_key(key_col: str, weight_sql: str, salt: str = "aexpj") -> Column:
+    """Deterministic Efraimidis–Spirakis weighted-sampling key:
+    ``ln(1/u) / w`` with ``u`` an md5-uniform in (0,1) derived from the
+    row key. Keeping the k SMALLEST keys is a weighted sample without
+    replacement with inclusion odds ∝ w (the A-ExpJ scheme, Efraimidis
+    & Spirakis 2006) — and because u is a hash, the "random" sample is
+    reproducible on any engine and under any partitioning (no RNG
+    state, no seed plumbing). ``weight_sql`` must be strictly
+    positive."""
+    h = (
+        f"cast(conv(substring(md5(concat(cast({key_col} as string), "
+        f"':', '{salt}')), 1, {_HEX_CHARS}), 16, 10) as bigint)"
+    )
+    scale = float((1 << (4 * _HEX_CHARS)) + 1)
+    return F.expr(
+        f"ln({scale}d / (cast({h} as double) + 1.0d)) "
+        f"/ cast({weight_sql} as double)"
+    )
+
+
+def aexpj_key_duck(key_col: str, weight_sql: str, salt: str = "aexpj") -> str:
+    """DuckDB twin of :func:`aexpj_key` (same hash, same IEEE ops)."""
+    h = (
+        f"('0x' || substr(md5(CAST({key_col} AS VARCHAR) || ':' || "
+        f"'{salt}'), 1, {_HEX_CHARS}))::BIGINT"
+    )
+    scale = float((1 << (4 * _HEX_CHARS)) + 1)
+    return (
+        f"ln({scale} / (CAST({h} AS DOUBLE) + 1.0)) "
+        f"/ CAST({weight_sql} AS DOUBLE)"
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_sql: str,
+    k: int,
+    salt: str = "aexpj",
+) -> DataFrame:
+    """k-row weighted sample without replacement (smallest A-ExpJ
+    keys). One global top-k — TakeOrderedAndProject at scale, no
+    full sort, no driver state beyond the k rows."""
+    return (
+        df.withColumn("__akey", aexpj_key(key_col, weight_sql, salt))
+        .orderBy("__akey", key_col)
+        .limit(k)
+        .drop("__akey")
+    )

@@ -348,3 +348,34 @@ def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.expr(char_entropy_sql("__ks", "__s")).alias("char_entropy"),
     )
+
+
+def _weighted_sample_oracle(k: int = 100) -> str:
+    from spark_extensions_spark.operators.sampling import aexpj_key_duck
+
+    return f"""
+    SELECT doc_id, source, n_chars FROM documents
+    ORDER BY {aexpj_key_duck('doc_id', 'n_chars')}, doc_id
+    LIMIT {k}
+    """
+
+
+@_register(
+    "sample_weighted_aexpj",
+    _weighted_sample_oracle(),
+    doc="Weighted sampling WITHOUT replacement (operators/sampling.py:"
+    "weighted_sample; Efraimidis & Spirakis 2006 A-ExpJ): keep the k "
+    "smallest ln(1/u)/w keys with u md5-uniform — inclusion odds "
+    "proportional to n_chars, reproducible on any engine/partitioning "
+    "(no RNG state). Plan is one global top-k "
+    "(TakeOrderedAndProject): no full sort, no driver state beyond k "
+    "rows. The importance-weighted cousin of the uniform hash-split "
+    "family.",
+)
+def q_sample_weighted_aexpj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_extensions_spark.operators.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return weighted_sample(
+        docs.select("doc_id", "source", "n_chars"), "doc_id", "n_chars", 100
+    )

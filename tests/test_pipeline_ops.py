@@ -1,0 +1,41 @@
+
+
+def test_weighted_sample_inclusion_bias(spark):
+    """A-ExpJ sample: heavier rows are included more often (aggregate
+    over many disjoint salts), sample size exact, no duplicates, and
+    the plan is a global top-k (TakeOrderedAndProject), not a sort."""
+    from pyspark.sql import functions as F
+
+    from spark_extensions_spark.operators.sampling import weighted_sample
+
+    df = spark.range(400).select(
+        F.col("id"),
+        F.when(F.col("id") < 40, F.lit(50)).otherwise(F.lit(1)).alias("w"),
+    )
+    heavy_hits = 0
+    for s in range(12):
+        got = weighted_sample(df, "id", "w", 40, salt=f"s{s}").collect()
+        ids = [r["id"] for r in got]
+        assert len(ids) == 40 and len(set(ids)) == 40
+        heavy_hits += sum(1 for i in ids if i < 40)
+    # heavy ids are 10% of rows but carry ~85% of total weight;
+    # uniform sampling would give ~4 hits/round, weighted ~>15
+    assert heavy_hits / 12 > 12
+
+    plan = weighted_sample(df, "id", "w", 40)._jdf.queryExecution()
+    assert "TakeOrderedAndProject" in plan.executedPlan().toString()
+
+
+def test_weighted_sample_partitioning_invariant(spark):
+    """Same sample regardless of physical layout."""
+    from pyspark.sql import functions as F
+
+    from spark_extensions_spark.operators.sampling import weighted_sample
+
+    df = spark.range(500).select("id", (F.col("id") % 7 + 1).alias("w"))
+    a = {r["id"] for r in weighted_sample(df, "id", "w", 50).collect()}
+    b = {
+        r["id"]
+        for r in weighted_sample(df.repartition(13), "id", "w", 50).collect()
+    }
+    assert a == b
