@@ -144,6 +144,20 @@ _PRIORITY: tuple[str, ...] = (
     "privacy_k_anonymity",
     "text_html_extract",
     "tokenizer_bpe",
+    # round-2 closing: deterministic ANN family + new surface
+    "ann_lsh",
+    "ann_ivf",
+    "ann_ivfpq",
+    "embedding_kmeans",
+    "dedup_embedding_ivf",
+    "sql_recursive_cte",
+    "sql_pipe_syntax",
+    "url_blocklist_filter",
+    "streaming_enrich",
+    "text_dup_ngrams",
+    "text_nfc_dedup_key",
+    "text_char_entropy",
+    "sample_weighted_aexpj",
 )
 
 
