@@ -379,3 +379,38 @@ def q_sample_weighted_aexpj(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample(
         docs.select("doc_id", "source", "n_chars"), "doc_id", "n_chars", 100
     )
+
+
+@_register(
+    "xml_file_roundtrip",
+    """
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer WHERE c_custkey <= 500
+    """,
+    doc="Native XML file sink + source roundtrip (Spark 4 ships the "
+    "spark-xml format in core): write a customer slice as row-tagged "
+    "XML, read it back with the same rowTag — entity escaping, type "
+    "re-inference and losslessness all exercised; oracle is the "
+    "source slice. Pairs the XSD converter (schema/xsd.py) and "
+    "from_xml expression (xml_parse) with the FILE-level XML surface "
+    "of §2.C.",
+)
+def q_xml_file_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    c = (
+        _t(spark, sf_dir, "customer")["customer"]
+        .filter(F.col("c_custkey") <= 500)
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="xml_rt_q_"), "data")
+    c.write.format("xml").option("rowTag", "customer").save(path)
+    back = spark.read.format("xml").option("rowTag", "customer").load(path)
+    return back.select(
+        F.col("c_custkey").cast("bigint"),
+        "c_name",
+        F.col("c_acctbal").cast("double"),
+    )
