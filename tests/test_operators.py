@@ -1047,3 +1047,71 @@ def test_ann_ivfpq_det_codes_and_recall(spark):
         ).collect()
     }
     assert len(got_pq & truth) / len(truth) > 0.3
+
+
+def test_quantization_portability_property(spark):
+    """Property (hypothesis): the fixed-point quantizer and the integer
+    L2 argmin match a pure-Python recompute for arbitrary float inputs
+    — the invariant every deterministic ANN/IVF/k-means oracle rests
+    on. Runs the whole batch through ONE Spark job."""
+    import math
+
+    from hypothesis import given, settings, strategies as st
+
+    from pyspark.sql import functions as F
+
+    from spark_extensions_spark.operators.similarity import (
+        ivf_assign_expr,
+        quantize_vec_expr,
+    )
+
+    dim = 8
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        st.lists(
+            st.lists(
+                st.floats(
+                    min_value=-100,
+                    max_value=100,
+                    allow_nan=False,
+                    allow_infinity=False,
+                    width=32,
+                ),
+                min_size=dim,
+                max_size=dim,
+            ),
+            min_size=1,
+            max_size=8,
+        ),
+        st.integers(min_value=2, max_value=4),
+    )
+    def check(vecs, k):
+        cents = [
+            [math.floor(float(v) * 1e6 + 0.5) for v in vec]
+            for vec in vecs[:k]
+        ]
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "id int, vec array<float>",
+        )
+        got = {
+            r["id"]: (list(r["qq"]), r["l"])
+            for r in df.withColumn("qq", F.expr(quantize_vec_expr("vec")))
+            .withColumn("l", F.expr(ivf_assign_expr("qq", cents)))
+            .collect()
+        }
+        for i, v in enumerate(vecs):
+            q = [math.floor(float(np32) * 1e6 + 0.5) for np32 in _f32(v)]
+            dists = [
+                sum((a - c) * (a - c) for a, c in zip(q, cq)) for cq in cents
+            ]
+            assert got[i][0] == q
+            assert got[i][1] == dists.index(min(dists))
+
+    import numpy as np
+
+    def _f32(v):
+        return [float(x) for x in np.asarray(v, dtype=np.float32)]
+
+    check()
