@@ -92,3 +92,30 @@ def test_one_scan_stats_queries(spark):
             "l_discount",
             "l_tax",
         }, (name, scans)
+
+
+def test_dynamic_partition_pruning_fires(spark):
+    """A fact table partitioned on the join key, joined to a selective
+    dim, must plan a dynamicpruning subquery on the partition column —
+    at 100 TB this skips whole partitions at runtime instead of
+    scanning them (AQE's complement for star joins)."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    base = tempfile.mkdtemp(prefix="dpp_")
+    fact_p = os.path.join(base, "fact")
+    spark.range(10000).select(
+        F.col("id"), (F.col("id") % 20).alias("pk")
+    ).write.partitionBy("pk").parquet(fact_p)
+    fact = spark.read.parquet(fact_p)
+    dim = spark.range(20).select(
+        F.col("id").alias("pk"), (F.col("id") % 2 == 0).alias("keep")
+    )
+    prev = spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.enabled")
+    joined = fact.join(dim.filter(F.col("keep")), "pk").select("id")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert prev == "true"
+    assert "dynamicpruning" in plan.lower(), plan[:800]
+    assert joined.count() == 5000
