@@ -414,3 +414,62 @@ def q_xml_file_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_name",
         F.col("c_acctbal").cast("double"),
     )
+
+
+@_register(
+    "sql_lateral_alias",
+    """
+    SELECT o_orderkey,
+           o_totalprice * 0.9 AS discounted,
+           (o_totalprice * 0.9) * 0.05 AS tax,
+           (o_totalprice * 0.9) + ((o_totalprice * 0.9) * 0.05) AS total
+    FROM orders WHERE o_orderkey <= 1000
+    """,
+    doc="Lateral column aliases (Spark 3.4+): a SELECT item referencing "
+    "earlier aliases in the SAME select list (discounted -> tax -> "
+    "total) — the ergonomic form of chained derivations; the analyzer "
+    "inlines the chain, so the oracle is the fully-expanded ANSI "
+    "rewrite and must hash-match exactly.",
+)
+def q_sql_lateral_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               o_totalprice * 0.9 AS discounted,
+               discounted * 0.05 AS tax,
+               discounted + tax AS total
+        FROM orders WHERE o_orderkey <= 1000
+        """
+    )
+
+
+@_register(
+    "sql_group_by_all_param",
+    """
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS total
+    FROM orders
+    WHERE o_orderkey <= 30000
+    GROUP BY o_orderpriority, o_orderstatus
+    """,
+    doc="GROUP BY ALL + named-parameter SQL (Spark 4): every "
+    "non-aggregate select item becomes a grouping key, the literal "
+    "arrives via spark.sql(..., args={...}) placeholder binding and "
+    "the table via the IDENTIFIER() clause — the injection-safe "
+    "templating surface; oracle is the explicit ANSI form.",
+)
+def q_sql_group_by_all_param(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS total
+        FROM IDENTIFIER(:tbl)
+        WHERE o_orderkey <= :max_key
+        GROUP BY ALL
+        """,
+        args={"tbl": "orders", "max_key": 30000},
+    )
