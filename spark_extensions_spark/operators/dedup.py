@@ -1086,3 +1086,55 @@ def duplicate_spans_oracle_sql(
     GROUP BY md5(span)
     HAVING COUNT(DISTINCT id) >= {min_docs}
     """
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    window: int = 5,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández & Stolfo 1995): order
+    the corpus by a blocking key and emit every candidate pair within
+    ``window`` positions — the classic record-linkage alternative to
+    prefix blocking when typos cluster under a sort key (names,
+    addresses).
+
+    Scale shape: a two-phase global sort index
+    (``sampling.global_sort_index`` — no single-partition window),
+    then pairing via the banded equi-join on the index
+    (``joins.band_join``: 3× bucket explode, O(n·window) pairs, no
+    self-cross). Output: ``(id_a, id_b, key_a, key_b, pos_gap)`` with
+    ``id_a`` the earlier row in sort order.
+    """
+    from spark_extensions_spark.operators.joins import band_join
+    from spark_extensions_spark.operators.sampling import global_sort_index
+
+    idx = global_sort_index(
+        df.select(id_col, key_col), [key_col, id_col], "__pos"
+    )
+    a = idx.select(
+        F.col(id_col).alias("id_a"),
+        F.col(key_col).alias("key_a"),
+        F.col("__pos").alias("__pa"),
+    )
+    b = idx.select(
+        F.col(id_col).alias("id_b"),
+        F.col(key_col).alias("key_b"),
+        F.col("__pos").alias("__pb"),
+    )
+    paired = band_join(
+        a,
+        b,
+        "__pa",
+        "__pb",
+        float(window),
+        extra_cond=(F.col("__pb") > F.col("__pa")),
+    )
+    return paired.select(
+        "id_a",
+        "id_b",
+        "key_a",
+        "key_b",
+        (F.col("__pb") - F.col("__pa")).cast("int").alias("pos_gap"),
+    )

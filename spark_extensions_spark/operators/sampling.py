@@ -193,11 +193,35 @@ def deterministic_shuffle(
     upstream lineage from executing twice.
     """
     hcol = hash_bucket(key_col, salt, 1 << 60)
+    return global_sort_index(
+        df.withColumn("__h", hcol),
+        ["__h", key_col],
+        out_col,
+        num_partitions,
+    ).drop("__h")
+
+
+def global_sort_index(
+    df: DataFrame,
+    order_cols: list[str],
+    out_col: str = "sort_pos",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic global 0-based sort index by ``order_cols`` (which
+    must be a total order — append a unique id as the last column).
+
+    The classic two-phase global sort-index: range-repartition + local
+    sort + ``localCheckpoint`` (one materialization, so the count job
+    and the index job see identical partitions), then per-partition
+    local indices from ``monotonically_increasing_id`` offset by the
+    preceding partitions' row counts. Driver traffic is one integer
+    per partition — no single-partition global window.
+    """
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    cols = [F.col(c) for c in order_cols]
     ranged = (
-        df.withColumn("__h", hcol)
-        .repartitionByRange(parts, F.col("__h"), F.col(key_col))
-        .sortWithinPartitions("__h", key_col)
+        df.repartitionByRange(parts, *cols)
+        .sortWithinPartitions(*cols)
         .localCheckpoint()
     )
     counts = (
@@ -222,7 +246,7 @@ def deterministic_shuffle(
         .withColumn("__pid", F.spark_partition_id())
         .join(offset_df, "__pid")
         .withColumn(out_col, (F.col("__offset") + local).cast("bigint"))
-        .drop("__h", "__pid", "__mid", "__offset")
+        .drop("__pid", "__mid", "__offset")
     )
 
 

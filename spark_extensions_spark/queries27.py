@@ -473,3 +473,82 @@ def q_sql_group_by_all_param(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"tbl": "orders", "max_key": 30000},
     )
+
+
+@_register(
+    "link_sorted_neighborhood",
+    """
+    WITH idx AS (
+      SELECT c_custkey, c_name,
+             ROW_NUMBER() OVER (ORDER BY c_name, c_custkey) - 1 AS pos
+      FROM customer
+    )
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           a.c_name AS key_a, b.c_name AS key_b,
+           CAST(b.pos - a.pos AS INT) AS pos_gap
+    FROM idx a JOIN idx b
+      ON b.pos > a.pos AND b.pos - a.pos <= 4
+    """,
+    doc="Sorted-neighborhood blocking (operators/dedup.py:"
+    "sorted_neighborhood_pairs; Hernández & Stolfo 1995): order the "
+    "corpus by the blocking key, pair rows within w positions — the "
+    "record-linkage candidate generator for typo-clustered sort keys. "
+    "Scale shape: two-phase global sort index (range partition + "
+    "per-partition offsets, NO single-partition window) + banded "
+    "equi-join on the index (O(n·w) pairs). Oracle is the naive "
+    "ROW_NUMBER self-join.",
+)
+def q_link_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_extensions_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    c = _t(spark, sf_dir, "customer")["customer"]
+    return sorted_neighborhood_pairs(c, "c_custkey", "c_name", window=4)
+
+
+@_register(
+    "feature_target_encode",
+    """
+    WITH g AS (
+      SELECT o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS s
+      FROM orders GROUP BY o_orderpriority
+    ), tot AS (
+      SELECT CAST(SUM(s) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS gmean
+      FROM g
+    )
+    SELECT o_orderpriority, n,
+           (CAST(s AS DOUBLE) + 30.0 * gmean) / (CAST(n AS DOUBLE) + 30.0)
+             AS encoded
+    FROM g CROSS JOIN tot
+    """,
+    doc="Smoothed target (mean) encoding — the categorical-feature "
+    "prep step: per-category Bayesian-smoothed mean "
+    "(Σy + m·global)/(n + m), m=30 (Micci-Barreca 2001). One hash "
+    "aggregate + a 1-row broadcast; DECIMAL power sums keep the "
+    "aggregation order-free, the final blend is a fixed-order double "
+    "expression (identical IEEE sequence in the oracle).",
+)
+def q_feature_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    o = _t(spark, sf_dir, "orders")["orders"]
+    g = o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum(F.expr("cast(o_totalprice as decimal(20,4))")).alias("s"),
+    )
+    tot = g.agg(
+        (
+            F.sum("s").cast("double") / F.sum("n").cast("double")
+        ).alias("gmean")
+    )
+    return g.crossJoin(F.broadcast(tot)).select(
+        "o_orderpriority",
+        "n",
+        (
+            (F.col("s").cast("double") + F.lit(30.0) * F.col("gmean"))
+            / (F.col("n").cast("double") + F.lit(30.0))
+        ).alias("encoded"),
+    )

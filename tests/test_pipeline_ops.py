@@ -39,3 +39,32 @@ def test_weighted_sample_partitioning_invariant(spark):
         for r in weighted_sample(df.repartition(13), "id", "w", 50).collect()
     }
     assert a == b
+
+
+def test_sorted_neighborhood_pairs_window(spark):
+    """Sorted-neighborhood blocking: exactly the pairs within w sorted
+    positions, no self-pairs, partition-layout invariant."""
+    from pyspark.sql import functions as F
+
+    from spark_extensions_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    rows = [(i, f"name_{i:03d}") for i in range(30)]
+    df = spark.createDataFrame(rows, "id int, name string")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in sorted_neighborhood_pairs(df, "id", "name", window=3).collect()
+    }
+    expected = {
+        (a, b) for a in range(30) for b in range(a + 1, min(a + 4, 30))
+    }
+    assert got == expected
+
+    got2 = {
+        (r["id_a"], r["id_b"])
+        for r in sorted_neighborhood_pairs(
+            df.repartition(7), "id", "name", window=3
+        ).collect()
+    }
+    assert got2 == expected
