@@ -402,3 +402,99 @@ def kmv_oracle_sql(
                 ELSE {float(k - 1)} / max_frac END AS est_distinct
     FROM agg
     """
+
+
+def kmv_set_ops(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    key_col: str,
+    k: int = 256,
+    salt: str = "kmv",
+) -> DataFrame:
+    """Set-operation estimates from K-minimum-values sketches
+    (Bar-Yossef et al. 2002; Beyer et al. 2007 for the Jaccard form):
+    union cardinality from the MERGED sketch (k smallest of A∪B), the
+    Jaccard index as the fraction of those k union-minima present in
+    BOTH sides, and intersection = jaccard · union — the classic
+    sketch identity. Everything is md5-deterministic, so the estimates
+    hash-match a SQL oracle exactly.
+
+    Plan shape: per-side distinct-by-hash (map-side partial), one
+    top-k over the union (TakeOrdered — no full sort), then two
+    broadcast semi-join membership probes of the k-row minima set.
+    Only k hashes ever leave the aggregation.
+    """
+    def hashes(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.md5(
+                F.concat(F.col(key_col).cast("string"), F.lit(":" + salt))
+            ).alias("h")
+        ).distinct()
+
+    ha, hb = hashes(df_a), hashes(df_b)
+    kmin = ha.unionAll(hb).distinct().orderBy("h").limit(k)
+    in_a = kmin.join(ha, "h", "left_semi")
+    in_b = kmin.join(hb, "h", "left_semi")
+    both = in_a.join(in_b, "h", "left_semi")
+    frac = F.conv(F.substring(F.col("h"), 1, 15), 16, 10).cast(
+        "double"
+    ) / F.lit(float(1 << 60))
+    agg = kmin.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_seen"),
+        F.max(frac).alias("max_frac"),
+    )
+    nboth = both.agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+    est_union = (
+        F.when(F.col("n_seen") < k, F.col("n_seen").cast("double"))
+        .otherwise(F.lit(float(k - 1)) / F.col("max_frac"))
+    )
+    return agg.crossJoin(F.broadcast(nboth)).select(
+        "n_seen",
+        "n_both",
+        est_union.alias("est_union"),
+        (
+            F.col("n_both").cast("double") / F.col("n_seen").cast("double")
+        ).alias("est_jaccard"),
+        (
+            (F.col("n_both").cast("double") / F.col("n_seen").cast("double"))
+            * est_union
+        ).alias("est_intersect"),
+    )
+
+
+def kmv_set_ops_oracle_sql(
+    table_a: str,
+    table_b: str,
+    key_col: str,
+    k: int = 256,
+    salt: str = "kmv",
+) -> str:
+    """DuckDB twin of :func:`kmv_set_ops`."""
+    return f"""
+    WITH ha AS (
+      SELECT DISTINCT md5(CAST({key_col} AS VARCHAR) || ':{salt}') AS h
+      FROM {table_a}
+    ), hb AS (
+      SELECT DISTINCT md5(CAST({key_col} AS VARCHAR) || ':{salt}') AS h
+      FROM {table_b}
+    ), kmin AS (
+      SELECT h FROM (SELECT h FROM ha UNION SELECT h FROM hb)
+      ORDER BY h LIMIT {k}
+    ), agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_seen,
+             MAX(CAST(('0x' || substr(h, 1, 15)) AS BIGINT)
+                 / CAST({float(1 << 60)} AS DOUBLE)) AS max_frac
+      FROM kmin
+    ), nb AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_both FROM kmin
+      WHERE h IN (SELECT h FROM ha) AND h IN (SELECT h FROM hb)
+    )
+    SELECT n_seen, n_both,
+           CASE WHEN n_seen < {k} THEN CAST(n_seen AS DOUBLE)
+                ELSE {float(k - 1)} / max_frac END AS est_union,
+           CAST(n_both AS DOUBLE) / CAST(n_seen AS DOUBLE) AS est_jaccard,
+           (CAST(n_both AS DOUBLE) / CAST(n_seen AS DOUBLE))
+             * CASE WHEN n_seen < {k} THEN CAST(n_seen AS DOUBLE)
+                    ELSE {float(k - 1)} / max_frac END AS est_intersect
+    FROM agg CROSS JOIN nb
+    """

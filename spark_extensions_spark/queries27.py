@@ -552,3 +552,40 @@ def q_feature_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n").cast("double") + F.lit(30.0))
         ).alias("encoded"),
     )
+
+
+def _kmv_setops_oracle() -> str:
+    from spark_extensions_spark.operators.sketches import (
+        kmv_set_ops_oracle_sql,
+    )
+
+    return kmv_set_ops_oracle_sql(
+        "(SELECT o_custkey FROM orders WHERE o_orderdate <  TIMESTAMP '1996-01-01')",
+        "(SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01')",
+        "o_custkey",
+        k=256,
+    )
+
+
+@_register(
+    "agg_kmv_setops",
+    _kmv_setops_oracle(),
+    doc="KMV sketch SET operations (operators/sketches.py:kmv_set_ops; "
+    "Bar-Yossef 2002 / Beyer 2007): union cardinality from the merged "
+    "k-minima, Jaccard as the both-sides fraction of those minima, "
+    "intersection = jaccard x union — applied to customers active "
+    "before vs after 1996 (the audience-overlap question). md5 "
+    "determinism makes the whole sketch pipeline hash-checkable; plan "
+    "is two distinct partials + one TakeOrdered top-k + broadcast "
+    "membership probes (k hashes of driver traffic).",
+)
+def q_agg_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from spark_extensions_spark.operators.sketches import kmv_set_ops
+
+    o = _t(spark, sf_dir, "orders")["orders"]
+    cut = "1996-01-01"
+    a = o.filter(F.col("o_orderdate") < cut).select("o_custkey")
+    b = o.filter(F.col("o_orderdate") >= cut).select("o_custkey")
+    return kmv_set_ops(a, b, "o_custkey", k=256)

@@ -1115,3 +1115,23 @@ def test_quantization_portability_property(spark):
         return [float(x) for x in np.asarray(v, dtype=np.float32)]
 
     check()
+
+
+def test_kmv_set_ops_accuracy(spark):
+    """KMV set-op estimates: within ~15% of truth on overlapping sets;
+    exact in the small regime (distinct union < k)."""
+    from pyspark.sql import functions as F
+
+    from spark_extensions_spark.operators.sketches import kmv_set_ops
+
+    a = spark.range(0, 3000).select(F.col("id"))
+    b = spark.range(1500, 4500).select(F.col("id"))
+    r = kmv_set_ops(a, b, "id", k=512).collect()[0]
+    assert abs(r["est_union"] - 4500) / 4500 < 0.15
+    assert abs(r["est_intersect"] - 1500) / 1500 < 0.3
+
+    small_a = spark.range(0, 50)
+    small_b = spark.range(25, 80)
+    r2 = kmv_set_ops(small_a, small_b, "id", k=256).collect()[0]
+    assert r2["est_union"] == 80.0
+    assert abs(r2["est_intersect"] - 25.0) < 1e-9
