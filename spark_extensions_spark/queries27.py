@@ -589,3 +589,53 @@ def q_agg_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = o.filter(F.col("o_orderdate") < cut).select("o_custkey")
     b = o.filter(F.col("o_orderdate") >= cut).select("o_custkey")
     return kmv_set_ops(a, b, "o_custkey", k=256)
+
+
+@_register(
+    "window_session_builtin",
+    """
+    WITH d AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL '30 minutes'
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+      FROM (SELECT DISTINCT user_id, ts FROM events)
+    ), s AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM d
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '30 minutes' AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+    doc="Batch session windows via the BUILT-IN session_window function "
+    "(30-min gap) — one groupBy, Catalyst's native session merge, no "
+    "hand-rolled lag/cumsum. The oracle is the classic gaps-and-"
+    "islands formulation, proving the builtin's semantics equal the "
+    "textbook SQL (window end = last event + gap). Distinct (user,ts) "
+    "first: the builtin merges same-timestamp events, so the twin "
+    "must count identically.",
+)
+def q_window_session_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    e = _t(spark, sf_dir, "events")["events"]
+    d = e.select("user_id", "ts").distinct()
+    return (
+        d.groupBy(
+            "user_id",
+            F.session_window("ts", "30 minutes").alias("w"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
