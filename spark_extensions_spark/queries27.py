@@ -639,3 +639,58 @@ def q_window_session_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+def _hilbert_oracle(bits: int = 8) -> str:
+    from spark_extensions_spark.operators.layout import hilbert_step_exprs
+
+    ctes = []
+    prev = "h0"
+    for i in range(bits):
+        s = 1 << (bits - 1 - i)
+        xn, yn, dn = hilbert_step_exprs(i, s)
+        ctes.append(
+            f"h{i+1} AS (SELECT l_orderkey, l_linenumber, "
+            f"CAST({xn} AS BIGINT) AS x{i+1}, "
+            f"CAST({yn} AS BIGINT) AS y{i+1}, "
+            f"CAST({dn} AS BIGINT) AS d{i+1} FROM {prev})"
+        )
+        prev = f"h{i+1}"
+    chain = ",\n    ".join(ctes)
+    return f"""
+    WITH s AS (SELECT min(l_partkey) AS mn1, max(l_partkey) AS mx1,
+                      min(l_suppkey) AS mn2, max(l_suppkey) AS mx2
+               FROM lineitem),
+    h0 AS (SELECT l_orderkey, l_linenumber,
+                  CAST(floor((l_partkey - mn1) * 255.0
+                             / greatest(mx1 - mn1, 1)) AS BIGINT) AS x0,
+                  CAST(floor((l_suppkey - mn2) * 255.0
+                             / greatest(mx2 - mn2, 1)) AS BIGINT) AS y0,
+                  CAST(0 AS BIGINT) AS d0
+           FROM lineitem, s),
+    {chain}
+    SELECT l_orderkey, l_linenumber, d{bits} AS hval FROM {prev}
+    """
+
+
+@_register(
+    "layout_hilbert",
+    _hilbert_oracle(),
+    doc="Hilbert-curve clustering key (operators/layout.py:"
+    "with_hilbert) — the no-diagonal-jump successor to the Morton "
+    "z-order key (layout_zorder): range predicates over either "
+    "dimension touch fewer clustered files. One min/max stats "
+    "aggregate broadcast back + an unrolled 8-step exact-integer "
+    "walk, all codegen projections, zero extra shuffle; the per-step "
+    "SQL fragments are SHARED with the DuckDB oracle (xor enumerated "
+    "as CASE — DuckDB's ^ is power), so the key is bit-identical.",
+)
+def q_layout_hilbert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_extensions_spark.operators.layout import with_hilbert
+
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    return with_hilbert(
+        li.select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+        ["l_partkey", "l_suppkey"],
+        bits=8,
+    ).select("l_orderkey", "l_linenumber", "hval")
