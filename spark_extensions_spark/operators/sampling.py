@@ -520,3 +520,46 @@ def weighted_sample(
         .limit(k)
         .drop("__akey")
     )
+
+
+def stratified_split(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    fracs: dict[str, float],
+    salt: str = "strat",
+) -> DataFrame:
+    """Per-group EXACT-proportion split assignment (±1 row per group).
+
+    :func:`hash_split` hits the requested fractions only in
+    expectation — fine globally, but a small group can land entirely
+    in one split. Here each group is ordered by ``md5(key)`` (window)
+    and cut at cumulative-fraction boundaries of the group size:
+    ``label_i`` for ranks in ``[floor(n·c_{i-1}), floor(n·c_i))``.
+    Deterministic, layout-independent; one window shuffle on the
+    group key. Returns the input plus a ``split`` column.
+    """
+    from pyspark.sql import Window
+
+    total = sum(fracs.values())
+    assert abs(total - 1.0) < 1e-9, "fractions must sum to 1"
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.concat(F.col(key_col).cast("string"), F.lit(":" + salt))),
+        key_col,
+    )
+    out = df.withColumn("__r", F.row_number().over(w) - 1).withColumn(
+        "__n", F.count(F.lit(1)).over(Window.partitionBy(group_col))
+    )
+    acc = 0.0
+    expr = None
+    for name, frac in list(fracs.items())[:-1]:
+        acc += frac
+        cond = F.col("__r") < F.floor(F.col("__n") * F.lit(acc))
+        expr = (
+            F.when(cond, F.lit(name))
+            if expr is None
+            else expr.when(cond, F.lit(name))
+        )
+    last = list(fracs)[-1]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return out.withColumn("split", expr).drop("__r", "__n")

@@ -694,3 +694,40 @@ def q_layout_hilbert(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["l_partkey", "l_suppkey"],
         bits=8,
     ).select("l_orderkey", "l_linenumber", "hval")
+
+
+@_register(
+    "sample_stratified_split",
+    """
+    WITH r AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || ':' || 'strat'),
+                        doc_id) - 1 AS rk,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN rk < floor(n * 0.8) THEN 'train'
+                WHEN rk < floor(n * 0.9) THEN 'val'
+                ELSE 'test' END AS split
+    FROM r
+    """,
+    doc="Per-group EXACT-proportion stratified split (operators/"
+    "sampling.py:stratified_split): each language gets 80/10/10 to "
+    "within one row — the guarantee hash_split only gives in "
+    "expectation (a 30-doc language could otherwise land wholly in "
+    "train). md5-ordered window rank cut at cumulative boundaries; "
+    "deterministic and layout-independent, one window shuffle.",
+)
+def q_sample_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_extensions_spark.operators.sampling import stratified_split
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return stratified_split(
+        docs.select("doc_id", "lang"),
+        "lang",
+        "doc_id",
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    )

@@ -68,3 +68,35 @@ def test_sorted_neighborhood_pairs_window(spark):
         ).collect()
     }
     assert got2 == expected
+
+
+def test_stratified_split_exact_proportions(spark):
+    """Every group's split sizes are the floor-boundary cuts (±1), even
+    for tiny groups, and assignment is layout-invariant."""
+    from pyspark.sql import functions as F
+
+    from spark_extensions_spark.operators.sampling import stratified_split
+
+    rows = [(i, f"g{i % 4}") for i in range(100)] + [
+        (1000 + i, "tiny") for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "id bigint, g string")
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = stratified_split(df, "g", "id", fr)
+    sizes = {
+        (r["g"], r["split"]): r["n"]
+        for r in out.groupBy("g", "split").agg(F.count("*").alias("n")).collect()
+    }
+    for g, n in [("g0", 25), ("g1", 25), ("g2", 25), ("g3", 25), ("tiny", 5)]:
+        tr = sizes.get((g, "train"), 0)
+        va = sizes.get((g, "val"), 0)
+        te = sizes.get((g, "test"), 0)
+        assert tr + va + te == n
+        assert tr == int(n * 0.8)
+        assert va == int(n * 0.9) - int(n * 0.8)
+    a = {(r["id"], r["split"]) for r in out.collect()}
+    b = {
+        (r["id"], r["split"])
+        for r in stratified_split(df.repartition(9), "g", "id", fr).collect()
+    }
+    assert a == b
