@@ -419,3 +419,73 @@ def phash_candidates(
         .distinct()
     )
     return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+def audio_segments(
+    df: DataFrame,
+    window_ms: int,
+    content_col: str = "content",
+    id_cols: list[str] | None = None,
+    deterministic_fake: bool = False,
+) -> DataFrame:
+    """Audio segmentation: one output row per fixed-length window of
+    the decoded waveform — the ASR/audio-tagging prep stage (the audio
+    member of the image-decode / video-frame-sample family). Row
+    explosion happens inside mapInPandas: Arrow batches in and out, no
+    driver involvement, the schema is declared up front so the 100 TB
+    plumbing (partitioning, batch shapes, binary payloads) is real.
+
+    Real decoding needs soundfile/ffmpeg (absent in this container) —
+    gated behind ``deterministic_fake``, which derives sample-rate and
+    duration from the content hash exactly like the video fake, so
+    segment counts/offsets are reproducible and oracle-checkable.
+
+    Output: id columns + seg_idx + seg_start_ms + seg_len_ms +
+    samples (binary).
+    """
+    ids = id_cols or []
+    out_schema = StructType(
+        [df.schema[c] for c in ids]
+        + [
+            StructField("seg_idx", IntegerType(), True),
+            StructField("seg_start_ms", LongType(), True),
+            StructField("seg_len_ms", IntegerType(), True),
+            StructField("samples", df.schema[content_col].dataType, True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.to_dict("records"):
+                content = rec[content_col]
+                if content is None:
+                    continue
+                if not deterministic_fake:
+                    raise NotImplementedError(
+                        "Real audio decode needs soundfile/ffmpeg; "
+                        "see module doc."
+                    )
+                h = hashlib.sha256(bytes(content)).digest()
+                duration_ms = 500 + int.from_bytes(h[2:4], "big") % 29500
+                n = max(1, -(-duration_ms // window_ms))  # ceil
+                for i in range(n):
+                    start = i * window_ms
+                    seg_len = min(window_ms, duration_ms - start)
+                    rows.append(
+                        {
+                            **{c: rec[c] for c in ids},
+                            "seg_idx": i,
+                            "seg_start_ms": start,
+                            "seg_len_ms": seg_len,
+                            "samples": bytes(content)[:32]
+                            + i.to_bytes(4, "big"),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=ids
+                + ["seg_idx", "seg_start_ms", "seg_len_ms", "samples"],
+            )
+
+    return df.mapInPandas(run, out_schema)

@@ -731,3 +731,54 @@ def q_sample_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         {"train": 0.8, "val": 0.1, "test": 0.1},
     )
+
+
+@_register(
+    "multimodal_audiosegments",
+    """
+    WITH m AS (SELECT doc_id, octet_length(text::BLOB) AS len,
+                      500 + CAST(('0x' || substr(sha256(text), 5, 4)) AS INT)
+                            % 29500 AS dur
+               FROM documents),
+    n AS (SELECT doc_id, len, dur,
+                 CAST(ceil(dur / 2000.0) AS INT) AS n_segs FROM m)
+    SELECT doc_id,
+           CAST(i AS INT) AS seg_idx,
+           CAST(i * 2000 AS BIGINT) AS seg_start_ms,
+           CAST(LEAST(2000, dur - i * 2000) AS INT) AS seg_len_ms,
+           CAST(LEAST(len, 32) + 4 AS INT) AS samples_len
+    FROM n, LATERAL unnest(generate_series(0, n_segs - 1)) t(i)
+    """,
+    doc="Audio segmentation stage (multimodal/media.py:audio_segments) "
+    "— binary audio -> one row per fixed 2s window, exploded INSIDE "
+    "mapInPandas (Arrow batches both ways, no driver state): the ASR "
+    "prep shape, completing the image/video/audio multimodal family. "
+    "Deterministic fake decode (duration from sha256 bytes [2:4]) "
+    "mirrored exactly by the oracle via generate_series, so segment "
+    "counts, offsets, tail lengths and payload sizes all hash-check; "
+    "a real soundfile/ffmpeg decoder slots in behind the same "
+    "signature.",
+)
+def q_multimodal_audiosegments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from spark_extensions_spark.multimodal.media import audio_segments
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    media = docs.select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("content")
+    )
+    segs = audio_segments(
+        media,
+        window_ms=2000,
+        content_col="content",
+        id_cols=["doc_id"],
+        deterministic_fake=True,
+    )
+    return segs.select(
+        "doc_id",
+        "seg_idx",
+        "seg_start_ms",
+        "seg_len_ms",
+        F.octet_length("samples").cast("int").alias("samples_len"),
+    )
