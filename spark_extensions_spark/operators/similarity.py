@@ -1022,3 +1022,83 @@ def ivf_assign_int_pandas(centroids: list[list[int]]) -> Column:
         return pd.Series(d.argmin(axis=1).astype("int32"))
 
     return _assign
+
+
+def ivf_index_table(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_lists: int = 16,
+    codebooks: list[list[list[int]]] | None = None,
+) -> tuple[DataFrame, list[list[int]], list[list[list[int]]] | None]:
+    """The persistable deterministic-IVF index: ``(id, vec, list_id[,
+    codes])`` plus the codebooks that built it. In production you
+    write this ONCE bucketed on ``list_id`` (``sources.write_table``)
+    and every later query-time probe joins the bucketed table without
+    re-encoding or re-shuffling the corpus — the same persisted-index
+    pattern as ``dedup.minhash_band_table``. Returns ``(index_df,
+    coarse_centroids, pq_codebooks)``; pass ``codebooks`` to also
+    attach PQ codes.
+    """
+    cents = ivf_centroids_det(corpus, id_col, vec_col, n_lists)
+    c = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .withColumn("__qq", F.expr(quantize_vec_expr(vec_col)))
+        .withColumn("list_id", F.expr(ivf_assign_expr("__qq", cents)))
+    )
+    if codebooks is not None:
+        c = c.withColumn("codes", F.expr(pq_encode_expr("__qq", codebooks)))
+    return c.drop("__qq"), cents, codebooks
+
+
+def ann_ivf_query_index(
+    index: DataFrame,
+    cents: list[list[int]],
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+    k: int,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Query-time ANN against a PERSISTED IVF index (no corpus
+    re-encode): probe lists are computed row-locally on the (small)
+    query side, which then joins the index on ``list_id`` — with the
+    index stored bucketed on ``list_id``, that join needs no corpus
+    Exchange at all."""
+    q = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vec_col).alias("qv"),
+        )
+        .withColumn("__qq", F.expr(quantize_vec_expr("qv")))
+        .withColumn(
+            "list_id",
+            F.explode(F.expr(ivf_probe_expr("__qq", cents, n_probe))),
+        )
+        .drop("__qq")
+    )
+    c = index.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        "list_id",
+    )
+    scored = F.broadcast(q).join(c, "list_id").select(
+        "query_id",
+        "neighbor_id",
+        cosine_pandas_cols(F.col("qv"), F.col("cv")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cosine",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )

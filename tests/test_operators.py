@@ -1135,3 +1135,53 @@ def test_kmv_set_ops_accuracy(spark):
     r2 = kmv_set_ops(small_a, small_b, "id", k=256).collect()[0]
     assert r2["est_union"] == 80.0
     assert abs(r2["est_intersect"] - 25.0) < 1e-9
+
+
+def test_ivf_index_persisted_equivalence(spark):
+    """The persisted-IVF-index query path: same answer as the inline
+    det-IVF query, and with the index bucketed on list_id the probe
+    join re-shuffles at most the (tiny) query side."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from spark_extensions_spark.operators.similarity import (
+        ann_ivf_topk_det,
+        ann_ivf_query_index,
+        ivf_index_table,
+    )
+    from spark_extensions_spark.session import load_tables
+    from spark_extensions_spark.sources import write_table
+
+    emb = load_tables(spark, "/root/testdata/sf0.01", "embeddings")[
+        "embeddings"
+    ]
+    queries = emb.filter(F.col("vec_id") < 10)
+
+    idx_df, cents, _ = ivf_index_table(emb, "vec_id", "embedding", n_lists=16)
+    name = "ivf_index_t_test"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    base = tempfile.mkdtemp(prefix="ivfidx_")
+    write_table(
+        idx_df,
+        f"{base}/{name}",
+        mode="overwrite",
+        bucket_by=(8, ["list_id"]),
+        table_name=name,
+    )
+    index = spark.table(name)
+    got = ann_ivf_query_index(
+        index, cents, queries, "vec_id", "embedding", "vec_id", "embedding",
+        k=5, n_probe=4,
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    if "BroadcastHashJoin" not in plan:
+        assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+    inline = ann_ivf_topk_det(
+        emb, queries, "vec_id", "embedding", "vec_id", "embedding",
+        k=5, dim=64, n_lists=16, n_probe=4,
+    )
+    assert {tuple(r) for r in got.collect()} == {
+        tuple(r) for r in inline.collect()
+    }
