@@ -782,3 +782,53 @@ def q_multimodal_audiosegments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "seg_len_ms",
         F.octet_length("samples").cast("int").alias("samples_len"),
     )
+
+
+def _ann_ivf_persisted_oracle() -> str:
+    # the persisted path returns exactly the inline det-IVF result, so
+    # it shares ann_ivf's oracle
+    from spark_extensions_spark.queries2 import _ann_ivf_oracle
+
+    return _ann_ivf_oracle()
+
+
+@_register(
+    "ann_ivf_persisted",
+    _ann_ivf_persisted_oracle(),
+    doc="Query-time ANN against a PERSISTED deterministic-IVF index "
+    "(operators/similarity.py:ivf_index_table + ann_ivf_query_index): "
+    "the corpus is encoded ONCE into a bucketed-on-list_id table "
+    "(sources.write_table), and the probe join scans it without a "
+    "corpus Exchange — the serving shape at 100 TB (equivalence to "
+    "the inline path pinned in pytest; same oracle as ann_ivf since "
+    "the results are identical by construction).",
+)
+def q_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from spark_extensions_spark.operators.similarity import (
+        ann_ivf_query_index,
+        ivf_index_table,
+    )
+    from spark_extensions_spark.sources import write_table
+
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 10)
+    idx_df, cents, _ = ivf_index_table(emb, "vec_id", "embedding", n_lists=16)
+    name = "ivf_index_q"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    base = tempfile.mkdtemp(prefix="ivfidx_q_")
+    write_table(
+        idx_df,
+        f"{base}/{name}",
+        mode="overwrite",
+        bucket_by=(8, ["list_id"]),
+        table_name=name,
+    )
+    return ann_ivf_query_index(
+        spark.table(name), cents, queries,
+        "vec_id", "embedding", "vec_id", "embedding", k=5, n_probe=4,
+    )
+
