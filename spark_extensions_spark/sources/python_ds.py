@@ -161,6 +161,25 @@ def register_python_sources(spark) -> None:
     """
     if getattr(spark, "_sx_python_ds", False):
         return
+    # the source classes pickle by module reference — executors must be
+    # able to import the package even from a foreign-cwd driver
+    from spark_extensions_spark.session import ensure_workers_can_import
+
+    ensure_workers_can_import(spark)
+    # addPyFile covers the batch DataSource workers (create_data_source
+    # et al. add the pyFiles dir to sys.path) but NOT the long-running
+    # python_streaming_source_runner, which unpickles the source with
+    # no path setup at all — so from a foreign-cwd driver the stream
+    # reader dies with ModuleNotFoundError. Registering this module for
+    # BY-VALUE pickling makes the class self-contained in the pickle
+    # and removes the import requirement entirely.
+    from pyspark import cloudpickle  # Spark's vendored copy — the one
+    # its serializers actually use; the standalone cloudpickle package
+    # keeps a separate by-value registry and would be ignored
+
+    import spark_extensions_spark.sources.python_ds as _this_module
+
+    cloudpickle.register_pickle_by_value(_this_module)
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SyntheticDocsDataSource)
     spark.dataSource.register(CounterStreamDataSource)
