@@ -832,3 +832,79 @@ def q_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "embedding", "vec_id", "embedding", k=5, n_probe=4,
     )
 
+
+
+def _ivf_refresh_oracle(n_lists: int = 8) -> str:
+    from spark_extensions_spark.operators.similarity import lsh_quantize_duck
+
+    dist = (
+        "CAST(list_sum(list_transform(list_zip(e.qq, c.cq), "
+        "p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT)"
+    )
+    return f"""
+    WITH eq AS (
+      SELECT vec_id, {lsh_quantize_duck('embedding')} AS qq,
+             (vec_id % 10 = 0) AS is_new
+      FROM embeddings
+    ), cent AS (
+      SELECT list_id, cq FROM (
+        SELECT ROW_NUMBER() OVER (
+                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS list_id,
+               qq AS cq
+        FROM eq WHERE NOT is_new
+      ) WHERE list_id < {n_lists}
+    ), assigned AS (
+      SELECT vec_id, is_new, list_id FROM (
+        SELECT e.vec_id, e.is_new, c.list_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {dist}, c.list_id) AS rn
+        FROM eq e CROSS JOIN cent c
+      ) WHERE rn = 1
+    )
+    SELECT list_id,
+           CAST(COUNT(*) FILTER (WHERE NOT is_new) AS BIGINT) AS n_base,
+           CAST(COUNT(*) FILTER (WHERE is_new) AS BIGINT) AS n_added,
+           CAST(COUNT(*) AS BIGINT) AS n_total
+    FROM assigned GROUP BY list_id
+    """
+
+
+@_register(
+    "ann_ivf_index_refresh",
+    _ivf_refresh_oracle(),
+    doc="Incremental IVF index maintenance (operators/similarity.py:"
+    "ivf_index_table): a new ingest batch is assigned with the "
+    "EXISTING codebook (no retrain, no corpus re-encode — the "
+    "codebook is the contract that keeps old codes valid) and "
+    "appended; output is the per-list growth audit. The corpus-side "
+    "cost is one row-local codegen pass over the NEW batch only — "
+    "the same incremental shape as the MinHash band-index ingest "
+    "(dedup_incremental).",
+)
+def q_ann_ivf_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from spark_extensions_spark.operators.similarity import (
+        ivf_assign_expr,
+        ivf_centroids_det,
+        quantize_vec_expr,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    base = emb.filter(F.col("vec_id") % 10 != 0)
+    batch = emb.filter(F.col("vec_id") % 10 == 0)
+    cents = ivf_centroids_det(base, "vec_id", "embedding", 8)
+
+    def assign(df, flag):
+        return (
+            df.withColumn("__qq", F.expr(quantize_vec_expr("embedding")))
+            .withColumn("list_id", F.expr(ivf_assign_expr("__qq", cents)))
+            .select("vec_id", "list_id", F.lit(flag).alias("is_new"))
+        )
+
+    both = assign(base, False).unionAll(assign(batch, True))
+    return both.groupBy("list_id").agg(
+        F.count(F.when(~F.col("is_new"), 1)).cast("bigint").alias("n_base"),
+        F.count(F.when(F.col("is_new"), 1)).cast("bigint").alias("n_added"),
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+    )
