@@ -7,6 +7,21 @@ from spark_extensions_spark.functions.text import (
     lang_id,
     doc_fingerprint,
 )
+from spark_extensions_spark.functions.text import (
+    gopher_rules,
+    pii_redact,
+    chunk_windows,
+    corpus_line_dedup,
+    html_extract_text,
+    word_ngrams_sql,
+    dup_chars_from_sorted_sql,
+    nfc_normalize_col,
+    char_entropy_cols,
+)
+from spark_extensions_spark.functions.url import (
+    url_canonicalize,
+    url_blocklist_filter,
+)
 from spark_extensions_spark.functions.nullability import (
     make_nullable,
     make_not_nullable,
@@ -22,4 +37,15 @@ __all__ = [
     "make_nullable",
     "make_not_nullable",
     "set_nullable_schema",
+    "gopher_rules",
+    "pii_redact",
+    "chunk_windows",
+    "corpus_line_dedup",
+    "html_extract_text",
+    "word_ngrams_sql",
+    "dup_chars_from_sorted_sql",
+    "nfc_normalize_col",
+    "char_entropy_cols",
+    "url_canonicalize",
+    "url_blocklist_filter",
 ]

@@ -15,6 +15,9 @@ from spark_extensions_spark.multimodal.media import (
     decode_image,
     extract_features,
     frame_sample,
+    audio_segments,
+    phash_images,
+    phash_candidates,
     resize_image,
 )
 
@@ -25,4 +28,7 @@ __all__ = [
     "resize_image",
     "frame_sample",
     "extract_features",
+    "audio_segments",
+    "phash_images",
+    "phash_candidates",
 ]

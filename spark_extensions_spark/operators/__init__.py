@@ -25,6 +25,48 @@ from spark_extensions_spark.operators.similarity import (
     ann_bruteforce_topk,
     ann_lsh_topk,
     ann_ivf_topk,
+    ann_lsh_topk_det,
+    ann_ivf_topk_det,
+    ann_ivfpq_topk_det,
+    ivf_index_table,
+    ann_ivf_query_index,
+    quantize_embeddings,
+)
+from spark_extensions_spark.operators.dedup import (
+    embedding_neardup_pairs_ivf_det,
+    sorted_neighborhood_pairs,
+)
+from spark_extensions_spark.operators.clustering import (
+    kmeans_fit,
+    kmeans_assignments,
+    kmeans_fit_det,
+    kmeans_assignments_det,
+    sample_diverse,
+)
+from spark_extensions_spark.operators.sampling import (
+    hash_split,
+    stratified_cap,
+    stratified_split,
+    weighted_sample,
+    deterministic_shuffle,
+    global_sort_index,
+    token_budget_cap,
+)
+from spark_extensions_spark.operators.sketches import (
+    kmv_sketch,
+    kmv_set_ops,
+)
+from spark_extensions_spark.operators.layout import (
+    with_zorder,
+    with_hilbert,
+    compaction_plan,
+)
+from spark_extensions_spark.operators.graph import (
+    connected_components,
+    connected_components_star,
+    label_propagation,
+    pagerank,
+    triangle_count,
 )
 
 __all__ = [
@@ -46,4 +88,34 @@ __all__ = [
     "bloom_semi_join",
     "freq_items",
     "approx_quantiles",
+    "ann_lsh_topk_det",
+    "ann_ivf_topk_det",
+    "ann_ivfpq_topk_det",
+    "ivf_index_table",
+    "ann_ivf_query_index",
+    "quantize_embeddings",
+    "embedding_neardup_pairs_ivf_det",
+    "sorted_neighborhood_pairs",
+    "kmeans_fit",
+    "kmeans_assignments",
+    "kmeans_fit_det",
+    "kmeans_assignments_det",
+    "sample_diverse",
+    "hash_split",
+    "stratified_cap",
+    "stratified_split",
+    "weighted_sample",
+    "deterministic_shuffle",
+    "global_sort_index",
+    "token_budget_cap",
+    "kmv_sketch",
+    "kmv_set_ops",
+    "with_zorder",
+    "with_hilbert",
+    "compaction_plan",
+    "connected_components",
+    "connected_components_star",
+    "label_propagation",
+    "pagerank",
+    "triangle_count",
 ]
