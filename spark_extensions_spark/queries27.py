@@ -908,3 +908,151 @@ def q_ann_ivf_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("is_new"), 1)).cast("bigint").alias("n_added"),
         F.count(F.lit(1)).cast("bigint").alias("n_total"),
     )
+
+
+def _release_gate_oracle() -> str:
+    from spark_extensions_spark.functions.text import (
+        char_entropy_duck,
+        dup_chars_from_sorted_duck,
+        word_ngrams_duck,
+    )
+
+    return f"""
+    WITH u AS (
+      SELECT doc_id, lang, text, n_chars,
+             lower((CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'cdn.'
+                    WHEN 1 THEN 'www.' ELSE '' END)
+                   || source || '.org') AS host
+      FROM documents
+    ), b(domain) AS (
+      VALUES ('src1.org'), ('src3.org'), ('cdn.src5.org'), ('src7.org')
+    ), unblocked AS (
+      SELECT * FROM u
+      WHERE NOT EXISTS (
+        SELECT 1 FROM b
+        WHERE u.host = b.domain OR ends_with(u.host, '.' || b.domain)
+      )
+    ), feats AS (
+      SELECT doc_id, lang, text, n_chars,
+             list_sort({word_ngrams_duck('text', 2)}) AS s2,
+             list_sort(string_split_regex(text, '')) AS s
+      FROM unblocked
+    ), feats2 AS (
+      SELECT doc_id, lang, text, n_chars, s2,
+             list_transform(list_sort(list_distinct(s)),
+                            c -> len(list_filter(s, x -> x = c))) AS ks, s
+      FROM feats
+    ), gated AS (
+      SELECT doc_id, lang, text, n_chars
+      FROM feats2
+      WHERE n_chars BETWEEN 40 AND 100000
+        AND {dup_chars_from_sorted_duck('s2', 'text')} < 0.30
+        AND {char_entropy_duck('ks', 's')} > 2.0
+    ), deduped AS (
+      SELECT doc_id, lang, n_chars FROM (
+        SELECT doc_id, lang, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                  ORDER BY doc_id) AS rn
+        FROM gated
+      ) WHERE rn = 1
+    ), split AS (
+      SELECT doc_id, lang, n_chars,
+             CASE WHEN rk < floor(n * 0.9) THEN 'train' ELSE 'val' END
+               AS split
+      FROM (
+        SELECT doc_id, lang, n_chars,
+               ROW_NUMBER() OVER (
+                 PARTITION BY lang
+                 ORDER BY md5(CAST(doc_id AS VARCHAR) || ':' || 'strat'),
+                          doc_id) - 1 AS rk,
+               COUNT(*) OVER (PARTITION BY lang) AS n
+        FROM deduped
+      )
+    )
+    SELECT lang, split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars_total
+    FROM split GROUP BY lang, split
+    """
+
+
+@_register(
+    "pipeline_release_gate",
+    _release_gate_oracle(),
+    doc="End-to-end release gate composing this round's operators: "
+    "URL blocklist (broadcast suffix equi-joins) -> quality gates "
+    "(length band + duplicate-2gram fraction < 0.3 + char entropy > "
+    "2.0 nats, all row-local) -> exact dedup keep-first (one md5 "
+    "shuffle) -> per-language 90/10 stratified split (exact "
+    "proportions) -> per-(lang, split) release manifest. Every stage "
+    "mirrored in ONE chained SQL oracle — the whole pipeline is "
+    "hash-checked, not just its pieces. Plan: 4 broadcast joins + 2 "
+    "window shuffles + 2 hash aggs for a 5-stage pipeline.",
+)
+def q_pipeline_release_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from spark_extensions_spark.functions.text import (
+        char_entropy_cols,
+        char_entropy_sql,
+        dup_chars_from_sorted_sql,
+        word_ngrams_sql,
+    )
+    from spark_extensions_spark.functions.url import url_blocklist_filter
+    from spark_extensions_spark.operators.sampling import stratified_split
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    sub = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("cdn."))
+        .when(F.col("doc_id") % 3 == 1, F.lit("www."))
+        .otherwise(F.lit(""))
+    )
+    u = docs.select(
+        "doc_id", "lang", "text", "n_chars",
+        F.concat(
+            F.lit("https://"), sub, F.col("source"), F.lit(".org/doc/"),
+            F.col("doc_id"),
+        ).alias("url"),
+    )
+    block = spark.createDataFrame(
+        [(d,) for d in _BLOCKED_DOMAINS], "domain string"
+    )
+    unblocked = url_blocklist_filter(u, "url", block).drop("url")
+    s_col, ks_col = char_entropy_cols("text")
+    feats = (
+        unblocked.withColumn(
+            "s2", F.sort_array(F.expr(word_ngrams_sql("text", 2)))
+        )
+        .withColumn("__s", s_col)
+        .withColumn("__ks", ks_col)
+    )
+    # Materialization barrier: without it Catalyst's projection collapse
+    # inlines the sorted/count arrays into BOTH gate predicates and
+    # re-evaluates the sort/distinct chain per reference — measured 88s
+    # vs 12s at sf0.01. The checkpoint computes the two scalars once per
+    # row and drops the arrays before anything downstream.
+    scored = feats.select(
+        "doc_id", "lang", "text", "n_chars",
+        F.expr(dup_chars_from_sorted_sql("s2", "text")).alias("__dup2"),
+        F.expr(char_entropy_sql("__ks", "__s")).alias("__ent"),
+    ).localCheckpoint(eager=False)
+    gated = scored.filter(
+        F.col("n_chars").between(40, 100000)
+        & (F.col("__dup2") < 0.30)
+        & (F.col("__ent") > 2.0)
+    ).select("doc_id", "lang", "text", "n_chars")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (
+        gated.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "n_chars")
+    )
+    split = stratified_split(
+        deduped, "lang", "doc_id", {"train": 0.9, "val": 0.1}
+    )
+    return split.groupBy("lang", "split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("n_chars_total"),
+    )
