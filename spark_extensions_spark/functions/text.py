@@ -535,15 +535,25 @@ def nfc_normalize_col(col: Column) -> Column:
 
 
 def char_entropy_cols(text_col: str):
-    """Two Spark Columns ``(s, ks)`` to materialize via withColumn
-    before calling :func:`char_entropy_sql`: the sorted char array and
-    the per-distinct-char counts (O(D·N) row-local; D = charset size).
+    """Three Spark Columns ``(s, starts, ks)`` to materialize via
+    withColumn (as ``__s``, ``__st``, ``__ks``) before calling
+    :func:`char_entropy_sql`: the sorted char array, the 1-based run
+    starts, and the per-distinct-char counts as run lengths — O(N)
+    after the sort, vs the naive O(D·N) count-by-filter (the DuckDB
+    twin keeps the naive form: the counts are the same integers in the
+    same sorted-char order, so every entropy term is identical).
     Materializing keeps each array evaluated once per row."""
     s = F.array_sort(F.split(F.col(text_col), ""))
-    ks = F.expr(
-        "transform(array_distinct(__s), c -> size(filter(__s, x -> x = c)))"
+    starts = F.expr(
+        "filter(sequence(1, size(__s)), i -> i = 1 or "
+        "element_at(__s, i) != element_at(__s, i - 1))"
     )
-    return s, ks
+    ks = F.expr(
+        "transform(sequence(1, size(__st)), j -> "
+        "(case when j < size(__st) then element_at(__st, j + 1) "
+        "else size(__s) + 1 end) - element_at(__st, j))"
+    )
+    return s, starts, ks
 
 
 def char_entropy_sql(ks_col: str, s_col: str) -> str:

@@ -342,8 +342,12 @@ def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")["documents"]
-    s_col, ks_col = char_entropy_cols("text")
-    g = docs.withColumn("__s", s_col).withColumn("__ks", ks_col)
+    s_col, st_col, ks_col = char_entropy_cols("text")
+    g = (
+        docs.withColumn("__s", s_col)
+        .withColumn("__st", st_col)
+        .withColumn("__ks", ks_col)
+    )
     return g.select(
         "doc_id",
         F.expr(char_entropy_sql("__ks", "__s")).alias("char_entropy"),
@@ -1018,19 +1022,22 @@ def q_pipeline_release_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(d,) for d in _BLOCKED_DOMAINS], "domain string"
     )
     unblocked = url_blocklist_filter(u, "url", block).drop("url")
-    s_col, ks_col = char_entropy_cols("text")
+    s_col, st_col, ks_col = char_entropy_cols("text")
     feats = (
         unblocked.withColumn(
             "s2", F.sort_array(F.expr(word_ngrams_sql("text", 2)))
         )
         .withColumn("__s", s_col)
+        .withColumn("__st", st_col)
         .withColumn("__ks", ks_col)
+        .localCheckpoint(eager=False)
     )
-    # Materialization barrier: without it Catalyst's projection collapse
-    # inlines the sorted/count arrays into BOTH gate predicates and
-    # re-evaluates the sort/distinct chain per reference — measured 88s
-    # vs 12s at sf0.01. The checkpoint computes the two scalars once per
-    # row and drops the arrays before anything downstream.
+    # Materialization barriers (one above, one here): without them
+    # Catalyst's projection collapse inlines the sorted/count arrays
+    # into every reference and re-evaluates the sort chain per use —
+    # measured 88s vs 10s at sf0.01. The first barrier computes each
+    # array once per row; this one computes the two scalars and drops
+    # the arrays before anything downstream.
     scored = feats.select(
         "doc_id", "lang", "text", "n_chars",
         F.expr(dup_chars_from_sorted_sql("s2", "text")).alias("__dup2"),

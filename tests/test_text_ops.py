@@ -96,8 +96,12 @@ def test_char_entropy_hand_cases(spark):
 
     rows = [(1, "abab"), (2, "aaaa"), (3, "")]
     df = spark.createDataFrame(rows, "id int, text string")
-    s_col, ks_col = char_entropy_cols("text")
-    g = df.withColumn("__s", s_col).withColumn("__ks", ks_col)
+    s_col, st_col, ks_col = char_entropy_cols("text")
+    g = (
+        df.withColumn("__s", s_col)
+        .withColumn("__st", st_col)
+        .withColumn("__ks", ks_col)
+    )
     got = {
         r["id"]: r["e"]
         for r in g.select(
