@@ -31,6 +31,7 @@ from spark_extensions_spark.operators.similarity import (
     ivf_index_table,
     ann_ivf_query_index,
     quantize_embeddings,
+    jl_project,
 )
 from spark_extensions_spark.operators.dedup import (
     embedding_neardup_pairs_ivf_det,
@@ -94,6 +95,7 @@ __all__ = [
     "ivf_index_table",
     "ann_ivf_query_index",
     "quantize_embeddings",
+    "jl_project",
     "embedding_neardup_pairs_ivf_det",
     "sorted_neighborhood_pairs",
     "kmeans_fit",

@@ -1102,3 +1102,50 @@ def ann_ivf_query_index(
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
+
+
+def jl_project_expr(
+    qq_col: str, signs: list[list[int]]
+) -> str:
+    """Spark SQL fragment: array of exact int64 ±1-projection sums of a
+    quantized vector — the Johnson–Lindenstrauss / Achlioptas (2003)
+    database-friendly projection. Row-local codegen."""
+    terms = []
+    for srow in signs:
+        arr = "array(" + ",".join(f"{v}L" for v in srow) + ")"
+        terms.append(
+            f"aggregate(zip_with({qq_col}, {arr}, (v, s) -> v * s), "
+            f"0L, (a, b) -> a + b)"
+        )
+    return "array(" + ",".join(terms) + ")"
+
+
+def jl_project(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    out_dim: int,
+    dim: int,
+    seed: int = 42,
+    out_col: str = "projected",
+) -> DataFrame:
+    """Reduce ``vec_col`` (array<float>, ``dim``-d) to ``out_dim``
+    dimensions with a deterministic ±1 random projection (Achlioptas
+    2003: ±1 entries preserve JL distance bounds with variance 1), the
+    cheap front-end that shrinks downstream ANN/dedup cost ~dim/out_dim.
+
+    Exact int64 projection sums over the fixed-point quantized vector,
+    descaled by 1e6·√out_dim at the end — one double division per
+    output dimension, bit-identical on any engine, zero shuffle.
+    """
+    import math
+
+    signs = signplane_signs(out_dim, dim, seed)
+    denom = 1e6 * math.sqrt(out_dim)
+    proj = jl_project_expr(quantize_vec_expr(vec_col), signs)
+    return df.select(
+        F.col(id_col),
+        F.expr(
+            f"transform({proj}, p -> cast(p as double) / {denom!r}d)"
+        ).alias(out_col),
+    )

@@ -1063,3 +1063,65 @@ def q_pipeline_release_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("n_chars_total"),
     )
+
+
+def _jl_project_oracle(out_dim: int = 16, dim: int = 64) -> str:
+    import math
+
+    from spark_extensions_spark.operators.similarity import (
+        lsh_quantize_duck,
+        signplane_signs,
+    )
+
+    signs = signplane_signs(out_dim, dim, seed=42)
+    denom = 1e6 * math.sqrt(out_dim)
+    terms = []
+    for srow in signs:
+        pos = [i + 1 for i, v in enumerate(srow) if v > 0]
+        neg = [i + 1 for i, v in enumerate(srow) if v < 0]
+        terms.append(
+            f"CAST((COALESCE(list_sum(list_select(qq, {pos})), 0) - "
+            f"COALESCE(list_sum(list_select(qq, {neg})), 0)) AS DOUBLE) "
+            f"/ {denom!r}"
+        )
+    arr = "[" + ", ".join(terms) + "]"
+    return f"""
+    WITH q AS (
+      SELECT vec_id, {lsh_quantize_duck('embedding')} AS qq
+      FROM embeddings
+    )
+    SELECT vec_id,
+           array_to_string(list_transform({arr},
+             v -> CAST(CAST(round(v, 9) AS DECIMAL(20,9)) AS VARCHAR)), ',') AS projected_csv
+    FROM q
+    """
+
+
+@_register(
+    "embedding_jl_project",
+    _jl_project_oracle(),
+    doc="Johnson-Lindenstrauss dimensionality reduction (operators/"
+    "similarity.py:jl_project; Achlioptas 2003 ±1 projections): 64-d "
+    "embeddings down to 16-d with exact int64 projection sums over "
+    "md5-derived sign rows — one double division per output dim, "
+    "row-local codegen, zero shuffle; the cheap front-end that cuts "
+    "downstream ANN/dedup cost by dim/out_dim. Emitted as a canonical "
+    "CSV string (driver canonicalizer can't hash raw float arrays); "
+    "round(·,9) + a fixed-scale DECIMAL cast normalize the string "
+    "form (Spark renders small doubles in scientific notation, "
+    "DuckDB decimal) — the division itself is bit-identical.",
+)
+def q_embedding_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from spark_extensions_spark.operators.similarity import jl_project
+
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    out = jl_project(emb, "vec_id", "embedding", out_dim=16, dim=64)
+    return out.select(
+        "vec_id",
+        F.expr(
+            "array_join(transform(projected, "
+            "v -> cast(cast(round(v, 9) as decimal(20,9)) as string)), ',')"
+        ).alias("projected_csv"),
+    )

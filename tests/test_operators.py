@@ -1185,3 +1185,49 @@ def test_ivf_index_persisted_equivalence(spark):
     assert {tuple(r) for r in got.collect()} == {
         tuple(r) for r in inline.collect()
     }
+
+
+def test_jl_project_distance_preservation(spark):
+    """JL projection: pairwise distances in 16-d stay within a loose
+    multiplicative band of the 64-d distances for most pairs (the JL
+    property at this compression), and projection is deterministic."""
+    import math
+
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from spark_extensions_spark.operators.similarity import jl_project
+    from spark_extensions_spark.session import load_tables
+
+    emb = load_tables(spark, "/root/testdata/sf0.01", "embeddings")[
+        "embeddings"
+    ]
+    sub = emb.filter(F.col("vec_id") < 40)
+    orig = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in sub.collect()
+    }
+    proj = {
+        r["vec_id"]: np.array(r["projected"], dtype=np.float64)
+        for r in jl_project(sub, "vec_id", "embedding", 16, 64).collect()
+    }
+    proj2 = {
+        r["vec_id"]: list(r["projected"])
+        for r in jl_project(
+            sub.repartition(7), "vec_id", "embedding", 16, 64
+        ).collect()
+    }
+    assert {k: list(v) for k, v in proj.items()} == proj2
+
+    ids = sorted(orig)
+    ratios = []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            d0 = np.linalg.norm(orig[ids[i]] - orig[ids[j]])
+            d1 = np.linalg.norm(proj[ids[i]] - proj[ids[j]])
+            if d0 > 0:
+                ratios.append(d1 / d0)
+    ratios = np.array(ratios)
+    assert 0.7 < np.median(ratios) < 1.3
+    assert ((ratios > 0.4) & (ratios < 1.9)).mean() > 0.9
