@@ -17,6 +17,8 @@ from spark_extensions_spark.functions.text import (
     dup_chars_from_sorted_sql,
     nfc_normalize_col,
     char_entropy_cols,
+    hash_embedding_cols,
+    hash_embedding_sql,
 )
 from spark_extensions_spark.functions.url import (
     url_canonicalize,
@@ -46,6 +48,8 @@ __all__ = [
     "dup_chars_from_sorted_sql",
     "nfc_normalize_col",
     "char_entropy_cols",
+    "hash_embedding_cols",
+    "hash_embedding_sql",
     "url_canonicalize",
     "url_blocklist_filter",
 ]

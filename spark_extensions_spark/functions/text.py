@@ -588,3 +588,62 @@ def char_entropy_duck(ks_col: str, s_col: str) -> str:
         f"* ln({n} / CAST(k AS DOUBLE)), 9))), "
         f"(a, v) -> a + v), 6) ELSE 0.0 END"
     )
+
+
+# ---------------------------------------------------------------------
+# Hashed bag-of-words text embedding (feature hashing)
+# ---------------------------------------------------------------------
+
+
+def hash_embedding_cols(text_col: str, dim: int = 64):
+    """Three Spark Columns ``(words, buckets, counts)`` to materialize
+    (as ``__w``, ``__hb``, ``__cnt``) for :func:`hash_embedding_sql`:
+    word tokens, their md5 hash buckets, and the per-bucket count
+    vector (feature hashing, Weinberger et al. 2009). Materializing
+    keeps the md5 per word evaluated once."""
+    words = F.expr(_words_sql(text_col))
+    buckets = F.expr(
+        "transform(__w, w -> cast(conv(substring(md5(w), 1, 15), 16, 10) "
+        f"as bigint) % {dim})"
+    )
+    counts = F.expr(
+        f"transform(sequence(0, {dim - 1}), "
+        "i -> size(filter(__hb, b -> b = i)))"
+    )
+    return words, buckets, counts
+
+
+def hash_embedding_sql(cnt_col: str) -> str:
+    """Spark SQL fragment: L2-normalized double vector from the count
+    column — norm from an exact integer sum of squares, one double
+    division per dimension (identical IEEE ops in the DuckDB twin);
+    all-zero counts (empty docs) map to the zero vector."""
+    n2 = f"aggregate({cnt_col}, 0L, (a, c) -> a + cast(c as bigint) * c)"
+    return (
+        f"case when {n2} = 0 then transform({cnt_col}, c -> 0.0d) "
+        f"else transform({cnt_col}, c -> cast(c as double) / "
+        f"sqrt(cast({n2} as double))) end"
+    )
+
+
+def hash_embedding_duck(text_col: str, dim: int = 64) -> str:
+    """DuckDB twin of the full chain (CTE-free single fragment is too
+    slow — callers should materialize in CTEs; this returns the three
+    stage fragments)."""
+    words = f"regexp_extract_all(lower({text_col}), '{TOKEN_PATTERN}')"
+    buckets = (
+        f"list_transform(__w, w -> ('0x' || substr(md5(w), 1, 15))::BIGINT "
+        f"% {dim})"
+    )
+    counts = (
+        f"list_transform(generate_series(0, {dim - 1}), "
+        "i -> len(list_filter(__hb, b -> b = i)))"
+    )
+    n2 = "list_sum(list_transform(__cnt, c -> CAST(c AS BIGINT) * c))"
+    vec = (
+        f"CASE WHEN COALESCE({n2}, 0) = 0 "
+        "THEN list_transform(__cnt, c -> CAST(0.0 AS DOUBLE)) "
+        f"ELSE list_transform(__cnt, c -> CAST(c AS DOUBLE) / "
+        f"sqrt(CAST({n2} AS DOUBLE))) END"
+    )
+    return words, buckets, counts, vec

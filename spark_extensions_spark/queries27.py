@@ -1125,3 +1125,57 @@ def q_embedding_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             "v -> cast(cast(round(v, 9) as decimal(20,9)) as string)), ',')"
         ).alias("projected_csv"),
     )
+
+
+def _hash_embedding_oracle(dim: int = 64) -> str:
+    from spark_extensions_spark.functions.text import hash_embedding_duck
+
+    words, buckets, counts, vec = hash_embedding_duck("text", dim)
+    return f"""
+    WITH w AS (SELECT doc_id, {words} AS __w FROM documents),
+    hb AS (SELECT doc_id, {buckets} AS __hb FROM w),
+    cnt AS (SELECT doc_id, {counts} AS __cnt FROM hb)
+    SELECT doc_id,
+           array_to_string(list_transform({vec},
+             v -> CAST(CAST(round(v, 9) AS DECIMAL(20,9)) AS VARCHAR)),
+             ',') AS embedding_csv
+    FROM cnt
+    """
+
+
+@_register(
+    "text_hash_embedding",
+    _hash_embedding_oracle(),
+    doc="Hashed bag-of-words text embedding (functions/text.py:"
+    "hash_embedding_sql; feature hashing, Weinberger et al. 2009): "
+    "64-d L2-normalized vectors straight from text — the model-free "
+    "bridge that lets the whole ANN/near-dup/k-means embedding family "
+    "run on the documents table. md5 buckets, exact-int norm, one "
+    "double division per dim; word/bucket/count arrays materialized "
+    "once per row (withColumn / CTE) against projection-collapse "
+    "re-evaluation. Decimal-normalized CSV output (driver "
+    "canonicalizer can't hash raw float arrays).",
+)
+def q_text_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from spark_extensions_spark.functions.text import (
+        hash_embedding_cols,
+        hash_embedding_sql,
+    )
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    w_col, hb_col, cnt_col = hash_embedding_cols("text", 64)
+    g = (
+        docs.withColumn("__w", w_col)
+        .withColumn("__hb", hb_col)
+        .withColumn("__cnt", cnt_col)
+    )
+    return g.select(
+        "doc_id",
+        F.expr(
+            "array_join(transform("
+            + hash_embedding_sql("__cnt")
+            + ", v -> cast(cast(round(v, 9) as decimal(20,9)) as string)), ',')"
+        ).alias("embedding_csv"),
+    )
