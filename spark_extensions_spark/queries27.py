@@ -1166,9 +1166,12 @@ def q_text_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")["documents"]
     w_col, hb_col, cnt_col = hash_embedding_cols("text", 64)
+    # barrier: CollapseProject would inline __hb (and its per-word md5)
+    # into every per-bucket filter of __cnt — 64× the md5 work
     g = (
         docs.withColumn("__w", w_col)
         .withColumn("__hb", hb_col)
+        .localCheckpoint(eager=False)
         .withColumn("__cnt", cnt_col)
     )
     return g.select(
