@@ -1182,3 +1182,88 @@ def q_text_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             + ", v -> cast(cast(round(v, 9) as decimal(20,9)) as string)), ',')"
         ).alias("embedding_csv"),
     )
+
+
+def _text_ann_oracle(k: int = 3) -> str:
+    from spark_extensions_spark.functions.text import hash_embedding_duck
+    from spark_extensions_spark.queries import _cosine_duck
+
+    words, buckets, counts, vec = hash_embedding_duck("text", 64)
+    return f"""
+    WITH w AS (SELECT doc_id, {words} AS __w FROM documents),
+    hb AS (SELECT doc_id, {buckets} AS __hb FROM w),
+    cnt AS (SELECT doc_id, {counts} AS __cnt FROM hb),
+    emb AS (SELECT doc_id, {vec} AS v FROM cnt),
+    nz AS (SELECT doc_id, v FROM emb
+           WHERE list_sum(list_transform(v, x -> abs(x))) > 0),
+    s AS (
+      SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+             {_cosine_duck('q.v', 'c.v', 64)} AS cosine
+      FROM (SELECT * FROM nz WHERE doc_id < 5) q
+      JOIN nz c ON c.doc_id != q.doc_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT query_id, neighbor_id, cosine,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+             ) AS BIGINT) AS rank
+      FROM s
+    ) WHERE rank <= {k}
+    """
+
+
+@_register(
+    "retrieval_text_ann",
+    _text_ann_oracle(),
+    doc="Model-free text similarity search end-to-end: feature-hashed "
+    "embeddings (text_hash_embedding) -> exact cosine top-k "
+    "(ann_bruteforce_topk) — dense retrieval over the documents table "
+    "with no external model, the semantic complement to BM25 "
+    "(retrieval_rrf fuses the two shapes). Zero-vector docs excluded "
+    "(cosine undefined); the whole text->vector->rank chain is "
+    "hash-checked by one composed oracle.",
+)
+def q_retrieval_text_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from spark_extensions_spark.functions.text import (
+        hash_embedding_cols,
+        hash_embedding_sql,
+    )
+    from spark_extensions_spark.operators.similarity import (
+        ann_bruteforce_topk,
+    )
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    w_col, hb_col, cnt_col = hash_embedding_cols("text", 64)
+    emb = (
+        docs.withColumn("__w", w_col)
+        .withColumn("__hb", hb_col)
+        .localCheckpoint(eager=False)
+        .withColumn("__cnt", cnt_col)
+        .select(
+            "doc_id", F.expr(hash_embedding_sql("__cnt")).alias("v")
+        )
+        .filter(F.expr("aggregate(v, 0.0d, (a, x) -> a + abs(x))") > 0)
+    )
+    queries = emb.filter(F.col("doc_id") < 5)
+    out = ann_bruteforce_topk(
+        emb, queries, "doc_id", "v", "doc_id", "v", k=4, dim=64
+    )
+    # brute force scores self-matches (cosine 1); drop them and re-rank
+    out = (
+        out.filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        out.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "query_id", "neighbor_id", "cosine",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
