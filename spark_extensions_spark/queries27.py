@@ -1267,3 +1267,91 @@ def q_retrieval_text_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
+
+
+@_register(
+    "analytic_basket_rules",
+    """
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), n AS (
+      SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+      FROM baskets
+    ), items AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS item_n
+      FROM baskets GROUP BY l_partkey
+    ), pairs AS (
+      SELECT a.l_partkey AS item_a, b.l_partkey AS item_b,
+             CAST(COUNT(*) AS BIGINT) AS pair_n
+      FROM baskets a JOIN baskets b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT item_a, item_b, pair_n,
+           CAST(pair_n AS DOUBLE) / ia.item_n AS confidence,
+           (CAST(pair_n AS DOUBLE) * n.n_orders) / (ia.item_n * ib.item_n)
+             AS lift
+    FROM pairs
+    JOIN items ia ON ia.l_partkey = item_a
+    JOIN items ib ON ib.l_partkey = item_b
+    CROSS JOIN n
+    ORDER BY pair_n DESC, item_a, item_b LIMIT 20
+    """,
+    doc="Market-basket association rules over co-ordered parts "
+    "(apriori-lite at pair depth): support (pair count), confidence "
+    "P(b|a) and lift P(ab)/(P(a)P(b)) from exact integer counts, one "
+    "double division each — the classic rule-mining surface. Plan: "
+    "per-order self-join on the (distinct) basket table + two "
+    "broadcast item-count joins + a 1-row n_orders broadcast, top-20 "
+    "via TakeOrderedAndProject. The same pair table feeds the "
+    "co-purchase graph queries (graph_communities).",
+)
+def q_analytic_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = baskets.agg(
+        F.countDistinct("l_orderkey").cast("bigint").alias("n_orders")
+    )
+    items = baskets.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("item_n")
+    )
+    a = baskets.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("item_a")
+    )
+    b = baskets.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("item_b")
+    )
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("pair_n"))
+    )
+    ia = items.select(
+        F.col("l_partkey").alias("item_a"), F.col("item_n").alias("ia_n")
+    )
+    ib = items.select(
+        F.col("l_partkey").alias("item_b"), F.col("item_n").alias("ib_n")
+    )
+    out = (
+        pairs.join(F.broadcast(ia), "item_a")
+        .join(F.broadcast(ib), "item_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "item_a",
+            "item_b",
+            "pair_n",
+            (F.col("pair_n").cast("double") / F.col("ia_n")).alias(
+                "confidence"
+            ),
+            (
+                (F.col("pair_n").cast("double") * F.col("n_orders"))
+                / (F.col("ia_n") * F.col("ib_n"))
+            ).alias("lift"),
+        )
+    )
+    return out.orderBy(
+        F.col("pair_n").desc(), "item_a", "item_b"
+    ).limit(20)
