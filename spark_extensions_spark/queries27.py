@@ -1355,3 +1355,56 @@ def q_analytic_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy(
         F.col("pair_n").desc(), "item_a", "item_b"
     ).limit(20)
+
+
+@_register(
+    "text_script_ratios",
+    r"""
+    WITH t AS (
+      SELECT doc_id, text || ' 汉字漢字 škola naïve' AS x FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(x, '\p{Han}')) AS INT) AS n_han,
+           CAST(len(regexp_extract_all(x, '\p{Latin}')) AS INT) AS n_latin,
+           CAST(len(regexp_extract_all(x, '\p{Cyrillic}')) AS INT)
+             AS n_cyrillic,
+           round(CAST(len(regexp_extract_all(x, '\p{Han}')) AS DOUBLE)
+                 / length(x), 6) AS han_ratio,
+           round(CAST(len(regexp_extract_all(x, '\p{Latin}')) AS DOUBLE)
+                 / length(x), 6) AS latin_ratio
+    FROM t
+    """,
+    doc="Unicode-script composition ratios (Han/Latin/Cyrillic counts "
+    "per doc) — the script-level language signal that catches "
+    "mixed-script spam and wrong-language leakage before the "
+    "stopword-based lang_id runs; pure regexp character classes in "
+    "one codegen projection, zero shuffle. Java spells the class "
+    "\\p{IsHan}, RE2 \\p{Han} — same Unicode script property, "
+    "engine-specific spelling, identical counts (synthesized CJK/"
+    "diacritic suffix exercises the non-ASCII paths on the "
+    "Latin-heavy fixture corpus).",
+)
+def q_text_script_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    x = F.concat(F.col("text"), F.lit(" 汉字漢字 škola naïve"))
+    g = docs.select("doc_id", x.alias("x"))
+
+    def n(cls: str) -> F.Column:
+        return F.expr(
+            f"size(regexp_extract_all(x, '\\\\p{{Is{cls}}}', 0))"
+        )
+
+    return g.select(
+        "doc_id",
+        n("Han").cast("int").alias("n_han"),
+        n("Latin").cast("int").alias("n_latin"),
+        n("Cyrillic").cast("int").alias("n_cyrillic"),
+        F.round(n("Han").cast("double") / F.length("x"), 6).alias(
+            "han_ratio"
+        ),
+        F.round(n("Latin").cast("double") / F.length("x"), 6).alias(
+            "latin_ratio"
+        ),
+    )
