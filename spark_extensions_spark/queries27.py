@@ -1408,3 +1408,47 @@ def q_text_script_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
             "latin_ratio"
         ),
     )
+
+
+@_register(
+    "text_token_count_cjk",
+    r"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CASE WHEN lang = 'zh' THEN '对话 模型 训练 数据 ' || text
+                  ELSE text END AS x
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CAST(len(regexp_extract_all(lower(x), '[a-z0-9]+'))
+                + len(regexp_extract_all(x, '\p{Han}')) AS BIGINT)
+             AS n_tokens
+    FROM t
+    """,
+    doc="CJK-aware token counting: whitespace/regex word runs for "
+    "alphabetic scripts PLUS one token per Han character (CJK has no "
+    "word spaces — BPE tokenizers emit roughly per-character tokens "
+    "there, so the whitespace-only text_token_count undercounts zh "
+    "docs badly). One codegen projection, zero shuffle; the zh rows "
+    "get a synthesized Han prefix so the fixture corpus actually "
+    "exercises the Han term.",
+)
+def q_text_token_count_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    x = F.when(
+        F.col("lang") == "zh",
+        F.concat(F.lit("对话 模型 训练 数据 "), F.col("text")),
+    ).otherwise(F.col("text"))
+    g = docs.select("doc_id", "lang", x.alias("x"))
+    return g.select(
+        "doc_id",
+        "lang",
+        (
+            F.expr("size(regexp_extract_all(lower(x), '[a-z0-9]+', 0))")
+            + F.expr("size(regexp_extract_all(x, '\\\\p{IsHan}', 0))")
+        )
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
