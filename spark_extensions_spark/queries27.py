@@ -1,18 +1,37 @@
-"""t2 query registry, batch 30: Spark 4 SQL-surface additions —
-recursive CTEs and pipe syntax.
+"""t2 query registry, batch 30: round-2 closing-session additions.
 
 Registered into the shared registry (imported from queries26 at module
 end). Same determinism rules as the queries.py docstring.
 
-- ``sql_recursive_cte``: WITH RECURSIVE (new in Spark 4) reconstructing
-  a parent-pointer hierarchy (root + depth per node) — the declarative
-  replacement for the driver-looped iterate-until-fixpoint shape; the
-  parent function is ``floor(key/2)`` (portable: ANSI double→bigint
-  casts truncate in Spark but ROUND in DuckDB, so the shared
-  formulation goes through ``floor``).
-- ``sql_pipe_syntax``: SQL pipe operators (``|>``, Spark 4) running the
-  pricing-summary aggregation; the oracle is the same query in standard
-  ANSI form — proving the pipe chain compiles to the identical result.
+Families in this batch:
+
+- Spark 4 SQL surface: ``sql_recursive_cte`` (WITH RECURSIVE; note ANSI
+  double→bigint casts truncate in Spark but ROUND in DuckDB — shared
+  formulations go through floor()), ``sql_pipe_syntax`` (|> chain),
+  ``sql_lateral_alias``, ``sql_group_by_all_param`` (GROUP BY ALL +
+  named-arg/IDENTIFIER templating), ``window_session_builtin``,
+  ``xml_file_roundtrip`` (native spark-xml).
+- Crawl-cleaning: ``url_blocklist_filter``, ``text_dup_ngrams``,
+  ``text_char_entropy``, ``text_nfc_dedup_key``, ``text_script_ratios``,
+  ``text_token_count_cjk``, ``text_hash_embedding`` (+ its ANN
+  composition ``retrieval_text_ann``), ``pipeline_release_gate`` (the
+  5-stage composed flagship with a full chained oracle).
+- Sampling/linkage/layout: ``sample_weighted_aexpj`` (A-ExpJ),
+  ``sample_stratified_split`` (exact per-group proportions),
+  ``link_sorted_neighborhood``, ``feature_target_encode``,
+  ``agg_kmv_setops``, ``layout_hilbert``, ``analytic_basket_rules``,
+  ``embedding_jl_project``.
+- ANN index lifecycle: ``ann_ivf_persisted`` (bucketed serving path),
+  ``ann_ivf_index_refresh`` (incremental maintenance).
+- Streaming: ``streaming_enrich`` (stream-static broadcast dim join).
+- ``multimodal_audiosegments`` completes the image/video/audio family.
+
+Hazard documented in NOTES.md and visible twice here: heavy row-local
+array columns need materialization barriers (withColumn +
+localCheckpoint(eager=False)) or CollapseProject re-evaluates them per
+downstream reference; float-array outputs are emitted as fixed-scale
+decimal CSV because the driver canonicalizer can't hash raw arrays and
+Spark renders small doubles in scientific notation.
 """
 
 from __future__ import annotations
