@@ -1255,15 +1255,22 @@ def q_retrieval_text_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")["documents"]
     w_col, hb_col, cnt_col = hash_embedding_cols("text", 64)
+    # three barriers: __hb (md5-per-word), __cnt (64-bucket counts) and
+    # the final vectors — every downstream reference (normalize uses
+    # __cnt 4x, the zero-filter inlines the normalize, and BOTH ANN
+    # join sides re-execute the plan) otherwise recomputes the chain:
+    # measured 89s -> ~8s at sf0.1
     emb = (
         docs.withColumn("__w", w_col)
         .withColumn("__hb", hb_col)
         .localCheckpoint(eager=False)
         .withColumn("__cnt", cnt_col)
+        .localCheckpoint(eager=False)
         .select(
             "doc_id", F.expr(hash_embedding_sql("__cnt")).alias("v")
         )
         .filter(F.expr("aggregate(v, 0.0d, (a, x) -> a + abs(x))") > 0)
+        .localCheckpoint(eager=False)
     )
     queries = emb.filter(F.col("doc_id") < 5)
     out = ann_bruteforce_topk(
