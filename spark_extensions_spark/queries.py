@@ -158,6 +158,26 @@ _PRIORITY: tuple[str, ...] = (
     "text_nfc_dedup_key",
     "text_char_entropy",
     "sample_weighted_aexpj",
+    # round-2 closing, second wave
+    "pipeline_release_gate",
+    "retrieval_text_ann",
+    "text_hash_embedding",
+    "layout_hilbert",
+    "link_sorted_neighborhood",
+    "agg_kmv_setops",
+    "sample_stratified_split",
+    "ann_ivf_persisted",
+    "ann_ivf_index_refresh",
+    "embedding_jl_project",
+    "analytic_basket_rules",
+    "window_session_builtin",
+    "feature_target_encode",
+    "multimodal_audiosegments",
+    "text_script_ratios",
+    "text_token_count_cjk",
+    "xml_file_roundtrip",
+    "sql_lateral_alias",
+    "sql_group_by_all_param",
 )
 
 
