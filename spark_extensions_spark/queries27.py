@@ -1478,3 +1478,57 @@ def q_text_token_count_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_tokens"),
     )
+
+
+@_register(
+    "text_sentence_stats",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(
+               list_transform(
+                 regexp_split_to_array(text, '[.!?]+(\s+|$)'),
+                 x -> trim(x)),
+               x -> length(x) > 0) AS sents
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(sents) AS INT) AS n_sentences,
+           CAST(COALESCE(list_sum(list_transform(sents, s -> length(s))), 0)
+                AS BIGINT) AS sent_chars,
+           CASE WHEN len(sents) = 0 THEN 0.0
+                ELSE round(CAST(COALESCE(list_sum(list_transform(sents,
+                       s -> length(s))), 0) AS DOUBLE) / len(sents), 6)
+           END AS mean_sentence_len
+    FROM t
+    """,
+    doc="Sentence segmentation statistics: split on terminal "
+    "punctuation runs, trim, drop empties — sentence count, character "
+    "mass and mean length per doc (the doc-structure signal quality "
+    "filters use alongside word-level stats; very long mean sentences "
+    "flag code/tables, very short flag listicles). One codegen "
+    "projection with the split array materialized once, zero shuffle.",
+)
+def q_text_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    g = docs.withColumn(
+        "sents",
+        F.expr(
+            r"filter(transform(split(text, '[.!?]+(\\s+|$)'), "
+            "x -> trim(x)), x -> length(x) > 0)"
+        ),
+    )
+    n = F.size("sents")
+    chars = F.expr(
+        "aggregate(sents, 0L, (a, s) -> a + length(s))"
+    )
+    return g.select(
+        "doc_id",
+        n.cast("int").alias("n_sentences"),
+        chars.cast("bigint").alias("sent_chars"),
+        F.when(n == 0, F.lit(0.0))
+        .otherwise(F.round(chars.cast("double") / n, 6))
+        .alias("mean_sentence_len"),
+    )
