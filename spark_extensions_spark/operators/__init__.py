@@ -49,6 +49,7 @@ from spark_extensions_spark.operators.sampling import (
     stratified_cap,
     stratified_split,
     weighted_sample,
+    temperature_sample,
     deterministic_shuffle,
     global_sort_index,
     token_budget_cap,
@@ -107,6 +108,7 @@ __all__ = [
     "stratified_cap",
     "stratified_split",
     "weighted_sample",
+    "temperature_sample",
     "deterministic_shuffle",
     "global_sort_index",
     "token_budget_cap",

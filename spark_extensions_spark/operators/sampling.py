@@ -563,3 +563,50 @@ def stratified_split(
     last = list(fracs)[-1]
     expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
     return out.withColumn("split", expr).drop("__r", "__n")
+
+
+def temperature_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    alpha: float,
+    target_total: int,
+    salt: str = "temp",
+) -> DataFrame:
+    """Temperature-based mixture sampling: per-group keep fraction
+    ∝ n_g^alpha (alpha<1 flattens the source distribution — the
+    multilingual/UniMax recipe), scaled to ~``target_total`` rows and
+    capped at 1. Row selection is md5-hash thinning, so the sample is
+    deterministic on any engine/partitioning.
+
+    Portability: the per-group fraction involves pow/sum in doubles;
+    it is quantized to an INTEGER threshold via floor(frac·1e9 + 0.5)
+    before the bucket comparison, so a 1-ulp pow() difference between
+    engines can only flip a row if its 1e9-bucket lands exactly on the
+    boundary (~n/1e9 odds). One tiny aggregate broadcast back; no
+    second shuffle.
+    """
+    stats = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    tot = stats.agg(
+        F.sum(F.pow(F.col("__n").cast("double"), F.lit(alpha))).alias(
+            "__z"
+        )
+    )
+    frac = F.least(
+        F.lit(1.0),
+        F.pow(F.col("__n").cast("double"), F.lit(alpha))
+        / F.col("__z")
+        * F.lit(float(target_total))
+        / F.col("__n").cast("double"),
+    )
+    thresholds = stats.crossJoin(F.broadcast(tot)).select(
+        group_col,
+        F.floor(frac * F.lit(1e9) + F.lit(0.5))
+        .cast("bigint")
+        .alias("__thr"),
+    )
+    return (
+        df.join(F.broadcast(thresholds), group_col)
+        .filter(hash_bucket(key_col, salt, 1_000_000_000) < F.col("__thr"))
+        .drop("__thr")
+    )

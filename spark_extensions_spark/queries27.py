@@ -1532,3 +1532,41 @@ def q_text_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(chars.cast("double") / n, 6))
         .alias("mean_sentence_len"),
     )
+
+
+@_register(
+    "sample_temperature",
+    """
+    WITH stats AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY source
+    ), z AS (
+      SELECT SUM(pow(CAST(n AS DOUBLE), 0.5)) AS z FROM stats
+    ), thr AS (
+      SELECT source,
+             CAST(floor(LEAST(1.0,
+               pow(CAST(n AS DOUBLE), 0.5) / z * 300.0
+                 / CAST(n AS DOUBLE)) * 1e9 + 0.5) AS BIGINT) AS thr
+      FROM stats CROSS JOIN z
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN thr USING (source)
+    WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':' || 'temp'),
+                          1, 15))::BIGINT % 1000000000 < thr.thr
+    """,
+    doc="Temperature-based mixture sampling (operators/sampling.py:"
+    "temperature_sample; the UniMax/multilingual alpha-flattening "
+    "recipe): per-source keep fraction ∝ n^0.5 scaled to ~300 rows, "
+    "md5-hash thinning — deterministic under any layout. The double "
+    "pow/sum is quantized to an integer 1e9 threshold before the "
+    "bucket comparison, so cross-engine ulp drift can't flip rows "
+    "off-boundary. One tiny aggregate broadcast; zero extra shuffle.",
+)
+def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_extensions_spark.operators.sampling import temperature_sample
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return temperature_sample(
+        docs.select("doc_id", "source"), "source", "doc_id",
+        alpha=0.5, target_total=300,
+    )
