@@ -100,3 +100,27 @@ def test_stratified_split_exact_proportions(spark):
         for r in stratified_split(df.repartition(9), "g", "id", fr).collect()
     }
     assert a == b
+
+
+def test_temperature_sample_flattens(spark):
+    """alpha<1 narrows the kept-count spread between large and small
+    groups relative to their raw sizes; alpha=1 is proportional."""
+    from pyspark.sql import functions as F
+
+    from spark_extensions_spark.operators.sampling import temperature_sample
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "id bigint, g string")
+
+    def kept_ratio(alpha):
+        out = temperature_sample(df, "g", "id", alpha, 200)
+        n = {
+            r["g"]: r["c"]
+            for r in out.groupBy("g").agg(F.count("*").alias("c")).collect()
+        }
+        return n.get("big", 0) / max(1, n.get("small", 1))
+
+    # raw ratio is 9:1; alpha=0.5 should compress it well below that
+    assert kept_ratio(1.0) > 5
+    assert kept_ratio(0.5) < 5
+    assert kept_ratio(0.5) > 1
