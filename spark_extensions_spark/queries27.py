@@ -1570,3 +1570,36 @@ def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "source"), "source", "doc_id",
         alpha=0.5, target_total=300,
     )
+
+
+@_register(
+    "sample_curriculum_batches",
+    """
+    SELECT doc_id, n_chars,
+           CAST((ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) - 1) // 64
+                AS BIGINT) AS batch_id
+    FROM documents
+    """,
+    doc="Curriculum batch assignment: global easy-to-hard order (here "
+    "n_chars as the difficulty proxy; any score column works) cut "
+    "into fixed-size training batches — the curriculum-learning prep "
+    "step. The global order comes from the two-phase sort index "
+    "(operators/sampling.py:global_sort_index — range partition + "
+    "per-partition offsets, NO single-partition window); batch_id is "
+    "a row-local floor-division of it. Oracle is the naive global "
+    "ROW_NUMBER.",
+)
+def q_sample_curriculum_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from spark_extensions_spark.operators.sampling import global_sort_index
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    idx = global_sort_index(
+        docs.select("doc_id", "n_chars"), ["n_chars", "doc_id"], "__pos"
+    )
+    return idx.select(
+        "doc_id",
+        "n_chars",
+        (F.col("__pos") / 64).cast("bigint").alias("batch_id"),
+    )
