@@ -1603,3 +1603,63 @@ def q_sample_curriculum_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         (F.col("__pos") / 64).cast("bigint").alias("batch_id"),
     )
+
+
+@_register(
+    "quality_adaptive_gate",
+    """
+    WITH scored AS (
+      SELECT doc_id, source, n_chars,
+             CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                  AS BIGINT) AS n_words
+      FROM documents
+    ), bounds AS (
+      SELECT source,
+             round(quantile_cont(CAST(n_words AS DOUBLE), 0.25), 6) AS p25
+      FROM scored GROUP BY source
+    )
+    SELECT s.source,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(COUNT(*) FILTER (WHERE CAST(s.n_words AS DOUBLE) >= b.p25)
+                AS BIGINT) AS n_kept,
+           b.p25 AS threshold
+    FROM scored s JOIN bounds b USING (source)
+    GROUP BY s.source, b.p25
+    """,
+    doc="Per-source ADAPTIVE quality gate: each source keeps docs at or "
+    "above its OWN 25th-percentile word count — absolute thresholds "
+    "misfire when sources have different length profiles (code vs "
+    "prose vs chat); the per-group percentile self-calibrates. One "
+    "small exact-percentile aggregate broadcast back (group-"
+    "cardinality-sized — the fact side never shuffles), row-local "
+    "gate, per-source audit out. Spark exact percentile == DuckDB "
+    "quantile_cont, rounded to 6dp before the compare.",
+)
+def q_quality_adaptive_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.expr(
+            "cast(size(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) "
+            "as bigint)"
+        ).alias("n_words"),
+    )
+    bounds = scored.groupBy("source").agg(
+        F.round(
+            F.expr("percentile(cast(n_words as double), 0.25)"), 6
+        ).alias("p25")
+    )
+    joined = scored.join(F.broadcast(bounds), "source")
+    return joined.groupBy("source", "p25").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.count(
+            F.when(F.col("n_words").cast("double") >= F.col("p25"), 1)
+        )
+        .cast("bigint")
+        .alias("n_kept"),
+    ).select(
+        "source", "n_total", "n_kept", F.col("p25").alias("threshold")
+    )
