@@ -1663,3 +1663,44 @@ def q_quality_adaptive_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "source", "n_total", "n_kept", F.col("p25").alias("threshold")
     )
+
+
+@_register(
+    "text_vocab_richness",
+    """
+    WITH w AS (
+      SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+               AS word
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT word) AS BIGINT) AS n_types,
+           round(CAST(COUNT(DISTINCT word) AS DOUBLE) / COUNT(*), 6)
+             AS type_token_ratio
+    FROM w GROUP BY lang
+    """,
+    doc="Per-language vocabulary richness (type-token ratio): corpus "
+    "diversity audit — a collapsing TTR flags template spam or "
+    "synthetic-loop data per language slice. Row-local tokenization "
+    "explode + one count-distinct aggregate (Spark plans the "
+    "two-phase distinct expansion; at 100 TB swap exact distinct for "
+    "the KMV/HLL sketches in operators/sketches.py).",
+)
+def q_text_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    w = docs.select(
+        "lang",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+        ).alias("word"),
+    )
+    return w.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.countDistinct("word").cast("bigint").alias("n_types"),
+        F.round(
+            F.countDistinct("word").cast("double") / F.count(F.lit(1)), 6
+        ).alias("type_token_ratio"),
+    )
