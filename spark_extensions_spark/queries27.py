@@ -1704,3 +1704,85 @@ def q_text_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("word").cast("double") / F.count(F.lit(1)), 6
         ).alias("type_token_ratio"),
     )
+
+
+@_register(
+    "text_zipf_slope",
+    """
+    WITH w AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+      FROM documents
+    ), counts AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS c FROM w GROUP BY word
+    ), ranked AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, word) AS r
+      FROM counts QUALIFY r <= 100
+    ), terms AS (
+      SELECT CAST(round(ln(CAST(r AS DOUBLE)), 12) AS DECIMAL(30,12)) AS x,
+             CAST(round(ln(CAST(c AS DOUBLE)), 12) AS DECIMAL(30,12)) AS y,
+             CAST(round(ln(CAST(r AS DOUBLE)) * ln(CAST(c AS DOUBLE)), 12)
+                  AS DECIMAL(30,12)) AS xy,
+             CAST(round(ln(CAST(r AS DOUBLE)) * ln(CAST(r AS DOUBLE)), 12)
+                  AS DECIMAL(30,12)) AS xx
+      FROM ranked
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_ranks,
+           round((COUNT(*) * CAST(SUM(xy) AS DOUBLE)
+                  - CAST(SUM(x) AS DOUBLE) * CAST(SUM(y) AS DOUBLE))
+                 / (COUNT(*) * CAST(SUM(xx) AS DOUBLE)
+                    - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE)),
+                 6) AS zipf_slope
+    FROM terms
+    """,
+    doc="Zipf-law slope audit: OLS of ln(count) on ln(rank) over the "
+    "top-100 words — natural corpora slope near -1; strong deviation "
+    "flags synthetic/template text (corpus forensics). Per-term ln "
+    "products quantized to 1e-12 and summed as DECIMAL (the PSI "
+    "precedent: order-free despite ln), slope assembled in one "
+    "fixed-order double expression; one word-count aggregate + a "
+    "100-row window.",
+)
+def q_text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window, functions as F
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    counts = (
+        docs.select(
+            F.explode(
+                F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    w = Window.orderBy(F.col("c").desc(), "word")
+    ranked = counts.withColumn("r", F.row_number().over(w)).filter(
+        F.col("r") <= 100
+    )
+    t = ranked.select(
+        F.expr(
+            "cast(round(ln(cast(r as double)), 12) as decimal(30,12))"
+        ).alias("x"),
+        F.expr(
+            "cast(round(ln(cast(c as double)), 12) as decimal(30,12))"
+        ).alias("y"),
+        F.expr(
+            "cast(round(ln(cast(r as double)) * ln(cast(c as double)), 12) "
+            "as decimal(30,12))"
+        ).alias("xy"),
+        F.expr(
+            "cast(round(ln(cast(r as double)) * ln(cast(r as double)), 12) "
+            "as decimal(30,12))"
+        ).alias("xx"),
+    )
+    n = F.count(F.lit(1))
+    sx = F.sum("x").cast("double")
+    sy = F.sum("y").cast("double")
+    sxy = F.sum("xy").cast("double")
+    sxx = F.sum("xx").cast("double")
+    return t.agg(
+        n.cast("bigint").alias("n_ranks"),
+        F.round(
+            (n * sxy - sx * sy) / (n * sxx - sx * sx), 6
+        ).alias("zipf_slope"),
+    )
