@@ -34,3 +34,25 @@ def test_query_matches_oracle(q, spark, sf_dir, duck):
     ddf = duck.sql(q.oracle)
     problems = compare_result_sets(sdf.columns, srows, list(ddf.columns), ddf.fetchall())
     assert not problems, f"{q.name}: {problems}"
+
+
+def test_compare_result_sets_catches_mismatches():
+    """The gate itself must fail loudly on row-count, column-name and
+    value differences — and pass on column/row reordering (the
+    order-insensitivity it promises)."""
+    from spark_extensions_spark.testing import compare_result_sets
+
+    cols = ["a", "b"]
+    rows = [(1, "x"), (2, "y")]
+    assert compare_result_sets(cols, rows, cols, rows) == []
+    # row order and column order are canonicalized away
+    assert compare_result_sets(cols, rows, cols, [(2, "y"), (1, "x")]) == []
+    assert (
+        compare_result_sets(cols, rows, ["b", "a"], [("x", 1), ("y", 2)])
+        == []
+    )
+    # real differences are caught
+    assert compare_result_sets(cols, rows, cols, rows[:1])
+    assert compare_result_sets(cols, rows, ["a", "c"], rows)
+    assert compare_result_sets(cols, rows, cols, [(1, "x"), (2, "z")])
+    assert compare_result_sets(cols, rows, cols, [(1, "x"), (3, "y")])
