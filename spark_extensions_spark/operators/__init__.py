@@ -36,6 +36,7 @@ from spark_extensions_spark.operators.similarity import (
 from spark_extensions_spark.operators.dedup import (
     embedding_neardup_pairs_ivf_det,
     sorted_neighborhood_pairs,
+    minhash_jaccard_estimates,
 )
 from spark_extensions_spark.operators.clustering import (
     kmeans_fit,
@@ -99,6 +100,7 @@ __all__ = [
     "jl_project",
     "embedding_neardup_pairs_ivf_det",
     "sorted_neighborhood_pairs",
+    "minhash_jaccard_estimates",
     "kmeans_fit",
     "kmeans_assignments",
     "kmeans_fit_det",

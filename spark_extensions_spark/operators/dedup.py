@@ -1138,3 +1138,88 @@ def sorted_neighborhood_pairs(
         "key_b",
         (F.col("__pb") - F.col("__pa")).cast("int").alias("pos_gap"),
     )
+
+
+def minhash_signature_array(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 12,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """``(id, sig array<bigint>)`` — the integer MinHash signature via
+    the same exploded universal-hash min aggregation as
+    :func:`minhash_band_table` (one md5 per shingle, per-seed
+    ``(base·A_i+B_i) mod 2^31-1`` mixes, map-side partial mins).
+    Shingle-less docs drop out."""
+    words = df.select(
+        F.col(id_col),
+        F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)").alias(
+            "__words"
+        ),
+    )
+    exploded = words.select(
+        F.col(id_col),
+        F.explode(shingles_from_words("__words", shingle_words)).alias("__s"),
+    ).select(
+        F.col(id_col),
+        F.expr("cast(conv(substr(md5(__s), 1, 7), 16, 10) as bigint)").alias(
+            "__base"
+        ),
+    )
+    mins = exploded.groupBy(id_col).agg(
+        *[
+            F.min(
+                F.expr(f"pmod(__base * {a} + {b}, {MINHASH_PRIME})")
+            ).alias(f"__h{i}")
+            for i, (a, b) in enumerate(minhash_seed_constants(num_hashes))
+        ]
+    )
+    return mins.select(
+        F.col(id_col),
+        F.array(*[F.col(f"__h{i}") for i in range(num_hashes)]).alias("sig"),
+    )
+
+
+def minhash_jaccard_estimates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """LSH candidate pairs WITH their signature-agreement Jaccard
+    estimate — the standard middle stage of the MinHash pipeline
+    (Broder 1997): ``est = |{i : sig_a[i] = sig_b[i]}| / num_hashes``
+    is an unbiased Jaccard estimator, so candidates can be
+    threshold-filtered WITHOUT re-touching the documents (at 100 TB
+    the exact shingle re-comparison only runs on survivors).
+
+    Deterministic integers end-to-end → the estimates (not just the
+    pair set) hash-match the SQL oracle. One extra broadcast-friendly
+    join per side against the signature table.
+
+    Output: ``(id_a, id_b, est_jaccard)``.
+    """
+    sigs = minhash_signature_array(
+        df, id_col, text_col, num_hashes, shingle_words
+    )
+    cands = minhash_lsh_candidates(
+        df, id_col, text_col, num_hashes, bands, shingle_words
+    )
+    sa = sigs.select(
+        F.col(id_col).alias("id_a"), F.col("sig").alias("__sa")
+    )
+    sb = sigs.select(
+        F.col(id_col).alias("id_b"), F.col("sig").alias("__sb")
+    )
+    est = F.expr(
+        f"round(size(filter(zip_with(__sa, __sb, (x, y) -> x = y), "
+        f"b -> b)) / {float(num_hashes)}d, 6)"
+    )
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", est.alias("est_jaccard"))
+    )

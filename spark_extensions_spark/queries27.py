@@ -1786,3 +1786,44 @@ def q_text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             (n * sxy - sx * sy) / (n * sxx - sx * sx), 6
         ).alias("zipf_slope"),
     )
+
+
+def _minhash_estimate_oracle() -> str:
+    from spark_extensions_spark.queries import _minhash_bands_cte
+
+    return f"""
+    {_minhash_bands_cte()}
+    , pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    )
+    SELECT p.id_a, p.id_b,
+           round(len(list_filter(list_zip(sa.s, sb.s),
+                                 q -> q[1] = q[2])) / 12.0, 6)
+             AS est_jaccard
+    FROM pairs p
+    JOIN sig sa ON sa.doc_id = p.id_a
+    JOIN sig sb ON sb.doc_id = p.id_b
+    """
+
+
+@_register(
+    "dedup_minhash_estimate",
+    _minhash_estimate_oracle(),
+    doc="MinHash signature-agreement Jaccard estimates over the LSH "
+    "candidate pairs (operators/dedup.py:minhash_jaccard_estimates; "
+    "Broder 1997): est = matching-components / num_hashes — the "
+    "standard middle stage that threshold-filters candidates WITHOUT "
+    "re-touching document text (at 100 TB exact shingle comparison "
+    "only runs on survivors). Integer signatures end-to-end, so the "
+    "ESTIMATES — not just the pair set — hash-match the oracle.",
+)
+def q_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_extensions_spark.operators.dedup import (
+        minhash_jaccard_estimates,
+    )
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return minhash_jaccard_estimates(docs, "doc_id", "text")
