@@ -1231,3 +1231,36 @@ def test_jl_project_distance_preservation(spark):
     ratios = np.array(ratios)
     assert 0.7 < np.median(ratios) < 1.3
     assert ((ratios > 0.4) & (ratios < 1.9)).mean() > 0.9
+
+
+def test_minhash_estimate_tracks_true_jaccard(spark):
+    """Signature-agreement estimates approximate the exact shingle
+    Jaccard on the LSH candidate pairs (12 hashes → coarse but
+    unbiased; errors bounded and high-sim pairs score high)."""
+    from pyspark.sql import functions as F
+
+    from spark_extensions_spark.operators.dedup import (
+        minhash_jaccard_estimates,
+        ngram_jaccard_pairs,
+    )
+    from spark_extensions_spark.session import load_tables
+
+    docs = load_tables(spark, "/root/testdata/sf0.01", "documents")[
+        "documents"
+    ]
+    est = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_jaccard_estimates(docs, "doc_id", "text").collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.0
+        ).collect()
+    }
+    assert est, "no candidate pairs"
+    errs = [abs(v - exact.get(k, 0.0)) for k, v in est.items()]
+    assert sum(errs) / len(errs) < 0.30
+    high = [v for k, v in est.items() if exact.get(k, 0) > 0.8]
+    if high:
+        assert min(high) > 0.5
