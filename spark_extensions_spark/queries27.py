@@ -1827,3 +1827,47 @@ def q_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")["documents"]
     return minhash_jaccard_estimates(docs, "doc_id", "text")
+
+
+@_register(
+    "io_partition_pruning",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events WHERE event_type = 'click'
+    GROUP BY event_type
+    """,
+    doc="Partitioned-write -> partition-pruned read, end to end: the "
+    "events fixture is written partitionBy(event_type) to a temp "
+    "dataset (cached per session), then the 'click' aggregate reads "
+    "it back — the partition filter prunes at PLANNING time, so only "
+    "the click directory is ever listed/scanned (the physical-layout "
+    "contract every 100 TB date-partitioned lake relies on; the "
+    "pruned-scan plan shape is also pinned in "
+    "tests/test_sources_multimodal.py). Oracle aggregates the "
+    "unpartitioned source.",
+)
+def q_io_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    cache = getattr(spark, "_sx_part_cache", None)
+    if cache is None:
+        cache = {}
+        spark._sx_part_cache = cache
+    if sf_dir not in cache:
+        ev = _t(spark, sf_dir, "events")["events"]
+        path = tempfile.mkdtemp(prefix="events_part_q_")
+        ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
+        cache[sf_dir] = path
+    part = spark.read.parquet(cache[sf_dir])
+    return (
+        part.filter(F.col("event_type") == "click")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+    )
