@@ -1871,3 +1871,59 @@ def q_io_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").cast("bigint").alias("n_users"),
         )
     )
+
+
+@_register(
+    "io_bucketed_join",
+    """
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(CAST(o.o_totalprice AS DECIMAL(20,4))) AS total
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderpriority
+    """,
+    doc="Bucketed-table co-located join, end to end: orders and "
+    "customer are written bucketBy(8, key) sortBy(key) into session "
+    "catalog tables (cached per session), then joined WITHOUT any "
+    "Exchange on either side — the pre-shuffled layout that amortizes "
+    "one write-time shuffle across every later join at 100 TB (the "
+    "no-Exchange plan is pinned in tests/test_sources_multimodal.py's "
+    "bucketed-join test). Oracle joins the unbucketed source.",
+)
+def q_io_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from spark_extensions_spark.sources import write_table
+
+    cache = getattr(spark, "_sx_bucket_cache", None)
+    if cache is None:
+        cache = {}
+        spark._sx_bucket_cache = cache
+    if sf_dir not in cache:
+        t = _t(spark, sf_dir, "orders", "customer")
+        base = tempfile.mkdtemp(prefix="bucketed_q_")
+        write_table(
+            t["orders"], f"{base}/ord_b", mode="overwrite",
+            bucket_by=(8, ["o_custkey"]), table_name="ord_b_q",
+        )
+        write_table(
+            t["customer"], f"{base}/cust_b", mode="overwrite",
+            bucket_by=(8, ["c_custkey"]), table_name="cust_b_q",
+        )
+        cache[sf_dir] = ("ord_b_q", "cust_b_q")
+    on, cn = cache[sf_dir]
+    o = spark.table(on)
+    c = spark.table(cn).filter(F.col("c_mktsegment") == "BUILDING")
+    return (
+        o.join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(
+                F.expr("cast(o_totalprice as decimal(20,4))")
+            ).alias("total"),
+        )
+    )
