@@ -1927,3 +1927,36 @@ def q_io_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("total"),
         )
     )
+
+
+@_register(
+    "catalog_managed_dml",
+    """
+    SELECT r_regionkey, r_name FROM region
+    UNION ALL
+    SELECT n_nationkey + 1000, n_name FROM nation
+    """,
+    doc="Managed-catalog DML lifecycle: CREATE a managed table via "
+    "saveAsTable (spark-warehouse), append a second batch with SQL "
+    "INSERT INTO ... SELECT, read the union back via spark.table — "
+    "the catalog/DML surface (§2.C adjacent) a lake engine must "
+    "expose beyond path-based IO. Re-runnable: the table is dropped "
+    "and recreated per invocation; oracle is the two-batch union of "
+    "the sources.",
+)
+def q_catalog_managed_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    t = _t(spark, sf_dir, "region", "nation")
+    name = "managed_dml_q"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    t["region"].select(
+        F.col("r_regionkey").alias("k"), F.col("r_name").alias("name")
+    ).write.saveAsTable(name)
+    spark.sql(
+        f"INSERT INTO {name} "
+        "SELECT n_nationkey + 1000 AS k, n_name AS name FROM nation"
+    )
+    return spark.table(name).select(
+        F.col("k").alias("r_regionkey"), F.col("name").alias("r_name")
+    )
