@@ -1960,3 +1960,47 @@ def q_catalog_managed_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select(
         F.col("k").alias("r_regionkey"), F.col("name").alias("r_name")
     )
+
+
+@_register(
+    "catalog_dynamic_overwrite",
+    """
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+      SELECT event_type FROM events WHERE event_type != 'click'
+      UNION ALL
+      SELECT event_type FROM events WHERE event_type = 'click'
+        AND event_id % 2 = 0
+    ) GROUP BY event_type
+    """,
+    doc="Dynamic partition overwrite (partitionOverwriteMode=dynamic): "
+    "a partitioned managed table gets ONE partition rewritten by "
+    "INSERT OVERWRITE (here: deduplicated clicks) while sibling "
+    "partitions stay untouched — the idempotent partition-level "
+    "reprocessing every date-partitioned lake pipeline relies on "
+    "(static mode would wipe the whole table). Re-runnable per "
+    "invocation; oracle = untouched partitions UNION the rewritten "
+    "one.",
+)
+def q_catalog_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    ev = _t(spark, sf_dir, "events")["events"]
+    name = "dyn_overwrite_q"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    ev.select("event_id", "event_type").write.partitionBy(
+        "event_type"
+    ).saveAsTable(name)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        spark.sql(
+            f"INSERT OVERWRITE TABLE {name} "
+            "SELECT event_id, event_type FROM events "
+            "WHERE event_type = 'click' AND event_id % 2 = 0"
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return spark.table(name).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
