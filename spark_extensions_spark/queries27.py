@@ -2004,3 +2004,38 @@ def q_catalog_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
+
+
+@_register(
+    "catalog_schema_evolution",
+    """
+    SELECT r_regionkey AS k, r_name AS name, NULL AS tier FROM region
+    UNION ALL
+    SELECT n_nationkey + 2000, n_name,
+           CASE WHEN n_nationkey % 2 = 0 THEN 'gold' ELSE 'std' END
+    FROM nation
+    """,
+    doc="In-place catalog schema evolution: ALTER TABLE ADD COLUMNS on "
+    "a live managed table — old rows read back NULL for the new "
+    "column (no rewrite), new inserts carry it; the additive-widening "
+    "path that pairs the offline schema/evolution.py diff+conform "
+    "utilities with the catalog's own DDL. Re-runnable per "
+    "invocation; oracle = old rows with NULL UNION new rows.",
+)
+def q_catalog_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    t = _t(spark, sf_dir, "region", "nation")
+    name = "schema_evo_q"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    t["region"].select(
+        F.col("r_regionkey").alias("k"), F.col("r_name").alias("name")
+    ).write.saveAsTable(name)
+    spark.sql(f"ALTER TABLE {name} ADD COLUMNS (tier string)")
+    spark.sql(
+        f"INSERT INTO {name} "
+        "SELECT n_nationkey + 2000 AS k, n_name AS name, "
+        "CASE WHEN n_nationkey % 2 = 0 THEN 'gold' ELSE 'std' END AS tier "
+        "FROM nation"
+    )
+    return spark.table(name)
