@@ -2039,3 +2039,30 @@ def q_catalog_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM nation"
     )
     return spark.table(name)
+
+
+@_register(
+    "catalog_view_query",
+    """
+    SELECT r.r_name, CAST(COUNT(*) AS BIGINT) AS n_nations
+    FROM nation n JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY r.r_name
+    """,
+    doc="Catalog VIEW surface: CREATE OR REPLACE TEMPORARY VIEW over a "
+    "join, queried through the view — the virtual-layer DDL that "
+    "rounds out the catalog family (tables, DML, overwrite, "
+    "evolution, views). The optimizer sees straight through to the "
+    "base scans (same plan as querying the join directly); oracle is "
+    "the underlying join.",
+)
+def q_catalog_view_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "region", "nation")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY VIEW nation_region_v AS "
+        "SELECT n.n_nationkey, n.n_name, r.r_name "
+        "FROM nation n JOIN region r ON r.r_regionkey = n.n_regionkey"
+    )
+    return spark.sql(
+        "SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n_nations "
+        "FROM nation_region_v GROUP BY r_name"
+    )
