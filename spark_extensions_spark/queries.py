@@ -178,6 +178,20 @@ _PRIORITY: tuple[str, ...] = (
     "xml_file_roundtrip",
     "sql_lateral_alias",
     "sql_group_by_all_param",
+    # round-2 closing, third wave
+    "dedup_minhash_estimate",
+    "io_bucketed_join",
+    "io_partition_pruning",
+    "catalog_managed_dml",
+    "catalog_dynamic_overwrite",
+    "catalog_schema_evolution",
+    "catalog_view_query",
+    "quality_adaptive_gate",
+    "sample_temperature",
+    "sample_curriculum_batches",
+    "text_vocab_richness",
+    "text_zipf_slope",
+    "text_sentence_stats",
 )
 
 
