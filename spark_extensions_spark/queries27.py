@@ -1947,9 +1947,13 @@ def q_io_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_catalog_managed_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
+    import uuid
+
     t = _t(spark, sf_dir, "region", "nation")
-    name = "managed_dml_q"
-    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    # unique per invocation: a fresh session's catalog has no entry for
+    # a previous session's table, so DROP would no-op while the orphan
+    # warehouse directory still blocks saveAsTable
+    name = f"managed_dml_q_{uuid.uuid4().hex[:8]}"
     t["region"].select(
         F.col("r_regionkey").alias("k"), F.col("r_name").alias("name")
     ).write.saveAsTable(name)
@@ -1985,9 +1989,10 @@ def q_catalog_managed_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_catalog_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
+    import uuid
+
     ev = _t(spark, sf_dir, "events")["events"]
-    name = "dyn_overwrite_q"
-    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    name = f"dyn_overwrite_q_{uuid.uuid4().hex[:8]}"
     ev.select("event_id", "event_type").write.partitionBy(
         "event_type"
     ).saveAsTable(name)
@@ -2025,9 +2030,10 @@ def q_catalog_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_catalog_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
+    import uuid
+
     t = _t(spark, sf_dir, "region", "nation")
-    name = "schema_evo_q"
-    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    name = f"schema_evo_q_{uuid.uuid4().hex[:8]}"
     t["region"].select(
         F.col("r_regionkey").alias("k"), F.col("r_name").alias("name")
     ).write.saveAsTable(name)
