@@ -2072,3 +2072,60 @@ def q_catalog_view_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n_nations "
         "FROM nation_region_v GROUP BY r_name"
     )
+
+
+@_register(
+    "udtf_polymorphic",
+    """
+    SELECT o_orderkey, o_totalprice,
+           CAST(2 AS INT) AS n_fields,
+           round(o_totalprice / 2, 6) AS half
+    FROM orders WHERE o_orderkey <= 2000
+    """,
+    doc="POLYMORPHIC Python UDTF (Spark 4 analyze() API): the output "
+    "schema is DERIVED at plan time from the input struct's fields — "
+    "analyze(row) reflects row.dataType and appends computed columns "
+    "(n_fields, half) — the dynamic-schema table function the static "
+    "udtf_word_pos can't express. Arrow row explosion via LATERAL; "
+    "oracle is the equivalent static projection.",
+)
+def q_udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class WidenStruct:
+        @staticmethod
+        def analyze(row: AnalyzeArgument) -> AnalyzeResult:
+            fields = list(row.dataType.fields)
+            return AnalyzeResult(
+                schema=StructType(
+                    fields
+                    + [
+                        StructField("n_fields", IntegerType()),
+                        StructField("half", DoubleType()),
+                    ]
+                )
+            )
+
+        def eval(self, row):
+            vals = [row[f] for f in row.__fields__]
+            last = float(vals[-1])
+            yield (*vals, len(vals), round(last / 2, 6))
+
+    spark.udtf.register("widen_struct_q", WidenStruct)
+    _t(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT u.* FROM orders o,
+        LATERAL widen_struct_q(struct(o.o_orderkey, o.o_totalprice)) u
+        WHERE o.o_orderkey <= 2000
+        """
+    )
