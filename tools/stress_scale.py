@@ -355,6 +355,50 @@ def main() -> int:
         ).count(),
     )
 
+    # --- round-2 closing additions: barrier-pattern text kernels
+    from pyspark.sql import functions as F2
+
+    from spark_extensions_spark.functions.text import (
+        char_entropy_cols,
+        char_entropy_sql,
+        dup_chars_from_sorted_sql,
+        hash_embedding_cols,
+        hash_embedding_sql,
+        word_ngrams_sql,
+    )
+
+    def q_text_kernels():
+        s_col, st_col, ks_col = char_entropy_cols("text")
+        g = (
+            docs.withColumn(
+                "s2", F2.sort_array(F2.expr(word_ngrams_sql("text", 2)))
+            )
+            .withColumn("__s", s_col)
+            .withColumn("__st", st_col)
+            .withColumn("__ks", ks_col)
+            .localCheckpoint(eager=False)
+        )
+        return g.select(
+            F2.expr(dup_chars_from_sorted_sql("s2", "text")).alias("d"),
+            F2.expr(char_entropy_sql("__ks", "__s")).alias("e"),
+        ).count()
+
+    run("text_gate_kernels", q_text_kernels)
+
+    def q_hash_embed():
+        w_col, hb_col, cnt_col = hash_embedding_cols("text", 64)
+        g = (
+            docs.withColumn("__w", w_col)
+            .withColumn("__hb", hb_col)
+            .localCheckpoint(eager=False)
+            .withColumn("__cnt", cnt_col)
+        )
+        return g.select(
+            F2.expr(hash_embedding_sql("__cnt")).alias("v")
+        ).count()
+
+    run("hash_embedding", q_hash_embed)
+
     import shutil
 
     shutil.rmtree(base, ignore_errors=True)
