@@ -67,9 +67,11 @@ def bigram_occurrences(
 def bigram_lm_table(bigrams: DataFrame) -> DataFrame:
     """Add-one-smoothed bigram log-probability table.
 
-    ``lp6 = round(ln((c(w1,w2) + 1) / (c(w1·) + V)), 6)`` where V is
-    the corpus vocabulary size. Two hash aggregates + one small join;
-    the result is one row per distinct bigram (vocabulary-sized, not
+    ``lp_e6 = floor(ln((c(w1,w2) + 1) / (c(w1·) + V)) * 1e6 + 0.5)``
+    (integer 1e-6 units; ``round(ln, 6)`` is engine-nonportable — Spark
+    rescales via BigDecimal, DuckDB in double) where V is the corpus
+    vocabulary size. Two hash aggregates + one small join; the result
+    is one row per distinct bigram (vocabulary-sized, not
     corpus-sized) — the broadcastable LM artifact.
     """
     c2 = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
@@ -85,13 +87,11 @@ def bigram_lm_table(bigrams: DataFrame) -> DataFrame:
         .select(
             "w1",
             "w2",
-            F.round(
-                F.log(
-                    (F.col("c2") + F.lit(1)).cast("double")
-                    / (F.col("c1") + F.col("v")).cast("double")
-                ),
-                6,
-            ).alias("lp6"),
+            F.expr(
+                "cast(floor(ln(cast(c2 + 1 as double)"
+                " / cast(c1 + v as double)) * 1000000.0d + 0.5d)"
+                " as bigint)"
+            ).alias("lp_e6"),
         )
     )
 
@@ -113,9 +113,11 @@ def bigram_lm_scores(
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
+            # sum of integer units is exact; units/n is an exact-int
+            # double division — fully deterministic on both engines
             F.expr(
-                "floor((-cast(sum(cast(lp6 as decimal(28,6))) as double)"
-                " / count(1)) * 1000000.0d + 0.5d) / 1000000.0d"
+                "floor(-cast(sum(lp_e6) as double) / count(1) + 0.5d)"
+                " / 1000000.0d"
             ).alias("nll"),
         )
     )
@@ -162,13 +164,13 @@ def bigram_lm_scores_oracle_sql(
       FROM (SELECT w1 AS w FROM big UNION ALL SELECT w2 FROM big)
     ), lp AS (
       SELECT w1, w2,
-             round(ln(CAST(c2 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE)), 6)
-               AS lp6
+             CAST(FLOOR(LN(CAST(c2 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE))
+                        * 1000000.0 + 0.5) AS BIGINT) AS lp_e6
       FROM c2 JOIN c1 USING (w1) CROSS JOIN v
     ), sc AS (
       SELECT {id_col}, count(*) AS n_bigrams,
-             FLOOR((-CAST(sum(CAST(lp6 AS DECIMAL(28,6))) AS DOUBLE)
-                    / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS nll
+             FLOOR(-CAST(sum(lp_e6) AS DOUBLE) / count(*) + 0.5)
+               / 1000000.0 AS nll
       FROM big JOIN lp USING (w1, w2) GROUP BY {id_col}
     )
     SELECT d.{id_col},

@@ -250,6 +250,45 @@ def global_sort_index(
     )
 
 
+def distributed_ntile(
+    df: DataFrame,
+    order_cols: list[str],
+    n_tiles: int,
+    out_col: str,
+    total: int | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact ``ntile(n)`` over a TOTAL order without the
+    single-partition global window ``ntile`` plans to.
+
+    SQL ``ntile`` is a pure function of the global 0-based rank and the
+    row count: with ``size = n div k`` and ``rem = n mod k``, the first
+    ``rem`` tiles hold ``size + 1`` rows.  The rank comes from the
+    two-phase :func:`global_sort_index` (range partition + per-
+    partition offsets — driver traffic is one integer per partition),
+    so this scales to any cardinality while returning bit-identical
+    tiles to the window function.  ``order_cols`` must be a total order
+    (append a unique key as tiebreak) or the result is
+    partition-dependent, exactly as window ``ntile`` would be.
+    """
+    n = int(total) if total is not None else df.count()
+    indexed = global_sort_index(df, order_cols, "__pos", num_partitions)
+    if n <= 0:
+        return indexed.withColumn(
+            out_col, F.lit(None).cast("int")
+        ).drop("__pos")
+    size, rem = divmod(n, n_tiles)
+    cut = rem * (size + 1)
+    if size == 0:
+        tile = F.col("__pos") + 1
+    else:
+        tile = F.when(
+            F.col("__pos") < F.lit(cut),
+            F.expr(f"__pos div {size + 1}") + 1,
+        ).otherwise(F.lit(rem) + F.expr(f"(__pos - {cut}) div {size}") + 1)
+    return indexed.withColumn(out_col, tile.cast("int")).drop("__pos")
+
+
 # ---------------------------------------------------------------------
 # DSIR: data selection via importance resampling (Xie et al., NeurIPS
 # 2023, "Data Selection for Language Models via Importance Resampling")
@@ -324,14 +363,19 @@ def dsir_weights(
         .crossJoin(F.broadcast(tot))
         .select(
             "bucket",
+            # ln() is libm; round(ln, 8) rescales via BigDecimal on
+            # Spark but in double on DuckDB and diverges one ulp from a
+            # decimal boundary (NOTES.md).  Fixed-point floor(ln*1e8+.5)
+            # integer units (the psi_drift/text_zipf_slope pattern) is
+            # engine-portable.
             F.expr(
-                "cast(round(ln("
+                "cast(floor(ln("
                 " (cast(coalesce(c_tgt, 0) + 1 as double)"
                 "  * cast(t_raw + {b} as double))"
                 " / (cast(t_tgt + {b} as double)"
                 "    * cast(c_raw + 1 as double))"
-                "), 8) as decimal(20,8))".format(b=n_buckets)
-            ).alias("lr8"),
+                ") * 100000000.0d + 0.5d) as bigint)".format(b=n_buckets)
+            ).alias("lr_e8"),
         )
     )
     scored = (
@@ -339,7 +383,7 @@ def dsir_weights(
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_feats"),
-            F.sum("lr8").cast("decimal(28,8)").alias("weight"),
+            F.sum("lr_e8").cast("decimal(38,0)").alias("weight_e8"),
         )
     )
     return df.select(id_col).join(scored, id_col, "left")
@@ -379,21 +423,21 @@ def dsir_oracle_sql(
                    (SELECT SUM(c_tgt) FROM tgt) AS t_tgt),
     lr AS (
       SELECT raw.bucket,
-             CAST(ROUND(LN(
+             CAST(FLOOR(LN(
                (CAST(COALESCE(tgt.c_tgt, 0) + 1 AS DOUBLE)
                 * CAST(tot.t_raw + {n_buckets} AS DOUBLE))
                / (CAST(tot.t_tgt + {n_buckets} AS DOUBLE)
                   * CAST(raw.c_raw + 1 AS DOUBLE))
-             ), 8) AS DECIMAL(20,8)) AS lr8
+             ) * 100000000.0 + 0.5) AS BIGINT) AS lr_e8
       FROM raw LEFT JOIN tgt ON raw.bucket = tgt.bucket CROSS JOIN tot
     ),
     scored AS (
       SELECT occ.id, COUNT(*) AS n_feats,
-             CAST(SUM(lr8) AS DECIMAL(28,8)) AS weight
+             CAST(SUM(lr_e8) AS DECIMAL(38,0)) AS weight_e8
       FROM occ JOIN lr ON occ.bucket = lr.bucket
       GROUP BY occ.id
     )
-    SELECT d.{id_col}, scored.n_feats, scored.weight
+    SELECT d.{id_col}, scored.n_feats, scored.weight_e8
     FROM {table} d LEFT JOIN scored ON scored.id = d.{id_col}
     """
 
@@ -409,6 +453,7 @@ def pps_systematic(
     weight_col: str,
     k: int,
     salt: str = "pps",
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Deterministic probability-proportional-to-size sample of ~``k``
     rows: classic systematic PPS over a hash-shuffled order.
@@ -419,32 +464,67 @@ def pps_systematic(
     arithmetic via cross-multiplication —
     ``floor(cum·k/W) > floor((cum−w)·k/W)`` — so the sample is exact,
     engine-portable, and inclusion probability is w·k/W (large rows
-    with w ≥ W/k are always taken).  ONE window shuffle (the md5
-    order), no randomness, no libm.  The weighted-corpus subsampling
-    pass (sample documents ∝ tokens) at any scale.
+    with w ≥ W/k are always taken).
+
+    Scale shape (two-phase, the ``global_sort_index`` pattern): range-
+    repartition on the md5 order + local sort + ``localCheckpoint``
+    (one materialization, so the per-partition-totals job and the
+    scoring job see identical partitions); driver traffic is one
+    integer per partition (the partition weight totals, which also
+    yield W exactly).  The running weight then completes as a
+    PER-PARTITION window offset by the preceding partitions' totals —
+    no single-partition global window, no global-max window for W.
+    No randomness, no libm; the order is total so the sample is
+    partitioning-invariant.  The weighted-corpus subsampling pass
+    (sample documents ∝ tokens) at any scale.
     """
-    w = Window.orderBy(
-        F.md5(F.concat(F.col(key_col).cast("string"), F.lit(":" + salt))),
-        F.col(key_col),
-    ).rowsBetween(Window.unboundedPreceding, 0)
-    wt = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
+    spark = df.sparkSession
+    parts = num_partitions or spark.sparkContext.defaultParallelism
     wd = F.col(weight_col).cast("decimal(38,0)")
-    cum = df.select(
-        F.col(key_col),
-        F.col(weight_col),
-        F.sum(wd).over(w).cast("bigint").alias("cum"),
-    ).select(
-        key_col,
-        weight_col,
-        "cum",
-        F.max("cum").over(wt).alias("tot"),
+    ranged = (
+        df.select(
+            F.col(key_col),
+            F.col(weight_col),
+            F.md5(
+                F.concat(F.col(key_col).cast("string"), F.lit(":" + salt))
+            ).alias("__h"),
+        )
+        .repartitionByRange(parts, F.col("__h"), F.col(key_col))
+        .sortWithinPartitions("__h", key_col)
+        .localCheckpoint()
+    )
+    ptot = (
+        ranged.groupBy(F.spark_partition_id().alias("__pid"))
+        .agg(F.sum(wd).alias("__w"))
+        .collect()
+    )
+    from decimal import Decimal
+
+    offsets: list[tuple[int, Decimal]] = []
+    acc = 0
+    for row in sorted(ptot, key=lambda r: r["__pid"]):
+        offsets.append((int(row["__pid"]), Decimal(acc)))
+        acc += int(row["__w"])
+    tot = acc
+    if tot <= 0:
+        return df.select(key_col, weight_col).limit(0)
+    offset_df = F.broadcast(
+        spark.createDataFrame(offsets, "__pid int, __offset decimal(38,0)")
+    )
+    wloc = Window.partitionBy("__pid").orderBy("__h", key_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = (
+        ranged.withColumn("__pid", F.spark_partition_id())
+        .join(offset_df, "__pid")
+        .withColumn(
+            "cum", (F.col("__offset") + F.sum(wd).over(wloc)).cast("bigint")
+        )
     )
     # exact integral division (div/'//') on both engines — a decimal or
     # double floor() could round differently one ulp from a multiple
-    take = F.expr(f"(cum * {k}) div tot") > F.expr(
-        f"((cum - {weight_col}) * {k}) div tot"
+    take = F.expr(f"(cum * {k}) div {tot}") > F.expr(
+        f"((cum - {weight_col}) * {k}) div {tot}"
     )
     return cum.filter(take).select(key_col, weight_col)
 

@@ -40,6 +40,7 @@ def ks_statistic(
     group_a: str,
     group_b: str,
     round_to: int | None = None,
+    allow_unbounded_domain: bool = False,
 ) -> DataFrame:
     """Two-sample KS D = max_x |F_a(x) - F_b(x)| as a 1-row DataFrame.
 
@@ -49,6 +50,11 @@ def ks_statistic(
     final sort — stays bounded at 100 TB (the D of the quantized
     distributions; document the bucket width with the result).
 
+    ``round_to`` is REQUIRED unless ``allow_unbounded_domain=True``:
+    with raw continuous doubles the distinct "domain" equals the row
+    count and the cumulative window degenerates to a single partition
+    over n — the opt-out is for provably low-cardinality inputs only.
+
     Exact integer cross-multiplied form: the numerator
     |cum_a*n_b - cum_b*n_a| stays in integer arithmetic — only ONE
     double division at the very end, so the statistic is order-free
@@ -56,6 +62,13 @@ def ks_statistic(
 
     Output: d_stat (double), n_a, n_b (bigint).
     """
+    if round_to is None and not allow_unbounded_domain:
+        raise ValueError(
+            "ks_statistic: pass round_to= to bound the value domain "
+            "(the cumulative window is domain-sized), or set "
+            "allow_unbounded_domain=True for provably low-cardinality "
+            "inputs"
+        )
     v = F.col(value_col)
     if round_to is not None:
         v = F.round(v, round_to)
@@ -551,8 +564,14 @@ def mannwhitney_u(
     group_a: str,
     group_b: str,
     round_to: int | None = None,
+    allow_unbounded_domain: bool = False,
 ) -> DataFrame:
     """Mann–Whitney U statistic + tie-corrected normal z, one row.
+
+    ``round_to`` is REQUIRED unless ``allow_unbounded_domain=True``
+    (same domain-growth guard as :func:`ks_statistic`: a raw
+    continuous column makes the cumulative window single-partition
+    over n rows).
 
     Rank sums never materialize per-row ranks: per distinct value,
     sample-a's average-rank contribution is
@@ -562,6 +581,13 @@ def mannwhitney_u(
     sum.  ONE scan + domain-sized window; final z is the shared
     sqrt formula.  Output: (u_a double, z double, n_a, n_b bigint).
     """
+    if round_to is None and not allow_unbounded_domain:
+        raise ValueError(
+            "mannwhitney_u: pass round_to= to bound the value domain "
+            "(the cumulative window is domain-sized), or set "
+            "allow_unbounded_domain=True for provably low-cardinality "
+            "inputs"
+        )
     v = F.col(value_col)
     if round_to is not None:
         v = F.round(v, round_to)

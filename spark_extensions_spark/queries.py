@@ -87,23 +87,25 @@ _PRIORITY: tuple[str, ...] = (
     "pivot_wide",
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_incremental",
     "dedup_embedding",
     "dedup_clusters_star",
-    "pipeline_semantic_dedup",
-    "pipeline_incremental_ingest",
     "pipeline_full_curation",
     "cdc_snapshot_diff",
     "merge_upsert",
     "scd2_history",
     "lm_perplexity",
     "text_gopher_rules",
-    "text_line_dedup",
     "url_canonical_dedup",
     "sample_hash_split",
     "sample_token_budget",
-    "sample_shuffle_index",
     "feature_winsorize",
+    # one flagship per family the 50-query window previously missed
+    "streaming_ewma",
+    "udtf_word_pos",
+    "arrow_roundtrip",
+    "multimodal_phash",
+    "stat_psi",
+    "retrieval_prf",
     "ts_gapfill",
     "ann_bruteforce",
     "text_contamination",
@@ -124,12 +126,12 @@ _PRIORITY: tuple[str, ...] = (
     "graph_pagerank",
     "dedup_spans",
     # next tier (graded if the driver's window exceeds 50)
-    "streaming_ewma",
-    "multimodal_phash",
-    "stat_psi",
     "sample_pps",
-    "retrieval_prf",
-    "arrow_roundtrip",
+    "dedup_incremental",
+    "pipeline_semantic_dedup",
+    "pipeline_incremental_ingest",
+    "text_line_dedup",
+    "sample_shuffle_index",
     "analytic_attribution",
     "stat_mannwhitney",
     "agg_moments",

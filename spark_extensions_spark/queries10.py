@@ -133,8 +133,9 @@ def q_hof_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_percentile_approx",
     """
     SELECT l_returnflag,
-           [quantile_disc(l_quantity, 0.25), quantile_disc(l_quantity, 0.5),
-            quantile_disc(l_quantity, 0.75)] AS qty_quartiles,
+           quantile_disc(l_quantity, 0.25) AS qty_q25,
+           quantile_disc(l_quantity, 0.5) AS qty_q50,
+           quantile_disc(l_quantity, 0.75) AS qty_q75,
            quantile_disc(l_extendedprice, 0.95) AS price_p95
     FROM lineitem GROUP BY l_returnflag
     """,
@@ -147,10 +148,13 @@ def q_hof_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    # the three quartiles unpack into scalar columns (the driver
+    # canonicalizer cannot hash the array-returning form)
+    q = F.percentile_approx("l_quantity", [0.25, 0.5, 0.75], 1000000)
     return li.groupBy("l_returnflag").agg(
-        F.percentile_approx(
-            "l_quantity", [0.25, 0.5, 0.75], 1000000
-        ).alias("qty_quartiles"),
+        q.getItem(0).alias("qty_q25"),
+        q.getItem(1).alias("qty_q50"),
+        q.getItem(2).alias("qty_q75"),
         F.approx_percentile("l_extendedprice", 0.95, 1000000).alias("price_p95"),
     )
 

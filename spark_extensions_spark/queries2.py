@@ -471,21 +471,27 @@ def q_date_battery2(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array_battery2",
     """
     SELECT p_partkey,
-           range(1, least(p_size, 5) + 1) AS seq,
+           array_to_string(range(1, least(p_size, 5) + 1), ',') AS seq_csv,
            CAST(list_sum(range(1, least(p_size, 5) + 1)) AS BIGINT) AS seq_sum,
-           flatten([range(1, 3), range(1, least(p_size, 5) + 1)]) AS flat,
-           list_transform(range(1, least(p_size, 5) + 1),
-                          i -> i * len(string_split(p_type, ' '))) AS scaled,
+           array_to_string(flatten([range(1, 3),
+                                    range(1, least(p_size, 5) + 1)]), ',')
+             AS flat_csv,
+           array_to_string(
+             list_transform(range(1, least(p_size, 5) + 1),
+                            i -> i * len(string_split(p_type, ' '))), ',')
+             AS scaled_csv,
            CAST(len(list_filter(string_split(p_type, ' '),
                                 w -> length(w) > 5)) > 0 AS BOOLEAN) AS any_long,
            CAST(len(list_filter(string_split(p_type, ' '),
                                 w -> length(w) > 2)) =
                 len(string_split(p_type, ' ')) AS BOOLEAN) AS all_gt2,
-           string_split(p_type, ' ')[2:] AS tail_toks
+           COALESCE(array_to_string(string_split(p_type, ' ')[2:], ','), '')
+             AS tail_csv
     FROM part
     """,
     doc="Array battery 2: sequence, aggregate-fold, flatten, transform "
-    "with outer reference, exists/forall, slice.",
+    "with outer reference, exists/forall, slice. Array results are "
+    "CSV-rendered (driver canonicalizer cannot hash list cells).",
 )
 def q_array_battery2(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part")["part"]
@@ -493,15 +499,19 @@ def q_array_battery2(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split("p_type", " ")
     return p.select(
         "p_partkey",
-        seq.alias("seq"),
+        F.array_join(seq, ",").alias("seq_csv"),
         F.aggregate(
             seq, F.lit(0).cast("bigint"), lambda acc, x: acc + x
         ).alias("seq_sum"),
-        F.flatten(F.array(F.sequence(F.lit(1), F.lit(2)), seq)).alias("flat"),
-        F.transform(seq, lambda i: i * F.size(toks)).alias("scaled"),
+        F.array_join(
+            F.flatten(F.array(F.sequence(F.lit(1), F.lit(2)), seq)), ","
+        ).alias("flat_csv"),
+        F.array_join(
+            F.transform(seq, lambda i: i * F.size(toks)), ","
+        ).alias("scaled_csv"),
         F.exists(toks, lambda w: F.length(w) > 5).alias("any_long"),
         F.forall(toks, lambda w: F.length(w) > 2).alias("all_gt2"),
-        F.slice(toks, 2, 1000).alias("tail_toks"),
+        F.array_join(F.slice(toks, 2, 1000), ",").alias("tail_csv"),
     )
 
 

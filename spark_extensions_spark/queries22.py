@@ -92,10 +92,15 @@ def q_analytic_cohort_retention(
     FROM rfm
     """,
     doc="RFM quintile segmentation: one aggregate over orders (exact "
-    "integer-scaled monetary sum), three ntile windows with unique-key "
-    "tiebreaks — deterministic customer-scoring segmentation.",
+    "integer-scaled monetary sum), then three exact distributed ntiles "
+    "(operators/sampling.py:distributed_ntile — rank from the "
+    "two-phase global sort index, tile from integer arithmetic; "
+    "bit-identical to the oracle's window ntile but with no "
+    "single-partition global window) with unique-key tiebreaks.",
 )
 def q_analytic_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_extensions_spark.operators.sampling import distributed_ntile
+
     orders = _t(spark, sf_dir, "orders")["orders"]
     rfm = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.max("o_orderdate").alias("last_order"),
@@ -105,22 +110,12 @@ def q_analytic_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .cast("decimal(38,0)")
         ).alias("monet"),
-    )
-    return rfm.select(
-        "custkey",
-        F.ntile(5)
-        .over(Window.orderBy("last_order", "custkey"))
-        .cast("int")
-        .alias("r"),
-        F.ntile(5)
-        .over(Window.orderBy("freq", "custkey"))
-        .cast("int")
-        .alias("f"),
-        F.ntile(5)
-        .over(Window.orderBy("monet", "custkey"))
-        .cast("int")
-        .alias("m"),
-    )
+    ).localCheckpoint()
+    n = rfm.count()
+    out = distributed_ntile(rfm, ["last_order", "custkey"], 5, "r", total=n)
+    out = distributed_ntile(out, ["freq", "custkey"], 5, "f", total=n)
+    out = distributed_ntile(out, ["monet", "custkey"], 5, "m", total=n)
+    return out.select("custkey", "r", "f", "m")
 
 
 # Fellegi–Sunter agreement weights: log2(m/u) match, log2((1-m)/(1-u))

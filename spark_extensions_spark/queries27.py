@@ -1718,20 +1718,24 @@ def q_text_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, word) AS r
       FROM counts QUALIFY r <= 100
     ), terms AS (
-      SELECT CAST(round(ln(CAST(r AS DOUBLE)), 12) AS DECIMAL(30,12)) AS x,
-             CAST(round(ln(CAST(c AS DOUBLE)), 12) AS DECIMAL(30,12)) AS y,
-             CAST(round(ln(CAST(r AS DOUBLE)) * ln(CAST(c AS DOUBLE)), 12)
-                  AS DECIMAL(30,12)) AS xy,
-             CAST(round(ln(CAST(r AS DOUBLE)) * ln(CAST(r AS DOUBLE)), 12)
-                  AS DECIMAL(30,12)) AS xx
+      SELECT CAST(FLOOR(ln(CAST(r AS DOUBLE)) * 1e12 + 0.5)
+                  AS BIGINT) AS x,
+             CAST(FLOOR(ln(CAST(c AS DOUBLE)) * 1e12 + 0.5)
+                  AS BIGINT) AS y,
+             CAST(FLOOR(ln(CAST(r AS DOUBLE)) * ln(CAST(c AS DOUBLE))
+                        * 1e12 + 0.5) AS BIGINT) AS xy,
+             CAST(FLOOR(ln(CAST(r AS DOUBLE)) * ln(CAST(r AS DOUBLE))
+                        * 1e12 + 0.5) AS BIGINT) AS xx
       FROM ranked
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_ranks,
-           round((COUNT(*) * CAST(SUM(xy) AS DOUBLE)
-                  - CAST(SUM(x) AS DOUBLE) * CAST(SUM(y) AS DOUBLE))
-                 / (COUNT(*) * CAST(SUM(xx) AS DOUBLE)
-                    - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE)),
-                 6) AS zipf_slope
+           FLOOR((COUNT(*) * (CAST(SUM(xy) AS DOUBLE) / 1e12)
+                  - (CAST(SUM(x) AS DOUBLE) / 1e12)
+                    * (CAST(SUM(y) AS DOUBLE) / 1e12))
+                 / (COUNT(*) * (CAST(SUM(xx) AS DOUBLE) / 1e12)
+                    - (CAST(SUM(x) AS DOUBLE) / 1e12)
+                      * (CAST(SUM(x) AS DOUBLE) / 1e12))
+                 * 1000000.0 + 0.5) / 1000000.0 AS zipf_slope
     FROM terms
     """,
     doc="Zipf-law slope audit: OLS of ln(count) on ln(rank) over the "
@@ -1755,35 +1759,45 @@ def q_text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     )
+    # top-100 via orderBy+limit (TakeOrderedAndProject — distributed
+    # partial top-k, no vocabulary-sized single-partition window); the
+    # rank window then runs over only 100 rows
     w = Window.orderBy(F.col("c").desc(), "word")
-    ranked = counts.withColumn("r", F.row_number().over(w)).filter(
-        F.col("r") <= 100
+    ranked = (
+        counts.orderBy(F.col("c").desc(), "word")
+        .limit(100)
+        .withColumn("r", F.row_number().over(w))
     )
+    # per-term ln values in exact 1e-12 integer units (floor(x*1e12+.5)
+    # — round(ln, 12) is engine-nonportable); sums are exact bigints,
+    # then one fixed-order double expression assembles the slope
     t = ranked.select(
         F.expr(
-            "cast(round(ln(cast(r as double)), 12) as decimal(30,12))"
+            "cast(floor(ln(cast(r as double)) * 1e12 + 0.5d) as bigint)"
         ).alias("x"),
         F.expr(
-            "cast(round(ln(cast(c as double)), 12) as decimal(30,12))"
+            "cast(floor(ln(cast(c as double)) * 1e12 + 0.5d) as bigint)"
         ).alias("y"),
         F.expr(
-            "cast(round(ln(cast(r as double)) * ln(cast(c as double)), 12) "
-            "as decimal(30,12))"
+            "cast(floor(ln(cast(r as double)) * ln(cast(c as double))"
+            " * 1e12 + 0.5d) as bigint)"
         ).alias("xy"),
         F.expr(
-            "cast(round(ln(cast(r as double)) * ln(cast(r as double)), 12) "
-            "as decimal(30,12))"
+            "cast(floor(ln(cast(r as double)) * ln(cast(r as double))"
+            " * 1e12 + 0.5d) as bigint)"
         ).alias("xx"),
     )
     n = F.count(F.lit(1))
-    sx = F.sum("x").cast("double")
-    sy = F.sum("y").cast("double")
-    sxy = F.sum("xy").cast("double")
-    sxx = F.sum("xx").cast("double")
     return t.agg(
         n.cast("bigint").alias("n_ranks"),
-        F.round(
-            (n * sxy - sx * sy) / (n * sxx - sx * sx), 6
+        F.expr(
+            "floor((count(1) * (cast(sum(xy) as double) / 1e12)"
+            " - (cast(sum(x) as double) / 1e12)"
+            "   * (cast(sum(y) as double) / 1e12))"
+            " / (count(1) * (cast(sum(xx) as double) / 1e12)"
+            "    - (cast(sum(x) as double) / 1e12)"
+            "      * (cast(sum(x) as double) / 1e12))"
+            " * 1000000.0d + 0.5d) / 1000000.0d"
         ).alias("zipf_slope"),
     )
 

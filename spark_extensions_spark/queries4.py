@@ -143,9 +143,12 @@ def q_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_battery3",
     """
     SELECT l_orderkey, l_linenumber,
-           list_transform(
-             list_zip([l_quantity, l_extendedprice], [l_discount, l_tax]),
-             s -> s[1] + s[2]) AS zipped,
+           array_to_string(list_transform(
+             list_transform(
+               list_zip([l_quantity, l_extendedprice], [l_discount, l_tax]),
+               s -> s[1] + s[2]),
+             v -> CAST(FLOOR(v * 1000000.0 + 0.5) AS BIGINT)), ',')
+             AS zipped_e6_csv,
            json_extract_string(
              concat('{"ord":', CAST(l_orderkey AS VARCHAR),
                     ',"line":', CAST(l_linenumber AS VARCHAR), '}'),
@@ -172,11 +175,20 @@ def q_scalar_battery3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "l_orderkey",
             "l_linenumber",
-            F.zip_with(
-                F.array("l_quantity", "l_extendedprice"),
-                F.array("l_discount", "l_tax"),
-                lambda x, y: x + y,
-            ).alias("zipped"),
+            # element-wise sums fixed-point-rendered to one CSV string:
+            # driver canonicalizer cannot hash list cells, and double
+            # rendering (sci-notation) differs between engines
+            F.array_join(
+                F.transform(
+                    F.zip_with(
+                        F.array("l_quantity", "l_extendedprice"),
+                        F.array("l_discount", "l_tax"),
+                        lambda x, y: x + y,
+                    ),
+                    lambda v: F.floor(v * 1000000.0 + 0.5).cast("bigint"),
+                ),
+                ",",
+            ).alias("zipped_e6_csv"),
             F.json_tuple(payload, "ord").alias("ord_json"),
             F.width_bucket(F.col("l_discount"), F.lit(0.0), F.lit(1.0), F.lit(10))
             .alias("disc_bucket"),

@@ -151,12 +151,15 @@ def q_analytic_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(16 + CAST(('0x' || substr(h, 1, 2)) AS INT) % 64 AS INT) AS width,
            CAST(16 + CAST(('0x' || substr(h, 3, 2)) AS INT) % 64 AS INT) AS height,
            3 AS n_channels,
-           [CAST(CAST(CAST(('0x' || substr(h, 1, 2)) AS INT) AS REAL)
-                 / CAST(255.0 AS REAL) AS REAL),
-            CAST(CAST(CAST(('0x' || substr(h, 3, 2)) AS INT) AS REAL)
-                 / CAST(255.0 AS REAL) AS REAL),
-            CAST(CAST(CAST(('0x' || substr(h, 5, 2)) AS INT) AS REAL)
-                 / CAST(255.0 AS REAL) AS REAL)] AS mean_pixel
+           array_to_string(list_transform(
+             [CAST(CAST(CAST(('0x' || substr(h, 1, 2)) AS INT) AS REAL)
+                   / CAST(255.0 AS REAL) AS REAL),
+              CAST(CAST(CAST(('0x' || substr(h, 3, 2)) AS INT) AS REAL)
+                   / CAST(255.0 AS REAL) AS REAL),
+              CAST(CAST(CAST(('0x' || substr(h, 5, 2)) AS INT) AS REAL)
+                   / CAST(255.0 AS REAL) AS REAL)],
+             x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000000.0 + 0.5)
+                       AS BIGINT)), ',') AS mean_pixel_e9
     FROM m
     """,
     doc="Multimodal decode stage as a first-class operator: binary "
@@ -179,13 +182,21 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     media = attach_media_metadata(media, "content", mime="image/fake")
     decoded = decode_image(media, "content", deterministic_fake=True)
+    # The graded surface fixed-point-serializes the float32 channel
+    # means (exact f32->f64 widening, pure-arithmetic *1e9 floor): the
+    # driver canonicalizer cannot hash array cells, and a string of
+    # exact integers sidesteps float rendering differences too.  The
+    # operator API keeps the array<float> column.
     return decoded.select(
         "doc_id",
         F.col("media_meta.size_bytes").alias("size_bytes"),
         "width",
         "height",
         "n_channels",
-        "mean_pixel",
+        F.expr(
+            "array_join(transform(mean_pixel, x -> cast(floor("
+            "cast(x as double) * 1000000000.0d + 0.5d) as bigint)), ',')"
+        ).alias("mean_pixel_e9"),
     )
 
 

@@ -1,0 +1,36 @@
+"""Driver-canonicalizer conformance gate over the whole registry.
+
+The driver's correctness harness canonicalizes both result sets with
+pandas ``sort_values`` over every column and then hashes cell values —
+list/map/struct cells raise ``TypeError: unhashable type`` there (the
+round-2 ``embedding_quantize`` / ``multimodal_decode`` regressions).
+This test builds every oracle-checked query's plan at sf0.001 and fails
+on any complex-typed output column, so the hazard can never re-enter
+the graded surface.  Analysis only — nothing executes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.types import ArrayType, MapType, StructType
+
+
+def test_no_complex_typed_output_columns(spark, sf_dir):
+    from __spark_entry__ import oracle_sql, queries
+
+    oracles = oracle_sql()
+    offenders: list[str] = []
+    for name, fn in queries().items():
+        if name not in oracles:
+            # rows-only queries are never value-hashed by the driver
+            continue
+        df = fn(spark, sf_dir)
+        for f in df.schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+                offenders.append(
+                    f"{name}.{f.name}: {f.dataType.simpleString()}"
+                )
+    assert not offenders, (
+        "complex-typed output columns would crash the driver "
+        "canonicalizer — CSV/fixed-point-serialize them (see "
+        f"NOTES.md): {offenders}"
+    )

@@ -73,7 +73,7 @@ def test_dsir_weights_favor_target_tokens(spark):
     )
     target = corpus.filter(F.col("doc_id") >= 100)
     w = {
-        r["doc_id"]: float(r["weight"])
+        r["doc_id"]: float(r["weight_e8"])
         for r in dsir_weights(corpus, target, "doc_id", "text").collect()
     }
     # target-domain docs must score higher than raw-domain docs

@@ -119,3 +119,18 @@ def test_dynamic_partition_pruning_fires(spark):
     assert prev == "true"
     assert "dynamicpruning" in plan.lower(), plan[:800]
     assert joined.count() == 5000
+
+
+def test_pps_sample_has_no_single_partition_window(spark):
+    """pps_systematic's running weight must never funnel the corpus
+    through one task (the round-2 `WindowExec: No Partition Defined`
+    scale-killer): the window is per-range-partition with broadcast
+    offsets, so no SinglePartition exchange may appear."""
+    from spark_extensions_spark.operators.sampling import pps_systematic
+    from spark_extensions_spark.plans.inspect import executed_plan
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = pps_systematic(docs, "doc_id", "n_chars", 50)
+    plan = executed_plan(out)
+    assert "Window" in plan
+    assert "SinglePartition" not in plan, plan[:1200]

@@ -56,7 +56,7 @@ def test_ks_identical_samples_is_zero(spark):
         .alias("val"),
         F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("grp"),
     )
-    row = ks_statistic(df, "val", "grp", "a", "b").first()
+    row = ks_statistic(df, "val", "grp", "a", "b", allow_unbounded_domain=True).first()
     assert row.d_stat == 0.0
 
 
@@ -133,7 +133,7 @@ def test_ols_matches_numpy(spark):
 def test_mannwhitney_matches_scipy_formula(toy):
     from spark_extensions_spark.operators.stats import mannwhitney_u
 
-    row = mannwhitney_u(toy, "val", "grp", "a", "b").first()
+    row = mannwhitney_u(toy, "val", "grp", "a", "b", allow_unbounded_domain=True).first()
     pdf = toy.toPandas()
     a = pdf[pdf.grp == "a"].val.values
     b = pdf[pdf.grp == "b"].val.values
@@ -174,7 +174,7 @@ def test_mannwhitney_identical_samples(spark):
 def mannwhitney_u_import(df):
     from spark_extensions_spark.operators.stats import mannwhitney_u
 
-    return mannwhitney_u(df, "val", "grp", "a", "b").first()
+    return mannwhitney_u(df, "val", "grp", "a", "b", allow_unbounded_domain=True).first()
 
 
 def test_psi_detects_shift_and_zero_when_identical(spark):

@@ -4,8 +4,10 @@ temp parquet dataset, then drive the scale-critical operators at ~10x
 the per-round bench size. Surfaces skew/memory/driver-state issues
 invisible at sf0.1 — e.g. a driver collect that sf0.1 hides.
 
-Usage: python tools/stress_scale.py [K] [sf_dir]
-Prints one line per operator: name, rows_out, seconds.
+Usage: python tools/stress_scale.py [K] [sf_dir] [--json OUT.json]
+Prints one line per operator: name, rows_out, seconds.  With --json,
+also records {"metric", "value", "unit", "k", "sf_dir", "operators":
+{name: {"sec", "rows"}}} — the BENCH_sf1 artifact.
 """
 
 from __future__ import annotations
@@ -38,8 +40,14 @@ def scaled(df, key_cols: dict[str, int], k: int):
 
 
 def main() -> int:
-    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i : i + 2]
+    k = int(argv[0]) if len(argv) > 0 else 10
+    sf_dir = argv[1] if len(argv) > 1 else "/root/testdata/sf0.1"
     spark = get_spark("stress_scale")
     t = load_tables(
         spark,
@@ -68,12 +76,17 @@ def main() -> int:
         flush=True,
     )
 
+    results: dict[str, dict] = {}
+
     def run(name, thunk):
         t0 = time.time()
         try:
             n = thunk()
-            print(f"OK   {name:28s} rows={n:>9} {time.time()-t0:7.1f}s", flush=True)
+            sec = time.time() - t0
+            results[name] = {"sec": round(sec, 2), "rows": int(n)}
+            print(f"OK   {name:28s} rows={n:>9} {sec:7.1f}s", flush=True)
         except Exception as e:
+            results[name] = {"sec": None, "rows": None, "err": str(e)[:160]}
             print(f"FAIL {name:28s} {str(e)[:160]}", flush=True)
 
     from spark_extensions_spark.operators.dedup import (
@@ -402,6 +415,28 @@ def main() -> int:
     import shutil
 
     shutil.rmtree(base, ignore_errors=True)
+    if json_out:
+        import json
+
+        total = sum(
+            r["sec"] for r in results.values() if r["sec"] is not None
+        )
+        with open(json_out, "w") as f:
+            json.dump(
+                {
+                    "metric": "stress_scale_total_sec",
+                    "value": round(total, 2),
+                    "unit": "sec",
+                    "k": k,
+                    "sf_dir": sf_dir,
+                    "operators": results,
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
+            f.write("\n")
+        print(f"wrote {json_out}: total {total:.1f}s", flush=True)
     return 0
 
 

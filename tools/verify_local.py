@@ -15,7 +15,9 @@ import time
 
 import duckdb
 
-sys.path.insert(0, ".")
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from __spark_entry__ import oracle_sql, queries  # noqa: E402
 from spark_extensions_spark.session import ALL_TABLES, get_spark  # noqa: E402
