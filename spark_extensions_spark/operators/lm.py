@@ -32,7 +32,7 @@ part of the LLM-data-pipeline extension layer (SURVEY.md §7 M5).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from spark_extensions_spark.functions.text import TOKEN_PATTERN
@@ -177,4 +177,121 @@ def bigram_lm_scores_oracle_sql(
            CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
            sc.nll
     FROM {table} d LEFT JOIN sc USING ({id_col})
+    """
+
+
+def domain_mixture_weights(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eta: float = 1.0,
+) -> DataFrame:
+    """Per-domain training-mixture weights from LM excess loss — the
+    static single-round form of the DoReMi recipe (Xie et al. 2023,
+    "DoReMi: Optimizing Data Mixtures Speeds Up Language Model
+    Pretraining"): domains whose text the corpus LM finds harder
+    (higher mean NLL over the corpus's own bigram LM) get upweighted
+    by ``softmax(eta * (mean_nll - min(mean_nll)))``.
+
+    Scale shape: :func:`bigram_lm_scores` (two hash aggs + broadcast
+    LM join) → one groupBy(domain) (domain-cardinality rows out, a
+    broadcastable table) → softmax over that tiny table.  No driver
+    state beyond the domain table.
+
+    Determinism: per-doc ``nll`` is already e6-quantized, so summation
+    runs in exact integer units; the softmax exponent is fixed-point
+    floored at 1e8 (``exp`` is libm — the raw value is never compared),
+    and each share is one exact-integer double division.
+
+    Output: ``(domain, n_docs bigint, mean_nll_e6 bigint,
+    weight_share double)``; ``weight_share`` sums to 1 over domains.
+    """
+    scored = bigram_lm_scores(df, id_col, text_col)
+    dom = df.select(F.col(id_col), F.col(domain_col).alias("__dom"))
+    per_dom = (
+        scored.filter(F.col("n_bigrams") > 0)
+        .join(dom, id_col)
+        .groupBy("__dom")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            # nll = k/1e6 for integer k; *1e6 + floor(+0.5) recovers k
+            F.sum(
+                F.expr("cast(floor(nll * 1000000.0d + 0.5d) as bigint)")
+            ).alias("sum_nll_e6"),
+        )
+        .select(
+            F.col("__dom").alias(domain_col),
+            "n_docs",
+            # exact-int double division, floored back to integer units
+            F.expr(
+                "cast(floor(cast(sum_nll_e6 as double) / cast(n_docs "
+                "as double) + 0.5d) as bigint)"
+            ).alias("mean_nll_e6"),
+        )
+    )
+    wt = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    # domain-cardinality rows only — the global window is over the tiny
+    # aggregated table, never the corpus
+    exc = F.col("mean_nll_e6") - F.min("mean_nll_e6").over(wt)
+    w_e8 = F.expr(
+        f"cast(floor(exp({float(eta)}d * cast(__exc as double) / 1e6)"
+        " * 100000000.0d + 0.5d) as bigint)"
+    )
+    return (
+        per_dom.withColumn("__exc", exc)
+        .withColumn("__w_e8", w_e8)
+        .withColumn("__tot", F.sum("__w_e8").over(wt))
+        .select(
+            domain_col,
+            "n_docs",
+            "mean_nll_e6",
+            (
+                F.col("__w_e8").cast("double")
+                / F.col("__tot").cast("double")
+            ).alias("weight_share"),
+        )
+    )
+
+
+def domain_mixture_oracle_sql(
+    table: str = "documents",
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eta: float = 1.0,
+) -> str:
+    """DuckDB twin of :func:`domain_mixture_weights`."""
+    lm = bigram_lm_scores_oracle_sql(table, id_col, text_col)
+    return f"""
+    WITH scored AS ({lm}),
+    per_dom AS (
+      SELECT t.{domain_col},
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CAST(FLOOR(s.nll * 1000000.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS sum_nll_e6
+      FROM scored s JOIN {table} t ON t.{id_col} = s.{id_col}
+      WHERE s.n_bigrams > 0
+      GROUP BY t.{domain_col}
+    ),
+    m AS (
+      SELECT {domain_col}, n_docs,
+             CAST(FLOOR(CAST(sum_nll_e6 AS DOUBLE)
+                        / CAST(n_docs AS DOUBLE) + 0.5) AS BIGINT)
+               AS mean_nll_e6
+      FROM per_dom
+    ),
+    e AS (
+      SELECT *,
+             CAST(FLOOR(EXP({float(eta)} * CAST(mean_nll_e6
+                    - MIN(mean_nll_e6) OVER () AS DOUBLE) / 1e6)
+                  * 100000000.0 + 0.5) AS BIGINT) AS w_e8
+      FROM m
+    )
+    SELECT {domain_col}, n_docs, mean_nll_e6,
+           CAST(w_e8 AS DOUBLE) / CAST(SUM(w_e8) OVER () AS DOUBLE)
+             AS weight_share
+    FROM e
     """

@@ -690,3 +690,65 @@ def temperature_sample(
         .filter(hash_bucket(key_col, salt, 1_000_000_000) < F.col("__thr"))
         .drop("__thr")
     )
+
+
+def domain_cap(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    cap: int,
+    salt: str = "domcap",
+    pre_buckets: int = 16,
+) -> DataFrame:
+    """Keep at most ``cap`` rows per domain, chosen by a deterministic
+    md5 priority (the FineWeb-style per-site cap that stops one giant
+    host from dominating a crawl mix).
+
+    Skew-safe two-stage top-k: a single ``row_number`` partitioned by
+    domain would pull a mega-domain's entire row set into one task, so
+    stage 1 takes the top-``cap`` within ``(domain, md5-bucket)``
+    (bounding every partition's output at ``cap``), and stage 2 ranks
+    the surviving ``≤ cap·pre_buckets`` candidates per domain.  The
+    per-domain top-``cap`` of the union of per-bucket top-``cap``s is
+    exactly the global per-domain top-``cap``, so the result is
+    bit-identical to the one-window form (which is the oracle).
+
+    Priority is ``(md5(id:salt), id)`` — a total order, so the sample
+    is reproducible on any engine and under any partitioning.
+    """
+    prio = F.md5(
+        F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))
+    )
+    bucket = F.pmod(
+        F.xxhash64(F.col(id_col).cast("string"), F.lit(salt)),
+        F.lit(pre_buckets),
+    )
+    w1 = Window.partitionBy(domain_col, "__b").orderBy("__prio", id_col)
+    w2 = Window.partitionBy(domain_col).orderBy("__prio", id_col)
+    return (
+        df.withColumn("__prio", prio)
+        .withColumn("__b", bucket)
+        .withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= cap)
+        .withColumn("__r2", F.row_number().over(w2))
+        .filter(F.col("__r2") <= cap)
+        .drop("__prio", "__b", "__r1", "__r2")
+    )
+
+
+def domain_cap_oracle_sql(
+    table_sql: str,
+    id_col: str,
+    domain_col: str,
+    cap: int,
+    salt: str = "domcap",
+) -> str:
+    """DuckDB twin of :func:`domain_cap` — the straightforward
+    one-window form (the two-stage Spark plan is bit-identical)."""
+    return f"""
+    SELECT * FROM {table_sql}
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY {domain_col}
+      ORDER BY md5(CAST({id_col} AS VARCHAR) || ':{salt}'), {id_col}
+    ) <= {cap}
+    """

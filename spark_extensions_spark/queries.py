@@ -144,6 +144,9 @@ _PRIORITY: tuple[str, ...] = (
     "text_vocab_tokens",
     # round-3 additions
     "privacy_k_anonymity",
+    "pii_scan",
+    "pii_redact",
+    "sample_domain_cap",
     "text_html_extract",
     "tokenizer_bpe",
     # round-2 closing: deterministic ANN family + new surface

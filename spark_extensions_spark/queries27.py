@@ -2143,3 +2143,5 @@ def q_udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE o.o_orderkey <= 2000
         """
     )
+
+from spark_extensions_spark import queries28  # noqa: E402,F401  (registration side effect)

@@ -1,0 +1,128 @@
+"""t2 query registry, batch 31: round-3 additions.
+
+Registered into the shared registry (imported from queries27 at module
+end). Same determinism rules as the queries.py docstring.
+
+Families in this batch:
+
+- PII release gate: ``pii_scan`` (per-doc typed hit counts),
+  ``pii_redact`` (typed-placeholder scrubbing) — the C4/RefinedWeb-
+  style personally-identifiable-information pass every pre-training
+  corpus runs before release (operators/privacy.py, patterns held to
+  the Java-regex ∩ RE2 common subset so both engines match
+  identically). The fixture corpus carries no PII, so both queries
+  deterministically augment ``text`` from ``doc_id`` (identical string
+  concatenation on both engines) before scanning — the operator works
+  on real hits, not on zero-counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_extensions_spark.operators.privacy import (
+    pii_redact,
+    pii_redact_oracle_sql,
+    pii_scan,
+    pii_scan_oracle_sql,
+)
+from spark_extensions_spark.queries import _register, _t
+
+# Inject synthetic PII derived from doc_id into every 3rd document —
+# identical integer-to-string concatenation on both engines, so the
+# scan/redact operators are exercised against real matches.
+_PII_AUG_DUCK = """
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN
+             text || ' reach me: user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                  || '.7, ssn 123-45-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+                  || ' card 4111 1111 1111 1111'
+           ELSE text END AS text
+    FROM documents
+"""
+
+
+def _pii_aug_spark(docs: DataFrame) -> DataFrame:
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" reach me: user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7, ssn 123-45-"),
+        (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+        F.lit(" card 4111 1111 1111 1111"),
+    )
+    return docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, aug).otherwise(F.col("text")).alias(
+            "text"
+        ),
+    )
+
+
+@_register(
+    "pii_scan",
+    pii_scan_oracle_sql(f"({_PII_AUG_DUCK})", "doc_id", "text"),
+    doc="PII audit pass (operators/privacy.py:pii_scan): per-document "
+    "hit counts for email/credit-card/SSN/phone/IPv4 patterns over a "
+    "deterministically PII-augmented corpus — row-local codegen'd "
+    "regexp, zero shuffle; patterns restricted to the Java-regex ∩ RE2 "
+    "common subset so Spark and DuckDB count identically.",
+)
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return pii_scan(_pii_aug_spark(docs), "doc_id", "text")
+
+
+@_register(
+    "pii_redact",
+    pii_redact_oracle_sql(f"({_PII_AUG_DUCK})", "doc_id", "text"),
+    doc="PII scrub pass (operators/privacy.py:pii_redact): every "
+    "email/card/SSN/phone/IP match replaced with a typed placeholder "
+    "(<EMAIL>, <CC16>, ...) via chained regexp_replace in "
+    "most-specific-first order — row-local, zero shuffle; the DuckDB "
+    "twin needs the 'g' flag (RE2 replaces first-match by default).",
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return pii_redact(_pii_aug_spark(docs), "doc_id", "text")
+
+
+@_register(
+    "sample_domain_cap",
+    __import__(
+        "spark_extensions_spark.operators.sampling", fromlist=["x"]
+    ).domain_cap_oracle_sql("documents", "doc_id", "source", 5),
+    doc="FineWeb-style per-domain document cap "
+    "(operators/sampling.py:domain_cap): keep ≤5 docs per source, "
+    "chosen by deterministic md5 priority. Skew-safe two-stage top-k "
+    "(per-(domain,bucket) prefilter bounds every partition before the "
+    "per-domain rank) — bit-identical to the oracle's single window.",
+)
+def q_sample_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_extensions_spark.operators.sampling import domain_cap
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return domain_cap(docs, "doc_id", "source", 5)
+
+
+@_register(
+    "sample_domain_mixture",
+    __import__(
+        "spark_extensions_spark.operators.lm", fromlist=["x"]
+    ).domain_mixture_oracle_sql("documents", "source"),
+    doc="DoReMi-style static mixture reweighting "
+    "(operators/lm.py:domain_mixture_weights): per-domain mean NLL "
+    "under the corpus's own bigram LM (exact e6-integer sums), then "
+    "softmax(excess loss) shares with fixed-point e8 exponent "
+    "quantization. The only global window runs over the "
+    "domain-cardinality aggregate, never the corpus.",
+)
+def q_sample_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_extensions_spark.operators.lm import domain_mixture_weights
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return domain_mixture_weights(docs, "source")

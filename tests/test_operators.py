@@ -1264,3 +1264,29 @@ def test_minhash_estimate_tracks_true_jaccard(spark):
     high = [v for k, v in est.items() if exact.get(k, 0) > 0.8]
     if high:
         assert min(high) > 0.5
+
+
+def test_domain_cap_matches_single_window_and_bounds(spark):
+    from pyspark.sql import Row, Window
+    from pyspark.sql import functions as F
+
+    from spark_extensions_spark.operators.sampling import domain_cap
+
+    # skewed: one mega-domain with 500 rows, several small ones
+    rows = [Row(doc_id=i, dom="big") for i in range(500)] + [
+        Row(doc_id=1000 + i, dom=f"s{i % 7}") for i in range(30)
+    ]
+    df = spark.createDataFrame(rows)
+    out = domain_cap(df, "doc_id", "dom", cap=5, pre_buckets=4)
+    got = {(r["dom"], r["doc_id"]) for r in out.collect()}
+    # every domain bounded at cap
+    per_dom = out.groupBy("dom").count().collect()
+    assert all(r["count"] <= 5 for r in per_dom)
+    # bit-identical to the naive single-window form (the oracle shape)
+    prio = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":domcap")))
+    w = Window.partitionBy("dom").orderBy(prio, "doc_id")
+    naive = df.withColumn("__r", F.row_number().over(w)).filter(
+        F.col("__r") <= 5
+    )
+    want = {(r["dom"], r["doc_id"]) for r in naive.collect()}
+    assert got == want

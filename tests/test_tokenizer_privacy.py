@@ -284,3 +284,31 @@ def test_html_extract_matches_duck_twin(spark):
         for h in htmls
     ]
     assert spark_out == duck_out
+
+
+def test_pii_scan_and_redact(spark):
+    from pyspark.sql import Row
+
+    from spark_extensions_spark.operators.privacy import pii_redact, pii_scan
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="mail a.b+c@ex-ample.org and d@e.io today"),
+            Row(doc_id=2, text="call 555-123-4567 or visit 10.0.0.1"),
+            Row(doc_id=3, text="ssn 123-45-6789 card 4111 1111 1111 1111"),
+            Row(doc_id=4, text="nothing sensitive here"),
+        ]
+    )
+    s = {r["doc_id"]: r for r in pii_scan(df, "doc_id", "text").collect()}
+    assert s[1]["n_email"] == 2 and s[1]["n_pii_total"] == 2
+    assert s[2]["n_phone"] == 1 and s[2]["n_ipv4"] == 1
+    assert s[3]["n_ssn"] == 1 and s[3]["n_cc16"] == 1
+    assert s[4]["n_pii_total"] == 0
+    r = {
+        x["doc_id"]: x["redacted"]
+        for x in pii_redact(df, "doc_id", "text").collect()
+    }
+    assert r[1] == "mail <EMAIL> and <EMAIL> today"
+    assert r[2] == "call <PHONE> or visit <IPV4>"
+    assert r[3] == "ssn <SSN> card <CC16>"
+    assert r[4] == "nothing sensitive here"
