@@ -324,6 +324,9 @@ PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PII_PHONE = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
 PII_SSN = r"[0-9]{3}-[0-9]{2}-[0-9]{4}"
 PII_CC = r"[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}"
+# audited by operators/privacy.py:pii_scan (not scrubbed — IPs are
+# often legitimate technical content)
+PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
 
 
 def pii_redact(text_col) -> Column:

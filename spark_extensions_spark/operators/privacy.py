@@ -143,21 +143,31 @@ def k_anonymity_summary_oracle_sql(
 
 
 # ---------------------------------------------------------------------
-# PII detection / redaction (pre-training release gate)
+# PII detection (pre-training release gate)
 # ---------------------------------------------------------------------
 
-# Patterns stay inside the Java-regex ∩ RE2 common subset (character
-# classes, \d, \b, bounded repetition, non-capturing groups — NO
-# lookaround, NO backreferences) so Spark and DuckDB match identically.
-# Order matters for redaction: longer/more-specific first so e.g. a
-# 16-digit card never half-matches as a phone number.
-PII_PATTERNS: tuple[tuple[str, str], ...] = (
-    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
-    ("cc16", r"\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b"),
-    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b"),
-    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"),
-    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
-)
+# Pattern classes shared with the scrub pass
+# (functions/text.py:pii_redact / PII_EMAIL..PII_CC — one source of
+# truth so audit counts and redaction always agree), plus IPv4 which is
+# audited but not scrubbed.  All stay inside the Java-regex ∩ RE2
+# common subset (no lookaround, no backreferences) so Spark and DuckDB
+# match identically.
+def _pii_patterns() -> tuple[tuple[str, str], ...]:
+    from spark_extensions_spark.functions.text import (
+        PII_CC,
+        PII_EMAIL,
+        PII_IPV4,
+        PII_PHONE,
+        PII_SSN,
+    )
+
+    return (
+        ("email", PII_EMAIL),
+        ("cc", PII_CC),
+        ("ssn", PII_SSN),
+        ("phone", PII_PHONE),
+        ("ipv4", PII_IPV4),
+    )
 
 
 def pii_scan(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -165,55 +175,39 @@ def pii_scan(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     The audit half of the release gate: before a crawl ships to
     training, count how much personally-identifiable text survives
-    curation (the C4/RefinedWeb-style PII pass).  Entirely row-local
-    regexp built-ins — zero shuffle, codegen'd JVM regex; at 100 TB
-    this is a pure map over the corpus scan.
+    curation (the C4/RefinedWeb-style PII pass; the scrub half is
+    ``functions/text.py:pii_redact``, exercised by the
+    ``text_pii_redact`` query).  Entirely row-local regexp built-ins —
+    zero shuffle, codegen'd JVM regex; at 100 TB this is a pure map
+    over the corpus scan.
 
-    Output: ``(id, n_email, n_cc16, n_ssn, n_phone, n_ipv4,
+    Output: ``(id, n_email, n_cc, n_ssn, n_phone, n_ipv4,
     n_pii_total bigint)``.
     """
+    pats = _pii_patterns()
     counts = [
         F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0)))
         .cast("bigint")
         .alias(f"n_{name}")
-        for name, pat in PII_PATTERNS
+        for name, pat in pats
     ]
     out = df.select(F.col(id_col), *counts)
     total = None
-    for name, _ in PII_PATTERNS:
+    for name, _ in pats:
         c = F.col(f"n_{name}")
         total = c if total is None else total + c
     return out.withColumn("n_pii_total", total.cast("bigint"))
 
 
-def pii_redact(
-    df: DataFrame, id_col: str, text_col: str, out_col: str = "redacted"
-) -> DataFrame:
-    """Replace every PII match with a typed placeholder token.
-
-    The scrub half of the release gate: ``user@host.com`` →
-    ``<EMAIL>``, etc., applied in :data:`PII_PATTERNS` order (most
-    specific first).  Chained ``regexp_replace`` — row-local, zero
-    shuffle, no Python.
-    """
-    col = F.col(text_col)
-    for name, pat in PII_PATTERNS:
-        col = F.regexp_replace(col, F.lit(pat), F.lit(f"<{name.upper()}>"))
-    return df.select(F.col(id_col), col.alias(out_col))
-
-
-def _duck_quote(pat: str) -> str:
-    return pat.replace("'", "''")
-
-
 def pii_scan_oracle_sql(table_sql: str, id_col: str, text_col: str) -> str:
     """DuckDB twin of :func:`pii_scan` (same patterns, RE2 side)."""
     counts = ",\n           ".join(
-        f"CAST(LEN(regexp_extract_all({text_col}, '{_duck_quote(p)}'))"
-        f" AS BIGINT) AS n_{n}"
-        for n, p in PII_PATTERNS
+        "CAST(LEN(regexp_extract_all({t}, '{p}')) AS BIGINT) AS n_{n}".format(
+            t=text_col, p=p.replace("'", "''"), n=n
+        )
+        for n, p in _pii_patterns()
     )
-    total = " + ".join(f"n_{n}" for n, _ in PII_PATTERNS)
+    total = " + ".join(f"n_{n}" for n, _ in _pii_patterns())
     return f"""
     WITH hits AS (
       SELECT {id_col},
@@ -222,17 +216,3 @@ def pii_scan_oracle_sql(table_sql: str, id_col: str, text_col: str) -> str:
     )
     SELECT *, CAST({total} AS BIGINT) AS n_pii_total FROM hits
     """
-
-
-def pii_redact_oracle_sql(
-    table_sql: str, id_col: str, text_col: str, out_col: str = "redacted"
-) -> str:
-    """DuckDB twin of :func:`pii_redact` (note the 'g' flag — DuckDB
-    replaces only the first match by default, Spark replaces all)."""
-    expr = text_col
-    for name, pat in PII_PATTERNS:
-        expr = (
-            f"regexp_replace({expr}, '{_duck_quote(pat)}', "
-            f"'<{name.upper()}>', 'g')"
-        )
-    return f"SELECT {id_col}, {expr} AS {out_col} FROM {table_sql}"

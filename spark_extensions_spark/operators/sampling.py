@@ -118,19 +118,39 @@ def stratified_cap(
     cap: int,
     salt: str = "cap",
     out_col: str | None = None,
+    pre_buckets: int = 16,
 ) -> DataFrame:
     """Keep at most ``cap`` rows per group, chosen by deterministic hash
     order (a reproducible uniform sample within each group).
 
     The hash order makes the selection independent of input row order —
-    the same rows survive on any cluster. One shuffle on ``group_col``;
-    tiebreak on the key itself makes the window order total.
+    the same rows survive on any cluster; tiebreak on the key itself
+    makes the window order total.
+
+    Skew-safe two-stage top-k (the :func:`domain_cap` shape): stage 1
+    ranks within ``(group, hash-bucket)`` and keeps ``cap`` per bucket,
+    bounding any one task's window at the bucket's share of even a
+    mega-group; stage 2 re-ranks the ``≤ cap·pre_buckets`` survivors
+    per group.  The per-group top-``cap`` of per-bucket top-``cap``s is
+    exactly the global per-group top-``cap``, so results are
+    bit-identical to the single-window form (which remains the oracle).
     """
-    w = Window.partitionBy(group_col).orderBy(
-        hash_bucket(key_col, salt, 1 << 60), F.col(key_col)
+    prio = hash_bucket(key_col, salt, 1 << 60)
+    bucket = F.pmod(
+        F.xxhash64(F.col(key_col).cast("string"), F.lit(salt)),
+        F.lit(pre_buckets),
     )
-    ranked = df.withColumn("__rn", F.row_number().over(w))
-    kept = ranked.filter(F.col("__rn") <= cap)
+    w1 = Window.partitionBy(group_col, "__b").orderBy("__prio", key_col)
+    w2 = Window.partitionBy(group_col).orderBy("__prio", key_col)
+    kept = (
+        df.withColumn("__prio", prio)
+        .withColumn("__b", bucket)
+        .withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= cap)
+        .withColumn("__rn", F.row_number().over(w2))
+        .filter(F.col("__rn") <= cap)
+        .drop("__prio", "__b", "__r1")
+    )
     if out_col is None:
         return kept.drop("__rn")
     return kept.withColumnRenamed("__rn", out_col)

@@ -145,7 +145,7 @@ _PRIORITY: tuple[str, ...] = (
     # round-3 additions
     "privacy_k_anonymity",
     "pii_scan",
-    "pii_redact",
+    "text_pii_redact",
     "sample_domain_cap",
     "text_html_extract",
     "tokenizer_bpe",

@@ -235,16 +235,14 @@ def q_text_vocab_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
         ).alias("w"),
     )
+    # top-K via orderBy+limit (TakeOrderedAndProject — distributed
+    # partial top-k; a bare row_number window here would funnel the
+    # whole vocabulary through one task)
     vocab = (
         words.groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.orderBy(F.col("c").desc(), F.col("w"))
-            ),
-        )
-        .filter(F.col("rn") <= _VOCAB_K)
+        .orderBy(F.col("c").desc(), F.col("w"))
+        .limit(_VOCAB_K)
         .select("w", F.lit(True).alias("in_vocab"))
     )
     return (

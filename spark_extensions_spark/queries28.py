@@ -5,15 +5,16 @@ end). Same determinism rules as the queries.py docstring.
 
 Families in this batch:
 
-- PII release gate: ``pii_scan`` (per-doc typed hit counts),
-  ``pii_redact`` (typed-placeholder scrubbing) — the C4/RefinedWeb-
-  style personally-identifiable-information pass every pre-training
-  corpus runs before release (operators/privacy.py, patterns held to
-  the Java-regex ∩ RE2 common subset so both engines match
-  identically). The fixture corpus carries no PII, so both queries
-  deterministically augment ``text`` from ``doc_id`` (identical string
-  concatenation on both engines) before scanning — the operator works
-  on real hits, not on zero-counts.
+- PII release gate: ``pii_scan`` — per-doc typed hit counts, the audit
+  half of the C4/RefinedWeb-style personally-identifiable-information
+  pass (operators/privacy.py; the scrub half is the existing
+  ``text_pii_redact`` query over functions/text.py:pii_redact — both
+  share one set of pattern constants). Patterns held to the Java-regex
+  ∩ RE2 common subset so both engines match identically. The fixture
+  corpus carries no PII, so the query deterministically augments
+  ``text`` from ``doc_id`` (identical string concatenation on both
+  engines) before scanning — the operator works on real hits, not on
+  zero-counts.
 """
 
 from __future__ import annotations
@@ -22,8 +23,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_extensions_spark.operators.privacy import (
-    pii_redact,
-    pii_redact_oracle_sql,
     pii_scan,
     pii_scan_oracle_sql,
 )
@@ -75,20 +74,6 @@ def _pii_aug_spark(docs: DataFrame) -> DataFrame:
 def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")["documents"]
     return pii_scan(_pii_aug_spark(docs), "doc_id", "text")
-
-
-@_register(
-    "pii_redact",
-    pii_redact_oracle_sql(f"({_PII_AUG_DUCK})", "doc_id", "text"),
-    doc="PII scrub pass (operators/privacy.py:pii_redact): every "
-    "email/card/SSN/phone/IP match replaced with a typed placeholder "
-    "(<EMAIL>, <CC16>, ...) via chained regexp_replace in "
-    "most-specific-first order — row-local, zero shuffle; the DuckDB "
-    "twin needs the 'g' flag (RE2 replaces first-match by default).",
-)
-def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")["documents"]
-    return pii_redact(_pii_aug_spark(docs), "doc_id", "text")
 
 
 @_register(

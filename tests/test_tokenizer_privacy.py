@@ -286,10 +286,12 @@ def test_html_extract_matches_duck_twin(spark):
     assert spark_out == duck_out
 
 
-def test_pii_scan_and_redact(spark):
+def test_pii_scan_counts_agree_with_redaction_patterns(spark):
     from pyspark.sql import Row
+    from pyspark.sql import functions as F
 
-    from spark_extensions_spark.operators.privacy import pii_redact, pii_scan
+    from spark_extensions_spark.functions.text import pii_redact
+    from spark_extensions_spark.operators.privacy import pii_scan
 
     df = spark.createDataFrame(
         [
@@ -302,13 +304,16 @@ def test_pii_scan_and_redact(spark):
     s = {r["doc_id"]: r for r in pii_scan(df, "doc_id", "text").collect()}
     assert s[1]["n_email"] == 2 and s[1]["n_pii_total"] == 2
     assert s[2]["n_phone"] == 1 and s[2]["n_ipv4"] == 1
-    assert s[3]["n_ssn"] == 1 and s[3]["n_cc16"] == 1
+    assert s[3]["n_ssn"] == 1 and s[3]["n_cc"] == 1
     assert s[4]["n_pii_total"] == 0
-    r = {
-        x["doc_id"]: x["redacted"]
-        for x in pii_redact(df, "doc_id", "text").collect()
+    # shared patterns: everything the scan counts (except IPv4, which
+    # is audit-only) disappears under the scrub pass
+    red = df.select(
+        "doc_id", pii_redact(F.col("text")).alias("t")
+    )
+    s2 = {
+        r["doc_id"]: r
+        for r in pii_scan(red, "doc_id", "t").collect()
     }
-    assert r[1] == "mail <EMAIL> and <EMAIL> today"
-    assert r[2] == "call <PHONE> or visit <IPV4>"
-    assert r[3] == "ssn <SSN> card <CC16>"
-    assert r[4] == "nothing sensitive here"
+    for d in (1, 2, 3, 4):
+        assert s2[d]["n_pii_total"] == s2[d]["n_ipv4"]

@@ -412,6 +412,36 @@ def main() -> int:
 
     run("hash_embedding", q_hash_embed)
 
+    # --- round-3 additions: PII gate, domain cap, mixture weights,
+    # exact distributed ntile ----------------------------------------
+    from spark_extensions_spark.operators.lm import domain_mixture_weights
+    from spark_extensions_spark.operators.privacy import pii_scan
+    from spark_extensions_spark.operators.sampling import (
+        distributed_ntile,
+        domain_cap,
+    )
+
+    run(
+        "pii_scan",
+        lambda: pii_scan(docs, "doc_id", "text")
+        .agg(F.sum("n_pii_total"))
+        .count(),
+    )
+    run(
+        "domain_cap",
+        lambda: domain_cap(docs, "doc_id", "source", 50).count(),
+    )
+    run(
+        "domain_mixture",
+        lambda: domain_mixture_weights(docs, "source").count(),
+    )
+    run(
+        "distributed_ntile",
+        lambda: distributed_ntile(
+            docs.select("doc_id", "n_chars"), ["n_chars", "doc_id"], 5, "q"
+        ).count(),
+    )
+
     import shutil
 
     shutil.rmtree(base, ignore_errors=True)
