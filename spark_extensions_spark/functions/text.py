@@ -650,3 +650,85 @@ def hash_embedding_duck(text_col: str, dim: int = 64) -> str:
         f"sqrt(CAST({n2} AS DOUBLE))) END"
     )
     return words, buckets, counts, vec
+
+
+def c4_line_filters(
+    df,
+    id_col: str,
+    text_col: str,
+    min_words: int = 5,
+    min_lines: int = 3,
+):
+    """The C4 line/page cleaning rules (Raffel et al. 2020, "Exploring
+    the Limits of Transfer Learning...", §2.2), as one row-local pass:
+
+    - keep only lines that end in terminal punctuation (``. ! ? "``)
+      and contain ≥ ``min_words`` whitespace-words;
+    - drop lines containing "javascript";
+    - drop the WHOLE page if it contains "lorem ipsum" or a curly
+      brace, or fewer than ``min_lines`` lines survive the line pass.
+
+    Everything is array/string built-ins over the line split — zero
+    shuffle, codegen'd, a pure map over the corpus scan at any scale.
+    Word counting and suffix checks use only engine-portable pieces
+    (``[^ ]+`` extraction, ``right``/``contains`` string ops — no
+    regex-dialect edges).
+
+    Output: ``(id, kept boolean, n_lines int, n_lines_kept int,
+    text_clean string)`` — ``text_clean`` is the surviving lines
+    re-joined with newlines ('' when the page is dropped).
+    """
+    lines = f"split({text_col}, '\\n')"
+    keep_line = (
+        f"x -> size(regexp_extract_all(x, '[^ ]+', 0)) >= {min_words}"
+        " AND right(rtrim(x), 1) IN ('.', '!', '?', '\"')"
+        " AND NOT contains(lower(x), 'javascript')"
+    )
+    kept = f"filter({lines}, {keep_line})"
+    page_ok = (
+        f"NOT contains(lower({text_col}), 'lorem ipsum')"
+        f" AND NOT contains({text_col}, '{{')"
+        f" AND size({kept}) >= {min_lines}"
+    )
+    return df.select(
+        F.col(id_col),
+        F.expr(page_ok).alias("kept"),
+        F.expr(f"size({lines})").cast("int").alias("n_lines"),
+        F.expr(f"size({kept})").cast("int").alias("n_lines_kept"),
+        F.expr(
+            f"CASE WHEN {page_ok} THEN array_join({kept}, '\\n')"
+            " ELSE '' END"
+        ).alias("text_clean"),
+    )
+
+
+def c4_line_filters_duck(
+    table_sql: str,
+    id_col: str,
+    text_col: str,
+    min_words: int = 5,
+    min_lines: int = 3,
+) -> str:
+    """DuckDB twin of :func:`c4_line_filters`."""
+    lines = f"string_split({text_col}, chr(10))"
+    keep = (
+        f"list_filter({lines}, x ->"
+        f" LEN(regexp_extract_all(x, '[^ ]+')) >= {min_words}"
+        " AND right(rtrim(x), 1) IN ('.', '!', '?', '\"')"
+        " AND NOT contains(lower(x), 'javascript'))"
+    )
+    page_ok = (
+        f"NOT contains(lower({text_col}), 'lorem ipsum')"
+        f" AND NOT contains({text_col}, '{{')"
+        f" AND LEN({keep}) >= {min_lines}"
+    )
+    return f"""
+    SELECT {id_col},
+           {page_ok} AS kept,
+           CAST(LEN({lines}) AS INT) AS n_lines,
+           CAST(LEN({keep}) AS INT) AS n_lines_kept,
+           CASE WHEN {page_ok}
+                THEN COALESCE(array_to_string({keep}, chr(10)), '')
+                ELSE '' END AS text_clean
+    FROM {table_sql}
+    """

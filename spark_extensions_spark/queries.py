@@ -147,6 +147,8 @@ _PRIORITY: tuple[str, ...] = (
     "pii_scan",
     "text_pii_redact",
     "sample_domain_cap",
+    "sample_domain_mixture",
+    "text_c4_rules",
     "text_html_extract",
     "tokenizer_bpe",
     # round-2 closing: deterministic ANN family + new surface

@@ -15,6 +15,11 @@ Families in this batch:
   ``text`` from ``doc_id`` (identical string concatenation on both
   engines) before scanning — the operator works on real hits, not on
   zero-counts.
+- Corpus mixing: ``sample_domain_cap`` (FineWeb-style per-site cap,
+  skew-safe two-stage top-k), ``sample_domain_mixture`` (DoReMi-style
+  softmax over per-domain bigram-LM excess loss, fixed-point).
+- ``text_c4_rules``: the canonical C4 line/page cleaning rules as one
+  zero-shuffle row-local pass.
 """
 
 from __future__ import annotations
@@ -111,3 +116,31 @@ def q_sample_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")["documents"]
     return domain_mixture_weights(docs, "source")
+
+
+@_register(
+    "text_c4_rules",
+    __import__(
+        "spark_extensions_spark.functions.text", fromlist=["x"]
+    ).c4_line_filters_duck(
+        "(SELECT doc_id, replace(text, '. ', '.' || chr(10)) AS text"
+        " FROM documents)",
+        "doc_id",
+        "text",
+    ),
+    doc="C4 line/page cleaning rules (Raffel et al. 2020 §2.2; "
+    "functions/text.py:c4_line_filters): keep lines ending in terminal "
+    "punctuation with ≥5 words, drop javascript lines, drop pages with "
+    "lorem ipsum / curly braces / <3 surviving lines. Row-local "
+    "array/string built-ins, zero shuffle; the fixture text is split "
+    "into lines at sentence ends identically on both engines.",
+)
+def q_text_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_extensions_spark.functions.text import c4_line_filters
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    lined = docs.select(
+        "doc_id",
+        F.expr("replace(text, '. ', concat('.', chr(10)))").alias("text"),
+    )
+    return c4_line_filters(lined, "doc_id", "text")

@@ -1290,3 +1290,29 @@ def test_domain_cap_matches_single_window_and_bounds(spark):
     )
     want = {(r["dom"], r["doc_id"]) for r in naive.collect()}
     assert got == want
+
+
+def test_distributed_ntile_matches_window_ntile(spark):
+    from pyspark.sql import Row, Window
+    from pyspark.sql import functions as F
+
+    from spark_extensions_spark.operators.sampling import distributed_ntile
+
+    # ties in v, unique tiebreak k; n chosen to exercise uneven tiles
+    rows = [Row(k=i, v=i % 7) for i in range(23)]
+    df = spark.createDataFrame(rows)
+    for n_tiles in (1, 2, 3, 5, 23, 30):
+        got = {
+            r["k"]: r["q"]
+            for r in distributed_ntile(
+                df, ["v", "k"], n_tiles, "q", num_partitions=4
+            ).collect()
+        }
+        w = Window.orderBy("v", "k")
+        want = {
+            r["k"]: r["q"]
+            for r in df.withColumn(
+                "q", F.ntile(n_tiles).over(w)
+            ).collect()
+        }
+        assert got == want, f"n_tiles={n_tiles}"

@@ -111,3 +111,35 @@ def test_char_entropy_hand_cases(spark):
     assert abs(got[1] - round(math.log(2), 6)) < 2e-6
     assert got[2] == 0.0
     assert got[3] == 0.0
+
+
+def test_c4_line_filters_rules(spark):
+    from pyspark.sql import Row
+
+    from spark_extensions_spark.functions.text import c4_line_filters
+
+    good = "\n".join(
+        [
+            "This is a perfectly fine sentence with many words.",
+            "Another quite acceptable line that also ends properly!",
+            'A third line with enough words, quoted ending here."',
+            "short line.",  # <5 words -> dropped
+            "This line mentions javascript so it must be dropped.",
+            "no terminal punctuation on this line at all",
+        ]
+    )
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=good),
+            Row(doc_id=2, text="Contains lorem ipsum filler. " + good),
+            Row(doc_id=3, text=good.replace("fine", "fine {brace}")),
+            Row(doc_id=4, text="One good sentence only survives here."),
+        ]
+    )
+    out = {r["doc_id"]: r for r in c4_line_filters(df, "doc_id", "text").collect()}
+    assert out[1]["kept"] and out[1]["n_lines_kept"] == 3
+    assert "javascript" not in out[1]["text_clean"]
+    assert "short line." not in out[1]["text_clean"]
+    assert not out[2]["kept"] and out[2]["text_clean"] == ""  # lorem ipsum
+    assert not out[3]["kept"]  # curly brace
+    assert not out[4]["kept"]  # <3 surviving lines
