@@ -820,9 +820,15 @@ def fuzzy_blocked_pairs(
         .select(
             "id_a",
             "id_b",
-            F.levenshtein("__nm_a", "__nm_b").cast("int").alias("dist"),
+            # threshold form = banded O(n·k) with early exit (returns -1
+            # past the bound) instead of the full O(n·m) DP — the exact
+            # distance is still returned for every surviving pair, so
+            # the DuckDB oracle (full levenshtein + filter) matches
+            F.levenshtein("__nm_a", "__nm_b", max_dist)
+            .cast("int")
+            .alias("dist"),
         )
-        .filter(F.col("dist") <= max_dist)
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
     )
 
 

@@ -104,16 +104,24 @@ def bm25_search(
     )
     contrib = postings.select(
         F.col(id_col),
+        # floor(x*1e8+0.5) integer units: round(ln-derived, 8) is
+        # engine-nonportable (Spark rescales via BigDecimal, DuckDB in
+        # double) — the NOTES round()-hazard class
         F.expr(
-            f"cast(round("
+            f"cast(floor(("
             f"  ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)"
             f"  * (tf * ({K1} + 1.0))"
             f"  / (tf + {K1} * (1.0 - {B} + {B} * dl / avgdl))"
-            f", 8) as decimal(20,8))"
-        ).alias("c"),
+            f") * 100000000.0d + 0.5d) as bigint)"
+        ).alias("c_e8"),
     )
     scored = contrib.groupBy(id_col).agg(
-        F.expr("cast(round(sum(c), 6) as double)").alias("score")
+        # exact integer sum; /100 then floor(+0.5) keeps the historical
+        # 6-decimal score scale, fully deterministic on both engines
+        F.expr(
+            "floor(cast(sum(c_e8) as double) / 100.0d + 0.5d)"
+            " / 1000000.0d"
+        ).alias("score")
     )
     # orderBy + limit compiles to TakeOrderedAndProject: per-partition
     # top-k then a k-row driver merge — no single-partition window.
@@ -148,18 +156,20 @@ def bm25_oracle_sql(query_terms: list[str], k: int = 20) -> str:
     ),
     contrib AS (
       SELECT tf.doc_id,
-             CAST(ROUND(
+             CAST(FLOOR((
                LN((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
                * (tf.tf * ({K1} + 1.0))
                / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl))
-             , 8) AS DECIMAL(20,8)) AS c
+             ) * 100000000.0 + 0.5) AS BIGINT) AS c_e8
       FROM tf
       JOIN dfreq ON tf.term = dfreq.term
       JOIN dl ON tf.doc_id = dl.doc_id
       CROSS JOIN stats
     ),
     scored AS (
-      SELECT doc_id, CAST(ROUND(SUM(c), 6) AS DOUBLE) AS score
+      SELECT doc_id,
+             FLOOR(CAST(SUM(c_e8) AS DOUBLE) / 100.0 + 0.5)
+               / 1000000.0 AS score
       FROM contrib GROUP BY doc_id
     )
     SELECT doc_id, score FROM (
@@ -194,9 +204,10 @@ def tfidf_top_terms(
         .select(
             F.col(id_col),
             "term",
+            # fixed-point floor, not round(ln-derived, 6) — see NOTES
             F.expr(
-                "cast(round(tf * (ln((1.0 + n_docs) / (1.0 + df)) + 1.0), 6)"
-                " as double)"
+                "floor(tf * (ln((1.0 + n_docs) / (1.0 + df)) + 1.0)"
+                " * 1000000.0d + 0.5d) / 1000000.0d"
             ).alias("tfidf"),
         )
     )
@@ -223,8 +234,8 @@ def tfidf_oracle_sql(top_per_doc: int = 3, min_len: int = 3) -> str:
     dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
     scored AS (
       SELECT tf.doc_id, tf.term,
-             CAST(ROUND(tf.tf * (LN((1.0 + nd.n_docs) / (1.0 + dfreq.df)) + 1.0), 6)
-                  AS DOUBLE) AS tfidf
+             FLOOR(tf.tf * (LN((1.0 + nd.n_docs) / (1.0 + dfreq.df)) + 1.0)
+                   * 1000000.0 + 0.5) / 1000000.0 AS tfidf
       FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN nd
     )
     SELECT doc_id, term, tfidf, CAST(rn AS INT) AS rn FROM (
@@ -487,11 +498,11 @@ def prf_oracle_sql(
     one SQL statement (same math, same tiebreaks)."""
     seeds = ", ".join(f"'{t}'" for t in seed_terms)
     score = (
-        f"CAST(ROUND("
+        f"CAST(FLOOR(("
         f"  LN((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)"
         f"  * (tf.tf * ({K1} + 1.0))"
         f"  / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl))"
-        f", 8) AS DECIMAL(20,8))"
+        f") * 100000000.0 + 0.5) AS BIGINT)"
     )
     return f"""
     WITH tok AS (
@@ -512,7 +523,8 @@ def prf_oracle_sql(
     fb AS (
       SELECT doc_id FROM (
         SELECT tf.doc_id,
-               CAST(ROUND(SUM({score}), 6) AS DOUBLE) AS score
+               FLOOR(CAST(SUM({score}) AS DOUBLE) / 100.0 + 0.5)
+                 / 1000000.0 AS score
         FROM tf JOIN dfreq ON tf.term = dfreq.term
         JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
         WHERE tf.term IN ({seeds})
@@ -535,7 +547,9 @@ def prf_oracle_sql(
       UNION SELECT term FROM expansion
     ),
     scored AS (
-      SELECT tf.doc_id, CAST(ROUND(SUM({score}), 6) AS DOUBLE) AS score
+      SELECT tf.doc_id,
+             FLOOR(CAST(SUM({score}) AS DOUBLE) / 100.0 + 0.5)
+               / 1000000.0 AS score
       FROM tf JOIN qterms USING (term)
       JOIN dfreq ON tf.term = dfreq.term
       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
