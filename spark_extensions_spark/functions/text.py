@@ -109,19 +109,26 @@ def gopher_rules(
     words = _words_sql(text_col)
     n_words = f"size({words})"
     total_word_chars = f"aggregate({words}, 0L, (acc, w) -> acc + length(w))"
+    # ratios quantize via floor(x*1e6+0.5)/1e6 — for positive x this IS
+    # HALF_UP rounding, but both engines run the identical double ops
+    # (round()'s rescale path differs: BigDecimal vs double — the NOTES
+    # round()-hazard class)
     mean_wl = (
         f"case when {n_words} = 0 then 0.0d "
-        f"else round({total_word_chars} / cast({n_words} as double), 6) end"
+        f"else floor({total_word_chars} / cast({n_words} as double)"
+        f" * 1000000.0d + 0.5d) / 1000000.0d end"
     )
     n_symbols = f"size(regexp_extract_all({text_col}, '#|\\\\.\\\\.\\\\.', 0))"
     sym_ratio = (
         f"case when {n_words} = 0 then 0.0d "
-        f"else round({n_symbols} / cast({n_words} as double), 6) end"
+        f"else floor({n_symbols} / cast({n_words} as double)"
+        f" * 1000000.0d + 0.5d) / 1000000.0d end"
     )
     n_alpha_words = f"size(filter({words}, w -> w rlike '[a-z]'))"
     alpha_ratio = (
         f"case when {n_words} = 0 then 0.0d "
-        f"else round({n_alpha_words} / cast({n_words} as double), 6) end"
+        f"else floor({n_alpha_words} / cast({n_words} as double)"
+        f" * 1000000.0d + 0.5d) / 1000000.0d end"
     )
     stop_list = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
     stop_hits = (

@@ -111,8 +111,10 @@ def q_sample_shuffle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH bounds AS (
       SELECT c_mktsegment,
-             round(quantile_cont(c_acctbal, 0.05), 6) AS p05,
-             round(quantile_cont(c_acctbal, 0.95), 6) AS p95
+             FLOOR(quantile_cont(c_acctbal, 0.05) * 1000000.0 + 0.5)
+               / 1000000.0 AS p05,
+             FLOOR(quantile_cont(c_acctbal, 0.95) * 1000000.0 + 0.5)
+               / 1000000.0 AS p95
       FROM customer GROUP BY c_mktsegment
     )
     SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal,
@@ -125,13 +127,20 @@ def q_sample_shuffle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     "curation pipeline runs before model scoring; at 100 TB the bounds "
     "table is group-cardinality-sized, so the fact side never "
     "shuffles. Spark exact `percentile` == DuckDB quantile_cont "
-    "(both linear interpolation), rounded to 6dp before the clip.",
+    "(both linear interpolation), floor-quantized to 6dp before the "
+    "clip (identical double ops on both engines).",
 )
 def q_feature_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")["customer"]
     bounds = c.groupBy("c_mktsegment").agg(
-        F.round(F.expr("percentile(c_acctbal, 0.05)"), 6).alias("p05"),
-        F.round(F.expr("percentile(c_acctbal, 0.95)"), 6).alias("p95"),
+        F.expr(
+            "floor(percentile(c_acctbal, 0.05) * 1000000.0d + 0.5d)"
+            " / 1000000.0d"
+        ).alias("p05"),
+        F.expr(
+            "floor(percentile(c_acctbal, 0.95) * 1000000.0d + 0.5d)"
+            " / 1000000.0d"
+        ).alias("p95"),
     )
     return (
         c.join(F.broadcast(bounds), "c_mktsegment")
@@ -311,19 +320,21 @@ def _gopher_oracle() -> str:
     ws = "regexp_extract_all(lower(text), '[a-z0-9]+')"
     n = f"len({ws})"
     mean = (
-        f"CASE WHEN {n} = 0 THEN 0.0 ELSE round("
+        f"CASE WHEN {n} = 0 THEN 0.0 ELSE FLOOR("
         f"list_sum(list_transform({ws}, w -> length(w)))"
-        f" / CAST({n} AS DOUBLE), 6) END"
+        f" / CAST({n} AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 END"
     )
     nsym = r"len(regexp_extract_all(text, '#|\.\.\.'))"
     sym = (
         f"CASE WHEN {n} = 0 THEN 0.0 "
-        f"ELSE round({nsym} / CAST({n} AS DOUBLE), 6) END"
+        f"ELSE FLOOR({nsym} / CAST({n} AS DOUBLE)"
+        f" * 1000000.0 + 0.5) / 1000000.0 END"
     )
     nalpha = f"len(list_filter({ws}, w -> regexp_matches(w, '[a-z]')))"
     alpha = (
         f"CASE WHEN {n} = 0 THEN 0.0 "
-        f"ELSE round({nalpha} / CAST({n} AS DOUBLE), 6) END"
+        f"ELSE FLOOR({nalpha} / CAST({n} AS DOUBLE)"
+        f" * 1000000.0 + 0.5) / 1000000.0 END"
     )
     hits = f"len(list_intersect(list_distinct({ws}), [{stop}]))"
     gpass = (
