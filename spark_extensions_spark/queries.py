@@ -123,6 +123,11 @@ _PRIORITY: tuple[str, ...] = (
     "retrieval_rrf",
     "sample_dsir",
     "embedding_quantize",
+    # Kafka-semantics log family (queries29) — right after the graded-50
+    # boundary so the stable graded window is unchanged
+    "kafka_log_roundtrip",
+    "kafka_stream_decode_agg",
+    "kafka_sink_exactly_once",
     "graph_pagerank",
     "dedup_spans",
     # next tier (graded if the driver's window exceeds 50)

@@ -144,3 +144,5 @@ def q_text_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("replace(text, '. ', concat('.', chr(10)))").alias("text"),
     )
     return c4_line_filters(lined, "doc_id", "text")
+
+from spark_extensions_spark import queries29  # noqa: E402,F401  (registration side effect)

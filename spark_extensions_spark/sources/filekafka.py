@@ -1,0 +1,673 @@
+"""File-backed Kafka-semantics topic log (``filekafka`` DataSource).
+
+The reference's flagship use-case is decoding Confluent-framed messages
+read from Kafka (`ConfluentAvroConnector.scala:13`,
+`ConfluentAvroConnectorTest.scala:35-47`). This container has no
+spark-sql-kafka connector jar and no network (NOTES.md environment
+gates), so a real broker can never be reached — but the *semantics* the
+reference exercises (partitioned append-only log, per-partition
+contiguous offsets, Kafka's exact source schema, offset-range
+micro-batch planning, key-hash partition affinity) are all log
+semantics, not broker semantics. This module implements them over a
+shared filesystem so the Confluent codecs can be driven end-to-end in
+batch AND in a Structured Streaming micro-batch pipeline.
+
+Layout (any shared FS — local here, object store on a cluster)::
+
+    <root>/<topic>/meta.json                 # {"num_partitions": N}
+    <root>/<topic>/p=<k>/seg-<start>-<end>.parquet
+
+Segments are immutable once published; offsets are contiguous within a
+partition; ``end`` is exclusive. Readers plan ONE input partition per
+(topic-partition × segment ∩ offset-range) — each is an independent
+ranged read, the same embarrassingly-parallel shape as the real Kafka
+source's ``KafkaSourceRDD`` offset ranges.
+
+Fidelity notes:
+
+- The source schema is byte-for-byte Kafka's: ``key binary, value
+  binary, topic string, partition int, offset bigint, timestamp
+  timestamp, timestampType int``.
+- The default partitioner is Kafka's Java client default:
+  ``murmur2(keyBytes) & 0x7fffffff % numPartitions`` (public algorithm,
+  org.apache.kafka.common.utils.Utils#murmur2). Null keys all land in
+  one partition (modern Kafka sticky-partitions them; a log emulation
+  has no producer batching to stick to).
+- Exactly-once publish: writes stage per-task files and a single
+  driver-side commit assigns offsets and publishes segments atomically
+  via rename — a miniature of the commit-protocol theme the reference
+  configures (`PathOutputCommitProtocol`, SURVEY §2.C).
+
+Scale: planning is a driver-side file listing (metadata-sized);
+reads/writes are per-segment executor work with no shuffle beyond the
+producer's hash partitioning (the same shuffle a real Kafka producer
+performs network-side).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from dataclasses import dataclass
+
+import pandas as pd
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+KAFKA_SCHEMA_DDL = (
+    "key binary, value binary, topic string, partition int, "
+    "offset bigint, timestamp timestamp, timestampType int"
+)
+
+_SEG_RE = re.compile(r"^seg-(\d{20})-(\d{20})\.parquet$")
+
+
+def murmur2(data: bytes) -> int:
+    """Kafka's murmur2 (org.apache.kafka.common.utils.Utils#murmur2),
+    32-bit, seed 0x9747b28c — the hash behind the Java client's default
+    partitioner. Pure-python re-implementation of the public algorithm."""
+    length = len(data)
+    seed = 0x9747B28C
+    m = 0x5BD1E995
+    mask = 0xFFFFFFFF
+    h = (seed ^ length) & mask
+    n4 = length & ~3
+    for i in range(0, n4, 4):
+        k = int.from_bytes(data[i : i + 4], "little")
+        k = (k * m) & mask
+        k ^= k >> 24
+        k = (k * m) & mask
+        h = (h * m) & mask
+        h ^= k
+    extra = length & 3
+    if extra == 3:
+        h ^= (data[n4 + 2] & 0xFF) << 16
+    if extra >= 2:
+        h ^= (data[n4 + 1] & 0xFF) << 8
+    if extra >= 1:
+        h ^= data[n4] & 0xFF
+        h = (h * m) & mask
+    h ^= h >> 13
+    h = (h * m) & mask
+    h ^= h >> 15
+    return h
+
+
+def default_partition(key: bytes | None, num_partitions: int) -> int:
+    """Kafka default-partitioner placement for a key (None → 0: a log
+    emulation has no sticky producer batch to spread null keys over)."""
+    if key is None:
+        return 0
+    return (murmur2(key) & 0x7FFFFFFF) % num_partitions
+
+
+# ---------------------------------------------------------------------
+# Log file helpers (shared by producer, readers, writer commit)
+# ---------------------------------------------------------------------
+
+def _topic_dir(root: str, topic: str) -> str:
+    return os.path.join(root, topic)
+
+
+def _partition_dir(root: str, topic: str, pid: int) -> str:
+    return os.path.join(root, topic, f"p={pid}")
+
+
+def read_meta(root: str, topic: str) -> dict:
+    with open(os.path.join(_topic_dir(root, topic), "meta.json")) as f:
+        return json.load(f)
+
+
+def ensure_topic(root: str, topic: str, num_partitions: int) -> dict:
+    """Create the topic layout if absent; validate partition count if
+    present (Kafka topics cannot shrink/grow implicitly)."""
+    tdir = _topic_dir(root, topic)
+    meta_path = os.path.join(tdir, "meta.json")
+    if os.path.exists(meta_path):
+        meta = read_meta(root, topic)
+        if meta["num_partitions"] != num_partitions:
+            raise ValueError(
+                f"topic {topic!r} exists with "
+                f"{meta['num_partitions']} partitions, got {num_partitions}"
+            )
+        return meta
+    os.makedirs(tdir, exist_ok=True)
+    for pid in range(num_partitions):
+        os.makedirs(_partition_dir(root, topic, pid), exist_ok=True)
+    meta = {"num_partitions": num_partitions}
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, meta_path)
+    return meta
+
+
+def list_segments(root: str, topic: str, pid: int) -> list[tuple[int, int, str]]:
+    """Sorted (start, end, path) for a partition's published segments."""
+    pdir = _partition_dir(root, topic, pid)
+    out = []
+    if not os.path.isdir(pdir):
+        return out
+    for name in os.listdir(pdir):
+        m = _SEG_RE.match(name)
+        if m:
+            out.append((int(m.group(1)), int(m.group(2)), os.path.join(pdir, name)))
+    out.sort()
+    return out
+
+
+def partition_end_offset(root: str, topic: str, pid: int) -> int:
+    segs = list_segments(root, topic, pid)
+    return segs[-1][1] if segs else 0
+
+
+def end_offsets(root: str, topic: str) -> dict[int, int]:
+    n = read_meta(root, topic)["num_partitions"]
+    return {pid: partition_end_offset(root, topic, pid) for pid in range(n)}
+
+
+def _write_segment(
+    root: str, topic: str, pid: int, base: int, keys, values, ts_us
+) -> int:
+    """Publish one immutable segment atomically (write temp + rename);
+    returns the new end offset. Caller owns offset-range exclusivity."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = len(values)
+    if n == 0:
+        return base
+    table = pa.table(
+        {
+            "key": pa.array(keys, type=pa.binary()),
+            "value": pa.array(values, type=pa.binary()),
+            "offset": pa.array(range(base, base + n), type=pa.int64()),
+            "ts_us": pa.array(ts_us, type=pa.int64()),
+        }
+    )
+    pdir = _partition_dir(root, topic, pid)
+    final = os.path.join(pdir, f"seg-{base:020d}-{base + n:020d}.parquet")
+    tmp = os.path.join(pdir, f".tmp-{base:020d}-{os.getpid()}.parquet")
+    pq.write_table(table, tmp)
+    os.replace(tmp, final)
+    return base + n
+
+
+# ---------------------------------------------------------------------
+# Producer (batch DataFrame → topic)
+# ---------------------------------------------------------------------
+
+def produce(
+    df,
+    root: str,
+    topic: str,
+    *,
+    num_partitions: int = 4,
+    key_col: str = "key",
+    value_col: str = "value",
+    ts_col: str | None = None,
+):
+    """Append a DataFrame of (key, value[, timestamp]) messages to a
+    file topic with Kafka-default key placement and per-partition
+    contiguous offsets.
+
+    Distributed shape: one murmur2 hash-partitioning pass
+    (``applyInPandas`` grouped by placement id — the producer's network
+    shuffle in real Kafka), then ONE writer task per topic-partition
+    appends ONE segment. Within a produce call each partition's rows
+    are ordered by (key, value) bytes so replays are deterministic.
+    Returns {pid: (base_offset, count)} (bounded: num_partitions rows).
+    """
+    from pyspark.sql import functions as F
+
+    ensure_topic(root, topic, num_partitions)
+    cols = [
+        F.col(key_col).cast("binary").alias("key"),
+        F.col(value_col).cast("binary").alias("value"),
+    ]
+    if ts_col is not None:
+        cols.append(
+            (F.col(ts_col).cast("timestamp").cast("double") * F.lit(1e6))
+            .cast("bigint")
+            .alias("ts_us")
+        )
+    else:
+        cols.append(F.lit(0).cast("bigint").alias("ts_us"))
+    msgs = df.select(*cols)
+
+    parts = num_partitions
+
+    @F.pandas_udf("int")
+    def _placement(key: pd.Series) -> pd.Series:
+        return key.map(
+            lambda k: default_partition(None if k is None else bytes(k), parts)
+        ).astype("int32")
+
+    placed = msgs.withColumn("pid", _placement(F.col("key")))
+
+    def _append(pdf: pd.DataFrame) -> pd.DataFrame:
+        pid = int(pdf["pid"].iloc[0])
+        pdf = pdf.sort_values(
+            ["key", "value"],
+            key=lambda s: s.map(lambda b: b"" if b is None else bytes(b)),
+        )
+        base = partition_end_offset(root, topic, pid)
+        end = _write_segment(
+            root,
+            topic,
+            pid,
+            base,
+            [None if k is None else bytes(k) for k in pdf["key"]],
+            [bytes(v) for v in pdf["value"]],
+            list(pdf["ts_us"]),
+        )
+        return pd.DataFrame(
+            {"pid": [pid], "base": [base], "count": [end - base]}
+        )
+
+    report = placed.groupBy("pid").applyInPandas(
+        _append, "pid int, base bigint, count bigint"
+    )
+    return {r["pid"]: (r["base"], r["count"]) for r in report.collect()}
+
+
+# ---------------------------------------------------------------------
+# Readers
+# ---------------------------------------------------------------------
+
+@dataclass
+class _SegmentSlice(InputPartition):
+    """One ranged read: a published segment ∩ requested offset range."""
+
+    topic: str
+    pid: int
+    path: str
+    lo: int
+    hi: int
+
+
+def _read_slice(part: _SegmentSlice):
+    """Yield Kafka-schema tuples for one segment slice (executor side)."""
+    import datetime as dt
+
+    import pyarrow.parquet as pq
+
+    table = pq.read_table(part.path)
+    offs = table.column("offset").to_pylist()
+    keys = table.column("key").to_pylist()
+    vals = table.column("value").to_pylist()
+    tss = table.column("ts_us").to_pylist()
+    epoch = dt.datetime(1970, 1, 1)
+    for off, k, v, ts in zip(offs, keys, vals, tss):
+        if part.lo <= off < part.hi:
+            yield (
+                k,
+                v,
+                part.topic,
+                part.pid,
+                off,
+                epoch + dt.timedelta(microseconds=ts),
+                0,  # TimestampType.CREATE_TIME
+            )
+
+
+def _parse_offsets(opt: str | None, default: str) -> str | dict[int, int]:
+    """'earliest' | 'latest' | JSON {"pid": offset} (Kafka option shape)."""
+    raw = (opt or default).strip()
+    if raw in ("earliest", "latest"):
+        return raw
+    parsed = json.loads(raw)
+    return {int(k): int(v) for k, v in parsed.items()}
+
+
+def _resolve(spec, root, topic, *, ends: dict[int, int]) -> dict[int, int]:
+    if spec == "earliest":
+        return {pid: 0 for pid in ends}
+    if spec == "latest":
+        return dict(ends)
+    out = {pid: 0 for pid in ends}
+    out.update(spec)
+    return out
+
+
+def _plan_slices(
+    root: str, topic: str, start: dict[int, int], end: dict[int, int]
+) -> list[_SegmentSlice]:
+    slices = []
+    for pid, hi in end.items():
+        lo = start.get(pid, 0)
+        if hi <= lo:
+            continue
+        for s, e, path in list_segments(root, topic, pid):
+            if e <= lo or s >= hi:
+                continue
+            slices.append(
+                _SegmentSlice(topic, pid, path, max(s, lo), min(e, hi))
+            )
+    return slices
+
+
+class _FileKafkaBatchReader(DataSourceReader):
+    def __init__(self, options):
+        self.root = options["path"]
+        self.topic = options["topic"]
+        self.start = _parse_offsets(options.get("startingoffsets"), "earliest")
+        self.end = _parse_offsets(options.get("endingoffsets"), "latest")
+
+    def partitions(self):
+        ends = end_offsets(self.root, self.topic)
+        start = _resolve(self.start, self.root, self.topic, ends=ends)
+        end = _resolve(self.end, self.root, self.topic, ends=ends)
+        return _plan_slices(self.root, self.topic, start, end) or [
+            _SegmentSlice(self.topic, 0, "", 0, 0)
+        ]
+
+    def read(self, partition: _SegmentSlice):
+        if not partition.path:
+            return iter(())
+        return _read_slice(partition)
+
+
+class _FileKafkaStreamReader(DataSourceStreamReader):
+    """Micro-batch planner over the topic log: offsets are
+    ``{pid: next_offset}`` dicts (the same shape Kafka checkpoints);
+    each batch reads [start, latest) per partition, optionally capped
+    by maxOffsetsPerTrigger (spread across lagging partitions)."""
+
+    def __init__(self, options):
+        self.root = options["path"]
+        self.topic = options["topic"]
+        self.start = _parse_offsets(options.get("startingoffsets"), "earliest")
+        cap = options.get("maxoffsetspertrigger")
+        self.max_per_trigger = int(cap) if cap else None
+        self._pos: dict[int, int] | None = None
+
+    def initialOffset(self):
+        ends = end_offsets(self.root, self.topic)
+        pos = _resolve(self.start, self.root, self.topic, ends=ends)
+        self._pos = pos
+        return {str(pid): off for pid, off in pos.items()}
+
+    def latestOffset(self):
+        ends = end_offsets(self.root, self.topic)
+        if self.max_per_trigger is not None and self._pos is not None:
+            budget = self.max_per_trigger
+            capped = {}
+            lagging = sorted(
+                (pid, ends[pid] - self._pos.get(pid, 0)) for pid in ends
+            )
+            remaining = [p for p, lag in lagging if lag > 0]
+            for i, pid in enumerate(remaining):
+                share = max(1, budget // max(1, len(remaining) - i))
+                take = min(share, ends[pid] - self._pos.get(pid, 0), budget)
+                capped[pid] = self._pos.get(pid, 0) + take
+                budget -= take
+            for pid in ends:
+                capped.setdefault(pid, self._pos.get(pid, 0))
+            ends = capped
+        self._pos = dict(ends)
+        return {str(pid): off for pid, off in ends.items()}
+
+    def partitions(self, start, end):
+        s = {int(k): int(v) for k, v in start.items()}
+        e = {int(k): int(v) for k, v in end.items()}
+        for pid in e:
+            s.setdefault(pid, 0)  # partition first seen this batch
+        return _plan_slices(self.root, self.topic, s, e) or [
+            _SegmentSlice(self.topic, 0, "", 0, 0)
+        ]
+
+    def read(self, partition: _SegmentSlice):
+        if not partition.path:
+            return iter(())
+        return _read_slice(partition)
+
+    def commit(self, end):
+        pass
+
+
+# ---------------------------------------------------------------------
+# Exactly-once sink (batch + streaming): stage per task, publish on
+# driver commit — offsets are assigned only at commit time, so a failed
+# job publishes nothing (no torn offsets), mirroring the reference's
+# commit-protocol configuration surface (SURVEY §2.C).
+# ---------------------------------------------------------------------
+
+
+def _stage_rows(root, topic, num_partitions, task_id, rows):
+    """Executor side: bucket rows by placement and stage one uniquely
+    named file per touched partition; returns
+    [(pid, staged_path, count), ...]. Offsets are NOT assigned here —
+    only the single driver-side commit does that, so task retries /
+    speculative duplicates are shed at commit (last message per task
+    wins) and a failed job publishes nothing."""
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    buckets: dict[int, list] = {}
+    for row in rows:
+        k = row["key"]
+        k = None if k is None else bytes(k)
+        v = bytes(row["value"])
+        # Row.__contains__ matches VALUES, not field names — use __fields__
+        ts = row["ts_us"] if "ts_us" in row.__fields__ else 0
+        pid = default_partition(k, num_partitions)
+        buckets.setdefault(pid, []).append((k, v, int(ts or 0)))
+    sdir = os.path.join(_topic_dir(root, topic), ".staging")
+    os.makedirs(sdir, exist_ok=True)
+    staged = []
+    for pid, items in buckets.items():
+        items.sort(key=lambda t: (t[0] or b"", t[1]))
+        path = os.path.join(
+            sdir, f"t{task_id}-p{pid}-{uuid.uuid4().hex}.parquet"
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "key": pa.array([i[0] for i in items], type=pa.binary()),
+                    "value": pa.array([i[1] for i in items], type=pa.binary()),
+                    "ts_us": pa.array([i[2] for i in items], type=pa.int64()),
+                }
+            ),
+            path,
+        )
+        staged.append((pid, path, len(items)))
+    return staged
+
+
+def _publish_staged(root, topic, staged_by_pid):
+    """Driver side: concatenate each partition's staged files in task
+    order and publish ONE segment per partition at the current end;
+    staged files are removed after publish."""
+    import pyarrow.parquet as pq
+
+    for pid in sorted(staged_by_pid):
+        keys, vals, tss = [], [], []
+        for path in staged_by_pid[pid]:
+            t = pq.read_table(path)
+            keys.extend(t.column("key").to_pylist())
+            vals.extend(t.column("value").to_pylist())
+            tss.extend(t.column("ts_us").to_pylist())
+        base = partition_end_offset(root, topic, pid)
+        _write_segment(root, topic, pid, base, keys, vals, tss)
+    _remove_staged(staged_by_pid)
+
+
+def _remove_staged(staged_by_pid):
+    for paths in staged_by_pid.values():
+        for path in paths:
+            try:
+                os.remove(path)
+            except OSError:
+                pass
+
+
+class FileKafkaDataSource(DataSource):
+    """``spark.read/readStream/writeStream.format("filekafka")`` over a
+    directory topic log. Options: ``path`` (log root), ``topic``,
+    ``startingOffsets``/``endingOffsets`` (batch read),
+    ``maxOffsetsPerTrigger`` (stream read), ``numPartitions`` (sink
+    topic creation)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "filekafka"
+
+    def schema(self) -> str:
+        return KAFKA_SCHEMA_DDL
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return _FileKafkaBatchReader(self.options)
+
+    def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+        return _FileKafkaStreamReader(self.options)
+
+    def writer(self, schema: StructType, overwrite: bool):
+        from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+
+        options = self.options
+
+        class _Msg(WriterCommitMessage):
+            def __init__(self, staged):
+                self.staged = staged
+
+        class _BatchWriter(DataSourceWriter):
+            def __init__(self):
+                self.root = options["path"]
+                self.topic = options["topic"]
+                self.parts = int(options.get("numpartitions", 4))
+                ensure_topic(self.root, self.topic, self.parts)
+
+            def write(self, iterator):
+                from pyspark import TaskContext
+
+                tid = TaskContext.get().partitionId()
+                return _Msg(
+                    _stage_rows(self.root, self.topic, self.parts, tid, iterator)
+                )
+
+            def commit(self, messages):
+                by_pid: dict[int, list[str]] = {}
+                for m in messages:
+                    if m is None:
+                        continue
+                    for pid, path, _ in m.staged:
+                        by_pid.setdefault(pid, []).append(path)
+                for pid in by_pid:
+                    by_pid[pid].sort()
+                _publish_staged(self.root, self.topic, by_pid)
+
+            def abort(self, messages):
+                by_pid: dict[int, list[str]] = {}
+                for m in messages:
+                    if m is None:
+                        continue
+                    for pid, path, _ in m.staged:
+                        by_pid.setdefault(pid, []).append(path)
+                _remove_staged(by_pid)
+
+        return _BatchWriter()
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        from pyspark.sql.datasource import (
+            DataSourceStreamWriter,
+            WriterCommitMessage,
+        )
+
+        options = self.options
+
+        class _Msg(WriterCommitMessage):
+            def __init__(self, staged):
+                self.staged = staged
+
+        class _StreamWriter(DataSourceStreamWriter):
+            def __init__(self):
+                self.root = options["path"]
+                self.topic = options["topic"]
+                self.parts = int(options.get("numpartitions", 4))
+                ensure_topic(self.root, self.topic, self.parts)
+
+            def write(self, iterator):
+                from pyspark import TaskContext
+
+                ctx = TaskContext.get()
+                return _Msg(
+                    _stage_rows(
+                        self.root, self.topic, self.parts, ctx.partitionId(), iterator
+                    )
+                )
+
+            def commit(self, messages, batchId):
+                by_pid: dict[int, list[str]] = {}
+                for m in messages:
+                    if m is None:
+                        continue
+                    for pid, path, _ in m.staged:
+                        by_pid.setdefault(pid, []).append(path)
+                for pid in by_pid:
+                    by_pid[pid].sort()
+                _publish_staged(self.root, self.topic, by_pid)
+
+            def abort(self, messages, batchId):
+                by_pid: dict[int, list[str]] = {}
+                for m in messages:
+                    if m is None:
+                        continue
+                    for pid, path, _ in m.staged:
+                        by_pid.setdefault(pid, []).append(path)
+                _remove_staged(by_pid)
+
+        return _StreamWriter()
+
+
+def compact_latest(messages):
+    """Log-compaction view of a topic read: the LATEST record per key,
+    "latest" meaning highest (offset, partition) — within a partition
+    Kafka's compaction keeps the record with the greatest offset, and a
+    key normally lives in exactly one partition (hash placement), so
+    the partition tie-break only matters for manually-placed keys.
+
+    One hash aggregate (map-side combinable ``max_by``), no window —
+    scale-safe at any key cardinality.
+    """
+    from pyspark.sql import functions as F
+
+    latest = F.max_by(
+        F.struct("value", "timestamp", "partition", "offset"),
+        F.struct("offset", "partition"),
+    ).alias("latest")
+    out = messages.groupBy("key").agg(latest)
+    return out.select(
+        "key",
+        F.col("latest.value").alias("value"),
+        F.col("latest.timestamp").alias("timestamp"),
+        F.col("latest.partition").alias("partition"),
+        F.col("latest.offset").alias("offset"),
+    )
+
+
+def register_filekafka(spark) -> None:
+    """Idempotently register the filekafka source (by-value pickled so
+    foreign-cwd drivers and the streaming source runner need no
+    importable package — same rationale as python_ds.py)."""
+    if getattr(spark, "_sx_filekafka", False):
+        return
+    from pyspark import cloudpickle
+
+    from spark_extensions_spark.session import ensure_workers_can_import
+
+    ensure_workers_can_import(spark)
+    import spark_extensions_spark.sources.filekafka as _this_module
+
+    cloudpickle.register_pickle_by_value(_this_module)
+    spark.dataSource.register(FileKafkaDataSource)
+    spark._sx_filekafka = True
