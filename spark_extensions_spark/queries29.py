@@ -256,3 +256,67 @@ def q_kafka_log_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("key").cast("string").alias("user_id"),
         F.col("value").cast("string").alias("last_value"),
     )
+
+
+@_register(
+    "observe_inline_metrics",
+    """
+    SELECT CAST(s.n AS BIGINT) AS scan_n_rows,
+           CAST(s.q AS DOUBLE) AS scan_sum_qty,
+           CAST(k.n AS BIGINT) AS kept_n_rows,
+           CAST(k.r AS DOUBLE) AS kept_revenue,
+           CAST(s.n - k.n AS BIGINT) AS dropped_rows
+    FROM (SELECT COUNT(*) AS n,
+                 SUM(CAST(l_quantity AS DECIMAL(18,2))) AS q
+          FROM lineitem) s,
+         (SELECT COUNT(*) AS n,
+                 SUM(CAST(l_extendedprice * (1 - l_discount)
+                     AS DECIMAL(18,4))) AS r
+          FROM lineitem
+          WHERE l_quantity < 25 AND l_returnflag = 'N') k
+    """,
+    doc="Inline job observability (operators/observe.py): metric "
+    "points attached at two plan positions (post-scan, post-filter) "
+    "via df.observe, materialized by ONE noop-sink execution — "
+    "accumulator-backed, zero extra scans (the 100 TB alternative to "
+    "a separate metrics job). Oracle recomputes both points in plain "
+    "SQL; exact decimal aggregates keep the values engine-portable.",
+)
+def q_observe_inline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_extensions_spark.operators.observe import (
+        MetricPoint,
+        metrics_row,
+        run_noop,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    scan = MetricPoint("scan")
+    kept = MetricPoint("kept")
+    observed = scan.attach(
+        li,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+    )
+    filtered = kept.attach(
+        observed.filter(
+            (F.col("l_quantity") < 25) & (F.col("l_returnflag") == "N")
+        ),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(18,4)"
+            )
+        ).alias("revenue"),
+    )
+    run_noop(filtered.select("l_orderkey", "l_quantity"))
+    return metrics_row(spark, scan, kept).select(
+        F.col("scan_n_rows").cast("bigint").alias("scan_n_rows"),
+        F.col("scan_sum_qty").cast("double").alias("scan_sum_qty"),
+        F.col("kept_n_rows").cast("bigint").alias("kept_n_rows"),
+        F.col("kept_revenue").cast("double").alias("kept_revenue"),
+        (F.col("scan_n_rows") - F.col("kept_n_rows"))
+        .cast("bigint")
+        .alias("dropped_rows"),
+    )
+
+from spark_extensions_spark import queries30  # noqa: E402,F401  (registration side effect)

@@ -1,0 +1,245 @@
+"""t2 query registry, batch 33: Spark-4 engine surface sweep.
+
+Registered into the shared registry (imported from queries29 at module
+end). Same determinism rules as the queries.py docstring.
+
+Families in this batch — each is engine surface the registry did not
+yet exercise:
+
+- ``window_session_dynamic_gap``: per-event gap durations in the
+  built-in ``session_window`` (Spark 3.2+ dynamic gap column). The
+  oracle is the gaps-and-islands formulation generalized to variable
+  gaps: a session extends while the NEXT event starts at or before the
+  RUNNING MAX of member ends (a later short-gap event does not shrink
+  an earlier long-gap reach), so the twin uses a cumulative-max window
+  instead of plain LAG. All arithmetic in epoch microseconds.
+- ``sql_scripting``: Spark 4.0 SQL scripting (BEGIN/DECLARE/WHILE) —
+  procedural control flow compiled to one final SELECT; the oracle is
+  the closed form of the loop.
+- ``udtf_partitioned_input``: Python UDTF consuming
+  ``TABLE(...) PARTITION BY ... ORDER BY ...`` (Spark 4 table-argument
+  protocol): per-partition sequential state (a run-length encoder over
+  each customer's order-priority stream) — the UDTF analogue of
+  applyInPandas, with the engine doing the hash partition + sort. The
+  oracle is the classic gaps-and-islands run-length SQL.
+- ``io_file_provenance``: the ``_metadata`` hidden column over a
+  partitioned parquet write — file-level provenance (which physical
+  file produced each row) without any side channel; aggregated back to
+  partition values so the oracle stays layout-independent.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_extensions_spark.queries import _register, _t
+
+# gap seconds per event type — values chosen to make gap choice matter
+_GAP_CASE_SQL = (
+    "CASE event_type WHEN 'click' THEN 600 WHEN 'view' THEN 900 "
+    "WHEN 'error' THEN 300 ELSE 1800 END"
+)
+
+
+@_register(
+    "window_session_dynamic_gap",
+    f"""
+    WITH base AS (
+      SELECT user_id, epoch_us(ts) AS ts_us,
+             epoch_us(ts) + ({_GAP_CASE_SQL}) * 1000000 AS end_us
+      FROM events
+    ), d AS (
+      SELECT user_id, ts_us, end_us,
+             MAX(end_us) OVER (PARTITION BY user_id ORDER BY ts_us
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS reach
+      FROM base
+    ), s AS (
+      SELECT user_id, ts_us, end_us,
+             SUM(CASE WHEN reach IS NULL OR ts_us > reach
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts_us
+                     ROWS UNBOUNDED PRECEDING) AS sid
+      FROM d
+    )
+    SELECT user_id,
+           MIN(ts_us) AS session_start_us,
+           MAX(end_us) AS session_end_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+    doc="Built-in session_window with a PER-EVENT dynamic gap column "
+    "(errors close fast, purchases linger). Oracle generalizes gaps-"
+    "and-islands to variable gaps via a cumulative-max reach window — "
+    "LAG alone is wrong when an earlier long-gap event out-reaches a "
+    "later short-gap one. Epoch-microsecond integer arithmetic on "
+    "both sides.",
+)
+def q_window_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")["events"]
+    gap = F.concat(F.expr(_GAP_CASE_SQL).cast("string"), F.lit(" seconds"))
+    return (
+        e.groupBy(
+            "user_id", F.session_window("ts", gap).alias("w")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "n_events",
+        )
+    )
+
+
+@_register(
+    "sql_scripting",
+    """
+    WITH seq AS (SELECT * FROM range(1, 13) t(m))
+    SELECT CAST(12 AS INT) AS n_iter,
+           CAST(SUM(CASE WHEN m % 3 = 0 THEN m * m ELSE m END) AS BIGINT)
+             AS acc
+    FROM seq
+    """,
+    doc="Spark 4.0 SQL scripting: BEGIN/DECLARE/WHILE procedural block "
+    "(compound statements, session-scoped variables) folding a "
+    "12-step loop into scalars; the oracle is the loop's closed form. "
+    "Driver-side control flow only — each iteration's arithmetic is "
+    "constant-folded, nothing distributed shuffles.",
+)
+def q_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE m INT DEFAULT 0;
+          DECLARE acc BIGINT DEFAULT 0;
+          WHILE m < 12 DO
+            SET m = m + 1;
+            IF m % 3 = 0 THEN
+              SET acc = acc + m * m;
+            ELSE
+              SET acc = acc + m;
+            END IF;
+          END WHILE;
+          SELECT m AS n_iter, acc;
+        END
+        """
+    )
+
+
+@_register(
+    "udtf_partitioned_input",
+    """
+    WITH d AS (
+      SELECT o_custkey, o_orderkey, o_orderpriority,
+             CASE WHEN LAG(o_orderpriority) OVER
+                    (PARTITION BY o_custkey ORDER BY o_orderkey)
+                  IS DISTINCT FROM o_orderpriority THEN 1 ELSE 0 END AS brk
+      FROM orders WHERE o_custkey <= 300
+    ), s AS (
+      SELECT o_custkey, o_orderpriority,
+             SUM(brk) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                            ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM d
+    )
+    SELECT CAST(o_custkey AS BIGINT) AS custkey,
+           CAST(run_id AS INT) AS run_id,
+           o_orderpriority AS priority,
+           CAST(COUNT(*) AS INT) AS run_len
+    FROM s GROUP BY 1, 2, 3
+    """,
+    doc="Python UDTF over TABLE(...) PARTITION BY ... ORDER BY ... "
+    "(Spark 4 table-argument protocol): the ENGINE hash-partitions by "
+    "customer and sorts by order key; the UDTF holds only one "
+    "customer's sequential state (run-length encoding of the priority "
+    "stream) — the UDTF analogue of applyInPandas. Oracle is the "
+    "gaps-and-islands run-length SQL.",
+)
+def q_udtf_partitioned_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="custkey bigint, run_id int, priority string, run_len int")
+    class RunLength:
+        def __init__(self):
+            self.key = None
+            self.prev = None
+            self.run_id = 0
+            self.run_len = 0
+
+        def _flush(self):
+            if self.prev is not None:
+                yield (self.key, self.run_id, self.prev, self.run_len)
+
+        def eval(self, row):
+            self.key = row["o_custkey"]
+            p = row["o_orderpriority"]
+            if p != self.prev:
+                yield from self._flush()
+                self.run_id += 1
+                self.prev = p
+                self.run_len = 1
+            else:
+                self.run_len += 1
+
+        def terminate(self):
+            yield from self._flush()
+
+    spark.udtf.register("run_length_q", RunLength)
+    _t(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT * FROM run_length_q(
+          TABLE(SELECT o_custkey, o_orderkey, o_orderpriority
+                FROM orders WHERE o_custkey <= 300)
+          PARTITION BY o_custkey ORDER BY o_orderkey
+        )
+        """
+    )
+
+
+@_register(
+    "io_file_provenance",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(event_id) AS BIGINT) AS min_event,
+           CAST(MAX(event_id) AS BIGINT) AS max_event,
+           CAST(1 AS BIGINT) AS n_files
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Hidden `_metadata` column (Spark 3.4+ file metadata struct): "
+    "events written partitionBy(event_type) (one file per partition "
+    "via repartition on the key), read back with _metadata.file_path "
+    "— per-row physical provenance with no side channel. The query "
+    "proves the provenance matches the logical partition value (path "
+    "is parsed back to event_type) and counts distinct files; the "
+    "oracle is layout-independent (per-type stats; n_files pinned by "
+    "the one-file-per-partition write).",
+)
+def q_io_file_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")["events"]
+    out = tempfile.mkdtemp(prefix="prov_q_")
+    (
+        e.repartition(1, "event_type")
+        .write.mode("overwrite")
+        .partitionBy("event_type")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out).select(
+        "event_id",
+        F.col("_metadata.file_path").alias("file_path"),
+        F.regexp_extract(
+            F.col("_metadata.file_path"), r"event_type=([^/]+)/", 1
+        ).alias("event_type"),
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.min("event_id").cast("bigint").alias("min_event"),
+        F.max("event_id").cast("bigint").alias("max_event"),
+        F.count_distinct("file_path").cast("bigint").alias("n_files"),
+    )
