@@ -281,3 +281,53 @@ def scd2_apply_changes(
     )
     applied = joined.select(F.inline(rows))
     return closed.unionByName(applied)
+
+
+# ---------------------------------------------------------------------
+# Incremental aggregate maintenance (materialized-view refresh)
+# ---------------------------------------------------------------------
+
+def agg_partials(
+    df: DataFrame,
+    keys: list[str],
+    measures: dict[str, str],
+    weight: Column | None = None,
+) -> DataFrame:
+    """Algebraic aggregate partials for incremental maintenance: per
+    key, a row ``__n`` (weighted count) plus one weighted sum per
+    measure. ``weight`` defaults to +1; pass −1 rows to RETRACT
+    previously-folded facts (CDC deletes) — the standard signed-delta
+    formulation of incremental view maintenance.
+
+    Measures must be additive expressions; use decimal casts for
+    order-insensitive exactness (the registry-wide determinism rule).
+    """
+    w = F.lit(1) if weight is None else weight
+    aggs = [F.sum(w).cast("long").alias("__n")]
+    for name, expr in measures.items():
+        aggs.append(F.sum(F.expr(expr) * w).alias(name))
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def agg_refresh(
+    base: DataFrame,
+    delta_partials: DataFrame,
+    keys: list[str],
+) -> DataFrame:
+    """Fold delta partials into a maintained aggregate table:
+    ``union → one groupBy(keys) re-sum``, then drop keys whose weighted
+    count reached 0 (fully retracted).
+
+    Cost is proportional to |aggregate| + |delta| — the raw base facts
+    are never rescanned, which is the whole point at 100 TB. The one
+    shuffle is over the KEY cardinality, not the fact count; partial
+    (map-side) aggregation bounds each task's output at its distinct
+    keys.
+    """
+    measure_cols = [c for c in base.columns if c not in keys]
+    merged = (
+        base.unionByName(delta_partials.select(base.columns))
+        .groupBy(*keys)
+        .agg(*[F.sum(c).alias(c) for c in measure_cols])
+    )
+    return merged.filter(F.col("__n") > 0)

@@ -243,3 +243,52 @@ def q_io_file_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("event_id").cast("bigint").alias("max_event"),
         F.count_distinct("file_path").cast("bigint").alias("n_files"),
     )
+
+
+@_register(
+    "incremental_agg_refresh",
+    """
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE NOT (event_id < 8000 AND event_type = 'error')
+    GROUP BY user_id
+    HAVING COUNT(*) > 0
+    """,
+    doc="Incremental materialized-aggregate maintenance (operators/"
+    "incremental.py:agg_partials/agg_refresh): a per-user aggregate "
+    "built from the first 8000 events is refreshed with a signed "
+    "delta — new events fold in with weight +1, CDC deletes (the old "
+    "errors) RETRACT with weight −1 — via union + ONE groupBy over "
+    "key cardinality; the raw base facts are never rescanned. Oracle "
+    "recomputes the post-delta state from scratch, proving "
+    "maintained == recomputed.",
+)
+def q_incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_extensions_spark.operators.incremental import (
+        agg_partials,
+        agg_refresh,
+    )
+
+    e = _t(spark, sf_dir, "events")["events"]
+    measures = {"sum_value": "cast(value as decimal(18,2))"}
+    base = agg_partials(
+        e.filter(F.col("event_id") < 8000), ["user_id"], measures
+    )
+    inserts = agg_partials(
+        e.filter(F.col("event_id") >= 8000), ["user_id"], measures
+    )
+    deletes = agg_partials(
+        e.filter((F.col("event_id") < 8000) & (F.col("event_type") == "error")),
+        ["user_id"],
+        measures,
+        weight=F.lit(-1),
+    )
+    delta = inserts.unionByName(deletes)
+    refreshed = agg_refresh(base, delta, ["user_id"])
+    return refreshed.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("__n").cast("bigint").alias("n_events"),
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )

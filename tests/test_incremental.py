@@ -188,3 +188,37 @@ def test_scd2_changes_compose_with_snapshot_diff(spark):
     a = sorted(map(tuple, via_changes.collect()))
     b = sorted(map(tuple, via_snapshot.collect()))
     assert a == b
+
+
+def test_agg_refresh_retraction(spark):
+    """Signed-delta maintenance: inserts fold in, deletes retract, a
+    fully-retracted key disappears; maintained state equals recompute."""
+    from spark_extensions_spark.operators.incremental import (
+        agg_partials,
+        agg_refresh,
+    )
+    from pyspark.sql import functions as F
+
+    base_facts = spark.createDataFrame(
+        [(1, 10.0), (1, 20.0), (2, 5.0), (3, 7.0)], "k int, v double"
+    )
+    measures = {"s": "cast(v as decimal(18,2))"}
+    base = agg_partials(base_facts, ["k"], measures)
+    inserts = agg_partials(
+        spark.createDataFrame([(2, 2.0), (4, 9.0)], "k int, v double"),
+        ["k"],
+        measures,
+    )
+    # retract ONE of k=1's facts and ALL of k=3
+    deletes = agg_partials(
+        spark.createDataFrame([(1, 20.0), (3, 7.0)], "k int, v double"),
+        ["k"],
+        measures,
+        weight=F.lit(-1),
+    )
+    out = agg_refresh(base, inserts.unionByName(deletes), ["k"])
+    got = {
+        r["k"]: (r["__n"], float(r["s"]))
+        for r in out.collect()
+    }
+    assert got == {1: (1, 10.0), 2: (2, 7.0), 4: (1, 9.0)}  # k=3 gone
