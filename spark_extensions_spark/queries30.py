@@ -292,3 +292,102 @@ def q_incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__n").cast("bigint").alias("n_events"),
         F.col("sum_value").cast("double").alias("sum_value"),
     )
+
+
+@_register(
+    "kafka_cdc_stream_apply",
+    """
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(event_id AS BIGINT) AS last_event,
+           CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS last_value
+    FROM (
+      SELECT user_id, event_id, value, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY event_id DESC) AS rn
+      FROM events
+    )
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+    doc="The complete incremental CDC ingest loop over the Kafka-"
+    "semantics log — the reference's parent project's (SmartDataLake"
+    "Builder) flagship pattern: changes keyed by entity are produced "
+    "in two generations; TWO checkpointed availableNow streaming runs "
+    "each fold ONLY the new offsets into a versioned parquet state "
+    "table via foreachBatch (last-writer-wins upserts, 'D' deletes "
+    "drop the key, publish-by-rename versioning — operators/"
+    "incremental.py:apply_cdc_batch). Oracle recomputes the final "
+    "state from scratch: per user the highest-event_id change wins, "
+    "deletes (the error events) leave no row.",
+)
+def q_kafka_cdc_stream_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_extensions_spark.operators.incremental import (
+        apply_cdc_batch,
+        read_cdc_state,
+    )
+    from spark_extensions_spark.sources.filekafka import (
+        produce,
+        register_filekafka,
+    )
+
+    register_filekafka(spark)
+    e = _t(spark, sf_dir, "events")["events"]
+    root = tempfile.mkdtemp(prefix="filekafka_cdc_q_")
+    state_dir = tempfile.mkdtemp(prefix="cdc_state_q_")
+    ckpt = tempfile.mkdtemp(prefix="cdc_ckpt_q_")
+
+    def cdc_messages(df):
+        return df.select(
+            F.col("user_id").cast("string").cast("binary").alias("key"),
+            F.to_json(
+                F.struct(
+                    F.when(F.col("event_type") == "error", F.lit("D"))
+                    .otherwise(F.lit("U"))
+                    .alias("op"),
+                    "event_id",
+                    "value",
+                )
+            )
+            .cast("binary")
+            .alias("value"),
+        )
+
+    def apply_batch(batch_df, _batch_id):
+        parsed = batch_df.select(
+            F.col("key").cast("string").cast("bigint").alias("user_id"),
+            F.from_json(
+                F.col("value").cast("string"),
+                "op string, event_id bigint, value double",
+            ).alias("c"),
+        ).select("user_id", "c.op", "c.event_id", "c.value")
+        apply_cdc_batch(
+            parsed, state_dir, keys=["user_id"], order_col="event_id"
+        )
+
+    def run_ingest():
+        s = (
+            spark.readStream.format("filekafka")
+            .option("path", root)
+            .option("topic", "cdc")
+            .load()
+        )
+        q = (
+            s.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    produce(cdc_messages(e.filter(F.col("event_id") < 5000)), root, "cdc",
+            num_partitions=8)
+    run_ingest()
+    produce(cdc_messages(e.filter(F.col("event_id") >= 5000)), root, "cdc",
+            num_partitions=8)
+    run_ingest()
+
+    state = read_cdc_state(spark, state_dir)
+    return state.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("event_id").cast("bigint").alias("last_event"),
+        F.col("value").cast("decimal(18,2)").cast("double").alias("last_value"),
+    )

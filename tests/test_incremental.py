@@ -222,3 +222,34 @@ def test_agg_refresh_retraction(spark):
         for r in out.collect()
     }
     assert got == {1: (1, 10.0), 2: (2, 7.0), 4: (1, 9.0)}  # k=3 gone
+
+
+def test_apply_cdc_batch_versions(spark, tmp_path):
+    """Versioned CDC state: upsert/delete per batch, last-writer-wins
+    inside a batch, _CURRENT pointer repoints atomically."""
+    from spark_extensions_spark.operators.incremental import (
+        apply_cdc_batch,
+        read_cdc_state,
+    )
+
+    state = str(tmp_path / "state")
+    b1 = spark.createDataFrame(
+        [(1, "U", 10, 1.0), (1, "U", 11, 2.0), (2, "U", 12, 3.0),
+         (3, "U", 13, 4.0)],
+        "k int, op string, seq long, v double",
+    )
+    apply_cdc_batch(b1, state, keys=["k"], order_col="seq")
+    s1 = {r["k"]: (r["seq"], r["v"]) for r in
+          read_cdc_state(spark, state).collect()}
+    assert s1 == {1: (11, 2.0), 2: (12, 3.0), 3: (13, 4.0)}
+
+    b2 = spark.createDataFrame(
+        [(2, "D", 20, None), (3, "U", 21, 9.0), (4, "U", 22, 7.0),
+         (4, "D", 23, None)],
+        "k int, op string, seq long, v double",
+    )
+    apply_cdc_batch(b2, state, keys=["k"], order_col="seq")
+    s2 = {r["k"]: (r["seq"], r["v"]) for r in
+          read_cdc_state(spark, state).collect()}
+    # 2 deleted, 3 updated, 4's delete wins over its own insert
+    assert s2 == {1: (11, 2.0), 3: (21, 9.0)}
