@@ -442,6 +442,39 @@ def main() -> int:
         ).count(),
     )
 
+    # Kafka-semantics log: produce the scaled docs corpus to a topic
+    # (murmur2 placement shuffle + one segment writer per partition),
+    # then a full ranged batch read-back and a log compaction.
+    from spark_extensions_spark.sources.filekafka import (
+        compact_latest,
+        produce,
+        register_filekafka,
+    )
+
+    register_filekafka(spark)
+    kafka_root = os.path.join(base, "kafka_log")
+
+    def kafka_produce():
+        msgs = docs.select(
+            F.col("doc_id").cast("string").cast("binary").alias("key"),
+            F.col("text").cast("binary").alias("value"),
+        )
+        rep = produce(msgs, kafka_root, "docs", num_partitions=32)
+        return sum(c for _, c in rep.values())
+
+    run("kafka_produce", kafka_produce)
+
+    def kafka_topic():
+        return (
+            spark.read.format("filekafka")
+            .option("path", kafka_root)
+            .option("topic", "docs")
+            .load()
+        )
+
+    run("kafka_read_all", lambda: kafka_topic().count())
+    run("kafka_compaction", lambda: compact_latest(kafka_topic()).count())
+
     import shutil
 
     shutil.rmtree(base, ignore_errors=True)
