@@ -404,3 +404,52 @@ def apply_cdc_batch(
     with open(tmp, "w") as f:
         f.write(version)
     os.replace(tmp, ptr)
+
+
+# ---------------------------------------------------------------------
+# Idempotent partition backfill
+# ---------------------------------------------------------------------
+
+def existing_partitions(sink_dir: str, partition_col: str) -> set[str]:
+    """Partition values already present in a dir-partitioned sink
+    (driver-side metadata listing — O(#partitions), not O(rows))."""
+    import os
+
+    if not os.path.isdir(sink_dir):
+        return set()
+    prefix = f"{partition_col}="
+    return {
+        d[len(prefix):]
+        for d in os.listdir(sink_dir)
+        if d.startswith(prefix)
+    }
+
+
+def backfill_partitions(
+    src: DataFrame,
+    sink_dir: str,
+    partition_col: str,
+) -> list[str]:
+    """Process ONLY the source partitions missing from the sink and
+    append them (dir-partitioned parquet); returns the list of
+    partition values written. Re-running is a no-op — the idempotency
+    contract that makes retry-driven orchestration safe.
+
+    The filter is on the partition column, so Catalyst prunes the
+    source scan to the missing partitions; each backfill run touches
+    O(missing) data regardless of sink size.
+    """
+    have = existing_partitions(sink_dir, partition_col)
+    todo = sorted(
+        str(r[0])
+        for r in src.select(partition_col).distinct().collect()
+        if str(r[0]) not in have
+    )
+    if todo:
+        (
+            src.filter(F.col(partition_col).cast("string").isin(todo))
+            .write.mode("append")
+            .partitionBy(partition_col)
+            .parquet(sink_dir)
+        )
+    return todo

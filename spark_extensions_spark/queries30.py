@@ -391,3 +391,87 @@ def q_kafka_cdc_stream_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").cast("bigint").alias("last_event"),
         F.col("value").cast("decimal(18,2)").cast("double").alias("last_value"),
     )
+
+
+@_register(
+    "sql_execute_immediate",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total
+    FROM orders
+    WHERE o_orderstatus = 'O' AND o_custkey <= 500
+    GROUP BY o_orderpriority
+    """,
+    doc="Dynamic parameterized SQL: the statement text is assembled at "
+    "runtime and run via EXECUTE IMMEDIATE with a positional USING "
+    "parameter plus a session variable bound by name — templated-"
+    "pipeline surface (the safe alternative to string interpolation). "
+    "Oracle is the statically-inlined query.",
+)
+def q_sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders")
+    spark.sql("DECLARE OR REPLACE VARIABLE status_v STRING")
+    spark.sql("SET VAR status_v = 'O'")
+    stmt = (
+        "SELECT o_orderpriority, "
+        "CAST(COUNT(*) AS BIGINT) AS n_orders, "
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total "
+        "FROM orders WHERE o_orderstatus = status_v AND o_custkey <= ? "
+        "GROUP BY o_orderpriority"
+    )
+    return spark.sql(
+        "EXECUTE IMMEDIATE :stmt USING 500", args={"stmt": stmt}
+    )
+
+
+@_register(
+    "backfill_idempotent",
+    """
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS d,
+           CASE WHEN CAST(ts AS DATE) < DATE '2024-01-15'
+                THEN 'initial' ELSE 'backfill' END AS processed_in,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Idempotent partition backfill (operators/incremental.py:"
+    "backfill_partitions): an initial load covers dates before the "
+    "cutoff; the backfill run lists sink partitions (metadata-only), "
+    "computes the missing set, and processes ONLY those — the filter "
+    "is on the partition column so the source scan prunes to missing "
+    "work. A verifying third run returns an empty todo (asserted in "
+    "tests). Output tags each date with which run produced it, from "
+    "the backfill report itself.",
+)
+def q_backfill_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_extensions_spark.operators.incremental import (
+        backfill_partitions,
+    )
+
+    e = _t(spark, sf_dir, "events")["events"].withColumn(
+        "d", F.to_date("ts").cast("string")
+    )
+    sink = tempfile.mkdtemp(prefix="backfill_q_")
+    # initial load: dates strictly before the cutoff
+    (
+        e.filter(F.col("d") < "2024-01-15")
+        .write.mode("append")
+        .partitionBy("d")
+        .parquet(sink)
+    )
+    backfilled = set(backfill_partitions(e, sink, "d"))
+    back = spark.read.parquet(sink)
+    return back.groupBy("d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    ).select(
+        "d",
+        F.when(
+            F.col("d").isin(sorted(backfilled)) if backfilled else F.lit(False),
+            F.lit("backfill"),
+        )
+        .otherwise(F.lit("initial"))
+        .alias("processed_in"),
+        "n_rows",
+    ).select("d", "processed_in", "n_rows")

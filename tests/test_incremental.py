@@ -253,3 +253,29 @@ def test_apply_cdc_batch_versions(spark, tmp_path):
           read_cdc_state(spark, state).collect()}
     # 2 deleted, 3 updated, 4's delete wins over its own insert
     assert s2 == {1: (11, 2.0), 3: (21, 9.0)}
+
+
+def test_backfill_idempotent(spark, tmp_path):
+    """backfill_partitions fills exactly the missing partitions and a
+    re-run is a no-op."""
+    from pyspark.sql import functions as F
+
+    from spark_extensions_spark.operators.incremental import (
+        backfill_partitions,
+        existing_partitions,
+    )
+
+    src = spark.createDataFrame(
+        [(i, f"p{i % 4}") for i in range(40)], "id int, p string"
+    )
+    sink = str(tmp_path / "sink")
+    src.filter(F.col("p").isin("p0", "p1")).write.partitionBy("p").parquet(
+        sink
+    )
+    done = backfill_partitions(src, sink, "p")
+    assert done == ["p2", "p3"]
+    assert existing_partitions(sink, "p") == {"p0", "p1", "p2", "p3"}
+    assert spark.read.parquet(sink).count() == 40
+    # idempotency: second run processes nothing and changes nothing
+    assert backfill_partitions(src, sink, "p") == []
+    assert spark.read.parquet(sink).count() == 40
