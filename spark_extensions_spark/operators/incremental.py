@@ -380,6 +380,7 @@ def apply_cdc_batch(
     import uuid
 
     spark = batch_df.sparkSession
+    base_version = _current_version(state_dir)
     others = [c for c in batch_df.columns if c not in keys]
     latest = (
         batch_df.groupBy(*keys)
@@ -389,7 +390,7 @@ def apply_cdc_batch(
         .select(*keys, "__r.*")
     )
     upserts = latest.filter(F.col(op_col) != delete_op).drop(op_col)
-    cur = read_cdc_state(spark, state_dir)
+    cur = None if base_version is None else spark.read.parquet(base_version)
     if cur is None:
         new_state = upserts
     else:
@@ -398,12 +399,36 @@ def apply_cdc_batch(
         ).unionByName(upserts)
     version = os.path.join(state_dir, f"v-{uuid.uuid4().hex}")
     new_state.write.mode("overwrite").parquet(version)
+    # optimistic concurrency: the snapshot this apply was computed
+    # AGAINST must still be live at publish time, else a concurrent
+    # writer committed meanwhile and blindly repointing would lose its
+    # changes — the lost-update the lakehouse formats' log CAS prevents
+    if _current_version(state_dir) != base_version:
+        raise ConcurrentStateUpdateError(
+            f"state at {state_dir} advanced past "
+            f"{base_version!r} during apply; re-read and retry"
+        )
     ptr = os.path.join(state_dir, "_CURRENT")
     tmp = ptr + ".tmp"
     os.makedirs(state_dir, exist_ok=True)
     with open(tmp, "w") as f:
         f.write(version)
     os.replace(tmp, ptr)
+
+
+class ConcurrentStateUpdateError(RuntimeError):
+    """Another writer committed between this apply's snapshot read and
+    its publish; the caller must re-read state and retry the batch."""
+
+
+def _current_version(state_dir: str) -> str | None:
+    import os
+
+    ptr = os.path.join(state_dir, "_CURRENT")
+    if not os.path.exists(ptr):
+        return None
+    with open(ptr) as f:
+        return f.read().strip()
 
 
 # ---------------------------------------------------------------------

@@ -475,3 +475,69 @@ def q_backfill_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("processed_in"),
         "n_rows",
     ).select("d", "processed_in", "n_rows")
+
+
+@_register(
+    "io_dynamic_partition_pruning",
+    """
+    WITH dim AS (
+      SELECT DISTINCT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS d
+      FROM events
+      WHERE day(CAST(ts AS DATE)) % 7 < 3
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MIN(e.event_id) AS BIGINT) AS min_event
+    FROM (SELECT event_id, event_type,
+                 strftime(CAST(ts AS DATE), '%Y-%m-%d') AS d
+          FROM events) e
+    JOIN dim ON e.d = dim.d
+    GROUP BY e.event_type
+    """,
+    doc="Dynamic partition pruning: the fact side is a date-partitioned "
+    "parquet table; the dim side's filter is only known at runtime, so "
+    "Catalyst injects a dynamicpruning subquery into the fact scan's "
+    "PartitionFilters and entire date partitions are skipped at "
+    "execution — THE scan-reduction lever for 100 TB star joins "
+    "(plan-pinned in test_plans). Oracle joins the same derived dim "
+    "in plain SQL.",
+)
+def q_io_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fact_dir = _dpp_fact_dir(spark, sf_dir)
+    fact = spark.read.parquet(fact_dir)
+    e = _t(spark, sf_dir, "events")["events"]
+    dim = (
+        e.select(F.to_date("ts").alias("dd"))
+        .filter(F.dayofmonth("dd") % 7 < 3)
+        .select(F.col("dd").cast("string").alias("d"))
+        .distinct()
+    )
+    joined = fact.join(dim, "d")
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.min("event_id").cast("bigint").alias("min_event"),
+    )
+
+
+def _dpp_fact_dir(spark: SparkSession, sf_dir: str) -> str:
+    """events written date-partitioned, once per (session, sf_dir)."""
+    cache = getattr(spark, "_sx_dpp_fact", None)
+    if cache is None:
+        cache = {}
+        spark._sx_dpp_fact = cache
+    if sf_dir not in cache:
+        e = _t(spark, sf_dir, "events")["events"]
+        out = tempfile.mkdtemp(prefix="dpp_fact_q_")
+        (
+            e.select(
+                "event_id",
+                "event_type",
+                F.to_date("ts").cast("string").alias("d"),
+            )
+            .repartition(1, "d")
+            .write.mode("overwrite")
+            .partitionBy("d")
+            .parquet(out)
+        )
+        cache[sf_dir] = out
+    return cache[sf_dir]

@@ -279,3 +279,40 @@ def test_backfill_idempotent(spark, tmp_path):
     # idempotency: second run processes nothing and changes nothing
     assert backfill_partitions(src, sink, "p") == []
     assert spark.read.parquet(sink).count() == 40
+
+
+def test_apply_cdc_batch_conflict_detection(spark, tmp_path):
+    """Optimistic concurrency: a commit that raced past another
+    writer's publish is rejected instead of silently losing it."""
+    import pytest as _pytest
+
+    from spark_extensions_spark.operators import incremental as inc
+
+    state = str(tmp_path / "state")
+    mk = lambda rows: spark.createDataFrame(
+        rows, "k int, op string, seq long, v double"
+    )
+    inc.apply_cdc_batch(mk([(1, "U", 1, 1.0)]), state, ["k"], "seq")
+
+    # simulate a concurrent writer landing between snapshot-read and
+    # publish by patching the version check's first read
+    real = inc._current_version
+    calls = {"n": 0}
+
+    def racing(sd):
+        v = real(sd)
+        if calls["n"] == 0:
+            calls["n"] += 1
+            # concurrent writer commits AFTER our snapshot read
+            inc.apply_cdc_batch(mk([(2, "U", 2, 5.0)]), sd, ["k"], "seq")
+        return v
+
+    inc._current_version, saved = racing, inc._current_version
+    try:
+        with _pytest.raises(inc.ConcurrentStateUpdateError):
+            inc.apply_cdc_batch(mk([(3, "U", 3, 9.0)]), state, ["k"], "seq")
+    finally:
+        inc._current_version = saved
+    # the concurrent writer's commit survived untouched
+    got = {r["k"] for r in inc.read_cdc_state(spark, state).collect()}
+    assert got == {1, 2}

@@ -134,3 +134,16 @@ def test_pps_sample_has_no_single_partition_window(spark):
     plan = executed_plan(out)
     assert "Window" in plan
     assert "SinglePartition" not in plan, plan[:1200]
+
+
+def test_io_dynamic_partition_pruning_query_plan(spark, sf_dir):
+    """The registered io_dynamic_partition_pruning query actually
+    plans a dynamicpruning subquery on the fact scan (not merely a
+    post-scan filter)."""
+    from spark_extensions_spark.queries30 import (
+        q_io_dynamic_partition_pruning,
+    )
+
+    df = q_io_dynamic_partition_pruning(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:800]
