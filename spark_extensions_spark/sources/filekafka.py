@@ -366,11 +366,56 @@ class _FileKafkaBatchReader(DataSourceReader):
         self.topic = options["topic"]
         self.start = _parse_offsets(options.get("startingoffsets"), "earliest")
         self.end = _parse_offsets(options.get("endingoffsets"), "latest")
+        self.pid_eq: int | None = None
+        self.off_lo = 0
+        self.off_hi: int | None = None
+
+    def pushFilters(self, filters):
+        """Prune SEGMENT FILES with partition/offset predicates (the
+        log's native pruning dimensions): a consumed predicate never
+        plans its segments at all — the custom-source analogue of
+        parquet row-group pruning. Anything else is handed back for
+        Spark to evaluate."""
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            if attr == ("partition",) and isinstance(f, EqualTo):
+                self.pid_eq = int(f.value)
+                continue
+            if attr == ("offset",):
+                if isinstance(f, GreaterThanOrEqual):
+                    self.off_lo = max(self.off_lo, int(f.value))
+                    continue
+                if isinstance(f, GreaterThan):
+                    self.off_lo = max(self.off_lo, int(f.value) + 1)
+                    continue
+                if isinstance(f, LessThan):
+                    hi = int(f.value)
+                    self.off_hi = hi if self.off_hi is None else min(self.off_hi, hi)
+                    continue
+                if isinstance(f, LessThanOrEqual):
+                    hi = int(f.value) + 1
+                    self.off_hi = hi if self.off_hi is None else min(self.off_hi, hi)
+                    continue
+            yield f
 
     def partitions(self):
         ends = end_offsets(self.root, self.topic)
         start = _resolve(self.start, self.root, self.topic, ends=ends)
         end = _resolve(self.end, self.root, self.topic, ends=ends)
+        if self.pid_eq is not None:
+            start = {p: v for p, v in start.items() if p == self.pid_eq}
+            end = {p: v for p, v in end.items() if p == self.pid_eq}
+        start = {p: max(v, self.off_lo) for p, v in start.items()}
+        if self.off_hi is not None:
+            end = {p: min(v, self.off_hi) for p, v in end.items()}
         return _plan_slices(self.root, self.topic, start, end) or [
             _SegmentSlice(self.topic, 0, "", 0, 0)
         ]
@@ -675,5 +720,8 @@ def register_filekafka(spark) -> None:
     import spark_extensions_spark.sources.filekafka as _this_module
 
     cloudpickle.register_pickle_by_value(_this_module)
+    # required for pushFilters (off by default in Spark 4.1; a reader
+    # implementing it fails analysis without the conf)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(FileKafkaDataSource)
     spark._sx_filekafka = True

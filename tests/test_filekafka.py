@@ -461,3 +461,86 @@ def test_schema_evolution_over_log(spark, tmp_path):
     # v1 messages decode under the v2 reader with the field default
     assert all(rows[i] == ("en", None) for i in range(50))
     assert all(rows[i] == ("de", i * 2) for i in range(50, 80))
+
+
+def test_batch_reader_filter_pushdown(spark, tmp_path):
+    """partition=/offset< predicates prune SEGMENTS at plan time: the
+    reader consumes them, the planned slice count shrinks, and results
+    stay exact."""
+    fk.register_filekafka(spark)
+    root = _mkroot(tmp_path)
+    # several produce calls → several segments per partition
+    for _ in range(3):
+        fk.produce(_messages(spark, 60), root, "pf", num_partitions=3)
+
+    def reader_with(filters):
+        from pyspark.sql.datasource import EqualTo, LessThan
+
+        r = fk._FileKafkaBatchReader({"path": root, "topic": "pf"})
+        rejected = list(r.pushFilters(filters))
+        return r, rejected
+
+    from pyspark.sql.datasource import EqualTo, LessThan
+
+    full, _ = reader_with([])
+    n_full = len(full.partitions())
+    pruned, rejected = reader_with(
+        [EqualTo(("partition",), 1), LessThan(("offset",), 5)]
+    )
+    assert rejected == []
+    slices = pruned.partitions()
+    assert 0 < len(slices) < n_full
+    assert all(s.pid == 1 and s.hi <= 5 for s in slices if s.path)
+
+    # end-to-end: engine results identical to post-scan filtering
+    df = (
+        spark.read.format("filekafka")
+        .option("path", root)
+        .option("topic", "pf")
+        .load()
+    )
+    got = df.filter("partition = 1 AND offset < 5").count()
+    allrows = df.collect()
+    expect = sum(1 for r in allrows if r["partition"] == 1 and r["offset"] < 5)
+    assert got == expect > 0
+
+
+def test_projected_avro_decode(spark):
+    """from_confluent_avro(fields=...) narrows the reader schema; the
+    decode output struct has only those fields, values equal the full
+    decode, and unknown names are rejected."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from spark_extensions_spark.confluent import (
+        InMemorySchemaRegistry,
+        from_confluent_avro,
+        to_confluent_avro,
+    )
+
+    client = InMemorySchemaRegistry()
+    src = spark.range(100).select(
+        F.struct(
+            F.col("id").alias("a"),
+            (F.col("id") * 2).alias("b"),
+            F.concat(F.lit("s"), F.col("id").cast("string")).alias("c"),
+        ).alias("rec")
+    )
+    framed = src.select(
+        to_confluent_avro(
+            src, "rec", "proj", "value", client, update_allowed=True
+        ).alias("msg")
+    )
+    proj = framed.select(
+        from_confluent_avro("msg", "proj", "value", client,
+                            fields=["a", "c"]).alias("r")
+    )
+    assert [f.name for f in proj.schema["r"].dataType.fields] == ["a", "c"]
+    rows = {r["r"]["a"]: r["r"]["c"] for r in proj.collect()}
+    assert rows == {i: f"s{i}" for i in range(100)}
+    with _pytest.raises(ValueError, match="nope"):
+        framed.select(
+            from_confluent_avro("msg", "proj", "value", client,
+                                fields=["nope"])
+        )
