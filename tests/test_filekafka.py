@@ -544,3 +544,77 @@ def test_projected_avro_decode(spark):
             from_confluent_avro("msg", "proj", "value", client,
                                 fields=["nope"])
         )
+
+
+def test_stream_stream_join_two_topics(spark, sf_dir, tmp_path):
+    """Two topics joined stream-to-stream with watermarks + an event-
+    time interval condition (purchase within 1h after a click by the
+    same user), replayed availableNow; equals the batch join twin."""
+    from spark_extensions_spark.session import load_tables
+    from spark_extensions_spark.streaming import run_available_now
+
+    fk.register_filekafka(spark)
+    root = _mkroot(tmp_path)
+    e = load_tables(spark, sf_dir, "events")["events"]
+
+    def topic_of(df, name):
+        msgs = df.select(
+            F.col("user_id").cast("string").cast("binary").alias("key"),
+            F.to_json(F.struct("event_id", "ts")).cast("binary").alias("value"),
+        )
+        fk.produce(msgs, root, name, num_partitions=4)
+
+    clicks_b = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id"), F.col("event_id"), F.col("ts")
+    )
+    buys_b = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"), F.col("event_id"), F.col("ts")
+    )
+    topic_of(clicks_b, "clicks")
+    topic_of(buys_b, "buys")
+
+    def stream_of(name, alias):
+        s = (
+            spark.readStream.format("filekafka")
+            .option("path", root)
+            .option("topic", name)
+            .load()
+        )
+        return s.select(
+            F.col("key").cast("string").cast("bigint").alias(f"{alias}_user"),
+            F.from_json(
+                F.col("value").cast("string"), "event_id bigint, ts timestamp"
+            ).alias("j"),
+        ).select(
+            f"{alias}_user",
+            F.col("j.event_id").alias(f"{alias}_id"),
+            F.col("j.ts").alias(f"{alias}_ts"),
+        )
+
+    c = stream_of("clicks", "c").withWatermark("c_ts", "2 hours")
+    b = stream_of("buys", "b").withWatermark("b_ts", "2 hours")
+    joined = c.join(
+        b,
+        (F.col("c_user") == F.col("b_user"))
+        & (F.col("b_ts") >= F.col("c_ts"))
+        & (F.col("b_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select("c_user", "c_id", "b_id")
+    got = run_available_now(joined, state_partitions=8)
+
+    expect = (
+        clicks_b.alias("c")
+        .join(
+            buys_b.alias("b"),
+            (F.col("c.user_id") == F.col("b.user_id"))
+            & (F.col("b.ts") >= F.col("c.ts"))
+            & (F.col("b.ts") <= F.col("c.ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .select(
+            F.col("c.user_id").alias("c_user"),
+            F.col("c.event_id").alias("c_id"),
+            F.col("b.event_id").alias("b_id"),
+        )
+    )
+    assert got.count() == expect.count() > 0
+    assert got.exceptAll(expect).count() == 0
+    assert expect.exceptAll(got).count() == 0
