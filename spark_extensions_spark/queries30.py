@@ -541,3 +541,5 @@ def _dpp_fact_dir(spark: SparkSession, sf_dir: str) -> str:
         )
         cache[sf_dir] = out
     return cache[sf_dir]
+
+from spark_extensions_spark import queries31  # noqa: E402,F401  (registration side effect)

@@ -1,0 +1,170 @@
+"""t2 query registry, batch 34: Arrow-native UDFs + lateral join API.
+
+Registered into the shared registry (imported from queries30 at module
+end). Same determinism rules as the queries.py docstring.
+
+- ``arrow_map_udf``: ``DataFrame.mapInArrow`` — the lowest-overhead
+  Python hook: RecordBatches in, RecordBatches out, no pandas
+  conversion at all (pyarrow.compute kernels are C++ vectorized).
+  Row-local arithmetic, so the twin is plain SQL; IEEE double ops are
+  bit-identical across engines for the same expression tree.
+- ``arrow_grouped_apply``: ``GroupedData.applyInArrow`` — grouped-map
+  over Arrow tables (the applyInPandas shape minus pandas); per-group
+  integer/decimal aggregates keep it order-insensitive.
+- ``join_lateral_api``: ``DataFrame.lateralJoin`` (Spark 4.0) with a
+  correlated subquery via ``Column.outer()`` — the DataFrame twin of
+  SQL LATERAL (already covered by ``join_lateral``); here the inner
+  side is a per-row top-2 which the planner rewrites to a lateral
+  window, not a cartesian product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_extensions_spark.queries import _register, _t
+
+
+@_register(
+    "arrow_map_udf",
+    """
+    SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+           CAST(l_linenumber AS INT) AS l_linenumber,
+           l_extendedprice * (1 - l_discount) AS net,
+           CASE WHEN l_quantity >= 30 THEN 'bulk'
+                WHEN l_quantity >= 10 THEN 'mid'
+                ELSE 'small' END AS bucket
+    FROM lineitem WHERE l_returnflag = 'R'
+    """,
+    doc="mapInArrow vectorized transform: RecordBatches flow straight "
+    "into pyarrow.compute kernels (multiply/case-when in C++) with no "
+    "pandas materialization — the lowest-overhead Python hook for "
+    "100 TB row-local logic. Row-local IEEE arithmetic ⇒ plain-SQL "
+    "oracle matches bit-exact.",
+)
+def q_arrow_map_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+
+    def xform(batches):
+        for b in batches:
+            t = pa.Table.from_batches([b])
+            net = pc.multiply(
+                t.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), t.column("l_discount")),
+            )
+            qty = t.column("l_quantity")
+            bucket = pc.if_else(
+                pc.greater_equal(qty, pa.scalar(30.0)),
+                pa.scalar("bulk"),
+                pc.if_else(
+                    pc.greater_equal(qty, pa.scalar(10.0)),
+                    pa.scalar("mid"),
+                    pa.scalar("small"),
+                ),
+            )
+            out = pa.table(
+                {
+                    "l_orderkey": t.column("l_orderkey"),
+                    "l_linenumber": t.column("l_linenumber"),
+                    "net": net,
+                    "bucket": bucket,
+                }
+            )
+            yield from out.to_batches()
+
+    src = li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount",
+        "l_quantity",
+    )
+    return src.mapInArrow(
+        xform,
+        "l_orderkey bigint, l_linenumber int, net double, bucket string",
+    )
+
+
+@_register(
+    "arrow_grouped_apply",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+           CAST(MAX(l_orderkey) AS BIGINT) AS max_key
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="applyInArrow grouped-map: each (returnflag, linestatus) group "
+    "arrives as ONE Arrow table; pyarrow aggregates it in C++ and "
+    "emits a single summary row — the applyInPandas shape without the "
+    "pandas conversion tax. Decimal-exact quantity sum via integer "
+    "cents keeps the value order-insensitive.",
+)
+def q_arrow_grouped_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+
+    def summarize(t: pa.Table) -> pa.Table:
+        # exact decimal sum: quantities are money-like doubles with
+        # <=2dp — sum in integer cents, divide once
+        cents = pc.round(pc.multiply(t.column("l_quantity"), pa.scalar(100.0)))
+        qty = pc.sum(cents.cast(pa.int64())).as_py() / 100.0
+        return pa.table(
+            {
+                "l_returnflag": pa.array([t.column("l_returnflag")[0].as_py()]),
+                "l_linestatus": pa.array([t.column("l_linestatus")[0].as_py()]),
+                "n": pa.array([t.num_rows], type=pa.int64()),
+                "qty": pa.array([qty], type=pa.float64()),
+                "max_key": pa.array(
+                    [pc.max(t.column("l_orderkey")).as_py()], type=pa.int64()
+                ),
+            }
+        )
+
+    src = li.select(
+        "l_returnflag", "l_linestatus", "l_quantity", "l_orderkey"
+    )
+    return src.groupBy("l_returnflag", "l_linestatus").applyInArrow(
+        summarize,
+        "l_returnflag string, l_linestatus string, n bigint, qty double, "
+        "max_key bigint",
+    )
+
+
+@_register(
+    "join_lateral_api",
+    """
+    SELECT CAST(c.c_custkey AS BIGINT) AS c_custkey,
+           CAST(o.o_orderkey AS BIGINT) AS o_orderkey,
+           o.o_totalprice
+    FROM customer c, LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 2
+    ) o
+    WHERE c.c_custkey <= 200
+    """,
+    doc="DataFrame.lateralJoin (Spark 4.0) with Column.outer() "
+    "correlation: per-customer top-2 orders by price. The DataFrame "
+    "twin of SQL LATERAL — Catalyst decorrelates the per-row limit "
+    "into a ranked window, not a nested loop per customer.",
+)
+def q_join_lateral_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "customer", "orders")
+    c = t["customer"].filter(F.col("c_custkey") <= 200).select("c_custkey")
+    o = t["orders"]
+    inner = (
+        o.where(F.col("o_custkey") == F.col("c_custkey").outer())
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(2)
+        .select("o_orderkey", "o_totalprice")
+    )
+    return c.lateralJoin(inner).select(
+        F.col("c_custkey").cast("bigint").alias("c_custkey"),
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        "o_totalprice",
+    )
