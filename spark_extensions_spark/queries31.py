@@ -168,3 +168,46 @@ def q_join_lateral_api(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
         "o_totalprice",
     )
+
+
+@_register(
+    "string_collation",
+    """
+    WITH mixed AS (
+      SELECT CASE WHEN o_orderkey % 2 = 0 THEN upper(o_orderpriority)
+                  ELSE lower(o_orderpriority) END AS s,
+             o_totalprice
+      FROM orders
+    )
+    SELECT lower(s) AS grp,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total
+    FROM mixed
+    GROUP BY lower(s)
+    """,
+    doc="String collations (Spark 4.0): a deterministically mixed-case "
+    "column grouped under COLLATE UTF8_LCASE — the engine's collation-"
+    "aware hash/compare does the case folding, no lower() in the "
+    "grouping key. Output is canonicalized through lower() so the "
+    "oracle (which groups by lower directly) matches exactly.",
+)
+def q_string_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        WITH mixed AS (
+          SELECT CASE WHEN o_orderkey % 2 = 0 THEN upper(o_orderpriority)
+                      ELSE lower(o_orderpriority) END
+                   COLLATE UTF8_LCASE AS s,
+                 o_totalprice
+          FROM orders
+        )
+        SELECT lower(s) COLLATE UTF8_BINARY AS grp,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total
+        FROM mixed
+        GROUP BY s
+        """
+    )
