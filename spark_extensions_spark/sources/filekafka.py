@@ -213,17 +213,25 @@ def produce(
     key_col: str = "key",
     value_col: str = "value",
     ts_col: str | None = None,
+    partitioner: str = "murmur2",
 ):
     """Append a DataFrame of (key, value[, timestamp]) messages to a
     file topic with Kafka-default key placement and per-partition
     contiguous offsets.
 
-    Distributed shape: one murmur2 hash-partitioning pass
-    (``applyInPandas`` grouped by placement id — the producer's network
-    shuffle in real Kafka), then ONE writer task per topic-partition
-    appends ONE segment. Within a produce call each partition's rows
-    are ordered by (key, value) bytes so replays are deterministic.
-    Returns {pid: (base_offset, count)} (bounded: num_partitions rows).
+    Distributed shape: one hash-partitioning pass (the producer's
+    network shuffle in real Kafka), then ONE writer task per
+    topic-partition appends ONE segment. Within a produce call each
+    partition's rows are ordered by (key, value) bytes so replays are
+    deterministic. Returns {pid: (base_offset, count)} (bounded:
+    num_partitions rows).
+
+    ``partitioner``: ``"murmur2"`` (default) matches the Kafka Java
+    client's placement exactly via an Arrow-batched Python hash;
+    ``"xxhash64"`` stays entirely JVM-side (codegen'd, no Python in
+    the placement pass) — the scale choice when only affinity matters,
+    not cross-system placement compatibility. Both are stable, so a
+    topic must keep one partitioner for its lifetime.
     """
     from pyspark.sql import functions as F
 
@@ -244,13 +252,27 @@ def produce(
 
     parts = num_partitions
 
-    @F.pandas_udf("int")
-    def _placement(key: pd.Series) -> pd.Series:
-        return key.map(
-            lambda k: default_partition(None if k is None else bytes(k), parts)
-        ).astype("int32")
+    if partitioner == "murmur2":
 
-    placed = msgs.withColumn("pid", _placement(F.col("key")))
+        @F.pandas_udf("int")
+        def _placement(key: pd.Series) -> pd.Series:
+            return key.map(
+                lambda k: default_partition(
+                    None if k is None else bytes(k), parts
+                )
+            ).astype("int32")
+
+        pid_col = _placement(F.col("key"))
+    elif partitioner == "xxhash64":
+        pid_col = (
+            F.when(F.col("key").isNull(), F.lit(0))
+            .otherwise(F.pmod(F.xxhash64(F.col("key")), F.lit(parts)))
+            .cast("int")
+        )
+    else:
+        raise ValueError(f"unknown partitioner {partitioner!r}")
+
+    placed = msgs.withColumn("pid", pid_col)
 
     def _append(pdf: pd.DataFrame) -> pd.DataFrame:
         pid = int(pdf["pid"].iloc[0])
