@@ -39,14 +39,20 @@ def main() -> int:
     )
 
     # warmup: absorb JVM/codegen startup, executor package shipping
-    # (addPyFile zip) and parquet footer reads before timing queries
-    from spark_extensions_spark.session import load_tables
+    # (addPyFile zip), parquet footer reads AND the data pages
+    # themselves before timing queries — count() alone is satisfied
+    # from footer statistics, so without a full materialization the
+    # first queries to touch each table pay cold page-cache disk reads
+    # whenever the OS evicted the fixtures (observed as a spurious
+    # 2-3x on the first-in-order queries after an unrelated heavy job)
+    from spark_extensions_spark.session import ALL_TABLES, load_tables
 
     spark.range(1000).selectExpr("sum(id)").collect()
-    load_tables(spark, sf_dir, "lineitem")["lineitem"].count()
-    # first noop write initializes the noop commit machinery — keep it
-    # out of the first timed query
-    spark.range(100).write.format("noop").mode("overwrite").save()
+    tables = load_tables(spark, sf_dir, *ALL_TABLES)
+    for t in tables.values():
+        # noop write reads every data page once; also initializes the
+        # noop commit machinery before the first timed query
+        t.write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for q in registry():
