@@ -365,6 +365,24 @@ def _resolve(spec, root, topic, *, ends: dict[int, int]) -> dict[int, int]:
     return out
 
 
+def _live_segments(root: str, topic: str, pid: int) -> list[tuple[int, int, str]]:
+    """Segments to plan, with containment dedupe: a segment whose range
+    is fully covered by a LARGER segment is skipped. This makes segment
+    compaction crash-safe — the merged segment is renamed in first
+    (overlapping the originals), readers immediately prefer it, and the
+    originals can be deleted at leisure without a lock."""
+    segs = list_segments(root, topic, pid)
+    live = []
+    for s, e, path in segs:
+        covered = any(
+            (s2 <= s and e <= e2 and (e2 - s2) > (e - s))
+            for s2, e2, _ in segs
+        )
+        if not covered:
+            live.append((s, e, path))
+    return live
+
+
 def _plan_slices(
     root: str, topic: str, start: dict[int, int], end: dict[int, int]
 ) -> list[_SegmentSlice]:
@@ -373,13 +391,83 @@ def _plan_slices(
         lo = start.get(pid, 0)
         if hi <= lo:
             continue
-        for s, e, path in list_segments(root, topic, pid):
+        for s, e, path in _live_segments(root, topic, pid):
             if e <= lo or s >= hi:
                 continue
             slices.append(
                 _SegmentSlice(topic, pid, path, max(s, lo), min(e, hi))
             )
     return slices
+
+
+# ---------------------------------------------------------------------
+# Log maintenance: segment compaction + retention truncation
+# ---------------------------------------------------------------------
+
+def compact_segments(root: str, topic: str, pid: int | None = None) -> int:
+    """Merge each partition's segments into ONE covering segment
+    (offsets preserved byte-for-byte) — the small-files maintenance a
+    long-lived log accumulates from many small produces.
+
+    Crash-safe without locks: the merged segment is PUBLISHED FIRST
+    (write temp + rename); from that instant planners prefer it via
+    containment dedupe (:func:`_live_segments`), so a crash before the
+    old segments are unlinked leaves duplicates on disk but never
+    duplicate READS. Returns the number of partitions rewritten.
+    Single-maintainer discipline per topic (like every log compactor).
+    """
+    import pyarrow.parquet as pq
+
+    meta = read_meta(root, topic)
+    pids = [pid] if pid is not None else list(range(meta["num_partitions"]))
+    rewritten = 0
+    for p in pids:
+        live = _live_segments(root, topic, p)
+        if len(live) > 1:
+            keys, vals, tss = [], [], []
+            expect = live[0][0]
+            for s, e, path in live:
+                if s != expect:  # non-contiguous (should not happen)
+                    raise RuntimeError(
+                        f"offset gap in {topic}/p={p}: expected {expect}, "
+                        f"got {s}"
+                    )
+                expect = e
+                t = pq.read_table(path)
+                keys.extend(t.column("key").to_pylist())
+                vals.extend(t.column("value").to_pylist())
+                tss.extend(t.column("ts_us").to_pylist())
+            _write_segment(root, topic, p, live[0][0], keys, vals, tss)
+            rewritten += 1
+            live = _live_segments(root, topic, p)
+        # garbage-collect covered segments — both this run's merge
+        # inputs and any leftovers from a crashed earlier compaction
+        keep = {path for _, _, path in live}
+        for s, e, path in list_segments(root, topic, p):
+            if path not in keep:
+                try:
+                    os.remove(path)
+                except OSError:
+                    pass
+    return rewritten
+
+
+def truncate_before(root: str, topic: str, offsets: dict[int, int]) -> int:
+    """Kafka-retention truncation: drop every segment whose range lies
+    entirely below the retained offset for its partition (whole-segment
+    granularity, like Kafka's time/size retention). Readers resolve
+    ``earliest`` from the surviving segments, so a truncated log starts
+    at the retention floor, not 0. Returns segments deleted."""
+    deleted = 0
+    for pid, keep_from in offsets.items():
+        for s, e, path in list_segments(root, topic, pid):
+            if e <= keep_from:
+                try:
+                    os.remove(path)
+                    deleted += 1
+                except OSError:
+                    pass
+    return deleted
 
 
 class _FileKafkaBatchReader(DataSourceReader):

@@ -650,3 +650,69 @@ def test_jvm_partitioner_variant(spark, tmp_path):
     with _pytest.raises(ValueError, match="unknown partitioner"):
         fk.produce(_messages(spark, 5), root, "jvm2", num_partitions=2,
                    partitioner="bogus")
+
+
+def test_segment_compaction_and_retention(spark, tmp_path):
+    """Many small produces → compaction merges to one segment per
+    partition with identical contents; the crash window (merged +
+    originals both on disk) never double-reads; retention truncation
+    drops whole segments below the floor."""
+    fk.register_filekafka(spark)
+    root = _mkroot(tmp_path)
+    for _ in range(4):
+        fk.produce(_messages(spark, 50), root, "maint", num_partitions=2)
+
+    def read_all():
+        return (
+            spark.read.format("filekafka")
+            .option("path", root)
+            .option("topic", "maint")
+            .load()
+        )
+
+    before = sorted(
+        (r["partition"], r["offset"], bytes(r["value"])) for r in
+        read_all().collect()
+    )
+    assert len(before) == 200
+    n_segs_before = sum(
+        len(fk.list_segments(root, "maint", p)) for p in (0, 1)
+    )
+    assert n_segs_before == 8
+
+    # simulate the crash window: publish merged segments WITHOUT
+    # deleting originals — containment dedupe must prevent dup reads
+    import pyarrow.parquet as pq
+
+    for p in (0, 1):
+        segs = fk.list_segments(root, "maint", p)
+        keys, vals, tss = [], [], []
+        for s, e, path in segs:
+            t = pq.read_table(path)
+            keys.extend(t.column("key").to_pylist())
+            vals.extend(t.column("value").to_pylist())
+            tss.extend(t.column("ts_us").to_pylist())
+        fk._write_segment(root, "maint", p, segs[0][0], keys, vals, tss)
+    assert read_all().count() == 200  # overlapping files, no dup rows
+
+    # full compaction finishes the job: one segment per partition
+    fk.compact_segments(root, "maint")
+    for p in (0, 1):
+        assert len(fk.list_segments(root, "maint", p)) == 1
+    after = sorted(
+        (r["partition"], r["offset"], bytes(r["value"])) for r in
+        read_all().collect()
+    )
+    assert after == before
+
+    # retention: drop everything below half of each partition's end
+    ends = fk.end_offsets(root, "maint")
+    # re-fragment first so truncation has whole segments to drop
+    fk.produce(_messages(spark, 40), root, "maint", num_partitions=2)
+    floors = {p: ends[p] for p in ends}
+    deleted = fk.truncate_before(root, "maint", floors)
+    assert deleted == 2  # the two compacted base segments
+    kept = read_all()
+    assert kept.count() == 40
+    for r in kept.collect():
+        assert r["offset"] >= floors[r["partition"]]
