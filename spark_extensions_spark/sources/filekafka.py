@@ -323,7 +323,23 @@ def _read_slice(part: _SegmentSlice):
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    table = pq.read_table(part.path)
+    pf = pq.ParquetFile(part.path)
+    # row-group pruning on the offset column (segments are written in
+    # offset order, so stats are tight): a chunked slice of a large
+    # compacted segment reads only its own row groups, not the file
+    names = [pf.metadata.row_group(0).column(i).path_in_schema
+             for i in range(pf.metadata.row_group(0).num_columns)]
+    oi = names.index("offset")
+    keep = []
+    for g in range(pf.metadata.num_row_groups):
+        st = pf.metadata.row_group(g).column(oi).statistics
+        if st is None or st.min is None:
+            keep.append(g)
+        elif st.max >= part.lo and st.min < part.hi:
+            keep.append(g)
+    if not keep:
+        return
+    table = pf.read_row_groups(keep)
     off = table.column("offset")
     mask = pc.and_(pc.greater_equal(off, part.lo), pc.less(off, part.hi))
     table = table.filter(mask)
@@ -383,9 +399,22 @@ def _live_segments(root: str, topic: str, pid: int) -> list[tuple[int, int, str]
     return live
 
 
+DEFAULT_SLICE_SIZE = 500_000
+
+
 def _plan_slices(
-    root: str, topic: str, start: dict[int, int], end: dict[int, int]
+    root: str,
+    topic: str,
+    start: dict[int, int],
+    end: dict[int, int],
+    slice_size: int = DEFAULT_SLICE_SIZE,
 ) -> list[_SegmentSlice]:
+    """One input partition per (segment ∩ offset-range), with wide
+    ranges CHUNKED at ``slice_size`` offsets: a freshly compacted
+    partition is one huge segment, and without chunking its read
+    parallelism would collapse to one task — chunked ranged reads keep
+    scan parallelism independent of segment layout (parquet row-group
+    pruning inside the reader makes each chunk a partial file read)."""
     slices = []
     for pid, hi in end.items():
         lo = start.get(pid, 0)
@@ -394,9 +423,11 @@ def _plan_slices(
         for s, e, path in _live_segments(root, topic, pid):
             if e <= lo or s >= hi:
                 continue
-            slices.append(
-                _SegmentSlice(topic, pid, path, max(s, lo), min(e, hi))
-            )
+            a, b = max(s, lo), min(e, hi)
+            for c in range(a, b, slice_size):
+                slices.append(
+                    _SegmentSlice(topic, pid, path, c, min(c + slice_size, b))
+                )
     return slices
 
 
@@ -479,6 +510,9 @@ class _FileKafkaBatchReader(DataSourceReader):
         self.pid_eq: int | None = None
         self.off_lo = 0
         self.off_hi: int | None = None
+        self.slice_size = int(
+            options.get("slicesize", DEFAULT_SLICE_SIZE)
+        )
 
     def pushFilters(self, filters):
         """Prune SEGMENT FILES with partition/offset predicates (the
@@ -526,9 +560,9 @@ class _FileKafkaBatchReader(DataSourceReader):
         start = {p: max(v, self.off_lo) for p, v in start.items()}
         if self.off_hi is not None:
             end = {p: min(v, self.off_hi) for p, v in end.items()}
-        return _plan_slices(self.root, self.topic, start, end) or [
-            _SegmentSlice(self.topic, 0, "", 0, 0)
-        ]
+        return _plan_slices(
+            self.root, self.topic, start, end, self.slice_size
+        ) or [_SegmentSlice(self.topic, 0, "", 0, 0)]
 
     def read(self, partition: _SegmentSlice):
         if not partition.path:
@@ -548,6 +582,9 @@ class _FileKafkaStreamReader(DataSourceStreamReader):
         self.start = _parse_offsets(options.get("startingoffsets"), "earliest")
         cap = options.get("maxoffsetspertrigger")
         self.max_per_trigger = int(cap) if cap else None
+        self.slice_size = int(
+            options.get("slicesize", DEFAULT_SLICE_SIZE)
+        )
         self._pos: dict[int, int] | None = None
 
     def initialOffset(self):
@@ -581,9 +618,9 @@ class _FileKafkaStreamReader(DataSourceStreamReader):
         e = {int(k): int(v) for k, v in end.items()}
         for pid in e:
             s.setdefault(pid, 0)  # partition first seen this batch
-        return _plan_slices(self.root, self.topic, s, e) or [
-            _SegmentSlice(self.topic, 0, "", 0, 0)
-        ]
+        return _plan_slices(
+            self.root, self.topic, s, e, self.slice_size
+        ) or [_SegmentSlice(self.topic, 0, "", 0, 0)]
 
     def read(self, partition: _SegmentSlice):
         if not partition.path:

@@ -716,3 +716,34 @@ def test_segment_compaction_and_retention(spark, tmp_path):
     assert kept.count() == 40
     for r in kept.collect():
         assert r["offset"] >= floors[r["partition"]]
+
+
+def test_slice_chunking_restores_parallelism(spark, tmp_path):
+    """After compaction a partition is ONE big segment; the planner
+    chunks it at sliceSize offsets (row-group-pruned partial reads),
+    so scan parallelism does not collapse — and results are identical
+    across slice sizes."""
+    fk.register_filekafka(spark)
+    root = _mkroot(tmp_path)
+    for _ in range(4):
+        fk.produce(_messages(spark, 250), root, "big", num_partitions=2)
+    fk.compact_segments(root, "big")
+    for p in (0, 1):
+        assert len(fk.list_segments(root, "big", p)) == 1
+
+    def load(slice_size):
+        return (
+            spark.read.format("filekafka")
+            .option("path", root)
+            .option("topic", "big")
+            .option("sliceSize", slice_size)
+            .load()
+        )
+
+    coarse = load(10**6)
+    fine = load(100)
+    assert coarse.rdd.getNumPartitions() == 2
+    assert fine.rdd.getNumPartitions() >= 8
+    a = sorted((r["partition"], r["offset"]) for r in coarse.collect())
+    b = sorted((r["partition"], r["offset"]) for r in fine.collect())
+    assert a == b and len(a) == 1000
