@@ -211,3 +211,73 @@ def q_string_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY s
         """
     )
+
+
+@_register(
+    "kafka_log_maintenance",
+    """
+    SELECT CAST(COUNT(*) FILTER (WHERE event_id >= 4000) AS BIGINT)
+             AS n_after_retention,
+           CAST(COUNT(*) FILTER (WHERE event_id >= 4000) AS BIGINT)
+             AS n_after_compaction,
+           true AS compacted_to_one_segment
+    FROM events
+    """,
+    doc="Log maintenance lifecycle with in-engine invariants: events "
+    "produced in three generations leave three segments per "
+    "partition; truncate_before at the generation-1 watermark drops "
+    "EXACTLY that generation (whole-segment retention); "
+    "compact_segments then merges the survivors into one covering "
+    "segment per partition (crash-safe publish-then-GC) with zero "
+    "loss — the post-retention and post-compaction counts agree, and "
+    "the compacted read still fans out via sliceSize chunking + "
+    "row-group pruning. Oracle states the conservation laws in plain "
+    "SQL.",
+)
+def q_kafka_log_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from spark_extensions_spark.sources import filekafka as fk
+
+    fk.register_filekafka(spark)
+    e = _t(spark, sf_dir, "events")["events"]
+    root = tempfile.mkdtemp(prefix="filekafka_maint_q_")
+
+    def gen(lo, hi):
+        return e.filter(
+            (F.col("event_id") >= lo) & (F.col("event_id") < hi)
+        ).select(
+            F.col("user_id").cast("string").cast("binary").alias("key"),
+            F.col("event_id").cast("string").cast("binary").alias("value"),
+        )
+
+    fk.produce(gen(0, 4000), root, "m", num_partitions=4)
+    floors = fk.end_offsets(root, "m")  # generation-1 watermark
+    fk.produce(gen(4000, 8000), root, "m", num_partitions=4)
+    fk.produce(gen(8000, 10**12), root, "m", num_partitions=4)
+
+    def count_topic():
+        return (
+            spark.read.format("filekafka")
+            .option("path", root)
+            .option("topic", "m")
+            .option("sliceSize", 2000)
+            .load()
+            .count()
+        )
+
+    fk.truncate_before(root, "m", floors)
+    n_retained = count_topic()
+    fk.compact_segments(root, "m")
+    # <=1: a partition whose messages were ALL below the retention
+    # floor ends up empty (e.g. the sf0.001 fixture) — vacuously
+    # compacted, matching the oracle's constant
+    one_seg = all(
+        len(fk.list_segments(root, "m", p)) <= 1 for p in range(4)
+    )
+    n_compacted = count_topic()
+    return spark.createDataFrame(
+        [(n_retained, n_compacted, bool(one_seg))],
+        "n_after_retention bigint, n_after_compaction bigint, "
+        "compacted_to_one_segment boolean",
+    )
