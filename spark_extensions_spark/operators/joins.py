@@ -237,3 +237,60 @@ def band_join(
     if extra_cond is not None:
         joined = joined.filter(extra_cond)
     return joined.drop("__band")
+
+
+def interval_join_binned(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bin_width: int,
+) -> DataFrame:
+    """KEYLESS interval-overlap join as an EQUI-join on time grains —
+    the scalable form of the overlap join (the shape range-join
+    optimizers rewrite to; `interval_join`'s docstring prescribes it
+    and this operator provides it).
+
+    Each side explodes its [start, end] span into the grains of width
+    ``bin_width`` it covers (integer units — cast timestamps to epoch
+    first); the join is then a plain shuffled equi-join on the grain,
+    never a broadcast-nested-loop. A pair overlapping several grains
+    would match repeatedly, so the filter keeps each pair ONLY in the
+    grain containing the LATER of the two starts: the later-starting
+    interval always covers its own start grain, and overlap guarantees
+    the earlier one reaches it — exactly-once emission with no distinct
+    shuffle.
+
+    Cost: explosion factor = avg(span / bin_width) per side; pick
+    ``bin_width`` near the typical span so the factor stays ~1-2.
+    Output columns: every left column then every right column (caller
+    should disambiguate names beforehand).
+    """
+    def grains(df, start, end):
+        g = F.explode(
+            F.sequence(
+                (F.col(start) / bin_width).cast("long"),
+                (F.col(end) / bin_width).cast("long"),
+            )
+        )
+        return df.withColumn("__grain", g).withColumn(
+            "__start_grain", (F.col(start) / bin_width).cast("long")
+        )
+
+    l = grains(left, left_start, left_end).alias("l")
+    r = grains(right, right_start, right_end).alias("r")
+    overlap = (F.col(f"l.{left_start}") <= F.col(f"r.{right_end}")) & (
+        F.col(f"r.{right_start}") <= F.col(f"l.{left_end}")
+    )
+    once = F.col("l.__grain") == F.greatest(
+        F.col("l.__start_grain"), F.col("r.__start_grain")
+    )
+    out = l.join(
+        r, (F.col("l.__grain") == F.col("r.__grain")) & overlap & once
+    )
+    return out.select(
+        *[F.col(f"l.{c}") for c in left.columns],
+        *[F.col(f"r.{c}") for c in right.columns],
+    )

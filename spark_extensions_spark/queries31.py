@@ -281,3 +281,63 @@ def q_kafka_log_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_after_retention bigint, n_after_compaction bigint, "
         "compacted_to_one_segment boolean",
     )
+
+
+@_register(
+    "join_interval_binned",
+    """
+    WITH l AS (
+      SELECT user_id, CAST(ts AS DATE) AS d,
+             MIN(epoch_us(ts)) AS ls, MAX(epoch_us(ts)) AS le
+      FROM events WHERE user_id <= 300 GROUP BY 1, 2
+    ), r AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             MIN(epoch_us(ts)) AS rs, MAX(epoch_us(ts)) AS re
+      FROM events GROUP BY 1, 2
+    )
+    SELECT CAST(l.user_id AS BIGINT) AS user_id,
+           strftime(l.d, '%Y-%m-%d') AS l_day,
+           r.event_type,
+           strftime(r.d, '%Y-%m-%d') AS r_day,
+           CAST(least(le, re) - greatest(ls, rs) AS BIGINT) AS overlap_us
+    FROM l, r WHERE ls <= re AND rs <= le
+    """,
+    doc="KEYLESS interval-overlap join executed as an EQUI-join on "
+    "day grains (operators/joins.py:interval_join_binned): both "
+    "interval sets explode into covered grains, shuffle on the grain, "
+    "and each pair emits exactly once in the later-start grain — no "
+    "BroadcastNestedLoop anywhere (plan-pinned) and no dedupe "
+    "shuffle. The oracle is the naive theta join, proving the "
+    "rewrite's exactness.",
+)
+def q_join_interval_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_extensions_spark.operators.joins import interval_join_binned
+
+    e = _t(spark, sf_dir, "events")["events"]
+    day_us = 86_400 * 1_000_000
+    l = (
+        e.filter(F.col("user_id") <= 300)
+        .groupBy(
+            "user_id", F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("l_day")
+        )
+        .agg(
+            F.min(F.unix_micros("ts")).alias("ls"),
+            F.max(F.unix_micros("ts")).alias("le"),
+        )
+    )
+    r = e.groupBy(
+        "event_type", F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("r_day")
+    ).agg(
+        F.min(F.unix_micros("ts")).alias("rs"),
+        F.max(F.unix_micros("ts")).alias("re"),
+    )
+    joined = interval_join_binned(l, r, "ls", "le", "rs", "re", day_us)
+    return joined.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        "l_day",
+        "event_type",
+        "r_day",
+        (F.least("le", "re") - F.greatest("ls", "rs"))
+        .cast("bigint")
+        .alias("overlap_us"),
+    )

@@ -147,3 +147,36 @@ def test_io_dynamic_partition_pruning_query_plan(spark, sf_dir):
     df = q_io_dynamic_partition_pruning(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:800]
+
+
+def test_binned_interval_join_avoids_nested_loop(spark, sf_dir):
+    """The binned interval join must plan an equi-join on the grain
+    (SMJ/SHJ/BHJ) — never BroadcastNestedLoop/Cartesian — and return
+    exactly the naive theta join's result."""
+    from pyspark.sql import functions as F
+
+    from spark_extensions_spark.operators.joins import interval_join_binned
+    from spark_extensions_spark.queries31 import q_join_interval_binned
+
+    df = q_join_interval_binned(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan, (
+        plan[:800]
+    )
+
+    # exactness vs the naive theta join on small synthetic intervals
+    l = spark.createDataFrame(
+        [(1, 0, 50), (2, 40, 120), (3, 300, 310), (4, 95, 100)],
+        "lid int, ls long, le long",
+    )
+    r = spark.createDataFrame(
+        [(10, 45, 60), (11, 90, 140), (12, 0, 1000), (13, 311, 320)],
+        "rid int, rs long, re long",
+    )
+    binned = interval_join_binned(l, r, "ls", "le", "rs", "re", 32)
+    naive = l.join(
+        r, (F.col("ls") <= F.col("re")) & (F.col("rs") <= F.col("le"))
+    )
+    a = sorted((x["lid"], x["rid"]) for x in binned.collect())
+    b = sorted((x["lid"], x["rid"]) for x in naive.collect())
+    assert a == b and len(a) > 0
