@@ -1,0 +1,205 @@
+"""Distributed multinomial Naive Bayes text classification.
+
+Curation pipelines run TRAINED filters next to the heuristic ones:
+fastText-style language ID, quality classifiers scoring "is this page
+like Wikipedia", domain routers (CCNet, GPT-3's quality filter, C4's
+langdetect gate are all trained classifiers). A multinomial NB over
+token counts is the distributed-friendly baseline of that family: the
+model IS two aggregate tables, training is a pair of hash aggregates
+over the corpus, and inference is one join — no gradient loop, no
+driver state, scale-limited only by vocabulary size.
+
+Model (add-one smoothing, all in integer 1e-6 log units):
+
+- prior_e6(c)  = floor(ln(n_docs_c / N) * 1e6 + 0.5)
+- lp_e6(w, c)  = floor(ln((cnt(w,c) + 1) / (tok_c + V)) * 1e6 + 0.5)
+- unk_e6(c)    = floor(ln(        1      / (tok_c + V)) * 1e6 + 0.5)
+- score(d, c)  = prior_e6(c) + Σ_w k(d,w) · (lp_e6(w,c) or unk_e6(c))
+- prediction   = argmax_c score, ties broken by class name (max) — a
+  total order, so the result is deterministic on any partitioning.
+
+Determinism follows operators/lm.py's proven pattern: ``ln`` touches
+only per-distinct-(w,c) values and is immediately floor-quantized to
+integer units; every per-document reduction is an exact integer sum
+(`round(ln, n)` is engine-nonportable — NOTES.md).
+
+Scale shape: training = two hash aggregates (token-class key, class
+key) + one broadcastable vocabulary count. Inference joins document
+token counts against the model on (w, class) after a small-side
+crossJoin with the class list — a #classes-way amplification that is
+the right trade for label spaces up to hundreds; for larger label
+spaces pivot the model to one row per token with per-class columns and
+join on the token alone.
+
+Reference scope note: the reference has no ML surface — this is the
+LLM-data-pipeline extension layer (SURVEY.md §7 M5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from spark_extensions_spark.functions.text import TOKEN_PATTERN
+
+
+def _token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, w, k) bag-of-words counts — row-local explode + one agg."""
+    return (
+        df.select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    f"regexp_extract_all(lower({text_col}),"
+                    f" '{TOKEN_PATTERN}', 0)"
+                )
+            ).alias("w"),
+        )
+        .groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+
+
+def nb_train(
+    df: DataFrame, id_col: str, text_col: str, label_col: str
+) -> dict[str, DataFrame]:
+    """Train the model; returns {"priors": (label, prior_e6, unk_e6),
+    "likelihood": (w, label, lp_e6)} — both vocabulary/label-sized
+    artifacts, persistable as ordinary tables."""
+    toks = _token_counts(df, id_col, text_col).join(
+        df.select(id_col, F.col(label_col).alias("__c")), id_col
+    )
+    cw = toks.groupBy("__c", "w").agg(F.sum("k").alias("cnt"))
+    ctot = cw.groupBy("__c").agg(F.sum("cnt").alias("tok_c"))
+    vocab = cw.select("w").distinct().agg(F.count(F.lit(1)).alias("v"))
+    ndocs = df.groupBy(F.col(label_col).alias("__c")).agg(
+        F.count(F.lit(1)).alias("n_docs_c")
+    )
+    total = df.agg(F.count(F.lit(1)).alias("n_total"))
+    priors = (
+        ndocs.crossJoin(F.broadcast(total))
+        .join(ctot, "__c")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col("__c").alias("label"),
+            F.expr(
+                "cast(floor(ln(cast(n_docs_c as double)"
+                " / cast(n_total as double)) * 1000000.0d + 0.5d)"
+                " as bigint)"
+            ).alias("prior_e6"),
+            F.expr(
+                "cast(floor(ln(1.0d / cast(tok_c + v as double))"
+                " * 1000000.0d + 0.5d) as bigint)"
+            ).alias("unk_e6"),
+        )
+    )
+    likelihood = (
+        cw.join(ctot, "__c")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w",
+            F.col("__c").alias("label"),
+            F.expr(
+                "cast(floor(ln(cast(cnt + 1 as double)"
+                " / cast(tok_c + v as double)) * 1000000.0d + 0.5d)"
+                " as bigint)"
+            ).alias("lp_e6"),
+        )
+    )
+    return {"priors": priors, "likelihood": likelihood}
+
+
+def nb_predict(
+    model: dict[str, DataFrame], df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Classify; returns (id, label, score_e6) with exactly one row per
+    input document (argmax with class-name tie-break)."""
+    toks = _token_counts(df, id_col, text_col)
+    classes = model["priors"]
+    scored = (
+        toks.crossJoin(F.broadcast(classes))
+        .join(model["likelihood"], ["w", "label"], "left")
+        .groupBy(id_col, "label")
+        .agg(
+            (
+                F.first("prior_e6")
+                + F.sum(
+                    F.col("k") * F.coalesce(F.col("lp_e6"), F.col("unk_e6"))
+                )
+            ).alias("score_e6")
+        )
+    )
+    best = scored.groupBy(id_col).agg(
+        F.max(F.struct("score_e6", "label")).alias("__b")
+    )
+    return best.select(
+        id_col,
+        F.col("__b.label").alias("label"),
+        F.col("__b.score_e6").cast("bigint").alias("score_e6"),
+    )
+
+
+def nb_classify_oracle_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "lang",
+) -> str:
+    """DuckDB SQL computing exactly nb_train + nb_predict on ``table``
+    (self-train, self-predict) plus a correctness flag."""
+    return f"""
+    WITH tok AS (
+      SELECT {id_col}, unnest(
+               regexp_extract_all(lower({text_col}), '{TOKEN_PATTERN}', 0)
+             ) AS w
+      FROM {table}
+    ), tc AS (
+      SELECT {id_col}, w, count(*) AS k FROM tok GROUP BY 1, 2
+    ), lab AS (
+      SELECT {id_col}, {label_col} AS c FROM {table}
+    ), cw AS (
+      SELECT lab.c, tc.w, CAST(sum(tc.k) AS BIGINT) AS cnt
+      FROM tc JOIN lab USING ({id_col}) GROUP BY 1, 2
+    ), ctot AS (
+      SELECT c, CAST(sum(cnt) AS BIGINT) AS tok_c FROM cw GROUP BY c
+    ), v AS (
+      SELECT count(DISTINCT w) AS v FROM cw
+    ), nd AS (
+      SELECT c, count(*) AS n_docs_c FROM lab GROUP BY c
+    ), nt AS (
+      SELECT count(*) AS n_total FROM lab
+    ), priors AS (
+      SELECT nd.c AS label,
+             CAST(FLOOR(LN(CAST(n_docs_c AS DOUBLE)
+                           / CAST(n_total AS DOUBLE))
+                        * 1000000.0 + 0.5) AS BIGINT) AS prior_e6,
+             CAST(FLOOR(LN(1.0 / CAST(tok_c + v AS DOUBLE))
+                        * 1000000.0 + 0.5) AS BIGINT) AS unk_e6
+      FROM nd CROSS JOIN nt JOIN ctot ON nd.c = ctot.c CROSS JOIN v
+    ), lp AS (
+      SELECT cw.w, cw.c AS label,
+             CAST(FLOOR(LN(CAST(cnt + 1 AS DOUBLE)
+                           / CAST(tok_c + v AS DOUBLE))
+                        * 1000000.0 + 0.5) AS BIGINT) AS lp_e6
+      FROM cw JOIN ctot ON cw.c = ctot.c CROSS JOIN v
+    ), scored AS (
+      SELECT tc.{id_col}, p.label,
+             CAST(any_value(p.prior_e6)
+                  + sum(tc.k * COALESCE(lp.lp_e6, p.unk_e6))
+               AS BIGINT) AS score_e6
+      FROM tc CROSS JOIN priors p
+      LEFT JOIN lp ON lp.w = tc.w AND lp.label = p.label
+      GROUP BY 1, 2
+    ), best AS (
+      SELECT {id_col}, label, score_e6,
+             ROW_NUMBER() OVER (PARTITION BY {id_col}
+                                ORDER BY score_e6 DESC, label DESC) AS rn
+      FROM scored
+    )
+    SELECT b.{id_col},
+           b.label AS pred_label,
+           b.score_e6,
+           (b.label = d.{label_col}) AS is_correct
+    FROM best b JOIN {table} d USING ({id_col})
+    WHERE b.rn = 1
+    """

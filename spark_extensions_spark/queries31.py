@@ -341,3 +341,36 @@ def q_join_interval_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("overlap_us"),
     )
+
+
+@_register(
+    "nb_classify_lang",
+    __import__(
+        "spark_extensions_spark.operators.classify", fromlist=["x"]
+    ).nb_classify_oracle_sql("documents", "doc_id", "text", "lang"),
+    doc="TRAINED classifier next to the heuristic filters: distributed "
+    "multinomial Naive Bayes (operators/classify.py) — training is two "
+    "hash aggregates over (token, class), the model is two "
+    "vocabulary-sized tables, inference is one join; self-train / "
+    "self-predict language ID over the corpus with a per-doc "
+    "correctness flag. All log-probs floor-quantized to integer 1e-6 "
+    "units per distinct (token, class) and summed exactly (lm.py's "
+    "proven portability pattern); argmax ties break on class name, a "
+    "total order, so the prediction is deterministic on any "
+    "partitioning.",
+)
+def q_nb_classify_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_extensions_spark.operators.classify import (
+        nb_predict,
+        nb_train,
+    )
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    model = nb_train(docs, "doc_id", "text", "lang")
+    pred = nb_predict(model, docs, "doc_id", "text")
+    return pred.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "doc_id",
+        F.col("label").alias("pred_label"),
+        "score_e6",
+        (F.col("label") == F.col("lang")).alias("is_correct"),
+    )

@@ -258,3 +258,39 @@ def test_gapfill_forward_fill(spark):
     assert [r["filled"] for r in k1] == [False, True, True, False]
     k2 = [r for r in rows if r["k"] == 2]
     assert len(k2) == 1 and k2[0]["v"] == 9.0 and not k2[0]["filled"]
+
+
+def test_naive_bayes_classifier(spark):
+    """NB train/predict: separable vocab is classified correctly,
+    every doc gets exactly one prediction, unseen tokens fall back to
+    the unk likelihood, argmax ties break deterministically."""
+    from pyspark.sql import functions as F
+
+    from spark_extensions_spark.operators.classify import (
+        nb_predict,
+        nb_train,
+    )
+
+    rows = []
+    for i in range(30):
+        rows.append((i, "apple banana fruit sweet apple", "food"))
+    for i in range(30, 60):
+        rows.append((i, "engine wheel piston torque engine", "cars"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lab string")
+    model = nb_train(df, "doc_id", "text", "lab")
+    pred = nb_predict(model, df, "doc_id", "text")
+    got = {r["doc_id"]: r["label"] for r in pred.collect()}
+    assert len(got) == 60
+    assert all(got[i] == "food" for i in range(30))
+    assert all(got[i] == "cars" for i in range(30, 60))
+
+    # unseen-token doc: scores via unk fallback only → priors+unk
+    # decide; equal priors and equal unk → tie → max class name wins
+    probe = spark.createDataFrame(
+        [(99, "zzz qqq")], "doc_id long, text string"
+    )
+    p = nb_predict(model, probe, "doc_id", "text").collect()[0]
+    assert p["label"] == "food"  # 'food' > 'cars' lexicographically
+    # and the model tables are bounded artifacts
+    assert model["priors"].count() == 2
+    assert model["likelihood"].count() == 8  # 4 distinct tokens/class
