@@ -374,3 +374,5 @@ def q_nb_classify_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score_e6",
         (F.col("label") == F.col("lang")).alias("is_correct"),
     )
+
+from spark_extensions_spark import queries32  # noqa: E402,F401  (registration side effect)

@@ -147,3 +147,45 @@ def test_cache_and_unpersist(spark, sf_dir):
         assert df.count() == n1
     finally:
         df.unpersist(blocking=True)
+
+
+def test_corrupt_record_modes(spark, tmp_path):
+    """The three malformed-record ingest modes: PERMISSIVE keeps bad
+    lines in the corrupt column, DROPMALFORMED silently drops them,
+    FAILFAST aborts the job."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "feed")
+    good = [f'{{"a": {i}, "b": "x{i}"}}' for i in range(20)]
+    bad = ['{"a": 99, "b": ', "not json at all"]
+    spark.createDataFrame(
+        [(s,) for s in good + bad], "value string"
+    ).coalesce(1).write.mode("overwrite").text(path)
+
+    schema = "a bigint, b string, _corrupt string"
+    permissive = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(path)
+        .cache()
+    )
+    assert permissive.count() == 22
+    assert permissive.filter(F.col("_corrupt").isNotNull()).count() == 2
+    assert permissive.filter(F.col("_corrupt").isNull()).count() == 20
+
+    dropped = (
+        spark.read.schema("a bigint, b string")
+        .option("mode", "DROPMALFORMED")
+        .json(path)
+    )
+    assert dropped.count() == 20
+
+    failfast = (
+        spark.read.schema("a bigint, b string")
+        .option("mode", "FAILFAST")
+        .json(path)
+    )
+    with _pytest.raises(Exception, match="(?i)malformed|FAILFAST"):
+        failfast.count()
