@@ -414,6 +414,10 @@ def apply_cdc_batch(
     with open(tmp, "w") as f:
         f.write(version)
     os.replace(tmp, ptr)
+    # commit log: one line per published version (oldest first) — the
+    # basis for time travel (read_cdc_state_version) and vacuum
+    with open(_log_path(state_dir), "a") as f:
+        f.write(version + "\n")
 
 
 class ConcurrentStateUpdateError(RuntimeError):
@@ -478,3 +482,67 @@ def backfill_partitions(
             .parquet(sink_dir)
         )
     return todo
+
+
+# ---------------------------------------------------------------------
+# CDC state: version log, time travel, vacuum
+# ---------------------------------------------------------------------
+
+def _log_path(state_dir: str) -> str:
+    import os
+
+    return os.path.join(state_dir, "_LOG")
+
+
+def state_versions(state_dir: str) -> list[str]:
+    """Committed version directories, oldest first (the _LOG lines)."""
+    import os
+
+    lp = _log_path(state_dir)
+    if not os.path.exists(lp):
+        return []
+    with open(lp) as f:
+        return [ln.strip() for ln in f if ln.strip()]
+
+
+def read_cdc_state_version(spark, state_dir: str, version: int) -> DataFrame:
+    """Time-travel read: the state as of the ``version``-th commit
+    (0-based). Versions are immutable parquet snapshots, so this is a
+    plain scan — the same contract as format-level VERSION AS OF."""
+    versions = state_versions(state_dir)
+    if not 0 <= version < len(versions):
+        raise ValueError(
+            f"version {version} out of range (0..{len(versions) - 1})"
+        )
+    return spark.read.parquet(versions[version])
+
+
+def vacuum_state(state_dir: str, keep: int = 2) -> int:
+    """Delete version snapshots older than the newest ``keep`` (the
+    live _CURRENT version is always kept), plus any orphan v-* dir a
+    crashed apply left behind that never committed to the log. Returns
+    directories removed. Time travel reaches only retained versions —
+    the standard retention/vacuum trade."""
+    import os
+    import shutil
+
+    versions = state_versions(state_dir)
+    cur = _current_version(state_dir)
+    retain = set(versions[-keep:] if keep > 0 else [])
+    if cur:
+        retain.add(cur)
+    removed = 0
+    for name in os.listdir(state_dir):
+        path = os.path.join(state_dir, name)
+        if not (name.startswith("v-") and os.path.isdir(path)):
+            continue
+        if path not in retain:  # old committed version OR orphan
+            shutil.rmtree(path, ignore_errors=True)
+            removed += 1
+    if versions:
+        kept_versions = [v for v in versions if v in retain]
+        tmp = _log_path(state_dir) + ".tmp"
+        with open(tmp, "w") as f:
+            f.write("".join(v + "\n" for v in kept_versions))
+        os.replace(tmp, _log_path(state_dir))
+    return removed

@@ -129,3 +129,70 @@ def q_io_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("score").cast("bigint").alias("n_with_score"),
         (F.sum("score") / 2).cast("bigint").alias("sum_scored_ids"),
     )
+
+
+@_register(
+    "cdc_state_time_travel",
+    """
+    WITH g1 AS (
+      SELECT user_id, event_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY event_id DESC) AS rn
+      FROM events WHERE event_id < 5000
+    ), g2 AS (
+      SELECT user_id, event_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY event_id DESC) AS rn
+      FROM events
+    )
+    SELECT 'v0' AS version, CAST(user_id AS BIGINT) AS user_id,
+           CAST(event_id AS BIGINT) AS last_event
+    FROM g1 WHERE rn = 1 AND event_type <> 'error'
+    UNION ALL
+    SELECT 'v1', CAST(user_id AS BIGINT), CAST(event_id AS BIGINT)
+    FROM g2 WHERE rn = 1 AND event_type <> 'error'
+    """,
+    doc="CDC state time travel: two change batches committed through "
+    "apply_cdc_batch append to the state's commit log; "
+    "read_cdc_state_version(0) reconstructs the post-batch-1 state "
+    "from its immutable snapshot while _CURRENT serves the latest — "
+    "VERSION AS OF for the streaming-maintained table (operators/"
+    "incremental.py). Oracle recomputes both generations' last-writer-"
+    "wins states from scratch.",
+)
+def q_cdc_state_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_extensions_spark.operators.incremental import (
+        apply_cdc_batch,
+        read_cdc_state,
+        read_cdc_state_version,
+    )
+
+    e = _t(spark, sf_dir, "events")["events"]
+    state = tempfile.mkdtemp(prefix="cdc_tt_q_")
+
+    def changes(cond):
+        return e.filter(cond).select(
+            "user_id",
+            F.when(F.col("event_type") == "error", F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+            "event_id",
+        )
+
+    apply_cdc_batch(
+        changes(F.col("event_id") < 5000), state, ["user_id"], "event_id"
+    )
+    apply_cdc_batch(
+        changes(F.col("event_id") >= 5000), state, ["user_id"], "event_id"
+    )
+    v0 = read_cdc_state_version(spark, state, 0).select(
+        F.lit("v0").alias("version"),
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("event_id").cast("bigint").alias("last_event"),
+    )
+    v1 = read_cdc_state(spark, state).select(
+        F.lit("v1").alias("version"),
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("event_id").cast("bigint").alias("last_event"),
+    )
+    return v0.unionByName(v1)

@@ -316,3 +316,35 @@ def test_apply_cdc_batch_conflict_detection(spark, tmp_path):
     # the concurrent writer's commit survived untouched
     got = {r["k"] for r in inc.read_cdc_state(spark, state).collect()}
     assert got == {1, 2}
+
+
+def test_cdc_state_versions_and_vacuum(spark, tmp_path):
+    """Commit log grows per apply; time travel reads any retained
+    version; vacuum removes old snapshots (and orphans) but never the
+    retained tail, and rewrites the log accordingly."""
+    import os
+
+    from spark_extensions_spark.operators import incremental as inc
+
+    state = str(tmp_path / "state")
+    mk = lambda rows: spark.createDataFrame(
+        rows, "k int, op string, seq long, v double"
+    )
+    inc.apply_cdc_batch(mk([(1, "U", 1, 1.0)]), state, ["k"], "seq")
+    inc.apply_cdc_batch(mk([(2, "U", 2, 2.0)]), state, ["k"], "seq")
+    inc.apply_cdc_batch(mk([(1, "D", 3, 0.0)]), state, ["k"], "seq")
+    assert len(inc.state_versions(state)) == 3
+    v0 = {r["k"] for r in inc.read_cdc_state_version(spark, state, 0).collect()}
+    v1 = {r["k"] for r in inc.read_cdc_state_version(spark, state, 1).collect()}
+    v2 = {r["k"] for r in inc.read_cdc_state_version(spark, state, 2).collect()}
+    assert (v0, v1, v2) == ({1}, {1, 2}, {2})
+    # orphan: a version dir that never committed
+    os.makedirs(os.path.join(state, "v-orphandeadbeef"))
+    removed = inc.vacuum_state(state, keep=2)
+    assert removed == 2  # v0 snapshot + orphan
+    assert len(inc.state_versions(state)) == 2
+    # retained versions still read; current unchanged
+    assert {r["k"] for r in inc.read_cdc_state(spark, state).collect()} == {2}
+    assert {
+        r["k"] for r in inc.read_cdc_state_version(spark, state, 0).collect()
+    } == {1, 2}  # old index 1 is the new index 0 after log rewrite
