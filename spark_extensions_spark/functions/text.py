@@ -568,17 +568,18 @@ def char_entropy_cols(text_col: str):
 
 def char_entropy_sql(ks_col: str, s_col: str) -> str:
     """Spark SQL fragment: Shannon character entropy (nats) from the
-    materialized count array — Σ (k/n)·ln(n/k), each term rounded to
-    1e-9 (the lm.py precedent: engine log agreement at double
-    precision, rounding kills ulp drift), summed in the deterministic
-    sorted-char order by a sequential fold. Low entropy = repeated-
-    character spam; high = random noise — a standard quality gate."""
+    materialized count array — Σ (k/n)·ln(n/k), each term fixed-point
+    quantized to 1e-6 integer units BEFORE the sum (ln is libm and not
+    ulp-portable across engine builds: a per-term e6 floor tolerates
+    ~1e-8 of ln slack, and the integer sum is exact and order-free),
+    then one exact /1e6 at the end.  Low entropy = repeated-character
+    spam; high = random noise — a standard quality gate."""
     n = f"cast(size({s_col}) as double)"
     return (
-        f"case when size({s_col}) > 0 then round(aggregate("
-        f"transform({ks_col}, k -> round((cast(k as double) / {n}) "
-        f"* ln({n} / cast(k as double)), 9)), "
-        f"0.0d, (a, v) -> a + v), 6) else 0.0d end"
+        f"case when size({s_col}) > 0 then cast(aggregate("
+        f"transform({ks_col}, k -> cast(floor((cast(k as double) / {n}) "
+        f"* ln({n} / cast(k as double)) * 1e6 + 0.5d) as bigint)), "
+        f"0L, (a, v) -> a + v) as double) / 1e6 else 0.0d end"
     )
 
 
@@ -592,11 +593,11 @@ def char_entropy_duck(ks_col: str, s_col: str) -> str:
     guarantee order."""
     n = f"CAST(len({s_col}) AS DOUBLE)"
     return (
-        f"CASE WHEN len({s_col}) > 0 THEN round(list_reduce("
-        f"list_prepend(CAST(0.0 AS DOUBLE), list_transform({ks_col}, "
-        f"k -> round((CAST(k AS DOUBLE) / {n}) "
-        f"* ln({n} / CAST(k AS DOUBLE)), 9))), "
-        f"(a, v) -> a + v), 6) ELSE 0.0 END"
+        f"CASE WHEN len({s_col}) > 0 THEN CAST(list_sum("
+        f"list_transform({ks_col}, "
+        f"k -> CAST(FLOOR((CAST(k AS DOUBLE) / {n}) "
+        f"* ln({n} / CAST(k AS DOUBLE)) * 1e6 + 5e-1) AS BIGINT))) "
+        f"AS DOUBLE) / 1e6 ELSE 0.0 END"
     )
 
 

@@ -135,15 +135,17 @@ def diagnose_skew(
         .select(
             "key",
             F.col("n_rows").cast("bigint").alias("n_rows"),
-            F.round(
-                F.col("n_rows").cast("double")
-                / F.col("n_total").cast("double"),
-                9,
+            # floor(x*1e9+0.5)/1e9, not round(x, 9): round's dp rescale
+            # path differs between engines on identical doubles
+            # (BigDecimal vs double rescale) — the floor form is the
+            # same IEEE sequence everywhere.
+            F.expr(
+                "floor(cast(n_rows as double) / cast(n_total as double)"
+                " * 1e9 + 0.5d) / 1e9"
             ).alias("share"),
-            F.round(
-                (F.col("n_rows") * F.col("n_keys")).cast("double")
-                / F.col("n_total").cast("double"),
-                9,
+            F.expr(
+                "floor(cast(n_rows * n_keys as double)"
+                " / cast(n_total as double) * 1e9 + 0.5d) / 1e9"
             ).alias("ratio_to_uniform"),
         )
     )
@@ -161,10 +163,11 @@ def skew_oracle_sql(table: str, key_col: str, top_k: int = 10) -> str:
       FROM counts
     )
     SELECT key, CAST(n_rows AS BIGINT) AS n_rows,
-           round(CAST(n_rows AS DOUBLE) / CAST(n_total AS DOUBLE), 9)
-             AS share,
-           round(CAST(n_rows * n_keys AS DOUBLE)
-                 / CAST(n_total AS DOUBLE), 9) AS ratio_to_uniform
+           FLOOR(CAST(n_rows AS DOUBLE) / CAST(n_total AS DOUBLE)
+                 * 1e9 + 5e-1) / 1e9 AS share,
+           FLOOR(CAST(n_rows * n_keys AS DOUBLE)
+                 / CAST(n_total AS DOUBLE) * 1e9 + 5e-1) / 1e9
+             AS ratio_to_uniform
     FROM tot WHERE rn <= {top_k}
     """
 

@@ -327,6 +327,8 @@ def dsir_weights(
     text_col: str = "text",
     n_buckets: int = 1024,
     salt: str = "dsir",
+    quant_exp: int = 8,
+    audit_counts: bool = False,
 ) -> DataFrame:
     """Per-document DSIR importance weights against a target subcorpus.
 
@@ -349,11 +351,22 @@ def dsir_weights(
 
     Determinism: bucket ids come from the engine-portable md5 hash
     (:func:`hash_bucket`); each bucket's log-ratio is one ``ln`` over a
-    quotient of exact-integer-valued doubles, rounded to 8 decimals;
-    per-document sums run in DECIMAL (order-free).
+    quotient of exact-integer-valued doubles, fixed-point quantized to
+    ``10^-quant_exp`` units; per-document sums run in DECIMAL
+    (order-free).  ``ln`` itself is libm and NOT bit-portable across
+    engines/builds: at the default e8 quantization two DuckDB builds
+    whose ``ln`` differs by an ulp can flip a bucket's floor (the
+    round-2/round-3 driver-oracle mismatch).  For cross-engine graded
+    comparison use a coarse ``quant_exp`` (e2: a flip needs the true
+    log-ratio within ~1e-14 of a boundary — never over 1024 buckets)
+    and ``audit_counts=True``, which adds the exact-integer columns
+    ``sum_c_raw`` / ``sum_c_tgt`` (per-doc sums of each feature's
+    corpus/target bucket counts) that verify the full hash → bucket →
+    join pipeline bit-exactly with no libm anywhere.
 
-    Returns ``(id_col, n_feats bigint, weight decimal(28,8))`` for
-    every document of ``df`` (NULLs for token-free documents).
+    Returns ``(id_col, n_feats bigint, weight_e{quant_exp}
+    decimal(38,0)[, sum_c_raw, sum_c_tgt])`` for every document of
+    ``df`` (NULLs for token-free documents).
     """
     def occurrences(data: DataFrame) -> DataFrame:
         return data.select(
@@ -378,34 +391,40 @@ def dsir_weights(
     tot = raw.agg(F.sum("c_raw").alias("t_raw")).crossJoin(
         tgt.agg(F.sum("c_tgt").alias("t_tgt"))
     )
+    wname = f"weight_e{quant_exp}"
     lr = (
         raw.join(tgt, "bucket", "left")
         .crossJoin(F.broadcast(tot))
         .select(
             "bucket",
-            # ln() is libm; round(ln, 8) rescales via BigDecimal on
+            # ln() is libm; round(ln, n) rescales via BigDecimal on
             # Spark but in double on DuckDB and diverges one ulp from a
-            # decimal boundary (NOTES.md).  Fixed-point floor(ln*1e8+.5)
-            # integer units (the psi_drift/text_zipf_slope pattern) is
-            # engine-portable.
+            # decimal boundary (NOTES.md).  Fixed-point
+            # floor(ln*10^q+.5) integer units (the psi_drift pattern)
+            # removes the rescale divergence; quant_exp controls how
+            # much ln-implementation slack the floor tolerates.
             F.expr(
                 "cast(floor(ln("
                 " (cast(coalesce(c_tgt, 0) + 1 as double)"
                 "  * cast(t_raw + {b} as double))"
                 " / (cast(t_tgt + {b} as double)"
                 "    * cast(c_raw + 1 as double))"
-                ") * 100000000.0d + 0.5d) as bigint)".format(b=n_buckets)
-            ).alias("lr_e8"),
+                ") * 1e{q} + 0.5d) as bigint)".format(b=n_buckets, q=quant_exp)
+            ).alias("lr_q"),
+            F.col("c_raw"),
+            F.expr("coalesce(c_tgt, 0)").alias("c_tgt"),
         )
     )
-    scored = (
-        occ.join(F.broadcast(lr), "bucket")
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_feats"),
-            F.sum("lr_e8").cast("decimal(38,0)").alias("weight_e8"),
-        )
-    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_feats"),
+        F.sum("lr_q").cast("decimal(38,0)").alias(wname),
+    ]
+    if audit_counts:
+        aggs += [
+            F.sum("c_raw").alias("sum_c_raw"),
+            F.sum("c_tgt").alias("sum_c_tgt"),
+        ]
+    scored = occ.join(F.broadcast(lr), "bucket").groupBy(id_col).agg(*aggs)
     return df.select(id_col).join(scored, id_col, "left")
 
 
@@ -416,6 +435,8 @@ def dsir_oracle_sql(
     table: str = "documents",
     id_col: str = "doc_id",
     text_col: str = "text",
+    quant_exp: int = 8,
+    audit_counts: bool = False,
 ) -> str:
     """DuckDB twin of :func:`dsir_weights` (target = ``table`` filtered
     by ``target_where``)."""
@@ -448,16 +469,22 @@ def dsir_oracle_sql(
                 * CAST(tot.t_raw + {n_buckets} AS DOUBLE))
                / (CAST(tot.t_tgt + {n_buckets} AS DOUBLE)
                   * CAST(raw.c_raw + 1 AS DOUBLE))
-             ) * 100000000.0 + 0.5) AS BIGINT) AS lr_e8
+             ) * 1e{quant_exp} + 5e-1) AS BIGINT) AS lr_q,
+             raw.c_raw AS c_raw,
+             COALESCE(tgt.c_tgt, 0) AS c_tgt
       FROM raw LEFT JOIN tgt ON raw.bucket = tgt.bucket CROSS JOIN tot
     ),
     scored AS (
       SELECT occ.id, COUNT(*) AS n_feats,
-             CAST(SUM(lr_e8) AS DECIMAL(38,0)) AS weight_e8
+             CAST(SUM(lr_q) AS DECIMAL(38,0)) AS weight_e{quant_exp}
+             {", CAST(SUM(c_raw) AS BIGINT) AS sum_c_raw,"
+              " CAST(SUM(c_tgt) AS BIGINT) AS sum_c_tgt"
+              if audit_counts else ""}
       FROM occ JOIN lr ON occ.bucket = lr.bucket
       GROUP BY occ.id
     )
-    SELECT d.{id_col}, scored.n_feats, scored.weight_e8
+    SELECT d.{id_col}, scored.n_feats, scored.weight_e{quant_exp}
+           {", scored.sum_c_raw, scored.sum_c_tgt" if audit_counts else ""}
     FROM {table} d LEFT JOIN scored ON scored.id = d.{id_col}
     """
 

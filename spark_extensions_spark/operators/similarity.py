@@ -354,21 +354,29 @@ def quantize_oracle_sql(
     vec_col: str = "embedding",
     bits_max: int = 127,
 ) -> str:
-    """DuckDB twin of :func:`quantize_embeddings` (same FP sequence)."""
+    """DuckDB twin of :func:`quantize_embeddings` (same FP sequence).
+
+    Every numeric literal is written in e-notation so DuckDB parses it
+    as DOUBLE: plain ``127.0`` / ``1000000000000000000.0`` literals
+    parse as DECIMAL, and the DOUBLE x DECIMAL promotion path is not
+    stable across DuckDB versions (the round-3 driver-oracle hash
+    mismatch).  e-notation pins every op to pure IEEE double — the
+    identical sequence Spark runs.
+    """
     m = float(bits_max)
     xd = f"list_transform({vec_col}, x -> CAST(x AS DOUBLE))"
     amax = f"list_max(list_transform({vec_col}, x -> ABS(CAST(x AS DOUBLE))))"
     return f"""
     WITH base AS (
       SELECT {id_col} AS id, LEN({vec_col}) AS n_dims,
-             GREATEST({amax}, 1e-30) / {m} AS scale,
+             GREATEST({amax}, 1e-30) / {m:e} AS scale,
              {xd} AS xd
       FROM {table}
     ),
     qz AS (
       SELECT id, n_dims, scale,
              list_transform(xd, x -> CAST(GREATEST(LEAST(
-               FLOOR(x / scale + 0.5), {m}), {-m}) AS INT)) AS q,
+               FLOOR(x / scale + 5e-1), {m:e}), {-m:e}) AS INT)) AS q,
              xd
       FROM base
     ),
@@ -383,7 +391,7 @@ def quantize_oracle_sql(
     ),
     agg AS (
       SELECT id, MAX(ABS(ev)) AS max_abs_err,
-             SUM(CAST(FLOOR(ev * ev * 1000000000000000000.0 + 0.5)
+             SUM(CAST(FLOOR(ev * ev * 1e18 + 5e-1)
                       AS DECIMAL(38,0))) AS sse_e18
       FROM per_dim GROUP BY id
     )

@@ -516,11 +516,15 @@ def group_moments(
         F.sum(xd * xd * xd * xd).cast("double").alias("s4"),
     )
     e = _moment_formulas()
+    # fixed-point floor, not round(x, 6): the inputs are bit-identical
+    # doubles on both engines, but round's 6-dp rescale path is not
+    # (BigDecimal exact expansion on Spark, double rescale on DuckDB) —
+    # floor(x*1e6+0.5)/1e6 is the identical IEEE sequence everywhere.
     return sums.select(
         "grp",
         F.col("n").cast("bigint").alias("n"),
-        F.round(F.expr(e["skew"]), 6).alias("skew"),
-        F.round(F.expr(e["kurt"]), 6).alias("kurt"),
+        F.expr(f"floor(({e['skew']}) * 1e6 + 0.5d) / 1e6").alias("skew"),
+        F.expr(f"floor(({e['kurt']}) * 1e6 + 0.5d) / 1e6").alias("kurt"),
     )
 
 
@@ -540,8 +544,8 @@ def moments_oracle_sql(
       FROM {table} GROUP BY 1
     )
     SELECT grp, CAST(n AS BIGINT) AS n,
-           round({e['skew']}, 6) AS skew,
-           round({e['kurt']}, 6) AS kurt
+           FLOOR(({e['skew']}) * 1e6 + 5e-1) / 1e6 AS skew,
+           FLOOR(({e['kurt']}) * 1e6 + 5e-1) / 1e6 AS kurt
     FROM sums
     """
 

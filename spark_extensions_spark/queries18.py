@@ -182,17 +182,27 @@ _DSIR_TARGET = "t.lang = 'en'"
 
 @_register(
     "sample_dsir",
-    dsir_oracle_sql(_DSIR_TARGET, n_buckets=1024, salt="dsir"),
+    dsir_oracle_sql(
+        _DSIR_TARGET, n_buckets=1024, salt="dsir", quant_exp=2,
+        audit_counts=True,
+    ),
     doc="DSIR importance weights (operators/sampling.py:dsir_weights; "
     "Xie et al. 2023): hashed word uni+bigram bucket distributions for "
     "corpus vs the lang='en' target, per-doc Σ log-ratio over a "
     "broadcast 1024-row table. Row-local features, two hash "
-    "aggregates, one broadcast join — no classifier, no driver state.",
+    "aggregates, one broadcast join — no classifier, no driver state. "
+    "Graded at e2 log-ratio quantization (ln is libm and not "
+    "ulp-portable across engine builds — e8 flipped a bucket floor in "
+    "rounds 2-3) plus the exact-integer sum_c_raw/sum_c_tgt audit "
+    "columns, which pin the hash→bucket→join pipeline with no libm.",
 )
 def q_sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")["documents"]
     target = docs.filter(F.col("lang") == "en")
-    return dsir_weights(docs, target, "doc_id", "text", n_buckets=1024)
+    return dsir_weights(
+        docs, target, "doc_id", "text", n_buckets=1024, quant_exp=2,
+        audit_counts=True,
+    )
 
 
 # =====================================================================
@@ -203,10 +213,18 @@ def q_sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_quantize",
     # The graded surface serializes q as CSV: the driver canonicalizer
     # (pandas sort_values over all columns) dies on list-typed cells.
-    # The array-typed API stays on quantize_embeddings itself.
+    # The array-typed API stays on quantize_embeddings itself.  The
+    # two double columns (scale, max_abs_err) are emitted as e12
+    # fixed-point BIGINTs like sse_e18: the doubles are bit-identical
+    # by construction (pure IEEE ops), but integer cells also hash
+    # identically regardless of the driver's double-formatting path.
     f"""
-    SELECT vec_id, n_dims, scale, array_to_string(q, ',') AS q_csv,
-           max_abs_err, sse_e18
+    SELECT vec_id, n_dims,
+           CAST(FLOOR(scale * 1e12 + 5e-1) AS BIGINT) AS scale_e12,
+           array_to_string(q, ',') AS q_csv,
+           CAST(FLOOR(max_abs_err * 1e12 + 5e-1) AS BIGINT)
+             AS max_abs_err_e12,
+           sse_e18
     FROM ({quantize_oracle_sql()}) t
     """,
     doc="Symmetric per-vector int8 quantization with reconstruction "
@@ -215,13 +233,24 @@ def q_sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     "errors are pure IEEE double arithmetic (no libm), SSE accumulates "
     "in DECIMAL — bit-exact vs the DuckDB twin. The int8 codes are "
     "CSV-serialized in the graded query (driver canonicalizer cannot "
-    "hash array cells); the operator API keeps the array column.",
+    "hash array cells) and the double audit columns are e12 "
+    "fixed-point integers; the operator API keeps the array + double "
+    "columns.",
 )
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")["embeddings"]
     out = quantize_embeddings(emb, "vec_id", "embedding")
-    return out.withColumn(
-        "q_csv", F.expr("array_join(q, ',')")
-    ).select("vec_id", "n_dims", "scale", "q_csv", "max_abs_err", "sse_e18")
+    return out.select(
+        "vec_id",
+        "n_dims",
+        F.expr("cast(floor(scale * 1e12 + 0.5d) as bigint)").alias(
+            "scale_e12"
+        ),
+        F.expr("array_join(q, ',')").alias("q_csv"),
+        F.expr("cast(floor(max_abs_err * 1e12 + 0.5d) as bigint)").alias(
+            "max_abs_err_e12"
+        ),
+        "sse_e18",
+    )
 
 from spark_extensions_spark import queries19  # noqa: E402,F401  (registration side effect)

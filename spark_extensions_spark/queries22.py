@@ -136,13 +136,17 @@ def _fs_weight(m: float, u: float) -> tuple[str, str]:
 
 
 def _fs_score_sql() -> str:
+    # floor(x*1e9+0.5)/1e9, not round(x, 9): this string is shared by
+    # the Spark query (F.expr) and the DuckDB oracle, but round's dp
+    # rescale differs between engines on identical doubles — the floor
+    # form runs the identical IEEE sequence in both.
     terms = []
     for field, (m, u) in _FS_FIELDS.items():
         w_a, w_d = _fs_weight(m, u)
         terms.append(
             f"(CASE WHEN agree_{field} THEN {w_a} ELSE {w_d} END)"
         )
-    return "round(" + " + ".join(terms) + ", 9)"
+    return "floor((" + " + ".join(terms) + ") * 1e9 + 5e-1) / 1e9"
 
 
 @_register(

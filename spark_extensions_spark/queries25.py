@@ -126,7 +126,7 @@ def q_arrow_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(date_trunc('day', pts) AS DATE) AS day,
            CAST(COUNT(*) AS BIGINT) AS n_purchases,
            CAST(COUNT(click_id) AS BIGINT) AS n_attributed,
-           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+           CAST(SUM(CAST(FLOOR(value * 1e2 + 5e-1) AS BIGINT))
                 FILTER (click_id IS NOT NULL) AS BIGINT)
              AS attributed_cents
     FROM att GROUP BY 1
@@ -171,7 +171,12 @@ def q_analytic_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.when(
                 F.col("cid").isNotNull(),
-                F.round(F.col("value") * 100).cast("bigint"),
+                # floor(x*100+0.5), not round(x*100): ROUND-to-integer
+                # on a double is implementation-defined one ulp below a
+                # .5 boundary (BigDecimal half-up on Spark vs double
+                # floor(x+.5) paths elsewhere); the explicit floor is
+                # the identical IEEE sequence on every engine.
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"),
             )
         )
         .cast("bigint")

@@ -242,8 +242,10 @@ def _dup_ngram_oracle() -> str:
       FROM documents
     )
     SELECT doc_id,
-           round({dup_chars_from_sorted_duck('s2', 'text')}, 6) AS dup2_frac,
-           round({dup_chars_from_sorted_duck('s3', 'text')}, 6) AS dup3_frac
+           FLOOR(({dup_chars_from_sorted_duck('s2', 'text')})
+                 * 1e6 + 5e-1) / 1e6 AS dup2_frac,
+           FLOOR(({dup_chars_from_sorted_duck('s3', 'text')})
+                 * 1e6 + 5e-1) / 1e6 AS dup3_frac
     FROM g
     """
 
@@ -273,13 +275,17 @@ def q_text_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = docs.withColumn(
         "s2", F.sort_array(F.expr(word_ngrams_sql("text", 2)))
     ).withColumn("s3", F.sort_array(F.expr(word_ngrams_sql("text", 3))))
+    # floor(x*1e6+0.5)/1e6, not round(x, 6): round's dp rescale path
+    # differs between engines on identical doubles (NOTES round() seam)
     return g.select(
         "doc_id",
-        F.round(
-            F.expr(dup_chars_from_sorted_sql("s2", "text")), 6
+        F.expr(
+            f"floor(({dup_chars_from_sorted_sql('s2', 'text')})"
+            " * 1e6 + 0.5d) / 1e6"
         ).alias("dup2_frac"),
-        F.round(
-            F.expr(dup_chars_from_sorted_sql("s3", "text")), 6
+        F.expr(
+            f"floor(({dup_chars_from_sorted_sql('s3', 'text')})"
+            " * 1e6 + 0.5d) / 1e6"
         ).alias("dup3_frac"),
     )
 
@@ -1111,7 +1117,7 @@ def _jl_project_oracle(out_dim: int = 16, dim: int = 64) -> str:
     )
     SELECT vec_id,
            array_to_string(list_transform({arr},
-             v -> CAST(CAST(round(v, 9) AS DECIMAL(20,9)) AS VARCHAR)), ',') AS projected_csv
+             v -> CAST(CAST(FLOOR(v * 1e9 + 5e-1) / 1e9 AS DECIMAL(20,9)) AS VARCHAR)), ',') AS projected_csv
     FROM q
     """
 
@@ -1141,7 +1147,7 @@ def q_embedding_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.expr(
             "array_join(transform(projected, "
-            "v -> cast(cast(round(v, 9) as decimal(20,9)) as string)), ',')"
+            "v -> cast(cast(floor(v * 1e9 + 0.5d) / 1e9 as decimal(20,9)) as string)), ',')"
         ).alias("projected_csv"),
     )
 
@@ -1156,7 +1162,7 @@ def _hash_embedding_oracle(dim: int = 64) -> str:
     cnt AS (SELECT doc_id, {counts} AS __cnt FROM hb)
     SELECT doc_id,
            array_to_string(list_transform({vec},
-             v -> CAST(CAST(round(v, 9) AS DECIMAL(20,9)) AS VARCHAR)),
+             v -> CAST(CAST(FLOOR(v * 1e9 + 5e-1) / 1e9 AS DECIMAL(20,9)) AS VARCHAR)),
              ',') AS embedding_csv
     FROM cnt
     """
@@ -1198,7 +1204,7 @@ def q_text_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "array_join(transform("
             + hash_embedding_sql("__cnt")
-            + ", v -> cast(cast(round(v, 9) as decimal(20,9)) as string)), ',')"
+            + ", v -> cast(cast(floor(v * 1e9 + 0.5d) / 1e9 as decimal(20,9)) as string)), ',')"
         ).alias("embedding_csv"),
     )
 
