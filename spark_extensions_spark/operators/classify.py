@@ -113,7 +113,11 @@ def nb_predict(
     model: dict[str, DataFrame], df: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:
     """Classify; returns (id, label, score_e6) with exactly one row per
-    input document (argmax with class-name tie-break)."""
+    input document (argmax with class-name tie-break).  Documents whose
+    text tokenizes to zero tokens never reach the token join, so they
+    are re-attached by a left join and fall back to the argmax of the
+    class priors alone (the likelihood sum over an empty feature set is
+    0) — the contract stays one row per input document."""
     toks = _token_counts(df, id_col, text_col)
     classes = model["priors"]
     scored = (
@@ -132,10 +136,24 @@ def nb_predict(
     best = scored.groupBy(id_col).agg(
         F.max(F.struct("score_e6", "label")).alias("__b")
     )
-    return best.select(
-        id_col,
-        F.col("__b.label").alias("label"),
-        F.col("__b.score_e6").cast("bigint").alias("score_e6"),
+    prior_best = classes.agg(
+        F.max(
+            F.struct(F.col("prior_e6").alias("score_e6"), F.col("label"))
+        ).alias("__fb")
+    )
+    return (
+        df.select(id_col)
+        .join(best, id_col, "left")
+        .crossJoin(F.broadcast(prior_best))
+        .select(
+            id_col,
+            F.coalesce(F.col("__b.label"), F.col("__fb.label")).alias(
+                "label"
+            ),
+            F.coalesce(F.col("__b.score_e6"), F.col("__fb.score_e6"))
+            .cast("bigint")
+            .alias("score_e6"),
+        )
     )
 
 
@@ -195,11 +213,15 @@ def nb_classify_oracle_sql(
              ROW_NUMBER() OVER (PARTITION BY {id_col}
                                 ORDER BY score_e6 DESC, label DESC) AS rn
       FROM scored
+    ), prior_best AS (
+      SELECT label, prior_e6 FROM priors
+      ORDER BY prior_e6 DESC, label DESC LIMIT 1
     )
-    SELECT b.{id_col},
-           b.label AS pred_label,
-           b.score_e6,
-           (b.label = d.{label_col}) AS is_correct
-    FROM best b JOIN {table} d USING ({id_col})
-    WHERE b.rn = 1
+    SELECT d.{id_col},
+           COALESCE(b.label, pb.label) AS pred_label,
+           COALESCE(b.score_e6, pb.prior_e6) AS score_e6,
+           (COALESCE(b.label, pb.label) = d.{label_col}) AS is_correct
+    FROM {table} d
+    LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING ({id_col})
+    CROSS JOIN prior_best pb
     """

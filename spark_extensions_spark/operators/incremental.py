@@ -57,12 +57,17 @@ def snapshot_diff(
     """
     if compare_cols is None:
         compare_cols = [c for c in old.columns if c not in keys]
-    o = old.alias("o")
-    n = new.alias("n")
+    # Side presence is detected via a non-nullable marker column, not
+    # keys[0].isNotNull(): the join is eqNullSafe (NULL business keys
+    # are legal), so a null-keyed row present on both sides would
+    # otherwise read as present on neither and a changed row would be
+    # tagged 'D' instead of 'U'.
+    o = old.withColumn("__has_o", F.lit(True)).alias("o")
+    n = new.withColumn("__has_n", F.lit(True)).alias("n")
     cond = [F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}")) for k in keys]
     joined = o.join(n, cond, "full_outer")
-    has_old = F.col(f"o.{keys[0]}").isNotNull()
-    has_new = F.col(f"n.{keys[0]}").isNotNull()
+    has_old = F.col("o.__has_o").isNotNull()
+    has_new = F.col("n.__has_n").isNotNull()
     change = (
         F.when(has_old & has_new, F.lit("U"))
         .when(has_new, F.lit("I"))
@@ -134,13 +139,15 @@ def scd2_apply(
     closed = history.filter(~F.col(is_current)).select(*out_cols)
     open_rows = history.filter(F.col(is_current)).select(*out_cols)
 
-    t = open_rows.alias("t")
-    s = snapshot.alias("s")
+    # non-nullable presence markers: keys may legally be NULL under the
+    # eqNullSafe join (see snapshot_diff)
+    t = open_rows.withColumn("__has_t", F.lit(True)).alias("t")
+    s = snapshot.withColumn("__has_s", F.lit(True)).alias("s")
     cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in keys]
     joined = t.join(s, cond, "full_outer")
 
-    has_t = F.col(f"t.{keys[0]}").isNotNull()
-    has_s = F.col(f"s.{keys[0]}").isNotNull()
+    has_t = F.col("t.__has_t").isNotNull()
+    has_s = F.col("s.__has_s").isNotNull()
     changed = _any_changed("t", "s", tracked)
 
     def _row(side: str, vfrom: Column, vto: Column, cur: Column) -> Column:
@@ -244,13 +251,15 @@ def scd2_apply_changes(
     closed = history.filter(~F.col(is_current)).select(*out_cols)
     open_rows = history.filter(F.col(is_current)).select(*out_cols)
 
-    t = open_rows.alias("t")
-    c = changes.alias("c")
+    # non-nullable presence markers: keys may legally be NULL under the
+    # eqNullSafe join (see snapshot_diff)
+    t = open_rows.withColumn("__has_t", F.lit(True)).alias("t")
+    c = changes.withColumn("__has_c", F.lit(True)).alias("c")
     cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"c.{k}")) for k in keys]
     joined = t.join(c, cond, "full_outer")
 
-    has_t = F.col(f"t.{keys[0]}").isNotNull()
-    has_c = F.col(f"c.{keys[0]}").isNotNull()
+    has_t = F.col("t.__has_t").isNotNull()
+    has_c = F.col("c.__has_c").isNotNull()
     is_del = F.col(f"c.{op_col}") == "D"
     changed = _any_changed("t", "c", tracked)
 

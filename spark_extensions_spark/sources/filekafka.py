@@ -66,7 +66,9 @@ KAFKA_SCHEMA_DDL = (
     "offset bigint, timestamp timestamp, timestampType int"
 )
 
-_SEG_RE = re.compile(r"^seg-(\d{20})-(\d{20})\.parquet$")
+# optional -b<batchId> tag: streaming-sink segments carry the batch id
+# that published them, making replayed micro-batch commits idempotent
+_SEG_RE = re.compile(r"^seg-(\d{20})-(\d{20})(?:-b(\d{20}))?\.parquet$")
 
 
 def murmur2(data: bytes) -> int:
@@ -163,9 +165,37 @@ def list_segments(root: str, topic: str, pid: int) -> list[tuple[int, int, str]]
     return out
 
 
+def _watermark_path(root: str, topic: str, pid: int) -> str:
+    return os.path.join(_partition_dir(root, topic, pid), "_next-offset")
+
+
+def _read_watermark(root: str, topic: str, pid: int) -> int:
+    try:
+        with open(_watermark_path(root, topic, pid)) as f:
+            return int(f.read().strip() or 0)
+    except (OSError, ValueError):
+        return 0
+
+
+def _bump_watermark(root: str, topic: str, pid: int, value: int) -> None:
+    """Monotonically raise the partition's next-offset watermark
+    (tmp + rename). The watermark survives retention truncation, so a
+    partition whose every segment was deleted keeps assigning offsets
+    where it left off — Kafka never reuses offsets."""
+    if value <= _read_watermark(root, topic, pid):
+        return
+    path = _watermark_path(root, topic, pid)
+    tmp = f"{path}.tmp-{os.getpid()}"
+    with open(tmp, "w") as f:
+        f.write(str(value))
+    os.replace(tmp, path)
+
+
 def partition_end_offset(root: str, topic: str, pid: int) -> int:
     segs = list_segments(root, topic, pid)
-    return segs[-1][1] if segs else 0
+    seg_end = segs[-1][1] if segs else 0
+    # the watermark wins when truncation deleted the tail segments
+    return max(seg_end, _read_watermark(root, topic, pid))
 
 
 def end_offsets(root: str, topic: str) -> dict[int, int]:
@@ -174,10 +204,20 @@ def end_offsets(root: str, topic: str) -> dict[int, int]:
 
 
 def _write_segment(
-    root: str, topic: str, pid: int, base: int, keys, values, ts_us
+    root: str,
+    topic: str,
+    pid: int,
+    base: int,
+    keys,
+    values,
+    ts_us,
+    batch_id: int | None = None,
 ) -> int:
     """Publish one immutable segment atomically (write temp + rename);
-    returns the new end offset. Caller owns offset-range exclusivity."""
+    returns the new end offset. Caller owns offset-range exclusivity.
+    ``batch_id`` tags the filename (streaming-sink idempotence); the
+    partition's next-offset watermark is bumped after publish so
+    retention truncation can never rewind offset assignment."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -193,10 +233,14 @@ def _write_segment(
         }
     )
     pdir = _partition_dir(root, topic, pid)
-    final = os.path.join(pdir, f"seg-{base:020d}-{base + n:020d}.parquet")
+    tag = "" if batch_id is None else f"-b{batch_id:020d}"
+    final = os.path.join(
+        pdir, f"seg-{base:020d}-{base + n:020d}{tag}.parquet"
+    )
     tmp = os.path.join(pdir, f".tmp-{base:020d}-{os.getpid()}.parquet")
     pq.write_table(table, tmp)
     os.replace(tmp, final)
+    _bump_watermark(root, topic, pid, base + n)
     return base + n
 
 
@@ -488,9 +532,18 @@ def truncate_before(root: str, topic: str, offsets: dict[int, int]) -> int:
     entirely below the retained offset for its partition (whole-segment
     granularity, like Kafka's time/size retention). Readers resolve
     ``earliest`` from the surviving segments, so a truncated log starts
-    at the retention floor, not 0. Returns segments deleted."""
+    at the retention floor, not 0. Returns segments deleted.
+
+    Offset continuity: the per-partition next-offset watermark is
+    raised to the current end before anything is deleted, so even when
+    truncation removes EVERY segment of a partition the next produce
+    continues from the old end — offsets are never reused (Kafka's
+    log-start/log-end invariant)."""
     deleted = 0
     for pid, keep_from in offsets.items():
+        _bump_watermark(
+            root, topic, pid, partition_end_offset(root, topic, pid)
+        )
         for s, e, path in list_segments(root, topic, pid):
             if e <= keep_from:
                 try:
@@ -574,7 +627,20 @@ class _FileKafkaStreamReader(DataSourceStreamReader):
     """Micro-batch planner over the topic log: offsets are
     ``{pid: next_offset}`` dicts (the same shape Kafka checkpoints);
     each batch reads [start, latest) per partition, optionally capped
-    by maxOffsetsPerTrigger (spread across lagging partitions)."""
+    by maxOffsetsPerTrigger (budget spread fairly, smallest lag first,
+    so leftover budget flows to the laggards).
+
+    ``groupId`` (Kafka's consumer-group concept) persists each planned
+    batch end to ``<topic>/_groups/<groupId>.json``. After a restart
+    from checkpoint Spark calls ``latestOffset()`` without
+    ``initialOffset()``, so the reader's position is unknown and the
+    maxOffsetsPerTrigger cap cannot be applied to the first recovery
+    batch — unless a group id is set, in which case the position is
+    re-seeded from the group file and the cap holds across restarts.
+    The file records the PLANNED end at latestOffset time (max-merged,
+    never regressing), which is always >= any offset Spark's offset log
+    can hold — so a recovered cap base can never fall below the
+    checkpoint start and re-plan already-processed offsets."""
 
     def __init__(self, options):
         self.root = options["path"]
@@ -585,7 +651,13 @@ class _FileKafkaStreamReader(DataSourceStreamReader):
         self.slice_size = int(
             options.get("slicesize", DEFAULT_SLICE_SIZE)
         )
+        self.group = options.get("groupid")
         self._pos: dict[int, int] | None = None
+
+    def _group_path(self) -> str:
+        return os.path.join(
+            _topic_dir(self.root, self.topic), "_groups", f"{self.group}.json"
+        )
 
     def initialOffset(self):
         ends = end_offsets(self.root, self.topic)
@@ -595,11 +667,22 @@ class _FileKafkaStreamReader(DataSourceStreamReader):
 
     def latestOffset(self):
         ends = end_offsets(self.root, self.topic)
+        if self._pos is None and self.group is not None:
+            # restart path: recover the position from the group file so
+            # the per-trigger cap applies to the first recovery batch
+            try:
+                with open(self._group_path()) as f:
+                    self._pos = {
+                        int(k): int(v) for k, v in json.load(f).items()
+                    }
+            except (OSError, ValueError):
+                pass
         if self.max_per_trigger is not None and self._pos is not None:
             budget = self.max_per_trigger
             capped = {}
             lagging = sorted(
-                (pid, ends[pid] - self._pos.get(pid, 0)) for pid in ends
+                ((pid, ends[pid] - self._pos.get(pid, 0)) for pid in ends),
+                key=lambda t: (t[1], t[0]),
             )
             remaining = [p for p, lag in lagging if lag > 0]
             for i, pid in enumerate(remaining):
@@ -611,13 +694,38 @@ class _FileKafkaStreamReader(DataSourceStreamReader):
                 capped.setdefault(pid, self._pos.get(pid, 0))
             ends = capped
         self._pos = dict(ends)
+        if self.group is not None:
+            self._save_group_pos(self._pos)
         return {str(pid): off for pid, off in ends.items()}
+
+    def _save_group_pos(self, pos: dict[int, int]) -> None:
+        """Persist the planned position, max-merged with the existing
+        file so concurrent/late writers can only advance it."""
+        path = self._group_path()
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        merged = dict(pos)
+        try:
+            with open(path) as f:
+                for k, v in json.load(f).items():
+                    k = int(k)
+                    merged[k] = max(merged.get(k, 0), int(v))
+        except (OSError, ValueError):
+            pass
+        tmp = f"{path}.tmp-{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump({str(k): int(v) for k, v in merged.items()}, f)
+        os.replace(tmp, path)
 
     def partitions(self, start, end):
         s = {int(k): int(v) for k, v in start.items()}
         e = {int(k): int(v) for k, v in end.items()}
         for pid in e:
             s.setdefault(pid, 0)  # partition first seen this batch
+        # keep the planner position at least at the batch start — on a
+        # group-less restart this re-seeds the cap base for batch 2+
+        if self._pos is not None:
+            for pid, v in s.items():
+                self._pos[pid] = max(self._pos.get(pid, 0), v)
         return _plan_slices(
             self.root, self.topic, s, e, self.slice_size
         ) or [_SegmentSlice(self.topic, 0, "", 0, 0)]
@@ -628,6 +736,10 @@ class _FileKafkaStreamReader(DataSourceStreamReader):
         return _read_slice(partition)
 
     def commit(self, end):
+        # group position is persisted at latestOffset (planning) time:
+        # writing the COMMITTED end here could race a newer planned end
+        # and regress the file below Spark's offset log, which on
+        # recovery would re-plan already-processed offsets
         pass
 
 
@@ -682,13 +794,61 @@ def _stage_rows(root, topic, num_partitions, task_id, rows):
     return staged
 
 
-def _publish_staged(root, topic, staged_by_pid):
+def _commit_marker_path(root, topic, pid, batch_id) -> str:
+    return os.path.join(
+        _topic_dir(root, topic), "_commits", f"b{batch_id:020d}-p{pid}"
+    )
+
+
+def _batch_published(root, topic, pid, batch_id) -> bool:
+    """Has streaming batch ``batch_id`` already published to ``pid``?
+    True if the commit marker exists OR a segment tagged with the batch
+    id is still on disk (the marker write is the last step, so a crash
+    between segment rename and marker leaves the tag as evidence)."""
+    if os.path.exists(_commit_marker_path(root, topic, pid, batch_id)):
+        return True
+    pdir = _partition_dir(root, topic, pid)
+    if not os.path.isdir(pdir):
+        return False
+    want = f"{batch_id:020d}"
+    for name in os.listdir(pdir):
+        m = _SEG_RE.match(name)
+        if m and m.group(3) == want:
+            return True
+    return False
+
+
+def _write_commit_marker(root, topic, pid, batch_id) -> None:
+    path = _commit_marker_path(root, topic, pid, batch_id)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = f"{path}.tmp-{os.getpid()}"
+    with open(tmp, "w") as f:
+        f.write("")
+    os.replace(tmp, path)
+
+
+def _publish_staged(root, topic, staged_by_pid, batch_id=None):
     """Driver side: concatenate each partition's staged files in task
     order and publish ONE segment per partition at the current end;
-    staged files are removed after publish."""
+    staged files are removed after publish.
+
+    ``batch_id`` (streaming sink) makes the publish idempotent per
+    (batch, partition): a partition the batch already published —
+    detected via the commit marker or the batch-tagged segment name —
+    is skipped, so a micro-batch replayed after a crash between the
+    sink commit and Spark's checkpoint commit-log write does NOT
+    duplicate records. (Caveat: compaction rewrites segments without
+    their batch tags; run the compactor only while no crashed batch
+    awaits replay — the single-maintainer discipline compaction already
+    requires. The durable markers close that window for every batch
+    whose commit completed.)"""
     import pyarrow.parquet as pq
 
     for pid in sorted(staged_by_pid):
+        if batch_id is not None and _batch_published(
+            root, topic, pid, batch_id
+        ):
+            continue
         keys, vals, tss = [], [], []
         for path in staged_by_pid[pid]:
             t = pq.read_table(path)
@@ -696,7 +856,11 @@ def _publish_staged(root, topic, staged_by_pid):
             vals.extend(t.column("value").to_pylist())
             tss.extend(t.column("ts_us").to_pylist())
         base = partition_end_offset(root, topic, pid)
-        _write_segment(root, topic, pid, base, keys, vals, tss)
+        _write_segment(
+            root, topic, pid, base, keys, vals, tss, batch_id=batch_id
+        )
+        if batch_id is not None:
+            _write_commit_marker(root, topic, pid, batch_id)
     _remove_staged(staged_by_pid)
 
 
@@ -813,7 +977,12 @@ class FileKafkaDataSource(DataSource):
                         by_pid.setdefault(pid, []).append(path)
                 for pid in by_pid:
                     by_pid[pid].sort()
-                _publish_staged(self.root, self.topic, by_pid)
+                # batchId keys the idempotence check: a replayed batch
+                # (crash between sink commit and Spark's commit-log
+                # write) publishes nothing the second time
+                _publish_staged(
+                    self.root, self.topic, by_pid, batch_id=int(batchId)
+                )
 
             def abort(self, messages, batchId):
                 by_pid: dict[int, list[str]] = {}

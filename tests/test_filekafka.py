@@ -747,3 +747,134 @@ def test_slice_chunking_restores_parallelism(spark, tmp_path):
     a = sorted((r["partition"], r["offset"]) for r in coarse.collect())
     b = sorted((r["partition"], r["offset"]) for r in fine.collect())
     assert a == b and len(a) == 1000
+
+
+# ---------------------------------------------------------------------
+# Offset continuity, replayed-commit idempotence, recovery cap
+# ---------------------------------------------------------------------
+
+def test_truncate_all_segments_never_reuses_offsets(spark, tmp_path):
+    """Retention that deletes EVERY segment of a partition must not
+    rewind offset assignment: the next produce continues from the old
+    end (Kafka's log-end invariant), so checkpointed consumers never
+    silently re-read different records at old offsets."""
+    root = _mkroot(tmp_path)
+    fk.produce(_messages(spark, 100), root, "trunc", num_partitions=2)
+    ends_before = fk.end_offsets(root, "trunc")
+    assert sum(ends_before.values()) == 100
+
+    # truncate everything (retention floor at the end offsets)
+    fk.truncate_before(root, "trunc", dict(ends_before))
+    for pid in (0, 1):
+        assert fk.list_segments(root, "trunc", pid) == []
+        # end offset survives via the watermark
+        assert (
+            fk.partition_end_offset(root, "trunc", pid) == ends_before[pid]
+        )
+
+    fk.produce(_messages(spark, 100), root, "trunc", num_partitions=2)
+    for pid in (0, 1):
+        segs = fk.list_segments(root, "trunc", pid)
+        assert segs and segs[0][0] == ends_before[pid]  # no offset reuse
+
+
+def test_stream_sink_replayed_batch_is_idempotent(spark, tmp_path):
+    """Replaying a micro-batch commit (crash between sink commit and
+    Spark's checkpoint commit-log write) must not duplicate records:
+    the second publish of the same batchId is a no-op."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = _mkroot(tmp_path)
+    fk.ensure_topic(root, "eos", 2)
+
+    def stage(tag):
+        sdir = os.path.join(root, "eos", ".staging")
+        os.makedirs(sdir, exist_ok=True)
+        by_pid = {}
+        for pid in (0, 1):
+            path = os.path.join(sdir, f"replay-{tag}-p{pid}.parquet")
+            pq.write_table(
+                pa.table(
+                    {
+                        "key": pa.array([b"k%d" % pid], type=pa.binary()),
+                        "value": pa.array([b"v%d" % pid], type=pa.binary()),
+                        "ts_us": pa.array([0], type=pa.int64()),
+                    }
+                ),
+                path,
+            )
+            by_pid[pid] = [path]
+        return by_pid
+
+    fk._publish_staged(root, "eos", stage("a"), batch_id=7)
+    ends1 = fk.end_offsets(root, "eos")
+    assert sum(ends1.values()) == 2
+
+    # replay: same batchId, freshly staged files -> skipped entirely
+    fk._publish_staged(root, "eos", stage("b"), batch_id=7)
+    assert fk.end_offsets(root, "eos") == ends1
+
+    # a NEW batch publishes normally
+    fk._publish_staged(root, "eos", stage("c"), batch_id=8)
+    assert sum(fk.end_offsets(root, "eos").values()) == 4
+
+    # markers exist for both batches
+    for b in (7, 8):
+        for pid in (0, 1):
+            assert fk._batch_published(root, "eos", pid, b)
+
+
+def test_max_offsets_cap_fair_share_prefers_laggards(spark, tmp_path):
+    """The per-trigger budget is spread smallest-lag-first so leftover
+    budget flows to the lagging partitions (the previous pid-ordered
+    iteration could strand budget on a big laggard visited first)."""
+    root = _mkroot(tmp_path)
+    fk.ensure_topic(root, "lag", 2)
+    # p0: 100 messages (big laggard), p1: 1 message
+    fk._write_segment(
+        root, "lag", 0, 0,
+        [b"k"] * 100, [b"v%d" % i for i in range(100)], [0] * 100,
+    )
+    fk._write_segment(root, "lag", 1, 0, [b"k"], [b"v"], [0])
+
+    r = fk._FileKafkaStreamReader(
+        {"path": root, "topic": "lag", "maxoffsetspertrigger": "10"}
+    )
+    r.initialOffset()
+    end = {int(k): v for k, v in r.latestOffset().items()}
+    # p1 takes its full lag (1), p0 gets the remaining 9 — total = cap
+    assert end[1] == 1
+    assert end[0] == 9
+
+
+def test_group_id_restores_cap_after_restart(spark, tmp_path):
+    """With groupId set, a fresh reader (restart: latestOffset without
+    initialOffset) recovers its position from the group file and the
+    maxOffsetsPerTrigger cap applies to the first recovery batch."""
+    root = _mkroot(tmp_path)
+    fk.ensure_topic(root, "grp", 1)
+    fk._write_segment(
+        root, "grp", 0, 0,
+        [b"k"] * 100, [b"v%d" % i for i in range(100)], [0] * 100,
+    )
+    opts = {
+        "path": root, "topic": "grp",
+        "maxoffsetspertrigger": "10", "groupid": "g1",
+    }
+    r1 = fk._FileKafkaStreamReader(opts)
+    r1.initialOffset()
+    end1 = {int(k): v for k, v in r1.latestOffset().items()}
+    assert end1[0] == 10  # capped, position persisted
+
+    # "restart": new reader instance, latestOffset called directly
+    r2 = fk._FileKafkaStreamReader(opts)
+    end2 = {int(k): v for k, v in r2.latestOffset().items()}
+    assert end2[0] == 20  # cap applied from the recovered position
+
+    # without groupId the first recovery batch is unbounded (documented)
+    r3 = fk._FileKafkaStreamReader(
+        {"path": root, "topic": "grp", "maxoffsetspertrigger": "10"}
+    )
+    end3 = {int(k): v for k, v in r3.latestOffset().items()}
+    assert end3[0] == 100

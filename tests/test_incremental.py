@@ -52,6 +52,47 @@ def test_snapshot_diff_column_payload(spark):
     assert rows[3]["new_v"] is None and rows[5]["old_v"] is None
 
 
+def test_snapshot_diff_null_key_present_both_sides(spark):
+    """A NULL business key present on both sides must classify like any
+    other key (the eqNullSafe join supports NULL keys): changed → 'U',
+    unchanged → dropped — not misread as absent ('D'/'I')."""
+    old = spark.createDataFrame(
+        [Row(k=None, v="x"), Row(k=1, v="a")], "k int, v string"
+    )
+    new_changed = spark.createDataFrame(
+        [Row(k=None, v="y"), Row(k=1, v="a")], "k int, v string"
+    )
+    got = {
+        r["k"]: r["change_type"]
+        for r in snapshot_diff(old, new_changed, ["k"]).collect()
+    }
+    assert got == {None: "U"}
+
+    new_same = spark.createDataFrame(
+        [Row(k=None, v="x"), Row(k=1, v="a")], "k int, v string"
+    )
+    assert snapshot_diff(old, new_same, ["k"]).count() == 0
+
+
+def test_scd2_null_key_update_closes_and_reopens(spark):
+    """scd2_apply on a NULL-keyed open row with changed tracked values
+    must emit close-out + new open (not a garbage all-null open row)."""
+    hist = scd2_init(
+        spark.createDataFrame([Row(k=None, v="x")], "k int, v string"),
+        ["k"],
+        ["v"],
+        load_version=1,
+    )
+    snap = spark.createDataFrame([Row(k=None, v="y")], "k int, v string")
+    out = scd2_apply(hist, snap, ["k"], ["v"], load_version=2).collect()
+    by_state = {(r["is_current"], r["v"]): r for r in out}
+    assert len(out) == 2
+    closed = by_state[(False, "x")]
+    assert closed["valid_from"] == 1 and closed["valid_to"] == 2
+    opened = by_state[(True, "y")]
+    assert opened["valid_from"] == 2 and opened["valid_to"] is None
+
+
 def test_merge_upsert_source_wins(spark):
     old, new = _snaps(spark)
     merged = {r["k"]: r for r in merge_upsert(old, new, ["k"]).collect()}

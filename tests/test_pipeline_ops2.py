@@ -294,3 +294,20 @@ def test_naive_bayes_classifier(spark):
     # and the model tables are bounded artifacts
     assert model["priors"].count() == 2
     assert model["likelihood"].count() == 8  # 4 distinct tokens/class
+
+    # zero-token doc (text with no word characters): still exactly one
+    # row, predicted from the prior argmax alone (equal priors → max
+    # class name wins) with score = that prior
+    empty = spark.createDataFrame(
+        [(100, "!!! ???"), (101, "")], "doc_id long, text string"
+    )
+    ep = {r["doc_id"]: r for r in nb_predict(
+        model, empty, "doc_id", "text"
+    ).collect()}
+    assert set(ep) == {100, 101}
+    prior_food = {
+        r["label"]: r["prior_e6"] for r in model["priors"].collect()
+    }["food"]
+    for r in ep.values():
+        assert r["label"] == "food"
+        assert r["score_e6"] == prior_food
