@@ -198,13 +198,32 @@ def bpe_encode(
 
 
 def bpe_train_on_corpus(
-    df: DataFrame, text_col: str, num_merges: int
+    df: DataFrame,
+    text_col: str,
+    num_merges: int,
+    min_count: int = 2,
+    max_vocab: int = 1_000_000,
 ) -> list[tuple[str, str]]:
     """Distributed word count → driver-side merge learning.
 
-    The collect is of the *word-frequency table* (vocabulary-sized —
-    bounded and tiny relative to the corpus), not the corpus; this is
-    the same driver/executor split every public BPE trainer uses.
+    The collect is of the *word-frequency table*, not the corpus — the
+    same driver/executor split every public BPE trainer uses — but on a
+    100 TB crawl the raw ``[a-z0-9]+`` vocabulary (typos, hashes, URL
+    fragments) is hundreds of millions of rows, so the table is BOUNDED
+    before the collect: drop words with ``freq < min_count`` (hapaxes
+    carry ~0 merge-statistic mass; every public trainer has this
+    cutoff) and keep at most ``max_vocab`` rows by (freq desc, word) —
+    a TakeOrderedAndProject, not a global sort.  The truncation only
+    perturbs pair counts in the extreme tail; merge ranks are dominated
+    by the Zipf head.
+
+    Determinism: the cutoff order (freq desc, word asc) is total, so
+    the learned merge list is partitioning-invariant.
     """
-    rows = word_frequencies(df, text_col).collect()
+    wf = word_frequencies(df, text_col)
+    if min_count > 1:
+        wf = wf.filter(F.col("freq") >= min_count)
+    rows = (
+        wf.orderBy(F.desc("freq"), F.asc("word")).limit(max_vocab).collect()
+    )
     return bpe_train([(r["word"], r["freq"]) for r in rows], num_merges)

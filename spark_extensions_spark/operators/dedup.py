@@ -411,6 +411,7 @@ def embedding_neardup_pairs(
     method: str = "blocked",
     n_blocks: int | None = None,
     block_rows: int = 8192,
+    broadcast_max_rows: int = 2_000_000,
 ) -> DataFrame:
     """Near-duplicate pairs by exact cosine similarity (id_a < id_b).
 
@@ -425,7 +426,10 @@ def embedding_neardup_pairs(
     the matrix (n×dim float64, e.g. 500k×64 ≈ 256 MB) to the driver,
     broadcast once per worker, and scan slices against it — fewer
     shuffles while the corpus fits comfortably in driver/executor
-    memory, a driver OOM beyond that.
+    memory, a driver OOM beyond that.  The path therefore REFUSES to
+    run above ``broadcast_max_rows`` rows (checked with a count before
+    the collect) and points at ``blocked``/IVF instead — a guard, not
+    a knob to crank.
 
     Both paths are EXACT (identical pair sets) and bit-deterministic:
     accumulation loops over dimensions left-to-right (``dot += a_i *
@@ -445,6 +449,16 @@ def embedding_neardup_pairs(
 
     spark = df.sparkSession
     id_type = df.schema[id_col].dataType.simpleString()
+    n_rows = df.count()
+    if n_rows > broadcast_max_rows:
+        raise ValueError(
+            f"embedding_neardup_pairs(method='broadcast'): corpus has "
+            f"{n_rows} rows > broadcast_max_rows={broadcast_max_rows}; "
+            "collecting it would risk a driver OOM. Use the default "
+            "method='blocked' (distributed block-matrix self-join) or "
+            "dedup_embedding_ivf for the approximate beyond-exact "
+            "scale path."
+        )
     rows = df.select(id_col, vec_col).collect()
     ids = np.array([r[0] for r in rows])
     mat = np.array([list(r[1]) for r in rows], dtype=np.float64)

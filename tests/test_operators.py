@@ -673,6 +673,34 @@ def test_embedding_ivf_neardup_recall(spark):
     assert all(ivf[k] == exact[k] for k in ivf)
 
 
+def test_broadcast_neardup_refuses_large_corpus(spark):
+    """The opt-in driver-collect path must refuse above its row bound
+    with a pointer to the distributed alternatives — no silent OOM."""
+    import pytest
+
+    from spark_extensions_spark.operators.dedup import (
+        embedding_neardup_pairs,
+    )
+
+    df = spark.range(10).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="blocked"):
+        embedding_neardup_pairs(
+            df, "vec_id", "embedding", dim=2, method="broadcast",
+            broadcast_max_rows=5,
+        )
+    # under the bound it still runs
+    assert (
+        embedding_neardup_pairs(
+            df, "vec_id", "embedding", dim=2, threshold=1.1,
+            method="broadcast", broadcast_max_rows=10,
+        ).count()
+        == 0
+    )
+
+
 def test_new_operators_edge_cases(spark):
     """Empty/degenerate inputs through the round-2 operators."""
     from spark_extensions_spark.operators.dedup import (

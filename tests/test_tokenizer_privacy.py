@@ -139,6 +139,21 @@ def test_bpe_spark_pipeline_roundtrip(spark):
     assert wf == {"low": 5, "lower": 2, "newest": 6, "widest": 3}
     merges = bpe_train_on_corpus(df, "text", 10)
     assert merges == bpe_train(SENNRICH_FREQS, 10)
+    # vocabulary bounding before the driver collect: a hapax is cut by
+    # min_count (default 2), and max_vocab keeps the top-N by (freq
+    # desc, word) — identical merges here since the head is untouched
+    hap = df.union(
+        df.sparkSession.createDataFrame(
+            [(4, "zzqhapax")], ["doc_id", "text"]
+        )
+    )
+    assert bpe_train_on_corpus(hap, "text", 10) == merges
+    top3 = bpe_train_on_corpus(
+        hap, "text", 10, min_count=1, max_vocab=3
+    )
+    assert top3 == bpe_train(
+        [("newest", 6), ("low", 5), ("widest", 3)], 10
+    )
     enc = {
         r["doc_id"]: (r["tokens"], r["n_tokens"])
         for r in bpe_encode(df, "text", merges).collect()
