@@ -346,6 +346,37 @@ def agg_refresh(
 # CDC state table maintained from a change stream (foreachBatch target)
 # ---------------------------------------------------------------------
 
+def _read_state_version_dir(spark, version_dir: str) -> DataFrame:
+    """Load one committed state version: a bucketed version carries a
+    ``manifest.json`` mapping key-hash buckets to parquet dirs (touched
+    buckets live under this version, untouched ones are shared with
+    earlier versions — bucket-level copy-on-write); a legacy version is
+    a plain full-snapshot parquet dir."""
+    import json as _json
+    import os
+
+    mpath = os.path.join(version_dir, "manifest.json")
+    if not os.path.exists(mpath):
+        return spark.read.parquet(version_dir)
+    with open(mpath) as f:
+        manifest = _json.load(f)
+    paths = sorted(manifest["buckets"].values())
+    if not paths:
+        return spark.createDataFrame([], manifest["schema"])
+    return spark.read.parquet(*paths)
+
+
+def _read_manifest(version_dir: str) -> dict | None:
+    import json as _json
+    import os
+
+    mpath = os.path.join(version_dir, "manifest.json")
+    if not os.path.exists(mpath):
+        return None
+    with open(mpath) as f:
+        return _json.load(f)
+
+
 def read_cdc_state(spark, state_dir: str) -> DataFrame | None:
     """Current state snapshot, or None before the first apply. The
     pointer file names the live version directory — readers never see
@@ -356,7 +387,12 @@ def read_cdc_state(spark, state_dir: str) -> DataFrame | None:
     if not os.path.exists(ptr):
         return None
     with open(ptr) as f:
-        return spark.read.parquet(f.read().strip())
+        return _read_state_version_dir(spark, f.read().strip())
+
+
+def _bucket_expr(keys: list[str], n_buckets: int) -> Column:
+    """Deterministic key-hash bucket (xxhash64 stays JVM-side)."""
+    return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets))
 
 
 def apply_cdc_batch(
@@ -366,30 +402,46 @@ def apply_cdc_batch(
     order_col: str,
     op_col: str = "op",
     delete_op: str = "D",
+    n_buckets: int = 32,
 ) -> None:
     """Fold one change-batch into a versioned parquet state table
     (last-writer-wins per key, deletes drop the key):
 
     1. reduce the batch to the latest change per key (``max_by`` over
        ``order_col`` — one map-side-combinable aggregate);
-    2. anti-join the current state against batch keys;
-    3. union the surviving upserts, write a NEW version dir, then
-       atomically repoint ``_CURRENT`` (write-temp + rename).
+    2. anti-join the TOUCHED hash buckets of the current state against
+       batch keys;
+    3. write only the touched buckets into a NEW version dir, publish a
+       manifest whose untouched entries point at the previous version's
+       bucket dirs (bucket-level copy-on-write), then atomically
+       repoint ``_CURRENT`` (write-temp + rename).
+
+    The state is hash-range-partitioned on the keys into ``n_buckets``
+    buckets (fixed at the first apply; later calls inherit the stored
+    value). Per-batch cost is |batch| agg + an anti-join and rewrite of
+    ONLY the buckets the batch touches — O(|batch| · state/bucket), not
+    O(|state|): the property that keeps a 100 TB state table's
+    per-batch cost proportional to the batch. Untouched buckets are
+    shared between versions by reference, so time travel keeps working
+    and storage grows with churn, not snapshots.
 
     The state is never updated in place, so a crashed apply leaves the
     previous version live — the same publish-by-rename discipline as
-    the filekafka sink commit. Cost per batch: |batch| agg + one
-    broadcast-able anti-join, then an O(|state|) snapshot rewrite —
-    the same copy-on-write contract as a format-level MERGE without a
-    transaction log; at 100 TB the state table would be partitioned
-    (e.g. by key hash range) and only touched partitions rewritten,
-    which composes with this API by calling it per partition.
+    the filekafka sink commit. Size ``n_buckets`` so one bucket's
+    rows fit an executor comfortably (state_rows / n_buckets); at
+    100 TB that means thousands of buckets, not 32.
     """
+    import json as _json
     import os
     import uuid
 
     spark = batch_df.sparkSession
     base_version = _current_version(state_dir)
+    base_manifest = (
+        None if base_version is None else _read_manifest(base_version)
+    )
+    if base_manifest is not None:
+        n_buckets = int(base_manifest["n_buckets"])  # sticky layout
     others = [c for c in batch_df.columns if c not in keys]
     latest = (
         batch_df.groupBy(*keys)
@@ -397,17 +449,74 @@ def apply_cdc_batch(
             F.max_by(F.struct(*others), F.col(order_col)).alias("__r")
         )
         .select(*keys, "__r.*")
+        .localCheckpoint(eager=False)
     )
     upserts = latest.filter(F.col(op_col) != delete_op).drop(op_col)
-    cur = None if base_version is None else spark.read.parquet(base_version)
-    if cur is None:
-        new_state = upserts
-    else:
-        new_state = cur.join(
-            latest.select(*keys), on=keys, how="left_anti"
-        ).unionByName(upserts)
+    out_cols = [c for c in batch_df.columns if c != op_col]
+
+    touched = sorted(
+        r[0]
+        for r in latest.select(
+            _bucket_expr(keys, n_buckets).alias("b")
+        )
+        .distinct()
+        .collect()
+    )
     version = os.path.join(state_dir, f"v-{uuid.uuid4().hex}")
-    new_state.write.mode("overwrite").parquet(version)
+    data_dir = os.path.join(version, "data")
+
+    if base_version is None:
+        cur_touched = None
+    elif base_manifest is None:
+        # legacy full-snapshot base: one migration pass reads it whole
+        cur_touched = spark.read.parquet(base_version)
+        touched = list(range(n_buckets))
+    else:
+        paths = [
+            base_manifest["buckets"][str(b)]
+            for b in touched
+            if str(b) in base_manifest["buckets"]
+        ]
+        cur_touched = spark.read.parquet(*paths) if paths else None
+
+    if cur_touched is None:
+        new_touched = upserts
+    else:
+        new_touched = cur_touched.join(
+            latest.select(*keys), on=keys, how="left_anti"
+        ).unionByName(upserts.select(*cur_touched.columns))
+    (
+        new_touched.select(*out_cols)
+        .withColumn("__bucket", _bucket_expr(keys, n_buckets))
+        .write.partitionBy("__bucket")
+        .parquet(data_dir)
+    )
+
+    buckets: dict[str, str] = {}
+    if base_manifest is not None:
+        for b, path in base_manifest["buckets"].items():
+            if int(b) not in touched:
+                buckets[b] = path
+    if os.path.isdir(data_dir):
+        for name in os.listdir(data_dir):
+            if name.startswith("__bucket="):
+                buckets[name.split("=", 1)[1]] = os.path.join(
+                    data_dir, name
+                )
+    manifest = {
+        "n_buckets": n_buckets,
+        "schema": ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in batch_df.schema.fields
+            if f.name != op_col
+        ),
+        "buckets": buckets,
+    }
+    os.makedirs(version, exist_ok=True)
+    mtmp = os.path.join(version, "manifest.json.tmp")
+    with open(mtmp, "w") as f:
+        _json.dump(manifest, f)
+    os.replace(mtmp, os.path.join(version, "manifest.json"))
     # optimistic concurrency: the snapshot this apply was computed
     # AGAINST must still be live at publish time, else a concurrent
     # writer committed meanwhile and blindly repointing would lose its
@@ -523,7 +632,7 @@ def read_cdc_state_version(spark, state_dir: str, version: int) -> DataFrame:
         raise ValueError(
             f"version {version} out of range (0..{len(versions) - 1})"
         )
-    return spark.read.parquet(versions[version])
+    return _read_state_version_dir(spark, versions[version])
 
 
 def vacuum_state(state_dir: str, keep: int = 2) -> int:
@@ -531,7 +640,12 @@ def vacuum_state(state_dir: str, keep: int = 2) -> int:
     live _CURRENT version is always kept), plus any orphan v-* dir a
     crashed apply left behind that never committed to the log. Returns
     directories removed. Time travel reaches only retained versions —
-    the standard retention/vacuum trade."""
+    the standard retention/vacuum trade.
+
+    Bucketed versions share untouched bucket dirs by reference, so a
+    version dir is also retained while ANY retained manifest still
+    points into it (the same liveness rule a lakehouse vacuum applies
+    to shared data files)."""
     import os
     import shutil
 
@@ -540,6 +654,19 @@ def vacuum_state(state_dir: str, keep: int = 2) -> int:
     retain = set(versions[-keep:] if keep > 0 else [])
     if cur:
         retain.add(cur)
+    # bucket sharing: any version dir referenced from a retained
+    # manifest stays on disk even if its own version fell out of the
+    # retention window
+    for v in list(retain):
+        m = _read_manifest(v)
+        if m is None:
+            continue
+        for path in m["buckets"].values():
+            ref = path
+            while os.path.dirname(ref) not in (state_dir, ref, ""):
+                ref = os.path.dirname(ref)
+            if os.path.dirname(ref) == state_dir:
+                retain.add(ref)
     removed = 0
     for name in os.listdir(state_dir):
         path = os.path.join(state_dir, name)

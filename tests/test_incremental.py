@@ -371,7 +371,11 @@ def test_cdc_state_versions_and_vacuum(spark, tmp_path):
     mk = lambda rows: spark.createDataFrame(
         rows, "k int, op string, seq long, v double"
     )
-    inc.apply_cdc_batch(mk([(1, "U", 1, 1.0)]), state, ["k"], "seq")
+    # n_buckets=1: every apply rewrites the single bucket, so old
+    # versions share nothing and vacuum can delete them outright (the
+    # bucket-sharing retention rule has its own test below)
+    inc.apply_cdc_batch(mk([(1, "U", 1, 1.0)]), state, ["k"], "seq",
+                        n_buckets=1)
     inc.apply_cdc_batch(mk([(2, "U", 2, 2.0)]), state, ["k"], "seq")
     inc.apply_cdc_batch(mk([(1, "D", 3, 0.0)]), state, ["k"], "seq")
     assert len(inc.state_versions(state)) == 3
@@ -389,3 +393,70 @@ def test_cdc_state_versions_and_vacuum(spark, tmp_path):
     assert {
         r["k"] for r in inc.read_cdc_state_version(spark, state, 0).collect()
     } == {1, 2}  # old index 1 is the new index 0 after log rewrite
+
+
+def test_cdc_state_bucketed_cow_prunes_rewrites(spark, tmp_path):
+    """The state is hash-bucketed; a batch rewrites ONLY the buckets it
+    touches (the new version dir holds just those), untouched buckets
+    are shared by manifest reference, and vacuum keeps shared dirs
+    alive while any retained manifest points into them."""
+    import json
+    import os
+
+    from spark_extensions_spark.operators import incremental as inc
+
+    state = str(tmp_path / "bstate")
+    mk = lambda rows: spark.createDataFrame(
+        rows, "k int, op string, seq long, v double"
+    )
+    # seed 64 keys across 16 buckets
+    inc.apply_cdc_batch(
+        mk([(k, "U", 1, float(k)) for k in range(64)]),
+        state, ["k"], "seq", n_buckets=16,
+    )
+    v0 = inc._current_version(state)
+    m0 = inc._read_manifest(state and v0)
+    assert m0["n_buckets"] == 16
+    n_seeded = len(m0["buckets"])  # xxhash may leave a bucket empty
+    assert n_seeded >= 12
+
+    # a single-key batch touches exactly one bucket
+    inc.apply_cdc_batch(mk([(7, "U", 2, 700.0)]), state, ["k"], "seq")
+    v1 = inc._current_version(state)
+    m1 = inc._read_manifest(v1)
+    rewritten = [
+        b for b, p in m1["buckets"].items() if p.startswith(v1)
+    ]
+    shared = [b for b, p in m1["buckets"].items() if p.startswith(v0)]
+    assert len(rewritten) == 1  # only key 7's bucket
+    assert len(shared) == n_seeded - 1  # everything else shared from v0
+
+    # state correctness across the shared/rewritten seam
+    got = {
+        r["k"]: r["v"]
+        for r in inc.read_cdc_state(spark, state).collect()
+    }
+    assert len(got) == 64 and got[7] == 700.0 and got[8] == 8.0
+
+    # delete the key again: its bucket empties and leaves the manifest
+    inc.apply_cdc_batch(mk([(7, "D", 3, 0.0)]), state, ["k"], "seq")
+    got2 = {
+        r["k"] for r in inc.read_cdc_state(spark, state).collect()
+    }
+    assert 7 not in got2 and len(got2) == 63
+
+    # vacuum keep=1 must retain v0 (its buckets are still referenced
+    # by the live manifest) — nothing breaks after removal pass
+    inc.vacuum_state(state, keep=1)
+    assert os.path.isdir(v0)
+    got3 = {
+        r["k"] for r in inc.read_cdc_state(spark, state).collect()
+    }
+    assert got3 == got2
+
+    # time travel over the retained tail still resolves
+    vs = inc.state_versions(state)
+    assert all(
+        inc.read_cdc_state_version(spark, state, i).count() >= 63
+        for i in range(len(vs))
+    )
