@@ -8,10 +8,19 @@ Python object at a time, reusing the compiled plan across calls.
 The reference builds a private Catalyst pipeline (Project over
 LocalRelation, own Analyzer, 4 optimizer rules, BindReferences,
 interpreted ``expr.eval``) to avoid needing a SparkSession. PySpark has
-no session-free expression interpreter, so this maps the same trace onto
-a one-row LocalRelation DataFrame evaluated on the driver
-(SURVEY.md §3.1): parse/analyze/optimize happen once per evaluator, each
-``apply`` run executes a single-partition local plan.
+no session-free expression interpreter, but it can reach the SAME
+jobless trace: a parameterized ``SELECT <expr> FROM (VALUES ...)``
+parses to a Project over a true LocalRelation, which Catalyst's
+``ConvertToLocalRelation`` rule folds DRIVER-SIDE with an interpreted
+projection during optimization — ``collect()`` then reads the folded
+LocalRelation without launching a single Spark job (verified by job
+counters in tests). That is the default ``apply`` path for string
+expressions; inputs are bound as query parameters (scalars) and
+``named_struct``/``array``/``map`` compositions (nested values).
+Expressions that cannot fold (Python UDFs are Unevaluable in Catalyst)
+or non-SQL ``Column`` expressions fall back to the original
+one-row-DataFrame local job (SURVEY.md §3.1); parse/analyze happen
+once per evaluator either way.
 
 Feature parity validated by tests mirroring
 ``ExpressionEvaluatorTest.scala:36-91``: scalar functions, higher-order
@@ -148,6 +157,7 @@ class ExpressionEvaluator:
             if isinstance(input_type, StructType)
             else schema_of_dataclass(input_type)
         )
+        self._expr_sql = expr if isinstance(expr, str) else None
         self.expr = F.expr(expr) if isinstance(expr, str) else expr
         # analyze once against an empty relation so unresolved attributes
         # fail at construction (reference: resolve at :162-174)
@@ -165,12 +175,21 @@ class ExpressionEvaluator:
         return self.apply_many([obj])[0]
 
     def apply_many(self, objs: list) -> list:
-        """Evaluate the expression for a batch of objects in ONE local job.
+        """Evaluate the expression for a batch of objects.
 
-        The per-call path costs a Spark job each; amortize over batches
-        when throughput matters (the reference's evaluator is reused the
-        same way, one compiled expression over many objects).
+        String expressions run the JOBLESS driver-side path (Project
+        over a parameterized VALUES LocalRelation, folded by Catalyst's
+        ConvertToLocalRelation interpreted projection — matching the
+        reference's session-free ``expr.eval`` contract,
+        ``ExpressionEvaluator.scala:48-83``); Column expressions and
+        any binding failure fall back to one local single-partition
+        job for the whole batch.
         """
+        if self._expr_sql is not None:
+            try:
+                return self._apply_local(objs)
+            except Exception:
+                pass  # bind/compose failure → the DataFrame path below
         rows = []
         for obj in objs:
             row = _to_row(obj)
@@ -179,5 +198,79 @@ class ExpressionEvaluator:
             rows.append(row)
         df = self.spark.createDataFrame(rows, self.schema)
         return [r["result"] for r in df.select(self.expr.alias("result")).collect()]
+
+    def _value_expr(self, value, dtype, args: dict, counter) -> str:
+        """SQL fragment reconstructing ``value`` as a literal of
+        ``dtype``: scalars bind as query parameters, containers compose
+        via named_struct / array / map (dict parameters are not
+        bindable), NULLs are typed casts."""
+        ddl = dtype.simpleString()
+        if value is None:
+            return f"CAST(NULL AS {ddl})"
+        if isinstance(dtype, StructType):
+            parts = []
+            for f in dtype.fields:
+                if isinstance(value, dict):
+                    v = value.get(f.name)
+                else:  # Row (dataclasses were pre-converted by _to_row)
+                    v = value[f.name]
+                parts.append(
+                    f"'{f.name}', "
+                    + self._value_expr(v, f.dataType, args, counter)
+                )
+            return "named_struct(" + ", ".join(parts) + ")"
+        if isinstance(dtype, MapType):
+            items = []
+            for k, v in value.items():
+                items.append(
+                    self._value_expr(k, dtype.keyType, args, counter)
+                )
+                items.append(
+                    self._value_expr(v, dtype.valueType, args, counter)
+                )
+            if not items:
+                return f"CAST(map() AS {ddl})"
+            return f"CAST(map({', '.join(items)}) AS {ddl})"
+        if isinstance(dtype, ArrayType):
+            elems = [
+                self._value_expr(v, dtype.elementType, args, counter)
+                for v in value
+            ]
+            if not elems:
+                return f"CAST(array() AS {ddl})"
+            return f"CAST(array({', '.join(elems)}) AS {ddl})"
+        name = f"p{next(counter)}"
+        args[name] = value
+        return f"CAST(:{name} AS {ddl})"
+
+    def _apply_local(self, objs: list) -> list:
+        """Jobless batch evaluation via parameterized VALUES SQL."""
+        import itertools
+
+        args: dict = {}
+        counter = itertools.count()
+        tuples = []
+        for obj in objs:
+            row = _to_row(obj)
+            if not isinstance(row, (Row, dict)):
+                row = Row(**{self.schema.fields[0].name: row})
+            fields = [
+                self._value_expr(
+                    row[f.name] if not isinstance(row, dict)
+                    else row.get(f.name),
+                    f.dataType,
+                    args,
+                    counter,
+                )
+                for f in self.schema.fields
+            ]
+            tuples.append("(" + ", ".join(fields) + ")")
+        cols = ", ".join(f"`{f.name}`" for f in self.schema.fields)
+        query = (
+            f"SELECT ({self._expr_sql}) AS result "
+            f"FROM (VALUES {', '.join(tuples)}) AS t({cols})"
+        )
+        out = self.spark.sql(query, args=args).collect()
+        return [r["result"] for r in out]
 
     apply = __call__

@@ -360,11 +360,36 @@ def canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
     )
 
 
+def should_degree_order(edges: DataFrame, src="src", dst="dst") -> bool:
+    """Probe the degree distribution and decide the triangle-count
+    orientation: degree-ordered iff the naive wedge mass Σ C(d, 2)
+    exceeds ~4·m^1.5 (the degree-ordering bound) — i.e. the histogram
+    is skewed enough that hub wedges would dominate.  One degree
+    aggregate + a 1-row collect, metadata-cheap next to the wedge join
+    it sizes."""
+    import math
+
+    e = canonical_edges(edges, src, dst)
+    nodes = e.select(F.col("src").alias("node")).unionAll(
+        e.select(F.col("dst").alias("node"))
+    )
+    deg = nodes.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    row = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1)).alias("w2"),
+        F.sum("d").alias("sd"),
+    ).first()
+    if row["sd"] is None or row["sd"] == 0:
+        return False
+    m = row["sd"] / 2.0
+    naive_wedges = row["w2"] / 2.0
+    return naive_wedges > 4.0 * m * math.sqrt(m)
+
+
 def triangle_count(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
-    degree_ordered: bool = True,
+    degree_ordered: bool | str = "auto",
 ) -> DataFrame:
     """Count triangles: two self-joins over an oriented edge list.
 
@@ -380,6 +405,11 @@ def triangle_count(
     beyond.  ``False`` skips straight to the id-oriented join (cheaper
     on small uniform graphs).
 
+    The default ``"auto"`` probes the degree histogram first
+    (:func:`should_degree_order`) so the O(m^1.5) path engages on
+    skewed graphs without the caller knowing the flag — uniform graphs
+    keep the cheaper id orientation.
+
     Orientation never changes the count: each triangle is counted
     exactly once either way.  Output: one row (n_triangles bigint).
 
@@ -389,6 +419,8 @@ def triangle_count(
     per-alias (same trick as connected_components).
     """
     e = canonical_edges(edges, src, dst).localCheckpoint(eager=False)
+    if degree_ordered == "auto":
+        degree_ordered = should_degree_order(e)
     if degree_ordered:
         nodes = e.select(F.col("src").alias("node")).unionAll(
             e.select(F.col("dst").alias("node"))

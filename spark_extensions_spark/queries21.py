@@ -64,12 +64,13 @@ def _part_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Triangle count of the part bought-together graph "
     "(operators/graph.py:triangle_count): canonical src<dst edges, "
     "wedge join + closing-edge join — each triangle exactly once. "
-    "id-oriented here (the catalog graph is degree-uniform, measured "
-    "both ways); degree_ordered=True is the skew-safe default for "
-    "power-law graphs.",
+    "degree_ordered='auto' probes the degree histogram and picks the "
+    "orientation itself: id-oriented on this degree-uniform catalog "
+    "graph (measured faster), the O(m^1.5) degree-ordered path on "
+    "skewed graphs — callers never need to know the flag.",
 )
 def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return triangle_count(_part_edges(spark, sf_dir), degree_ordered=False)
+    return triangle_count(_part_edges(spark, sf_dir), degree_ordered="auto")
 
 
 @_register(

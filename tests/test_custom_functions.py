@@ -103,6 +103,40 @@ def test_eval_unresolved_attribute_fails(spark):
         ExpressionEvaluator("nope + 1", EvalObj, spark)
 
 
+def _job_counter(spark):
+    jid = spark.sparkContext._jsc.sc().dagScheduler().nextJobId()
+    return jid.get() if hasattr(jid, "get") else jid
+
+
+def test_eval_is_jobless_for_sql_expressions(spark):
+    """The reference evaluates expressions without running a Spark job
+    (ExpressionEvaluator.scala:48-83, session-free expr.eval). The
+    VALUES-parameterized path must match that: zero jobs for the whole
+    ported expression battery — scalars, higher-order transform over
+    arrays, map access, struct results, nested nulls."""
+    evs = [
+        (ExpressionEvaluator("concat(b, '-', cast(a*2 as int))", EvalObj,
+                             spark), "x-4"),
+        (ExpressionEvaluator(
+            "aggregate(transform(nums, x -> x * a), cast(0 as bigint), "
+            "(acc, x) -> acc + x)", EvalObj, spark), 12),
+        (ExpressionEvaluator("m['k'] + a", EvalObj, spark), 9),
+        (ExpressionEvaluator("named_struct('x', a, 'y', b)", EvalObj,
+                             spark), Row(x=2, y="x")),
+        (ExpressionEvaluator("coalesce(opt, 'none')", EvalObj, spark),
+         "none"),
+    ]
+    before = _job_counter(spark)
+    for ev, expected in evs:
+        assert ev(OBJ) == expected
+    # batched apply is also jobless
+    ev0 = evs[0][0]
+    assert ev0.apply_many(
+        [OBJ, EvalObj(5, "y", [], {}, None)]
+    ) == ["x-4", "y-10"]
+    assert _job_counter(spark) == before  # not a single Spark job ran
+
+
 def test_eval_udf_registration(spark):
     ev_expr = "triple(a) + 1"
     ev = None

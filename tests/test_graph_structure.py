@@ -54,6 +54,32 @@ def test_triangle_orientations_agree(spark):
     assert n_deg == n_id > 0
 
 
+def test_triangle_auto_orientation_probe(spark):
+    """degree_ordered='auto' picks id orientation on uniform graphs
+    and the O(m^1.5) degree-ordered path on hub-skewed graphs — and
+    counts identically either way."""
+    from spark_extensions_spark.operators.graph import should_degree_order
+
+    # uniform: K4 — every degree equal, naive wedges ~ m^1.5 scale
+    k4 = _edges(
+        spark, [(a, b) for a in range(4) for b in range(4) if a < b]
+    )
+    assert not should_degree_order(k4)
+
+    # hub: one center joined to 200 leaves plus a sparse leaf ring —
+    # naive wedges C(200,2) >> 4*m^1.5
+    pairs = [(0, i) for i in range(1, 201)]
+    pairs += [(i, i + 1) for i in range(1, 200, 7)]
+    hub = _edges(spark, pairs)
+    assert should_degree_order(hub)
+
+    # the auto path returns the same count as both explicit modes
+    n_auto = triangle_count(hub, degree_ordered="auto").first().n_triangles
+    n_deg = triangle_count(hub, degree_ordered=True).first().n_triangles
+    n_id = triangle_count(hub, degree_ordered=False).first().n_triangles
+    assert n_auto == n_deg == n_id
+
+
 def test_label_propagation_two_cliques(spark):
     from spark_extensions_spark.operators.graph import label_propagation
 
