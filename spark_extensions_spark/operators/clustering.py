@@ -199,11 +199,15 @@ def kmeans_fit_det(
         ivf_centroids_det,
         quantize_vec_expr,
     )
+    from spark_extensions_spark.session import ensure_parallelism
 
+    # the per-iteration assign (Arrow-batched argmin) + posexplode is
+    # CPU-heavy and row-local — spread an unsplittable one-file input
+    df = ensure_parallelism(df)
     cents = ivf_centroids_det(df, id_col, vec_col, k)
     qdf = df.select(
         F.expr(quantize_vec_expr(vec_col)).alias("__qq")
-    )
+    ).localCheckpoint(eager=False)
     for _ in range(iters):
         sums = (
             qdf.select(
@@ -242,9 +246,10 @@ def kmeans_assignments_det(
         ivf_assign_int_pandas,
         quantize_vec_expr,
     )
+    from spark_extensions_spark.session import ensure_parallelism
 
     cents = kmeans_fit_det(df, id_col, vec_col, k, iters)
-    return df.select(
+    return ensure_parallelism(df).select(
         id_col,
         ivf_assign_int_pandas(cents)(
             F.expr(quantize_vec_expr(vec_col))

@@ -356,6 +356,11 @@ def ngram_jaccard_pairs(
     Output: ``(id_a, id_b, inter_cnt, jaccard)`` with ``id_a < id_b`` and
     ``jaccard >= threshold``.
     """
+    from spark_extensions_spark.session import ensure_parallelism
+
+    # shingle hashing is the CPU-heavy row-local stage; make sure it
+    # runs on all cores even when the input is one unsplittable file
+    df = ensure_parallelism(df)
     words = df.select(
         F.col(id_col),
         F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)").alias(
@@ -932,6 +937,9 @@ def ngram_jaccard_pairs_prefix(
     """
     from pyspark.sql.window import Window
 
+    from spark_extensions_spark.session import ensure_parallelism
+
+    df = ensure_parallelism(df)  # shingle hashing on all cores
     words = df.select(
         F.col(id_col),
         F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)").alias(

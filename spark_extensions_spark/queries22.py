@@ -173,8 +173,13 @@ def _fs_score_sql() -> str:
     "probabilistic complement of the fuzzy Levenshtein matcher.",
 )
 def q_link_fs_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_extensions_spark.session import ensure_parallelism
+
     cust = _t(spark, sf_dir, "customer")["customer"]
-    a, b = cust.alias("a"), cust.alias("b")
+    # the blocked self-join broadcasts one side; the STREAM side scan
+    # is a single task on a one-file fixture — spread it so pair
+    # generation + scoring use every core
+    a, b = ensure_parallelism(cust).alias("a"), cust.alias("b")
     pairs = a.join(
         b,
         (F.col("a.c_nationkey") == F.col("b.c_nationkey"))

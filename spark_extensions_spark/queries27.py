@@ -271,7 +271,11 @@ def q_text_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         word_ngrams_sql,
     )
 
-    docs = _t(spark, sf_dir, "documents")["documents"]
+    from spark_extensions_spark.session import ensure_parallelism
+
+    docs = ensure_parallelism(
+        _t(spark, sf_dir, "documents")["documents"]
+    )
     g = docs.withColumn(
         "s2", F.sort_array(F.expr(word_ngrams_sql("text", 2)))
     ).withColumn("s3", F.sort_array(F.expr(word_ngrams_sql("text", 3))))
@@ -366,7 +370,11 @@ def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         char_entropy_sql,
     )
 
-    docs = _t(spark, sf_dir, "documents")["documents"]
+    from spark_extensions_spark.session import ensure_parallelism
+
+    docs = ensure_parallelism(
+        _t(spark, sf_dir, "documents")["documents"]
+    )
     s_col, st_col, ks_col = char_entropy_cols("text")
     g = (
         docs.withColumn("__s", s_col)
@@ -1046,7 +1054,11 @@ def q_pipeline_release_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     block = spark.createDataFrame(
         [(d,) for d in _BLOCKED_DOMAINS], "domain string"
     )
-    unblocked = url_blocklist_filter(u, "url", block).drop("url")
+    from spark_extensions_spark.session import ensure_parallelism
+
+    unblocked = ensure_parallelism(
+        url_blocklist_filter(u, "url", block).drop("url")
+    )
     s_col, st_col, ks_col = char_entropy_cols("text")
     feats = (
         unblocked.withColumn(
