@@ -1242,9 +1242,10 @@ def minhash_jaccard_estimates(
     sb = sigs.select(
         F.col(id_col).alias("id_b"), F.col("sig").alias("__sb")
     )
+    # fixed-point floor, not round(x, 6): portable across engines
     est = F.expr(
-        f"round(size(filter(zip_with(__sa, __sb, (x, y) -> x = y), "
-        f"b -> b)) / {float(num_hashes)}d, 6)"
+        f"floor((size(filter(zip_with(__sa, __sb, (x, y) -> x = y), "
+        f"b -> b)) / cast({num_hashes} as double)) * 1e6 + 5e-1) / 1e6"
     )
     return (
         cands.join(sa, "id_a")

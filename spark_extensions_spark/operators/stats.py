@@ -432,11 +432,16 @@ def group_ols(
         F.sum(xs * ys).cast("double").alias("sxy"),
     )
     e = _ols_exprs()
+    # fixed-point floor, not round(x, 9): round's 9-dp rescale path is
+    # engine-specific (BigDecimal on Spark, double rescale on DuckDB);
+    # floor(x*1e9+0.5)/1e9 is the identical IEEE sequence everywhere.
     return sums.select(
         "grp",
-        F.round(F.expr(e["slope"]), 9).alias("slope"),
-        F.round(F.expr(f"({e['intercept']}) / {scale}"), 9).alias("intercept"),
-        F.round(F.expr(e["r2"]), 9).alias("r2"),
+        F.expr(f"floor(({e['slope']}) * 1e9 + 0.5d) / 1e9").alias("slope"),
+        F.expr(
+            f"floor((({e['intercept']}) / {scale}) * 1e9 + 0.5d) / 1e9"
+        ).alias("intercept"),
+        F.expr(f"floor(({e['r2']}) * 1e9 + 0.5d) / 1e9").alias("r2"),
     )
 
 
@@ -458,9 +463,10 @@ def ols_oracle_sql(
       FROM {table} GROUP BY 1
     )
     SELECT grp,
-           round({e['slope']}, 9) AS slope,
-           round(({e['intercept']}) / {scale}, 9) AS intercept,
-           round({e['r2']}, 9) AS r2
+           FLOOR(({e['slope']}) * 1e9 + 5e-1) / 1e9 AS slope,
+           FLOOR((({e['intercept']}) / {scale}) * 1e9 + 5e-1) / 1e9
+             AS intercept,
+           FLOOR(({e['r2']}) * 1e9 + 5e-1) / 1e9 AS r2
     FROM sums
     """
 

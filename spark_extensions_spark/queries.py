@@ -856,26 +856,31 @@ def q_date_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     "math_battery",
     """
     SELECT l_orderkey, l_linenumber,
-           round(l_extendedprice, 1) AS price_r1,
-           abs(l_discount - 0.05) AS disc_dev,
+           floor(l_extendedprice * 1e1 + 5e-1) / 1e1 AS price_r1,
+           abs(l_discount - 5e-2) AS disc_dev,
            CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
            CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
            sqrt(l_quantity) AS qty_sqrt,
            CAST(l_orderkey % 7 AS BIGINT) AS key_mod,
            (l_extendedprice * l_extendedprice) AS price_sq,
-           CAST(greatest(l_quantity, 25.0) AS DOUBLE) AS qty_hi,
-           CAST(least(l_quantity, 25.0) AS DOUBLE) AS qty_lo
+           greatest(l_quantity, CAST(25 AS DOUBLE)) AS qty_hi,
+           least(l_quantity, CAST(25 AS DOUBLE)) AS qty_lo
     FROM lineitem
     """,
-    doc="Math battery: round/abs/floor/ceil/sqrt/mod/greatest/least — all "
-    "IEEE-exact or integral (portable across engines).",
+    doc="Math battery: fixed-point round/abs/floor/ceil/sqrt/mod/"
+    "greatest/least — all IEEE-exact or integral (portable across "
+    "engines; e-notation literals keep DuckDB off its DECIMAL "
+    "promotion path).",
 )
 def q_math_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")["lineitem"]
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.round(F.col("l_extendedprice"), 1).alias("price_r1"),
+        (
+            F.floor(F.col("l_extendedprice") * F.lit(10.0) + F.lit(0.5))
+            / F.lit(10.0)
+        ).alias("price_r1"),
         F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
         F.floor("l_extendedprice").cast("bigint").alias("price_floor"),
         F.ceil("l_extendedprice").cast("bigint").alias("price_ceil"),

@@ -56,13 +56,18 @@ def _corr_sum_aliases() -> list[tuple[str, str]]:
 
 
 def _corr_expr(x: str, y: str) -> str:
-    """Textually identical corr-from-power-sums formula (both engines)."""
+    """Textually identical corr-from-power-sums formula (both engines).
+
+    Fixed-point floor, not round(x, 6): round's dp-rescale path is
+    engine-specific, floor(x*1e6+5e-1)/1e6 is the same IEEE sequence
+    everywhere (5e-1/1e6 parse as DOUBLE on both Spark and DuckDB).
+    """
     a, b = _SHORT[x], _SHORT[y]
     sxy = f"s_{a}_{b}"
     return (
-        f"round((n * {sxy} - s_{a} * s_{b}) / "
+        f"floor(((n * {sxy} - s_{a} * s_{b}) / "
         f"sqrt((n * s_{a}_{a} - s_{a} * s_{a}) "
-        f"* (n * s_{b}_{b} - s_{b} * s_{b})), 6)"
+        f"* (n * s_{b}_{b} - s_{b} * s_{b}))) * 1e6 + 5e-1) / 1e6"
     )
 
 
@@ -129,8 +134,8 @@ def _profile_oracle() -> str:
         f"""SELECT '{c}' AS col_name,
                CAST(COUNT(*) AS BIGINT) AS n,
                CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,
-               round(MIN({c}), 6) AS min_val,
-               round(MAX({c}), 6) AS max_val,
+               MIN({c}) AS min_val,
+               MAX({c}) AS max_val,
                CAST(CAST(SUM(CAST({c} AS DECIMAL(28,10))) AS DECIMAL(28,6))
                     AS DOUBLE) AS sum_val
            FROM lineitem"""
@@ -158,8 +163,10 @@ def q_stat_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count(F.lit(1)) - F.count(c)).cast("bigint").alias(
                 f"null_{c}"
             ),
-            F.round(F.min(c), 6).alias(f"min_{c}"),
-            F.round(F.max(c), 6).alias(f"max_{c}"),
+            # no round: min/max of raw doubles are already bit-exact
+            # and order-free on both engines
+            F.min(c).alias(f"min_{c}"),
+            F.max(c).alias(f"max_{c}"),
             F.sum(F.expr(f"CAST({c} AS DECIMAL(28,10))"))
             .cast("decimal(28,6)")
             .cast("double")
@@ -259,20 +266,21 @@ def q_scd2_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH per_src AS (
       SELECT source,
              CAST(COUNT(*) AS BIGINT) AS n_docs,
-             round(CAST(SUM(CAST(n_chars AS DECIMAL(28,6))) AS DOUBLE)
-                   / COUNT(*), 6) AS mean_chars
+             floor((CAST(SUM(CAST(n_chars AS DECIMAL(28,6))) AS DOUBLE)
+                   / COUNT(*)) * 1e6 + 5e-1) / 1e6 AS mean_chars
       FROM documents GROUP BY source
     ), overall AS (
       SELECT CAST(SUM(n_docs) AS BIGINT) AS total_docs,
              CAST(COUNT(*) AS BIGINT) AS n_sources,
-             round(CAST(SUM(CAST(mean_chars AS DECIMAL(28,6))) AS DOUBLE)
-                   / COUNT(*), 6) AS grand_mean
+             floor((CAST(SUM(CAST(mean_chars AS DECIMAL(28,6))) AS DOUBLE)
+                   / COUNT(*)) * 1e6 + 5e-1) / 1e6 AS grand_mean
       FROM per_src
     )
     SELECT p.source, p.n_docs, p.mean_chars,
-           round(p.n_docs / (CAST(o.total_docs AS DOUBLE) / o.n_sources),
-                 6) AS volume_ratio,
-           round(p.mean_chars - o.grand_mean, 6) AS mean_chars_delta,
+           floor((p.n_docs / (CAST(o.total_docs AS DOUBLE) / o.n_sources))
+                 * 1e6 + 5e-1) / 1e6 AS volume_ratio,
+           floor((p.mean_chars - o.grand_mean) * 1e6 + 5e-1) / 1e6
+             AS mean_chars_delta,
            (p.n_docs < 0.5 * (CAST(o.total_docs AS DOUBLE) / o.n_sources)
             OR p.n_docs > 2.0 * (CAST(o.total_docs AS DOUBLE) / o.n_sources))
              AS volume_anomaly
@@ -288,9 +296,11 @@ def q_scd2_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")["documents"]
+    from spark_extensions_spark.functions.fixedpoint import fp_col
+
     per_src = docs.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.round(
+        fp_col(
             F.sum(F.expr("CAST(n_chars AS DECIMAL(28,6))")).cast("double")
             / F.count(F.lit(1)),
             6,
@@ -299,7 +309,7 @@ def q_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     overall = per_src.agg(
         F.sum("n_docs").cast("bigint").alias("total_docs"),
         F.count(F.lit(1)).cast("bigint").alias("n_sources"),
-        F.round(
+        fp_col(
             F.sum(F.expr("CAST(mean_chars AS DECIMAL(28,6))")).cast(
                 "double"
             )
@@ -314,8 +324,8 @@ def q_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "n_docs",
             "mean_chars",
-            F.round(F.col("n_docs") / expect, 6).alias("volume_ratio"),
-            F.round(
+            fp_col(F.col("n_docs") / expect, 6).alias("volume_ratio"),
+            fp_col(
                 F.col("mean_chars") - F.col("grand_mean"), 6
             ).alias("mean_chars_delta"),
             (

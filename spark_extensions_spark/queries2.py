@@ -202,20 +202,26 @@ def q_agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_percentile_exact",
     """
     SELECT l_returnflag,
-           ROUND(quantile_cont(l_quantity, 0.5), 6) AS qty_p50,
-           ROUND(quantile_cont(l_quantity, 0.9), 6) AS qty_p90,
-           ROUND(quantile_cont(l_extendedprice, 0.25), 2) AS price_p25
+           floor(quantile_cont(l_quantity, 0.5) * 1e6 + 5e-1) / 1e6
+             AS qty_p50,
+           floor(quantile_cont(l_quantity, 0.9) * 1e6 + 5e-1) / 1e6
+             AS qty_p90,
+           floor(quantile_cont(l_extendedprice, 0.25) * 1e2 + 5e-1) / 1e2
+             AS price_p25
     FROM lineitem GROUP BY l_returnflag
     """,
     doc="Exact interpolated percentiles (Spark percentile == DuckDB "
-    "quantile_cont: same (1-f)*a+f*b interpolation).",
+    "quantile_cont: same (1-f)*a+f*b interpolation), fixed-point "
+    "quantized portably.",
 )
 def q_agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_extensions_spark.functions.fixedpoint import fp_col
+
     li = _t(spark, sf_dir, "lineitem")["lineitem"]
     return li.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("qty_p50"),
-        F.round(F.expr("percentile(l_quantity, 0.9)"), 6).alias("qty_p90"),
-        F.round(F.expr("percentile(l_extendedprice, 0.25)"), 2).alias(
+        fp_col(F.expr("percentile(l_quantity, 0.5)"), 6).alias("qty_p50"),
+        fp_col(F.expr("percentile(l_quantity, 0.9)"), 6).alias("qty_p90"),
+        fp_col(F.expr("percentile(l_extendedprice, 0.25)"), 2).alias(
             "price_p25"
         ),
     )
@@ -736,8 +742,8 @@ def q_confluent_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_custkey, o_orderkey,
            CAST(NTILE(4) OVER w AS INT) AS quartile,
-           ROUND(PERCENT_RANK() OVER w, 8) AS pct_rank,
-           ROUND(CUME_DIST() OVER w, 8) AS cume,
+           floor(PERCENT_RANK() OVER w * 1e8 + 5e-1) / 1e8 AS pct_rank,
+           floor(CUME_DIST() OVER w * 1e8 + 5e-1) / 1e8 AS cume,
            CAST(NTH_VALUE(o_orderkey, 2) OVER
              (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
@@ -749,6 +755,8 @@ def q_confluent_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "nth_value over an unbounded frame.",
 )
 def q_window_analytic2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_extensions_spark.functions.fixedpoint import fp_col
+
     o = _t(spark, sf_dir, "orders")["orders"]
     w = Window.partitionBy("o_custkey").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey")
@@ -758,8 +766,8 @@ def q_window_analytic2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         F.ntile(4).over(w).cast("int").alias("quartile"),
-        F.round(F.percent_rank().over(w), 8).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 8).alias("cume"),
+        fp_col(F.percent_rank().over(w), 8).alias("pct_rank"),
+        fp_col(F.cume_dist().over(w), 8).alias("cume"),
         F.nth_value("o_orderkey", 2).over(w_full).cast("bigint").alias(
             "second_priciest"
         ),

@@ -764,14 +764,16 @@ def _part_edges_q25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH b AS (
       SELECT c_mktsegment,
-             round(quantile_cont(c_acctbal, 0.5), 6) AS med,
-             round(quantile_cont(c_acctbal, 0.75), 6)
-               - round(quantile_cont(c_acctbal, 0.25), 6) AS iqr
+             floor(quantile_cont(c_acctbal, 0.5) * 1e6 + 5e-1) / 1e6
+               AS med,
+             floor(quantile_cont(c_acctbal, 0.75) * 1e6 + 5e-1) / 1e6
+               - floor(quantile_cont(c_acctbal, 0.25) * 1e6 + 5e-1) / 1e6
+               AS iqr
       FROM customer GROUP BY c_mktsegment
     )
     SELECT c.c_custkey, c.c_mktsegment,
-           FLOOR(((c.c_acctbal - b.med) / b.iqr) * 1000000.0 + 0.5)
-             / 1000000.0 AS scaled
+           floor(((c.c_acctbal - b.med) / b.iqr) * 1e6 + 5e-1) / 1e6
+             AS scaled
     FROM customer c JOIN b USING (c_mktsegment)
     """,
     doc="Per-group robust scaling ((x - median) / IQR from exact "
@@ -782,20 +784,21 @@ def _part_edges_q25(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_feature_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")["customer"]
+    from spark_extensions_spark.functions.fixedpoint import fp_col
+
     b = c.groupBy("c_mktsegment").agg(
-        F.round(F.expr("percentile(c_acctbal, 0.5)"), 6).alias("med"),
+        fp_col(F.expr("percentile(c_acctbal, 0.5)"), 6).alias("med"),
         (
-            F.round(F.expr("percentile(c_acctbal, 0.75)"), 6)
-            - F.round(F.expr("percentile(c_acctbal, 0.25)"), 6)
+            fp_col(F.expr("percentile(c_acctbal, 0.75)"), 6)
+            - fp_col(F.expr("percentile(c_acctbal, 0.25)"), 6)
         ).alias("iqr"),
     )
     return c.join(F.broadcast(b), "c_mktsegment").select(
         "c_custkey",
         "c_mktsegment",
-        F.expr(
-            "floor(((c_acctbal - med) / iqr) * 1000000.0d + 0.5d) "
-            "/ 1000000.0d"
-        ).alias("scaled"),
+        fp_col((F.col("c_acctbal") - F.col("med")) / F.col("iqr"), 6).alias(
+            "scaled"
+        ),
     )
 
 

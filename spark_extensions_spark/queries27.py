@@ -38,6 +38,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from spark_extensions_spark.functions.fixedpoint import fp_col
 from spark_extensions_spark.queries import _register, _t
 
 
@@ -1412,10 +1413,10 @@ def q_analytic_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(len(regexp_extract_all(x, '\p{Latin}')) AS INT) AS n_latin,
            CAST(len(regexp_extract_all(x, '\p{Cyrillic}')) AS INT)
              AS n_cyrillic,
-           round(CAST(len(regexp_extract_all(x, '\p{Han}')) AS DOUBLE)
-                 / length(x), 6) AS han_ratio,
-           round(CAST(len(regexp_extract_all(x, '\p{Latin}')) AS DOUBLE)
-                 / length(x), 6) AS latin_ratio
+           floor((CAST(len(regexp_extract_all(x, '\p{Han}')) AS DOUBLE)
+                 / length(x)) * 1e6 + 5e-1) / 1e6 AS han_ratio,
+           floor((CAST(len(regexp_extract_all(x, '\p{Latin}')) AS DOUBLE)
+                 / length(x)) * 1e6 + 5e-1) / 1e6 AS latin_ratio
     FROM t
     """,
     doc="Unicode-script composition ratios (Han/Latin/Cyrillic counts "
@@ -1445,10 +1446,10 @@ def q_text_script_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
         n("Han").cast("int").alias("n_han"),
         n("Latin").cast("int").alias("n_latin"),
         n("Cyrillic").cast("int").alias("n_cyrillic"),
-        F.round(n("Han").cast("double") / F.length("x"), 6).alias(
+        fp_col(n("Han").cast("double") / F.length("x"), 6).alias(
             "han_ratio"
         ),
-        F.round(n("Latin").cast("double") / F.length("x"), 6).alias(
+        fp_col(n("Latin").cast("double") / F.length("x"), 6).alias(
             "latin_ratio"
         ),
     )
@@ -1514,9 +1515,10 @@ def q_text_token_count_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(len(sents) AS INT) AS n_sentences,
            CAST(COALESCE(list_sum(list_transform(sents, s -> length(s))), 0)
                 AS BIGINT) AS sent_chars,
-           CASE WHEN len(sents) = 0 THEN 0.0
-                ELSE round(CAST(COALESCE(list_sum(list_transform(sents,
-                       s -> length(s))), 0) AS DOUBLE) / len(sents), 6)
+           CASE WHEN len(sents) = 0 THEN CAST(0 AS DOUBLE)
+                ELSE floor((CAST(COALESCE(list_sum(list_transform(sents,
+                       s -> length(s))), 0) AS DOUBLE) / len(sents))
+                     * 1e6 + 5e-1) / 1e6
            END AS mean_sentence_len
     FROM t
     """,
@@ -1547,7 +1549,7 @@ def q_text_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("int").alias("n_sentences"),
         chars.cast("bigint").alias("sent_chars"),
         F.when(n == 0, F.lit(0.0))
-        .otherwise(F.round(chars.cast("double") / n, 6))
+        .otherwise(fp_col(chars.cast("double") / n, 6))
         .alias("mean_sentence_len"),
     )
 
@@ -1633,7 +1635,8 @@ def q_sample_curriculum_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ), bounds AS (
       SELECT source,
-             round(quantile_cont(CAST(n_words AS DOUBLE), 0.25), 6) AS p25
+             floor(quantile_cont(CAST(n_words AS DOUBLE), 0.25)
+                   * 1e6 + 5e-1) / 1e6 AS p25
       FROM scored GROUP BY source
     )
     SELECT s.source,
@@ -1666,7 +1669,7 @@ def q_quality_adaptive_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_words"),
     )
     bounds = scored.groupBy("source").agg(
-        F.round(
+        fp_col(
             F.expr("percentile(cast(n_words as double), 0.25)"), 6
         ).alias("p25")
     )
@@ -1694,8 +1697,8 @@ def q_quality_adaptive_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang,
            CAST(COUNT(*) AS BIGINT) AS n_tokens,
            CAST(COUNT(DISTINCT word) AS BIGINT) AS n_types,
-           round(CAST(COUNT(DISTINCT word) AS DOUBLE) / COUNT(*), 6)
-             AS type_token_ratio
+           floor((CAST(COUNT(DISTINCT word) AS DOUBLE) / COUNT(*))
+                 * 1e6 + 5e-1) / 1e6 AS type_token_ratio
     FROM w GROUP BY lang
     """,
     doc="Per-language vocabulary richness (type-token ratio): corpus "
@@ -1718,7 +1721,7 @@ def q_text_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.groupBy("lang").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
         F.countDistinct("word").cast("bigint").alias("n_types"),
-        F.round(
+        fp_col(
             F.countDistinct("word").cast("double") / F.count(F.lit(1)), 6
         ).alias("type_token_ratio"),
     )
@@ -1832,8 +1835,9 @@ def _minhash_estimate_oracle() -> str:
        AND a.doc_id < b.doc_id
     )
     SELECT p.id_a, p.id_b,
-           round(len(list_filter(list_zip(sa.s, sb.s),
-                                 q -> q[1] = q[2])) / 12.0, 6)
+           floor((len(list_filter(list_zip(sa.s, sb.s),
+                                  q -> q[1] = q[2])) / CAST(12 AS DOUBLE))
+                 * 1e6 + 5e-1) / 1e6
              AS est_jaccard
     FROM pairs p
     JOIN sig sa ON sa.doc_id = p.id_a
@@ -2111,7 +2115,7 @@ def q_catalog_view_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderkey, o_totalprice,
            CAST(2 AS INT) AS n_fields,
-           round(o_totalprice / 2, 6) AS half
+           o_totalprice / 2 AS half
     FROM orders WHERE o_orderkey <= 2000
     """,
     doc="POLYMORPHIC Python UDTF (Spark 4 analyze() API): the output "
@@ -2150,7 +2154,9 @@ def q_udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
         def eval(self, row):
             vals = [row[f] for f in row.__fields__]
             last = float(vals[-1])
-            yield (*vals, len(vals), round(last / 2, 6))
+            # /2 is an exact IEEE op (exponent decrement) — no rounding
+            # needed, and Python's banker's round differs from SQL's
+            yield (*vals, len(vals), last / 2)
 
     spark.udtf.register("widen_struct_q", WidenStruct)
     _t(spark, sf_dir, "orders")

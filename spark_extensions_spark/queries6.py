@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from spark_extensions_spark.functions.fixedpoint import fp_col
 from spark_extensions_spark.queries import _register, _t
 from spark_extensions_spark.operators.sampling import hash_bucket, hash_bucket_duck
 
@@ -223,8 +224,8 @@ def q_text_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(len(ws) AS INT) AS n_words,
            CAST(len(list_distinct(ws)) AS INT) AS n_distinct,
-           round(CAST(len(ws) - len(list_distinct(ws)) AS DOUBLE) / len(ws), 6)
-             AS dup_ratio,
+           floor((CAST(len(ws) - len(list_distinct(ws)) AS DOUBLE) / len(ws))
+                 * 1e6 + 5e-1) / 1e6 AS dup_ratio,
            CAST(len(list_filter(range(1, len(ws)), i -> ws[i] = ws[i+1])) > 0
                 AS BOOLEAN) AS has_adjacent_dup
     FROM w
@@ -247,7 +248,7 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         n.cast("int").alias("n_words"),
         nd.cast("int").alias("n_distinct"),
-        F.round((n - nd).cast("double") / n, 6).alias("dup_ratio"),
+        fp_col((n - nd).cast("double") / n, 6).alias("dup_ratio"),
         (F.size(pairs_dup) > 0).alias("has_adjacent_dup"),
     )
 

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from spark_extensions_spark.functions.fixedpoint import fp_col
 from spark_extensions_spark.queries import _register, _t, dsum, dsum_duck
 
 
@@ -97,8 +98,9 @@ def q_analytic_regional_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT yr, supp_nation,
            CAST(ROUND(SUM(rev), 2) AS DOUBLE) AS nation_rev,
-           ROUND(CAST(SUM(rev) AS DOUBLE)
-                 / CAST(SUM(SUM(rev)) OVER (PARTITION BY yr) AS DOUBLE), 6)
+           floor((CAST(SUM(rev) AS DOUBLE)
+                 / CAST(SUM(SUM(rev)) OVER (PARTITION BY yr) AS DOUBLE))
+                 * 1e6 + 5e-1) / 1e6
              AS mkt_share
     FROM sales GROUP BY yr, supp_nation
     """,
@@ -133,10 +135,12 @@ def q_analytic_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "yr",
         "supp_nation",
+        # round on DECIMAL is exact on both engines (decimal rescale);
+        # the share is a computed double -> portable fixed-point floor
         F.round(F.col("srev"), 2).cast("double").alias("nation_rev"),
-        F.round(F.col("srev").cast("double") / total.cast("double"), 6).alias(
-            "mkt_share"
-        ),
+        fp_col(
+            F.col("srev").cast("double") / total.cast("double"), 6
+        ).alias("mkt_share"),
     )
 
 
