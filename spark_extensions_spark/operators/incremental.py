@@ -488,6 +488,12 @@ def apply_cdc_batch(
     (
         new_touched.select(*out_cols)
         .withColumn("__bucket", _bucket_expr(keys, n_buckets))
+        # cluster rows by bucket before the partitioned write: without
+        # this every task emits a file into every touched bucket dir
+        # (tasks x buckets small files per batch — at 1000 executors x
+        # 1000s of buckets that is millions of files); clustered, each
+        # bucket gets ~one file per batch
+        .repartition(max(len(touched), 1), F.col("__bucket"))
         .write.partitionBy("__bucket")
         .parquet(data_dir)
     )
