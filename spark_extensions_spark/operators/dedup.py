@@ -1252,3 +1252,120 @@ def minhash_jaccard_estimates(
         .join(sb, "id_b")
         .select("id_a", "id_b", est.alias("est_jaccard"))
     )
+
+
+def cross_doc_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """CROSS-document duplicated-span audit (the corpus-level sibling
+    of :func:`duplicate_spans`, which is within-document): a word
+    ``n``-gram counts as duplicated when it appears in at least
+    ``min_docs`` DISTINCT documents — boilerplate, licence headers,
+    templated paragraphs and syndicated passages that exact and
+    near-dup document matching both miss (Lee et al. 2021 dedups at
+    this span granularity for exactly that reason).
+
+    Shape: per-doc distinct grams (row-local n-gram build + one
+    explode-distinct), a gram-frequency aggregate, and a join back —
+    two hash shuffles on the gram key, all map-side combinable.  At
+    100 TB the gram STRING key is the portable spec; the production
+    path shuffles ``xxhash64(gram)`` instead (8-byte keys, same
+    counts up to negligible collision odds) and caps the frequency
+    table with a min-docs pre-filter, which this already applies.
+
+    Output: ``(id, n_spans, n_dup_spans, dup_span_ratio)`` — one row
+    per input document (docs shorter than ``n`` words report 0/0/0).
+    """
+    from spark_extensions_spark.functions.text import word_ngrams_sql
+
+    grams = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.expr(word_ngrams_sql(text_col, n))).alias("gram"),
+        )
+        .distinct()
+    )
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("gram")
+    )
+    per_doc = (
+        grams.join(dup, "gram", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_dup"))
+    )
+    totals = grams.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_spans")
+    )
+    return (
+        df.select(id_col)
+        .join(totals, id_col, "left")
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_spans"), F.lit(0))
+            .cast("bigint")
+            .alias("n_spans"),
+            F.coalesce(F.col("n_dup"), F.lit(0))
+            .cast("bigint")
+            .alias("n_dup_spans"),
+            F.when(F.coalesce(F.col("n_spans"), F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(
+                F.floor(
+                    (
+                        F.coalesce(F.col("n_dup"), F.lit(0)).cast("double")
+                        / F.col("n_spans")
+                    )
+                    * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            )
+            .alias("dup_span_ratio"),
+        )
+    )
+
+
+def cross_doc_spans_oracle_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    min_docs: int = 2,
+) -> str:
+    """DuckDB twin of :func:`cross_doc_duplicate_spans`."""
+    from spark_extensions_spark.functions.text import word_ngrams_duck
+
+    return f"""
+    WITH grams AS (
+      SELECT DISTINCT {id_col}, unnest({word_ngrams_duck(text_col, n)})
+               AS gram
+      FROM {table}
+    ), dup AS (
+      SELECT gram FROM grams GROUP BY gram
+      HAVING COUNT(*) >= {min_docs}
+    ), per_doc AS (
+      SELECT {id_col}, CAST(COUNT(*) AS BIGINT) AS n_dup
+      FROM grams WHERE gram IN (SELECT gram FROM dup)
+      GROUP BY {id_col}
+    ), totals AS (
+      SELECT {id_col}, CAST(COUNT(*) AS BIGINT) AS n_spans
+      FROM grams GROUP BY {id_col}
+    )
+    SELECT d.{id_col},
+           COALESCE(t.n_spans, 0) AS n_spans,
+           COALESCE(p.n_dup, 0) AS n_dup_spans,
+           CASE WHEN COALESCE(t.n_spans, 0) = 0 THEN CAST(0 AS DOUBLE)
+                ELSE floor((CAST(COALESCE(p.n_dup, 0) AS DOUBLE)
+                            / t.n_spans) * 1e6 + 5e-1) / 1e6
+           END AS dup_span_ratio
+    FROM {table} d
+    LEFT JOIN totals t ON t.{id_col} = d.{id_col}
+    LEFT JOIN per_doc p ON p.{id_col} = d.{id_col}
+    """

@@ -612,3 +612,91 @@ def lpa_oracle_sql(edges_sql: str, iterations: int = 3) -> str:
         ",\n".join(parts)
         + f"\nSELECT node, label AS community FROM {prev}"
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int = 2,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Synchronous k-core pruning with a FIXED round count (the
+    deterministic, oracle-checkable variant of the classic peel-to-
+    fixpoint algorithm; Seidman 1983): each round every node computes
+    its degree in the surviving subgraph simultaneously, then all nodes
+    with degree < k drop out together with their edges.
+
+    Fixed synchronous rounds make the result a pure function of the
+    input (run-to-fixpoint converges to the same core but needs a
+    data-dependent round count); callers wanting the true core loop
+    until the edge count stops changing.
+
+    Per round: one degree aggregate (map-side combinable) + two
+    semi-joins pruning the edge list, lineage localCheckpoint-ed — the
+    same per-round shape as :func:`label_propagation`, O(m) shuffle
+    per round, no driver-side state.  Output: ``(node, deg)`` for every
+    endpoint surviving all rounds (``deg`` = its residual degree).
+    """
+    e = canonical_edges(edges, src, dst).localCheckpoint(eager=False)
+
+    def sym(d: DataFrame) -> DataFrame:
+        return d.select(F.col("src").alias("node")).unionAll(
+            d.select(F.col("dst").alias("node"))
+        )
+
+    for _ in range(rounds):
+        keep = (
+            sym(e)
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select("node")
+        )
+        e = (
+            e.join(
+                keep.withColumnRenamed("node", "src"), "src", "left_semi"
+            )
+            .join(
+                keep.withColumnRenamed("node", "dst"), "dst", "left_semi"
+            )
+            .localCheckpoint(eager=False)
+        )
+    return (
+        sym(e)
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    )
+
+
+def kcore_oracle_sql(
+    edges_sql: str, k: int = 2, rounds: int = 3
+) -> str:
+    """DuckDB twin of :func:`k_core`: the fixed rounds unrolled as CTEs.
+
+    ``edges_sql`` must produce DISTINCT canonical ``src < dst`` pairs
+    (same contract as :func:`lpa_oracle_sql`).
+    """
+    parts = [f"WITH e0 AS ({edges_sql})"]
+    for i in range(1, rounds + 1):
+        prev = f"e{i-1}"
+        parts.append(
+            f"k{i} AS (SELECT node FROM ("
+            f"SELECT src AS node FROM {prev} "
+            f"UNION ALL SELECT dst FROM {prev}) "
+            f"GROUP BY node HAVING COUNT(*) >= {k})"
+        )
+        parts.append(
+            f"e{i} AS (SELECT src, dst FROM {prev} "
+            f"WHERE src IN (SELECT node FROM k{i}) "
+            f"AND dst IN (SELECT node FROM k{i}))"
+        )
+    return (
+        ",\n".join(parts)
+        + f"""
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+      SELECT src AS node FROM e{rounds}
+      UNION ALL SELECT dst FROM e{rounds}
+    ) GROUP BY node
+    """
+    )

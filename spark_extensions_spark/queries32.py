@@ -196,3 +196,5 @@ def q_cdc_state_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").cast("bigint").alias("last_event"),
     )
     return v0.unionByName(v1)
+
+from spark_extensions_spark import queries33  # noqa: E402,F401  (registration side effect)

@@ -10,6 +10,7 @@ exposes the full streaming operator set PySpark-natively and adds an
 from spark_extensions_spark.streaming.ops import (
     read_stream_parquet,
     run_available_now,
+    run_available_now_to_dir,
     run_foreach_batch,
     session_aggregate,
     stream_stream_join,
@@ -21,6 +22,7 @@ from spark_extensions_spark.streaming.stateful import running_aggregate
 __all__ = [
     "read_stream_parquet",
     "run_available_now",
+    "run_available_now_to_dir",
     "run_foreach_batch",
     "windowed_aggregate",
     "session_aggregate",

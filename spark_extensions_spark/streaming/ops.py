@@ -235,3 +235,42 @@ def drift_monitor(
         )
 
     run_foreach_batch(stream, score, checkpoint_dir)
+
+
+def run_available_now_to_dir(
+    result: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    state_partitions: int | None = None,
+) -> None:
+    """Execute a streaming DataFrame with ``trigger(availableNow=True)``
+    into a parquet directory sink (append mode).
+
+    Unlike :func:`run_available_now`'s memory sink, the parquet sink
+    SUPPORTS checkpoint recovery — so a query can be re-run against the
+    same checkpoint after more source data arrives, which is how
+    multi-batch watermark semantics (outer-join null flushes, late-data
+    eviction) are replayed deterministically: each run processes the
+    newly arrived files, and state carried in the checkpoint joins them
+    against what earlier runs buffered.
+    """
+    spark = result.sparkSession
+    prev = None
+    if state_partitions is not None:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(state_partitions)
+        )
+    try:
+        q = (
+            result.writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)

@@ -105,3 +105,35 @@ def test_label_propagation_deterministic(spark):
     r1 = sorted(map(tuple, label_propagation(e).collect()))
     r2 = sorted(map(tuple, label_propagation(e).collect()))
     assert r1 == r2
+
+
+def test_k_core_peels_path_tail(spark):
+    from spark_extensions_spark.operators.graph import k_core
+
+    # triangle {1,2,3} with a pendant path 3-4-5: the 2-core is the
+    # triangle; the path peels off over two rounds (5 first, then 4)
+    pairs = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]
+    out = {
+        r.node: r.deg
+        for r in k_core(_edges(spark, pairs), k=2, rounds=3).collect()
+    }
+    assert out == {1: 2, 2: 2, 3: 2}
+
+
+def test_k_core_fixed_rounds_is_partial_peel(spark):
+    from spark_extensions_spark.operators.graph import k_core
+
+    # a 4-chain into a triangle needs 3 rounds to fully peel; after
+    # ONE round only the outermost node is gone (synchronous semantics)
+    pairs = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6)]
+    one = {r.node for r in k_core(_edges(spark, pairs), k=2, rounds=1).collect()}
+    full = {r.node for r in k_core(_edges(spark, pairs), k=2, rounds=3).collect()}
+    assert one == {1, 2, 3, 4, 5}
+    assert full == {1, 2, 3}
+
+
+def test_k_core_empty_when_k_exceeds_degrees(spark):
+    from spark_extensions_spark.operators.graph import k_core
+
+    pairs = [(1, 2), (2, 3)]
+    assert k_core(_edges(spark, pairs), k=3, rounds=2).count() == 0

@@ -1344,3 +1344,31 @@ def test_distributed_ntile_matches_window_ntile(spark):
             ).collect()
         }
         assert got == want, f"n_tiles={n_tiles}"
+
+
+def test_cross_doc_duplicate_spans(spark):
+    from spark_extensions_spark.operators.dedup import (
+        cross_doc_duplicate_spans,
+    )
+
+    shared = "alpha beta gamma delta epsilon"
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " unique one tail words here"),
+            (2, shared + " other totally different suffix text"),
+            (3, "completely unrelated content with no overlap at all"),
+            (4, "tiny"),  # < 5 words: zero spans
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r.doc_id: (r.n_spans, r.n_dup_spans)
+        for r in cross_doc_duplicate_spans(
+            docs, "doc_id", "text", n=5, min_docs=2
+        ).collect()
+    }
+    # docs 1 and 2 share exactly the one leading 5-gram
+    assert out[1][1] == 1 and out[2][1] == 1
+    assert out[3] == (4, 0)  # 8 words -> 4 distinct 5-grams, none shared
+    assert out[4] == (0, 0)
+    assert len(out) == 4
