@@ -700,3 +700,74 @@ def kcore_oracle_sql(
     ) GROUP BY node
     """
     )
+
+
+def bfs_layers(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Multi-source BFS over an undirected graph, FIXED round count:
+    after ``rounds`` synchronous frontier expansions every node reached
+    so far carries its hop distance from the nearest seed.
+
+    Fixed rounds keep the result a pure function of the input (and the
+    oracle an unrolled CTE); run-to-fixpoint needs a data-dependent
+    diameter bound.  ``seeds`` is a one-column (``node``) DataFrame.
+
+    Per round: one join of the current distance table onto the
+    symmetrized edge list + one min-aggregate — the same O(m)-shuffle
+    iterative shape as :func:`label_propagation`; distances are
+    localCheckpoint-ed per round so lineage stays flat.  Output:
+    ``(node, dist)`` for every reached node.
+    """
+    e = canonical_edges(edges, src, dst)
+    sym = e.unionAll(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=False)
+    dist = seeds.select(
+        F.col("node"), F.lit(0).cast("bigint").alias("dist")
+    )
+    for _ in range(rounds):
+        reached = sym.join(
+            dist.withColumnRenamed("node", "src"), "src"
+        ).select(
+            F.col("dst").alias("node"),
+            (F.col("dist") + F.lit(1)).alias("dist"),
+        )
+        dist = (
+            dist.unionAll(reached)
+            .groupBy("node")
+            .agg(F.min("dist").cast("bigint").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+    return dist
+
+
+def bfs_oracle_sql(
+    edges_sql: str, seeds_sql: str, rounds: int = 3
+) -> str:
+    """DuckDB twin of :func:`bfs_layers`: fixed rounds unrolled.
+
+    ``edges_sql`` must produce DISTINCT canonical ``src < dst`` pairs;
+    ``seeds_sql`` a one-column ``node`` relation.
+    """
+    parts = [
+        f"WITH e0 AS ({edges_sql})",
+        "sym AS (SELECT src, dst FROM e0 "
+        "UNION ALL SELECT dst, src FROM e0)",
+        f"d0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM ({seeds_sql}))",
+    ]
+    for i in range(1, rounds + 1):
+        prev = f"d{i-1}"
+        parts.append(
+            f"d{i} AS (SELECT node, CAST(MIN(dist) AS BIGINT) AS dist "
+            f"FROM (SELECT node, dist FROM {prev} "
+            f"UNION ALL "
+            f"SELECT sym.dst AS node, {prev}.dist + 1 AS dist "
+            f"FROM sym JOIN {prev} ON {prev}.node = sym.src) "
+            f"GROUP BY node)"
+        )
+    return ",\n".join(parts) + f"\nSELECT node, dist FROM d{rounds}"

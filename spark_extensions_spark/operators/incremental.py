@@ -688,3 +688,57 @@ def vacuum_state(state_dir: str, keep: int = 2) -> int:
             f.write("".join(v + "\n" for v in kept_versions))
         os.replace(tmp, _log_path(state_dir))
     return removed
+
+
+def join_delta_refresh(
+    a: DataFrame,
+    da: DataFrame,
+    b: DataFrame,
+    db: DataFrame,
+    on: list[str] | Column,
+) -> DataFrame:
+    """Delta of an inner equi-join under INSERT-ONLY deltas — the
+    incremental-view-maintenance identity
+
+        Δ(A ⋈ B) = ΔA ⋈ (B ∪ ΔB)  ∪  A ⋈ ΔB
+
+    so a materialized join view refreshes by APPENDING this delta
+    instead of recomputing A ⋈ B from scratch.  Cost is proportional
+    to the deltas (ΔA probes the full B once, the usually-small ΔB
+    broadcasts against A), not to |A|·|B| — the property that keeps a
+    100 TB materialized join maintainable per batch.  Updates/deletes
+    need the signed-retraction pipeline (:func:`agg_partials`) or key
+    scoped rewrites (:func:`merge_upsert`); this operator is the
+    append-only fast path.
+    """
+    return da.join(b.unionByName(db), on).unionByName(
+        a.join(F.broadcast(db), on)
+    )
+
+
+def read_cdc_changes(
+    spark,
+    state_dir: str,
+    from_version: int,
+    to_version: int,
+    keys: list[str],
+) -> DataFrame:
+    """Change-data-feed read over the versioned CDC state table: every
+    I/U/D between consecutive committed versions in
+    ``(from_version, to_version]``, tagged with the version that
+    introduced it — the ``table_changes(...)`` surface lakehouse
+    formats expose, derived here from the immutable version snapshots
+    (one :func:`snapshot_diff` full-outer join per version step; steps
+    are independent and union cheaply).
+    """
+    if to_version <= from_version:
+        raise ValueError("to_version must exceed from_version")
+    out = None
+    for v in range(from_version + 1, to_version + 1):
+        old = read_cdc_state_version(spark, state_dir, v - 1)
+        new = read_cdc_state_version(spark, state_dir, v)
+        d = snapshot_diff(old, new, keys).withColumn(
+            "version", F.lit(v).cast("int")
+        )
+        out = d if out is None else out.unionByName(d)
+    return out

@@ -232,3 +232,5 @@ def q_streaming_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("purchase_id").cast("bigint").alias("purchase_id"),
         )
     )
+
+from spark_extensions_spark import queries34  # noqa: E402,F401  (registration side effect)

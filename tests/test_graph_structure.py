@@ -137,3 +137,29 @@ def test_k_core_empty_when_k_exceeds_degrees(spark):
 
     pairs = [(1, 2), (2, 3)]
     assert k_core(_edges(spark, pairs), k=3, rounds=2).count() == 0
+
+
+def test_bfs_layers_path(spark):
+    from spark_extensions_spark.operators.graph import bfs_layers
+
+    # path 1-2-3-4-5, seed {1}: dist = hops, node 5 unreached in 3 rounds
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 5)]
+    seeds = spark.createDataFrame([(1,)], "node bigint")
+    out = {
+        r.node: r.dist
+        for r in bfs_layers(_edges(spark, pairs), seeds, rounds=3).collect()
+    }
+    assert out == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_bfs_layers_multi_source_min(spark):
+    from spark_extensions_spark.operators.graph import bfs_layers
+
+    # seeds at both ends of a path: middle node takes the nearer one
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 5)]
+    seeds = spark.createDataFrame([(1,), (5,)], "node bigint")
+    out = {
+        r.node: r.dist
+        for r in bfs_layers(_edges(spark, pairs), seeds, rounds=3).collect()
+    }
+    assert out == {1: 0, 2: 1, 3: 2, 4: 1, 5: 0}

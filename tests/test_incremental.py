@@ -460,3 +460,52 @@ def test_cdc_state_bucketed_cow_prunes_rewrites(spark, tmp_path):
         inc.read_cdc_state_version(spark, state, i).count() >= 63
         for i in range(len(vs))
     )
+
+
+def test_join_delta_refresh_identity(spark):
+    from spark_extensions_spark.operators.incremental import (
+        join_delta_refresh,
+    )
+
+    a = spark.createDataFrame([(1, "a"), (2, "b")], "k int, va string")
+    da = spark.createDataFrame([(3, "c")], "k int, va string")
+    b = spark.createDataFrame([(1, "X"), (3, "Y")], "k int, vb string")
+    db = spark.createDataFrame([(2, "Z")], "k int, vb string")
+    base = a.join(b, "k")
+    delta = join_delta_refresh(a, da, b, db, "k")
+    got = sorted(
+        (r.k, r.va, r.vb) for r in base.unionByName(delta).collect()
+    )
+    want = sorted(
+        (r.k, r.va, r.vb)
+        for r in a.unionByName(da).join(b.unionByName(db), "k").collect()
+    )
+    assert got == want
+
+
+def test_read_cdc_changes_versions(spark, tmp_path):
+    from spark_extensions_spark.operators.incremental import (
+        apply_cdc_batch,
+        read_cdc_changes,
+    )
+
+    state = str(tmp_path / "state")
+    b1 = spark.createDataFrame(
+        [(1, "U", 10), (2, "U", 11)], "k int, op string, v int"
+    )
+    b2 = spark.createDataFrame(
+        [(1, "U", 20), (3, "U", 21), (2, "D", 22)],
+        "k int, op string, v int",
+    )
+    apply_cdc_batch(b1, state, ["k"], "v")
+    apply_cdc_batch(b2, state, ["k"], "v")
+    cf = read_cdc_changes(spark, state, 0, 1, ["k"])
+    got = {
+        r.k: (r.change_type, r.old_v, r.new_v, r.version)
+        for r in cf.collect()
+    }
+    assert got == {
+        1: ("U", 10, 20, 1),
+        2: ("D", 11, None, 1),
+        3: ("I", None, 21, 1),
+    }
