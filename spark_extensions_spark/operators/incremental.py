@@ -742,3 +742,47 @@ def read_cdc_changes(
         )
         out = d if out is None else out.unionByName(d)
     return out
+
+
+def scd2_point_in_time_join(
+    facts: DataFrame,
+    history: DataFrame,
+    fact_key: str,
+    hist_key: str,
+    version_col: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Point-in-time (feature-store "as-of") join of a fact table onto
+    an SCD2 history: each fact row is enriched with the dimension slice
+    that was valid at the fact's load version — ``valid_from <= v <
+    valid_to`` (open slices have NULL ``valid_to``; facts whose version
+    predates the key or postdates its deletion enrich to NULL, which a
+    left join preserves).
+
+    Plan: an EQUI-join on the business key with the validity test as a
+    residual filter — deliberately not a range join: SCD2 keeps at most
+    a handful of slices per key, so the hash join on the key does all
+    the distribution work and the residual drops the (few) wrong
+    slices.  At 100 TB both sides hash-partition on the key; bucketing
+    both on the business key removes the exchange entirely.  This is
+    the train-time leakage guard for ML features: joining the CURRENT
+    slice instead leaks future attribute values into past examples.
+    """
+    f = facts.alias("f")
+    h = history.alias("h")
+    v = F.col(f"f.{version_col}")
+    cond = (
+        (F.col(f"f.{fact_key}") == F.col(f"h.{hist_key}"))
+        & (v >= F.col(f"h.{valid_from}"))
+        & (
+            F.col(f"h.{valid_to}").isNull()
+            | (v < F.col(f"h.{valid_to}"))
+        )
+    )
+    keep = [F.col(f"f.{c}") for c in facts.columns] + [
+        F.col(f"h.{c}")
+        for c in history.columns
+        if c not in (hist_key, valid_from, valid_to, "is_current")
+    ]
+    return f.join(h, cond, "left").select(*keep)

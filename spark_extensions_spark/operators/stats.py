@@ -758,3 +758,95 @@ def psi_oracle_sql(
            CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b
     FROM tot GROUP BY na, nb
     """
+
+
+def _anova_formula() -> str:
+    """One-way ANOVA F from (n_g, s_g) group sums + global sumsq, all
+    doubles derived from exact DECIMAL sums (shared textual IEEE
+    sequence on both engines):
+
+        SSB = Σ_g s_g²/n_g − S²/N
+        SSW = Q − Σ_g s_g²/n_g
+        F   = (SSB/(k−1)) / (SSW/(N−k))
+
+    Inputs bound as columns: n (N), k, q (Q = Σx²), st (S = Σx),
+    sb (Σ_g s_g²/n_g). Scale-invariant, so integer ×scale cancels."""
+    ssb = "(sb - st * st / n)"
+    ssw = "(q - sb)"
+    return f"(({ssb} / (k - 1e0)) / ({ssw} / (n - k)))"
+
+
+def anova_f(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    scale: int = 100,
+) -> DataFrame:
+    """One-way ANOVA F statistic across ALL groups of ``group_col``:
+    two aggregates (per-group sums, then the k-row combine) — both
+    map-side combinable, ONE scan of the fact table.  Values are
+    integer-scaled so the power sums accumulate exactly in DECIMAL
+    (order-free); the F formula is the shared double pipeline,
+    fixed-point-floored to 9 dp.  Output: one row
+    ``(f_stat, k_groups, n_total)``.
+    """
+    xd = F.round(F.col(value_col) * scale).cast("bigint").cast(
+        "decimal(18,0)"
+    )
+    per = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("decimal(18,0)").alias("ng"),
+        F.sum(xd).alias("sg"),
+        F.sum(xd * xd).alias("qg"),
+    )
+    row = per.agg(
+        F.sum("ng").cast("double").alias("n"),
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.sum("sg").cast("double").alias("st"),
+        F.sum("qg").cast("double").alias("q"),
+        # Σ s_g²/n_g: per-group doubles summed in a FIXED order (by
+        # group key) via a sorted array fold — order-free inputs, one
+        # deterministic double reduction on both engines
+        F.expr(
+            "aggregate("
+            f"  array_sort(collect_list(struct({group_col} as g, "
+            "    cast(sg as double) / cast(ng as double) * "
+            "    cast(sg as double) as v))),"
+            "  cast(0 as double), (a, x) -> a + x.v)"
+        ).alias("sb"),
+    )
+    e = _anova_formula()
+    return row.select(
+        F.expr(f"floor(({e}) * 1e9 + 0.5d) / 1e9").alias("f_stat"),
+        F.col("k").cast("bigint").alias("k_groups"),
+        F.col("n").cast("bigint").alias("n_total"),
+    )
+
+
+def anova_oracle_sql(
+    table: str, value_col: str, group_col: str, scale: int = 100
+) -> str:
+    x = f"CAST(CAST(ROUND({value_col} * {scale}) AS BIGINT) AS HUGEINT)"
+    e = _anova_formula()
+    return f"""
+    WITH per AS (
+      SELECT {group_col} AS g,
+             CAST(COUNT(*) AS HUGEINT) AS ng,
+             SUM({x}) AS sg, SUM({x} * {x}) AS qg
+      FROM {table} GROUP BY 1
+    ), comb AS (
+      SELECT CAST(SUM(ng) AS DOUBLE) AS n,
+             CAST(COUNT(*) AS DOUBLE) AS k,
+             CAST(SUM(sg) AS DOUBLE) AS st,
+             CAST(SUM(qg) AS DOUBLE) AS q,
+             list_aggregate(list_transform(
+               list_sort(list(ROW(g, CAST(sg AS DOUBLE)
+                                     / CAST(ng AS DOUBLE)
+                                     * CAST(sg AS DOUBLE)))),
+               r -> r[2]), 'sum') AS sb
+      FROM per
+    )
+    SELECT FLOOR(({e}) * 1e9 + 5e-1) / 1e9 AS f_stat,
+           CAST(k AS BIGINT) AS k_groups,
+           CAST(n AS BIGINT) AS n_total
+    FROM comb
+    """

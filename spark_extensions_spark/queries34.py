@@ -281,3 +281,5 @@ def q_sample_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("test"))
         .alias("split"),
     )
+
+from spark_extensions_spark import queries35  # noqa: E402,F401  (registration side effect)

@@ -509,3 +509,32 @@ def test_read_cdc_changes_versions(spark, tmp_path):
         2: ("D", 11, None, 1),
         3: ("I", None, 21, 1),
     }
+
+
+def test_scd2_point_in_time_join(spark):
+    from spark_extensions_spark.operators.incremental import (
+        scd2_point_in_time_join,
+    )
+
+    hist = spark.createDataFrame(
+        [
+            (1, "old", 1, 2, False),
+            (1, "new", 2, None, True),
+            (2, "gone", 1, 2, False),
+        ],
+        "k int, attr string, valid_from bigint, valid_to bigint, "
+        "is_current boolean",
+    )
+    facts = spark.createDataFrame(
+        [(10, 1, 1), (11, 1, 2), (12, 2, 2), (13, 3, 1)],
+        "fid int, k int, ver bigint",
+    )
+    out = {
+        r.fid: r.attr
+        for r in scd2_point_in_time_join(
+            facts, hist, "k", "k", "ver"
+        ).collect()
+    }
+    # fact at v1 sees the old slice, v2 the new; deleted key and
+    # never-existing key enrich to NULL
+    assert out == {10: "old", 11: "new", 12: None, 13: None}
