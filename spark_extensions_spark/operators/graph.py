@@ -36,6 +36,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Iterative operators carry a node-sized table (labels / ranks /
+# distances / surviving-degree sets) through every round. Its lineage
+# is localCheckpoint-ed, which HIDES size statistics from Catalyst —
+# so without a hint the per-round join plans as a sort-merge join that
+# re-shuffles the full EDGE list every round (measured: LPA at sf0.1
+# paid 2 SMJs/round). Below this node-count bound we hint broadcast
+# (2M nodes x ~16B = ~32MB, comfortably under executor memory); above
+# it the shuffle join is the correct plan and we keep it.
+_BROADCAST_NODES_MAX = 2_000_000
+
+
+def _maybe_broadcast(df: DataFrame, n_nodes: int) -> DataFrame:
+    return F.broadcast(df) if n_nodes <= _BROADCAST_NODES_MAX else df
+
 
 def connected_components(
     edges: DataFrame,
@@ -260,12 +274,14 @@ def pagerank(
     r0 = PAGERANK_SCALE // n
     ranks = nodes.select("node", F.lit(r0).cast("bigint").alias("r"))
     for _ in range(iterations):
+        # ranks/s are node-sized with checkpoint-hidden stats: hint
+        # broadcast below the bound so the edge list never re-shuffles
         contrib = e_deg.join(
-            ranks, e_deg["src"] == ranks["node"]
+            _maybe_broadcast(ranks, n), e_deg["src"] == ranks["node"]
         ).select(F.col("dst"), F.expr("r div outdeg").alias("c"))
         s = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
         ranks = (
-            nodes.join(s, nodes["node"] == s["dst"], "left")
+            nodes.join(_maybe_broadcast(s, n), nodes["node"] == s["dst"], "left")
             .select(
                 "node",
                 (
@@ -546,19 +562,23 @@ def label_propagation(
     pattern as connected_components).  Output: (node, community).
     """
     e = canonical_edges(edges, src, dst)
-    # At bench scale the labels side broadcasts, so the per-round join
-    # never shuffles sym and per-round cost is the two aggregate
-    # exchanges. For node sets beyond broadcast range, repartition sym
-    # by dst here ONCE (the checkpoint preserves the layout) so each
-    # round's sort-merge join reshuffles only the labels side.
     sym = e.unionAll(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=False)
     nodes = sym.select(F.col("src").alias("node")).distinct()
+    # the checkpointed labels table has no size stats, so the per-round
+    # join would plan SMJ and re-shuffle sym every round — hint
+    # broadcast while the node set is small (see _BROADCAST_NODES_MAX);
+    # beyond that, repartition sym by dst ONCE here (the checkpoint
+    # preserves the layout) so each round reshuffles only labels.
+    n_nodes = nodes.count()
     labels = nodes.select("node", F.col("node").alias("label"))
     for _ in range(iterations):
         msgs = sym.join(
-            labels.withColumnRenamed("node", "dst"), "dst"
+            _maybe_broadcast(
+                labels.withColumnRenamed("node", "dst"), n_nodes
+            ),
+            "dst",
         ).select(F.col("src").alias("node"), "label")
         counts = msgs.groupBy("node", "label").agg(
             F.count(F.lit(1)).alias("c")
@@ -645,6 +665,7 @@ def k_core(
             d.select(F.col("dst").alias("node"))
         )
 
+    n_nodes = sym(e).select("node").distinct().count()
     for _ in range(rounds):
         keep = (
             sym(e)
@@ -653,12 +674,22 @@ def k_core(
             .filter(F.col("deg") >= k)
             .select("node")
         )
+        # keep is node-sized with checkpoint-hidden stats — hint
+        # broadcast below the bound so the edge list never shuffles
         e = (
             e.join(
-                keep.withColumnRenamed("node", "src"), "src", "left_semi"
+                _maybe_broadcast(
+                    keep.withColumnRenamed("node", "src"), n_nodes
+                ),
+                "src",
+                "left_semi",
             )
             .join(
-                keep.withColumnRenamed("node", "dst"), "dst", "left_semi"
+                _maybe_broadcast(
+                    keep.withColumnRenamed("node", "dst"), n_nodes
+                ),
+                "dst",
+                "left_semi",
             )
             .localCheckpoint(eager=False)
         )
@@ -730,9 +761,13 @@ def bfs_layers(
     dist = seeds.select(
         F.col("node"), F.lit(0).cast("bigint").alias("dist")
     )
+    n_nodes = sym.select("src").distinct().count()
     for _ in range(rounds):
+        # dist is node-sized with checkpoint-hidden stats — hint
+        # broadcast below the bound so the edge list never shuffles
         reached = sym.join(
-            dist.withColumnRenamed("node", "src"), "src"
+            _maybe_broadcast(dist.withColumnRenamed("node", "src"), n_nodes),
+            "src",
         ).select(
             F.col("dst").alias("node"),
             (F.col("dist") + F.lit(1)).alias("dist"),
