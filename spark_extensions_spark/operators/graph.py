@@ -376,29 +376,42 @@ def canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
     )
 
 
-def should_degree_order(edges: DataFrame, src="src", dst="dst") -> bool:
-    """Probe the degree distribution and decide the triangle-count
-    orientation: degree-ordered iff the naive wedge mass Σ C(d, 2)
-    exceeds ~4·m^1.5 (the degree-ordering bound) — i.e. the histogram
-    is skewed enough that hub wedges would dominate.  One degree
-    aggregate + a 1-row collect, metadata-cheap next to the wedge join
-    it sizes."""
+def _degree_table(canonical: DataFrame) -> DataFrame:
+    """Per-node degree of an already-canonical (src<dst, distinct)
+    edge list: endpoint explode + one hash aggregate."""
+    nodes = canonical.select(F.col("src").alias("node")).unionAll(
+        canonical.select(F.col("dst").alias("node"))
+    )
+    return nodes.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+
+
+def _wedge_mass_says_order(deg: DataFrame) -> bool:
+    """Degree-ordered iff the naive wedge mass Σ C(d, 2) exceeds
+    ~4·m^1.5 (the degree-ordering bound) — i.e. the histogram is
+    skewed enough that hub wedges would dominate.  One small aggregate
+    over the node-sized degree table + a 1-row collect."""
     import math
 
-    e = canonical_edges(edges, src, dst)
-    nodes = e.select(F.col("src").alias("node")).unionAll(
-        e.select(F.col("dst").alias("node"))
-    )
-    deg = nodes.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
     row = deg.agg(
-        F.sum(F.col("d") * (F.col("d") - 1)).alias("w2"),
-        F.sum("d").alias("sd"),
+        F.sum(F.col("deg") * (F.col("deg") - 1)).alias("w2"),
+        F.sum("deg").alias("sd"),
     ).first()
     if row["sd"] is None or row["sd"] == 0:
         return False
     m = row["sd"] / 2.0
     naive_wedges = row["w2"] / 2.0
     return naive_wedges > 4.0 * m * math.sqrt(m)
+
+
+def should_degree_order(
+    edges: DataFrame, src="src", dst="dst", assume_canonical: bool = False
+) -> bool:
+    """Probe the degree distribution and decide the triangle-count
+    orientation (see :func:`_wedge_mass_says_order` for the bound).
+    ``assume_canonical=True`` skips the canonicalizing distinct when
+    the caller already holds a src<dst deduplicated edge list."""
+    e = edges if assume_canonical else canonical_edges(edges, src, dst)
+    return _wedge_mass_says_order(_degree_table(e))
 
 
 def triangle_count(
@@ -435,13 +448,16 @@ def triangle_count(
     per-alias (same trick as connected_components).
     """
     e = canonical_edges(edges, src, dst).localCheckpoint(eager=False)
+    deg = None
     if degree_ordered == "auto":
-        degree_ordered = should_degree_order(e)
+        # Probe over the checkpointed canonical edges (no second
+        # distinct); keep the degree table — the ordered path reuses
+        # it, so a True decision costs nothing extra.
+        deg = _degree_table(e).localCheckpoint(eager=False)
+        degree_ordered = _wedge_mass_says_order(deg)
     if degree_ordered:
-        nodes = e.select(F.col("src").alias("node")).unionAll(
-            e.select(F.col("dst").alias("node"))
-        )
-        deg = nodes.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+        if deg is None:
+            deg = _degree_table(e)
         with_d = (
             e.join(deg.withColumnRenamed("node", "src"), "src")
             .withColumnRenamed("deg", "ds")
