@@ -1,0 +1,245 @@
+"""Training-pair construction for alignment data (DPO/RLHF, contrastive).
+
+Two operators a post-training data pipeline needs on top of the
+curation layer:
+
+- :func:`preference_pairs` — per-prompt (chosen, rejected) response
+  pairs by score, the DPO/RLHF-preference input format.
+- :func:`hard_negatives` — for each anchor embedding, the most-similar
+  wrong-label vectors: the hard negatives contrastive training mines.
+
+Both are pure DataFrame compositions (no Python on the hot path), with
+shuffle shapes that survive scale:
+
+- preference_pairs shuffles once on the prompt key (both rank windows
+  and the chosen⋈rejected join share that partitioning); real
+  preference data has a handful of candidate responses per prompt, so
+  partitions stay tiny at any corpus size.
+- hard_negatives broadcasts the (small) anchor set, scores row-locally
+  against each corpus partition, and takes per-anchor top-k in two
+  stages (per (anchor, hash-bucket) then per anchor) so a single
+  anchor's candidate list is never sorted in one task — the
+  stratified_cap / domain_cap shape from operators/sampling.py.  For
+  corpus-scale anchor sets use the ANN index path
+  (operators/similarity.py: ivf_*) to pre-prune candidates instead of
+  scoring every (anchor, vector) pair.
+
+Reference scope note: the reference engine (smart-data-lake/
+spark-extensions) stops at the relational layer; these extend the
+same DataFrame-first style to the LLM-pipeline surface per SURVEY §2's
+extension families.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from spark_extensions_spark.operators.similarity import cosine_similarity_col
+
+
+def preference_pairs(
+    df: DataFrame,
+    prompt_col: str,
+    id_col: str,
+    score_col: str,
+    min_margin: int = 1,
+) -> DataFrame:
+    """Build per-prompt (chosen, rejected) preference pairs by score.
+
+    For every prompt group: ``chosen`` is the highest-scored candidate
+    (ties broken by lowest ``id_col``), ``rejected`` the lowest-scored
+    (same tiebreak); groups whose score spread is below ``min_margin``
+    produce no pair (a pair needs a real preference signal — DPO on
+    near-ties trains on noise).  Scores should be integers if
+    bit-reproducible margins matter.
+
+    Output: ``(prompt_col, chosen_id, rejected_id, chosen_score,
+    rejected_score, margin, n_candidates)``, one row per surviving
+    prompt.
+
+    Plan: one shuffle on the prompt key; both rank windows and the
+    final chosen⋈rejected join reuse that partitioning.  Deterministic
+    on any cluster layout: both window orders are total.
+    """
+    w_best = Window.partitionBy(prompt_col).orderBy(
+        F.desc(score_col), F.col(id_col)
+    )
+    w_worst = Window.partitionBy(prompt_col).orderBy(
+        F.asc(score_col), F.col(id_col)
+    )
+    w_all = Window.partitionBy(prompt_col)
+    ranked = df.select(
+        prompt_col,
+        id_col,
+        score_col,
+        F.row_number().over(w_best).alias("__rb"),
+        F.row_number().over(w_worst).alias("__rw"),
+        F.count(F.lit(1)).over(w_all).alias("__n"),
+    )
+    chosen = ranked.filter(F.col("__rb") == 1).select(
+        prompt_col,
+        F.col(id_col).alias("chosen_id"),
+        F.col(score_col).alias("chosen_score"),
+        F.col("__n").alias("n_candidates"),
+    )
+    rejected = ranked.filter(F.col("__rw") == 1).select(
+        prompt_col,
+        F.col(id_col).alias("rejected_id"),
+        F.col(score_col).alias("rejected_score"),
+    )
+    return (
+        chosen.join(rejected, prompt_col)
+        .withColumn(
+            "margin", F.col("chosen_score") - F.col("rejected_score")
+        )
+        .filter(F.col("margin") >= min_margin)
+        .select(
+            prompt_col,
+            "chosen_id",
+            "rejected_id",
+            "chosen_score",
+            "rejected_score",
+            "margin",
+            "n_candidates",
+        )
+    )
+
+
+def preference_pairs_oracle_sql(
+    scored_sql: str,
+    prompt_col: str,
+    id_col: str,
+    score_col: str,
+    min_margin: int = 1,
+) -> str:
+    """DuckDB twin of :func:`preference_pairs` over ``scored_sql``
+    (a query producing at least prompt/id/score columns)."""
+    return f"""
+    WITH scored AS ({scored_sql}),
+    ranked AS (
+      SELECT {prompt_col}, {id_col}, {score_col},
+             ROW_NUMBER() OVER (PARTITION BY {prompt_col}
+                                ORDER BY {score_col} DESC, {id_col}) AS rb,
+             ROW_NUMBER() OVER (PARTITION BY {prompt_col}
+                                ORDER BY {score_col} ASC, {id_col}) AS rw,
+             COUNT(*) OVER (PARTITION BY {prompt_col}) AS n
+      FROM scored
+    ),
+    chosen AS (
+      SELECT {prompt_col}, {id_col} AS chosen_id,
+             {score_col} AS chosen_score, n AS n_candidates
+      FROM ranked WHERE rb = 1
+    ),
+    rejected AS (
+      SELECT {prompt_col}, {id_col} AS rejected_id,
+             {score_col} AS rejected_score
+      FROM ranked WHERE rw = 1
+    )
+    SELECT c.{prompt_col}, chosen_id, rejected_id,
+           chosen_score, rejected_score,
+           chosen_score - rejected_score AS margin, n_candidates
+    FROM chosen c JOIN rejected r USING ({prompt_col})
+    WHERE chosen_score - rejected_score >= {min_margin}
+    """
+
+
+def hard_negatives(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    anchor_ids: Sequence[int],
+    k: int,
+    dim: int,
+    pre_buckets: int = 16,
+) -> DataFrame:
+    """Mine hard negatives: per anchor, the ``k`` most-similar vectors
+    with a DIFFERENT label.
+
+    Contrastive/embedding training wants negatives the current space
+    already confuses with the anchor — the top of the wrong-label
+    similarity ranking — not random negatives.  Output: ``(anchor_id,
+    neg_id, rank, cosine)``, ``rank`` 1..k by descending cosine (ties
+    by ``neg_id``).
+
+    Plan: the anchor set is broadcast (it is small by contract — raise
+    otherwise), scoring is a row-local codegen projection over each
+    corpus partition (sequential-fold dot product, bit-deterministic),
+    and the per-anchor top-k runs in two stages — per (anchor,
+    hash-bucket(neg_id)) then per anchor over ≤ k·pre_buckets
+    survivors — so no task ever sorts a whole anchor's corpus-sized
+    candidate list (the operators/sampling.py stratified_cap shape;
+    bit-identical to the one-window form, which is the oracle).  For
+    anchor sets beyond broadcast size, pre-prune candidates with the
+    IVF index (operators/similarity.py) instead of exact all-pairs.
+    """
+    if len(anchor_ids) > 10_000:
+        raise ValueError(
+            "hard_negatives broadcasts the anchor set; "
+            f"{len(anchor_ids)} anchors is beyond the exact path — "
+            "pre-prune with the IVF index (operators/similarity.py)"
+        )
+    anchors = emb.filter(F.col(id_col).isin(list(anchor_ids))).select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(vec_col).alias("__avec"),
+        F.col(label_col).alias("__albl"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(anchors))
+        .filter(
+            (F.col(label_col) != F.col("__albl"))
+            & (F.col(id_col) != F.col("anchor_id"))
+        )
+        .select(
+            "anchor_id",
+            F.col(id_col).alias("neg_id"),
+            cosine_similarity_col(vec_col, "__avec", dim).alias("cosine"),
+        )
+    )
+    bucket = F.pmod(F.xxhash64(F.col("neg_id")), F.lit(pre_buckets))
+    w1 = Window.partitionBy("anchor_id", "__b").orderBy(
+        F.desc("cosine"), "neg_id"
+    )
+    w2 = Window.partitionBy("anchor_id").orderBy(F.desc("cosine"), "neg_id")
+    return (
+        scored.withColumn("__b", bucket)
+        .withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= k)
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("anchor_id", "neg_id", "rank", "cosine")
+    )
+
+
+def hard_negatives_oracle_sql(
+    cosine_fragment: str,
+    anchor_ids: Sequence[int],
+    k: int,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    table: str = "embeddings",
+) -> str:
+    """DuckDB twin of :func:`hard_negatives` (single-window form).
+
+    ``cosine_fragment`` is the engine-portable sequential-fold cosine
+    over aliases ``e`` (corpus) and ``a`` (anchor), e.g. from
+    queries.py:_cosine_duck('e.embedding', 'a.embedding', dim).
+    """
+    ids = ", ".join(str(i) for i in anchor_ids)
+    return f"""
+    SELECT anchor_id, neg_id, rank, cosine FROM (
+      SELECT a.{id_col} AS anchor_id, e.{id_col} AS neg_id,
+             {cosine_fragment} AS cosine,
+             ROW_NUMBER() OVER (
+               PARTITION BY a.{id_col}
+               ORDER BY {cosine_fragment} DESC, e.{id_col}) AS rank
+      FROM {table} e
+      CROSS JOIN (SELECT * FROM {table}
+                  WHERE {id_col} IN ({ids})) a
+      WHERE e.{label_col} <> a.{label_col}
+        AND e.{id_col} <> a.{id_col}
+    ) WHERE rank <= {k}
+    """

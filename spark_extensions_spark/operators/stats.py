@@ -850,3 +850,97 @@ def anova_oracle_sql(
            CAST(n AS BIGINT) AS n_total
     FROM comb
     """
+
+
+# ---------------------------------------------------------------------
+# Inter-annotator agreement: Cohen's kappa (two raters, C classes)
+# ---------------------------------------------------------------------
+
+
+def cohen_kappa(df: DataFrame, rater_a: str, rater_b: str) -> DataFrame:
+    """Cohen's kappa between two categorical rating columns.
+
+    The labeled-data quality gate: chance-corrected agreement between
+    two annotators (or an annotator and a model).  With N items,
+    diagonal mass A = Σ_k n_kk and marginals r_k (rater-a rows),
+    c_k (rater-b rows):
+
+        kappa = (N·A − Σ_k r_k·c_k) / (N² − Σ_k r_k·c_k)
+
+    Everything is exact integer math up to one final double division
+    of two exactly-representable BIGINTs (valid while N < 2^26 — far
+    beyond any human-labeled set; raise and shard beyond that).
+
+    Plan: ONE scan — a (rater_a, rater_b) hash aggregate to the C²-row
+    confusion matrix (map-side combinable), then class-marginal
+    aggregates over that tiny table joined back on the class key.
+    Output: one row ``(n_items bigint, n_agree bigint, pe_num bigint,
+    kappa_num bigint, kappa_den bigint, kappa double)``.
+    """
+    cm = df.groupBy(
+        F.col(rater_a).alias("ra"), F.col(rater_b).alias("rb")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    ra_marg = cm.groupBy(F.col("ra").alias("k")).agg(
+        F.sum("cnt").alias("rk")
+    )
+    rb_marg = cm.groupBy(F.col("rb").alias("k")).agg(
+        F.sum("cnt").alias("ck")
+    )
+    pe = (
+        ra_marg.join(rb_marg, "k", "inner")
+        .agg(F.sum(F.col("rk") * F.col("ck")).alias("pe_num"))
+    )
+    tot = cm.agg(
+        F.sum("cnt").alias("n_items"),
+        F.sum(F.when(F.col("ra") == F.col("rb"), F.col("cnt"))
+              .otherwise(F.lit(0))).alias("n_agree"),
+    )
+    return tot.crossJoin(pe).select(
+        F.col("n_items").cast("bigint").alias("n_items"),
+        F.col("n_agree").cast("bigint").alias("n_agree"),
+        F.col("pe_num").cast("bigint").alias("pe_num"),
+        (F.col("n_items") * F.col("n_agree") - F.col("pe_num"))
+        .cast("bigint")
+        .alias("kappa_num"),
+        (F.col("n_items") * F.col("n_items") - F.col("pe_num"))
+        .cast("bigint")
+        .alias("kappa_den"),
+        (
+            (F.col("n_items") * F.col("n_agree") - F.col("pe_num"))
+            .cast("double")
+            / (F.col("n_items") * F.col("n_items") - F.col("pe_num"))
+            .cast("double")
+        ).alias("kappa"),
+    )
+
+
+def cohen_kappa_oracle_sql(rated_sql: str, rater_a: str, rater_b: str) -> str:
+    """DuckDB twin of :func:`cohen_kappa` over ``rated_sql`` (a query
+    producing the two rating columns)."""
+    return f"""
+    WITH rated AS ({rated_sql}),
+    cm AS (
+      SELECT {rater_a} AS ra, {rater_b} AS rb, COUNT(*) AS cnt
+      FROM rated GROUP BY 1, 2
+    ),
+    marg AS (
+      SELECT a.k, a.rk, b.ck FROM
+        (SELECT ra AS k, SUM(cnt) AS rk FROM cm GROUP BY 1) a
+        JOIN (SELECT rb AS k, SUM(cnt) AS ck FROM cm GROUP BY 1) b
+        USING (k)
+    ),
+    pe AS (SELECT SUM(rk * ck) AS pe_num FROM marg),
+    tot AS (
+      SELECT SUM(cnt) AS n_items,
+             SUM(CASE WHEN ra = rb THEN cnt ELSE 0 END) AS n_agree
+      FROM cm
+    )
+    SELECT CAST(n_items AS BIGINT) AS n_items,
+           CAST(n_agree AS BIGINT) AS n_agree,
+           CAST(pe_num AS BIGINT) AS pe_num,
+           CAST(n_items * n_agree - pe_num AS BIGINT) AS kappa_num,
+           CAST(n_items * n_items - pe_num AS BIGINT) AS kappa_den,
+           CAST(n_items * n_agree - pe_num AS DOUBLE)
+             / CAST(n_items * n_items - pe_num AS DOUBLE) AS kappa
+    FROM tot CROSS JOIN pe
+    """

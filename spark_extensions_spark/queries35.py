@@ -214,3 +214,5 @@ def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("flesch"),
     )
+
+from spark_extensions_spark import queries36  # noqa: E402,F401  (registration side effect)

@@ -1,0 +1,168 @@
+"""t2 query registry, batch 36: alignment-data construction and
+annotation agreement.
+
+Registered into the shared registry (imported from queries35 at module
+end). Same determinism rules as the queries.py docstring.
+
+Three additions to the LLM-data-pipeline layer, each fully
+hash-checked against a DuckDB oracle:
+
+- ``rlhf_preference_pairs``: per-prompt (chosen, rejected) response
+  pairs by a deterministic integer quality score
+  (operators/alignment.py:preference_pairs) — the DPO/RLHF-preference
+  input format.
+- ``embedding_hard_negatives``: per anchor, the k most-similar
+  wrong-label vectors (operators/alignment.py:hard_negatives) — the
+  hard negatives contrastive training mines, skew-safe two-stage
+  top-k.
+- ``stat_cohen_kappa``: chance-corrected agreement between two
+  deterministic raters (operators/stats.py:cohen_kappa) — the
+  labeled-data quality gate, exact integer math to one final double
+  division.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_extensions_spark.queries import _cosine_duck, _register, _t, EMB_DIM
+from spark_extensions_spark.operators.alignment import (
+    hard_negatives,
+    hard_negatives_oracle_sql,
+    preference_pairs,
+    preference_pairs_oracle_sql,
+)
+from spark_extensions_spark.operators.stats import (
+    cohen_kappa,
+    cohen_kappa_oracle_sql,
+)
+
+
+# =====================================================================
+# DPO preference pairs over synthetic per-prompt candidate groups
+# =====================================================================
+
+# documents carry no prompt key, so candidates are grouped by a doc-id
+# hash bucket (~8 per group at sf0.01) and scored by a deterministic
+# integer quality signal: distinct-token count dominates, total chars
+# breaks ties — both engines compute it with identical integer ops.
+_PP_GROUPS = 64
+_PP_SCORE_SPARK = (
+    "size(array_distinct(split(text, ' '))) * 100000 + n_chars"
+)
+_PP_SCORE_DUCK = (
+    "len(list_distinct(string_split(text, ' '))) * 100000 + n_chars"
+)
+
+
+@_register(
+    "rlhf_preference_pairs",
+    preference_pairs_oracle_sql(
+        f"""SELECT doc_id % {_PP_GROUPS} AS prompt_id, doc_id,
+                   CAST({_PP_SCORE_DUCK} AS BIGINT) AS score
+            FROM documents""",
+        "prompt_id",
+        "doc_id",
+        "score",
+        min_margin=1,
+    ),
+    doc="DPO/RLHF preference-pair construction (operators/alignment.py:"
+    "preference_pairs): per prompt group, chosen = highest-scored "
+    "candidate, rejected = lowest (deterministic id tiebreaks), pairs "
+    "below the score margin dropped. One shuffle on the prompt key — "
+    "both rank windows and the chosen⋈rejected join share it; real "
+    "preference data has a handful of responses per prompt, so "
+    "partitions stay tiny at any corpus size. Integer scores make the "
+    "margin bit-exact.",
+)
+def q_rlhf_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    scored = docs.select(
+        (F.col("doc_id") % _PP_GROUPS).alias("prompt_id"),
+        "doc_id",
+        F.expr(_PP_SCORE_SPARK).cast("bigint").alias("score"),
+    )
+    return preference_pairs(
+        scored, "prompt_id", "doc_id", "score", min_margin=1
+    )
+
+
+# =====================================================================
+# Hard-negative mining for contrastive embedding training
+# =====================================================================
+
+_HN_ANCHORS = (0, 1, 2, 3, 4)
+_HN_K = 5
+
+
+@_register(
+    "embedding_hard_negatives",
+    hard_negatives_oracle_sql(
+        _cosine_duck("e.embedding", "a.embedding", EMB_DIM),
+        _HN_ANCHORS,
+        _HN_K,
+    ),
+    doc="Hard-negative mining (operators/alignment.py:hard_negatives): "
+    "per broadcast anchor, the 5 most-cosine-similar vectors with a "
+    "DIFFERENT label — row-local sequential-fold scoring (bit-exact "
+    "across engines), then skew-safe two-stage per-anchor top-k (per "
+    "(anchor, hash-bucket) then per anchor) so no task sorts a "
+    "corpus-sized candidate list; bit-identical to the one-window "
+    "oracle form. Beyond-broadcast anchor sets pre-prune via the IVF "
+    "index instead of exact all-pairs.",
+)
+def q_embedding_hard_negatives(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    return hard_negatives(
+        emb,
+        "vec_id",
+        "embedding",
+        "label",
+        _HN_ANCHORS,
+        _HN_K,
+        EMB_DIM,
+    )
+
+
+# =====================================================================
+# Cohen's kappa between two deterministic quality raters
+# =====================================================================
+
+# Rater A: a length-band rule; rater B: a distinct-token-ratio rule.
+# Pure integer comparisons — identical booleans on both engines.
+_KAPPA_A_SPARK = "n_chars BETWEEN 120 AND 200"
+_KAPPA_B_SPARK = (
+    "size(array_distinct(split(text, ' '))) * 2 >= size(split(text, ' '))"
+)
+_KAPPA_A_DUCK = "n_chars BETWEEN 120 AND 200"
+_KAPPA_B_DUCK = (
+    "len(list_distinct(string_split(text, ' '))) * 2 "
+    ">= len(string_split(text, ' '))"
+)
+
+
+@_register(
+    "stat_cohen_kappa",
+    cohen_kappa_oracle_sql(
+        f"""SELECT ({_KAPPA_A_DUCK}) AS qa, ({_KAPPA_B_DUCK}) AS qb
+            FROM documents""",
+        "qa",
+        "qb",
+    ),
+    doc="Inter-annotator agreement: Cohen's kappa between a length-band "
+    "rater and a distinct-token-ratio rater (operators/stats.py:"
+    "cohen_kappa) — the labeled-data quality gate. ONE scan to the "
+    "C²-row confusion matrix (map-side combinable), marginal combine "
+    "over that tiny table; exact integer math up to one final double "
+    "division of exactly-representable BIGINTs.",
+)
+def q_stat_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    rated = docs.select(
+        F.expr(_KAPPA_A_SPARK).alias("qa"),
+        F.expr(_KAPPA_B_SPARK).alias("qb"),
+    )
+    return cohen_kappa(rated, "qa", "qb")

@@ -1,0 +1,214 @@
+"""Alignment-data operators (operators/alignment.py) and Cohen's kappa
+(operators/stats.py): hand-computed twins, tie-breaks, guards, and the
+two-stage top-k equivalence."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from spark_extensions_spark.operators.alignment import (
+    hard_negatives,
+    preference_pairs,
+)
+from spark_extensions_spark.operators.stats import cohen_kappa
+
+
+# ---------------------------------------------------------------------
+# preference_pairs
+# ---------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def candidates(spark):
+    # prompt p1: clear spread; p2: all tied (no pair); p3: one row;
+    # p4: tie at the top AND at the bottom (id tiebreaks observable)
+    rows = [
+        ("p1", 1, 10), ("p1", 2, 30), ("p1", 3, 20),
+        ("p2", 4, 5), ("p2", 5, 5),
+        ("p3", 6, 99),
+        ("p4", 7, 50), ("p4", 8, 50), ("p4", 9, 10), ("p4", 10, 10),
+    ]
+    return spark.createDataFrame(rows, "prompt string, id bigint, score bigint")
+
+
+def test_preference_pairs_basic(candidates):
+    out = {
+        r["prompt"]: r
+        for r in preference_pairs(
+            candidates, "prompt", "id", "score", min_margin=1
+        ).collect()
+    }
+    assert set(out) == {"p1", "p4"}  # p2 margin 0, p3 single row
+    p1 = out["p1"]
+    assert (p1["chosen_id"], p1["rejected_id"]) == (2, 1)
+    assert (p1["chosen_score"], p1["rejected_score"]) == (30, 10)
+    assert p1["margin"] == 20 and p1["n_candidates"] == 3
+    # ties break to the LOWEST id on both sides
+    p4 = out["p4"]
+    assert (p4["chosen_id"], p4["rejected_id"]) == (7, 9)
+
+
+def test_preference_pairs_margin_filter(candidates):
+    out = preference_pairs(
+        candidates, "prompt", "id", "score", min_margin=30
+    ).collect()
+    assert [r["prompt"] for r in out] == ["p4"]  # p1 margin 20 < 30
+
+
+def test_preference_pairs_no_python_stage(candidates):
+    plan = preference_pairs(
+        candidates, "prompt", "id", "score"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+
+
+# ---------------------------------------------------------------------
+# hard_negatives
+# ---------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.RandomState(11)
+    rows = []
+    for i in range(200):
+        v = rng.normal(size=8).astype("float32")
+        rows.append((i, [float(x) for x in v], int(i % 3)))
+    return spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).localCheckpoint(eager=True)
+
+
+def test_hard_negatives_matches_numpy(vectors):
+    out = hard_negatives(
+        vectors, "vec_id", "embedding", "label", [0, 1], k=4, dim=8
+    ).collect()
+    pdf = vectors.toPandas()
+    mat = np.array([np.array(v, dtype=np.float64) for v in pdf.embedding])
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    for anchor in (0, 1):
+        a = mat[pdf.vec_id == anchor][0]
+        albl = int(pdf[pdf.vec_id == anchor].label.iloc[0])
+        cos = (mat @ a) / (norms * np.sqrt(a @ a))
+        mask = (pdf.label.values != albl) & (pdf.vec_id.values != anchor)
+        order = sorted(
+            zip(-cos[mask], pdf.vec_id.values[mask]),
+        )[:4]
+        expect = [int(i) for _, i in order]
+        got = [
+            r["neg_id"]
+            for r in sorted(
+                (r for r in out if r["anchor_id"] == anchor),
+                key=lambda r: r["rank"],
+            )
+        ]
+        assert got == expect
+        # every mined negative has a different label
+        for r in out:
+            if r["anchor_id"] == anchor:
+                nlbl = int(pdf[pdf.vec_id == r["neg_id"]].label.iloc[0])
+                assert nlbl != albl
+
+
+def test_hard_negatives_two_stage_equals_one_window(vectors):
+    """The bucketed two-stage top-k must be bit-identical to the naive
+    single-window form (which the oracle uses)."""
+    from spark_extensions_spark.operators.similarity import (
+        cosine_similarity_col,
+    )
+
+    got = hard_negatives(
+        vectors, "vec_id", "embedding", "label", [0, 1, 2], k=6, dim=8,
+        pre_buckets=4,
+    )
+    anchors = vectors.filter(F.col("vec_id").isin([0, 1, 2])).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("avec"),
+        F.col("label").alias("albl"),
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("cosine"), "neg_id")
+    naive = (
+        vectors.crossJoin(F.broadcast(anchors))
+        .filter(
+            (F.col("label") != F.col("albl"))
+            & (F.col("vec_id") != F.col("anchor_id"))
+        )
+        .select(
+            "anchor_id",
+            F.col("vec_id").alias("neg_id"),
+            cosine_similarity_col("embedding", "avec", 8).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 6)
+        .select("anchor_id", "neg_id", "rank", "cosine")
+    )
+    a = sorted(map(tuple, got.collect()))
+    b = sorted(map(tuple, naive.collect()))
+    assert a == b
+
+
+def test_hard_negatives_anchor_guard(vectors):
+    with pytest.raises(ValueError, match="IVF"):
+        hard_negatives(
+            vectors, "vec_id", "embedding", "label",
+            list(range(10_001)), k=2, dim=8,
+        )
+
+
+# ---------------------------------------------------------------------
+# cohen_kappa
+# ---------------------------------------------------------------------
+
+
+def test_cohen_kappa_hand_computed(spark):
+    # classic 2x2 example: n00=20, n01=5, n10=10, n11=15, N=50
+    rows = (
+        [("n", "n")] * 20 + [("n", "y")] * 5
+        + [("y", "n")] * 10 + [("y", "y")] * 15
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = cohen_kappa(df, "a", "b").first()
+    assert r["n_items"] == 50 and r["n_agree"] == 35
+    # marginals: a: n=25,y=25; b: n=30,y=20 -> pe_num=25*30+25*20=1250
+    assert r["pe_num"] == 1250
+    assert r["kappa_num"] == 50 * 35 - 1250 == 500
+    assert r["kappa_den"] == 2500 - 1250 == 1250
+    assert r["kappa"] == 500.0 / 1250.0
+
+
+def test_cohen_kappa_perfect_and_chance(spark):
+    perfect = spark.createDataFrame(
+        [("x", "x")] * 10 + [("y", "y")] * 10, "a string, b string"
+    )
+    assert cohen_kappa(perfect, "a", "b").first()["kappa"] == 1.0
+    # rater b constant: pe == po -> kappa 0
+    chance = spark.createDataFrame(
+        [("x", "x")] * 10 + [("y", "x")] * 10, "a string, b string"
+    )
+    assert cohen_kappa(chance, "a", "b").first()["kappa"] == 0.0
+
+
+def test_cohen_kappa_multiclass(spark):
+    rng = np.random.RandomState(3)
+    labs = ["a", "b", "c"]
+    rows = [
+        (labs[rng.randint(3)], labs[rng.randint(3)]) for _ in range(300)
+    ]
+    df = spark.createDataFrame(rows, "ra string, rb string")
+    r = cohen_kappa(df, "ra", "rb").first()
+    # sklearn-free twin: compute from the same confusion matrix
+    import collections
+
+    cm = collections.Counter(rows)
+    n = len(rows)
+    agree = sum(v for (a, b), v in cm.items() if a == b)
+    ra = collections.Counter(a for a, _ in rows)
+    rb = collections.Counter(b for _, b in rows)
+    pe_num = sum(ra[k] * rb[k] for k in labs)
+    assert r["n_items"] == n and r["n_agree"] == agree
+    assert r["pe_num"] == pe_num
+    assert r["kappa"] == (n * agree - pe_num) / (n * n - pe_num)
