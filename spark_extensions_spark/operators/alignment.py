@@ -11,10 +11,10 @@ curation layer:
 Both are pure DataFrame compositions (no Python on the hot path), with
 shuffle shapes that survive scale:
 
-- preference_pairs shuffles once on the prompt key (both rank windows
-  and the chosen⋈rejected join share that partitioning); real
-  preference data has a handful of candidate responses per prompt, so
-  partitions stay tiny at any corpus size.
+- preference_pairs is ONE map-side-combinable hash aggregate on the
+  prompt key (tiebreaks encoded as struct extrema) — one scan, no
+  window sort, no join-back; group size never matters because the
+  partial aggregate keeps two structs and a count per prompt.
 - hard_negatives broadcasts the (small) anchor set, scores row-locally
   against each corpus partition, and takes per-anchor top-k in two
   stages (per (anchor, hash-bucket) then per anchor) so a single
@@ -60,51 +60,38 @@ def preference_pairs(
     rejected_score, margin, n_candidates)``, one row per surviving
     prompt.
 
-    Plan: one shuffle on the prompt key; both rank windows and the
-    final chosen⋈rejected join reuse that partitioning.  Deterministic
-    on any cluster layout: both window orders are total.
+    Plan: ONE hash aggregate on the prompt key — map-side combinable,
+    one scan, no window sort and no join-back.  The tiebreaks ride the
+    aggregate as lexicographic struct extrema: ``max(struct(score,
+    -id))`` is the highest score with the LOWEST id on ties, and
+    ``min(struct(score, id))`` the lowest score with the lowest id —
+    deterministic on any cluster layout.  (The oracle keeps the
+    equivalent two-rank-window form; results are identical.)
     """
-    w_best = Window.partitionBy(prompt_col).orderBy(
-        F.desc(score_col), F.col(id_col)
+    best = F.max(
+        F.struct(
+            F.col(score_col).alias("s"), (-F.col(id_col)).alias("nid")
+        )
     )
-    w_worst = Window.partitionBy(prompt_col).orderBy(
-        F.asc(score_col), F.col(id_col)
+    worst = F.min(
+        F.struct(F.col(score_col).alias("s"), F.col(id_col).alias("i"))
     )
-    w_all = Window.partitionBy(prompt_col)
-    ranked = df.select(
-        prompt_col,
-        id_col,
-        score_col,
-        F.row_number().over(w_best).alias("__rb"),
-        F.row_number().over(w_worst).alias("__rw"),
-        F.count(F.lit(1)).over(w_all).alias("__n"),
-    )
-    chosen = ranked.filter(F.col("__rb") == 1).select(
-        prompt_col,
-        F.col(id_col).alias("chosen_id"),
-        F.col(score_col).alias("chosen_score"),
-        F.col("__n").alias("n_candidates"),
-    )
-    rejected = ranked.filter(F.col("__rw") == 1).select(
-        prompt_col,
-        F.col(id_col).alias("rejected_id"),
-        F.col(score_col).alias("rejected_score"),
+    agg = df.groupBy(prompt_col).agg(
+        best.alias("__best"),
+        worst.alias("__worst"),
+        F.count(F.lit(1)).alias("n_candidates"),
     )
     return (
-        chosen.join(rejected, prompt_col)
-        .withColumn(
-            "margin", F.col("chosen_score") - F.col("rejected_score")
-        )
-        .filter(F.col("margin") >= min_margin)
-        .select(
+        agg.select(
             prompt_col,
-            "chosen_id",
-            "rejected_id",
-            "chosen_score",
-            "rejected_score",
-            "margin",
+            (-F.col("__best.nid")).alias("chosen_id"),
+            F.col("__worst.i").alias("rejected_id"),
+            F.col("__best.s").alias("chosen_score"),
+            F.col("__worst.s").alias("rejected_score"),
+            (F.col("__best.s") - F.col("__worst.s")).alias("margin"),
             "n_candidates",
         )
+        .filter(F.col("margin") >= min_margin)
     )
 
 

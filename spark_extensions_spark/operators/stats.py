@@ -880,6 +880,10 @@ def cohen_kappa(df: DataFrame, rater_a: str, rater_b: str) -> DataFrame:
     cm = df.groupBy(
         F.col(rater_a).alias("ra"), F.col(rater_b).alias("rb")
     ).agg(F.count(F.lit(1)).alias("cnt"))
+    # The C²-row matrix feeds four downstream aggregates; truncating
+    # its lineage keeps the input at ONE scan instead of re-reading it
+    # per branch (same trick as operators/graph.py).
+    cm = cm.localCheckpoint(eager=False)
     ra_marg = cm.groupBy(F.col("ra").alias("k")).agg(
         F.sum("cnt").alias("rk")
     )

@@ -70,11 +70,11 @@ _PP_SCORE_DUCK = (
     doc="DPO/RLHF preference-pair construction (operators/alignment.py:"
     "preference_pairs): per prompt group, chosen = highest-scored "
     "candidate, rejected = lowest (deterministic id tiebreaks), pairs "
-    "below the score margin dropped. One shuffle on the prompt key — "
-    "both rank windows and the chosen⋈rejected join share it; real "
-    "preference data has a handful of responses per prompt, so "
-    "partitions stay tiny at any corpus size. Integer scores make the "
-    "margin bit-exact.",
+    "below the score margin dropped. ONE map-side-combinable hash "
+    "aggregate on the prompt key (tiebreaks as struct extrema) — one "
+    "scan, no window sort, no join-back; skew-immune because the "
+    "partial state is two structs and a count per prompt. Integer "
+    "scores make the margin bit-exact.",
 )
 def q_rlhf_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")["documents"]
