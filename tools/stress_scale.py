@@ -442,6 +442,72 @@ def main() -> int:
         ).count(),
     )
 
+    # Round-4 additions: iterative graph peels/layers, alignment-pair
+    # construction, agreement stats — the ops whose shuffle shapes the
+    # round-4 verdict should see at 10x.
+    from spark_extensions_spark.operators.alignment import (
+        hard_negatives,
+        preference_pairs,
+    )
+    from spark_extensions_spark.operators.graph import bfs_layers, k_core
+    from spark_extensions_spark.operators.stats import cohen_kappa
+
+    def co_edges():
+        return (
+            li.select(
+                F.col("l_orderkey").alias("g"), F.col("l_partkey").alias("v")
+            )
+            .alias("a")
+            .join(
+                li.select(
+                    F.col("l_orderkey").alias("g"),
+                    F.col("l_partkey").alias("w"),
+                ).alias("b"),
+                "g",
+            )
+            .filter(F.col("v") < F.col("w"))
+            .select(F.col("v").alias("src"), F.col("w").alias("dst"))
+        )
+
+    run("k_core", lambda: k_core(co_edges(), k=3, rounds=4).count())
+
+    def q_bfs():
+        seeds = spark.createDataFrame([(1,), (2,), (3,)], "node bigint")
+        return bfs_layers(co_edges(), seeds, rounds=3).count()
+
+    run("bfs_layers", q_bfs)
+    run(
+        "preference_pairs",
+        lambda: preference_pairs(
+            docs.select(
+                (F.col("doc_id") % 4096).alias("p"),
+                "doc_id",
+                F.col("n_chars").alias("score"),
+            ),
+            "p",
+            "doc_id",
+            "score",
+        ).count(),
+    )
+    run(
+        "hard_negatives",
+        lambda: hard_negatives(
+            emb, "vec_id", "embedding", "label", list(range(32)), k=10,
+            dim=64,
+        ).count(),
+    )
+    run(
+        "cohen_kappa",
+        lambda: cohen_kappa(
+            docs.select(
+                (F.col("n_chars") % 7 < 3).alias("qa"),
+                (F.col("n_chars") % 5 < 2).alias("qb"),
+            ),
+            "qa",
+            "qb",
+        ).count(),
+    )
+
     # Kafka-semantics log: produce the scaled docs corpus to a topic
     # (murmur2 placement shuffle + one segment writer per partition),
     # then a full ranged batch read-back and a log compaction.
