@@ -190,15 +190,15 @@ def nb_classify_oracle_sql(
       SELECT nd.c AS label,
              CAST(FLOOR(LN(CAST(n_docs_c AS DOUBLE)
                            / CAST(n_total AS DOUBLE))
-                        * 1000000.0 + 0.5) AS BIGINT) AS prior_e6,
+                        * 1e6 + 0.5) AS BIGINT) AS prior_e6,
              CAST(FLOOR(LN(1.0 / CAST(tok_c + v AS DOUBLE))
-                        * 1000000.0 + 0.5) AS BIGINT) AS unk_e6
+                        * 1e6 + 0.5) AS BIGINT) AS unk_e6
       FROM nd CROSS JOIN nt JOIN ctot ON nd.c = ctot.c CROSS JOIN v
     ), lp AS (
       SELECT cw.w, cw.c AS label,
              CAST(FLOOR(LN(CAST(cnt + 1 AS DOUBLE)
                            / CAST(tok_c + v AS DOUBLE))
-                        * 1000000.0 + 0.5) AS BIGINT) AS lp_e6
+                        * 1e6 + 0.5) AS BIGINT) AS lp_e6
       FROM cw JOIN ctot ON cw.c = ctot.c CROSS JOIN v
     ), scored AS (
       SELECT tc.{id_col}, p.label,

@@ -165,12 +165,12 @@ def bigram_lm_scores_oracle_sql(
     ), lp AS (
       SELECT w1, w2,
              CAST(FLOOR(LN(CAST(c2 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE))
-                        * 1000000.0 + 0.5) AS BIGINT) AS lp_e6
+                        * 1e6 + 0.5) AS BIGINT) AS lp_e6
       FROM c2 JOIN c1 USING (w1) CROSS JOIN v
     ), sc AS (
       SELECT {id_col}, count(*) AS n_bigrams,
              FLOOR(-CAST(sum(lp_e6) AS DOUBLE) / count(*) + 0.5)
-               / 1000000.0 AS nll
+               / 1e6 AS nll
       FROM big JOIN lp USING (w1, w2) GROUP BY {id_col}
     )
     SELECT d.{id_col},
@@ -270,7 +270,7 @@ def domain_mixture_oracle_sql(
     per_dom AS (
       SELECT t.{domain_col},
              CAST(COUNT(*) AS BIGINT) AS n_docs,
-             CAST(SUM(CAST(FLOOR(s.nll * 1000000.0 + 0.5) AS BIGINT))
+             CAST(SUM(CAST(FLOOR(s.nll * 1e6 + 0.5) AS BIGINT))
                   AS BIGINT) AS sum_nll_e6
       FROM scored s JOIN {table} t ON t.{id_col} = s.{id_col}
       WHERE s.n_bigrams > 0
@@ -287,7 +287,7 @@ def domain_mixture_oracle_sql(
       SELECT *,
              CAST(FLOOR(EXP({float(eta)} * CAST(mean_nll_e6
                     - MIN(mean_nll_e6) OVER () AS DOUBLE) / 1e6)
-                  * 100000000.0 + 0.5) AS BIGINT) AS w_e8
+                  * 1e8 + 0.5) AS BIGINT) AS w_e8
       FROM m
     )
     SELECT {domain_col}, n_docs, mean_nll_e6,

@@ -160,7 +160,7 @@ def bm25_oracle_sql(query_terms: list[str], k: int = 20) -> str:
                LN((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
                * (tf.tf * ({K1} + 1.0))
                / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl))
-             ) * 100000000.0 + 0.5) AS BIGINT) AS c_e8
+             ) * 1e8 + 0.5) AS BIGINT) AS c_e8
       FROM tf
       JOIN dfreq ON tf.term = dfreq.term
       JOIN dl ON tf.doc_id = dl.doc_id
@@ -169,7 +169,7 @@ def bm25_oracle_sql(query_terms: list[str], k: int = 20) -> str:
     scored AS (
       SELECT doc_id,
              FLOOR(CAST(SUM(c_e8) AS DOUBLE) / 100.0 + 0.5)
-               / 1000000.0 AS score
+               / 1e6 AS score
       FROM contrib GROUP BY doc_id
     )
     SELECT doc_id, score FROM (
@@ -235,7 +235,7 @@ def tfidf_oracle_sql(top_per_doc: int = 3, min_len: int = 3) -> str:
     scored AS (
       SELECT tf.doc_id, tf.term,
              FLOOR(tf.tf * (LN((1.0 + nd.n_docs) / (1.0 + dfreq.df)) + 1.0)
-                   * 1000000.0 + 0.5) / 1000000.0 AS tfidf
+                   * 1e6 + 0.5) / 1e6 AS tfidf
       FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN nd
     )
     SELECT doc_id, term, tfidf, CAST(rn AS INT) AS rn FROM (
@@ -327,7 +327,7 @@ def rrf_oracle_sql(
 # shared Spark/DuckDB fragment (both parse it): exact-int products in
 # double, floor-quantized to 6dp — identical IEEE ops on both engines
 # (round()'s rescale path is engine-specific; the NOTES hazard class)
-# 1e6 (not 1000000.0): Spark parses the latter literal as DECIMAL,
+# 1e6 (not 1e6): Spark parses the latter literal as DECIMAL,
 # which flips the division to decimal arithmetic; 1e6 is DOUBLE in both
 # dialects
 _LIFT = (
@@ -509,7 +509,7 @@ def prf_oracle_sql(
         f"  LN((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)"
         f"  * (tf.tf * ({K1} + 1.0))"
         f"  / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl))"
-        f") * 100000000.0 + 0.5) AS BIGINT)"
+        f") * 1e8 + 0.5) AS BIGINT)"
     )
     return f"""
     WITH tok AS (
@@ -531,7 +531,7 @@ def prf_oracle_sql(
       SELECT doc_id FROM (
         SELECT tf.doc_id,
                FLOOR(CAST(SUM({score}) AS DOUBLE) / 100.0 + 0.5)
-                 / 1000000.0 AS score
+                 / 1e6 AS score
         FROM tf JOIN dfreq ON tf.term = dfreq.term
         JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
         WHERE tf.term IN ({seeds})
@@ -556,7 +556,7 @@ def prf_oracle_sql(
     scored AS (
       SELECT tf.doc_id,
              FLOOR(CAST(SUM({score}) AS DOUBLE) / 100.0 + 0.5)
-               / 1000000.0 AS score
+               / 1e6 AS score
       FROM tf JOIN qterms USING (term)
       JOIN dfreq ON tf.term = dfreq.term
       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats

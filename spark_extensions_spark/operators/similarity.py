@@ -574,7 +574,7 @@ def ann_ivfpq_topk(
 # Deterministic sign-plane LSH (oracle-checkable bucketing)
 # ---------------------------------------------------------------------
 
-LSH_QUANT = "1000000.0"  # fixed-point scale for exact integer projections
+LSH_QUANT = "1e6"  # fixed-point scale for exact integer projections
 
 
 def signplane_signs(

@@ -753,7 +753,7 @@ def psi_oracle_sql(
              CAST(SUM(cb) OVER () AS DOUBLE) AS nb
       FROM counts
     )
-    SELECT CAST(SUM(CAST(FLOOR(({_PSI_TERM}) * 1000000000000.0 + 0.5)
+    SELECT CAST(SUM(CAST(FLOOR(({_PSI_TERM}) * 1e12 + 0.5)
                          AS DECIMAL(38,0))) AS DOUBLE) / 1.0e12 AS psi,
            CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b
     FROM tot GROUP BY na, nb

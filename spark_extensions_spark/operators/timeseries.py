@@ -152,7 +152,7 @@ def ewma_oracle_sql(
     expr = ewma_exprs(value_col, lag_fmt, alpha, k)
     return f"""
     SELECT {key_col}, {ts_col}, {value_col},
-           FLOOR(({expr}) * 1000000000.0 + 0.5) / 1000000000.0 AS ewma
+           FLOOR(({expr}) * 1e9 + 0.5) / 1e9 AS ewma
     FROM {table}
     """
 
@@ -249,7 +249,7 @@ def zscore_oracle_sql(
     )
     SELECT {key_col}, {ts_col}, {value_col},
            CASE WHEN c >= 3
-                THEN FLOOR(({z}) * 1000000000.0 + 0.5) / 1000000000.0
+                THEN FLOOR(({z}) * 1e9 + 0.5) / 1e9
            END AS z,
            CASE WHEN c >= 3 THEN abs({z}) > {threshold} END AS is_anomaly
     FROM base

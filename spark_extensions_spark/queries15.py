@@ -111,10 +111,10 @@ def q_sample_shuffle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH bounds AS (
       SELECT c_mktsegment,
-             FLOOR(quantile_cont(c_acctbal, 0.05) * 1000000.0 + 0.5)
-               / 1000000.0 AS p05,
-             FLOOR(quantile_cont(c_acctbal, 0.95) * 1000000.0 + 0.5)
-               / 1000000.0 AS p95
+             FLOOR(quantile_cont(c_acctbal, 0.05) * 1e6 + 0.5)
+               / 1e6 AS p05,
+             FLOOR(quantile_cont(c_acctbal, 0.95) * 1e6 + 0.5)
+               / 1e6 AS p95
       FROM customer GROUP BY c_mktsegment
     )
     SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal,
@@ -322,19 +322,19 @@ def _gopher_oracle() -> str:
     mean = (
         f"CASE WHEN {n} = 0 THEN 0.0 ELSE FLOOR("
         f"list_sum(list_transform({ws}, w -> length(w)))"
-        f" / CAST({n} AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 END"
+        f" / CAST({n} AS DOUBLE) * 1e6 + 0.5) / 1e6 END"
     )
     nsym = r"len(regexp_extract_all(text, '#|\.\.\.'))"
     sym = (
         f"CASE WHEN {n} = 0 THEN 0.0 "
         f"ELSE FLOOR({nsym} / CAST({n} AS DOUBLE)"
-        f" * 1000000.0 + 0.5) / 1000000.0 END"
+        f" * 1e6 + 0.5) / 1e6 END"
     )
     nalpha = f"len(list_filter({ws}, w -> regexp_matches(w, '[a-z]')))"
     alpha = (
         f"CASE WHEN {n} = 0 THEN 0.0 "
         f"ELSE FLOOR({nalpha} / CAST({n} AS DOUBLE)"
-        f" * 1000000.0 + 0.5) / 1000000.0 END"
+        f" * 1e6 + 0.5) / 1e6 END"
     )
     hits = f"len(list_intersect(list_distinct({ws}), [{stop}]))"
     gpass = (

@@ -432,7 +432,7 @@ def q_retrieval_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
                     - CAST(cb AS DOUBLE) / nb)
                    * ln((CAST(ca AS DOUBLE) / na)
                         / (CAST(cb AS DOUBLE) / nb)))
-                   * 1000000000000.0 + 0.5) AS DECIMAL(38,0)))
+                   * 1e12 + 0.5) AS DECIMAL(38,0)))
                   AS DOUBLE) / 1.0e12 AS psi,
              CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b
       FROM tot GROUP BY na, nb

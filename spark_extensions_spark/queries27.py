@@ -1756,7 +1756,7 @@ def q_text_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / (COUNT(*) * (CAST(SUM(xx) AS DOUBLE) / 1e12)
                     - (CAST(SUM(x) AS DOUBLE) / 1e12)
                       * (CAST(SUM(x) AS DOUBLE) / 1e12))
-                 * 1000000.0 + 0.5) / 1000000.0 AS zipf_slope
+                 * 1e6 + 0.5) / 1e6 AS zipf_slope
     FROM terms
     """,
     doc="Zipf-law slope audit: OLS of ln(count) on ln(rank) over the "

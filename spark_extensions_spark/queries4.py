@@ -147,7 +147,7 @@ def q_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_transform(
                list_zip([l_quantity, l_extendedprice], [l_discount, l_tax]),
                s -> s[1] + s[2]),
-             v -> CAST(FLOOR(v * 1000000.0 + 0.5) AS BIGINT)), ',')
+             v -> CAST(FLOOR(v * 1e6 + 0.5) AS BIGINT)), ',')
              AS zipped_e6_csv,
            json_extract_string(
              concat('{"ord":', CAST(l_orderkey AS VARCHAR),
@@ -185,7 +185,7 @@ def q_scalar_battery3(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.array("l_discount", "l_tax"),
                         lambda x, y: x + y,
                     ),
-                    lambda v: F.floor(v * 1000000.0 + 0.5).cast("bigint"),
+                    lambda v: F.floor(v * 1e6 + 0.5).cast("bigint"),
                 ),
                 ",",
             ).alias("zipped_e6_csv"),
@@ -206,7 +206,7 @@ def q_scalar_battery3(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE CAST((year(l_shipdate) - 1995) * 12
                           + (month(l_shipdate) - 3) AS DOUBLE)
                      + (CAST((day(l_shipdate) - 15) * 86400 AS DOUBLE)
-                        / 2678400.0)
+                        / 2678400e0)
            END AS mb_raw,
            last_day(CAST(l_shipdate AS DATE)) AS eom,
            CAST(l_shipdate + INTERVAL 2 MONTH AS DATE) AS plus2m

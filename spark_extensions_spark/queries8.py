@@ -162,7 +162,7 @@ def q_analytic_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
                    / CAST(255.0 AS REAL) AS REAL),
               CAST(CAST(CAST(('0x' || substr(h, 5, 2)) AS INT) AS REAL)
                    / CAST(255.0 AS REAL) AS REAL)],
-             x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000000.0 + 0.5)
+             x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e9 + 0.5)
                        AS BIGINT)), ',') AS mean_pixel_e9
     FROM m
     """,
