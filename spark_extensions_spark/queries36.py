@@ -166,3 +166,53 @@ def q_stat_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_KAPPA_B_SPARK).alias("qb"),
     )
     return cohen_kappa(rated, "qa", "qb")
+
+
+# =====================================================================
+# Streaming state-store inspection (Spark 4 state data source)
+# =====================================================================
+
+@_register(
+    "streaming_state_inspect",
+    """
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MAX(event_id) AS BIGINT) AS max_event_id
+    FROM events GROUP BY user_id
+    """,
+    doc="Offline inspection of a streaming checkpoint's state store "
+    "(streaming/ops.py:read_state, the Spark 4 state data source): a "
+    "complete-mode count/max aggregate over the events stream runs to "
+    "completion under availableNow, then the state is read BACK from "
+    "the checkpoint as a batch DataFrame and flattened — the ops/debug "
+    "surface for key-skew and state-growth audits. Reads are "
+    "partition-parallel over the store's shuffle partitions, no "
+    "driver-side reconstruction. The recovered state of a complete-"
+    "mode count/max agg IS the batch aggregate, so the oracle is the "
+    "batch SQL twin — exact integers only.",
+)
+def q_streaming_state_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from spark_extensions_spark.queries2 import _events_stream_path
+    from spark_extensions_spark.streaming import (
+        read_state,
+        read_stream_parquet,
+        run_available_now,
+    )
+
+    ckpt = tempfile.mkdtemp(prefix="state_inspect_ck_")
+    stream = read_stream_parquet(spark, _events_stream_path(spark, sf_dir))
+    agg = stream.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("event_id").alias("max_event_id"),
+    )
+    run_available_now(
+        agg, output_mode="complete", checkpoint_dir=ckpt,
+        state_partitions=8,
+    )
+    st = read_state(spark, ckpt)
+    return st.select(
+        F.col("key.user_id").alias("user_id"),
+        F.col("value.count").cast("bigint").alias("n_events"),
+        F.col("value.max").cast("bigint").alias("max_event_id"),
+    )

@@ -9,6 +9,8 @@ exposes the full streaming operator set PySpark-natively and adds an
 
 from spark_extensions_spark.streaming.ops import (
     read_stream_parquet,
+    read_state,
+    read_state_metadata,
     run_available_now,
     run_available_now_to_dir,
     run_foreach_batch,
@@ -21,6 +23,8 @@ from spark_extensions_spark.streaming.stateful import running_aggregate
 
 __all__ = [
     "read_stream_parquet",
+    "read_state",
+    "read_state_metadata",
     "run_available_now",
     "run_available_now_to_dir",
     "run_foreach_batch",

@@ -274,3 +274,40 @@ def run_available_now_to_dir(
     finally:
         if prev is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def read_state(
+    spark: SparkSession,
+    checkpoint_dir: str,
+    operator_id: int | None = None,
+    store_name: str | None = None,
+    batch_id: int | None = None,
+) -> DataFrame:
+    """Read a streaming query's state store as a batch DataFrame
+    (Spark 4 state data source).
+
+    The ops/debug surface a production stream needs: inspect exactly
+    what a stateful operator is holding (key skew, watermark stragglers,
+    state growth) or audit a checkpoint offline — without touching the
+    running query.  Returns ``(key struct, value struct, partition_id)``;
+    flatten the structs with ``key.*`` / ``value.*`` downstream.
+
+    Reads are partition-parallel over the store's shuffle partitions —
+    a 200-partition production checkpoint scans as 200 tasks, no
+    driver-side state reconstruction.
+    """
+    r = spark.read.format("statestore")
+    if operator_id is not None:
+        r = r.option("operatorId", operator_id)
+    if store_name is not None:
+        r = r.option("storeName", store_name)
+    if batch_id is not None:
+        r = r.option("batchId", batch_id)
+    return r.load(checkpoint_dir)
+
+
+def read_state_metadata(spark: SparkSession, checkpoint_dir: str) -> DataFrame:
+    """Per-operator state metadata of a checkpoint (Spark 4
+    ``state-metadata`` source): operator/store names, partition counts,
+    and the batch-id range still replayable from this checkpoint."""
+    return spark.read.format("state-metadata").load(checkpoint_dir)

@@ -419,3 +419,47 @@ def test_scd2_stream_sink(spark, events_stream):
     n_users = expect.count()
     assert hist.count() >= n_users
     assert hist.filter(~F.col("is_current")).count() == hist.count() - n_users
+
+
+def test_read_state_recovers_complete_agg(spark, tmp_path):
+    """The state data source must return exactly the aggregate state a
+    complete-mode count/max query checkpointed, partition-parallel."""
+    from spark_extensions_spark.streaming import (
+        read_state,
+        read_state_metadata,
+        read_stream_parquet,
+        run_available_now,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ck")
+    spark.range(100).select(
+        (F.col("id") % 9).alias("k"), F.col("id").alias("v")
+    ).write.parquet(src)
+    stream = read_stream_parquet(spark, src)
+    agg = stream.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.max("v").alias("mx")
+    )
+    run_available_now(
+        agg, output_mode="complete", checkpoint_dir=ckpt,
+        state_partitions=4,
+    )
+    st = read_state(spark, ckpt).select(
+        F.col("key.k").alias("k"),
+        F.col("value.count").alias("n"),
+        F.col("value.max").alias("mx"),
+    )
+    got = {(r["k"], r["n"], r["mx"]) for r in st.collect()}
+    want = {
+        (k, 100 // 9 + (1 if k < 100 % 9 else 0), max(
+            v for v in range(100) if v % 9 == k
+        ))
+        for k in range(9)
+    }
+    assert got == want
+    md = read_state_metadata(spark, ckpt)
+    row = md.first()
+    assert row["numPartitions"] == 4
+    # batchId selection: state at the only batch equals the final state
+    st0 = read_state(spark, ckpt, batch_id=0)
+    assert st0.count() == 9
