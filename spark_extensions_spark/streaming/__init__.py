@@ -9,6 +9,7 @@ exposes the full streaming operator set PySpark-natively and adds an
 
 from spark_extensions_spark.streaming.ops import (
     read_stream_parquet,
+    ROCKSDB_PROVIDER,
     read_state,
     read_state_metadata,
     run_available_now,
@@ -23,6 +24,7 @@ from spark_extensions_spark.streaming.stateful import running_aggregate
 
 __all__ = [
     "read_stream_parquet",
+    "ROCKSDB_PROVIDER",
     "read_state",
     "read_state_metadata",
     "run_available_now",

@@ -125,11 +125,18 @@ def stream_stream_join(
     return lw.join(rw, on & time_bound, how)
 
 
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+
+
 def run_available_now(
     result: DataFrame,
     output_mode: str = "append",
     checkpoint_dir: str | None = None,
     state_partitions: int | None = None,
+    state_store_provider: str | None = None,
 ) -> DataFrame:
     """Execute a streaming DataFrame to completion with
     ``trigger(availableNow=True)`` into an in-memory table; returns the
@@ -147,14 +154,25 @@ def run_available_now(
     width — on a real cluster that's hundreds, for a local replay over
     fixture-sized state a handful. Restored after the query stops; safe
     because each replay uses a fresh checkpoint dir.
+
+    ``state_store_provider`` pins the state backend for the run (the
+    provider is baked into the checkpoint at first commit).  Pass
+    :data:`ROCKSDB_PROVIDER` for state beyond executor heap — the
+    off-heap backend a 100 TB keyspace needs; the default HDFS-backed
+    provider holds every partition's state in executor memory.
     """
     spark = result.sparkSession
     name = f"mem_{uuid.uuid4().hex[:12]}"
     ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_")
     prev = None
+    prev_provider = None
+    _prov_key = "spark.sql.streaming.stateStore.providerClass"
     if state_partitions is not None:
         prev = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    if state_store_provider is not None:
+        prev_provider = spark.conf.get(_prov_key, None)
+        spark.conf.set(_prov_key, state_store_provider)
     try:
         q = (
             result.writeStream.format("memory")
@@ -168,6 +186,11 @@ def run_available_now(
     finally:
         if prev is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
+        if state_store_provider is not None:
+            if prev_provider is None:
+                spark.conf.unset(_prov_key)
+            else:
+                spark.conf.set(_prov_key, prev_provider)
     return spark.table(name)
 
 

@@ -463,3 +463,49 @@ def test_read_state_recovers_complete_agg(spark, tmp_path):
     # batchId selection: state at the only batch equals the final state
     st0 = read_state(spark, ckpt, batch_id=0)
     assert st0.count() == 9
+
+
+def test_rocksdb_state_store_provider(spark, tmp_path):
+    """A stateful replay under the RocksDB provider must produce the
+    same result as the default HDFS-backed provider, and the state data
+    source must read its checkpoint back."""
+    from spark_extensions_spark.streaming import (
+        ROCKSDB_PROVIDER,
+        read_state,
+        read_stream_parquet,
+        run_available_now,
+    )
+
+    src = str(tmp_path / "src")
+    spark.range(300).select(
+        (F.col("id") % 13).alias("k"), F.col("id").alias("v")
+    ).write.parquet(src)
+
+    def agg():
+        return (
+            read_stream_parquet(spark, src)
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n"), F.max("v").alias("mx"))
+        )
+
+    ck_rocks = str(tmp_path / "ck_rocks")
+    rocks = run_available_now(
+        agg(), output_mode="complete", checkpoint_dir=ck_rocks,
+        state_partitions=4, state_store_provider=ROCKSDB_PROVIDER,
+    )
+    default = run_available_now(
+        agg(), output_mode="complete", state_partitions=4,
+    )
+    assert sorted(map(tuple, rocks.collect())) == sorted(
+        map(tuple, default.collect())
+    )
+    # the conf was restored after the run
+    assert (
+        spark.conf.get(
+            "spark.sql.streaming.stateStore.providerClass", None
+        )
+        is None
+    )
+    # offline state read of the RocksDB checkpoint
+    st = read_state(spark, ck_rocks)
+    assert st.count() == 13
