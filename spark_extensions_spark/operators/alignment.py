@@ -67,7 +67,12 @@ def preference_pairs(
     ``min(struct(score, id))`` the lowest score with the lowest id —
     deterministic on any cluster layout.  (The oracle keeps the
     equivalent two-rank-window form; results are identical.)
+
+    NULL-scored candidates are excluded up front (engines order NULLs
+    differently, and a null score is "no preference signal", not a
+    minimum); a group left with no scored candidate emits nothing.
     """
+    df = df.filter(F.col(score_col).isNotNull())
     best = F.max(
         F.struct(
             F.col(score_col).alias("s"), (-F.col(id_col)).alias("nid")
@@ -103,9 +108,11 @@ def preference_pairs_oracle_sql(
     min_margin: int = 1,
 ) -> str:
     """DuckDB twin of :func:`preference_pairs` over ``scored_sql``
-    (a query producing at least prompt/id/score columns)."""
+    (a query producing at least prompt/id/score columns; NULL scores
+    are excluded to mirror the operator contract)."""
     return f"""
-    WITH scored AS ({scored_sql}),
+    WITH scored AS (SELECT * FROM ({scored_sql})
+                    WHERE {score_col} IS NOT NULL),
     ranked AS (
       SELECT {prompt_col}, {id_col}, {score_col},
              ROW_NUMBER() OVER (PARTITION BY {prompt_col}

@@ -212,3 +212,15 @@ def test_cohen_kappa_multiclass(spark):
     assert r["n_items"] == n and r["n_agree"] == agree
     assert r["pe_num"] == pe_num
     assert r["kappa"] == (n * agree - pe_num) / (n * n - pe_num)
+
+
+def test_preference_pairs_null_scores_ignored(spark):
+    rows = [("p", 1, None), ("p", 2, 10), ("p", 3, 4), ("q", 4, None)]
+    df = spark.createDataFrame(rows, "prompt string, id bigint, score bigint")
+    out = preference_pairs(df, "prompt", "id", "score").collect()
+    assert len(out) == 1
+    r = out[0]
+    # the null-scored candidate neither wins nor loses, and the
+    # all-null group emits nothing
+    assert (r["prompt"], r["chosen_id"], r["rejected_id"]) == ("p", 2, 3)
+    assert r["n_candidates"] == 2
