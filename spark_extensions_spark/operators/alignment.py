@@ -37,6 +37,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from spark_extensions_spark.operators.sampling import grouped_topk
 from spark_extensions_spark.operators.similarity import cosine_similarity_col
 
 
@@ -62,20 +63,22 @@ def preference_pairs(
 
     Plan: ONE hash aggregate on the prompt key — map-side combinable,
     one scan, no window sort and no join-back.  The tiebreaks ride the
-    aggregate as lexicographic struct extrema: ``max(struct(score,
-    -id))`` is the highest score with the LOWEST id on ties, and
+    aggregate as lexicographic struct extrema: ``min(struct(-score,
+    id))`` is the highest score with the LOWEST id on ties, and
     ``min(struct(score, id))`` the lowest score with the lowest id —
     deterministic on any cluster layout.  (The oracle keeps the
-    equivalent two-rank-window form; results are identical.)
+    equivalent two-rank-window form; results are identical.)  Scores
+    must be NUMERIC (the chosen-side extremum negates them; ids may be
+    any orderable type).
 
     NULL-scored candidates are excluded up front (engines order NULLs
     differently, and a null score is "no preference signal", not a
     minimum); a group left with no scored candidate emits nothing.
     """
     df = df.filter(F.col(score_col).isNotNull())
-    best = F.max(
+    best = F.min(
         F.struct(
-            F.col(score_col).alias("s"), (-F.col(id_col)).alias("nid")
+            (-F.col(score_col)).alias("ns"), F.col(id_col).alias("i")
         )
     )
     worst = F.min(
@@ -89,11 +92,11 @@ def preference_pairs(
     return (
         agg.select(
             prompt_col,
-            (-F.col("__best.nid")).alias("chosen_id"),
+            F.col("__best.i").alias("chosen_id"),
             F.col("__worst.i").alias("rejected_id"),
-            F.col("__best.s").alias("chosen_score"),
+            (-F.col("__best.ns")).alias("chosen_score"),
             F.col("__worst.s").alias("rejected_score"),
-            (F.col("__best.s") - F.col("__worst.s")).alias("margin"),
+            (-F.col("__best.ns") - F.col("__worst.s")).alias("margin"),
             "n_candidates",
         )
         .filter(F.col("margin") >= min_margin)
@@ -165,11 +168,13 @@ def hard_negatives(
     and the per-anchor top-k runs in two stages — per (anchor,
     hash-bucket(neg_id)) then per anchor over ≤ k·pre_buckets
     survivors — so no task ever sorts a whole anchor's corpus-sized
-    candidate list (the operators/sampling.py stratified_cap shape;
-    bit-identical to the one-window form, which is the oracle).  For
+    candidate list (operators/sampling.py:grouped_topk, the shared
+    primitive; bit-identical to the one-window form = the oracle).  For
     anchor sets beyond broadcast size, pre-prune candidates with the
     IVF index (operators/similarity.py) instead of exact all-pairs.
     """
+    if not anchor_ids:
+        raise ValueError("hard_negatives: anchor_ids is empty")
     if len(anchor_ids) > 10_000:
         raise ValueError(
             "hard_negatives broadcasts the anchor set; "
@@ -194,18 +199,14 @@ def hard_negatives(
         )
     )
     bucket = F.pmod(F.xxhash64(F.col("neg_id")), F.lit(pre_buckets))
-    w1 = Window.partitionBy("anchor_id", "__b").orderBy(
-        F.desc("cosine"), "neg_id"
-    )
-    w2 = Window.partitionBy("anchor_id").orderBy(F.desc("cosine"), "neg_id")
-    return (
-        scored.withColumn("__b", bucket)
-        .withColumn("__r1", F.row_number().over(w1))
-        .filter(F.col("__r1") <= k)
-        .withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= k)
-        .select("anchor_id", "neg_id", "rank", "cosine")
-    )
+    return grouped_topk(
+        scored,
+        ["anchor_id"],
+        [F.desc("cosine"), F.col("neg_id")],
+        k,
+        bucket,
+        rank_col="rank",
+    ).select("anchor_id", "neg_id", "rank", "cosine")
 
 
 def hard_negatives_oracle_sql(
@@ -222,6 +223,8 @@ def hard_negatives_oracle_sql(
     over aliases ``e`` (corpus) and ``a`` (anchor), e.g. from
     queries.py:_cosine_duck('e.embedding', 'a.embedding', dim).
     """
+    if not anchor_ids:
+        raise ValueError("hard_negatives_oracle_sql: anchor_ids is empty")
     ids = ", ".join(str(i) for i in anchor_ids)
     return f"""
     SELECT anchor_id, neg_id, rank, cosine FROM (

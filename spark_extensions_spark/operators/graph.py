@@ -410,7 +410,10 @@ def should_degree_order(
     orientation (see :func:`_wedge_mass_says_order` for the bound).
     ``assume_canonical=True`` skips the canonicalizing distinct when
     the caller already holds a src<dst deduplicated edge list."""
-    e = edges if assume_canonical else canonical_edges(edges, src, dst)
+    if assume_canonical:
+        e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    else:
+        e = canonical_edges(edges, src, dst)
     return _wedge_mass_says_order(_degree_table(e))
 
 
@@ -451,13 +454,17 @@ def triangle_count(
     deg = None
     if degree_ordered == "auto":
         # Probe over the checkpointed canonical edges (no second
-        # distinct); keep the degree table — the ordered path reuses
-        # it, so a True decision costs nothing extra.
-        deg = _degree_table(e).localCheckpoint(eager=False)
+        # distinct).  The degree table is NOT checkpointed here — on a
+        # False decision nothing would ever use it again and the pinned
+        # cache would just hold executor storage; the ordered path
+        # below checkpoints it before its two join branches.
+        deg = _degree_table(e)
         degree_ordered = _wedge_mass_says_order(deg)
     if degree_ordered:
         if deg is None:
             deg = _degree_table(e)
+        # two rank-attach joins read it — materialize once
+        deg = deg.localCheckpoint(eager=False)
         with_d = (
             e.join(deg.withColumnRenamed("node", "src"), "src")
             .withColumnRenamed("deg", "ds")

@@ -327,9 +327,9 @@ def rrf_oracle_sql(
 # shared Spark/DuckDB fragment (both parse it): exact-int products in
 # double, floor-quantized to 6dp — identical IEEE ops on both engines
 # (round()'s rescale path is engine-specific; the NOTES hazard class)
-# 1e6 (not 1e6): Spark parses the latter literal as DECIMAL,
-# which flips the division to decimal arithmetic; 1e6 is DOUBLE in both
-# dialects
+# 1e6 (not the plain literal 1000000.0): Spark parses the plain form
+# as DECIMAL, which flips the division to decimal arithmetic; 1e6 is
+# DOUBLE in both dialects
 _LIFT = (
     "FLOOR((CAST(c_xy AS DOUBLE) * CAST(nu AS DOUBLE) * CAST(nu AS DOUBLE))"
     " / (CAST(nb AS DOUBLE) * CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE))"

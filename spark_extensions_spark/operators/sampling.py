@@ -111,6 +111,47 @@ def hash_split_case_duck(
     return f"CASE{arms} END"
 
 
+def grouped_topk(
+    df: DataFrame,
+    group_cols: list,
+    order_cols: list,
+    k: int,
+    bucket: Column,
+    rank_col: str | None = None,
+) -> DataFrame:
+    """Skew-safe grouped top-``k``: the shared two-stage shape behind
+    :func:`stratified_cap`, :func:`domain_cap`, and
+    ``alignment.hard_negatives``.
+
+    A single ``row_number`` partitioned by group would pull a
+    mega-group's entire row set into one task.  Stage 1 ranks within
+    ``(group, bucket)`` and keeps ``k`` per bucket — bounding every
+    task's window at the bucket's share of even the largest group;
+    stage 2 re-ranks the ``≤ k·n_buckets`` survivors per group.  The
+    per-group top-``k`` of the union of per-bucket top-``k``s is
+    exactly the global top-``k``, so the result is bit-identical to the
+    one-window form (which stays the oracle) — PROVIDED ``order_cols``
+    is a TOTAL order (tiebreak on a unique column) and ``bucket`` is a
+    deterministic row function (hash of a high-cardinality column).
+
+    ``rank_col`` names the final per-group rank in the output; None
+    drops it.
+    """
+    groups = [F.col(g) if isinstance(g, str) else g for g in group_cols]
+    w1 = Window.partitionBy(*groups, F.col("__gtk_b")).orderBy(*order_cols)
+    w2 = Window.partitionBy(*groups).orderBy(*order_cols)
+    rn = rank_col or "__gtk_rn"
+    out = (
+        df.withColumn("__gtk_b", bucket)
+        .withColumn("__gtk_r1", F.row_number().over(w1))
+        .filter(F.col("__gtk_r1") <= k)
+        .withColumn(rn, F.row_number().over(w2))
+        .filter(F.col(rn) <= k)
+        .drop("__gtk_b", "__gtk_r1")
+    )
+    return out if rank_col is not None else out.drop(rn)
+
+
 def stratified_cap(
     df: DataFrame,
     group_col: str,
@@ -127,12 +168,8 @@ def stratified_cap(
     the same rows survive on any cluster; tiebreak on the key itself
     makes the window order total.
 
-    Skew-safe two-stage top-k (the :func:`domain_cap` shape): stage 1
-    ranks within ``(group, hash-bucket)`` and keeps ``cap`` per bucket,
-    bounding any one task's window at the bucket's share of even a
-    mega-group; stage 2 re-ranks the ``≤ cap·pre_buckets`` survivors
-    per group.  The per-group top-``cap`` of per-bucket top-``cap``s is
-    exactly the global per-group top-``cap``, so results are
+    Skew-safe two-stage top-k via :func:`grouped_topk` (shared with
+    :func:`domain_cap` and ``alignment.hard_negatives``); results are
     bit-identical to the single-window form (which remains the oracle).
     """
     prio = hash_bucket(key_col, salt, 1 << 60)
@@ -140,20 +177,15 @@ def stratified_cap(
         F.xxhash64(F.col(key_col).cast("string"), F.lit(salt)),
         F.lit(pre_buckets),
     )
-    w1 = Window.partitionBy(group_col, "__b").orderBy("__prio", key_col)
-    w2 = Window.partitionBy(group_col).orderBy("__prio", key_col)
-    kept = (
-        df.withColumn("__prio", prio)
-        .withColumn("__b", bucket)
-        .withColumn("__r1", F.row_number().over(w1))
-        .filter(F.col("__r1") <= cap)
-        .withColumn("__rn", F.row_number().over(w2))
-        .filter(F.col("__rn") <= cap)
-        .drop("__prio", "__b", "__r1")
-    )
-    if out_col is None:
-        return kept.drop("__rn")
-    return kept.withColumnRenamed("__rn", out_col)
+    kept = grouped_topk(
+        df.withColumn("__prio", prio),
+        [group_col],
+        [F.col("__prio"), F.col(key_col)],
+        cap,
+        bucket,
+        rank_col=out_col,
+    ).drop("__prio")
+    return kept
 
 
 def token_budget_cap(
@@ -751,14 +783,9 @@ def domain_cap(
     md5 priority (the FineWeb-style per-site cap that stops one giant
     host from dominating a crawl mix).
 
-    Skew-safe two-stage top-k: a single ``row_number`` partitioned by
-    domain would pull a mega-domain's entire row set into one task, so
-    stage 1 takes the top-``cap`` within ``(domain, md5-bucket)``
-    (bounding every partition's output at ``cap``), and stage 2 ranks
-    the surviving ``≤ cap·pre_buckets`` candidates per domain.  The
-    per-domain top-``cap`` of the union of per-bucket top-``cap``s is
-    exactly the global per-domain top-``cap``, so the result is
-    bit-identical to the one-window form (which is the oracle).
+    Skew-safe two-stage top-k via :func:`grouped_topk` (see there for
+    the superset argument); the result is bit-identical to the
+    one-window form (which is the oracle).
 
     Priority is ``(md5(id:salt), id)`` — a total order, so the sample
     is reproducible on any engine and under any partitioning.
@@ -770,17 +797,13 @@ def domain_cap(
         F.xxhash64(F.col(id_col).cast("string"), F.lit(salt)),
         F.lit(pre_buckets),
     )
-    w1 = Window.partitionBy(domain_col, "__b").orderBy("__prio", id_col)
-    w2 = Window.partitionBy(domain_col).orderBy("__prio", id_col)
-    return (
-        df.withColumn("__prio", prio)
-        .withColumn("__b", bucket)
-        .withColumn("__r1", F.row_number().over(w1))
-        .filter(F.col("__r1") <= cap)
-        .withColumn("__r2", F.row_number().over(w2))
-        .filter(F.col("__r2") <= cap)
-        .drop("__prio", "__b", "__r1", "__r2")
-    )
+    return grouped_topk(
+        df.withColumn("__prio", prio),
+        [domain_col],
+        [F.col("__prio"), F.col(id_col)],
+        cap,
+        bucket,
+    ).drop("__prio")
 
 
 def domain_cap_oracle_sql(

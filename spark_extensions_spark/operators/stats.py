@@ -875,7 +875,10 @@ def cohen_kappa(df: DataFrame, rater_a: str, rater_b: str) -> DataFrame:
     confusion matrix (map-side combinable), then class-marginal
     aggregates over that tiny table joined back on the class key.
     Output: one row ``(n_items bigint, n_agree bigint, pe_num bigint,
-    kappa_num bigint, kappa_den bigint, kappa double)``.
+    kappa_num bigint, kappa_den bigint, kappa double)``.  When both
+    raters assign one identical class to every item the denominator is
+    0 and kappa is undefined — emitted as NULL (engines disagree on
+    0/0: Spark NULL vs IEEE NaN, so the contract is explicit).
     """
     cm = df.groupBy(
         F.col(rater_a).alias("ra"), F.col(rater_b).alias("rb")
@@ -909,11 +912,12 @@ def cohen_kappa(df: DataFrame, rater_a: str, rater_b: str) -> DataFrame:
         (F.col("n_items") * F.col("n_items") - F.col("pe_num"))
         .cast("bigint")
         .alias("kappa_den"),
-        (
+        F.when(
+            F.col("n_items") * F.col("n_items") != F.col("pe_num"),
             (F.col("n_items") * F.col("n_agree") - F.col("pe_num"))
             .cast("double")
             / (F.col("n_items") * F.col("n_items") - F.col("pe_num"))
-            .cast("double")
+            .cast("double"),
         ).alias("kappa"),
     )
 
@@ -944,7 +948,9 @@ def cohen_kappa_oracle_sql(rated_sql: str, rater_a: str, rater_b: str) -> str:
            CAST(pe_num AS BIGINT) AS pe_num,
            CAST(n_items * n_agree - pe_num AS BIGINT) AS kappa_num,
            CAST(n_items * n_items - pe_num AS BIGINT) AS kappa_den,
-           CAST(n_items * n_agree - pe_num AS DOUBLE)
-             / CAST(n_items * n_items - pe_num AS DOUBLE) AS kappa
+           CASE WHEN n_items * n_items <> pe_num THEN
+             CAST(n_items * n_agree - pe_num AS DOUBLE)
+               / CAST(n_items * n_items - pe_num AS DOUBLE)
+           END AS kappa
     FROM tot CROSS JOIN pe
     """

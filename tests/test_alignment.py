@@ -224,3 +224,32 @@ def test_preference_pairs_null_scores_ignored(spark):
     # all-null group emits nothing
     assert (r["prompt"], r["chosen_id"], r["rejected_id"]) == ("p", 2, 3)
     assert r["n_candidates"] == 2
+
+
+def test_preference_pairs_string_ids(spark):
+    """ids may be any orderable type — the tiebreak must not depend on
+    numeric negation of the id column."""
+    rows = [("p", "d2", 30), ("p", "d10", 30), ("p", "d1", 5)]
+    df = spark.createDataFrame(rows, "prompt string, id string, score bigint")
+    r = preference_pairs(df, "prompt", "id", "score").first()
+    # tie at 30 breaks to the LEXICOGRAPHICALLY lowest id ('d10' < 'd2')
+    assert (r["chosen_id"], r["rejected_id"]) == ("d10", "d1")
+    assert (r["chosen_score"], r["rejected_score"]) == (30, 5)
+
+
+def test_hard_negatives_empty_anchors(vectors):
+    from spark_extensions_spark.operators.alignment import (
+        hard_negatives_oracle_sql,
+    )
+
+    with pytest.raises(ValueError, match="empty"):
+        hard_negatives(vectors, "vec_id", "embedding", "label", [], 2, 8)
+    with pytest.raises(ValueError, match="empty"):
+        hard_negatives_oracle_sql("cos", [], 2)
+
+
+def test_cohen_kappa_degenerate_null(spark):
+    # both raters constant and identical: denominator 0, kappa NULL
+    df = spark.createDataFrame([("x", "x")] * 5, "a string, b string")
+    r = cohen_kappa(df, "a", "b").first()
+    assert r["kappa_den"] == 0 and r["kappa"] is None
