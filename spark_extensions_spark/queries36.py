@@ -216,3 +216,69 @@ def q_streaming_state_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value.count").cast("bigint").alias("n_events"),
         F.col("value.max").cast("bigint").alias("max_event_id"),
     )
+
+
+# =====================================================================
+# WARC/WET (Common Crawl) round-trip
+# =====================================================================
+
+def _wet_dir(spark: SparkSession, sf_dir: str) -> str:
+    """documents rendered as WET conversion records (cached per
+    (session, sf_dir))."""
+    import tempfile
+
+    from spark_extensions_spark.sources.warc import write_wet
+
+    cache = getattr(spark, "_sx_wet_cache", None)
+    if cache is None:
+        cache = {}
+        spark._sx_wet_cache = cache
+    if sf_dir not in cache:
+        docs = _t(spark, sf_dir, "documents")["documents"]
+        path = tempfile.mkdtemp(prefix="wet_q_")
+        write_wet(
+            docs.select(
+                F.concat(
+                    F.lit("http://docs.example/"),
+                    F.col("doc_id").cast("string"),
+                ).alias("url"),
+                "text",
+            ),
+            path,
+            "url",
+            "text",
+        )
+        cache[sf_dir] = path
+    return cache[sf_dir]
+
+
+@_register(
+    "warc_wet_roundtrip",
+    """
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           'conversion' AS record_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+           md5(text) AS payload_md5
+    FROM documents
+    """,
+    doc="WARC/WET (Common Crawl) ingestion round-trip (sources/warc.py): "
+    "documents rendered as deterministic WET conversion records "
+    "(write_wet: fixed header order, md5 record ids), read back with "
+    "the STRICT Content-Length-honoring reader (binaryFile + "
+    "Arrow-batched mapInPandas, one task per archive file — how Common "
+    "Crawl's ~1 GB segments parallelize). Identity oracle proves "
+    "headers and payload bytes survive; the JVM-side lineSep fast "
+    "path is equality-tested against strict in pytest.",
+)
+def q_warc_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_extensions_spark.sources.warc import read_wet_strict
+
+    recs = read_wet_strict(spark, _wet_dir(spark, sf_dir))
+    return recs.select(
+        F.regexp_extract(F.col("target_uri"), r"/(\d+)$", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        "record_type",
+        "content_length",
+        F.md5(F.col("payload").cast("binary")).alias("payload_md5"),
+    )
