@@ -53,6 +53,35 @@ def main() -> int:
         # noop write reads every data page once; also initializes the
         # noop commit machinery before the first timed query
         t.write.format("noop").mode("overwrite").save()
+    # spin up the Python/Arrow UDF worker pool once: the first
+    # pandas-UDF query otherwise pays worker-fork + Arrow codec init
+    # for all 32 cores (observed as a spurious 2-3x on whichever
+    # pandas query runs first in registry order)
+    import pandas as pd  # noqa: F401
+    from pyspark.sql import functions as F
+
+    spark.range(int(cpus) * 4).repartition(int(cpus)).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
+    # and the streaming machinery (checkpoint manager, state store
+    # provider classes) — first streaming query pays it otherwise
+    from spark_extensions_spark.streaming import (
+        read_stream_parquet,
+        run_available_now,
+    )
+    import tempfile
+
+    warm_dir = tempfile.mkdtemp(prefix="bench_warm_")
+    spark.range(64).select(
+        (F.col("id") % 4).alias("k"), F.col("id").alias("v")
+    ).write.mode("overwrite").parquet(warm_dir)
+    run_available_now(
+        read_stream_parquet(spark, warm_dir)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n")),
+        output_mode="complete",
+        state_partitions=4,
+    )
 
     timings: dict[str, float] = {}
     for q in registry():
