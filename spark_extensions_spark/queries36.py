@@ -282,3 +282,98 @@ def q_warc_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "content_length",
         F.md5(F.col("payload").cast("binary")).alias("payload_md5"),
     )
+
+
+# =====================================================================
+# Pipeline: curation -> dedup -> scoring -> DPO preference pairs
+# =====================================================================
+
+_ALIGN_GROUPS = 128
+_ALIGN_SCORED_DUCK = f"""
+WITH wordy AS (
+  SELECT doc_id, text, n_chars,
+         len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_words
+  FROM documents
+), gated AS (
+  SELECT * FROM wordy WHERE n_words >= 20
+), keep AS (
+  SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY md5(text)
+), survivors AS (
+  SELECT g.* FROM gated g JOIN keep k ON g.doc_id = k.doc_id
+)
+SELECT doc_id % {_ALIGN_GROUPS} AS prompt_id, doc_id,
+       CAST(n_words * 100000 + n_chars AS BIGINT) AS score
+FROM survivors
+"""
+
+
+@_register(
+    "pipeline_alignment_mix",
+    f"""
+    WITH pairs AS (
+      {preference_pairs_oracle_sql(_ALIGN_SCORED_DUCK, "prompt_id", "doc_id", "score", min_margin=1)}
+    )
+    SELECT p.prompt_id, p.chosen_id, p.rejected_id, p.margin,
+           p.n_candidates,
+           md5(c.text) AS chosen_md5, md5(r.text) AS rejected_md5
+    FROM pairs p
+    JOIN documents c ON p.chosen_id = c.doc_id
+    JOIN documents r ON p.rejected_id = r.doc_id
+    """,
+    doc="Alignment-data pipeline as ONE dataflow: quality gate (word "
+    "count) -> exact dedup keeping the first doc per content hash -> "
+    "deterministic integer scoring -> DPO preference pairs per prompt "
+    "bucket (operators/alignment.py:preference_pairs, single "
+    "aggregate) -> text payload join-back fingerprinted by md5. "
+    "Shuffle budget: one dedup hash agg + one pair aggregate + two "
+    "id-keyed join-backs; gates and scoring are row-local, so the "
+    "pipeline is a single pass over the corpus plus id-local joins.",
+)
+def q_pipeline_alignment_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    wordy = docs.select(
+        "doc_id",
+        "text",
+        "n_chars",
+        F.size(
+            F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+        ).alias("n_words"),
+    )
+    gated = wordy.filter(F.col("n_words") >= 20)
+    keep = gated.groupBy(F.md5(F.col("text").cast("binary"))).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    survivors = gated.join(F.broadcast(keep.select("doc_id")), "doc_id")
+    scored = survivors.select(
+        (F.col("doc_id") % _ALIGN_GROUPS).alias("prompt_id"),
+        "doc_id",
+        (F.col("n_words") * 100000 + F.col("n_chars"))
+        .cast("bigint")
+        .alias("score"),
+    )
+    pairs = preference_pairs(
+        scored, "prompt_id", "doc_id", "score", min_margin=1
+    )
+    texts = docs.select("doc_id", F.md5(F.col("text").cast("binary")).alias("m"))
+    return (
+        pairs.join(
+            texts.withColumnRenamed("doc_id", "chosen_id").withColumnRenamed(
+                "m", "chosen_md5"
+            ),
+            "chosen_id",
+        )
+        .join(
+            texts.withColumnRenamed("doc_id", "rejected_id")
+            .withColumnRenamed("m", "rejected_md5"),
+            "rejected_id",
+        )
+        .select(
+            "prompt_id",
+            "chosen_id",
+            "rejected_id",
+            "margin",
+            "n_candidates",
+            "chosen_md5",
+            "rejected_md5",
+        )
+    )
