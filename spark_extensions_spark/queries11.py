@@ -166,8 +166,11 @@ def q_pipeline_full_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("ck")
         .agg(F.max_by("doc_id", order_key).alias("doc_id"))
     )
+    # plain id join: the dedup-survivor set is O(distinct documents) —
+    # near corpus-sized at scale, so forcing a broadcast would OOM; AQE
+    # still broadcasts when it actually fits
     survivors = quality.join(
-        F.broadcast(dedup.select("doc_id")), "doc_id"
+        dedup.select("doc_id"), "doc_id"
     ).select("doc_id", "source")
 
     total = survivors.count()

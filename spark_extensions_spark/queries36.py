@@ -49,7 +49,8 @@ from spark_extensions_spark.operators.stats import (
 # breaks ties — both engines compute it with identical integer ops.
 _PP_GROUPS = 64
 _PP_SCORE_SPARK = (
-    "size(array_distinct(split(text, ' '))) * 100000 + n_chars"
+    "cast(size(array_distinct(split(text, ' '))) as bigint) * 100000"
+    " + n_chars"
 )
 _PP_SCORE_DUCK = (
     "len(list_distinct(string_split(text, ' '))) * 100000 + n_chars"
@@ -255,20 +256,28 @@ def _wet_dir(spark: SparkSession, sf_dir: str) -> str:
 @_register(
     "warc_wet_roundtrip",
     """
+    WITH sanitized AS (
+      SELECT doc_id,
+             regexp_replace(text, '(?m)^WARC/1\\.0$', ' WARC/1.0', 'g')
+               AS text
+      FROM documents
+    )
     SELECT CAST(doc_id AS BIGINT) AS doc_id,
            'conversion' AS record_type,
            CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
            md5(text) AS payload_md5
-    FROM documents
+    FROM sanitized
     """,
     doc="WARC/WET (Common Crawl) ingestion round-trip (sources/warc.py): "
     "documents rendered as deterministic WET conversion records "
     "(write_wet: fixed header order, md5 record ids), read back with "
     "the STRICT Content-Length-honoring reader (binaryFile + "
     "Arrow-batched mapInPandas, one task per archive file — how Common "
-    "Crawl's ~1 GB segments parallelize). Identity oracle proves "
-    "headers and payload bytes survive; the JVM-side lineSep fast "
-    "path is equality-tested against strict in pytest.",
+    "Crawl's ~1 GB segments parallelize). The oracle applies the "
+    "writer's sentinel sanitization so the round-trip is checked on "
+    "exactly the bytes written; the JVM-side lineSep fast path is "
+    "equality-tested against strict in pytest (incl. CRLF archives, "
+    "trailing-newline payloads, embedded sentinels).",
 )
 def q_warc_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_extensions_spark.sources.warc import read_wet_strict
@@ -343,12 +352,14 @@ def q_pipeline_alignment_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep = gated.groupBy(F.md5(F.col("text").cast("binary"))).agg(
         F.min("doc_id").alias("doc_id")
     )
-    survivors = gated.join(F.broadcast(keep.select("doc_id")), "doc_id")
+    # plain id join: the keep set is O(distinct documents) — near
+    # corpus-sized at scale, so forcing a broadcast would OOM; AQE
+    # still broadcasts when it actually fits
+    survivors = gated.join(keep.select("doc_id"), "doc_id")
     scored = survivors.select(
         (F.col("doc_id") % _ALIGN_GROUPS).alias("prompt_id"),
         "doc_id",
-        (F.col("n_words") * 100000 + F.col("n_chars"))
-        .cast("bigint")
+        (F.col("n_words").cast("bigint") * 100000 + F.col("n_chars"))
         .alias("score"),
     )
     pairs = preference_pairs(

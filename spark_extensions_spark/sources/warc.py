@@ -95,11 +95,12 @@ def read_wet(spark: SparkSession, path: str) -> DataFrame:
     """Fast WET reader: JVM-side record splitting via ``lineSep``.
 
     Output: ``(src_file, record_type, target_uri, record_id,
-    content_length, payload)`` — one row per record.  Payload is taken
-    from the first blank line to the end of the record (whole-stage
-    codegen string ops; ``Content-Length`` is carried through for
-    validation but not used to carve — use :func:`read_wet_strict`
-    when payloads may embed the record sentinel).
+    content_length, payload)`` — one row per record.  Payload runs
+    from the first blank line to the end of the record minus the
+    framing newlines (disambiguated by ``Content-Length``).  LF
+    archives only (this module's writer); real CRLF Common Crawl
+    segments and payloads that embed the record sentinel go through
+    :func:`read_wet_strict`.
     """
     raw = (
         spark.read.option("lineSep", "\n" + _SENTINEL)
@@ -115,6 +116,9 @@ def read_wet(spark: SparkSession, path: str) -> DataFrame:
     rec = F.regexp_replace(F.col("rec"), r"^WARC/1\.0\n", "")
     body = F.expr("substring(rec2, instr(rec2, '\n\n') + 2)")
     hdrs = F.expr("substring(rec2, 1, instr(rec2, '\n\n') - 1)")
+    clen = F.regexp_extract(hdrs, r"(?m)^Content-Length: (\d+)$", 1).cast(
+        "bigint"
+    )
     out = raw.select(
         "src_file", rec.alias("rec2")
     ).filter(F.length("rec2") > 0).select(
@@ -128,34 +132,64 @@ def read_wet(spark: SparkSession, path: str) -> DataFrame:
         F.regexp_extract(hdrs, r"(?m)^WARC-Record-ID: (.*)$", 1).alias(
             "record_id"
         ),
-        F.regexp_extract(hdrs, r"(?m)^Content-Length: (\d+)$", 1)
-        .cast("bigint")
-        .alias("content_length"),
-        # strip the trailing record newline the writer appends
-        F.regexp_replace(body, r"\n$", "").alias("payload"),
+        clen.alias("content_length"),
+        # Strip EXACTLY the framing newlines: the writer's record
+        # newline (always) plus the text sink's line terminator (only
+        # the file's last record keeps it — earlier ones lose it to the
+        # lineSep match).  A regex '\n$' would be wrong here: Java's $
+        # also matches BEFORE a final newline, so it eats a payload
+        # byte when the payload itself ends with '\n'.  Content-Length
+        # (bytes) disambiguates; framing newlines are 1 byte each.
+        body.alias("__raw"),
+    ).select(
+        "src_file",
+        "record_type",
+        "target_uri",
+        "record_id",
+        "content_length",
+        F.expr(
+            "CASE"
+            " WHEN octet_length(__raw) = content_length + 2"
+            "  THEN substring(__raw, 1, char_length(__raw) - 2)"
+            " WHEN octet_length(__raw) = content_length + 1"
+            "  THEN substring(__raw, 1, char_length(__raw) - 1)"
+            " ELSE __raw END"
+        ).alias("payload"),
     )
     return out
 
 
 def _parse_wet_bytes(name: str, blob: bytes) -> list[tuple]:
-    """Content-Length-honoring record walk over one WET file."""
+    """Content-Length-honoring record walk over one WET file.
+
+    Accepts BOTH line conventions: real Common Crawl archives terminate
+    header lines with CRLF (blank line = ``\\r\\n\\r\\n``, per the WARC
+    spec), this module's writer uses bare LF (``\\n\\n``).  Whichever
+    terminator appears first after the record start wins; header values
+    are stripped of any trailing ``\\r``.
+    """
     if name.endswith(".gz"):
         blob = gzip.decompress(blob)
     text_rows: list[tuple] = []
     pos = 0
     n = len(blob)
-    header_re = re.compile(rb"(?m)^([A-Za-z0-9-]+): (.*)$")
+    header_re = re.compile(rb"(?m)^([A-Za-z0-9-]+): (.*?)\r?$")
     while pos < n:
         # find the record start
         start = blob.find(b"WARC/1.0", pos)
         if start < 0:
             break
-        hdr_end = blob.find(b"\n\n", start)
-        if hdr_end < 0:
+        crlf = blob.find(b"\r\n\r\n", start)
+        lf = blob.find(b"\n\n", start)
+        if crlf >= 0 and (lf < 0 or crlf <= lf):
+            hdr_end, sep = crlf, 4
+        elif lf >= 0:
+            hdr_end, sep = lf, 2
+        else:
             break
         headers = dict(header_re.findall(blob[start:hdr_end]))
         length = int(headers.get(b"Content-Length", b"0"))
-        payload = blob[hdr_end + 2 : hdr_end + 2 + length]
+        payload = blob[hdr_end + sep : hdr_end + sep + length]
         text_rows.append(
             (
                 name,
@@ -166,16 +200,26 @@ def _parse_wet_bytes(name: str, blob: bytes) -> list[tuple]:
                 payload.decode("utf-8", errors="replace"),
             )
         )
-        pos = hdr_end + 2 + length
+        pos = hdr_end + sep + length
     return text_rows
 
 
 def read_wet_strict(spark: SparkSession, path: str) -> DataFrame:
     """Strict WET reader: one task per file, ``Content-Length``-honoring
     parse in an Arrow-batched ``mapInPandas`` (payloads may contain
-    anything, including record sentinels).  Schema matches
-    :func:`read_wet`."""
-    files = spark.read.format("binaryFile").load(path)
+    anything, including record sentinels; CRLF and LF archives both
+    parse).  Schema matches :func:`read_wet`.
+
+    Only PATHS ride the shuffle — files are opened inside the worker
+    (the sources/arrow_ipc.py shape), so a segment is never
+    materialized as an Arrow cell and the listing's file-packing
+    heuristics cannot serialize several archives into one task.
+    """
+    files = spark.read.format("binaryFile").load(path).select("path")
+    n = files.count()
+    if n == 0:
+        raise ValueError(f"no files under {path}")
+    paths = files.repartition(n)
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [
@@ -188,8 +232,13 @@ def read_wet_strict(spark: SparkSession, path: str) -> DataFrame:
         ]
         for pdf in batches:
             rows: list[tuple] = []
-            for p, blob in zip(pdf["path"], pdf["content"]):
-                rows.extend(_parse_wet_bytes(p.rsplit("/", 1)[-1], bytes(blob)))
+            for p in pdf["path"]:
+                local = p.removeprefix("file:")
+                with open(local, "rb") as fh:
+                    blob = fh.read()
+                rows.extend(
+                    _parse_wet_bytes(p.rsplit("/", 1)[-1], blob)
+                )
             yield pd.DataFrame(rows, columns=cols)
 
-    return files.select("path", "content").mapInPandas(parse, _WET_SCHEMA)
+    return paths.mapInPandas(parse, _WET_SCHEMA)

@@ -134,3 +134,76 @@ def test_fast_path_sanitization_preserves_strict_parse(spark, tmp_path):
     fast = read_wet(spark, p).first()
     strict = read_wet_strict(spark, p).first()
     assert fast["payload"] == strict["payload"] == "a\n WARC/1.0\nb"
+
+
+def test_trailing_newline_payloads_fast_equals_strict(spark, tmp_path):
+    """Payloads ending in newlines must survive both readers byte-exact
+    (Java's '$' regex matches before a final newline — the naive strip
+    ate a payload byte)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "u1", "ends with newline\n"),
+            (2, "u2", "no trailing"),
+            (3, "u3", "double\n\n"),
+        ],
+        "i bigint, url string, text string",
+    )
+    p = str(tmp_path / "wet")
+    write_wet(docs.coalesce(1), p, "url", "text")
+    fast = {
+        r["target_uri"]: r["payload"] for r in read_wet(spark, p).collect()
+    }
+    strict = {
+        r["target_uri"]: r["payload"]
+        for r in read_wet_strict(spark, p).collect()
+    }
+    want = {"u1": "ends with newline\n", "u2": "no trailing", "u3": "double\n\n"}
+    assert fast == want and strict == want
+
+
+def test_strict_parses_crlf_archive(spark, tmp_path):
+    """Real Common Crawl WET segments use CRLF header terminators (the
+    WARC spec); the strict reader must parse them."""
+    body = "real crawl text".encode()
+    rec = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: conversion\r\n"
+        b"WARC-Target-URI: http://cc.example/\r\n"
+        b"WARC-Record-ID: <urn:uuid:abc>\r\n"
+        b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n"
+        + body + b"\r\n\r\n"
+        b"WARC/1.0\r\n"
+        b"WARC-Type: conversion\r\n"
+        b"WARC-Target-URI: http://cc2.example/\r\n"
+        b"WARC-Record-ID: <urn:uuid:def>\r\n"
+        b"Content-Length: 2\r\n\r\nok\r\n\r\n"
+    )
+    d = tmp_path / "crlf"
+    d.mkdir()
+    (d / "seg.warc.wet").write_bytes(rec)
+    rows = {
+        r["target_uri"]: r
+        for r in read_wet_strict(spark, str(d)).collect()
+    }
+    assert rows["http://cc.example/"]["payload"] == "real crawl text"
+    assert rows["http://cc.example/"]["record_id"] == "<urn:uuid:abc>"
+    assert rows["http://cc2.example/"]["payload"] == "ok"
+
+
+def test_strict_one_task_per_file(spark, tmp_path):
+    """The path list is repartitioned to file count, so a many-small-
+    files layout parses with full parallelism."""
+    import glob as _glob
+
+    d = tmp_path / "many"
+    d.mkdir()
+    for i in range(6):
+        (d / f"seg{i}.wet").write_bytes(
+            b"WARC/1.0\nWARC-Type: conversion\n"
+            b"WARC-Target-URI: http://f%d/\n" % i
+            + b"WARC-Record-ID: <urn:md5:%d>\n" % i
+            + b"Content-Length: 2\n\nok\n"
+        )
+    df = read_wet_strict(spark, str(d))
+    assert df.rdd.getNumPartitions() == 6
+    assert df.count() == 6
