@@ -1,5 +1,9 @@
 """Relational + data-pipeline operators built on public PySpark APIs."""
 
+from spark_extensions_spark.operators.alignment import (
+    hard_negatives,
+    preference_pairs,
+)
 from spark_extensions_spark.operators.joins import (
     asof_join,
     interval_join,
@@ -46,6 +50,7 @@ from spark_extensions_spark.operators.clustering import (
     sample_diverse,
 )
 from spark_extensions_spark.operators.sampling import (
+    grouped_topk,
     hash_split,
     stratified_cap,
     stratified_split,
@@ -76,6 +81,9 @@ __all__ = [
     "asof_join",
     "interval_join",
     "salted_join",
+    "preference_pairs",
+    "hard_negatives",
+    "grouped_topk",
     "exact_dedup",
     "minhash_signatures",
     "minhash_lsh_candidates",

@@ -7,6 +7,11 @@ surface PySpark-natively.
 """
 
 from spark_extensions_spark.sources.avro_file import read_avro, write_avro
+from spark_extensions_spark.sources.warc import (
+    read_wet,
+    read_wet_strict,
+    write_wet,
+)
 from spark_extensions_spark.sources.io import (
     cloud_committer_conf,
     read_table,
@@ -18,6 +23,9 @@ from spark_extensions_spark.sources.io import (
 
 __all__ = [
     "read_avro",
+    "read_wet",
+    "read_wet_strict",
+    "write_wet",
     "write_avro",
     "read_table",
     "overwrite_partitions",
