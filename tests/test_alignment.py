@@ -253,3 +253,37 @@ def test_cohen_kappa_degenerate_null(spark):
     df = spark.createDataFrame([("x", "x")] * 5, "a string, b string")
     r = cohen_kappa(df, "a", "b").first()
     assert r["kappa_den"] == 0 and r["kappa"] is None
+
+
+def test_grouped_topk_equals_single_window(spark):
+    """Property: the shared two-stage top-k is bit-identical to the
+    one-window form on skewed group sizes, any k/pre_buckets."""
+    import numpy as np
+
+    from spark_extensions_spark.operators.sampling import grouped_topk
+
+    rng = np.random.RandomState(5)
+    rows = []
+    rid = 0
+    for g, size in [("mega", 500), ("mid", 37), ("tiny", 3), ("one", 1)]:
+        for _ in range(size):
+            rows.append((g, rid, int(rng.randint(0, 50))))
+            rid += 1
+    df = spark.createDataFrame(rows, "g string, id bigint, v bigint")
+    for k, pb in [(1, 2), (7, 4), (40, 16)]:
+        got = grouped_topk(
+            df,
+            ["g"],
+            [F.desc("v"), F.col("id")],
+            k,
+            F.pmod(F.xxhash64("id"), F.lit(pb)),
+            rank_col="rank",
+        )
+        w = Window.partitionBy("g").orderBy(F.desc("v"), F.col("id"))
+        naive = (
+            df.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
+        assert sorted(map(tuple, got.select("g", "id", "v", "rank").collect())) == sorted(
+            map(tuple, naive.select("g", "id", "v", "rank").collect())
+        ), (k, pb)
