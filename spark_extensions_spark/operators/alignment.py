@@ -240,3 +240,89 @@ def hard_negatives_oracle_sql(
         AND e.{id_col} <> a.{id_col}
     ) WHERE rank <= {k}
     """
+
+
+def hard_negatives_ivf(
+    emb: DataFrame,
+    anchors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    k: int,
+    dim: int,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    pre_buckets: int = 16,
+) -> DataFrame:
+    """Corpus-scale hard-negative mining via deterministic IVF pruning.
+
+    The beyond-broadcast regime of :func:`hard_negatives`: ``anchors``
+    is a DataFrame (it is never collected or broadcast-forced), each
+    anchor probes its ``n_probe`` nearest IVF cells, and candidates
+    come from a plain equi-join on the cell id — the corpus is hashed
+    once on ``cell``, anchors ×n_probe on the other side, and AQE
+    broadcasts the smaller side when it fits.  Scoring and the final
+    per-anchor top-k match :func:`hard_negatives` (exact fold cosine,
+    skew-safe :func:`~spark_extensions_spark.operators.sampling.grouped_topk`).
+
+    Approximate BY DESIGN (recall depends on ``n_probe``/``n_lists``),
+    but bit-DETERMINISTIC: the md5-picked fixed-point codebook and
+    exact int64 assignment (operators/similarity.py:ivf_centroids_det /
+    ivf_assign_expr) make cell membership — and therefore the whole
+    result — reproducible on any engine, so it remains fully
+    hash-checkable.  With ``n_probe == n_lists`` the candidate set is
+    the entire wrong-label corpus and the result equals the exact
+    miner (pinned by test).
+    """
+    from spark_extensions_spark.operators.similarity import (
+        ivf_assign_expr,
+        ivf_centroids_det,
+        ivf_probe_expr,
+        quantize_vec_expr,
+    )
+
+    cents = ivf_centroids_det(emb, id_col, vec_col, n_lists)
+    corpus = (
+        emb.select(
+            F.col(id_col).alias("neg_id"),
+            F.col(vec_col).alias("__cvec"),
+            F.col(label_col).alias("__clbl"),
+        )
+        .withColumn("__qq", F.expr(quantize_vec_expr("__cvec")))
+        .withColumn("cell", F.expr(ivf_assign_expr("__qq", cents)))
+        .drop("__qq")
+    )
+    probes = (
+        anchors.select(
+            F.col(id_col).alias("anchor_id"),
+            F.col(vec_col).alias("__avec"),
+            F.col(label_col).alias("__albl"),
+        )
+        .withColumn("__qq", F.expr(quantize_vec_expr("__avec")))
+        .withColumn(
+            "cell",
+            F.explode(F.expr(ivf_probe_expr("__qq", cents, n_probe))),
+        )
+        .drop("__qq")
+    )
+    scored = (
+        probes.join(corpus, "cell")
+        .filter(
+            (F.col("__clbl") != F.col("__albl"))
+            & (F.col("neg_id") != F.col("anchor_id"))
+        )
+        .select(
+            "anchor_id",
+            "neg_id",
+            cosine_similarity_col("__cvec", "__avec", dim).alias("cosine"),
+        )
+    )
+    bucket = F.pmod(F.xxhash64(F.col("neg_id")), F.lit(pre_buckets))
+    return grouped_topk(
+        scored,
+        ["anchor_id"],
+        [F.desc("cosine"), F.col("neg_id")],
+        k,
+        bucket,
+        rank_col="rank",
+    ).select("anchor_id", "neg_id", "rank", "cosine")

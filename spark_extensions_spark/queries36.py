@@ -388,3 +388,90 @@ def q_pipeline_alignment_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rejected_md5",
         )
     )
+
+
+# =====================================================================
+# Corpus-scale hard negatives: IVF-pruned candidates, full oracle
+# =====================================================================
+
+_HNI_LISTS, _HNI_PROBE, _HNI_K, _HNI_ANCHORS = 8, 3, 5, 5
+
+
+def _hard_negatives_ivf_oracle() -> str:
+    from spark_extensions_spark.operators.similarity import lsh_quantize_duck
+
+    dist = (
+        "CAST(list_sum(list_transform(list_zip(e.qq, c.cq), "
+        "p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT)"
+    )
+    return f"""
+    WITH eq AS (
+      SELECT vec_id, embedding, label,
+             {lsh_quantize_duck('embedding')} AS qq
+      FROM embeddings
+    ), cent AS (
+      SELECT list_id, cq FROM (
+        SELECT ROW_NUMBER() OVER (
+                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS list_id,
+               qq AS cq
+        FROM eq
+      ) WHERE list_id < {_HNI_LISTS}
+    ), dists AS (
+      SELECT e.vec_id, e.embedding, e.label, c.list_id, {dist} AS dist
+      FROM eq e CROSS JOIN cent c
+    ), assigned AS (
+      SELECT vec_id, embedding, label, list_id FROM (
+        SELECT vec_id, embedding, label, list_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, list_id) AS rn
+        FROM dists
+      ) WHERE rn = 1
+    ), probes AS (
+      SELECT vec_id AS anchor_id, embedding AS aemb, label AS albl,
+             list_id
+      FROM (
+        SELECT vec_id, embedding, label, list_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, list_id) AS rn
+        FROM dists WHERE vec_id < {_HNI_ANCHORS}
+      ) WHERE rn <= {_HNI_PROBE}
+    ), s AS (
+      SELECT p.anchor_id, a.vec_id AS neg_id,
+             {_cosine_duck('p.aemb', 'a.embedding', EMB_DIM)} AS cosine
+      FROM probes p JOIN assigned a USING (list_id)
+      WHERE a.label <> p.albl AND a.vec_id <> p.anchor_id
+    )
+    SELECT anchor_id, neg_id, rank, cosine FROM (
+      SELECT anchor_id, neg_id, cosine,
+             ROW_NUMBER() OVER (
+               PARTITION BY anchor_id ORDER BY cosine DESC, neg_id
+             ) AS rank
+      FROM s
+    ) WHERE rank <= {_HNI_K}
+    """
+
+
+@_register(
+    "embedding_hard_negatives_ivf",
+    _hard_negatives_ivf_oracle(),
+    doc="Corpus-scale hard-negative mining via deterministic IVF "
+    "pruning (operators/alignment.py:hard_negatives_ivf): anchors stay "
+    "a DataFrame (never collected), each probes its 3 nearest of 8 "
+    "md5-picked exact-int IVF cells, candidates come from a plain "
+    "equi-join on the cell id (corpus hashed once; AQE broadcasts the "
+    "smaller side when it fits), wrong-label filter, exact fold "
+    "cosine, skew-safe grouped top-k. Approximate by design yet "
+    "bit-deterministic, so fully hash-checked — the beyond-broadcast "
+    "regime of embedding_hard_negatives.",
+)
+def q_embedding_hard_negatives_ivf(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from spark_extensions_spark.operators.alignment import hard_negatives_ivf
+
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    anchors = emb.filter(F.col("vec_id") < _HNI_ANCHORS)
+    return hard_negatives_ivf(
+        emb, anchors, "vec_id", "embedding", "label",
+        k=_HNI_K, dim=EMB_DIM, n_lists=_HNI_LISTS, n_probe=_HNI_PROBE,
+    )

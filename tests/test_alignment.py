@@ -287,3 +287,51 @@ def test_grouped_topk_equals_single_window(spark):
         assert sorted(map(tuple, got.select("g", "id", "v", "rank").collect())) == sorted(
             map(tuple, naive.select("g", "id", "v", "rank").collect())
         ), (k, pb)
+
+
+def test_hard_negatives_ivf_full_probe_equals_exact(vectors):
+    """Probing every cell makes the IVF candidate set the whole
+    wrong-label corpus, so the result must equal the exact miner."""
+    from spark_extensions_spark.operators.alignment import (
+        hard_negatives_ivf,
+    )
+
+    anchors = vectors.filter(F.col("vec_id") < 3)
+    approx = hard_negatives_ivf(
+        vectors, anchors, "vec_id", "embedding", "label",
+        k=5, dim=8, n_lists=4, n_probe=4,
+    )
+    exact = hard_negatives(
+        vectors, "vec_id", "embedding", "label", [0, 1, 2], k=5, dim=8
+    )
+    assert sorted(map(tuple, approx.collect())) == sorted(
+        map(tuple, exact.collect())
+    )
+
+
+def test_hard_negatives_ivf_recall(vectors):
+    """At n_probe < n_lists the miner is approximate but deterministic;
+    recall vs exact should be reasonable and repeatable."""
+    from spark_extensions_spark.operators.alignment import (
+        hard_negatives_ivf,
+    )
+
+    anchors = vectors.filter(F.col("vec_id") < 5)
+    runs = []
+    for _ in range(2):
+        got = hard_negatives_ivf(
+            vectors, anchors, "vec_id", "embedding", "label",
+            k=5, dim=8, n_lists=8, n_probe=3,
+        )
+        runs.append(sorted(map(tuple, got.collect())))
+    assert runs[0] == runs[1]  # deterministic
+    exact = {
+        (r["anchor_id"], r["neg_id"])
+        for r in hard_negatives(
+            vectors, "vec_id", "embedding", "label", [0, 1, 2, 3, 4],
+            k=5, dim=8,
+        ).collect()
+    }
+    approx = {(a, n) for (a, n, _, _) in runs[0]}
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.4, recall
