@@ -130,6 +130,12 @@ def _to_row(obj: Any) -> Any:
     return obj
 
 
+class _LocalComposeError(Exception):
+    """The jobless VALUES path could not compose or analyze its query;
+    the Spark-job fallback may still succeed.  Distinct from expression
+    runtime errors, which propagate from whichever path ran."""
+
+
 class ExpressionEvaluator:
     """Evaluate one SQL expression against single objects.
 
@@ -188,8 +194,11 @@ class ExpressionEvaluator:
         if self._expr_sql is not None:
             try:
                 return self._apply_local(objs)
-            except Exception:
+            except _LocalComposeError:
                 pass  # bind/compose failure → the DataFrame path below
+            # genuine expression RUNTIME errors propagate from the fast
+            # path: swallowing them would re-execute the whole batch on
+            # the job path and mask which path produced the failure
         rows = []
         for obj in objs:
             row = _to_row(obj)
@@ -244,33 +253,49 @@ class ExpressionEvaluator:
         return f"CAST(:{name} AS {ddl})"
 
     def _apply_local(self, objs: list) -> list:
-        """Jobless batch evaluation via parameterized VALUES SQL."""
+        """Jobless batch evaluation via parameterized VALUES SQL.
+
+        Raises :class:`_LocalComposeError` only for failures of the
+        composition itself (literal reconstruction or parse/analysis of
+        the generated VALUES query) — the cases where the DataFrame
+        fallback can legitimately succeed.  Expression RUNTIME errors
+        propagate unchanged.
+        """
         import itertools
+
+        from pyspark.errors import AnalysisException
 
         args: dict = {}
         counter = itertools.count()
         tuples = []
-        for obj in objs:
-            row = _to_row(obj)
-            if not isinstance(row, (Row, dict)):
-                row = Row(**{self.schema.fields[0].name: row})
-            fields = [
-                self._value_expr(
-                    row[f.name] if not isinstance(row, dict)
-                    else row.get(f.name),
-                    f.dataType,
-                    args,
-                    counter,
-                )
-                for f in self.schema.fields
-            ]
-            tuples.append("(" + ", ".join(fields) + ")")
+        try:
+            for obj in objs:
+                row = _to_row(obj)
+                if not isinstance(row, (Row, dict)):
+                    row = Row(**{self.schema.fields[0].name: row})
+                fields = [
+                    self._value_expr(
+                        row[f.name] if not isinstance(row, dict)
+                        else row.get(f.name),
+                        f.dataType,
+                        args,
+                        counter,
+                    )
+                    for f in self.schema.fields
+                ]
+                tuples.append("(" + ", ".join(fields) + ")")
+        except Exception as exc:
+            raise _LocalComposeError(str(exc)) from exc
         cols = ", ".join(f"`{f.name}`" for f in self.schema.fields)
         query = (
             f"SELECT ({self._expr_sql}) AS result "
             f"FROM (VALUES {', '.join(tuples)}) AS t({cols})"
         )
-        out = self.spark.sql(query, args=args).collect()
+        try:
+            prepared = self.spark.sql(query, args=args)
+        except AnalysisException as exc:
+            raise _LocalComposeError(str(exc)) from exc
+        out = prepared.collect()
         return [r["result"] for r in out]
 
     apply = __call__

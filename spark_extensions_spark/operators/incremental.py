@@ -662,8 +662,15 @@ def vacuum_state(state_dir: str, keep: int = 2) -> int:
         retain.add(cur)
     # bucket sharing: any version dir referenced from a retained
     # manifest stays on disk even if its own version fell out of the
-    # retention window
-    for v in list(retain):
+    # retention window.  Iterated to a FIXPOINT: a dir retained only
+    # via a reference is also listed in the rewritten log below, so
+    # ITS manifest's bucket dirs must be retained too, transitively —
+    # otherwise a log-listed version could point at deleted parquet
+    # (bucket last touched at v1, retouched at v3: only v2's manifest
+    # still references v1, whose own manifest references v0).
+    frontier = list(retain)
+    while frontier:
+        v = frontier.pop()
         m = _read_manifest(v)
         if m is None:
             continue
@@ -671,8 +678,9 @@ def vacuum_state(state_dir: str, keep: int = 2) -> int:
             ref = path
             while os.path.dirname(ref) not in (state_dir, ref, ""):
                 ref = os.path.dirname(ref)
-            if os.path.dirname(ref) == state_dir:
+            if os.path.dirname(ref) == state_dir and ref not in retain:
                 retain.add(ref)
+                frontier.append(ref)
     removed = 0
     for name in os.listdir(state_dir):
         path = os.path.join(state_dir, name)
@@ -705,15 +713,19 @@ def join_delta_refresh(
     so a materialized join view refreshes by APPENDING this delta
     instead of recomputing A ⋈ B from scratch.  Cost is proportional
     to the deltas (ΔA probes the full B once, the usually-small ΔB
-    broadcasts against A), not to |A|·|B| — the property that keeps a
+    joins against A), not to |A|·|B| — the property that keeps a
     100 TB materialized join maintainable per batch.  Updates/deletes
     need the signed-retraction pipeline (:func:`agg_partials`) or key
     scoped rewrites (:func:`merge_upsert`); this operator is the
     append-only fast path.
+
+    ΔB is NOT force-broadcast: a bulk-backfill delta can exceed driver
+    memory, and AQE already picks a broadcast join at runtime when the
+    measured ΔB size is under the auto-broadcast threshold — the same
+    no-forced-broadcast contract the near-dup and hard-negative
+    operators follow.
     """
-    return da.join(b.unionByName(db), on).unionByName(
-        a.join(F.broadcast(db), on)
-    )
+    return da.join(b.unionByName(db), on).unionByName(a.join(db, on))
 
 
 def read_cdc_changes(

@@ -137,6 +137,21 @@ def test_eval_is_jobless_for_sql_expressions(spark):
     assert _job_counter(spark) == before  # not a single Spark job ran
 
 
+def test_eval_runtime_error_propagates_without_job_fallback(spark):
+    """An expression RUNTIME error on the jobless path must propagate
+    as-is — NOT be swallowed and re-executed on the Spark-job fallback
+    (which would double the work and mask which path failed). Pinned by
+    the job counter: the failure must not launch a single job."""
+    ev = ExpressionEvaluator(
+        "case when a > 0 then raise_error('boom') else b end",
+        EvalObj, spark,
+    )
+    before = _job_counter(spark)
+    with pytest.raises(Exception, match="boom"):
+        ev(OBJ)  # OBJ.a == 2 → raise_error fires at evaluation time
+    assert _job_counter(spark) == before
+
+
 def test_eval_udf_registration(spark):
     ev_expr = "triple(a) + 1"
     ev = None

@@ -462,6 +462,69 @@ def test_cdc_state_bucketed_cow_prunes_rewrites(spark, tmp_path):
     )
 
 
+def test_cdc_vacuum_transitive_reference_chain(spark, tmp_path):
+    """Retention must be TRANSITIVE: a version kept only because a
+    retained manifest points into it is itself listed in the log, so
+    the versions its OWN manifest references must survive too.
+
+    Chain: bucket bX touched at v1, retouched at v3; bucket bY touched
+    at v2.  After vacuum(keep=1) the core {v3} references v2 (bY) and
+    v0; v2's manifest references v1 (bX) — without the fixpoint, v1 is
+    deleted while v2 stays log-listed, and reading v2 hits missing
+    parquet paths."""
+    import os
+
+    from spark_extensions_spark.operators import incremental as inc
+
+    state = str(tmp_path / "chain")
+    mk = lambda rows: spark.createDataFrame(
+        rows, "k int, op string, seq long, v double"
+    )
+    inc.apply_cdc_batch(
+        mk([(k, "U", 1, float(k)) for k in range(64)]),
+        state, ["k"], "seq", n_buckets=16,
+    )
+    # two keys in distinct buckets (same JVM-side xxhash64 bucketing
+    # apply_cdc_batch uses)
+    import pyspark.sql.functions as F
+
+    bmap = {
+        r["k"]: r["b"]
+        for r in spark.createDataFrame([(k,) for k in range(64)], "k int")
+        .select("k", F.pmod(F.xxhash64(F.col("k")), F.lit(16)).alias("b"))
+        .collect()
+    }
+    kx = 0
+    ky = next(k for k in range(1, 64) if bmap[k] != bmap[kx])
+    inc.apply_cdc_batch(mk([(kx, "U", 2, 1000.0)]), state, ["k"], "seq")
+    v1 = inc._current_version(state)
+    inc.apply_cdc_batch(mk([(ky, "U", 3, 2000.0)]), state, ["k"], "seq")
+    v2 = inc._current_version(state)
+    m2 = inc._read_manifest(v2)
+    # the chain premise: v2's manifest must reference v1's dir
+    assert any(p.startswith(v1) for p in m2["buckets"].values())
+    inc.apply_cdc_batch(mk([(kx, "U", 4, 3000.0)]), state, ["k"], "seq")
+
+    inc.vacuum_state(state, keep=1)
+    # every log-listed version must be FULLY readable (the fixpoint
+    # guarantee) — pre-fix this raised on missing v1 parquet paths
+    vs = inc.state_versions(state)
+    assert v2 in vs and os.path.isdir(v1)
+    for i in range(len(vs)):
+        got = {
+            r["k"]: r["v"]
+            for r in inc.read_cdc_state_version(spark, state, i).collect()
+        }
+        assert len(got) == 64
+    # the v2 snapshot sees kx's v1 value through the shared bucket
+    i2 = vs.index(v2)
+    got2 = {
+        r["k"]: r["v"]
+        for r in inc.read_cdc_state_version(spark, state, i2).collect()
+    }
+    assert got2[kx] == 1000.0 and got2[ky] == 2000.0
+
+
 def test_join_delta_refresh_identity(spark):
     from spark_extensions_spark.operators.incremental import (
         join_delta_refresh,
