@@ -143,6 +143,123 @@ def preference_pairs_oracle_sql(
     """
 
 
+def best_of_n(
+    df: DataFrame,
+    prompt_col: str,
+    id_col: str,
+    reward_col: str,
+    min_reward=None,
+    keep: int = 1,
+    pre_buckets: int = 16,
+) -> DataFrame:
+    """Rejection sampling / best-of-n selection: per prompt, the
+    top-``keep`` candidates by reward, after rejecting candidates below
+    ``min_reward`` — the RLHF-era recipe that turns n sampled
+    completions per prompt into SFT-quality training rows.
+
+    ``keep=1`` (the common best-of-n case) runs as ONE map-side-
+    combinable hash aggregate on the prompt key — the same
+    struct-extremum shape as :func:`preference_pairs`: no window sort,
+    no join-back, partial state is one struct + two counts per prompt,
+    so a mega-prompt with millions of candidates costs the same as a
+    small one.  Output: ``(prompt_col, best_id, best_reward,
+    n_candidates, n_accepted)``; prompts with no accepted candidate
+    emit nothing.  Ties break on the LOWEST id — deterministic on any
+    cluster layout.
+
+    ``keep>1`` composes from :func:`~spark_extensions_spark.operators.
+    sampling.grouped_topk` (skew-safe two-stage top-k; bit-identical to
+    the one-window oracle form).  Output: ``(prompt_col, id_col,
+    reward_col, rank)`` with rank 1..keep by (reward DESC, id).
+
+    NULL rewards are excluded up front (no reward signal ≠ minimum
+    reward; engines order NULLs differently).
+    """
+    df = df.filter(F.col(reward_col).isNotNull())
+    accepted = (
+        F.col(reward_col) >= min_reward
+        if min_reward is not None
+        else F.lit(True)
+    )
+    if keep == 1:
+        qual = F.when(
+            accepted,
+            F.struct(
+                (-F.col(reward_col)).alias("nr"), F.col(id_col).alias("i")
+            ),
+        )
+        agg = df.groupBy(prompt_col).agg(
+            F.min(qual).alias("__best"),
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.count(qual).alias("n_accepted"),
+        )
+        return agg.filter(F.col("__best").isNotNull()).select(
+            prompt_col,
+            F.col("__best.i").alias("best_id"),
+            (-F.col("__best.nr")).alias("best_reward"),
+            "n_candidates",
+            "n_accepted",
+        )
+    bucket = F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(pre_buckets))
+    return grouped_topk(
+        df.filter(accepted),
+        [prompt_col],
+        [F.desc(reward_col), F.col(id_col)],
+        keep,
+        bucket,
+        rank_col="rank",
+    ).select(prompt_col, id_col, reward_col, "rank")
+
+
+def best_of_n_oracle_sql(
+    scored_sql: str,
+    prompt_col: str,
+    id_col: str,
+    reward_col: str,
+    min_reward=None,
+    keep: int = 1,
+) -> str:
+    """DuckDB twin of :func:`best_of_n` (one-rank-window form) over
+    ``scored_sql`` (a query producing prompt/id/reward columns)."""
+    acc = (
+        f"{reward_col} >= {min_reward}" if min_reward is not None else "TRUE"
+    )
+    if keep == 1:
+        return f"""
+        WITH scored AS (SELECT * FROM ({scored_sql})
+                        WHERE {reward_col} IS NOT NULL),
+        counts AS (
+          SELECT {prompt_col},
+                 CAST(COUNT(*) AS BIGINT) AS n_candidates,
+                 CAST(COUNT(*) FILTER ({acc}) AS BIGINT) AS n_accepted
+          FROM scored GROUP BY {prompt_col}
+        ),
+        best AS (
+          SELECT {prompt_col}, {id_col} AS best_id,
+                 {reward_col} AS best_reward
+          FROM (
+            SELECT {prompt_col}, {id_col}, {reward_col},
+                   ROW_NUMBER() OVER (PARTITION BY {prompt_col}
+                                      ORDER BY {reward_col} DESC, {id_col})
+                     AS rn
+            FROM scored WHERE {acc}
+          ) WHERE rn = 1
+        )
+        SELECT c.{prompt_col}, best_id, best_reward,
+               n_candidates, n_accepted
+        FROM counts c JOIN best b USING ({prompt_col})
+        """
+    return f"""
+    SELECT {prompt_col}, {id_col}, {reward_col}, rank FROM (
+      SELECT {prompt_col}, {id_col}, {reward_col},
+             ROW_NUMBER() OVER (PARTITION BY {prompt_col}
+                                ORDER BY {reward_col} DESC, {id_col}) AS rank
+      FROM ({scored_sql})
+      WHERE {reward_col} IS NOT NULL AND {acc}
+    ) WHERE rank <= {keep}
+    """
+
+
 def hard_negatives(
     emb: DataFrame,
     id_col: str,

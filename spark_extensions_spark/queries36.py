@@ -475,3 +475,5 @@ def q_embedding_hard_negatives_ivf(
         emb, anchors, "vec_id", "embedding", "label",
         k=_HNI_K, dim=EMB_DIM, n_lists=_HNI_LISTS, n_probe=_HNI_PROBE,
     )
+
+from spark_extensions_spark import queries37  # noqa: E402,F401  (registration side effect)
