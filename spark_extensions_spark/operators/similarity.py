@@ -97,6 +97,7 @@ def ann_bruteforce_topk(
     query_vec_col: str,
     k: int,
     dim: int,
+    scorer: str = "jvm",
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
@@ -105,16 +106,44 @@ def ann_bruteforce_topk(
     the deterministic cosine fold, then keeps the top k per query with a
     ``(cosine DESC, id)`` deterministic ordering.
 
+    ``scorer``: ``"jvm"`` (default) evaluates one codegen'd fold dot per
+    pair with the norms HOISTED — each side's ``sqrt(Σx²)`` is computed
+    once per vector before the join, not per pair — so the query never
+    leaves the JVM: no Arrow transfer of the corpus, no Python-worker
+    pool dependence (whose fork/reap state made this query's wall time
+    order-dependent in suite runs).  ``"pandas"`` scores pairs in an
+    Arrow-batched numpy kernel — ~10× the per-pair throughput of the
+    interpreted fold once the corpus→Arrow transfer amortizes; the
+    right regime is huge pair counts (≳10⁷: many queries × large
+    corpus).  Both produce BIT-IDENTICAL cosines: hoisting the norm is
+    the same IEEE sequence per pair, and the numpy kernel accumulates
+    in the same dimension order (see :func:`cosine_pandas_cols`).
+
     Output: ``(query_id, neighbor_id, cosine, rank)``.
     """
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qv")
     )
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    if scorer == "jvm":
+        q = q.withColumn(
+            "__qn", F.expr(f"sqrt({dot_expr_sql('qv', 'qv', dim)})")
+        )
+        c = c.withColumn(
+            "__cn", F.expr(f"sqrt({dot_expr_sql('cv', 'cv', dim)})")
+        )
+        cosine = (
+            F.expr(dot_expr_sql("qv", "cv", dim))
+            / (F.col("__qn") * F.col("__cn"))
+        )
+    elif scorer == "pandas":
+        cosine = cosine_pandas_cols(F.col("qv"), F.col("cv"))
+    else:
+        raise ValueError(f"scorer must be 'jvm' or 'pandas', got {scorer!r}")
     scored = F.broadcast(q).crossJoin(c).select(
         "query_id",
         "neighbor_id",
-        cosine_pandas_cols(F.col("qv"), F.col("cv")).alias("cosine"),
+        cosine.alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
