@@ -206,3 +206,5 @@ def q_pipeline_tokenize_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("bigint").alias("bin_tokens"),
     )
 
+
+from spark_extensions_spark import queries38  # noqa: E402,F401  (registration side effect)
