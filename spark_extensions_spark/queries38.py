@@ -314,3 +314,5 @@ def q_sample_budget_apportion(
         .cast("bigint")
         .alias("alloc"),
     )
+
+from spark_extensions_spark import queries39  # noqa: E402,F401  (registration side effect)
