@@ -541,6 +541,80 @@ def main() -> int:
     run("kafka_read_all", lambda: kafka_topic().count())
     run("kafka_compaction", lambda: compact_latest(kafka_topic()).count())
 
+    # --- round-5 additions: rejection sampling, tokenize->pack,
+    # ANN recall harness, budget apportionment --------------------
+    from spark_extensions_spark.functions.text import (
+        chunk_windows,
+        pack_chunks,
+    )
+    from spark_extensions_spark.operators.alignment import best_of_n
+    from spark_extensions_spark.operators.similarity import (
+        ann_bruteforce_topk,
+        ann_ivf_topk_det,
+    )
+
+    run(
+        "best_of_n",
+        lambda: best_of_n(
+            docs.select(
+                (F.col("doc_id") % 4096).alias("p"),
+                "doc_id",
+                F.col("n_chars").alias("reward"),
+            ),
+            "p",
+            "doc_id",
+            "reward",
+            min_reward=100,
+        ).count(),
+    )
+
+    def q_tokenize_pack():
+        chunks = chunk_windows(docs, "doc_id", "text", 64, stride=48)
+        keyed = chunks.join(
+            docs.select(
+                "doc_id",
+                F.concat_ws(
+                    "|", F.col("lang"), (F.col("doc_id") % 256).cast("string")
+                ).alias("pk"),
+            ),
+            "doc_id",
+        )
+        return pack_chunks(
+            keyed.select("pk", "doc_id", "chunk_id", "n_tokens"),
+            "pk",
+            ["doc_id", "chunk_id"],
+            "n_tokens",
+            budget=256,
+        ).count()
+
+    run("tokenize_pack", q_tokenize_pack)
+
+    def q_ann_recall():
+        queries = emb.filter(F.col("vec_id") < 10)
+        exact = ann_bruteforce_topk(
+            emb, queries, "vec_id", "embedding", "vec_id", "embedding",
+            k=5, dim=64,
+        ).select("query_id", "neighbor_id", "rank")
+        approx = ann_ivf_topk_det(
+            emb, queries, "vec_id", "embedding", "vec_id", "embedding",
+            k=5, dim=64, n_lists=64, n_probe=4,
+        ).select("query_id", "neighbor_id", F.lit(1).alias("h"))
+        return (
+            exact.join(approx, ["query_id", "neighbor_id"], "left")
+            .groupBy("query_id")
+            .agg(F.count("h").alias("hits"))
+            .count()
+        )
+
+    run("ann_recall_harness", q_ann_recall)
+
+    run(
+        "budget_apportion",
+        lambda: docs.groupBy("lang")
+        .agg(F.sum("n_chars").alias("mass"))
+        .count(),
+    )
+
     import shutil
 
     shutil.rmtree(base, ignore_errors=True)
