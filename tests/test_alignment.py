@@ -460,3 +460,56 @@ def test_bpe_chunk_pack_chain_invariants(spark):
         fill[b] = fill.get(b, 0) + t
     assert all(v <= 48 for v in fill.values())
     assert sum(fill.values()) == total_tokens
+
+
+def test_chunk_windows_matches_oracle_formula_on_edges(spark):
+    """The pipeline_tokenize_pack oracle re-derives chunk counts and
+    sizes from LEN(string_split(text,' ')) — pin the Spark/DuckDB seam
+    on the edge shapes: empty string (one ['']-token chunk), single
+    token, exactly window-sized, window+1, consecutive/trailing
+    spaces."""
+    import duckdb
+
+    W, S = 4, 3
+    texts = [
+        (0, ""), (1, "a"), (2, "a b c d"), (3, "a b c d e"),
+        (4, "a  b"), (5, "a b "), (6, "a b c d e f g h i j"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id int, text string")
+    from spark_extensions_spark.functions.text import chunk_windows
+
+    got = sorted(
+        map(
+            tuple,
+            chunk_windows(df, "doc_id", "text", W, stride=S)
+            .select("doc_id", "chunk_id", "n_tokens")
+            .collect(),
+        )
+    )
+    con = duckdb.connect()
+    con.register("docs", __import__("pandas").DataFrame(
+        texts, columns=["doc_id", "text"]
+    ))
+    want = sorted(
+        map(
+            tuple,
+            con.sql(f"""
+        WITH toks AS (
+          SELECT doc_id, LEN(string_split(text, ' ')) AS n FROM docs
+        ), base AS (
+          SELECT doc_id, n,
+                 CASE WHEN n <= {W} THEN 1
+                      ELSE CAST(FLOOR((n - {W} + {S} - 1) / {S}) AS INT) + 1
+                 END AS n_chunks
+          FROM toks
+        )
+        SELECT doc_id,
+               CAST(UNNEST(generate_series(0, n_chunks - 1)) AS INT)
+                 AS chunk_id,
+               CAST(LEAST(n - UNNEST(generate_series(0, n_chunks - 1))
+                          * {S}, {W}) AS INT) AS n_tokens
+        FROM base
+        """).fetchall(),
+        )
+    )
+    assert got == want
