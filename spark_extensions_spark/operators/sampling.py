@@ -193,7 +193,7 @@ def token_budget_cap(
     group_col: str,
     key_col: str,
     token_col: Column | str,
-    budget: int,
+    budget: int | Column,
     salt: str = "budget",
     cum_col: str = "cum_tokens",
 ) -> DataFrame:
@@ -206,17 +206,109 @@ def token_budget_cap(
     token-budgeted subsample whose selection is independent of input
     order and cluster layout.
 
+    ``budget`` may be a Column for PER-GROUP budgets (e.g. the
+    largest-remainder allocation a domain-mixing pass computed — join
+    it on before calling); an int is a uniform budget.
+
     One shuffle on ``group_col`` (the window partition); the running sum
     is a single window pass. Same skew note as :func:`stratified_cap`.
     """
     tok = F.col(token_col) if isinstance(token_col, str) else token_col
+    bud = F.lit(budget) if isinstance(budget, int) else budget
     w = (
         Window.partitionBy(group_col)
         .orderBy(hash_bucket(key_col, salt, 1 << 60), F.col(key_col))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     out = df.withColumn(cum_col, F.sum(tok.cast("bigint")).over(w))
-    return out.filter(F.col(cum_col) <= budget)
+    return out.filter(F.col(cum_col) <= bud)
+
+
+def largest_remainder_alloc(
+    counts: DataFrame,
+    key_col: str,
+    mass_col: str,
+    budget: int,
+    out_col: str = "alloc",
+) -> DataFrame:
+    """Hamilton (largest-remainder) apportionment of an integer
+    ``budget`` across the rows of a DOMAIN-SIZED table by ``mass_col``:
+    every row gets ``floor(budget·mass/total)``, then the rows with the
+    largest remainders (ties by key) absorb the leftover one unit each,
+    so ``Σ alloc == budget`` EXACTLY — float proportional shares drift
+    under rounding and misallocate.
+
+    ``counts`` is one row per domain (the output of a corpus-level
+    aggregate), so the whole-table windows here run over tens of rows,
+    not the corpus — the single-partition window is the right plan at
+    any corpus scale because the domain table never grows with the
+    data.  Output: ``(key_col, mass_col, out_col)``, all exact
+    integers.
+    """
+    wt = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    quotas = counts.select(
+        key_col,
+        mass_col,
+        (F.lit(budget) * F.col(mass_col)).alias("__num"),
+        F.sum(mass_col).over(wt).alias("__total"),
+    ).select(
+        key_col,
+        mass_col,
+        F.expr("__num div __total").alias("__fa"),
+        (F.col("__num") % F.col("__total")).alias("__rem"),
+    )
+    wr = Window.orderBy(F.desc("__rem"), F.col(key_col))
+    ranked = quotas.select(
+        key_col,
+        mass_col,
+        "__fa",
+        F.row_number().over(wr).alias("__rr"),
+        (F.lit(budget) - F.sum("__fa").over(wt)).alias("__r"),
+    )
+    return ranked.select(
+        key_col,
+        mass_col,
+        (
+            F.col("__fa")
+            + F.when(F.col("__rr") <= F.col("__r"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias(out_col),
+    )
+
+
+def largest_remainder_alloc_sql(
+    counts_sql: str,
+    key_col: str,
+    mass_col: str,
+    budget: int,
+    out_col: str = "alloc",
+) -> str:
+    """DuckDB twin of :func:`largest_remainder_alloc` over
+    ``counts_sql`` (a query producing one (key, mass) row per domain).
+    """
+    return f"""
+    WITH lra_counts AS ({counts_sql}),
+    lra_tot AS (SELECT SUM({mass_col}) AS total FROM lra_counts),
+    lra_quotas AS (
+      SELECT {key_col}, {mass_col},
+             CAST(({budget} * {mass_col}) // total AS BIGINT) AS fa,
+             CAST(({budget} * {mass_col}) % total AS BIGINT) AS rem
+      FROM lra_counts CROSS JOIN lra_tot
+    ),
+    lra_left AS (SELECT {budget} - SUM(fa) AS r FROM lra_quotas),
+    lra_ranked AS (
+      SELECT {key_col}, {mass_col}, fa,
+             ROW_NUMBER() OVER (ORDER BY rem DESC, {key_col}) AS rr
+      FROM lra_quotas
+    )
+    SELECT {key_col}, {mass_col},
+           CAST(fa + CASE WHEN rr <= (SELECT r FROM lra_left)
+                          THEN 1 ELSE 0 END AS BIGINT) AS {out_col}
+    FROM lra_ranked
+    """
 
 
 def deterministic_shuffle(

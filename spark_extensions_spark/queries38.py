@@ -27,6 +27,9 @@ from pyspark.sql import functions as F
 
 from spark_extensions_spark.queries import _cosine_duck, _register, _t, EMB_DIM
 from spark_extensions_spark.queries2 import _ann_ivf_oracle
+from spark_extensions_spark.operators.sampling import (
+    largest_remainder_alloc_sql,
+)
 
 
 # =====================================================================
@@ -240,31 +243,13 @@ _AP_BUDGET = 100_000
 
 @_register(
     "sample_budget_apportion",
-    f"""
-    WITH counts AS (
-      SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS mass
-      FROM documents GROUP BY lang
+    largest_remainder_alloc_sql(
+        "SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS mass"
+        " FROM documents GROUP BY lang",
+        "lang",
+        "mass",
+        _AP_BUDGET,
     ),
-    tot AS (SELECT SUM(mass) AS total, COUNT(*) AS n_domains FROM counts),
-    quotas AS (
-      SELECT lang, mass,
-             CAST(({_AP_BUDGET} * mass) // total AS BIGINT) AS floor_alloc,
-             CAST(({_AP_BUDGET} * mass) % total AS BIGINT) AS rem
-      FROM counts CROSS JOIN tot
-    ),
-    leftover AS (
-      SELECT {_AP_BUDGET} - SUM(floor_alloc) AS r FROM quotas
-    ),
-    ranked AS (
-      SELECT lang, mass, floor_alloc,
-             ROW_NUMBER() OVER (ORDER BY rem DESC, lang) AS rr
-      FROM quotas
-    )
-    SELECT lang, mass,
-           CAST(floor_alloc + CASE WHEN rr <= (SELECT r FROM leftover)
-                                   THEN 1 ELSE 0 END AS BIGINT) AS alloc
-    FROM ranked
-    """,
     doc="Domain mixing: largest-remainder (Hamilton) apportionment of "
     "a fixed 100k-unit token budget across languages by corpus mass — "
     "exact integer math (cross-multiplied quotas, remainder-ranked "
@@ -278,41 +263,14 @@ _AP_BUDGET = 100_000
 def q_sample_budget_apportion(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    from spark_extensions_spark.operators.sampling import (
+        largest_remainder_alloc,
+    )
+
     docs = _t(spark, sf_dir, "documents")["documents"]
     counts = docs.groupBy("lang").agg(
         F.sum("n_chars").cast("bigint").alias("mass")
     )
-    wt = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    quotas = counts.select(
-        "lang",
-        "mass",
-        (F.lit(_AP_BUDGET) * F.col("mass")).alias("__num"),
-        F.sum("mass").over(wt).alias("__total"),
-    ).select(
-        "lang",
-        "mass",
-        F.expr("__num div __total").alias("floor_alloc"),
-        (F.col("__num") % F.col("__total")).alias("rem"),
-    )
-    wr = Window.orderBy(F.desc("rem"), F.col("lang"))
-    ranked = quotas.select(
-        "lang",
-        "mass",
-        "floor_alloc",
-        F.row_number().over(wr).alias("rr"),
-        (F.lit(_AP_BUDGET) - F.sum("floor_alloc").over(wt)).alias("__r"),
-    )
-    return ranked.select(
-        "lang",
-        "mass",
-        (
-            F.col("floor_alloc")
-            + F.when(F.col("rr") <= F.col("__r"), 1).otherwise(0)
-        )
-        .cast("bigint")
-        .alias("alloc"),
-    )
+    return largest_remainder_alloc(counts, "lang", "mass", _AP_BUDGET)
 
 from spark_extensions_spark import queries39  # noqa: E402,F401  (registration side effect)

@@ -137,3 +137,5 @@ def q_eval_classifier_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("f1_e6"),
     )
+
+from spark_extensions_spark import queries40  # noqa: E402,F401  (registration side effect)

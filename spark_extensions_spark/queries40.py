@@ -1,0 +1,123 @@
+"""t2 query registry, batch 40: the pretraining-mix flagship.
+
+Registered into the shared registry (imported from queries39 at module
+end). Same determinism rules as the queries.py docstring.
+
+- ``pipeline_pretrain_mix``: the whole domain-mixing recipe as ONE
+  dataflow — quality gate → exact dedup → per-language token mass →
+  largest-remainder budget apportionment → per-language token-budget
+  cap in deterministic hash order → per-language mix summary. This is
+  the pass that turns a cleaned crawl into the "X tokens of lang A,
+  Y of lang B" pretraining mix, end-to-end hash-verified.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_extensions_spark.queries import _register, _t
+from spark_extensions_spark.operators.sampling import (
+    hash_bucket_duck,
+    largest_remainder_alloc,
+    largest_remainder_alloc_sql,
+    token_budget_cap,
+)
+
+_MIX_BUDGET = 50_000  # tokens to draw across all languages
+_MIX_MIN_WORDS = 20
+
+
+def _pretrain_mix_oracle() -> str:
+    surv = f"""
+      SELECT g.doc_id, g.lang, g.n_words FROM (
+        SELECT doc_id, lang, text,
+               len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_words
+        FROM documents
+      ) g
+      JOIN (
+        SELECT MIN(doc_id) AS doc_id FROM (
+          SELECT doc_id, md5(text) AS h FROM documents
+          WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                >= {_MIX_MIN_WORDS}
+        ) GROUP BY h
+      ) k USING (doc_id)
+      WHERE g.n_words >= {_MIX_MIN_WORDS}
+    """
+    alloc = largest_remainder_alloc_sql(
+        f"SELECT lang, CAST(SUM(n_words) AS BIGINT) AS mass"
+        f" FROM ({surv}) s0 GROUP BY lang",
+        "lang",
+        "mass",
+        _MIX_BUDGET,
+    )
+    return f"""
+    WITH surv AS ({surv}),
+    alloc AS (SELECT * FROM ({alloc}) a0),
+    cum AS (
+      SELECT s.lang, s.doc_id, s.n_words, a.mass, a.alloc,
+             CAST(SUM(s.n_words) OVER (
+               PARTITION BY s.lang
+               ORDER BY {hash_bucket_duck('doc_id', 'mix', 1 << 60)},
+                        s.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum_tokens
+      FROM surv s JOIN alloc a USING (lang)
+    )
+    SELECT lang, mass, CAST(alloc AS BIGINT) AS alloc,
+           CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+           CAST(SUM(n_words) AS BIGINT) AS tokens_kept
+    FROM cum WHERE cum_tokens <= alloc
+    GROUP BY lang, mass, alloc
+    """
+
+
+@_register(
+    "pipeline_pretrain_mix",
+    _pretrain_mix_oracle(),
+    doc="The pretraining domain-mix recipe as ONE dataflow: word-count "
+    "quality gate -> exact dedup (first doc per content md5) -> "
+    "per-language token mass -> largest-remainder apportionment of a "
+    "50k-token budget (operators/sampling.py:largest_remainder_alloc, "
+    "sum(alloc)==budget exactly) -> per-language token_budget_cap in "
+    "deterministic hash order with the PER-GROUP allocation as the "
+    "budget column -> per-language mix summary. Shuffle budget: one "
+    "dedup hash agg, one mass agg, one window on lang; the "
+    "apportionment runs on the domain-sized table (never grows with "
+    "the corpus) and joins back broadcast. Selection is independent "
+    "of input order and cluster layout — the same mix ships from any "
+    "cluster.",
+)
+def q_pipeline_pretrain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    wordy = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.size(
+            F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+        ).alias("n_words"),
+    )
+    gated = wordy.filter(F.col("n_words") >= _MIX_MIN_WORDS)
+    keep = gated.groupBy(F.md5(F.col("text").cast("binary"))).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    surv = gated.join(keep.select("doc_id"), "doc_id").select(
+        "doc_id", "lang", "n_words"
+    )
+    mass = surv.groupBy("lang").agg(
+        F.sum("n_words").cast("bigint").alias("mass")
+    )
+    alloc = largest_remainder_alloc(mass, "lang", "mass", _MIX_BUDGET)
+    capped = token_budget_cap(
+        surv.join(alloc, "lang"),
+        "lang",
+        "doc_id",
+        "n_words",
+        budget=F.col("alloc"),
+        salt="mix",
+    )
+    return capped.groupBy("lang", "mass", "alloc").agg(
+        F.count(F.lit(1)).alias("n_docs_kept"),
+        F.sum("n_words").cast("bigint").alias("tokens_kept"),
+    )
