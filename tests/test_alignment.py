@@ -513,3 +513,41 @@ def test_chunk_windows_matches_oracle_formula_on_edges(spark):
         )
     )
     assert got == want
+
+
+def test_largest_remainder_alloc_invariants(spark):
+    """Σ alloc == budget exactly for any mass vector; every alloc within
+    1 of the real-valued quota (the Hamilton apportionment guarantee);
+    deterministic under reordering."""
+    from spark_extensions_spark.operators.sampling import (
+        largest_remainder_alloc,
+    )
+
+    cases = [
+        [("a", 1)],
+        [("a", 1), ("b", 1), ("c", 1)],
+        [("a", 7), ("b", 11), ("c", 13), ("d", 1)],
+        [(f"d{i}", (i * 97) % 13 + 1) for i in range(17)],
+    ]
+    for budget in (1, 10, 997):
+        for rows in cases:
+            df = spark.createDataFrame(rows, "k string, mass long")
+            got = {
+                r["k"]: r["alloc"]
+                for r in largest_remainder_alloc(
+                    df, "k", "mass", budget
+                ).collect()
+            }
+            total = sum(m for _, m in rows)
+            assert sum(got.values()) == budget, (budget, rows, got)
+            for k, m in rows:
+                quota = budget * m / total
+                assert quota - 1 < got[k] < quota + 1, (k, quota, got[k])
+            # order-independence
+            got2 = {
+                r["k"]: r["alloc"]
+                for r in largest_remainder_alloc(
+                    df.orderBy(F.desc("mass")), "k", "mass", budget
+                ).collect()
+            }
+            assert got2 == got
