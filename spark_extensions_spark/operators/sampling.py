@@ -196,6 +196,7 @@ def token_budget_cap(
     budget: int | Column,
     salt: str = "budget",
     cum_col: str = "cum_tokens",
+    two_phase: bool = False,
 ) -> DataFrame:
     """Keep documents per group until a cumulative token budget fills.
 
@@ -210,18 +211,99 @@ def token_budget_cap(
     largest-remainder allocation a domain-mixing pass computed — join
     it on before calling); an int is a uniform budget.
 
-    One shuffle on ``group_col`` (the window partition); the running sum
-    is a single window pass. Same skew note as :func:`stratified_cap`.
+    ``two_phase=False`` (default): one shuffle on ``group_col``, the
+    running sum is a single window pass — each group's rows land in one
+    task, fine while the largest group fits one task's sort budget.
+    ``two_phase=True``: the skew-proof :func:`grouped_running_sum`
+    form (bounded by PARTITION size, not group size) — flip it when
+    one domain dominates the corpus; results are bit-identical.
     """
     tok = F.col(token_col) if isinstance(token_col, str) else token_col
     bud = F.lit(budget) if isinstance(budget, int) else budget
-    w = (
+    if two_phase:
+        out = grouped_running_sum(
+            df.withColumn("__tbc_h", hash_bucket(key_col, salt, 1 << 60)),
+            group_col,
+            ["__tbc_h", key_col],
+            tok,
+            cum_col,
+        ).drop("__tbc_h")
+    else:
+        w = (
+            Window.partitionBy(group_col)
+            .orderBy(hash_bucket(key_col, salt, 1 << 60), F.col(key_col))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        out = df.withColumn(cum_col, F.sum(tok.cast("bigint")).over(w))
+    return out.filter(F.col(cum_col) <= bud)
+
+
+def grouped_running_sum(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list[str],
+    val_col: str | Column,
+    out_col: str = "running_sum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-group running sum over a total order WITHOUT a per-group
+    window — the skew-proof form of
+    ``SUM(val) OVER (PARTITION BY g ORDER BY o ROWS UNBOUNDED
+    PRECEDING)``.
+
+    A per-group window pulls each group's entire row set into one task;
+    when one group dominates (one language is 80% of a crawl), that is
+    a straggler at any cluster size.  This generalizes
+    :func:`global_sort_index`'s two-phase trick to grouped weighted
+    sums: range-repartition on ``(group, *order)`` + local sort +
+    ``localCheckpoint`` (groups become contiguous partition slices; one
+    materialization so every downstream job sees identical partitions),
+    per-``(partition, group)`` totals (a tiny boundary table — about
+    n_partitions + n_groups rows, because each group is contiguous),
+    prefix-offsets per group over that table, then a broadcast
+    join-back and a ``(partition, group)``-local window — every task's
+    window is bounded by the PARTITION size, never the group size.
+
+    Bit-identical to the single-window form for exact-typed values
+    (integer/DECIMAL sums are order-free within the same total order).
+    ``order_cols`` must be a total order within each group.
+    """
+    tok = F.col(val_col) if isinstance(val_col, str) else val_col
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    cols = [F.col(group_col)] + [F.col(c) for c in order_cols]
+    ranged = (
+        df.repartitionByRange(parts, *cols)
+        .sortWithinPartitions(*cols)
+        .localCheckpoint()
+    )
+    withpid = ranged.withColumn("__grs_pid", F.spark_partition_id())
+    totals = withpid.groupBy("__grs_pid", group_col).agg(
+        F.sum(tok.cast("bigint")).alias("__grs_t")
+    )
+    woff = (
         Window.partitionBy(group_col)
-        .orderBy(hash_bucket(key_col, salt, 1 << 60), F.col(key_col))
+        .orderBy("__grs_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "__grs_pid",
+        group_col,
+        F.coalesce(F.sum("__grs_t").over(woff), F.lit(0)).alias("__grs_off"),
+    )
+    lw = (
+        Window.partitionBy("__grs_pid", group_col)
+        .orderBy(*[F.col(c) for c in order_cols])
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    out = df.withColumn(cum_col, F.sum(tok.cast("bigint")).over(w))
-    return out.filter(F.col(cum_col) <= bud)
+    return (
+        withpid.withColumn("__grs_local", F.sum(tok.cast("bigint")).over(lw))
+        .join(F.broadcast(offsets), ["__grs_pid", group_col])
+        .withColumn(
+            out_col,
+            (F.col("__grs_off") + F.col("__grs_local")).cast("bigint"),
+        )
+        .drop("__grs_pid", "__grs_local", "__grs_off")
+    )
 
 
 def largest_remainder_alloc(

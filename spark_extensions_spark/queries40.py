@@ -116,6 +116,10 @@ def q_pipeline_pretrain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_words",
         budget=F.col("alloc"),
         salt="mix",
+        # a dominant language must not serialize into one window task:
+        # the two-phase grouped running sum bounds every task by the
+        # PARTITION size (bit-identical results)
+        two_phase=True,
     )
     return capped.groupBy("lang", "mass", "alloc").agg(
         F.count(F.lit(1)).alias("n_docs_kept"),

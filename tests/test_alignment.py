@@ -551,3 +551,58 @@ def test_largest_remainder_alloc_invariants(spark):
                 ).collect()
             }
             assert got2 == got
+
+
+def test_grouped_running_sum_matches_single_window(spark):
+    """The two-phase grouped running sum is bit-identical to the
+    per-group window cumsum, including on skewed groups, and
+    token_budget_cap(two_phase=True) keeps exactly the same rows."""
+    from spark_extensions_spark.operators.sampling import (
+        grouped_running_sum,
+        token_budget_cap,
+    )
+
+    rows = [("big", i, (i * 7) % 23 + 1) for i in range(500)] + [
+        ("small", i, i % 5 + 1) for i in range(7)
+    ]
+    df = spark.createDataFrame(rows, "g string, k int, v int")
+    got = sorted(
+        map(
+            tuple,
+            grouped_running_sum(
+                df, "g", ["k"], "v", "cum", num_partitions=8
+            ).select("g", "k", "cum").collect(),
+        )
+    )
+    w = (
+        Window.partitionBy("g")
+        .orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = sorted(
+        map(
+            tuple,
+            df.select(
+                "g", "k", F.sum(F.col("v").cast("bigint")).over(w).alias("cum")
+            ).collect(),
+        )
+    )
+    assert got == want
+
+    one = sorted(
+        map(
+            tuple,
+            token_budget_cap(df, "g", "k", "v", budget=100)
+            .select("g", "k", "cum_tokens")
+            .collect(),
+        )
+    )
+    two = sorted(
+        map(
+            tuple,
+            token_budget_cap(df, "g", "k", "v", budget=100, two_phase=True)
+            .select("g", "k", "cum_tokens")
+            .collect(),
+        )
+    )
+    assert one == two and one
