@@ -125,3 +125,47 @@ def q_pipeline_pretrain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs_kept"),
         F.sum("n_words").cast("bigint").alias("tokens_kept"),
     )
+
+
+# =====================================================================
+# ORC + JSON-lines sink/source roundtrip
+# =====================================================================
+
+@_register(
+    "io_orc_jsonl_roundtrip",
+    """
+    SELECT doc_id, lang, md5(text) AS text_md5,
+           CAST(n_chars AS BIGINT) AS n_chars
+    FROM documents
+    """,
+    doc="Columnar-ORC and JSON-lines sink/source roundtrip (the two "
+    "interchange formats not already covered by the parquet/arrow/csv/"
+    "xml/warc/webdataset roundtrips): documents written to both "
+    "formats, read back (JSON under the EXPLICIT source schema — "
+    "inference is not contract), inner-joined on doc_id with "
+    "equality-filtered payloads, so any row the roundtrip corrupted "
+    "drops and fails the oracle's row count. Text is md5-fingerprinted "
+    "in the output (driver canonicalizer contract).",
+)
+def q_io_orc_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    out = tempfile.mkdtemp(prefix="orc_jsonl_rt_")
+    docs.write.mode("overwrite").orc(f"{out}/orc")
+    docs.write.mode("overwrite").json(f"{out}/jsonl")
+    orc = spark.read.orc(f"{out}/orc")
+    jl = spark.read.schema(docs.schema).json(f"{out}/jsonl")
+    j = orc.alias("o").join(
+        jl.alias("j"), F.col("o.doc_id") == F.col("j.doc_id")
+    )
+    return j.filter(
+        F.col("o.text").eqNullSafe(F.col("j.text"))
+        & F.col("o.lang").eqNullSafe(F.col("j.lang"))
+        & F.col("o.n_chars").eqNullSafe(F.col("j.n_chars"))
+    ).select(
+        F.col("o.doc_id").alias("doc_id"),
+        F.col("o.lang").alias("lang"),
+        F.md5(F.col("o.text").cast("binary")).alias("text_md5"),
+        F.col("o.n_chars").cast("bigint").alias("n_chars"),
+    )
