@@ -89,8 +89,13 @@ def q_eval_classifier_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")["documents"]
     model = nb_train(docs, "doc_id", "text", "lang")
     pred = nb_predict(model, docs, "doc_id", "text")
-    rows = pred.join(docs.select("doc_id", "lang"), "doc_id").select(
-        F.col("label").alias("pred"), F.col("lang").alias("truth")
+    # two aggregate branches (by pred, by truth) read the prediction
+    # set — checkpoint it so the NB train+predict dataflow (inherently
+    # join-heavy) executes ONCE instead of once per branch
+    rows = (
+        pred.join(docs.select("doc_id", "lang"), "doc_id")
+        .select(F.col("label").alias("pred"), F.col("lang").alias("truth"))
+        .localCheckpoint(eager=False)
     )
     by_pred = rows.groupBy(F.col("pred").alias("label")).agg(
         F.count(F.when(F.col("pred") == F.col("truth"), 1)).alias("tp"),
