@@ -169,3 +169,94 @@ def q_io_orc_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("o.text").cast("binary")).alias("text_md5"),
         F.col("o.n_chars").cast("bigint").alias("n_chars"),
     )
+
+
+# =====================================================================
+# IVF probe-tuning curve: recall as a function of n_probe
+# =====================================================================
+
+_PC_PROBES = (1, 2, 4)
+_PC_K = 5
+_PC_LISTS = 16
+
+
+def _probe_curve_oracle() -> str:
+    from spark_extensions_spark.queries import _cosine_duck
+    from spark_extensions_spark.queries2 import _ann_ivf_oracle
+
+    exact = f"""
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_cosine_duck('q.embedding', 'c.embedding', 64)}
+                          DESC, c.vec_id) AS rank
+        FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
+        CROSS JOIN embeddings c
+      ) WHERE rank <= {_PC_K}
+    """
+    arms = "\n    UNION ALL\n".join(
+        f"""
+    SELECT {p} AS n_probe,
+           CAST(COUNT(a.neighbor_id) AS BIGINT) AS sum_hits,
+           CAST(COUNT(*) AS BIGINT) AS max_possible
+    FROM exact e
+    LEFT JOIN (
+      SELECT query_id, neighbor_id
+      FROM ({_ann_ivf_oracle(_PC_LISTS, p, _PC_K)}) t{p}
+    ) a ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    """
+        for p in _PC_PROBES
+    )
+    return f"WITH exact AS ({exact})\n{arms}"
+
+
+@_register(
+    "eval_ann_probe_curve",
+    _probe_curve_oracle(),
+    doc="IVF tuning curve: total recall@5 hits across the query set at "
+    "n_probe = 1, 2, 4 (16 lists), against exact brute-force ground "
+    "truth — the measured recall/cost frontier an index operator reads "
+    "before picking n_probe, not a guess. Each arm is the "
+    "deterministic IVF path (bit-reproducible list membership), so the "
+    "curve is hash-exact. The exact side computes ONCE (checkpointed) "
+    "and every arm joins against it; arms differ only in probe count.",
+)
+def q_eval_ann_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_extensions_spark.operators.similarity import (
+        ann_bruteforce_topk,
+        ann_ivf_topk_det,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = (
+        ann_bruteforce_topk(
+            emb, queries, "vec_id", "embedding", "vec_id", "embedding",
+            k=_PC_K, dim=64,
+        )
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=False)
+    )
+    arms = []
+    for p in _PC_PROBES:
+        approx = ann_ivf_topk_det(
+            emb, queries, "vec_id", "embedding", "vec_id", "embedding",
+            k=_PC_K, dim=64, n_lists=_PC_LISTS, n_probe=p,
+        ).select("query_id", "neighbor_id", F.lit(1).alias("__hit"))
+        arms.append(
+            exact.join(approx, ["query_id", "neighbor_id"], "left")
+            .agg(
+                F.count("__hit").alias("sum_hits"),
+                F.count(F.lit(1)).alias("max_possible"),
+            )
+            .select(
+                F.lit(p).cast("int").alias("n_probe"),
+                "sum_hits",
+                "max_possible",
+            )
+        )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out
