@@ -263,8 +263,6 @@ class ExpressionEvaluator:
         """
         import itertools
 
-        from pyspark.errors import AnalysisException
-
         args: dict = {}
         counter = itertools.count()
         tuples = []
@@ -292,9 +290,15 @@ class ExpressionEvaluator:
             f"FROM (VALUES {', '.join(tuples)}) AS t({cols})"
         )
         try:
+            # parse/analysis AND parameter literal-binding all happen
+            # inside the spark.sql() call itself — failures here are
+            # compose-stage by construction (e.g. a field value the
+            # parameter converter rejects), and the DataFrame fallback
+            # may still evaluate them via schema-directed conversion
             prepared = self.spark.sql(query, args=args)
-        except AnalysisException as exc:
+        except Exception as exc:
             raise _LocalComposeError(str(exc)) from exc
+        # evaluation errors from here propagate unchanged
         out = prepared.collect()
         return [r["result"] for r in out]
 

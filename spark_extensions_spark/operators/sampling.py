@@ -302,7 +302,10 @@ def grouped_running_sum(
             out_col,
             (F.col("__grs_off") + F.col("__grs_local")).cast("bigint"),
         )
-        .drop("__grs_pid", "__grs_local", "__grs_off")
+        # the using-column join reorders columns (join keys first) —
+        # restore the input order so two_phase callers get the same
+        # schema SHAPE as the single-window form, not just values
+        .select(*df.columns, out_col)
     )
 
 
@@ -330,11 +333,20 @@ def largest_remainder_alloc(
     wt = Window.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
+    # zero total mass has no proportional basis — degrade to UNIFORM
+    # apportionment (basis 1 per domain) so Σ alloc == budget holds for
+    # ANY mass vector instead of dividing by zero
+    basis = F.when(
+        F.sum(mass_col).over(wt) == 0, F.lit(1)
+    ).otherwise(F.col(mass_col))
+    total = F.when(
+        F.sum(mass_col).over(wt) == 0, F.count(F.lit(1)).over(wt)
+    ).otherwise(F.sum(mass_col).over(wt))
     quotas = counts.select(
         key_col,
         mass_col,
-        (F.lit(budget) * F.col(mass_col)).alias("__num"),
-        F.sum(mass_col).over(wt).alias("__total"),
+        (F.lit(budget) * basis).alias("__num"),
+        total.alias("__total"),
     ).select(
         key_col,
         mass_col,
@@ -373,12 +385,21 @@ def largest_remainder_alloc_sql(
     """
     return f"""
     WITH lra_counts AS ({counts_sql}),
-    lra_tot AS (SELECT SUM({mass_col}) AS total FROM lra_counts),
+    lra_tot AS (
+      SELECT CASE WHEN SUM({mass_col}) = 0 THEN COUNT(*)
+                  ELSE SUM({mass_col}) END AS total,
+             SUM({mass_col}) = 0 AS uniform
+      FROM lra_counts
+    ),
     lra_quotas AS (
       SELECT {key_col}, {mass_col},
-             CAST(({budget} * {mass_col}) // total AS BIGINT) AS fa,
-             CAST(({budget} * {mass_col}) % total AS BIGINT) AS rem
-      FROM lra_counts CROSS JOIN lra_tot
+             CAST(({budget} * basis) // total AS BIGINT) AS fa,
+             CAST(({budget} * basis) % total AS BIGINT) AS rem
+      FROM (
+        SELECT c.*, t.total,
+               CASE WHEN t.uniform THEN 1 ELSE c.{mass_col} END AS basis
+        FROM lra_counts c CROSS JOIN lra_tot t
+      )
     ),
     lra_left AS (SELECT {budget} - SUM(fa) AS r FROM lra_quotas),
     lra_ranked AS (

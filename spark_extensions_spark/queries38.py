@@ -40,18 +40,39 @@ _EV_K = 5
 _EV_LISTS, _EV_PROBE = 16, 4
 
 
-def _eval_ann_recall_oracle() -> str:
-    exact = f"""
+def exact_topk_oracle(k: int, n_queries: int = 10) -> str:
+    """Exact brute-force ground-truth top-``k`` (query set = vec_id <
+    ``n_queries``) — the shared exact side of every ANN eval harness
+    (recall, probe curve)."""
+    return f"""
       SELECT query_id, neighbor_id, rank FROM (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                ROW_NUMBER() OVER (
                  PARTITION BY q.vec_id
                  ORDER BY {_cosine_duck('q.embedding', 'c.embedding', EMB_DIM)}
                           DESC, c.vec_id) AS rank
-        FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
+        FROM (SELECT * FROM embeddings WHERE vec_id < {n_queries}) q
         CROSS JOIN embeddings c
-      ) WHERE rank <= {_EV_K}
+      ) WHERE rank <= {k}
     """
+
+
+def exact_topk_spark(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+    """Spark twin of :func:`exact_topk_oracle` (same query set)."""
+    from spark_extensions_spark.operators.similarity import (
+        ann_bruteforce_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ann_bruteforce_topk(
+        emb, queries, "vec_id", "embedding", "vec_id", "embedding",
+        k=k, dim=EMB_DIM,
+    ).select("query_id", "neighbor_id", "rank")
+
+
+def _eval_ann_recall_oracle() -> str:
+    exact = exact_topk_oracle(_EV_K)
     return f"""
     WITH approx AS (
       SELECT query_id, neighbor_id
@@ -87,16 +108,12 @@ def _eval_ann_recall_oracle() -> str:
 )
 def q_eval_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_extensions_spark.operators.similarity import (
-        ann_bruteforce_topk,
         ann_ivf_topk_det,
     )
 
     emb = _t(spark, sf_dir, "embeddings")["embeddings"]
     queries = emb.filter(F.col("vec_id") < 10)
-    exact = ann_bruteforce_topk(
-        emb, queries, "vec_id", "embedding", "vec_id", "embedding",
-        k=_EV_K, dim=EMB_DIM,
-    ).select("query_id", "neighbor_id", "rank")
+    exact = exact_topk_spark(spark, sf_dir, _EV_K)
     approx = ann_ivf_topk_det(
         emb, queries, "vec_id", "embedding", "vec_id", "embedding",
         k=_EV_K, dim=EMB_DIM, n_lists=_EV_LISTS, n_probe=_EV_PROBE,

@@ -181,20 +181,13 @@ _PC_LISTS = 16
 
 
 def _probe_curve_oracle() -> str:
-    from spark_extensions_spark.queries import _cosine_duck
     from spark_extensions_spark.queries2 import _ann_ivf_oracle
+    from spark_extensions_spark.queries38 import exact_topk_oracle
 
-    exact = f"""
-      SELECT query_id, neighbor_id FROM (
-        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-               ROW_NUMBER() OVER (
-                 PARTITION BY q.vec_id
-                 ORDER BY {_cosine_duck('q.embedding', 'c.embedding', 64)}
-                          DESC, c.vec_id) AS rank
-        FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
-        CROSS JOIN embeddings c
-      ) WHERE rank <= {_PC_K}
-    """
+    exact = (
+        "SELECT query_id, neighbor_id FROM "
+        f"({exact_topk_oracle(_PC_K)}) ex0"
+    )
     arms = "\n    UNION ALL\n".join(
         f"""
     SELECT {p} AS n_probe,
@@ -224,17 +217,15 @@ def _probe_curve_oracle() -> str:
 )
 def q_eval_ann_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_extensions_spark.operators.similarity import (
-        ann_bruteforce_topk,
         ann_ivf_topk_det,
     )
+    from spark_extensions_spark.queries38 import exact_topk_spark
+    from spark_extensions_spark.queries import EMB_DIM
 
     emb = _t(spark, sf_dir, "embeddings")["embeddings"]
     queries = emb.filter(F.col("vec_id") < 10)
     exact = (
-        ann_bruteforce_topk(
-            emb, queries, "vec_id", "embedding", "vec_id", "embedding",
-            k=_PC_K, dim=64,
-        )
+        exact_topk_spark(spark, sf_dir, _PC_K)
         .select("query_id", "neighbor_id")
         .localCheckpoint(eager=False)
     )
@@ -242,7 +233,7 @@ def q_eval_ann_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in _PC_PROBES:
         approx = ann_ivf_topk_det(
             emb, queries, "vec_id", "embedding", "vec_id", "embedding",
-            k=_PC_K, dim=64, n_lists=_PC_LISTS, n_probe=p,
+            k=_PC_K, dim=EMB_DIM, n_lists=_PC_LISTS, n_probe=p,
         ).select("query_id", "neighbor_id", F.lit(1).alias("__hit"))
         arms.append(
             exact.join(approx, ["query_id", "neighbor_id"], "left")

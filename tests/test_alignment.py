@@ -529,6 +529,18 @@ def test_largest_remainder_alloc_invariants(spark):
         [("a", 7), ("b", 11), ("c", 13), ("d", 1)],
         [(f"d{i}", (i * 97) % 13 + 1) for i in range(17)],
     ]
+    # zero total mass degrades to UNIFORM apportionment — the budget
+    # conservation contract must survive (pre-fix: divide-by-zero)
+    zdf = spark.createDataFrame(
+        [("a", 0), ("b", 0), ("c", 0)], "k string, mass long"
+    )
+    from spark_extensions_spark.operators.sampling import (
+        largest_remainder_alloc as _lra,
+    )
+
+    zgot = {r["k"]: r["alloc"] for r in _lra(zdf, "k", "mass", 10).collect()}
+    assert sum(zgot.values()) == 10
+    assert max(zgot.values()) - min(zgot.values()) <= 1  # uniform ±1
     for budget in (1, 10, 997):
         for rows in cases:
             df = spark.createDataFrame(rows, "k string, mass long")

@@ -608,12 +608,22 @@ def main() -> int:
 
     run("ann_recall_harness", q_ann_recall)
 
-    run(
-        "budget_apportion",
-        lambda: docs.groupBy("lang")
-        .agg(F.sum("n_chars").alias("mass"))
-        .count(),
+    from spark_extensions_spark.operators.sampling import (
+        largest_remainder_alloc,
     )
+
+    def q_budget_apportion():
+        # high-cardinality domain key (4096 shards) stresses the
+        # whole-table windows inside the apportionment itself, not
+        # just the upstream mass aggregate
+        counts = docs.groupBy(
+            (F.col("doc_id") % 4096).alias("shard")
+        ).agg(F.sum("n_chars").cast("bigint").alias("mass"))
+        return largest_remainder_alloc(
+            counts, "shard", "mass", 1_000_000
+        ).count()
+
+    run("budget_apportion", q_budget_apportion)
 
     import shutil
 
