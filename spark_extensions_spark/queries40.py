@@ -251,3 +251,46 @@ def q_eval_ann_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     for a in arms[1:]:
         out = out.unionByName(a)
     return out
+
+
+# =====================================================================
+# ROUGE-2 generation-eval metric over neighbor-doc pairs
+# =====================================================================
+
+@_register(
+    "eval_rouge2",
+    __import__(
+        "spark_extensions_spark.operators.evals", fromlist=["x"]
+    ).rouge_n_oracle_sql(
+        """SELECT r.doc_id, r.text AS ref_text, h.text AS hyp_text
+           FROM documents r JOIN documents h ON h.doc_id = r.doc_id + 1""",
+        "doc_id",
+        "ref_text",
+        "hyp_text",
+        n=2,
+    ),
+    doc="ROUGE-2 with clipped counts (operators/evals.py:rouge_n; Lin "
+    "2004) over deterministic neighbor-doc pairs — the summarization/"
+    "distillation eval metric, exact integer math end-to-end (clipped "
+    "overlap is sum(min(rc, hc)) of integer counts; P/R/F1 are "
+    "cross-multiplied e6 integer divisions). Row-local n-gram "
+    "expansion, two (pair, gram)-keyed hash aggregates, one equi-join "
+    "— nothing corpus-sized broadcasts, no driver state.",
+)
+def q_eval_rouge2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_extensions_spark.operators.evals import rouge_n
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    pairs = (
+        docs.alias("r")
+        .join(
+            docs.alias("h"),
+            F.col("h.doc_id") == F.col("r.doc_id") + 1,
+        )
+        .select(
+            F.col("r.doc_id").alias("doc_id"),
+            F.col("r.text").alias("ref_text"),
+            F.col("h.text").alias("hyp_text"),
+        )
+    )
+    return rouge_n(pairs, "doc_id", "ref_text", "hyp_text", n=2)

@@ -618,3 +618,34 @@ def test_grouped_running_sum_matches_single_window(spark):
         )
     )
     assert one == two and one
+
+
+def test_rouge_n_clipped_counts_hand_computed(spark):
+    """ROUGE with CLIPPED counts: repeated hypothesis n-grams only
+    count up to their reference multiplicity; empty sides give 0
+    metrics, not NULL."""
+    from spark_extensions_spark.operators.evals import rouge_n
+
+    pairs = spark.createDataFrame(
+        [
+            # ref bigrams: {ab, bc, ca, ab} ; hyp bigrams: {ab, ab, ab}
+            # clipped overlap for 'a b' = min(2, 3) = 2
+            (1, "a b c a b", "a b a b a b"),
+            # disjoint
+            (2, "x y", "p q"),
+            # empty hypothesis
+            (3, "a b c", ""),
+        ],
+        "id int, ref string, hyp string",
+    )
+    got = {
+        r["id"]: r
+        for r in rouge_n(pairs, "id", "ref", "hyp", n=2).collect()
+    }
+    r1 = got[1]
+    assert (r1["overlap"], r1["ref_total"], r1["hyp_total"]) == (2, 4, 5)
+    # p = 2/5, r = 2/4 in e6 integer division; f1 from the e6 ints
+    assert r1["rouge_p_e6"] == 400000 and r1["rouge_r_e6"] == 500000
+    assert r1["rouge_f_e6"] == (2 * 400000 * 500000) // 900000
+    assert (got[2]["overlap"], got[2]["rouge_f_e6"]) == (0, 0)
+    assert (got[3]["hyp_total"], got[3]["rouge_f_e6"]) == (0, 0)
