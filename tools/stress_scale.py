@@ -272,13 +272,18 @@ def main() -> int:
     )
 
     def q_triangles():
-        a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
-        b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
-        e = (
-            a.join(b, "ok")
-            .filter(F.col("pa") < F.col("pb"))
-            .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        items = li.groupBy("l_orderkey").agg(
+            F.sort_array(F.collect_set("l_partkey")).alias("ps")
         )
+        e = items.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> "
+                    "transform(slice(ps, i + 2, size(ps)), "
+                    "y -> struct(x AS src, y AS dst))))"
+                )
+            ).alias("e")
+        ).select("e.src", "e.dst")
         return triangle_count(e, degree_ordered=True).first().n_triangles
 
     run("triangle_count", q_triangles)
@@ -291,13 +296,18 @@ def main() -> int:
     from spark_extensions_spark.operators.quality import expectation_suite
 
     def q_lpa():
-        a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
-        b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
-        e = (
-            a.join(b, "ok")
-            .filter(F.col("pa") < F.col("pb"))
-            .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        items = li.groupBy("l_orderkey").agg(
+            F.sort_array(F.collect_set("l_partkey")).alias("ps")
         )
+        e = items.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> "
+                    "transform(slice(ps, i + 2, size(ps)), "
+                    "y -> struct(x AS src, y AS dst))))"
+                )
+            ).alias("e")
+        ).select("e.src", "e.dst")
         return label_propagation(e, iterations=2).count()
 
     run("label_propagation", q_lpa)
