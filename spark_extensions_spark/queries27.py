@@ -1346,7 +1346,7 @@ def q_retrieval_text_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(apriori-lite at pair depth): support (pair count), confidence "
     "P(b|a) and lift P(ab)/(P(a)P(b)) from exact integer counts, one "
     "double division each — the classic rule-mining surface. Plan: "
-    "per-order self-join on the (distinct) basket table + two "
+    "per-order grouped pair expansion over sorted baskets + two "
     "broadcast item-count joins + a 1-row n_orders broadcast, top-20 "
     "via TakeOrderedAndProject. The same pair table feeds the "
     "co-purchase graph queries (graph_communities).",
@@ -1362,15 +1362,24 @@ def q_analytic_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     items = baskets.groupBy("l_partkey").agg(
         F.count(F.lit(1)).cast("bigint").alias("item_n")
     )
-    a = baskets.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("item_a")
-    )
-    b = baskets.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("item_b")
+    # grouped row-local pair expansion: each order's sorted basket
+    # emits each unordered pair once (w(w-1)/2 rows, already a < b) —
+    # the self-join form materializes w² rows per order first; basket
+    # width is bounded, so the expansion is never a skew risk
+    items_po = baskets.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("l_partkey")).alias("ps")
     )
     pairs = (
-        a.join(b, "ok")
-        .filter(F.col("item_a") < F.col("item_b"))
+        items_po.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> "
+                    "transform(slice(ps, i + 2, size(ps)), "
+                    "y -> struct(x AS item_a, y AS item_b))))"
+                )
+            ).alias("e")
+        )
+        .select("e.item_a", "e.item_b")
         .groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("pair_n"))
     )
