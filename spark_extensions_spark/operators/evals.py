@@ -22,18 +22,31 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _ngrams_expr(text_col: str, n: int) -> str:
-    """Row-local word n-gram array (lowercased [a-z0-9]+ tokens)."""
-    ws = f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)"
-    if n == 1:
-        return ws
-    # guard short docs: Spark's sequence(1, 0) DESCENDS to [1, 0] and
-    # slice(ws, 0, n) then errors on the 0 start
-    return (
-        f"case when size({ws}) < {n} then array() "
-        f"else transform(sequence(1, size({ws}) - {n - 1}), "
-        f"i -> array_join(slice({ws}, i, {n}), ' ')) end"
+def _gram_counts(
+    pairs: DataFrame, id_col: str, text_col: str, n: int, cnt: str
+) -> DataFrame:
+    """Per-pair n-gram counts of one side.  Tokenization is its OWN
+    projection step so the regex runs once per row, then the shared
+    :func:`~spark_extensions_spark.operators.dedup.shingles_from_words`
+    expands grams from the materialized words array (inlining the
+    tokenizer into the per-element lambda would re-run it once per
+    gram — Catalyst does not hoist subexpressions out of higher-order
+    lambdas)."""
+    from spark_extensions_spark.operators.dedup import shingles_from_words
+
+    words = pairs.select(
+        id_col,
+        F.expr(
+            f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)"
+        ).alias("__ws"),
     )
+    grams = words.select(
+        id_col,
+        F.explode(
+            F.col("__ws") if n == 1 else shingles_from_words("__ws", n)
+        ).alias("gram"),
+    )
+    return grams.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias(cnt))
 
 
 def rouge_n(
@@ -49,12 +62,12 @@ def rouge_n(
     hyp_total, rouge_p_e6, rouge_r_e6, rouge_f_e6)`` — all BIGINT.
     Empty sides yield 0 metrics (never NULL/NaN).
     """
-    rg = pairs.select(
-        id_col, F.explode(F.expr(_ngrams_expr(ref_col, n))).alias("gram")
-    ).groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("rc"))
-    hg = pairs.select(
-        id_col, F.explode(F.expr(_ngrams_expr(hyp_col, n))).alias("gram")
-    ).groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("hc"))
+    # three branches (ref grams, hyp grams, the id spine) read the
+    # pairs plan — one materialization instead of per-branch recompute
+    # (the caller's pair construction may itself be a join)
+    pairs = pairs.localCheckpoint(eager=False)
+    rg = _gram_counts(pairs, id_col, ref_col, n, "rc")
+    hg = _gram_counts(pairs, id_col, hyp_col, n, "hc")
     ov = (
         rg.join(hg, [id_col, "gram"])
         .groupBy(id_col)

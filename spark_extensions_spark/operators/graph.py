@@ -359,6 +359,38 @@ def neardup_clusters(
 # ---------------------------------------------------------------------
 
 
+def grouped_pair_edges(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Co-occurrence pairs via ONE groupBy + a row-local expansion over
+    each group's sorted DISTINCT item set: emits each unordered pair
+    exactly once per group (w·(w-1)/2 rows, already ``src < dst``),
+    where the naive self-join materializes w² rows per group before the
+    ``a < b`` filter and needs a second shuffle.  Group width is
+    bounded in co-purchase/co-occurrence data (order width, basket
+    size), so the per-group O(w²) expansion is row-local work, never a
+    skew risk.  ``collect_set`` makes the pair-once invariant local —
+    duplicate items within a group cannot produce self-pairs no matter
+    what the caller fed in.
+    """
+    items = df.groupBy(group_col).agg(
+        F.sort_array(F.collect_set(item_col)).alias("__gpe_ps")
+    )
+    return items.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(__gpe_ps, (x, i) -> "
+                "transform(slice(__gpe_ps, i + 2, size(__gpe_ps)), "
+                f"y -> struct(x AS {src}, y AS {dst}))))"
+            )
+        ).alias("__gpe_e")
+    ).select(f"__gpe_e.{src}", f"__gpe_e.{dst}")
+
+
 def canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
     """Undirected edge list canonicalized to src < dst, deduplicated.
 

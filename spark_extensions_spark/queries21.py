@@ -46,8 +46,9 @@ def _part_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     which saturates into a near-complete — and inherently Θ(n³) for
     triangles — clique at larger SFs.
 
-    Pair generation is ONE groupBy(order) + a row-local pair expansion
-    over the sorted distinct item set — emits each unordered pair once
+    Pair generation is operators/graph.py:grouped_pair_edges — ONE
+    groupBy(order) + a row-local pair expansion over the sorted
+    distinct item set — emits each unordered pair once
     (w·(w-1)/2 rows, already src<dst), where the naive self-join
     materializes w² rows per order before the pa<pb filter and needs a
     second shuffle. Order width is bounded (7 for TPC-H-ish carts, ~1e2
@@ -55,19 +56,10 @@ def _part_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     work, never a skew risk. Measured at sf0.1: 8.8s → 7.1s end-to-end
     triangle count.
     """
+    from spark_extensions_spark.operators.graph import grouped_pair_edges
+
     li = _t(spark, sf_dir, "lineitem")["lineitem"]
-    items = li.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_set("l_partkey")).alias("ps")
-    )
-    return items.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ps, (x, i) -> "
-                "transform(slice(ps, i + 2, size(ps)), "
-                "y -> struct(x AS src, y AS dst))))"
-            )
-        ).alias("e")
-    ).select("e.src", "e.dst")
+    return grouped_pair_edges(li, "l_orderkey", "l_partkey")
 
 
 @_register(

@@ -1362,24 +1362,16 @@ def q_analytic_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     items = baskets.groupBy("l_partkey").agg(
         F.count(F.lit(1)).cast("bigint").alias("item_n")
     )
-    # grouped row-local pair expansion: each order's sorted basket
-    # emits each unordered pair once (w(w-1)/2 rows, already a < b) —
-    # the self-join form materializes w² rows per order first; basket
-    # width is bounded, so the expansion is never a skew risk
-    items_po = baskets.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_list("l_partkey")).alias("ps")
-    )
+    from spark_extensions_spark.operators.graph import grouped_pair_edges
+
+    # grouped row-local pair expansion (operators/graph.py:
+    # grouped_pair_edges): each order's sorted distinct basket emits
+    # each unordered pair once (w(w-1)/2 rows, already a < b) — the
+    # self-join form materializes w² rows per order first
     pairs = (
-        items_po.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ps, (x, i) -> "
-                    "transform(slice(ps, i + 2, size(ps)), "
-                    "y -> struct(x AS item_a, y AS item_b))))"
-                )
-            ).alias("e")
+        grouped_pair_edges(
+            baskets, "l_orderkey", "l_partkey", src="item_a", dst="item_b"
         )
-        .select("e.item_a", "e.item_b")
         .groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("pair_n"))
     )

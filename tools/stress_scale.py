@@ -272,18 +272,11 @@ def main() -> int:
     )
 
     def q_triangles():
-        items = li.groupBy("l_orderkey").agg(
-            F.sort_array(F.collect_set("l_partkey")).alias("ps")
+        from spark_extensions_spark.operators.graph import (
+            grouped_pair_edges,
         )
-        e = items.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ps, (x, i) -> "
-                    "transform(slice(ps, i + 2, size(ps)), "
-                    "y -> struct(x AS src, y AS dst))))"
-                )
-            ).alias("e")
-        ).select("e.src", "e.dst")
+
+        e = grouped_pair_edges(li, "l_orderkey", "l_partkey")
         return triangle_count(e, degree_ordered=True).first().n_triangles
 
     run("triangle_count", q_triangles)
@@ -296,18 +289,11 @@ def main() -> int:
     from spark_extensions_spark.operators.quality import expectation_suite
 
     def q_lpa():
-        items = li.groupBy("l_orderkey").agg(
-            F.sort_array(F.collect_set("l_partkey")).alias("ps")
+        from spark_extensions_spark.operators.graph import (
+            grouped_pair_edges,
         )
-        e = items.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ps, (x, i) -> "
-                    "transform(slice(ps, i + 2, size(ps)), "
-                    "y -> struct(x AS src, y AS dst))))"
-                )
-            ).alias("e")
-        ).select("e.src", "e.dst")
+
+        e = grouped_pair_edges(li, "l_orderkey", "l_partkey")
         return label_propagation(e, iterations=2).count()
 
     run("label_propagation", q_lpa)
