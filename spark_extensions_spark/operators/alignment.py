@@ -36,6 +36,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from spark_extensions_spark.operators.sampling import grouped_topk
 from spark_extensions_spark.operators.similarity import cosine_similarity_col
@@ -173,9 +174,16 @@ def best_of_n(
     reward_col, rank)`` with rank 1..keep by (reward DESC, id).
 
     NULL rewards are excluded up front (no reward signal ≠ minimum
-    reward; engines order NULLs differently).
+    reward; engines order NULLs differently), and so are NaN rewards on
+    float columns: under ``min(struct(-reward, id))`` a NaN never wins
+    (NaN negates to NaN, which sorts greatest under min) while the
+    keep>1 rank path and the SQL oracle (ORDER BY reward DESC) rank NaN
+    FIRST — the three forms only agree if NaN is out of the pool.
+    ±Infinity is consistent across all three and stays eligible.
     """
     df = df.filter(F.col(reward_col).isNotNull())
+    if isinstance(df.schema[reward_col].dataType, (T.FloatType, T.DoubleType)):
+        df = df.filter(~F.isnan(F.col(reward_col)))
     accepted = (
         F.col(reward_col) >= min_reward
         if min_reward is not None
@@ -227,7 +235,8 @@ def best_of_n_oracle_sql(
     if keep == 1:
         return f"""
         WITH scored AS (SELECT * FROM ({scored_sql})
-                        WHERE {reward_col} IS NOT NULL),
+                        WHERE {reward_col} IS NOT NULL
+                          AND NOT isnan(CAST({reward_col} AS DOUBLE))),
         counts AS (
           SELECT {prompt_col},
                  CAST(COUNT(*) AS BIGINT) AS n_candidates,
@@ -255,7 +264,8 @@ def best_of_n_oracle_sql(
              ROW_NUMBER() OVER (PARTITION BY {prompt_col}
                                 ORDER BY {reward_col} DESC, {id_col}) AS rank
       FROM ({scored_sql})
-      WHERE {reward_col} IS NOT NULL AND {acc}
+      WHERE {reward_col} IS NOT NULL
+        AND NOT isnan(CAST({reward_col} AS DOUBLE)) AND {acc}
     ) WHERE rank <= {keep}
     """
 

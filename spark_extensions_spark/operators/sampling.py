@@ -342,11 +342,15 @@ def largest_remainder_alloc(
     total = F.when(
         F.sum(mass_col).over(wt) == 0, F.count(F.lit(1)).over(wt)
     ).otherwise(F.sum(mass_col).over(wt))
+    # budget·mass runs through DECIMAL(38,0): corpus-scale masses
+    # (Σ n_chars ~1e14) times a 1e5 budget overflow int64, where
+    # non-ANSI Spark would wrap silently — decimal `div` still returns
+    # an exact BIGINT quotient and `%` an exact decimal remainder
     quotas = counts.select(
         key_col,
         mass_col,
-        (F.lit(budget) * basis).alias("__num"),
-        total.alias("__total"),
+        (F.lit(budget).cast("decimal(38,0)") * basis).alias("__num"),
+        total.cast("decimal(38,0)").alias("__total"),
     ).select(
         key_col,
         mass_col,
@@ -392,9 +396,12 @@ def largest_remainder_alloc_sql(
       FROM lra_counts
     ),
     lra_quotas AS (
+      -- budget·mass in HUGEINT (DuckDB BIGINT·BIGINT errors on
+      -- overflow at corpus-scale masses) — mirrors the Spark side's
+      -- DECIMAL(38,0) product; rem stays HUGEINT (ordering only)
       SELECT {key_col}, {mass_col},
-             CAST(({budget} * basis) // total AS BIGINT) AS fa,
-             CAST(({budget} * basis) % total AS BIGINT) AS rem
+             CAST((CAST({budget} AS HUGEINT) * basis) // total AS BIGINT) AS fa,
+             (CAST({budget} AS HUGEINT) * basis) % total AS rem
       FROM (
         SELECT c.*, t.total,
                CASE WHEN t.uniform THEN 1 ELSE c.{mass_col} END AS basis

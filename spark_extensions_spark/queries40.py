@@ -131,6 +131,22 @@ def q_pipeline_pretrain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ORC + JSON-lines sink/source roundtrip
 # =====================================================================
 
+_ORC_JSONL_SCRATCH: list[str] = []
+
+
+def _orc_jsonl_scratch_dir() -> str:
+    """One stable scratch dir per process for the roundtrip staging
+    copies, registered for removal at interpreter exit."""
+    if not _ORC_JSONL_SCRATCH:
+        import atexit
+        import shutil
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="orc_jsonl_rt_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        _ORC_JSONL_SCRATCH.append(d)
+    return _ORC_JSONL_SCRATCH[0]
+
 @_register(
     "io_orc_jsonl_roundtrip",
     """
@@ -148,10 +164,13 @@ def q_pipeline_pretrain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "in the output (driver canonicalizer contract).",
 )
 def q_io_orc_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     docs = _t(spark, sf_dir, "documents")["documents"]
-    out = tempfile.mkdtemp(prefix="orc_jsonl_rt_")
+    # the written copies are consumed LAZILY by the returned plan, so
+    # the directory can't be removed here — stage under ONE fixed
+    # per-process path (mode=overwrite reuses it across invocations,
+    # so repeated bench/grading runs don't accumulate copies) and
+    # remove it at interpreter exit
+    out = _orc_jsonl_scratch_dir()
     docs.write.mode("overwrite").orc(f"{out}/orc")
     docs.write.mode("overwrite").json(f"{out}/jsonl")
     orc = spark.read.orc(f"{out}/orc")

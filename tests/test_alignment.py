@@ -565,6 +565,117 @@ def test_largest_remainder_alloc_invariants(spark):
             assert got2 == got
 
 
+def test_largest_remainder_alloc_corpus_scale_masses(spark):
+    """budget·mass beyond int64 (Σ n_chars ~1e14 masses × 1e5 budget)
+    must stay exact — the product runs through DECIMAL(38,0) on Spark
+    and HUGEINT in the DuckDB twin instead of wrapping/erroring."""
+    import duckdb
+
+    from spark_extensions_spark.operators.sampling import (
+        largest_remainder_alloc,
+        largest_remainder_alloc_sql,
+    )
+
+    rows = [
+        ("en", 61_234_567_890_123),
+        ("de", 31_987_654_321_001),
+        ("fr", 11_222_333_444_555),
+        ("ja", 4_999_888_777_666),
+    ]
+    budget = 100_000
+    df = spark.createDataFrame(rows, "lang string, mass long")
+    got = {
+        r["lang"]: r["alloc"]
+        for r in largest_remainder_alloc(
+            df, "lang", "mass", budget
+        ).collect()
+    }
+    assert sum(got.values()) == budget
+    total = sum(m for _, m in rows)
+    for lang, m in rows:
+        quota = budget * m / total
+        assert quota - 1 < got[lang] < quota + 1, (lang, quota, got[lang])
+    # exact-integer reference (Python bigints never overflow)
+    fa = {k: budget * m // total for k, m in rows}
+    rem = sorted(
+        ((budget * m) % total, k) for k, m in rows
+    )
+    leftover = budget - sum(fa.values())
+    for _, k in sorted(rem, key=lambda t: (-t[0], t[1]))[:leftover]:
+        fa[k] += 1
+    assert got == fa
+    # DuckDB twin agrees at the same masses
+    con = duckdb.connect()
+    counts_sql = " UNION ALL ".join(
+        f"SELECT '{k}' AS lang, CAST({m} AS BIGINT) AS mass"
+        for k, m in rows
+    )
+    dgot = {
+        k: a
+        for k, _, a in con.sql(
+            largest_remainder_alloc_sql(counts_sql, "lang", "mass", budget)
+        ).fetchall()
+    }
+    assert dgot == got
+
+
+def test_best_of_n_nan_rewards_excluded(spark):
+    """NaN rewards must never be selected, and keep=1, keep>1, and the
+    SQL oracle must agree (pre-fix: min(struct(-reward,id)) never picks
+    NaN while ORDER BY reward DESC ranks NaN first)."""
+    import math
+
+    import duckdb
+
+    from spark_extensions_spark.operators.alignment import (
+        best_of_n,
+        best_of_n_oracle_sql,
+    )
+
+    rows = [
+        ("p1", 1, 0.5),
+        ("p1", 2, float("nan")),
+        ("p1", 3, 0.9),
+        ("p2", 4, float("nan")),
+        ("p2", 5, float("-inf")),
+        ("p3", 6, float("nan")),
+    ]
+    df = spark.createDataFrame(
+        rows, "prompt string, cand_id int, reward double"
+    )
+    one = {
+        r["prompt"]: (r["best_id"], r["best_reward"], r["n_candidates"])
+        for r in best_of_n(df, "prompt", "cand_id", "reward").collect()
+    }
+    # p3 has only a NaN candidate -> no row; -inf stays eligible
+    assert set(one) == {"p1", "p2"}
+    assert one["p1"][0] == 3 and one["p1"][1] == 0.9
+    assert one["p2"][0] == 5 and one["p2"][1] == float("-inf")
+    multi = sorted(
+        (r["prompt"], r["cand_id"], r["rank"])
+        for r in best_of_n(
+            df, "prompt", "cand_id", "reward", keep=2
+        ).collect()
+    )
+    assert multi == [("p1", 1, 2), ("p1", 3, 1), ("p2", 5, 1)]
+    con = duckdb.connect()
+    scored = " UNION ALL ".join(
+        "SELECT '{}' AS prompt, {} AS cand_id, CAST({} AS DOUBLE) AS reward".format(
+            p, i, "'nan'" if math.isnan(v) else ("'-inf'" if v == float("-inf") else v)
+        )
+        for p, i, v in rows
+    )
+    dbest = {
+        p: (b, r)
+        for p, b, r, _, _ in con.sql(
+            best_of_n_oracle_sql(scored, "prompt", "cand_id", "reward")
+        ).fetchall()
+    }
+    assert set(dbest) == {"p1", "p2"}
+    assert dbest["p1"] == (3, 0.9)
+    assert dbest["p2"][0] == 5
+
+
 def test_grouped_running_sum_matches_single_window(spark):
     """The two-phase grouped running sum is bit-identical to the
     per-group window cumsum, including on skewed groups, and
