@@ -71,20 +71,30 @@ def _register(name: str, oracle: str | None, doc: str = ""):
 # capability family (dedup, incremental load, LM scoring, sampling,
 # streaming-adjacent, pipeline compositions). Everything else follows in
 # registration order; no query is dropped.
+#
+# Round-6 rotation (VERDICT r5 #1): after the first all-green round the
+# longest-green round-1 rows carry no new information, so ten of them
+# (window_rank, agg_collect_list, topk_orders, set_union_distinct,
+# pivot_wide, url_canonical_dedup, feature_winsorize, arrow_roundtrip,
+# ts_gapfill, layout_zorder) moved to just past the graded-50 boundary
+# and ten never-driver-graded families moved in — scalar batteries,
+# semi/anti joins, EXCEPT ALL, and the round-4/5 flagships (best-of-n,
+# tokenize-pack, pretrain-mix, classifier eval, CDC changefeed). Each
+# incoming query was vetted against the proven-portable construct
+# rulebook (exact-integer/string/date outputs only — no DECIMAL, no
+# array/map/struct; no two-arg indexed lambdas, computed-bound slices,
+# plain power-of-ten decimal literals, or round(libm) in the oracle).
+# sample_dsir / embedding_quantize stay in-window as portability
+# sentinels per the verdict.
 _PRIORITY: tuple[str, ...] = (
     "agg_pricing_summary",
     "filter_project",
     "join_inner",
     "join_broadcast",
     "join_asof",
-    "window_rank",
     "window_running_sum",
     "agg_rollup",
-    "agg_collect_list",
-    "topk_orders",
-    "set_union_distinct",
     "subquery_battery",
-    "pivot_wide",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_embedding",
@@ -95,22 +105,17 @@ _PRIORITY: tuple[str, ...] = (
     "scd2_history",
     "lm_perplexity",
     "text_gopher_rules",
-    "url_canonical_dedup",
     "sample_hash_split",
     "sample_token_budget",
-    "feature_winsorize",
-    # one flagship per family the 50-query window previously missed
+    # one flagship per family the round-1 window previously missed
     "streaming_ewma",
     "udtf_word_pos",
-    "arrow_roundtrip",
     "multimodal_phash",
     "stat_psi",
     "retrieval_prf",
-    "ts_gapfill",
     "ann_bruteforce",
     "text_contamination",
     "quality_rules",
-    "layout_zorder",
     "confluent_avro_roundtrip",
     "json_variant",
     "multimodal_decode",
@@ -121,11 +126,34 @@ _PRIORITY: tuple[str, ...] = (
     "graph_triangles",
     "text_collocations",
     "retrieval_rrf",
+    # round-6 rotation: never-driver-graded families into the window
+    "string_battery",
+    "date_battery",
+    "join_semi",
+    "join_anti",
+    "set_except_all",
+    "rlhf_best_of_n",
+    "pipeline_tokenize_pack",
+    "pipeline_pretrain_mix",
+    "eval_classifier_f1",
+    "cdc_changefeed",
+    # portability sentinels (3-round hash-fail history, green in r5)
     "sample_dsir",
     "embedding_quantize",
-    # Kafka-semantics log family (queries29) — right after the graded-50
-    # boundary so the stable graded window is unchanged
+    # Kafka-semantics log family — kafka_log_roundtrip is position 50
     "kafka_log_roundtrip",
+    # --- graded-50 boundary ---
+    # rotated-out round-1 rows (longest driver-green; graded r1-r5)
+    "window_rank",
+    "agg_collect_list",
+    "topk_orders",
+    "set_union_distinct",
+    "pivot_wide",
+    "url_canonical_dedup",
+    "feature_winsorize",
+    "arrow_roundtrip",
+    "ts_gapfill",
+    "layout_zorder",
     "kafka_stream_decode_agg",
     "kafka_sink_exactly_once",
     "graph_pagerank",
