@@ -147,14 +147,30 @@ def q_sft_pack_chat(spark: SparkSession, sf_dir: str) -> DataFrame:
     "purchase within 10 minutes, or NULL once the watermark proves no "
     "purchase can still arrive. Outer-join nulls only emit when the "
     "GLOBAL watermark (min across both streams) passes the buffered "
-    "row, which needs a later batch — replayed deterministically as "
-    "two availableNow runs over one checkpoint with a far-future "
-    "sentinel event appended to BOTH sources between runs (both "
-    "watermarks must advance; the lagging stream pins the global "
-    "min). Sentinels are filtered from the result; oracle is the "
-    "batch left join.",
+    "row, which needs a LATER micro-batch — proven in ONE availableNow "
+    "run by staging a far-future sentinel event in BOTH sources as a "
+    "second file and rate-limiting the file source to one file per "
+    "trigger: batch 0 joins the real events, batch 1 advances both "
+    "watermarks via the sentinels, and the trailing no-data "
+    "micro-batch (noDataMicroBatches, on by default) flushes the "
+    "buffered unmatched clicks as NULL rows. The two-run checkpoint- "
+    "recovery form this replaced survives as a pytest equivalence "
+    "twin (test_streaming.py). Sentinels are filtered from the "
+    "result; oracle is the batch left join.",
 )
 def q_streaming_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _streaming_outer_join_result(spark, sf_dir, two_run=False)
+
+
+def _streaming_outer_join_result(
+    spark: SparkSession, sf_dir: str, two_run: bool
+) -> DataFrame:
+    """Shared body for the graded single-run form (``two_run=False``)
+    and the original two-availableNow-runs checkpoint-recovery form
+    kept as an equivalence twin in tests."""
+    import os
+    import time
+
     from spark_extensions_spark.streaming import (
         read_stream_parquet,
         run_available_now_to_dir,
@@ -162,26 +178,70 @@ def q_streaming_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = _t(spark, sf_dir, "events")["events"]
-    clicks_dir = tempfile.mkdtemp(prefix="souter_c_")
-    purch_dir = tempfile.mkdtemp(prefix="souter_p_")
+    base_dir = tempfile.mkdtemp(prefix="souter_src_")
     out_dir = tempfile.mkdtemp(prefix="souter_out_")
     ckpt = tempfile.mkdtemp(prefix="souter_ck_")
     cols = ["user_id", "event_id", "ts"]
-    ev.filter(F.col("event_type") == "click").select(*cols).coalesce(
-        1
-    ).write.mode("append").parquet(clicks_dir)
-    ev.filter(F.col("event_type") == "purchase").select(*cols).coalesce(
-        1
-    ).write.mode("append").parquet(purch_dir)
-    schema = spark.read.parquet(clicks_dir).schema
+    # ONE scan+write staging both sources (partitionBy splits the
+    # click/purchase dirs; the partition column isn't stored in the
+    # files, so each dir reads with the 3-column schema below) — the
+    # previous two filtered writes doubled the staging scan cost,
+    # which dominated the query's wall time over the stream itself
+    (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .select("event_type", *cols)
+        .coalesce(1)
+        .write.mode("append")
+        .partitionBy("event_type")
+        .parquet(base_dir)
+    )
+    clicks_dir = f"{base_dir}/event_type=click"
+    purch_dir = f"{base_dir}/event_type=purchase"
+    schema = ev.select(*cols).schema
 
-    def run_once() -> None:
-        clicks = read_stream_parquet(spark, clicks_dir, schema).select(
+    def write_sentinels() -> None:
+        # advance BOTH watermarks past every real event (the lagging
+        # stream otherwise pins the global min and nulls never flush)
+        # The 1-row sentinel files are written with pyarrow directly:
+        # a 1-row Spark write job costs seconds of committer overhead
+        # (measured 4-5s each) for a file the stream reads back under
+        # an explicit schema anyway.
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        sentinel_ts = ev.agg(
+            F.max("ts") + F.expr("INTERVAL 30 days")
+        ).first()[0]
+        tbl = pa.table(
+            {
+                "user_id": pa.array([-1], pa.int64()),
+                "event_id": pa.array([-1], pa.int64()),
+                "ts": pa.array(
+                    [sentinel_ts], pa.timestamp("us", tz="UTC")
+                ),
+            }
+        )
+        # the file source orders by modification time: pin the sentinel
+        # files strictly AFTER the real-event files so the 1-file-per-
+        # trigger run processes real data in batch 0 and sentinels in
+        # batch 1 (same-millisecond mtimes would make the order racy)
+        future = time.time() + 60
+        for d in (clicks_dir, purch_dir):
+            p = os.path.join(d, "sentinel.parquet")
+            pq.write_table(tbl, p)
+            os.utime(p, (future, future))
+
+    def run_once(max_files: int | None) -> None:
+        clicks = read_stream_parquet(
+            spark, clicks_dir, schema, max_files_per_trigger=max_files
+        ).select(
             F.col("user_id").alias("c_user"),
             F.col("event_id").alias("click_id"),
             F.col("ts").alias("c_ts"),
         )
-        purchases = read_stream_parquet(spark, purch_dir, schema).select(
+        purchases = read_stream_parquet(
+            spark, purch_dir, schema, max_files_per_trigger=max_files
+        ).select(
             F.col("user_id").alias("p_user"),
             F.col("event_id").alias("purchase_id"),
             F.col("ts").alias("p_ts"),
@@ -210,19 +270,13 @@ def q_streaming_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             state_partitions=4,
         )
 
-    run_once()
-    # advance BOTH watermarks past every real event, then replay: the
-    # second run's batches see the new global watermark and flush the
-    # buffered unmatched clicks as NULL rows
-    sentinel_ts = ev.agg(
-        F.max("ts") + F.expr("INTERVAL 30 days")
-    ).first()[0]
-    sentinel = spark.createDataFrame(
-        [(-1, -1, sentinel_ts)], schema
-    )
-    sentinel.coalesce(1).write.mode("append").parquet(clicks_dir)
-    sentinel.coalesce(1).write.mode("append").parquet(purch_dir)
-    run_once()
+    if two_run:
+        run_once(None)
+        write_sentinels()
+        run_once(None)
+    else:
+        write_sentinels()
+        run_once(1)
     return (
         spark.read.parquet(out_dir)
         .filter(F.col("user_id") >= 0)

@@ -509,3 +509,59 @@ def test_rocksdb_state_store_provider(spark, tmp_path):
     # offline state read of the RocksDB checkpoint
     st = read_state(spark, ck_rocks)
     assert st.count() == 13
+
+
+def test_streaming_outer_join_single_run_equals_two_run(spark):
+    """The graded streaming_outer_join proves the watermark null-flush
+    in ONE availableNow run (sentinel files staged up front, file
+    source rate-limited to 1 file/trigger, trailing no-data batch
+    flushes the nulls). This twin pins it equal to the original
+    two-availableNow-runs checkpoint-recovery form, and both to the
+    batch left join."""
+    from spark_extensions_spark.queries33 import (
+        _streaming_outer_join_result,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    single = sorted(
+        map(
+            tuple,
+            _streaming_outer_join_result(
+                spark, sf_dir, two_run=False
+            ).collect(),
+        )
+    )
+    two = sorted(
+        map(
+            tuple,
+            _streaming_outer_join_result(
+                spark, sf_dir, two_run=True
+            ).collect(),
+        )
+    )
+    assert single == two
+    assert len(single) > 0
+    # batch twin
+    from spark_extensions_spark.session import load_tables
+
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id"), F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    batch = (
+        c.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 10 minutes")),
+            "left",
+        )
+        .select("user_id", "click_id", "purchase_id")
+    )
+    assert single == sorted(map(tuple, batch.collect()))
