@@ -120,6 +120,8 @@ def diagnose_skew(
     counts = df.groupBy(F.col(key_col).cast("string").alias("key")).agg(
         F.count(F.lit(1)).alias("n_rows")
     )
+    # bounded input: one row per distinct key (post-agg domain) — the
+    # global window never sees the corpus
     wt = Window.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )

@@ -357,6 +357,9 @@ def largest_remainder_alloc(
         F.expr("__num div __total").alias("__fa"),
         (F.col("__num") % F.col("__total")).alias("__rem"),
     )
+    # bounded input: `quotas` is domain-sized (one row per key of the
+    # DOMAIN table, see docstring) — the rank window never grows with
+    # the corpus
     wr = Window.orderBy(F.desc("__rem"), F.col(key_col))
     ranked = quotas.select(
         key_col,

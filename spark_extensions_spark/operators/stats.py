@@ -80,6 +80,9 @@ def ks_statistic(
             F.count(F.when(F.col(group_col) == group_b, 1)).alias("cb"),
         )
     )
+    # bounded input: `counts` is one row per DISTINCT value of v (the
+    # post-agg domain), never the corpus — the single-partition
+    # cumulative window is domain-sized at any data scale
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
     cum = counts.select(
         F.sum("ca").over(w).alias("cum_a"),
@@ -164,6 +167,8 @@ def tvd_drift(
         F.count(F.when(split_col, 1)).alias("ca"),
         F.count(F.when(~split_col, 1)).alias("cb"),
     )
+    # bounded input: one row per bucket (post-agg), so the global
+    # window is bucket-count-sized at any data scale
     wt = Window.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
@@ -610,6 +615,9 @@ def mannwhitney_u(
         )
         .select("v", "ca", "cb", (F.col("ca") + F.col("cb")).alias("t"))
     )
+    # bounded input: `counts` is one row per DISTINCT value (post-agg
+    # domain) — the single-partition rank-cum window never sees the
+    # corpus
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
     td = F.col("t").cast("decimal(18,0)")
     with_cum = counts.select(
@@ -714,6 +722,8 @@ def psi_drift(
         (F.count(F.when(split_col, 1)) + epsilon).alias("ca"),
         (F.count(F.when(~split_col, 1)) + epsilon).alias("cb"),
     )
+    # bounded input: one row per bucket (post-agg) — the global window
+    # is bucket-count-sized at any data scale
     wt = Window.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )

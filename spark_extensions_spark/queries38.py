@@ -214,6 +214,8 @@ def q_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")["documents"]
     top = bm25_search(docs, _NDCG_TERMS, k=_NDCG_K)
+    # bounded input: `top` is the post-top-k result (≤ _NDCG_K = 20
+    # rows) — the single-partition rank window is k-sized
     w = Window.orderBy(F.desc("score"), F.col("doc_id"))
     ranked = top.select(
         "doc_id", F.row_number().over(w).alias("rank")
@@ -227,6 +229,8 @@ def q_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_NDCG_K)
         .select(
             "rel",
+            # bounded input: post-limit(_NDCG_K) — the rank window
+            # runs over ≤ 20 rows
             F.row_number()
             .over(Window.orderBy(F.desc("rel"), F.col("doc_id")))
             .alias("rank"),
