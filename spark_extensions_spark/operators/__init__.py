@@ -76,8 +76,12 @@ from spark_extensions_spark.operators.graph import (
     pagerank,
     triangle_count,
 )
+from spark_extensions_spark.operators.patterns import (
+    match_pattern,
+)
 
 __all__ = [
+    "match_pattern",
     "asof_join",
     "interval_join",
     "salted_join",

@@ -313,3 +313,5 @@ def q_eval_rouge2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return rouge_n(pairs, "doc_id", "ref_text", "hyp_text", n=2)
+
+from spark_extensions_spark import queries41  # noqa: E402,F401  (registration side effect)

@@ -1,0 +1,155 @@
+"""match_pattern (operators/patterns.py): hand-built micro cases for
+the A B{min,max} C semantics, the fixed-chain equivalence pin, and the
+within-bound arithmetic."""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from pyspark.sql import functions as F
+
+from spark_extensions_spark.operators.patterns import match_pattern
+
+
+def _mk(spark, rows):
+    """rows: (user, pos-as-seconds, id, type)."""
+    data = [
+        (u, datetime(2024, 1, 1, 0, 0, s, tzinfo=timezone.utc), i, t)
+        for u, s, i, t in rows
+    ]
+    return spark.createDataFrame(
+        data, "user_id int, ts timestamp, event_id int, event_type string"
+    )
+
+
+def _match(df, min_mid=0, max_mid=None, within=None):
+    out = match_pattern(
+        df,
+        ["user_id"],
+        ["ts", "event_id"],
+        F.col("event_type") == "A",
+        F.col("event_type") == "B",
+        F.col("event_type") == "C",
+        "event_id",
+        ts_col="ts",
+        min_mid=min_mid,
+        max_mid=max_mid,
+        within_seconds=within,
+    )
+    return sorted(
+        (r["user_id"], r["start_id"], r["end_id"], r["n_mid"])
+        for r in out.collect()
+    )
+
+
+def test_star_middle_and_zero_middle(spark):
+    df = _mk(
+        spark,
+        [
+            (1, 0, 1, "A"), (1, 1, 2, "B"), (1, 2, 3, "B"), (1, 3, 4, "C"),
+            (2, 0, 5, "A"), (2, 1, 6, "C"),
+        ],
+    )
+    assert _match(df) == [(1, 1, 4, 2), (2, 5, 6, 0)]
+
+
+def test_non_b_row_breaks_the_run(spark):
+    df = _mk(
+        spark,
+        [
+            (1, 0, 1, "A"), (1, 1, 2, "B"), (1, 2, 3, "X"), (1, 3, 4, "C"),
+        ],
+    )
+    assert _match(df) == []
+
+
+def test_latest_a_binds_and_first_c_wins(spark):
+    # a1 a2 b c1 c2: c1 binds a2 (latest A); a2 consumed, c2 has no
+    # eligible A left between (a2..c2 contains c1 which is non-B)
+    df = _mk(
+        spark,
+        [
+            (1, 0, 1, "A"), (1, 1, 2, "A"), (1, 2, 3, "B"),
+            (1, 3, 4, "C"), (1, 4, 5, "C"),
+        ],
+    )
+    assert _match(df) == [(1, 2, 4, 1)]
+
+
+def test_quantifier_bounds(spark):
+    df = _mk(
+        spark,
+        [
+            (1, 0, 1, "A"), (1, 1, 2, "B"), (1, 2, 3, "B"), (1, 3, 4, "C"),
+            (2, 0, 5, "A"), (2, 1, 6, "C"),
+        ],
+    )
+    # B+ excludes the zero-middle match
+    assert _match(df, min_mid=1) == [(1, 1, 4, 2)]
+    # B{1,1} excludes the two-middle match too
+    assert _match(df, min_mid=1, max_mid=1) == []
+    # B{0,1}: only the zero-middle
+    assert _match(df, max_mid=1) == [(2, 5, 6, 0)]
+
+
+def test_within_seconds_bound(spark):
+    df = _mk(
+        spark,
+        [
+            (1, 0, 1, "A"), (1, 30, 2, "C"),
+            (2, 0, 3, "A"), (2, 31, 4, "C"),
+        ],
+    )
+    assert _match(df, within=30) == [(1, 1, 2, 0)]
+
+
+def test_fixed_chain_is_the_exactly_one_middle_case(spark):
+    """analytic_pattern_match (lead()-chain view→click→purchase
+    triple) must equal match_pattern with min_mid=max_mid=1 on the
+    real fixture — the generalization theorem for the degenerate
+    case."""
+    from spark_extensions_spark.queries import registry
+    from spark_extensions_spark.session import load_tables
+
+    sf_dir = "/root/testdata/sf0.01"
+    fixed = {q.name: q for q in registry()}["analytic_pattern_match"]
+    chain = sorted(
+        (r["user_id"], r["start_id"], r["end_id"])
+        for r in fixed.spark(spark, sf_dir).collect()
+    )
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    gen = match_pattern(
+        ev,
+        ["user_id"],
+        ["ts", "event_id"],
+        F.col("event_type") == "view",
+        F.col("event_type") == "click",
+        F.col("event_type") == "purchase",
+        "event_id",
+        min_mid=1,
+        max_mid=1,
+    )
+    got = sorted(
+        (r["user_id"], r["start_id"], r["end_id"]) for r in gen.collect()
+    )
+    assert got == chain
+    assert len(got) > 0
+
+
+def test_single_window_shuffle(spark):
+    """Scale pin: the whole pattern match plans exactly one exchange
+    on the partition key — no join, no extra shuffle."""
+    df = _mk(spark, [(1, 0, 1, "A"), (1, 1, 2, "C")])
+    out = match_pattern(
+        df,
+        ["user_id"],
+        ["ts", "event_id"],
+        F.col("event_type") == "A",
+        F.col("event_type") == "B",
+        F.col("event_type") == "C",
+        "event_id",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") <= 2  # main + dedup
+    assert "SinglePartition" not in plan
+    assert "Join" not in plan
