@@ -194,3 +194,289 @@ def rouge_n_oracle_sql(
              AS rouge_f_e6
     FROM pr
     """
+
+
+# =====================================================================
+# Exact rank-based AUC (tie-aware) and expected calibration error —
+# classifier-quality evals in exact integer arithmetic
+# =====================================================================
+
+def auc_exact(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Tie-aware ROC AUC from exact integer pair counting.
+
+    For each distinct score value v (ascending):
+    ``correct2 = Σ_v [ 2·pos(v)·cum_neg(<v) + pos(v)·neg(v) ]`` — twice
+    the count of correctly ordered (pos, neg) pairs with ties counted
+    half — and ``AUC = correct2 / (2·n_pos·n_neg)``. Every compared
+    quantity is an exact integer; the single double division at the end
+    operates on exactly-representable BIGINTs (the proven stat_psi /
+    Mann-Whitney recipe — operators/stats.py:613 uses the same
+    domain-cumulative window).
+
+    ``score_col`` must be integer-typed (exact); ``label_col`` boolean.
+    Scale shape: one hash aggregate on the score DOMAIN, then a
+    domain-sized cumulative window (bounded input: one row per distinct
+    score, never the corpus). Output: one row
+    ``(n_pos, n_neg, correct2, auc_e6)`` — all BIGINT.
+    """
+    counts = df.groupBy(F.col(score_col).alias("v")).agg(
+        F.count(F.when(F.col(label_col), 1)).alias("pos"),
+        F.count(F.when(~F.col(label_col), 1)).alias("neg"),
+    )
+    from pyspark.sql import Window
+
+    # bounded input: one row per DISTINCT score (post-agg domain)
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    wt = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = counts.select(
+        "pos",
+        "neg",
+        F.coalesce(F.sum("neg").over(w), F.lit(0)).alias("cneg"),
+        F.sum("pos").over(wt).alias("n_pos"),
+        F.sum("neg").over(wt).alias("n_neg"),
+    )
+    return cum.agg(
+        F.max("n_pos").cast("bigint").alias("n_pos"),
+        F.max("n_neg").cast("bigint").alias("n_neg"),
+        F.sum(
+            F.lit(2) * F.col("pos").cast("bigint") * F.col("cneg")
+            + F.col("pos").cast("bigint") * F.col("neg")
+        )
+        .cast("bigint")
+        .alias("correct2"),
+    ).select(
+        "n_pos",
+        "n_neg",
+        "correct2",
+        F.expr(
+            "cast(floor(cast(correct2 as double)"
+            " / cast(2 * n_pos * n_neg as double) * 1e6 + 0.5d)"
+            " as bigint)"
+        ).alias("auc_e6"),
+    )
+
+
+def auc_exact_oracle_sql(
+    scored_sql: str, score_col: str, label_col: str
+) -> str:
+    """DuckDB twin of :func:`auc_exact` over ``scored_sql``."""
+    return f"""
+    WITH auc_counts AS (
+      SELECT {score_col} AS v,
+             COUNT(*) FILTER ({label_col}) AS pos,
+             COUNT(*) FILTER (NOT {label_col}) AS neg
+      FROM ({scored_sql}) s0
+      GROUP BY {score_col}
+    ),
+    auc_cum AS (
+      SELECT pos, neg,
+             COALESCE(SUM(neg) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cneg,
+             SUM(pos) OVER () AS n_pos,
+             SUM(neg) OVER () AS n_neg
+      FROM auc_counts
+    )
+    SELECT CAST(MAX(n_pos) AS BIGINT) AS n_pos,
+           CAST(MAX(n_neg) AS BIGINT) AS n_neg,
+           CAST(SUM(2 * pos * cneg + pos * neg) AS BIGINT) AS correct2,
+           CAST(FLOOR(CAST(SUM(2 * pos * cneg + pos * neg) AS DOUBLE)
+                / CAST(2 * MAX(n_pos) * MAX(n_neg) AS DOUBLE)
+                * 1e6 + 0.5) AS BIGINT) AS auc_e6
+    FROM auc_cum
+    """
+
+
+def calibration_ece(
+    df: DataFrame,
+    conf_e3_col: str,
+    label_col: str,
+    bins: int = 10,
+) -> DataFrame:
+    """Expected calibration error from integer confidences.
+
+    ``conf_e3_col`` holds confidence in exact integer milli-units
+    (0..1000). With equal-width bins, the classic
+    ``ECE = Σ_b (n_b/N)·|acc_b − conf̄_b|`` collapses to
+    ``ECE = Σ_b |1000·pos_b − Σconf_e3_b| / (1000·N)`` — the numerator
+    is an EXACT integer per bin (the per-bin divisions cancel), so the
+    whole metric is hash-verifiable except one final double division of
+    exactly-representable BIGINTs.
+
+    Output: one row per non-empty bin
+    ``(bin, n, pos, sum_conf_e3, gap_e3)`` plus the per-bin absolute
+    gap numerator — the reliability-diagram table — all BIGINT.
+    """
+    b = F.least(
+        F.expr(f"{conf_e3_col} * {bins} div 1000"), F.lit(bins - 1)
+    )
+    return (
+        df.groupBy(b.cast("int").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.count(F.when(F.col(label_col), 1))
+            .cast("bigint")
+            .alias("pos"),
+            F.sum(conf_e3_col).cast("bigint").alias("sum_conf_e3"),
+        )
+        .select(
+            "bin",
+            "n",
+            "pos",
+            "sum_conf_e3",
+            F.abs(
+                F.lit(1000) * F.col("pos") - F.col("sum_conf_e3")
+            )
+            .cast("bigint")
+            .alias("gap_e3"),
+        )
+    )
+
+
+def calibration_ece_oracle_sql(
+    scored_sql: str, conf_e3_col: str, label_col: str, bins: int = 10
+) -> str:
+    """DuckDB twin of :func:`calibration_ece`."""
+    return f"""
+    SELECT CAST(LEAST(({conf_e3_col} * {bins}) // 1000, {bins - 1})
+                AS INT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) FILTER ({label_col}) AS BIGINT) AS pos,
+           CAST(SUM({conf_e3_col}) AS BIGINT) AS sum_conf_e3,
+           CAST(ABS(1000 * COUNT(*) FILTER ({label_col})
+                    - SUM({conf_e3_col})) AS BIGINT) AS gap_e3
+    FROM ({scored_sql}) s0
+    GROUP BY 1
+    """
+
+
+# =====================================================================
+# Deterministic Poisson bootstrap — metric confidence intervals without
+# randomness (hash-derived integer resample weights)
+# =====================================================================
+
+# Poisson(1) inverse-CDF thresholds on a uniform 1e6-bucket hash,
+# pre-rounded to INTEGER constants so both engines branch on identical
+# literals (floor(CDF(k) * 1e6): e^-1-derived, computed offline once)
+_POIS1_THRESH = (367879, 735758, 919698, 981011, 996340)
+
+
+def _poisson_weight_case(bucket_sql: str) -> str:
+    cases = " ".join(
+        f"WHEN {bucket_sql} < {t} THEN {k}"
+        for k, t in enumerate(_POIS1_THRESH)
+    )
+    return f"(CASE {cases} ELSE 5 END)"
+
+
+def poisson_bootstrap_replicates(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    n_replicates: int = 50,
+    salt: str = "boot",
+) -> DataFrame:
+    """B deterministic Poisson-bootstrap replicates of a mean metric.
+
+    The distributed-bootstrap standard (Chamandy et al. 2012, "Estimating
+    uncertainty for massive data streams"): instead of resampling rows
+    (which needs global coordination), each row enters replicate ``b``
+    with an independent Poisson(1) weight — here DERIVED from
+    ``md5(id:salt:b)`` through integer inverse-CDF thresholds, so the
+    whole procedure is reproducible on any cluster layout and
+    hash-verifiable against SQL.
+
+    Scale shape: explode ``B`` replicate ids per row, then ONE
+    map-side-combinable aggregate — partial state collapses to ``B``
+    rows per partition before the shuffle, so the shuffle volume is
+    ``B × #partitions`` rows regardless of corpus size.
+
+    Output: one row per replicate, ``(b, n_eff, sum_wv, mean_e6)`` —
+    exact BIGINT weighted count/sum plus the floor-quantized mean. The
+    2.5%/97.5% quantiles of ``mean_e6`` across the B-row result are the
+    CI (B is bounded; take them downstream however you like).
+    """
+    from spark_extensions_spark.operators.sampling import hash_bucket
+
+    b = F.explode(
+        F.sequence(F.lit(1), F.lit(int(n_replicates)))
+    ).alias("b")
+    rows = df.select(
+        F.col(id_col).cast("string").alias("__id"),
+        F.col(value_col).cast("bigint").alias("__v"),
+    ).select("__id", "__v", b)
+    bucket = hash_bucket(
+        "concat(__id, ':', cast(b as string))", salt, 1_000_000
+    )
+    w = F.expr(
+        _poisson_weight_case("__bkt")
+    )
+    weighted = rows.select(
+        "b",
+        "__v",
+        bucket.alias("__bkt"),
+    ).select("b", "__v", w.alias("__w"))
+    return (
+        weighted.groupBy("b")
+        .agg(
+            F.sum("__w").cast("bigint").alias("n_eff"),
+            F.sum(F.col("__w") * F.col("__v"))
+            .cast("bigint")
+            .alias("sum_wv"),
+        )
+        .select(
+            F.col("b").cast("int").alias("b"),
+            "n_eff",
+            "sum_wv",
+            F.expr(
+                "cast(floor(cast(sum_wv as double)"
+                " / cast(n_eff as double) * 1e6 + 0.5d) as bigint)"
+            ).alias("mean_e6"),
+        )
+    )
+
+
+def poisson_bootstrap_oracle_sql(
+    source_sql: str,
+    id_col: str,
+    value_col: str,
+    n_replicates: int = 50,
+    salt: str = "boot",
+) -> str:
+    """DuckDB twin of :func:`poisson_bootstrap_replicates`."""
+    from spark_extensions_spark.operators.sampling import (
+        hash_bucket_duck,
+    )
+
+    bucket = hash_bucket_duck(
+        f"(CAST({id_col} AS VARCHAR) || ':' || CAST(b AS VARCHAR))",
+        salt,
+        1_000_000,
+    )
+    wcase = _poisson_weight_case("__bkt")
+    return f"""
+    WITH boot_rows AS (
+      SELECT CAST({id_col} AS VARCHAR) AS {id_col},
+             CAST({value_col} AS BIGINT) AS __v,
+             UNNEST(generate_series(1, {int(n_replicates)})) AS b
+      FROM ({source_sql}) s0
+    ),
+    boot_w AS (
+      SELECT b, __v, {wcase} AS __w
+      FROM (SELECT b, __v, {bucket} AS __bkt FROM boot_rows)
+    )
+    SELECT CAST(b AS INT) AS b,
+           CAST(SUM(__w) AS BIGINT) AS n_eff,
+           CAST(SUM(__w * __v) AS BIGINT) AS sum_wv,
+           CAST(FLOOR(CAST(SUM(__w * __v) AS DOUBLE)
+                / CAST(SUM(__w) AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+             AS mean_e6
+    FROM boot_w
+    GROUP BY b
+    """

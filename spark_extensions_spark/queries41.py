@@ -61,3 +61,113 @@ def q_analytic_match_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_mid=0,
         within_seconds=_MP_WITHIN,
     )
+
+
+# =====================================================================
+# Exact AUC + calibration evals (classifier-quality layer)
+# =====================================================================
+
+# deterministic integer signal: distinct-word count "predicts" English
+_AUC_SCORE_SPARK = (
+    "size(array_distinct(regexp_extract_all(lower(text), '[a-z0-9]+', 0)))"
+)
+_AUC_SCORE_DUCK = (
+    "len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')))"
+)
+
+
+@_register(
+    "eval_auc_exact",
+    __import__(
+        "spark_extensions_spark.operators.evals", fromlist=["x"]
+    ).auc_exact_oracle_sql(
+        f"SELECT {_AUC_SCORE_DUCK} AS score, lang = 'en' AS y"
+        " FROM documents",
+        "score",
+        "y",
+    ),
+    doc="Tie-aware ROC AUC (operators/evals.py:auc_exact) of a "
+    "deterministic integer signal (distinct-word count) against the "
+    "is-English label: exact integer pair counting over the score "
+    "DOMAIN — one hash agg + a domain-sized cumulative window "
+    "(bounded input), correct-pair numerator and counts are BIGINT, "
+    "one final double division of exactly-representable ints "
+    "(auc_e6). The eval every learned quality filter needs before "
+    "it gates a corpus.",
+)
+def q_eval_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_extensions_spark.operators.evals import auc_exact
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    scored = docs.select(
+        F.expr(_AUC_SCORE_SPARK).alias("score"),
+        (F.col("lang") == "en").alias("y"),
+    )
+    return auc_exact(scored, "score", "y")
+
+
+@_register(
+    "eval_calibration",
+    __import__(
+        "spark_extensions_spark.operators.evals", fromlist=["x"]
+    ).calibration_ece_oracle_sql(
+        f"""SELECT CAST((1000 * s) // (s + 20) AS INT) AS conf_e3,
+                   lang = 'en' AS y
+            FROM (SELECT {_AUC_SCORE_DUCK} AS s, lang FROM documents)""",
+        "conf_e3",
+        "y",
+        bins=10,
+    ),
+    doc="Reliability diagram + ECE numerators "
+    "(operators/evals.py:calibration_ece): integer milli-unit "
+    "confidences (a saturating transform of the distinct-word "
+    "signal) bucketed into 10 equal-width bins; per-bin "
+    "|1000·pos − Σconf_e3| is an EXACT integer (the per-bin "
+    "divisions cancel), so the whole calibration table is "
+    "hash-verified — ECE itself is Σ gap_e3 / (1000·N) downstream. "
+    "One hash aggregate; no window at all.",
+)
+def q_eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_extensions_spark.operators.evals import calibration_ece
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    scored = docs.select(
+        F.expr(
+            f"cast(({_AUC_SCORE_SPARK} * 1000)"
+            f" div ({_AUC_SCORE_SPARK} + 20) as int)"
+        ).alias("conf_e3"),
+        (F.col("lang") == "en").alias("y"),
+    )
+    return calibration_ece(scored, "conf_e3", "y", bins=10)
+
+
+@_register(
+    "eval_bootstrap_ci",
+    __import__(
+        "spark_extensions_spark.operators.evals", fromlist=["x"]
+    ).poisson_bootstrap_oracle_sql(
+        "SELECT doc_id, n_chars FROM documents",
+        "doc_id",
+        "n_chars",
+        n_replicates=50,
+    ),
+    doc="Deterministic Poisson-bootstrap uncertainty for a corpus "
+    "metric (operators/evals.py:poisson_bootstrap_replicates; "
+    "Chamandy et al. 2012): 50 replicates of mean document length, "
+    "each row weighted Poisson(1) via md5 inverse-CDF integer "
+    "thresholds — reproducible on any cluster layout, no RNG state. "
+    "One explode + ONE map-side-combinable aggregate: partial state "
+    "collapses to B rows per partition before the shuffle, so "
+    "shuffle volume is B×partitions regardless of corpus size. The "
+    "B-row replicate table is fully hash-verified; the 2.5/97.5% "
+    "quantiles of mean_e6 are the CI.",
+)
+def q_eval_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_extensions_spark.operators.evals import (
+        poisson_bootstrap_replicates,
+    )
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return poisson_bootstrap_replicates(
+        docs, "doc_id", "n_chars", n_replicates=50
+    )

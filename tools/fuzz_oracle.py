@@ -357,13 +357,51 @@ def _shape_topk(rng: random.Random) -> str:
     )
 
 
+def _shape_window(rng: random.Random) -> str:
+    # windows need a TOTAL order for determinism: partition by a
+    # low-card key, order by the table's unique key
+    name = rng.choice(
+        [n for n, t in TABLES.items() if t["key"] and t["low_card_strs"]]
+    )
+    t = TABLES[name]
+    key = t["key"]
+    g = rng.choice(t["low_card_strs"])
+    direction = rng.choice(["ASC", "DESC"])
+    over = f"PARTITION BY {g} ORDER BY {key} {direction}"
+    rows = "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    kind = rng.random()
+    if kind < 0.3:
+        wexpr = f"ROW_NUMBER() OVER ({over})"
+    elif kind < 0.55:
+        e = _int_expr(rng, t, 1)
+        wexpr = (
+            f"CAST(SUM(CAST({e} AS BIGINT)) OVER ({over} {rows})"
+            " AS BIGINT)"
+        )
+    elif kind < 0.75:
+        e = _int_expr(rng, t, 1)
+        wexpr = f"MIN({e}) OVER ({over} {rows})"
+    else:
+        e = _int_expr(rng, t, 1)
+        wexpr = f"LAG({e}, 1) OVER ({over})"
+    pred = _pred(rng, t, 2)
+    inner = (
+        f"SELECT {key} AS k0, {g} AS g0, {wexpr} AS w0 "
+        f"FROM {name} WHERE {pred}"
+    )
+    if "ROW_NUMBER" in wexpr and rng.random() < 0.5:
+        return f"SELECT * FROM ({inner}) q WHERE w0 <= {rng.randint(1, 20)}"
+    return inner
+
+
 SHAPES = [
-    (_shape_filter_project, 0.25),
-    (_shape_group_agg, 0.25),
-    (_shape_join_agg, 0.2),
-    (_shape_join_project, 0.15),
+    (_shape_filter_project, 0.22),
+    (_shape_group_agg, 0.22),
+    (_shape_join_agg, 0.18),
+    (_shape_join_project, 0.13),
     (_shape_setop, 0.1),
     (_shape_topk, 0.05),
+    (_shape_window, 0.1),
 ]
 
 
