@@ -79,9 +79,15 @@ from spark_extensions_spark.operators.graph import (
 from spark_extensions_spark.operators.patterns import (
     match_pattern,
 )
+from spark_extensions_spark.operators.dedup import (
+    winnow_candidates,
+    winnow_fingerprints,
+)
 
 __all__ = [
     "match_pattern",
+    "winnow_fingerprints",
+    "winnow_candidates",
     "asof_join",
     "interval_join",
     "salted_join",

@@ -24,7 +24,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -1369,3 +1369,133 @@ def cross_doc_spans_oracle_sql(
     LEFT JOIN totals t ON t.{id_col} = d.{id_col}
     LEFT JOIN per_doc p ON p.{id_col} = d.{id_col}
     """
+
+
+# =====================================================================
+# Winnowing — rolling-hash fingerprint selection (Schleimer, Wilkerson
+# & Aiken 2003, "Winnowing: Local Algorithms for Document
+# Fingerprinting" — the MOSS scheme)
+# =====================================================================
+
+def _gram_hash_sql(gram_sql: str) -> str:
+    """int64 gram hash from the md5 lower 15 hex chars — the house
+    md5-derived-integer pattern (operators/sampling.py:hash_bucket),
+    identical in both engines."""
+    return (
+        f"cast(conv(substring(md5({gram_sql}), 1, 15), 16, 10) as bigint)"
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprint selection over word ``k``-grams.
+
+    Every window of ``w`` consecutive gram hashes contributes its
+    MINIMUM; the distinct selected values per document are the
+    fingerprint set. The winnowing guarantee: any two documents sharing
+    a run of at least ``w + k - 1`` words share at least one
+    fingerprint — with expected density ``2/(w+1)`` of the grams, so
+    the downstream index is a fraction of full-shingle MinHash input
+    while keeping a DETERMINISTIC (not probabilistic) match guarantee.
+
+    Scale shape: tokenize-once + row-local gram expansion, posexplode,
+    then a PER-DOCUMENT partitioned window min (bounded frames, w
+    rows) and a hash-distinct — one shuffle on the doc key, one on the
+    distinct. No single-partition stage anywhere.
+
+    Output: ``(id_col, fp)`` distinct rows, fp BIGINT.
+    """
+    words = df.select(
+        F.col(id_col),
+        F.expr(
+            f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)"
+        ).alias("__ws"),
+    )
+    grams = words.select(
+        id_col, F.posexplode(shingles_from_words("__ws", k))
+    ).select(
+        id_col,
+        F.col("pos"),
+        F.expr(_gram_hash_sql("col")).alias("__h"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy(id_col))
+        .alias("__n"),
+    )
+    win = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(0, w - 1)
+    )
+    selected = grams.select(
+        id_col,
+        "pos",
+        "__n",
+        F.min("__h").over(win).alias("fp"),
+    ).filter(F.col("pos") <= F.col("__n") - w)
+    return selected.select(id_col, "fp").distinct()
+
+
+def winnow_fingerprints_oracle_sql(
+    source_sql: str,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    w: int = 4,
+) -> str:
+    """DuckDB twin of :func:`winnow_fingerprints` — same gram hashes
+    (md5 15-hex → BIGINT), same window-min selection."""
+    ws = f"regexp_extract_all(lower({text_col}), '[a-z0-9]+')"
+    grams = (
+        f"CASE WHEN len({ws}) < {k} THEN [] "
+        f"ELSE list_transform(generate_series(0, len({ws}) - {k}), "
+        f"i -> array_to_string({ws}[i+1:i+{k}], ' ')) END"
+    )
+    return f"""
+    WITH wn_grams AS (
+      SELECT {id_col},
+             UNNEST(generate_series(0, len(g) - 1)) AS pos,
+             UNNEST(list_transform(g,
+               x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)) AS h,
+             len(g) AS n
+      FROM (SELECT {id_col}, {grams} AS g FROM ({source_sql}) s0)
+      WHERE len(g) > 0
+    ),
+    wn_sel AS (
+      -- window FIRST, filter OUTSIDE: a WHERE here would remove the
+      -- trailing rows before the window min sees them (SQL evaluates
+      -- WHERE before window functions), truncating the last windows
+      SELECT {id_col}, fp FROM (
+        SELECT {id_col}, pos, n,
+               MIN(h) OVER (PARTITION BY {id_col} ORDER BY pos
+                 ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS fp
+        FROM wn_grams
+      ) wn_win
+      WHERE pos <= n - {w}
+    )
+    SELECT DISTINCT {id_col}, fp FROM wn_sel
+    """
+
+
+def winnow_candidates(
+    fps: DataFrame,
+    id_col: str,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Candidate near-duplicate pairs from shared winnowing
+    fingerprints: group by fingerprint, expand each posting list with
+    the grouped row-local pair emission (w·(w-1)/2, no w² self-join),
+    count shared fingerprints per pair, keep pairs sharing at least
+    ``min_shared``. Output: ``(id_a, id_b, n_shared)``, id_a < id_b."""
+    from spark_extensions_spark.operators.graph import grouped_pair_edges
+
+    pairs = grouped_pair_edges(fps, "fp", id_col, src="id_a", dst="id_b")
+    return (
+        pairs.groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -171,3 +171,66 @@ def q_eval_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     return poisson_bootstrap_replicates(
         docs, "doc_id", "n_chars", n_replicates=50
     )
+
+
+# =====================================================================
+# Winnowing (rolling-hash fingerprint) dedup candidates
+# =====================================================================
+
+_WN_K, _WN_W, _WN_MIN = 5, 4, 3
+
+
+def _winnow_oracle() -> str:
+    from spark_extensions_spark.operators.dedup import (
+        winnow_fingerprints_oracle_sql,
+    )
+
+    fps = winnow_fingerprints_oracle_sql(
+        "SELECT doc_id, text FROM documents",
+        "doc_id",
+        "text",
+        k=_WN_K,
+        w=_WN_W,
+    )
+    return f"""
+    WITH wn_fps AS ({fps}),
+    wn_posting AS (
+      SELECT fp, list_sort(list(DISTINCT doc_id)) AS ids
+      FROM wn_fps GROUP BY fp
+    ),
+    wn_pairs AS (
+      SELECT p.ids[x.i] AS id_a, y.id_b
+      FROM wn_posting p,
+           LATERAL (SELECT UNNEST(generate_series(1, len(p.ids))) AS i) x,
+           LATERAL (SELECT UNNEST(p.ids[x.i+1:len(p.ids)]) AS id_b) y
+    )
+    SELECT id_a, id_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM wn_pairs
+    GROUP BY id_a, id_b
+    HAVING COUNT(*) >= {_WN_MIN}
+    """
+
+
+@_register(
+    "dedup_winnowing",
+    _winnow_oracle(),
+    doc="Winnowing fingerprint dedup (operators/dedup.py:"
+    "winnow_fingerprints; Schleimer et al. 2003, the MOSS scheme): "
+    "word 5-gram md5 hashes, every 4-hash window contributes its "
+    "minimum, distinct selected values are the document fingerprint "
+    "set (expected density 2/(w+1) of grams, DETERMINISTIC guarantee: "
+    "shared runs >= w+k-1 words share a fingerprint — unlike "
+    "probabilistic MinHash). Candidates = grouped row-local pair "
+    "expansion over fingerprint posting lists, >= 3 shared. Per-doc "
+    "partitioned window min — no single-partition stage; the "
+    "fingerprint index is ~1/3 the size of the full shingle set.",
+)
+def q_dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_extensions_spark.operators.dedup import (
+        winnow_candidates,
+        winnow_fingerprints,
+    )
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    fps = winnow_fingerprints(docs, "doc_id", "text", k=_WN_K, w=_WN_W)
+    return winnow_candidates(fps, "doc_id", min_shared=_WN_MIN)

@@ -153,3 +153,40 @@ def test_single_window_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") <= 2  # main + dedup
     assert "SinglePartition" not in plan
     assert "Join" not in plan
+
+
+def test_winnowing_guarantee_and_density(spark):
+    """Schleimer et al. 2003: two documents sharing a run of at least
+    w+k-1 words MUST share a fingerprint (deterministic, unlike
+    MinHash); unrelated documents share none; selected density is a
+    small fraction of the gram count."""
+    from spark_extensions_spark.operators.dedup import (
+        winnow_candidates,
+        winnow_fingerprints,
+    )
+
+    k, w = 5, 4
+    shared = "the quick brown fox jumps over the lazy dog again"  # 10 words >= w+k-1=8
+    rows = [
+        (1, "alpha beta gamma " + shared + " delta epsilon"),
+        (2, shared + " zeta eta theta iota kappa"),
+        (3, "completely different words about cooking pasta tonight "
+            "with garlic tomatoes basil and plenty of parmesan cheese"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    fps = winnow_fingerprints(df, "doc_id", "text", k=k, w=w)
+    by_doc = {
+        d: {r["fp"] for r in g}
+        for d, g in __import__("itertools").groupby(
+            sorted(fps.collect(), key=lambda r: r["doc_id"]),
+            key=lambda r: r["doc_id"],
+        )
+    }
+    assert by_doc[1] & by_doc[2], "guarantee violated: shared run, no shared fp"
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
+    # density: selected distinct fps well under the gram count
+    n_grams_1 = len(rows[0][1].split()) - k + 1
+    assert len(by_doc[1]) < n_grams_1
+    cands = winnow_candidates(fps, "doc_id", min_shared=1).collect()
+    assert [(r["id_a"], r["id_b"]) for r in cands] == [(1, 2)]
