@@ -394,14 +394,44 @@ def _shape_window(rng: random.Random) -> str:
     return inner
 
 
+def _shape_semijoin_subquery(rng: random.Random) -> str:
+    # correlated EXISTS / IN over a real FK relationship
+    lname, rname, lk, rk = rng.choice(JOINS)
+    lt, rt = TABLES[lname], TABLES[rname]
+    outer_pred = _pred(rng, lt, 1)
+    inner_pred = _pred(rng, rt, 1)
+    cols = []
+    for i in range(rng.randint(1, 3)):
+        if rng.random() < 0.6:
+            cols.append(f"{_int_expr(rng, lt, 1)} AS c{i}")
+        else:
+            cols.append(f"{_str_expr(rng, lt, 1)} AS c{i}")
+    neg = rng.random() < 0.3
+    if rng.random() < 0.5:
+        sub = (
+            f"{'NOT ' if neg else ''}EXISTS (SELECT 1 FROM {rname} r "
+            f"WHERE r.{rk} = {lname}.{lk} AND {_pred(rng, rt, 1, 'r')})"
+        )
+    else:
+        sub = (
+            f"{lk} {'NOT ' if neg else ''}IN "
+            f"(SELECT {rk} FROM {rname} WHERE {inner_pred})"
+        )
+    return (
+        f"SELECT {', '.join(cols)} FROM {lname} "
+        f"WHERE {outer_pred} AND {sub}"
+    )
+
+
 SHAPES = [
-    (_shape_filter_project, 0.22),
-    (_shape_group_agg, 0.22),
-    (_shape_join_agg, 0.18),
-    (_shape_join_project, 0.13),
-    (_shape_setop, 0.1),
+    (_shape_filter_project, 0.2),
+    (_shape_group_agg, 0.2),
+    (_shape_join_agg, 0.16),
+    (_shape_join_project, 0.12),
+    (_shape_setop, 0.09),
     (_shape_topk, 0.05),
     (_shape_window, 0.1),
+    (_shape_semijoin_subquery, 0.08),
 ]
 
 
