@@ -234,3 +234,60 @@ def q_dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")["documents"]
     fps = winnow_fingerprints(docs, "doc_id", "text", k=_WN_K, w=_WN_W)
     return winnow_candidates(fps, "doc_id", min_shared=_WN_MIN)
+
+
+@_register(
+    "streaming_match_pattern",
+    match_pattern_oracle_sql(
+        "SELECT user_id, event_id, ts, event_type FROM events",
+        ["user_id"],
+        ["ts", "event_id"],
+        "event_type = 'view'",
+        "event_type = 'click'",
+        "event_type = 'purchase'",
+        "event_id",
+        ts_col="ts",
+        min_mid=0,
+        within_seconds=_MP_WITHIN,
+    ),
+    doc="STREAMING CEP: the same view->click*->purchase pattern as "
+    "analytic_match_pattern, detected by the stateful sequential "
+    "recurrence (streaming/stateful.py:pattern_match_state, "
+    "applyInPandasWithState — three longs of state per key, no "
+    "buffered rows) over an availableNow replay. Shares the batch "
+    "query's DuckDB window-recursion oracle verbatim: the streaming "
+    "state machine is hash-equal to the batch window algebra, the "
+    "strongest equivalence the harness can express.",
+)
+def q_streaming_match_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_extensions_spark.queries2 import _events_stream_path
+    from spark_extensions_spark.streaming import (
+        read_stream_parquet,
+        run_available_now,
+    )
+    from spark_extensions_spark.streaming.stateful import (
+        pattern_match_state,
+    )
+
+    stream = read_stream_parquet(
+        spark, _events_stream_path(spark, sf_dir)
+    ).select(
+        "user_id",
+        "event_id",
+        "ts",
+        (F.col("event_type") == "view").alias("is_a"),
+        (F.col("event_type") == "click").alias("is_b"),
+        (F.col("event_type") == "purchase").alias("is_c"),
+    )
+    out = pattern_match_state(
+        stream,
+        "user_id",
+        "ts",
+        "event_id",
+        "is_a",
+        "is_b",
+        "is_c",
+        min_mid=0,
+        within_seconds=_MP_WITHIN,
+    )
+    return run_available_now(out, output_mode="append", state_partitions=8)

@@ -149,3 +149,121 @@ def ewma_state(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def pattern_match_state(
+    stream: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    start_col: str,
+    mid_col: str,
+    end_col: str,
+    min_mid: int = 0,
+    max_mid: int | None = None,
+    within_seconds: int | None = None,
+) -> DataFrame:
+    """Streaming CEP: the stateful twin of
+    ``operators/patterns.py:match_pattern`` (A B{min,max} C per key).
+
+    The batch operator's declarative semantics (latest A binds, all
+    rows strictly between must be B, first qualifying C wins and
+    consumes the A) reduce to a 3-field sequential recurrence per key —
+    ``(a_id, a_ts_us, n_mid)`` — processed in (ts, id) order:
+
+    1. a qualifying C closes the open A (emit, consume);
+    2. an A row (re)opens state — the latest A supersedes;
+    3. otherwise a B row extends the middle run, any other row
+       invalidates the open A (it could never sit strictly between).
+
+    Equivalence with the batch window algebra is pinned in
+    tests/test_patterns.py. State per key is three longs — bounded at
+    any scale, no buffered rows (contrast stream-stream joins). Rows
+    must arrive in event-time order per key across micro-batches (the
+    Kafka-partition / availableNow-replay contract, same as
+    :func:`ewma_state`); ``start_col``/``mid_col``/``end_col`` are
+    boolean columns the caller computes upstream.
+    """
+    key_field = stream.select(key_col).schema.fields[0]
+    id_field = stream.select(id_col).schema.fields[0]
+    out_schema = StructType()
+    out_schema.add(key_field.name, key_field.dataType, True)
+    out_schema.add("start_id", id_field.dataType, True)
+    out_schema.add("end_id", id_field.dataType, True)
+    out_schema.add("n_mid", "integer", True)
+
+    state_schema = StructType()
+    state_schema.add("a_id", "long", True)
+    state_schema.add("a_ts_us", "long", True)
+    state_schema.add("n_mid", "long", True)
+
+    within_us = (
+        int(within_seconds) * 1_000_000
+        if within_seconds is not None
+        else None
+    )
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        a_id, a_ts_us, n_mid = (
+            state.get if state.exists else (None, None, None)
+        )
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values([ts_col, id_col])
+        out = []
+        for row in batch.itertuples(index=False):
+            rid = getattr(row, id_col)
+            ts_us = int(
+                pd.Timestamp(getattr(row, ts_col)).value // 1000
+            )
+            is_a = bool(getattr(row, start_col))
+            is_b = bool(getattr(row, mid_col))
+            is_c = bool(getattr(row, end_col))
+            if (
+                is_c
+                and a_id is not None
+                and n_mid >= min_mid
+                and (max_mid is None or n_mid <= max_mid)
+                and (
+                    within_us is None or ts_us - a_ts_us <= within_us
+                )
+            ):
+                out.append(
+                    {
+                        key_field.name: key[0],
+                        "start_id": a_id,
+                        "end_id": rid,
+                        "n_mid": int(n_mid),
+                    }
+                )
+                a_id = None
+            if is_a:
+                a_id, a_ts_us, n_mid = int(rid), ts_us, 0
+            elif a_id is not None:
+                if is_b:
+                    n_mid += 1
+                else:
+                    a_id = None
+        if a_id is None:
+            state.update((None, None, None))
+        else:
+            state.update((int(a_id), int(a_ts_us), int(n_mid)))
+        yield pd.DataFrame(
+            out,
+            columns=[key_field.name, "start_id", "end_id", "n_mid"],
+        )
+
+    return (
+        stream.withWatermark(ts_col, "1 hour")
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

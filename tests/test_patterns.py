@@ -190,3 +190,106 @@ def test_winnowing_guarantee_and_density(spark):
     assert len(by_doc[1]) < n_grams_1
     cands = winnow_candidates(fps, "doc_id", min_shared=1).collect()
     assert [(r["id_a"], r["id_b"]) for r in cands] == [(1, 2)]
+
+
+def test_streaming_pattern_state_carries_across_batches(spark, tmp_path):
+    """pattern_match_state must carry open-A state ACROSS micro-batches:
+    the A arrives in batch 0, the closing C in batch 1 (files split by
+    time, one file per trigger). Result equals the batch operator."""
+    import os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_extensions_spark.streaming import (
+        read_stream_parquet,
+        run_available_now,
+    )
+    from spark_extensions_spark.streaming.stateful import (
+        pattern_match_state,
+    )
+
+    rows1 = [  # batch 0: A then B — leaves an OPEN a per user
+        (1, 1, "2024-01-01T00:00:00", "A"),
+        (1, 2, "2024-01-01T00:00:01", "B"),
+        (2, 10, "2024-01-01T00:00:00", "A"),
+    ]
+    rows2 = [  # batch 1: the closers (and one breaker)
+        (1, 3, "2024-01-01T00:00:02", "C"),
+        (2, 11, "2024-01-01T00:00:01", "X"),
+        (2, 12, "2024-01-01T00:00:02", "C"),
+    ]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def write(rows, name, mtime):
+        tbl = pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "event_id": pa.array([r[1] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [pd_ts(r[2]) for r in rows], pa.timestamp("us", tz="UTC")
+                ),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+            }
+        )
+        p = os.path.join(src, name)
+        pq.write_table(tbl, p)
+        os.utime(p, (mtime, mtime))
+
+    import datetime as _dt
+
+    def pd_ts(s):
+        return _dt.datetime.fromisoformat(s).replace(
+            tzinfo=_dt.timezone.utc
+        )
+
+    now = _time.time()
+    write(rows1, "b0.parquet", now - 60)
+    write(rows2, "b1.parquet", now + 60)
+    schema = spark.read.parquet(src).schema
+    stream = read_stream_parquet(
+        spark, src, schema, max_files_per_trigger=1
+    ).select(
+        "user_id",
+        "event_id",
+        "ts",
+        (F.col("event_type") == "A").alias("is_a"),
+        (F.col("event_type") == "B").alias("is_b"),
+        (F.col("event_type") == "C").alias("is_c"),
+    )
+    out = run_available_now(
+        pattern_match_state(
+            stream, "user_id", "ts", "event_id", "is_a", "is_b", "is_c"
+        ),
+        output_mode="append",
+        state_partitions=2,
+    )
+    got = sorted(
+        (r["user_id"], r["start_id"], r["end_id"], r["n_mid"])
+        for r in out.collect()
+    )
+    # user 1: A(1) B(2) | C(3) -> match with the A from the PREVIOUS
+    # batch; user 2: the X breaker in batch 1 invalidates A(10)
+    assert got == [(1, 1, 3, 1)]
+    # equals the batch operator on the unioned data
+    all_rows = [
+        (u, pd_ts(ts), i, t) for u, i, ts, t in rows1 + rows2
+    ]
+    bdf = spark.createDataFrame(
+        all_rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    batch = sorted(
+        (r["user_id"], r["start_id"], r["end_id"], r["n_mid"])
+        for r in match_pattern(
+            bdf,
+            ["user_id"],
+            ["ts", "event_id"],
+            F.col("event_type") == "A",
+            F.col("event_type") == "B",
+            F.col("event_type") == "C",
+            "event_id",
+        ).collect()
+    )
+    assert got == batch
