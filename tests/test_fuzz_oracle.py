@@ -73,3 +73,35 @@ def test_fuzz_alternate_seeds_spot(seed, spark):
     )
     assert not failures, f"{len(failures)} divergences:\n{msg}"
     assert n_pass == 60
+
+
+def test_known_divergence_empty_cube(spark):
+    """Engine divergence the ROLLUP/CUBE fuzz shape FOUND (round 6):
+    GROUP BY CUBE over an EMPTY input — DuckDB (and Postgres) emit the
+    empty-grouping-set grand-total row with count 0, Spark emits zero
+    rows. Pinned so a future Spark behavior change surfaces here; the
+    fuzz shape normalizes it away with HAVING COUNT(*) > 0."""
+    import duckdb
+
+    sql = (
+        "SELECT lang AS g0, CAST(COUNT(*) AS BIGINT) AS a0 "
+        "FROM documents WHERE 1 = 0 GROUP BY CUBE(lang)"
+    )
+    from spark_extensions_spark.session import load_tables
+
+    load_tables(
+        spark, SF_DIR, "documents"
+    )["documents"].createOrReplaceTempView("documents")
+    srows = spark.sql(sql).collect()
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    drows = con.sql(sql).fetchall()
+    assert len(srows) == 0          # Spark: no rows at all
+    assert drows == [(None, 0)]     # DuckDB: the grand-total row
+    # the normalized form agrees
+    sql_norm = sql + " HAVING COUNT(*) > 0"
+    assert len(spark.sql(sql_norm).collect()) == 0
+    assert con.sql(sql_norm).fetchall() == []

@@ -423,15 +423,46 @@ def _shape_semijoin_subquery(rng: random.Random) -> str:
     )
 
 
+def _shape_rollup(rng: random.Random) -> str:
+    # grouping-set semantics: ROLLUP/CUBE subtotal rows + GROUPING()
+    # markers to disambiguate natural NULL keys from subtotal NULLs
+    name = rng.choice(
+        [n for n, t in TABLES.items() if len(t["low_card_strs"]) >= 1]
+    )
+    t = TABLES[name]
+    g1 = rng.choice(t["low_card_strs"])
+    g2 = f"({_int_atom(rng, t)} % {rng.choice([3, 5])})"
+    op = rng.choice(["ROLLUP", "CUBE"])
+    pred = _pred(rng, t, 1)
+    # HAVING COUNT(*) > 0 normalizes a REAL engine divergence this
+    # shape found on its first extended run: over an EMPTY input,
+    # DuckDB (and Postgres) emit the empty-grouping-set grand-total
+    # row (count 0) while Spark emits zero rows. Grouped rows always
+    # have count >= 1, so the clause drops exactly that row and
+    # nothing else. The divergence itself is pinned in
+    # tests/test_fuzz_oracle.py::test_known_divergence_empty_cube.
+    return (
+        f"SELECT {g1} AS g0, {g2} AS g1, "
+        f"CAST(GROUPING({g1}) AS INT) AS gr0, "
+        f"CAST(GROUPING({g2}) AS INT) AS gr1, "
+        f"CAST(COUNT(*) AS BIGINT) AS a0, "
+        f"{_agg(rng, t)} AS a1 "
+        f"FROM {name} WHERE {pred} "
+        f"GROUP BY {op}({g1}, {g2}) "
+        f"HAVING COUNT(*) > 0"
+    )
+
+
 SHAPES = [
     (_shape_filter_project, 0.2),
-    (_shape_group_agg, 0.2),
-    (_shape_join_agg, 0.16),
+    (_shape_group_agg, 0.18),
+    (_shape_join_agg, 0.15),
     (_shape_join_project, 0.12),
     (_shape_setop, 0.09),
     (_shape_topk, 0.05),
-    (_shape_window, 0.1),
+    (_shape_window, 0.08),
     (_shape_semijoin_subquery, 0.08),
+    (_shape_rollup, 0.05),
 ]
 
 
