@@ -254,10 +254,14 @@ def auc_exact(
         "n_pos",
         "n_neg",
         "correct2",
+        # single-class input has no rankable pairs: NULL AUC (the
+        # unguarded division THROWS under ANSI Spark instead of the
+        # oracle's NULL)
         F.expr(
-            "cast(floor(cast(correct2 as double)"
+            "case when n_pos = 0 or n_neg = 0 then cast(null as bigint)"
+            " else cast(floor(cast(correct2 as double)"
             " / cast(2 * n_pos * n_neg as double) * 1e6 + 0.5d)"
-            " as bigint)"
+            " as bigint) end"
         ).alias("auc_e6"),
     )
 
@@ -286,9 +290,12 @@ def auc_exact_oracle_sql(
     SELECT CAST(MAX(n_pos) AS BIGINT) AS n_pos,
            CAST(MAX(n_neg) AS BIGINT) AS n_neg,
            CAST(SUM(2 * pos * cneg + pos * neg) AS BIGINT) AS correct2,
-           CAST(FLOOR(CAST(SUM(2 * pos * cneg + pos * neg) AS DOUBLE)
-                / CAST(2 * MAX(n_pos) * MAX(n_neg) AS DOUBLE)
-                * 1e6 + 0.5) AS BIGINT) AS auc_e6
+           CASE WHEN MAX(n_pos) = 0 OR MAX(n_neg) = 0
+                THEN CAST(NULL AS BIGINT)
+                ELSE CAST(FLOOR(
+                  CAST(SUM(2 * pos * cneg + pos * neg) AS DOUBLE)
+                  / CAST(2 * MAX(n_pos) * MAX(n_neg) AS DOUBLE)
+                  * 1e6 + 0.5) AS BIGINT) END AS auc_e6
     FROM auc_cum
     """
 

@@ -131,21 +131,33 @@ def q_pipeline_pretrain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ORC + JSON-lines sink/source roundtrip
 # =====================================================================
 
-_ORC_JSONL_SCRATCH: list[str] = []
+_ORC_JSONL_SCRATCH: list = []
 
 
 def _orc_jsonl_scratch_dir() -> str:
-    """One stable scratch dir per process for the roundtrip staging
-    copies, registered for removal at interpreter exit."""
+    """A FRESH subdirectory per invocation under one per-process root
+    that is removed at interpreter exit. The root bounds disk usage to
+    the process lifetime (the ADVICE leak was dirs surviving the
+    process); the fresh subdir means a second invocation never
+    overwrites files a previously returned — still lazy — DataFrame's
+    file index points at (mode=overwrite on a shared dir would delete
+    them and FileNotFound the earlier plan)."""
+    import os
+
     if not _ORC_JSONL_SCRATCH:
         import atexit
         import shutil
         import tempfile
 
-        d = tempfile.mkdtemp(prefix="orc_jsonl_rt_")
-        atexit.register(shutil.rmtree, d, ignore_errors=True)
-        _ORC_JSONL_SCRATCH.append(d)
-    return _ORC_JSONL_SCRATCH[0]
+        root = tempfile.mkdtemp(prefix="orc_jsonl_rt_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        _ORC_JSONL_SCRATCH.extend([root, 0])
+    _ORC_JSONL_SCRATCH[1] += 1
+    d = os.path.join(
+        _ORC_JSONL_SCRATCH[0], f"inv{_ORC_JSONL_SCRATCH[1]}"
+    )
+    os.makedirs(d, exist_ok=True)
+    return d
 
 @_register(
     "io_orc_jsonl_roundtrip",

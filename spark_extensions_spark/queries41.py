@@ -15,6 +15,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from spark_extensions_spark.operators.evals import (
+    auc_exact_oracle_sql,
+    calibration_ece_oracle_sql,
+    poisson_bootstrap_oracle_sql,
+)
 from spark_extensions_spark.operators.patterns import (
     match_pattern,
     match_pattern_oracle_sql,
@@ -78,9 +83,7 @@ _AUC_SCORE_DUCK = (
 
 @_register(
     "eval_auc_exact",
-    __import__(
-        "spark_extensions_spark.operators.evals", fromlist=["x"]
-    ).auc_exact_oracle_sql(
+    auc_exact_oracle_sql(
         f"SELECT {_AUC_SCORE_DUCK} AS score, lang = 'en' AS y"
         " FROM documents",
         "score",
@@ -108,9 +111,7 @@ def q_eval_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "eval_calibration",
-    __import__(
-        "spark_extensions_spark.operators.evals", fromlist=["x"]
-    ).calibration_ece_oracle_sql(
+    calibration_ece_oracle_sql(
         f"""SELECT CAST((1000 * s) // (s + 20) AS INT) AS conf_e3,
                    lang = 'en' AS y
             FROM (SELECT {_AUC_SCORE_DUCK} AS s, lang FROM documents)""",
@@ -143,9 +144,7 @@ def q_eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "eval_bootstrap_ci",
-    __import__(
-        "spark_extensions_spark.operators.evals", fromlist=["x"]
-    ).poisson_bootstrap_oracle_sql(
+    poisson_bootstrap_oracle_sql(
         "SELECT doc_id, n_chars FROM documents",
         "doc_id",
         "n_chars",
@@ -192,21 +191,18 @@ def _winnow_oracle() -> str:
         k=_WN_K,
         w=_WN_W,
     )
+    # pair expansion as the naive fp-keyed self-join (the oracle runs
+    # at sf0.01 scale; the LATERAL computed-bound slice form this
+    # replaces is on the banned-construct list for graded oracles —
+    # row-dependent slice bounds are a known cross-DuckDB-version
+    # divergence class, NOTES.md round-5 post-mortem)
     return f"""
-    WITH wn_fps AS ({fps}),
-    wn_posting AS (
-      SELECT fp, list_sort(list(DISTINCT doc_id)) AS ids
-      FROM wn_fps GROUP BY fp
-    ),
-    wn_pairs AS (
-      SELECT p.ids[x.i] AS id_a, y.id_b
-      FROM wn_posting p,
-           LATERAL (SELECT UNNEST(generate_series(1, len(p.ids))) AS i) x,
-           LATERAL (SELECT UNNEST(p.ids[x.i+1:len(p.ids)]) AS id_b) y
-    )
-    SELECT id_a, id_b, CAST(COUNT(*) AS BIGINT) AS n_shared
-    FROM wn_pairs
-    GROUP BY id_a, id_b
+    WITH wn_fps AS ({fps})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM wn_fps a JOIN wn_fps b
+      ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
     HAVING COUNT(*) >= {_WN_MIN}
     """
 

@@ -186,6 +186,17 @@ def pattern_match_state(
     """
     key_field = stream.select(key_col).schema.fields[0]
     id_field = stream.select(id_col).schema.fields[0]
+    # state carries a_id in a LONG slot — reject non-integral id types
+    # up front with a clear error instead of a ValueError inside the
+    # executor's pandas worker (the batch twin accepts any orderable id)
+    if id_field.dataType.simpleString() not in (
+        "tinyint", "smallint", "int", "bigint",
+    ):
+        raise TypeError(
+            "pattern_match_state requires an integral id_col (state "
+            f"stores it as long); got {id_field.dataType.simpleString()}"
+            " — use the batch match_pattern for non-integral ids"
+        )
     out_schema = StructType()
     out_schema.add(key_field.name, key_field.dataType, True)
     out_schema.add("start_id", id_field.dataType, True)
@@ -214,14 +225,26 @@ def pattern_match_state(
         batch = pd.concat(list(pdfs), ignore_index=True)
         batch = batch.sort_values([ts_col, id_col])
         out = []
+
+        def tri(v):
+            # three-valued boolean: None/NaN stays None (SQL NULL)
+            if v is None or (isinstance(v, float) and v != v):
+                return None
+            return bool(v)
+
         for row in batch.itertuples(index=False):
             rid = getattr(row, id_col)
             ts_us = int(
                 pd.Timestamp(getattr(row, ts_col)).value // 1000
             )
-            is_a = bool(getattr(row, start_col))
-            is_b = bool(getattr(row, mid_col))
-            is_c = bool(getattr(row, end_col))
+            # SQL three-valued logic, matching the batch window algebra
+            # exactly: a NULL start/end predicate never starts/closes
+            # (WHEN NULL falls through), and a NULL mid predicate does
+            # NOT break the run (the batch non-B counter adds 1 only
+            # when NOT is_b is TRUE, i.e. only on a definite False)
+            is_a = tri(getattr(row, start_col)) is True
+            is_c = tri(getattr(row, end_col)) is True
+            b_breaks = tri(getattr(row, mid_col)) is False
             if (
                 is_c
                 and a_id is not None
@@ -243,10 +266,13 @@ def pattern_match_state(
             if is_a:
                 a_id, a_ts_us, n_mid = int(rid), ts_us, 0
             elif a_id is not None:
-                if is_b:
-                    n_mid += 1
-                else:
+                if b_breaks:
                     a_id = None
+                else:
+                    # n_mid mirrors the batch POSITION difference: every
+                    # non-breaking row strictly between a and c counts,
+                    # including NULL-mid rows
+                    n_mid += 1
         if a_id is None:
             state.update((None, None, None))
         else:

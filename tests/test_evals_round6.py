@@ -121,3 +121,28 @@ def test_bootstrap_partial_aggregation_plan(spark):
     out = poisson_bootstrap_replicates(df, "id", "v", n_replicates=5)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "partial_sum" in plan
+
+
+def test_auc_single_class_returns_null_not_crash(spark):
+    """Review regression (round 6): single-class input used to throw
+    DIVIDE_BY_ZERO under ANSI Spark while the oracle returned NULL."""
+    import duckdb
+
+    from spark_extensions_spark.operators.evals import (
+        auc_exact_oracle_sql,
+    )
+
+    df = spark.createDataFrame(
+        [(1, True), (2, True)], "score int, y boolean"
+    )
+    row = auc_exact(df, "score", "y").collect()[0]
+    assert (row["n_pos"], row["n_neg"], row["auc_e6"]) == (2, 0, None)
+    con = duckdb.connect()
+    drow = con.sql(
+        auc_exact_oracle_sql(
+            "SELECT 1 AS score, TRUE AS y UNION ALL SELECT 2, TRUE",
+            "score",
+            "y",
+        )
+    ).fetchall()[0]
+    assert (drow[0], drow[1], drow[3]) == (2, 0, None)

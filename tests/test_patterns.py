@@ -293,3 +293,98 @@ def test_streaming_pattern_state_carries_across_batches(spark, tmp_path):
         ).collect()
     )
     assert got == batch
+
+
+def test_streaming_pattern_null_mid_matches_batch(spark, tmp_path):
+    """Review regression (round 6): a NULL mid-predicate row must NOT
+    break the open run — the batch non-B counter adds 1 only on a
+    definite False (three-valued logic), and the state machine must
+    agree. Pre-fix, bool(None) coerced to False and invalidated the A."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_extensions_spark.streaming import (
+        read_stream_parquet,
+        run_available_now,
+    )
+    from spark_extensions_spark.streaming.stateful import (
+        pattern_match_state,
+    )
+    import datetime as _dt
+
+    def ts(s):
+        return _dt.datetime(2024, 1, 1, 0, 0, s, tzinfo=_dt.timezone.utc)
+
+    rows = [
+        (1, 1, ts(0), "A"), (1, 2, ts(1), None), (1, 3, ts(2), "C"),
+        (2, 4, ts(0), "A"), (2, 5, ts(1), "B"), (2, 6, ts(2), "C"),
+    ]
+    bdf = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, event_type string"
+    )
+    batch = sorted(
+        (r["user_id"], r["start_id"], r["end_id"], r["n_mid"])
+        for r in match_pattern(
+            bdf,
+            ["user_id"],
+            ["ts", "event_id"],
+            F.col("event_type") == "A",
+            F.col("event_type") == "B",
+            F.col("event_type") == "C",
+            "event_id",
+        ).collect()
+    )
+    assert batch == [(1, 1, 3, 1), (2, 4, 6, 1)]  # NULL row did not break
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    tbl = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_id": pa.array([r[1] for r in rows], pa.int64()),
+            "ts": pa.array([r[2] for r in rows], pa.timestamp("us", tz="UTC")),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(src, "b.parquet"))
+    schema = spark.read.parquet(src).schema
+    stream = read_stream_parquet(spark, src, schema).select(
+        "user_id",
+        "event_id",
+        "ts",
+        (F.col("event_type") == "A").alias("is_a"),
+        (F.col("event_type") == "B").alias("is_b"),
+        (F.col("event_type") == "C").alias("is_c"),
+    )
+    out = run_available_now(
+        pattern_match_state(
+            stream, "user_id", "ts", "event_id", "is_a", "is_b", "is_c"
+        ),
+        output_mode="append",
+        state_partitions=2,
+    )
+    got = sorted(
+        (r["user_id"], r["start_id"], r["end_id"], r["n_mid"])
+        for r in out.collect()
+    )
+    assert got == batch
+
+
+def test_streaming_pattern_rejects_non_integral_ids(spark):
+    import pytest as _pytest
+
+    from spark_extensions_spark.streaming.stateful import (
+        pattern_match_state,
+    )
+
+    df = spark.readStream.format("rate").load().selectExpr(
+        "value AS user_id",
+        "timestamp AS ts",
+        "CAST(value AS STRING) AS event_id",
+        "true AS is_a", "true AS is_b", "true AS is_c",
+    )
+    with _pytest.raises(TypeError, match="integral id_col"):
+        pattern_match_state(
+            df, "user_id", "ts", "event_id", "is_a", "is_b", "is_c"
+        )
