@@ -487,3 +487,142 @@ def poisson_bootstrap_oracle_sql(
     FROM boot_w
     GROUP BY b
     """
+
+
+# =====================================================================
+# Corpus BLEU components (Papineni et al. 2002) — clipped n-gram
+# precisions in exact integer arithmetic
+# =====================================================================
+
+def bleu_counts(
+    pairs: DataFrame,
+    id_col: str,
+    ref_col: str,
+    hyp_col: str,
+    max_n: int = 2,
+) -> DataFrame:
+    """Per-pair BLEU components: clipped n-gram matches and totals for
+    n = 1..``max_n``, plus reference / hypothesis token lengths.
+
+    BLEU's modified n-gram precision clips each hypothesis gram's
+    count at its reference count — exactly ROUGE's overlap with the
+    roles of the denominators swapped (precision divides by the
+    HYPOTHESIS total).  Everything emitted is an exact BIGINT:
+    ``(id, ref_len, hyp_len, match_1..match_N, total_1..total_N,
+    p_1_e6..p_N_e6)``, with p_n the e6 fixed-point clipped precision
+    (0 when the hypothesis has no n-grams).  The brevity penalty and
+    geometric mean involve exp/log (NOT correctly-rounded libm, so not
+    hash-portable across engines) and are left to the caller — corpus
+    BLEU = BP(Σref_len, Σhyp_len) · exp(Σ log p_n / N) over the SUMS
+    of these per-pair columns, one driver-side formula on one row.
+
+    Scale shape: per n, gram expansion is row-local and counting is a
+    (pair, gram) hash aggregate followed by an equi-join on the same
+    key — identical to :func:`rouge_n`; the N levels reuse ONE
+    materialized tokenization of each side.
+    """
+    pairs = pairs.localCheckpoint(eager=False)
+    out = pairs.select(
+        id_col,
+        F.expr(
+            f"size(regexp_extract_all(lower({ref_col}), '[a-z0-9]+', 0))"
+        )
+        .cast("bigint")
+        .alias("ref_len"),
+        F.expr(
+            f"size(regexp_extract_all(lower({hyp_col}), '[a-z0-9]+', 0))"
+        )
+        .cast("bigint")
+        .alias("hyp_len"),
+    )
+    for n in range(1, max_n + 1):
+        rg = _gram_counts(pairs, id_col, ref_col, n, "rc")
+        hg = _gram_counts(pairs, id_col, hyp_col, n, "hc")
+        ov = (
+            rg.join(hg, [id_col, "gram"])
+            .groupBy(id_col)
+            .agg(F.sum(F.least("rc", "hc")).alias(f"match_{n}"))
+        )
+        ht = hg.groupBy(id_col).agg(F.sum("hc").alias(f"total_{n}"))
+        out = (
+            out.join(ov, id_col, "left")
+            .join(ht, id_col, "left")
+            .withColumn(
+                f"match_{n}",
+                F.coalesce(f"match_{n}", F.lit(0)).cast("bigint"),
+            )
+            .withColumn(
+                f"total_{n}",
+                F.coalesce(f"total_{n}", F.lit(0)).cast("bigint"),
+            )
+        )
+    for n in range(1, max_n + 1):
+        out = out.withColumn(
+            f"p_{n}_e6",
+            F.when(F.col(f"total_{n}") == 0, F.lit(0))
+            .otherwise(F.expr(f"(match_{n} * 1000000) div total_{n}"))
+            .cast("bigint"),
+        )
+    return out
+
+
+def bleu_oracle_sql(
+    pairs_sql: str,
+    id_col: str,
+    ref_col: str,
+    hyp_col: str,
+    max_n: int = 2,
+) -> str:
+    """DuckDB twin of :func:`bleu_counts` over ``pairs_sql``."""
+    per_n_ctes = []
+    for n in range(1, max_n + 1):
+        per_n_ctes.append(f"""
+    rg{n} AS (
+      SELECT {id_col}, gram, COUNT(*) AS rc FROM (
+        SELECT {id_col}, UNNEST({_ngrams_duck(ref_col, n)}) AS gram
+        FROM pairs
+      ) GROUP BY {id_col}, gram
+    ),
+    hg{n} AS (
+      SELECT {id_col}, gram, COUNT(*) AS hc FROM (
+        SELECT {id_col}, UNNEST({_ngrams_duck(hyp_col, n)}) AS gram
+        FROM pairs
+      ) GROUP BY {id_col}, gram
+    ),
+    ov{n} AS (
+      SELECT {id_col}, SUM(LEAST(rc, hc)) AS match_{n}
+      FROM rg{n} JOIN hg{n} USING ({id_col}, gram) GROUP BY {id_col}
+    ),
+    ht{n} AS (
+      SELECT {id_col}, SUM(hc) AS total_{n} FROM hg{n} GROUP BY {id_col}
+    )""")
+    join_clauses = "".join(
+        f"""
+      LEFT JOIN ov{n} USING ({id_col})
+      LEFT JOIN ht{n} USING ({id_col})"""
+        for n in range(1, max_n + 1)
+    )
+    mt_cols = "".join(
+        f""",
+           CAST(COALESCE(match_{n}, 0) AS BIGINT) AS match_{n},
+           CAST(COALESCE(total_{n}, 0) AS BIGINT) AS total_{n}"""
+        for n in range(1, max_n + 1)
+    )
+    p_cols = "".join(
+        f""",
+           CAST(CASE WHEN COALESCE(total_{n}, 0) = 0 THEN 0
+                ELSE (COALESCE(match_{n}, 0) * 1000000)
+                     // COALESCE(total_{n}, 0) END AS BIGINT)
+             AS p_{n}_e6"""
+        for n in range(1, max_n + 1)
+    )
+    return f"""
+    WITH pairs AS ({pairs_sql}),
+    {",".join(per_n_ctes)}
+    SELECT p.{id_col},
+           CAST(LEN(regexp_extract_all(LOWER({ref_col}), '[a-z0-9]+'))
+                AS BIGINT) AS ref_len,
+           CAST(LEN(regexp_extract_all(LOWER({hyp_col}), '[a-z0-9]+'))
+                AS BIGINT) AS hyp_len{mt_cols}{p_cols}
+    FROM pairs p{join_clauses}
+    """

@@ -964,3 +964,334 @@ def cohen_kappa_oracle_sql(rated_sql: str, rater_a: str, rater_b: str) -> str:
            END AS kappa
     FROM tot CROSS JOIN pe
     """
+
+
+# ---------------------------------------------------------------------
+# Kendall rank correlation (tau-b), exact by grid prefix sums
+# ---------------------------------------------------------------------
+
+def kendall_tau(df: DataFrame, x: str, y: str) -> DataFrame:
+    """Exact tie-corrected Kendall tau-b between two INTEGER-valued
+    columns (bucketize continuous signals first, as for
+    :func:`ks_statistic`).
+
+    The naive definition is an all-pairs scan (O(n²) — impossible at
+    corpus scale).  This computes the same pair counts exactly from
+    the joint DOMAIN: collapse the data to (x, y, cnt) cells with one
+    hash aggregate, densify to the dx·dy grid, then two cumulative
+    window passes give every cell its strict 2-D dominance count
+
+        dom(x, y)  = Σ_{x'<x, y'<y} cnt(x', y')   (concordant mates)
+        disc(x, y) = Σ_{x'<x, y'>y} cnt(x', y')   (discordant mates)
+
+    so  C = Σ cnt·dom  and  D = Σ cnt·disc  count every unordered pair
+    exactly once (ordered by the strictly-smaller x).  Tie terms come
+    from the marginals: n1 = Σ_x C(n_x,2), n2 = Σ_y C(n_y,2),
+    n0 = C(n,2), and
+
+        tau_b = (C − D) / sqrt((n0 − n1) · (n0 − n2)).
+
+    All counts are exact BIGINTs; the single double expression is a
+    division by a correctly-rounded sqrt of a product of two exactly-
+    representable ints (the cohen_kappa contract — sqrt and divide are
+    IEEE correctly rounded, unlike exp/log).  Degenerate inputs (a
+    constant column ⇒ a zero factor) emit NULL tau.
+
+    Scale shape: the only data-sized stage is the first hash
+    aggregate (map-side combinable).  Everything after runs on the
+    dx·dy grid — bounded by construction because the caller buckets —
+    and the two window passes are PARTITIONED (by x, then by y), so no
+    single-partition stage exists even on a large grid.
+
+    Verified identity (pinned in tests): C + D + (pairs tied in x or
+    y) = n0, with ties-in-both counted once.
+    """
+    cells = (
+        df.select(F.col(x).alias("gx"), F.col(y).alias("gy"))
+        .where(F.col("gx").isNotNull() & F.col("gy").isNotNull())
+        .groupBy("gx", "gy")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # grid feeds the dominance windows AND the marginal tie terms
+    cells = cells.localCheckpoint(eager=False)
+    xs = cells.select("gx").distinct()
+    ys = cells.select("gy").distinct()
+    grid = (
+        xs.crossJoin(ys)
+        .join(cells, ["gx", "gy"], "left")
+        .select("gx", "gy", F.coalesce("cnt", F.lit(0)).alias("c"))
+    )
+    w_lt_y = (
+        Window.partitionBy("gx")
+        .orderBy("gy")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_gt_y = (
+        Window.partitionBy("gx")
+        .orderBy("gy")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    g1 = grid.select(
+        "gx",
+        "gy",
+        "c",
+        F.coalesce(F.sum("c").over(w_lt_y), F.lit(0)).alias("lt_y"),
+        F.coalesce(F.sum("c").over(w_gt_y), F.lit(0)).alias("gt_y"),
+    )
+    w_lt_x = (
+        Window.partitionBy("gy")
+        .orderBy("gx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    g2 = g1.select(
+        "c",
+        F.coalesce(F.sum("lt_y").over(w_lt_x), F.lit(0)).alias("dom"),
+        F.coalesce(F.sum("gt_y").over(w_lt_x), F.lit(0)).alias("disc"),
+    )
+    cd = g2.agg(
+        F.sum(F.col("c") * F.col("dom")).alias("concordant"),
+        F.sum(F.col("c") * F.col("disc")).alias("discordant"),
+    )
+    tx = (
+        cells.groupBy("gx")
+        .agg(F.sum("cnt").alias("nx"))
+        .agg(F.sum(F.expr("nx * (nx - 1) div 2")).alias("ties_x"))
+    )
+    ty = (
+        cells.groupBy("gy")
+        .agg(F.sum("cnt").alias("ny"))
+        .agg(F.sum(F.expr("ny * (ny - 1) div 2")).alias("ties_y"))
+    )
+    txy = cells.agg(
+        F.sum("cnt").alias("n"),
+        F.sum(F.expr("cnt * (cnt - 1) div 2")).alias("ties_xy"),
+    )
+    out = cd.crossJoin(tx).crossJoin(ty).crossJoin(txy)
+    return out.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.expr("n * (n - 1) div 2").cast("bigint").alias("n_pairs"),
+        F.col("concordant").cast("bigint").alias("concordant"),
+        F.col("discordant").cast("bigint").alias("discordant"),
+        F.col("ties_x").cast("bigint").alias("ties_x"),
+        F.col("ties_y").cast("bigint").alias("ties_y"),
+        F.col("ties_xy").cast("bigint").alias("ties_xy"),
+        F.when(
+            (F.expr("n * (n - 1) div 2 - ties_x") > 0)
+            & (F.expr("n * (n - 1) div 2 - ties_y") > 0),
+            F.expr(
+                "cast(concordant - discordant as double)"
+                " / sqrt(cast(n * (n - 1) div 2 - ties_x as double)"
+                "        * cast(n * (n - 1) div 2 - ties_y as double))"
+            ),
+        ).alias("tau_b"),
+    )
+
+
+def kendall_tau_oracle_sql(src_sql: str, x: str, y: str) -> str:
+    """DuckDB twin of :func:`kendall_tau` over ``src_sql`` (a query
+    producing the two integer columns)."""
+    return f"""
+    WITH src AS ({src_sql}),
+    cells AS (
+      SELECT {x} AS gx, {y} AS gy, COUNT(*) AS cnt
+      FROM src WHERE {x} IS NOT NULL AND {y} IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT xs.gx, ys.gy, COALESCE(c.cnt, 0) AS c
+      FROM (SELECT DISTINCT gx FROM cells) xs
+      CROSS JOIN (SELECT DISTINCT gy FROM cells) ys
+      LEFT JOIN cells c USING (gx, gy)
+    ),
+    g1 AS (
+      SELECT gx, gy, c,
+             COALESCE(SUM(c) OVER (PARTITION BY gx ORDER BY gy
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS lt_y,
+             COALESCE(SUM(c) OVER (PARTITION BY gx ORDER BY gy
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0)
+               AS gt_y
+      FROM grid
+    ),
+    g2 AS (
+      SELECT c,
+             COALESCE(SUM(lt_y) OVER (PARTITION BY gy ORDER BY gx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS dom,
+             COALESCE(SUM(gt_y) OVER (PARTITION BY gy ORDER BY gx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS disc
+      FROM g1
+    ),
+    cd AS (
+      SELECT SUM(c * dom) AS concordant, SUM(c * disc) AS discordant
+      FROM g2
+    ),
+    tx AS (SELECT SUM(nx * (nx - 1) // 2) AS ties_x FROM
+           (SELECT SUM(cnt) AS nx FROM cells GROUP BY gx)),
+    ty AS (SELECT SUM(ny * (ny - 1) // 2) AS ties_y FROM
+           (SELECT SUM(cnt) AS ny FROM cells GROUP BY gy)),
+    txy AS (SELECT SUM(cnt) AS n, SUM(cnt * (cnt - 1) // 2) AS ties_xy
+            FROM cells)
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(n * (n - 1) // 2 AS BIGINT) AS n_pairs,
+           CAST(concordant AS BIGINT) AS concordant,
+           CAST(discordant AS BIGINT) AS discordant,
+           CAST(ties_x AS BIGINT) AS ties_x,
+           CAST(ties_y AS BIGINT) AS ties_y,
+           CAST(ties_xy AS BIGINT) AS ties_xy,
+           CASE WHEN n * (n - 1) // 2 - ties_x > 0
+                 AND n * (n - 1) // 2 - ties_y > 0 THEN
+             CAST(concordant - discordant AS DOUBLE)
+               / sqrt(CAST(n * (n - 1) // 2 - ties_x AS DOUBLE)
+                      * CAST(n * (n - 1) // 2 - ties_y AS DOUBLE))
+           END AS tau_b
+    FROM cd CROSS JOIN tx CROSS JOIN ty CROSS JOIN txy
+    """
+
+
+# ---------------------------------------------------------------------
+# Spearman rank correlation, exact by centered domain-rank algebra
+# ---------------------------------------------------------------------
+
+def spearman_rho(df: DataFrame, x: str, y: str) -> DataFrame:
+    """Exact tie-corrected Spearman rho between two INTEGER-valued
+    columns (bucketize continuous signals first).
+
+    Spearman = Pearson on average ranks.  Ranking 100 TB row-by-row is
+    a global sort; instead ranks come from the value DOMAIN: for a
+    value v with cnt(v) occurrences and cum(v) rows strictly below,
+    the doubled average rank  r2(v) = 2·cum(v) + cnt(v) + 1  is an
+    exact integer, and doubled CENTERED ranks  u(v) = r2(v) − (n+1)
+    sum to exactly zero (the doubled mean rank IS n+1).  So
+
+        rho = Σ c·ux·uy / sqrt(Σ c·ux² · Σ c·uy²)
+
+    over the joint-domain cells — no mean-subtraction residue, no
+    global sort, and the factor-of-2 cancels.  Sums run in
+    DECIMAL(38,0) (they reach ~n³/3, past int64 near n ≈ 3·10⁷);
+    per-term products stay within int64 while n < 2³¹.  The single
+    double expression divides by a correctly-rounded sqrt, the
+    cohen_kappa contract.  Degenerate inputs (a constant column)
+    emit NULL rho.
+
+    Output: one row ``(n bigint, rho_s double)`` — the DECIMAL
+    intermediates never surface (decimal output columns are the known
+    cross-engine hash seam, NOTES.md round-5 post-mortem).
+
+    Scale shape: one data-sized hash aggregate to (x, y, cnt) cells;
+    marginal rank tables are domain-sized windows (PARTITIONED
+    trivially small) broadcast back onto the cells; one final scalar
+    aggregate.
+    """
+    cells = (
+        df.select(F.col(x).alias("gx"), F.col(y).alias("gy"))
+        .where(F.col("gx").isNotNull() & F.col("gy").isNotNull())
+        .groupBy("gx", "gy")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cells = cells.localCheckpoint(eager=False)
+    n_df = cells.agg(F.sum("cnt").cast("bigint").alias("n"))
+
+    def marginal(col: str, out: str) -> DataFrame:
+        # bounded input: one row per distinct value (domain-sized)
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+        m = cells.groupBy(col).agg(F.sum("cnt").alias("mc"))
+        return m.select(
+            col,
+            (
+                F.lit(2) * F.coalesce(F.sum("mc").over(w), F.lit(0))
+                + F.col("mc")
+                + F.lit(1)
+            )
+            .cast("bigint")
+            .alias(out),
+        )
+
+    mx = marginal("gx", "r2x")
+    my = marginal("gy", "r2y")
+    joined = (
+        cells.join(F.broadcast(mx), "gx")
+        .join(F.broadcast(my), "gy")
+        .crossJoin(F.broadcast(n_df))
+        .select(
+            "cnt",
+            "n",
+            (F.col("r2x") - (F.col("n") + 1)).alias("ux"),
+            (F.col("r2y") - (F.col("n") + 1)).alias("uy"),
+        )
+    )
+    agg = joined.groupBy("n").agg(
+        F.sum(
+            (F.col("cnt") * F.col("ux") * F.col("uy")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("sxy"),
+        F.sum(
+            (F.col("cnt") * F.col("ux") * F.col("ux")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("sxx"),
+        F.sum(
+            (F.col("cnt") * F.col("uy") * F.col("uy")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("syy"),
+    )
+    return agg.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.when(
+            (F.col("sxx") > 0) & (F.col("syy") > 0),
+            F.col("sxy").cast("double")
+            / F.sqrt(
+                F.col("sxx").cast("double") * F.col("syy").cast("double")
+            ),
+        ).alias("rho_s"),
+    )
+
+
+def spearman_oracle_sql(src_sql: str, x: str, y: str) -> str:
+    """DuckDB twin of :func:`spearman_rho` (sums land in HUGEINT —
+    DuckDB's native 128-bit SUM — mirroring the DECIMAL(38,0) path)."""
+    return f"""
+    WITH src AS ({src_sql}),
+    cells AS (
+      SELECT {x} AS gx, {y} AS gy, COUNT(*) AS cnt
+      FROM src WHERE {x} IS NOT NULL AND {y} IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    nn AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM cells),
+    mx AS (
+      SELECT gx,
+             CAST(2 * COALESCE(SUM(mc) OVER (ORDER BY gx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + mc + 1 AS BIGINT) AS r2x
+      FROM (SELECT gx, SUM(cnt) AS mc FROM cells GROUP BY gx)
+    ),
+    my AS (
+      SELECT gy,
+             CAST(2 * COALESCE(SUM(mc) OVER (ORDER BY gy
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + mc + 1 AS BIGINT) AS r2y
+      FROM (SELECT gy, SUM(cnt) AS mc FROM cells GROUP BY gy)
+    ),
+    terms AS (
+      SELECT c.cnt, nn.n,
+             mx.r2x - (nn.n + 1) AS ux,
+             my.r2y - (nn.n + 1) AS uy
+      FROM cells c JOIN mx USING (gx) JOIN my USING (gy)
+      CROSS JOIN nn
+    ),
+    agg AS (
+      SELECT n, SUM(cnt * ux * uy) AS sxy,
+             SUM(cnt * ux * ux) AS sxx,
+             SUM(cnt * uy * uy) AS syy
+      FROM terms GROUP BY n
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CASE WHEN sxx > 0 AND syy > 0 THEN
+             CAST(sxy AS DOUBLE)
+               / sqrt(CAST(sxx AS DOUBLE) * CAST(syy AS DOUBLE))
+           END AS rho_s
+    FROM agg
+    """

@@ -324,3 +324,144 @@ def ohlc_oracle_sql(
            COUNT(*) AS n
     FROM o GROUP BY 1, 2
     """
+
+
+# ---------------------------------------------------------------------
+# Classical additive seasonal decomposition (exact integer form)
+# ---------------------------------------------------------------------
+
+def decompose_additive(
+    daily: DataFrame,
+    date_col: str,
+    value_col: str,
+    period: int = 7,
+    anchor: str = "1992-01-01",
+) -> DataFrame:
+    """Classical additive decomposition value = trend + seasonal +
+    residual of an INTEGER-valued regular series (one row per date),
+    kept exact by carrying constant denominators instead of dividing:
+
+    - ``trend_xP``: centered moving SUM over ``period`` consecutive
+      observations (trend·P, an exact BIGINT; NULL at the edges where
+      the window is short — emitted only when exactly P rows contribute).
+    - ``pos``: season position = days-since-``anchor`` mod P (pure
+      integer date arithmetic — portable, unlike dayofweek whose
+      origin differs between engines).
+    - ``seas_num/seas_den``: Σ(P·value − trend_xP) and its row count
+      per position, over full-window rows — the seasonal index is
+      seas_num/(P·seas_den), carried as an exact ratio.
+    - ``resid_num``: (P·value − trend_xP)·seas_den − seas_num — the
+      residual times the constant P·seas_den, an exact BIGINT.
+
+    No division anywhere ⇒ no signed-intdiv semantics seam (Spark
+    ``div`` truncates toward zero, DuckDB ``//`` floors — they differ
+    on negative numerators, and detrended values ARE signed).
+
+    Scale shape: the input is the per-date aggregate of the raw data
+    (domain-sized — one row per date), so the ordered window over it
+    is a bounded single-partition stage of the same class as
+    ks_statistic's domain sort; the seasonal join is a P-row broadcast.
+    ``period`` must be odd so the ROWS window centers exactly.
+    """
+    if period % 2 != 1:
+        raise ValueError("period must be odd for a centered ROWS window")
+    half = period // 2
+    # bounded input: one row per DISTINCT date (domain-sized, same
+    # contract as the ks_statistic domain sort)
+    w = Window.orderBy(date_col).rowsBetween(-half, half)
+    base = daily.select(
+        F.col(date_col).alias("d"),
+        F.col(value_col).cast("bigint").alias("v"),
+        F.expr(
+            f"cast(datediff({date_col}, date'{anchor}') as bigint)"
+            f" % {period}"
+        ).alias("pos"),
+    )
+    with_trend = base.select(
+        "d",
+        "v",
+        "pos",
+        F.when(
+            F.count("v").over(w) == period, F.sum("v").over(w)
+        )
+        .cast("bigint")
+        .alias(f"trend_x{period}"),
+    )
+    with_trend = with_trend.localCheckpoint(eager=False)
+    seas = (
+        with_trend.where(F.col(f"trend_x{period}").isNotNull())
+        .groupBy("pos")
+        .agg(
+            F.sum(
+                F.lit(period) * F.col("v") - F.col(f"trend_x{period}")
+            ).alias("seas_num"),
+            F.count(F.lit(1)).alias("seas_den"),
+        )
+    )
+    return (
+        with_trend.join(F.broadcast(seas), "pos", "left")
+        .select(
+            "d",
+            "v",
+            "pos",
+            f"trend_x{period}",
+            F.col("seas_num").cast("bigint").alias("seas_num"),
+            F.col("seas_den").cast("bigint").alias("seas_den"),
+            F.when(
+                F.col(f"trend_x{period}").isNotNull(),
+                (
+                    F.lit(period) * F.col("v")
+                    - F.col(f"trend_x{period}")
+                )
+                * F.col("seas_den")
+                - F.col("seas_num"),
+            )
+            .cast("bigint")
+            .alias("resid_num"),
+        )
+    )
+
+
+def decompose_oracle_sql(
+    daily_sql: str,
+    date_col: str,
+    value_col: str,
+    period: int = 7,
+    anchor: str = "1992-01-01",
+) -> str:
+    """DuckDB twin of :func:`decompose_additive` over ``daily_sql``
+    (a query producing one row per date)."""
+    half = period // 2
+    return f"""
+    WITH daily AS ({daily_sql}),
+    base AS (
+      SELECT {date_col} AS d,
+             CAST({value_col} AS BIGINT) AS v,
+             CAST(date_diff('day', DATE '{anchor}',
+                            CAST({date_col} AS DATE)) AS BIGINT)
+               % {period} AS pos
+      FROM daily
+    ),
+    wt AS (
+      SELECT d, v, pos,
+             CASE WHEN COUNT(v) OVER win = {period}
+                  THEN CAST(SUM(v) OVER win AS BIGINT) END
+               AS trend_x{period}
+      FROM base
+      WINDOW win AS (ORDER BY d
+                     ROWS BETWEEN {half} PRECEDING AND {half} FOLLOWING)
+    ),
+    seas AS (
+      SELECT pos,
+             CAST(SUM({period} * v - trend_x{period}) AS BIGINT)
+               AS seas_num,
+             CAST(COUNT(*) AS BIGINT) AS seas_den
+      FROM wt WHERE trend_x{period} IS NOT NULL GROUP BY pos
+    )
+    SELECT wt.d, wt.v, wt.pos, wt.trend_x{period},
+           seas.seas_num, seas.seas_den,
+           CAST(CASE WHEN trend_x{period} IS NOT NULL THEN
+             ({period} * v - trend_x{period}) * seas_den - seas_num
+           END AS BIGINT) AS resid_num
+    FROM wt LEFT JOIN seas USING (pos)
+    """

@@ -287,3 +287,7 @@ def q_streaming_match_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         within_seconds=_MP_WITHIN,
     )
     return run_available_now(out, output_mode="append", state_partitions=8)
+
+
+# batch 42 registers at import time, same chain as queries40 -> 41
+from spark_extensions_spark import queries42  # noqa: E402,F401  (registration side effect)

@@ -1,0 +1,324 @@
+"""Round-6 wave-3 operators: exact Kendall tau-b, additive seasonal
+decomposition, BLEU components, 2-D skyline, running distinct —
+hand-computed references and invariants."""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from pyspark.sql import functions as F
+
+from spark_extensions_spark.operators.evals import bleu_counts
+from spark_extensions_spark.operators.skyline import skyline_2d
+from spark_extensions_spark.operators.stats import kendall_tau
+from spark_extensions_spark.operators.timeseries import decompose_additive
+
+
+# ---------------------------------------------------------------------
+# Kendall tau-b
+# ---------------------------------------------------------------------
+
+
+def _kendall_reference(pts):
+    """Brute-force pair counts."""
+    nc = nd = tx = ty = txy = 0
+    for (x1, y1), (x2, y2) in combinations(pts, 2):
+        if x1 == x2 and y1 == y2:
+            txy += 1
+        elif x1 == x2:
+            tx += 1
+        elif y1 == y2:
+            ty += 1
+        elif (x1 - x2) * (y1 - y2) > 0:
+            nc += 1
+        else:
+            nd += 1
+    return nc, nd, tx, ty, txy
+
+
+def test_kendall_matches_bruteforce(spark):
+    pts = [
+        (1, 3), (1, 3), (1, 7), (2, 2), (2, 9), (3, 9),
+        (3, 1), (4, 4), (4, 4), (5, 1), (5, 12), (6, 6),
+    ]
+    nc, nd, tx, ty, txy = _kendall_reference(pts)
+    df = spark.createDataFrame(pts, "x int, y int")
+    row = kendall_tau(df, "x", "y").collect()[0]
+    assert row["concordant"] == nc
+    assert row["discordant"] == nd
+    # the operator reports ties_x/ties_y as ALL pairs sharing that
+    # coordinate (tau-b marginal convention: ties-in-both included)
+    assert row["ties_x"] == tx + txy
+    assert row["ties_y"] == ty + txy
+    assert row["ties_xy"] == txy
+    n = len(pts)
+    n0 = n * (n - 1) // 2
+    assert row["n_pairs"] == n0
+    # pair-count partition identity
+    assert nc + nd + tx + ty + txy == n0
+    want = (nc - nd) / (
+        ((n0 - (tx + txy)) * (n0 - (ty + txy))) ** 0.5
+    )
+    assert abs(row["tau_b"] - want) < 1e-12
+
+
+def test_kendall_degenerate_constant_column(spark):
+    df = spark.createDataFrame(
+        [(1, 5), (1, 7), (1, 9)], "x int, y int"
+    )
+    row = kendall_tau(df, "x", "y").collect()[0]
+    assert row["concordant"] == 0 and row["discordant"] == 0
+    assert row["tau_b"] is None  # zero denominator factor -> NULL
+
+
+def test_kendall_perfect_monotone(spark):
+    df = spark.createDataFrame(
+        [(i, 10 * i) for i in range(8)], "x int, y int"
+    )
+    row = kendall_tau(df, "x", "y").collect()[0]
+    assert row["tau_b"] == 1.0
+    rev = spark.createDataFrame(
+        [(i, -3 * i) for i in range(8)], "x int, y int"
+    )
+    assert kendall_tau(rev, "x", "y").collect()[0]["tau_b"] == -1.0
+
+
+# ---------------------------------------------------------------------
+# Additive decomposition
+# ---------------------------------------------------------------------
+
+
+def test_decompose_identity_and_edges(spark):
+    import datetime as dt
+
+    base = dt.date(1992, 1, 6)  # a Monday; pos = days since 1992-01-01
+    vals = [10, 12, 9, 14, 11, 8, 13, 10, 15, 9, 12, 11, 9, 14, 10]
+    rows = [
+        (base + dt.timedelta(days=i), v) for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "d date, v long")
+    out = decompose_additive(df, "d", "v", period=7)
+    got = {r["d"]: r for r in out.collect()}
+    assert len(got) == len(vals)
+    # edges (first/last 3 rows) have no full window -> NULL trend
+    for i in (0, 1, 2, len(vals) - 3, len(vals) - 2, len(vals) - 1):
+        assert got[rows[i][0]]["trend_x7"] is None
+        assert got[rows[i][0]]["resid_num"] is None
+    # interior: trend_x7 is the exact 7-sum; the residual identity
+    # 7*v - trend = seas_num/seas_den + resid_num/(7*seas_den) holds
+    # exactly after clearing denominators
+    for i in range(3, len(vals) - 3):
+        r = got[rows[i][0]]
+        assert r["trend_x7"] == sum(vals[i - 3 : i + 4])
+        det = 7 * r["v"] - r["trend_x7"]
+        assert det * r["seas_den"] == r["seas_num"] + r["resid_num"]
+    # seasonal indexes: one (num, den) pair per position, consistent
+    seas = {(r["pos"], r["seas_num"], r["seas_den"]) for r in got.values()
+            if r["seas_num"] is not None}
+    assert len({p for p, _, _ in seas}) == len(seas)
+
+
+def test_decompose_rejects_even_period(spark):
+    import pytest
+
+    df = spark.createDataFrame([("1992-01-01", 1)], "d string, v long")
+    with pytest.raises(ValueError):
+        decompose_additive(df, "d", "v", period=4)
+
+
+# ---------------------------------------------------------------------
+# BLEU components
+# ---------------------------------------------------------------------
+
+
+def test_bleu_hand_case(spark):
+    # classic clipping example: hypothesis repeats "the"
+    ref = "the cat is on the mat"
+    hyp = "the the the the the the the"
+    df = spark.createDataFrame([(1, ref, hyp)], "id long, r string, h string")
+    row = bleu_counts(df, "id", "r", "h", max_n=2).collect()[0]
+    assert row["ref_len"] == 6 and row["hyp_len"] == 7
+    # unigram matches clipped at ref count of "the" (=2); total = 7
+    assert row["match_1"] == 2 and row["total_1"] == 7
+    assert row["p_1_e6"] == (2 * 1_000_000) // 7
+    # "the the" never occurs in the reference
+    assert row["match_2"] == 0 and row["total_2"] == 6
+    assert row["p_2_e6"] == 0
+
+
+def test_bleu_identical_and_empty(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d", "a b c d"), (2, "a b", "")],
+        "id long, r string, h string",
+    )
+    rows = {r["id"]: r for r in
+            bleu_counts(df, "id", "r", "h", max_n=2).collect()}
+    assert rows[1]["p_1_e6"] == 1_000_000
+    assert rows[1]["p_2_e6"] == 1_000_000
+    assert rows[2]["match_1"] == 0 and rows[2]["total_1"] == 0
+    assert rows[2]["p_1_e6"] == 0  # empty hypothesis -> 0, not NULL
+
+
+# ---------------------------------------------------------------------
+# 2-D skyline
+# ---------------------------------------------------------------------
+
+
+def _skyline_reference(pts):
+    out = []
+    for p in pts:
+        dominated = any(
+            q[0] <= p[0] and q[1] >= p[1] and (q[0] < p[0] or q[1] > p[1])
+            for q in pts
+        )
+        if not dominated:
+            out.append(p)
+    return sorted(out)
+
+
+def test_skyline_matches_bruteforce(spark):
+    import random
+
+    rng = random.Random(42)
+    pts = [(rng.randrange(50), rng.randrange(100)) for _ in range(400)]
+    df = spark.createDataFrame(pts, "x int, y int")
+    got = sorted(
+        (r["x"], r["y"]) for r in skyline_2d(df, "x", "y").collect()
+    )
+    assert got == _skyline_reference(pts)
+
+
+def test_skyline_keeps_duplicate_frontier_points(spark):
+    pts = [(1, 10), (1, 10), (2, 5), (0, 3)]
+    df = spark.createDataFrame(pts, "x int, y int")
+    got = sorted(
+        (r["x"], r["y"]) for r in skyline_2d(df, "x", "y").collect()
+    )
+    # (2,5) dominated by (1,10); (0,3) survives (smaller x);
+    # both copies of (1,10) survive (ties don't dominate each other)
+    assert got == [(0, 3), (1, 10), (1, 10)]
+
+
+def test_skyline_worst_case_all_survive(spark):
+    # under (min x, max y) the worst case is y increasing with x:
+    # no point dominates any other, the frontier is the whole set
+    pts = [(i, i) for i in range(30)]
+    df = spark.createDataFrame(pts, "x int, y int")
+    assert skyline_2d(df, "x", "y").count() == 30
+    # and the single-dominator case collapses to one row
+    one = [(0, 100)] + [(i, 100 - i) for i in range(1, 30)]
+    df1 = spark.createDataFrame(one, "x int, y int")
+    assert skyline_2d(df1, "x", "y").count() == 1
+
+
+# ---------------------------------------------------------------------
+# Running COUNT(DISTINCT) window
+# ---------------------------------------------------------------------
+
+
+def test_running_distinct_equals_prefix_set_size(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (u, i, rng.choice("abcde"))
+        for u in range(5)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "user_id int, seq int, t string")
+    from pyspark.sql import Window
+
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("seq")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    got = (
+        df.withColumn(
+            "__f",
+            F.when(
+                F.row_number().over(
+                    Window.partitionBy("user_id", "t").orderBy("seq")
+                )
+                == 1,
+                1,
+            ).otherwise(0),
+        )
+        .select(
+            "user_id", "seq", F.sum("__f").over(w_run).alias("rd")
+        )
+        .collect()
+    )
+    by_user: dict[int, list] = {}
+    for u, i, t in rows:
+        by_user.setdefault(u, []).append((i, t))
+    want = {}
+    for u, seq in by_user.items():
+        seen = set()
+        for i, t in sorted(seq):
+            seen.add(t)
+            want[(u, i)] = len(seen)
+    for r in got:
+        assert r["rd"] == want[(r["user_id"], r["seq"])]
+
+
+# ---------------------------------------------------------------------
+# Spearman rho
+# ---------------------------------------------------------------------
+
+
+def _spearman_reference(pts):
+    """Pearson on average ranks, brute force."""
+    def avg_ranks(vals):
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        ranks = [0.0] * len(vals)
+        i = 0
+        while i < len(order):
+            j = i
+            while (
+                j + 1 < len(order)
+                and vals[order[j + 1]] == vals[order[i]]
+            ):
+                j += 1
+            r = (i + j) / 2 + 1
+            for k in range(i, j + 1):
+                ranks[order[k]] = r
+            i = j + 1
+        return ranks
+
+    xs = [p[0] for p in pts]
+    ys = [p[1] for p in pts]
+    rx, ry = avg_ranks(xs), avg_ranks(ys)
+    n = len(pts)
+    mx = sum(rx) / n
+    my = sum(ry) / n
+    num = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+    dx = sum((a - mx) ** 2 for a in rx)
+    dy = sum((b - my) ** 2 for b in ry)
+    return num / (dx * dy) ** 0.5
+
+
+def test_spearman_matches_bruteforce(spark):
+    from spark_extensions_spark.operators.stats import spearman_rho
+
+    pts = [
+        (1, 3), (1, 3), (1, 7), (2, 2), (2, 9), (3, 9),
+        (3, 1), (4, 4), (4, 4), (5, 1), (5, 12), (6, 6),
+    ]
+    df = spark.createDataFrame(pts, "x int, y int")
+    row = spearman_rho(df, "x", "y").collect()[0]
+    assert row["n"] == len(pts)
+    assert abs(row["rho_s"] - _spearman_reference(pts)) < 1e-12
+
+
+def test_spearman_monotone_and_degenerate(spark):
+    from spark_extensions_spark.operators.stats import spearman_rho
+
+    mono = spark.createDataFrame(
+        [(i, i * i) for i in range(9)], "x int, y int"
+    )
+    assert spearman_rho(mono, "x", "y").collect()[0]["rho_s"] == 1.0
+    const = spark.createDataFrame(
+        [(1, 5), (1, 9), (1, 2)], "x int, y int"
+    )
+    assert spearman_rho(const, "x", "y").collect()[0]["rho_s"] is None

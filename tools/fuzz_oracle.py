@@ -453,16 +453,72 @@ def _shape_rollup(rng: random.Random) -> str:
     )
 
 
+def _shape_scalar_subquery(rng: random.Random) -> str:
+    # correlated SCALAR subquery in the SELECT list over a real FK —
+    # decorrelation machinery differs genuinely between the engines
+    # (Spark rewrites to an outer join + agg; DuckDB flattens into a
+    # dependent join), so agreement here is a real invariant
+    lname, rname, lk, rk = rng.choice(JOINS)
+    lt, rt = TABLES[lname], TABLES[rname]
+    inner_pred = _pred(rng, lt, 1, "i")
+    kind = rng.random()
+    if kind < 0.4:
+        sub_agg = "CAST(COUNT(*) AS BIGINT)"
+    elif kind < 0.6:
+        sub_agg = f"CAST(SUM(CAST({_int_expr(rng, lt, 1, 'i')} AS BIGINT)) AS BIGINT)"
+    elif kind < 0.8:
+        sub_agg = f"MIN({_int_expr(rng, lt, 1, 'i')})"
+    else:
+        sub_agg = f"MAX({_int_expr(rng, lt, 1, 'i')})"
+    sub = (
+        f"(SELECT {sub_agg} FROM {lname} i "
+        f"WHERE i.{lk} = {rname}.{rk} AND {inner_pred})"
+    )
+    if rng.random() < 0.4:
+        sub = f"COALESCE({sub}, {rng.randint(-5, 5)})"
+    outer_pred = _pred(rng, rt, 1)
+    cols = [f"{rk} AS k0", f"{sub} AS s0"]
+    if rng.random() < 0.5:
+        cols.append(f"{_int_expr(rng, rt, 1)} AS c2")
+    return f"SELECT {', '.join(cols)} FROM {rname} WHERE {outer_pred}"
+
+
+def _shape_setop_agg(rng: random.Random) -> str:
+    # aggregate OVER a set-op result: exercises distinct-before-agg
+    # interplay. Both branches use INT-typed columns from the same
+    # table so the union schema is identical in both engines.
+    name = rng.choice(list(TABLES))
+    t = TABLES[name]
+    m = rng.choice([3, 5, 8])
+    g1 = f"({_int_atom(rng, t)} % {m})"
+    g2 = f"({_int_atom(rng, t)} % {m})"
+    c1 = _int_expr(rng, t, 1)
+    c2 = _int_expr(rng, t, 1)
+    p1 = _pred(rng, t, 1)
+    p2 = _pred(rng, t, 1)
+    op = rng.choice(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"])
+    return (
+        f"SELECT g0, CAST(COUNT(*) AS BIGINT) AS a0, "
+        f"CAST(SUM(CAST(c0 AS BIGINT)) AS BIGINT) AS a1 FROM ("
+        f"SELECT {g1} AS g0, {c1} AS c0 FROM {name} WHERE {p1} "
+        f"{op} "
+        f"SELECT {g2} AS g0, {c2} AS c0 FROM {name} WHERE {p2}"
+        f") u GROUP BY g0"
+    )
+
+
 SHAPES = [
-    (_shape_filter_project, 0.2),
-    (_shape_group_agg, 0.18),
-    (_shape_join_agg, 0.15),
-    (_shape_join_project, 0.12),
+    (_shape_filter_project, 0.16),
+    (_shape_group_agg, 0.15),
+    (_shape_join_agg, 0.13),
+    (_shape_join_project, 0.10),
     (_shape_setop, 0.09),
     (_shape_topk, 0.05),
     (_shape_window, 0.08),
     (_shape_semijoin_subquery, 0.08),
     (_shape_rollup, 0.05),
+    (_shape_scalar_subquery, 0.06),
+    (_shape_setop_agg, 0.05),
 ]
 
 
