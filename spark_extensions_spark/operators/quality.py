@@ -280,3 +280,108 @@ def observe_quality(
         for rname, pred in rules
     ]
     return df.observe(obs, *metrics), obs
+
+
+# ---------------------------------------------------------------------
+# Benford first-digit audit (exact fixed-point form)
+# ---------------------------------------------------------------------
+
+# log10(1 + 1/d) in e6 fixed point — published constants of Benford's
+# law (literals, never computed: log10 is libm and not hash-portable)
+BENFORD_E6: tuple[int, ...] = (
+    301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757,
+)
+
+
+def benford_audit(df: DataFrame, amount_col: str) -> DataFrame:
+    """First-significant-digit distribution of a positive amount
+    column against Benford's law — the classic fabricated-data /
+    unit-mix-up audit for financial-ish measures.
+
+    The first digit is taken from the DECIMAL STRING of the floored
+    integer amount (``substr(cast(floor(x) as bigint) as string, 1, 1)``)
+    — pure integer/string ops, no log10, so both engines agree
+    bit-for-bit. Rows with amount < 1 are excluded (their first
+    significant digit needs log scaling).
+
+    Output: 9 rows ``(digit, cnt, total, observed_e6, expected_e6,
+    dev_e6)`` — observed share in e6 fixed point (positive intdiv,
+    portable), expected from the published constants, dev their
+    difference. All exact integers; the MAD / chi-square style
+    roll-up is one driver-side fold over 9 rows.
+
+    Scale shape: one row-local projection + one 9-group hash
+    aggregate (map-side combinable); the digit spine is a 9-row
+    literal table so digits absent from the data still report 0.
+    """
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    spine = spark.createDataFrame(
+        [(d, BENFORD_E6[d - 1]) for d in range(1, 10)],
+        "digit int, expected_e6 bigint",
+    )
+    digits = (
+        df.where(F.col(amount_col) >= 1)
+        .select(
+            F.expr(
+                f"cast(substr(cast(cast(floor({amount_col}) as bigint)"
+                " as string), 1, 1) as int)"
+            ).alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = digits.agg(F.sum("cnt").cast("bigint").alias("total"))
+    return (
+        F.broadcast(spine)
+        .join(digits, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce("cnt", F.lit(0)).cast("bigint").alias("cnt"),
+            "total",
+            F.expr("(coalesce(cnt, 0) * 1000000) div total")
+            .cast("bigint")
+            .alias("observed_e6"),
+            "expected_e6",
+            (
+                F.expr("(coalesce(cnt, 0) * 1000000) div total")
+                - F.col("expected_e6")
+            )
+            .cast("bigint")
+            .alias("dev_e6"),
+        )
+    )
+
+
+def benford_oracle_sql(src_sql: str, amount_col: str) -> str:
+    """DuckDB twin of :func:`benford_audit` over ``src_sql``."""
+    spine = " UNION ALL ".join(
+        f"SELECT {d} AS digit, CAST({BENFORD_E6[d-1]} AS BIGINT)"
+        " AS expected_e6"
+        for d in range(1, 10)
+    )
+    return f"""
+    WITH src AS ({src_sql}),
+    spine AS ({spine}),
+    digits AS (
+      SELECT CAST(SUBSTR(CAST(CAST(FLOOR({amount_col}) AS BIGINT)
+               AS VARCHAR), 1, 1) AS INT) AS digit,
+             COUNT(*) AS cnt
+      FROM src WHERE {amount_col} >= 1
+      GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM digits)
+    SELECT s.digit,
+           CAST(COALESCE(d.cnt, 0) AS BIGINT) AS cnt,
+           t.total,
+           CAST((COALESCE(d.cnt, 0) * 1000000) // t.total AS BIGINT)
+             AS observed_e6,
+           s.expected_e6,
+           CAST((COALESCE(d.cnt, 0) * 1000000) // t.total
+                - s.expected_e6 AS BIGINT) AS dev_e6
+    FROM spine s
+    LEFT JOIN digits d USING (digit)
+    CROSS JOIN tot t
+    """

@@ -465,3 +465,93 @@ def decompose_oracle_sql(
            END AS BIGINT) AS resid_num
     FROM wt LEFT JOIN seas USING (pos)
     """
+
+
+# ---------------------------------------------------------------------
+# CUSUM change-point detection (exact integer form)
+# ---------------------------------------------------------------------
+
+def cusum_changepoint(
+    daily: DataFrame, date_col: str, value_col: str
+) -> DataFrame:
+    """Single change-point detection on an INTEGER-valued regular
+    series by the classic scaled CUSUM statistic.
+
+    With n observations, total S and prefix sums P_k, the centered
+    cumulative sum at position k is P_k − k·(S/n); scaling by n keeps
+    it exact:  C_k = n·P_k − k·S  (BIGINT — no division, no floats).
+    The most likely single change-point is argmax |C_k| (Page 1954 /
+    Pettitt's ties to the rank form); ties break to the earliest
+    date so the answer is deterministic.
+
+    Output: one row ``(cp_date, cp_k, n, total, c_abs_max)``.
+
+    Scale shape: the input is the per-date aggregate (domain-sized);
+    the ordered prefix window runs over that bounded set (the
+    ks_statistic contract) and the argmax is an ORDER BY ... LIMIT 1
+    over the same bounded set.
+    """
+    base = daily.select(
+        F.col(date_col).alias("d"),
+        F.col(value_col).cast("bigint").alias("v"),
+    )
+    tot = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("v").cast("bigint").alias("total"),
+    )
+    # bounded input: one row per DISTINCT date (domain-sized)
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    wk = Window.orderBy("d")
+    pref = base.select(
+        "d",
+        F.sum("v").over(w).alias("pk"),
+        F.row_number().over(wk).cast("bigint").alias("k"),
+    )
+    scored = pref.crossJoin(F.broadcast(tot)).select(
+        "d",
+        "k",
+        "n",
+        "total",
+        F.abs(F.col("n") * F.col("pk") - F.col("k") * F.col("total"))
+        .cast("bigint")
+        .alias("c_abs"),
+    )
+    return (
+        scored.orderBy(F.col("c_abs").desc(), F.col("d").asc())
+        .limit(1)
+        .select(
+            F.col("d").alias("cp_date"),
+            F.col("k").alias("cp_k"),
+            "n",
+            "total",
+            F.col("c_abs").alias("c_abs_max"),
+        )
+    )
+
+
+def cusum_oracle_sql(daily_sql: str, date_col: str, value_col: str) -> str:
+    """DuckDB twin of :func:`cusum_changepoint`."""
+    return f"""
+    WITH daily AS ({daily_sql}),
+    base AS (
+      SELECT {date_col} AS d, CAST({value_col} AS BIGINT) AS v FROM daily
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(v) AS BIGINT) AS total
+      FROM base
+    ),
+    pref AS (
+      SELECT d,
+             CAST(SUM(v) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS pk,
+             CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS k
+      FROM base
+    )
+    SELECT d AS cp_date, k AS cp_k, n, total,
+           CAST(ABS(n * pk - k * total) AS BIGINT) AS c_abs_max
+    FROM pref CROSS JOIN tot
+    ORDER BY ABS(n * pk - k * total) DESC, d ASC
+    LIMIT 1
+    """

@@ -386,3 +386,59 @@ def q_stat_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_KT_Y).alias("pk"),
     )
     return spearman_rho(src, "mx", "pk")
+
+
+# =====================================================================
+# CUSUM change-point + Benford audit
+# =====================================================================
+
+from spark_extensions_spark.operators.timeseries import cusum_oracle_sql  # noqa: E402
+from spark_extensions_spark.operators.quality import benford_oracle_sql  # noqa: E402
+
+_DAILY_DUCK = (
+    "SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS v"
+    " FROM orders GROUP BY 1"
+)
+
+
+@_register(
+    "ts_changepoint",
+    cusum_oracle_sql(_DAILY_DUCK, "d", "v"),
+    doc="Single change-point detection on the daily order-count "
+    "series (operators/timeseries.py:cusum_changepoint; Page 1954): "
+    "the scaled CUSUM C_k = n·P_k − k·S is an exact BIGINT (no "
+    "division, no floats), the change-point the deterministic "
+    "argmax |C_k| with earliest-date ties. One domain-sized ordered "
+    "prefix window over the per-date aggregate + a bounded "
+    "ORDER BY/LIMIT 1 — the drift-localization twin of the "
+    "distribution-level stat_psi/stat_ks gates.",
+)
+def q_ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_extensions_spark.operators.timeseries import (
+        cusum_changepoint,
+    )
+
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    daily = orders.groupBy(
+        F.to_date("o_orderdate").alias("d")
+    ).agg(F.count(F.lit(1)).alias("v"))
+    return cusum_changepoint(daily, "d", "v")
+
+
+@_register(
+    "quality_benford",
+    benford_oracle_sql("SELECT o_totalprice FROM orders", "o_totalprice"),
+    doc="Benford first-significant-digit audit of order totals "
+    "(operators/quality.py:benford_audit): observed e6 digit shares "
+    "vs the PUBLISHED log10(1+1/d) constants (literals — log10 is "
+    "libm and not hash-portable), first digit via integer/string "
+    "ops on the floored amount so both engines agree bit-for-bit. "
+    "The fabricated-data / unit-mix-up gate for financial-ish "
+    "measures; one row-local projection + a 9-group hash aggregate "
+    "joined onto a 9-row literal spine.",
+)
+def q_quality_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_extensions_spark.operators.quality import benford_audit
+
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    return benford_audit(orders, "o_totalprice")

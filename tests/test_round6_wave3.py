@@ -322,3 +322,70 @@ def test_spearman_monotone_and_degenerate(spark):
         [(1, 5), (1, 9), (1, 2)], "x int, y int"
     )
     assert spearman_rho(const, "x", "y").collect()[0]["rho_s"] is None
+
+
+# ---------------------------------------------------------------------
+# CUSUM change-point
+# ---------------------------------------------------------------------
+
+
+def test_cusum_finds_injected_level_shift(spark):
+    import datetime as dt
+
+    from spark_extensions_spark.operators.timeseries import (
+        cusum_changepoint,
+    )
+
+    base = dt.date(2020, 1, 1)
+    # level shift from 10 to 30 at index 40 of 80
+    rows = [
+        (base + dt.timedelta(days=i), 10 if i < 40 else 30)
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, "d date, v long")
+    got = cusum_changepoint(df, "d", "v").collect()[0]
+    # max |C_k| lands exactly on the last pre-shift observation
+    assert got["cp_k"] == 40
+    assert got["cp_date"] == base + dt.timedelta(days=39)
+    assert got["n"] == 80 and got["total"] == 40 * 10 + 40 * 30
+    # hand value: C_40 = n*P_40 - 40*S = 80*400 - 40*1600
+    assert got["c_abs_max"] == abs(80 * 400 - 40 * 1600)
+
+
+def test_cusum_constant_series_ties_to_earliest(spark):
+    import datetime as dt
+
+    from spark_extensions_spark.operators.timeseries import (
+        cusum_changepoint,
+    )
+
+    base = dt.date(2020, 1, 1)
+    rows = [(base + dt.timedelta(days=i), 5) for i in range(10)]
+    df = spark.createDataFrame(rows, "d date, v long")
+    got = cusum_changepoint(df, "d", "v").collect()[0]
+    assert got["c_abs_max"] == 0 and got["cp_date"] == base
+
+
+# ---------------------------------------------------------------------
+# Benford audit
+# ---------------------------------------------------------------------
+
+
+def test_benford_digit_extraction_and_spine(spark):
+    from spark_extensions_spark.operators.quality import (
+        BENFORD_E6,
+        benford_audit,
+    )
+
+    vals = [1.5, 19.0, 123.0, 2.0, 0.4, -7.0, 900.0, 95.2, 9999.0]
+    df = spark.createDataFrame([(v,) for v in vals], "amt double")
+    rows = {r["digit"]: r for r in benford_audit(df, "amt").collect()}
+    assert set(rows) == set(range(1, 10))  # full spine, absent = 0
+    # 0.4 and -7.0 excluded; digits: 1,1,1,2,9,9,9 -> total 7
+    assert rows[1]["cnt"] == 3 and rows[2]["cnt"] == 1
+    assert rows[9]["cnt"] == 3 and rows[5]["cnt"] == 0
+    assert rows[1]["total"] == 7
+    assert rows[1]["observed_e6"] == (3 * 1_000_000) // 7
+    assert rows[1]["expected_e6"] == BENFORD_E6[0] == 301030
+    assert rows[1]["dev_e6"] == (3 * 1_000_000) // 7 - 301030
+    assert sum(r["cnt"] for r in rows.values()) == 7
