@@ -216,3 +216,132 @@ def pii_scan_oracle_sql(table_sql: str, id_col: str, text_col: str) -> str:
     )
     SELECT *, CAST({total} AS BIGINT) AS n_pii_total FROM hits
     """
+
+
+# ---------------------------------------------------------------------
+# t-closeness (Li, Li & Venkatasubramanian, ICDE 2007) — exact TVD
+# ---------------------------------------------------------------------
+
+def t_closeness_classes(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    t_e6: int = 200_000,
+) -> DataFrame:
+    """Per-equivalence-class t-closeness audit with EXACT arithmetic.
+
+    t-closeness bounds the total-variation distance between each
+    class's sensitive-value distribution and the table-wide one:
+    TVD(c) = ½ Σ_v |n_cv/N_c − n_v/N|.  Clearing denominators keeps
+    it integral:
+
+        tvd_num(c) = Σ_{v∈c} |n_cv·N − n_v·N_c|
+                     + N_c·(N − Σ_{v∈c} n_v)        (absent values)
+        tvd_den(c) = 2·N_c·N,     TVD = tvd_num / tvd_den
+
+    — the absent-value fold means the sensitive DOMAIN is never
+    densified per class.  The gate compares cross-multiplied:
+    1e6·tvd_num ≤ t_e6·tvd_den.  Exact while N < ~3·10⁹ (n_cv·N must
+    fit int64); shard or lift to DECIMAL beyond.
+
+    Output: one row per class ``(quasi..., class_size, tvd_num,
+    tvd_den, t_ok)`` — all BIGINT + boolean.
+
+    Scale shape: one (quasi, sensitive) hash aggregate over the data,
+    the sensitive-marginal table broadcast back (domain-sized), one
+    class-level aggregate.  No window, no densified grid.
+    """
+    joint = df.groupBy(*quasi_cols, sensitive_col).agg(
+        F.count(F.lit(1)).alias("n_cv")
+    )
+    joint = joint.localCheckpoint(eager=False)
+    glob = joint.groupBy(sensitive_col).agg(
+        F.sum("n_cv").alias("n_v")
+    )
+    tot = glob.agg(F.sum("n_v").cast("bigint").alias("n_all"))
+    cls = joint.groupBy(*quasi_cols).agg(
+        F.sum("n_cv").alias("n_c")
+    )
+    terms = (
+        joint.join(F.broadcast(glob), sensitive_col)
+        .join(cls, quasi_cols)
+        .crossJoin(F.broadcast(tot))
+        .groupBy(*quasi_cols)
+        .agg(
+            F.first("n_c").alias("class_size"),
+            F.first("n_all").alias("n_all"),
+            F.sum(
+                F.abs(
+                    F.col("n_cv") * F.col("n_all")
+                    - F.col("n_v") * F.col("n_c")
+                )
+            ).alias("present_num"),
+            F.sum("n_v").alias("present_mass"),
+        )
+    )
+    return terms.select(
+        *quasi_cols,
+        F.col("class_size").cast("bigint").alias("class_size"),
+        (
+            F.col("present_num")
+            + F.col("class_size")
+            * (F.col("n_all") - F.col("present_mass"))
+        )
+        .cast("bigint")
+        .alias("tvd_num"),
+        (F.lit(2) * F.col("class_size") * F.col("n_all"))
+        .cast("bigint")
+        .alias("tvd_den"),
+        (
+            F.lit(1_000_000)
+            * (
+                F.col("present_num")
+                + F.col("class_size")
+                * (F.col("n_all") - F.col("present_mass"))
+            )
+            <= F.lit(t_e6)
+            * F.lit(2)
+            * F.col("class_size")
+            * F.col("n_all")
+        ).alias("t_ok"),
+    )
+
+
+def t_closeness_oracle_sql(
+    table_sql: str,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    t_e6: int = 200_000,
+) -> str:
+    """DuckDB twin of :func:`t_closeness_classes`."""
+    q = ", ".join(quasi_cols)
+    return f"""
+    WITH src AS ({table_sql}),
+    joint AS (
+      SELECT {q}, {sensitive_col} AS sv, COUNT(*) AS n_cv
+      FROM src GROUP BY {q}, {sensitive_col}
+    ),
+    gmarg AS (SELECT sv, SUM(n_cv) AS n_v FROM joint GROUP BY sv),
+    tot AS (SELECT CAST(SUM(n_v) AS BIGINT) AS n_all FROM gmarg),
+    cls AS (SELECT {q}, SUM(n_cv) AS n_c FROM joint GROUP BY {q}),
+    terms AS (
+      SELECT {', '.join('j.' + c for c in quasi_cols)},
+             MIN(c.n_c) AS class_size,
+             MIN(t.n_all) AS n_all,
+             SUM(ABS(j.n_cv * t.n_all - g.n_v * c.n_c)) AS present_num,
+             SUM(g.n_v) AS present_mass
+      FROM joint j
+      JOIN gmarg g USING (sv)
+      JOIN cls c USING ({q})
+      CROSS JOIN tot t
+      GROUP BY {', '.join('j.' + c for c in quasi_cols)}
+    )
+    SELECT {q},
+           CAST(class_size AS BIGINT) AS class_size,
+           CAST(present_num + class_size * (n_all - present_mass)
+                AS BIGINT) AS tvd_num,
+           CAST(2 * class_size * n_all AS BIGINT) AS tvd_den,
+           1000000 * (present_num + class_size * (n_all - present_mass))
+             <= {t_e6} * 2 * class_size * n_all AS t_ok
+    FROM terms
+    """

@@ -1295,3 +1295,108 @@ def spearman_oracle_sql(src_sql: str, x: str, y: str) -> str:
            END AS rho_s
     FROM agg
     """
+
+
+# ---------------------------------------------------------------------
+# Gini concentration coefficient, exact by domain-rank algebra
+# ---------------------------------------------------------------------
+
+def gini_exact(df: DataFrame, value_col: str) -> DataFrame:
+    """Exact Gini coefficient of a nonnegative INTEGER measure — the
+    corpus-concentration audit (how dominated is the corpus by its
+    largest sources/documents?).
+
+    The textbook form needs globally sorted data:
+    G = Σ_i (2i − n − 1)·x_(i) / (n·Σx).  Within a block of tied
+    values the positions i sum in closed form, so the whole numerator
+    collapses onto the value DOMAIN: with B(v) rows strictly below v
+    and cnt(v) ties,
+
+        num = Σ_v x_v·cnt_v·(2·B_v + cnt_v − n),   den = n·Σx
+
+    — one hash aggregate to (v, cnt), one cumulative window over the
+    domain, no row-level sort.  Sums run in DECIMAL(38,0) (num is
+    O(n²·x), past int64 for large corpora); the output is
+    ``(n bigint, total bigint, gini double)`` with the single double
+    division of two exactly-converted decimals (decimal→double and
+    divide are correctly rounded; no libm).  NULL gini when total
+    is 0.  Negative values are the caller's bug (Gini is defined on
+    nonnegative measures); NULLs are excluded.
+    """
+    cells = (
+        df.select(F.col(value_col).cast("bigint").alias("v"))
+        .where(F.col("v").isNotNull())
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cells = cells.localCheckpoint(eager=False)
+    tot = cells.agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.sum(F.col("v") * F.col("cnt")).cast("bigint").alias("total"),
+    )
+    # bounded input: one row per DISTINCT value (domain-sized)
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = cells.select(
+        "v",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("below"),
+    )
+    agg = ranked.crossJoin(F.broadcast(tot)).agg(
+        F.first("n").alias("n"),
+        F.first("total").alias("total"),
+        F.sum(
+            (
+                F.col("v")
+                * F.col("cnt")
+                * (
+                    F.lit(2) * F.col("below")
+                    + F.col("cnt")
+                    - F.col("n")
+                )
+            ).cast("decimal(38,0)")
+        ).alias("num"),
+    )
+    return agg.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("total").cast("bigint").alias("total"),
+        F.when(
+            F.col("total") > 0,
+            F.col("num").cast("double")
+            / (F.col("n") * F.col("total")).cast("double"),
+        ).alias("gini"),
+    )
+
+
+def gini_oracle_sql(src_sql: str, value_col: str) -> str:
+    """DuckDB twin of :func:`gini_exact` (sums land in HUGEINT)."""
+    return f"""
+    WITH src AS ({src_sql}),
+    cells AS (
+      SELECT CAST({value_col} AS BIGINT) AS v, COUNT(*) AS cnt
+      FROM src WHERE {value_col} IS NOT NULL
+      GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+             CAST(SUM(v * cnt) AS BIGINT) AS total
+      FROM cells
+    ),
+    ranked AS (
+      SELECT v, cnt,
+             COALESCE(SUM(cnt) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS below
+      FROM cells
+    ),
+    agg AS (
+      SELECT MIN(n) AS n, MIN(total) AS total,
+             SUM(v * cnt * (2 * below + cnt - n)) AS num
+      FROM ranked CROSS JOIN tot
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(total AS BIGINT) AS total,
+           CASE WHEN total > 0 THEN
+             CAST(num AS DOUBLE) / CAST(n * total AS DOUBLE)
+           END AS gini
+    FROM agg
+    """

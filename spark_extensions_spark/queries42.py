@@ -442,3 +442,63 @@ def q_quality_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = _t(spark, sf_dir, "orders")["orders"]
     return benford_audit(orders, "o_totalprice")
+
+
+# =====================================================================
+# t-closeness + Gini concentration
+# =====================================================================
+
+from spark_extensions_spark.operators.privacy import (  # noqa: E402
+    t_closeness_classes,
+    t_closeness_oracle_sql,
+)
+from spark_extensions_spark.operators.stats import gini_oracle_sql  # noqa: E402
+
+_TC_QUASI = ["c_nationkey", "c_mktsegment"]
+_TC_SQL = """(
+    SELECT c_nationkey, c_mktsegment,
+           CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band
+    FROM customer
+)"""
+
+
+@_register(
+    "privacy_t_closeness",
+    t_closeness_oracle_sql(_TC_SQL, _TC_QUASI, "bal_band", t_e6=200_000),
+    doc="Per-equivalence-class t-closeness audit (operators/privacy.py:"
+    "t_closeness_classes; Li/Li/Venkatasubramanian ICDE'07), the "
+    "distribution-level tightening of k-anonymity/l-diversity over "
+    "the same (nation, segment) -> balance-band release: the "
+    "class-vs-table total-variation distance with cleared "
+    "denominators — tvd_num/tvd_den exact BIGINTs, absent sensitive "
+    "values folded in closed form so the domain is never densified "
+    "per class, the t <= 0.2 gate cross-multiplied. One joint hash "
+    "aggregate + broadcast marginals; no window.",
+)
+def q_privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")["customer"]
+    src = cust.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_band"),
+    )
+    return t_closeness_classes(src, _TC_QUASI, "bal_band", t_e6=200_000)
+
+
+@_register(
+    "stat_gini",
+    gini_oracle_sql("SELECT n_chars FROM documents", "n_chars"),
+    doc="Exact Gini coefficient of document lengths (operators/"
+    "stats.py:gini_exact) — the corpus-concentration audit (is the "
+    "token mass dominated by a few giant documents?). The sorted-rank "
+    "formula collapsed onto the value DOMAIN: tie blocks contribute "
+    "x·cnt·(2·below + cnt − n) in closed form, so there is no "
+    "row-level sort — one hash aggregate + one domain-sized "
+    "cumulative window, numerator summed in DECIMAL(38,0)/HUGEINT "
+    "(O(n²·x), past int64 at corpus scale), decimals never surface.",
+)
+def q_stat_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_extensions_spark.operators.stats import gini_exact
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return gini_exact(docs, "n_chars")

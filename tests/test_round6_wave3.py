@@ -389,3 +389,80 @@ def test_benford_digit_extraction_and_spine(spark):
     assert rows[1]["expected_e6"] == BENFORD_E6[0] == 301030
     assert rows[1]["dev_e6"] == (3 * 1_000_000) // 7 - 301030
     assert sum(r["cnt"] for r in rows.values()) == 7
+
+
+# ---------------------------------------------------------------------
+# t-closeness
+# ---------------------------------------------------------------------
+
+
+def test_t_closeness_hand_case(spark):
+    from spark_extensions_spark.operators.privacy import (
+        t_closeness_classes,
+    )
+
+    # two classes over sensitive domain {a, b, c}; global: a=4, b=2,
+    # c=2 of N=8. class X = (a,a,b,c): perfectly proportional -> 0.
+    # class Y = (a,a,b,c) too; make Y skewed instead: (a,a,a,a)
+    rows = (
+        [("X", "a")] * 2 + [("X", "b"), ("X", "c")] + [("Y", "a")] * 4
+    )
+    # global: a=6, b=1, c=1, N=8
+    df = spark.createDataFrame(rows, "q string, s string")
+    got = {r["q"]: r for r in
+           t_closeness_classes(df, ["q"], "s", t_e6=200_000).collect()}
+    # class X: N_c=4. terms: |2*8-6*4|=8, |1*8-1*4|=4, |1*8-1*4|=4
+    # present_mass=8 -> absent=0; tvd_num=16, tvd_den=64 -> TVD=0.25
+    assert got["X"]["tvd_num"] == 16 and got["X"]["tvd_den"] == 64
+    assert got["X"]["t_ok"] is False  # 0.25 > 0.2
+    # class Y: |4*8-6*4|=8; absent mass=(8-6)*4=8; num=16, den=64
+    assert got["Y"]["tvd_num"] == 16 and got["Y"]["tvd_den"] == 64
+    # brute-force cross-check: TVD(Y) = .5*(|1-6/8|+|0-1/8|+|0-1/8|)
+    assert abs(16 / 64 - 0.5 * (abs(1 - 6 / 8) + 1 / 8 + 1 / 8)) < 1e-12
+
+
+def test_t_closeness_uniform_class_is_zero(spark):
+    from spark_extensions_spark.operators.privacy import (
+        t_closeness_classes,
+    )
+
+    rows = [("X", "a"), ("X", "b"), ("Y", "a"), ("Y", "b")]
+    df = spark.createDataFrame(rows, "q string, s string")
+    for r in t_closeness_classes(df, ["q"], "s").collect():
+        assert r["tvd_num"] == 0 and r["t_ok"] is True
+
+
+# ---------------------------------------------------------------------
+# Gini
+# ---------------------------------------------------------------------
+
+
+def _gini_reference(vals):
+    xs = sorted(vals)
+    n = len(xs)
+    s = sum(xs)
+    return sum((2 * (i + 1) - n - 1) * x for i, x in enumerate(xs)) / (
+        n * s
+    )
+
+
+def test_gini_matches_bruteforce_with_ties(spark):
+    from spark_extensions_spark.operators.stats import gini_exact
+
+    vals = [1, 1, 2, 3, 3, 3, 10, 50, 50, 0, 7]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    row = gini_exact(df, "v").collect()[0]
+    assert row["n"] == len(vals) and row["total"] == sum(vals)
+    assert abs(row["gini"] - _gini_reference(vals)) < 1e-12
+
+
+def test_gini_extremes(spark):
+    from spark_extensions_spark.operators.stats import gini_exact
+
+    equal = spark.createDataFrame([(5,)] * 10, "v long")
+    assert gini_exact(equal, "v").collect()[0]["gini"] == 0.0
+    # all mass on one row of n: G = (n-1)/n
+    conc = spark.createDataFrame([(0,)] * 9 + [(100,)], "v long")
+    assert abs(gini_exact(conc, "v").collect()[0]["gini"] - 0.9) < 1e-12
+    zero = spark.createDataFrame([(0,), (0,)], "v long")
+    assert gini_exact(zero, "v").collect()[0]["gini"] is None
