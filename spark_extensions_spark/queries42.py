@@ -502,3 +502,42 @@ def q_stat_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")["documents"]
     return gini_exact(docs, "n_chars")
+
+
+# =====================================================================
+# Sliding COUNT(DISTINCT) window via interval-stab algebra
+# =====================================================================
+
+_SLD_K = 10
+
+
+@_register(
+    "window_sliding_distinct",
+    f"""
+    SELECT user_id, event_id,
+           CAST(COUNT(DISTINCT event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN {_SLD_K - 1} PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS win_distinct
+    FROM events
+    """,
+    doc="SLIDING COUNT(DISTINCT event_type) over the last 10 events "
+    "per user (operators/windows.py:sliding_count_distinct) — unlike "
+    "the running form, no first-occurrence flag works for a moving "
+    "frame, so it is computed by interval-stab algebra: each "
+    "occurrence covers positions [i, min(next_pos, i+k)-1], a "
+    "difference array (+1/-1) plus one prefix sum counts the stabs. "
+    "Three per-key windows + one (key,pos) join, O(1) work per row, "
+    "no frame buffering (the collect_set emulation is O(n*k)). "
+    "The DuckDB oracle runs its NATIVE sliding distinct window — "
+    "different algorithm entirely, same hash.",
+)
+def q_window_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_extensions_spark.operators.windows import (
+        sliding_count_distinct,
+    )
+
+    ev = _t(spark, sf_dir, "events")["events"]
+    return sliding_count_distinct(
+        ev, ["user_id"], ["ts", "event_id"], "event_type", k=_SLD_K
+    ).select("user_id", "event_id", "win_distinct")

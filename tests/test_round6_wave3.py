@@ -466,3 +466,56 @@ def test_gini_extremes(spark):
     assert abs(gini_exact(conc, "v").collect()[0]["gini"] - 0.9) < 1e-12
     zero = spark.createDataFrame([(0,), (0,)], "v long")
     assert gini_exact(zero, "v").collect()[0]["gini"] is None
+
+
+# ---------------------------------------------------------------------
+# Sliding COUNT(DISTINCT)
+# ---------------------------------------------------------------------
+
+
+def test_sliding_distinct_matches_bruteforce(spark):
+    import random
+
+    from spark_extensions_spark.operators.windows import (
+        sliding_count_distinct,
+    )
+
+    rng = random.Random(11)
+    rows = [
+        (u, i, rng.choice("abcdefg"))
+        for u in range(4)
+        for i in range(60)
+    ]
+    k = 7
+    df = spark.createDataFrame(rows, "u int, seq int, t string")
+    got = {
+        (r["u"], r["seq"]): r["win_distinct"]
+        for r in sliding_count_distinct(
+            df, ["u"], ["seq"], "t", k=k
+        ).collect()
+    }
+    by_u: dict[int, list] = {}
+    for u, i, t in rows:
+        by_u.setdefault(u, []).append((i, t))
+    for u, seq in by_u.items():
+        seq.sort()
+        for j in range(len(seq)):
+            frame = {t for _, t in seq[max(0, j - k + 1) : j + 1]}
+            assert got[(u, seq[j][0])] == len(frame)
+
+
+def test_sliding_distinct_edges(spark):
+    import pytest
+
+    from spark_extensions_spark.operators.windows import (
+        sliding_count_distinct,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1, "a"), (1, 2, "a"), (1, 3, "b")], "u int, seq int, t string"
+    )
+    # k=1: every frame is a single row -> always 1
+    got = sliding_count_distinct(df, ["u"], ["seq"], "t", k=1).collect()
+    assert all(r["win_distinct"] == 1 for r in got)
+    with pytest.raises(ValueError):
+        sliding_count_distinct(df, ["u"], ["seq"], "t", k=0)
