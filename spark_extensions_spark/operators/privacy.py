@@ -240,32 +240,47 @@ def t_closeness_classes(
         tvd_den(c) = 2·N_c·N,     TVD = tvd_num / tvd_den
 
     — the absent-value fold means the sensitive DOMAIN is never
-    densified per class.  The gate compares cross-multiplied:
-    1e6·tvd_num ≤ t_e6·tvd_den.  Exact while N < ~3·10⁹ (n_cv·N must
-    fit int64); shard or lift to DECIMAL beyond.
+    densified per class.  The gate compares cross-multiplied in
+    DECIMAL(38,0) (1e6·tvd_num ≤ t_e6·tvd_den overflows int64 once
+    N_c·N > ~4.6·10¹², far below the count math's own bound — review
+    finding, round 6 wave 3).  Counts are exact while N < ~3·10⁹
+    (n_cv·N must fit int64); shard or lift to DECIMAL beyond.
+
+    NULL handling: a NULL sensitive value is a CATEGORY (its mass
+    shapes every class's distribution) and a NULL quasi value is a
+    CLASS — both computed via windows over the joint cells, whose
+    NULL keys fall into a single partition (null-safe grouping), so
+    no null-unsafe join can drop them (review finding: the original
+    equi-join silently discarded all-NULL classes from the audit).
 
     Output: one row per class ``(quasi..., class_size, tvd_num,
     tvd_den, t_ok)`` — all BIGINT + boolean.
 
     Scale shape: one (quasi, sensitive) hash aggregate over the data,
-    the sensitive-marginal table broadcast back (domain-sized), one
-    class-level aggregate.  No window, no densified grid.
+    then two PARTITIONED windows over the joint-cell table (bounded
+    by the distinct combination count) and one class-level aggregate.
+    No data-sized window, no densified grid.
     """
+    from pyspark.sql import Window
+
     joint = df.groupBy(*quasi_cols, sensitive_col).agg(
         F.count(F.lit(1)).alias("n_cv")
     )
     joint = joint.localCheckpoint(eager=False)
-    glob = joint.groupBy(sensitive_col).agg(
-        F.sum("n_cv").alias("n_v")
-    )
-    tot = glob.agg(F.sum("n_v").cast("bigint").alias("n_all"))
-    cls = joint.groupBy(*quasi_cols).agg(
-        F.sum("n_cv").alias("n_c")
+    tot = joint.agg(F.sum("n_cv").cast("bigint").alias("n_all"))
+    # marginals via PARTITIONED windows, not joins: a window partition
+    # keyed by NULL is one group, so NULL sensitive values stay a
+    # category and NULL quasi values stay a class
+    w_v = Window.partitionBy(sensitive_col)
+    w_c = Window.partitionBy(*quasi_cols)
+    marged = joint.select(
+        *quasi_cols,
+        "n_cv",
+        F.sum("n_cv").over(w_v).alias("n_v"),
+        F.sum("n_cv").over(w_c).alias("n_c"),
     )
     terms = (
-        joint.join(F.broadcast(glob), sensitive_col)
-        .join(cls, quasi_cols)
-        .crossJoin(F.broadcast(tot))
+        marged.crossJoin(F.broadcast(tot))
         .groupBy(*quasi_cols)
         .agg(
             F.first("n_c").alias("class_size"),
@@ -293,13 +308,13 @@ def t_closeness_classes(
         .cast("bigint")
         .alias("tvd_den"),
         (
-            F.lit(1_000_000)
+            F.lit(1_000_000).cast("decimal(38,0)")
             * (
                 F.col("present_num")
                 + F.col("class_size")
                 * (F.col("n_all") - F.col("present_mass"))
             )
-            <= F.lit(t_e6)
+            <= F.lit(t_e6).cast("decimal(38,0)")
             * F.lit(2)
             * F.col("class_size")
             * F.col("n_all")
@@ -321,27 +336,29 @@ def t_closeness_oracle_sql(
       SELECT {q}, {sensitive_col} AS sv, COUNT(*) AS n_cv
       FROM src GROUP BY {q}, {sensitive_col}
     ),
-    gmarg AS (SELECT sv, SUM(n_cv) AS n_v FROM joint GROUP BY sv),
-    tot AS (SELECT CAST(SUM(n_v) AS BIGINT) AS n_all FROM gmarg),
-    cls AS (SELECT {q}, SUM(n_cv) AS n_c FROM joint GROUP BY {q}),
+    tot AS (SELECT CAST(SUM(n_cv) AS BIGINT) AS n_all FROM joint),
+    marged AS (
+      SELECT {q}, n_cv,
+             SUM(n_cv) OVER (PARTITION BY sv) AS n_v,
+             SUM(n_cv) OVER (PARTITION BY {q}) AS n_c
+      FROM joint
+    ),
     terms AS (
-      SELECT {', '.join('j.' + c for c in quasi_cols)},
-             MIN(c.n_c) AS class_size,
+      SELECT {q},
+             MIN(n_c) AS class_size,
              MIN(t.n_all) AS n_all,
-             SUM(ABS(j.n_cv * t.n_all - g.n_v * c.n_c)) AS present_num,
-             SUM(g.n_v) AS present_mass
-      FROM joint j
-      JOIN gmarg g USING (sv)
-      JOIN cls c USING ({q})
-      CROSS JOIN tot t
-      GROUP BY {', '.join('j.' + c for c in quasi_cols)}
+             SUM(ABS(n_cv * t.n_all - n_v * n_c)) AS present_num,
+             SUM(n_v) AS present_mass
+      FROM marged CROSS JOIN tot t
+      GROUP BY {q}
     )
     SELECT {q},
            CAST(class_size AS BIGINT) AS class_size,
            CAST(present_num + class_size * (n_all - present_mass)
                 AS BIGINT) AS tvd_num,
            CAST(2 * class_size * n_all AS BIGINT) AS tvd_den,
-           1000000 * (present_num + class_size * (n_all - present_mass))
-             <= {t_e6} * 2 * class_size * n_all AS t_ok
+           CAST(1000000 AS HUGEINT)
+             * (present_num + class_size * (n_all - present_mass))
+             <= CAST({t_e6} AS HUGEINT) * 2 * class_size * n_all AS t_ok
     FROM terms
     """

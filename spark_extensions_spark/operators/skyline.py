@@ -77,7 +77,14 @@ def skyline_2d(
     """Rows of ``df`` on the (minimize ``x``, maximize ``y``) Pareto
     frontier. ``x`` and ``y`` must be integer-valued (bucketize /
     fixed-point continuous measures first). Preserves all input
-    columns; ties (duplicate frontier points) all survive."""
+    columns; ties (duplicate frontier points) all survive.
+
+    Rows with a NULL coordinate are EXCLUDED (dominance is undefined
+    against NULL: the window comparisons silently dropped them while
+    a NOT EXISTS oracle keeps them — review finding, round 6 wave 3 —
+    so the contract is now explicit and the oracle generator filters
+    identically)."""
+    df = df.where(F.col(x).isNotNull() & F.col(y).isNotNull())
     bucketed = df.withColumn(
         "__bkt", F.pmod(F.xxhash64(F.col(x), F.col(y)), F.lit(n_buckets))
     )
@@ -89,7 +96,10 @@ def skyline_oracle_sql(src_sql: str, x: str, y: str) -> str:
     """Independent DuckDB oracle: the literal NOT EXISTS dominance
     definition (quadratic — oracle-scale only)."""
     return f"""
-    WITH src AS ({src_sql})
+    WITH src AS (
+      SELECT * FROM ({src_sql})
+      WHERE {x} IS NOT NULL AND {y} IS NOT NULL
+    )
     SELECT * FROM src p
     WHERE NOT EXISTS (
       SELECT 1 FROM src q

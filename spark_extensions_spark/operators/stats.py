@@ -1169,8 +1169,9 @@ def spearman_rho(df: DataFrame, x: str, y: str) -> DataFrame:
 
     over the joint-domain cells — no mean-subtraction residue, no
     global sort, and the factor-of-2 cancels.  Sums run in
-    DECIMAL(38,0) (they reach ~n³/3, past int64 near n ≈ 3·10⁷);
-    per-term products stay within int64 while n < 2³¹.  The single
+    DECIMAL(38,0)/HUGEINT for the PRODUCTS too, not just the sums — a
+    single term c·ux·uy can reach ~4n³/27, past int64 near n ≈ 4·10⁶,
+    while the sums reach ~n³/3.  The single
     double expression divides by a correctly-rounded sqrt, the
     cohen_kappa contract.  Degenerate inputs (a constant column)
     emit NULL rho.
@@ -1221,22 +1222,15 @@ def spearman_rho(df: DataFrame, x: str, y: str) -> DataFrame:
             (F.col("r2y") - (F.col("n") + 1)).alias("uy"),
         )
     )
+    # cast the FIRST operand to decimal so every product runs in
+    # decimal arithmetic — (cnt*ux*uy).cast(decimal) would multiply in
+    # int64 first and overflow per-TERM near n~4e6, far below the
+    # decimal sum's capacity (review finding, round 6 wave 3)
+    cdec = F.col("cnt").cast("decimal(38,0)")
     agg = joined.groupBy("n").agg(
-        F.sum(
-            (F.col("cnt") * F.col("ux") * F.col("uy")).cast(
-                "decimal(38,0)"
-            )
-        ).alias("sxy"),
-        F.sum(
-            (F.col("cnt") * F.col("ux") * F.col("ux")).cast(
-                "decimal(38,0)"
-            )
-        ).alias("sxx"),
-        F.sum(
-            (F.col("cnt") * F.col("uy") * F.col("uy")).cast(
-                "decimal(38,0)"
-            )
-        ).alias("syy"),
+        F.sum(cdec * F.col("ux") * F.col("uy")).alias("sxy"),
+        F.sum(cdec * F.col("ux") * F.col("ux")).alias("sxx"),
+        F.sum(cdec * F.col("uy") * F.col("uy")).alias("syy"),
     )
     return agg.select(
         F.col("n").cast("bigint").alias("n"),
@@ -1283,9 +1277,9 @@ def spearman_oracle_sql(src_sql: str, x: str, y: str) -> str:
       CROSS JOIN nn
     ),
     agg AS (
-      SELECT n, SUM(cnt * ux * uy) AS sxy,
-             SUM(cnt * ux * ux) AS sxx,
-             SUM(cnt * uy * uy) AS syy
+      SELECT n, SUM(CAST(cnt AS HUGEINT) * ux * uy) AS sxy,
+             SUM(CAST(cnt AS HUGEINT) * ux * ux) AS sxx,
+             SUM(CAST(cnt AS HUGEINT) * uy * uy) AS syy
       FROM terms GROUP BY n
     )
     SELECT CAST(n AS BIGINT) AS n,
@@ -1344,16 +1338,18 @@ def gini_exact(df: DataFrame, value_col: str) -> DataFrame:
     agg = ranked.crossJoin(F.broadcast(tot)).agg(
         F.first("n").alias("n"),
         F.first("total").alias("total"),
+        # decimal-cast the first operand so the PRODUCT runs in
+        # decimal — casting only the result would overflow int64
+        # per-term in exactly the large-corpus regime the decimal
+        # accumulator exists for (review finding, round 6 wave 3)
         F.sum(
-            (
-                F.col("v")
-                * F.col("cnt")
-                * (
-                    F.lit(2) * F.col("below")
-                    + F.col("cnt")
-                    - F.col("n")
-                )
-            ).cast("decimal(38,0)")
+            F.col("v").cast("decimal(38,0)")
+            * F.col("cnt")
+            * (
+                F.lit(2) * F.col("below")
+                + F.col("cnt")
+                - F.col("n")
+            )
         ).alias("num"),
     )
     return agg.select(
@@ -1361,8 +1357,13 @@ def gini_exact(df: DataFrame, value_col: str) -> DataFrame:
         F.col("total").cast("bigint").alias("total"),
         F.when(
             F.col("total") > 0,
+            # the denominator n*total also multiplies in decimal —
+            # int64 overflows near n*total ~ 9.2e18 (same review
+            # finding); decimal->double is correctly rounded
             F.col("num").cast("double")
-            / (F.col("n") * F.col("total")).cast("double"),
+            / (
+                F.col("n").cast("decimal(38,0)") * F.col("total")
+            ).cast("double"),
         ).alias("gini"),
     )
 
@@ -1390,13 +1391,14 @@ def gini_oracle_sql(src_sql: str, value_col: str) -> str:
     ),
     agg AS (
       SELECT MIN(n) AS n, MIN(total) AS total,
-             SUM(v * cnt * (2 * below + cnt - n)) AS num
+             SUM(CAST(v AS HUGEINT) * cnt * (2 * below + cnt - n)) AS num
       FROM ranked CROSS JOIN tot
     )
     SELECT CAST(n AS BIGINT) AS n,
            CAST(total AS BIGINT) AS total,
            CASE WHEN total > 0 THEN
-             CAST(num AS DOUBLE) / CAST(n * total AS DOUBLE)
+             CAST(num AS DOUBLE)
+               / CAST(CAST(n AS HUGEINT) * total AS DOUBLE)
            END AS gini
     FROM agg
     """

@@ -367,14 +367,20 @@ def decompose_additive(
         raise ValueError("period must be odd for a centered ROWS window")
     half = period // 2
     # bounded input: one row per DISTINCT date (domain-sized, same
-    # contract as the ks_statistic domain sort)
-    w = Window.orderBy(date_col).rowsBetween(-half, half)
+    # contract as the ks_statistic domain sort). NB: the window runs
+    # over ``base`` where the date column is renamed to "d" — ordering
+    # by the caller's name breaks resolution for date_col != "d"
+    # (review finding, round 6 wave 3)
+    w = Window.orderBy("d").rowsBetween(-half, half)
     base = daily.select(
         F.col(date_col).alias("d"),
         F.col(value_col).cast("bigint").alias("v"),
+        # pmod, not %: dividend-sign modulo would split a season
+        # position into two groups for dates BEFORE the anchor
+        # (review finding, round 6 wave 3)
         F.expr(
-            f"cast(datediff({date_col}, date'{anchor}') as bigint)"
-            f" % {period}"
+            f"pmod(cast(datediff({date_col}, date'{anchor}') as bigint),"
+            f" {period})"
         ).alias("pos"),
     )
     with_trend = base.select(
@@ -437,9 +443,9 @@ def decompose_oracle_sql(
     base AS (
       SELECT {date_col} AS d,
              CAST({value_col} AS BIGINT) AS v,
-             CAST(date_diff('day', DATE '{anchor}',
-                            CAST({date_col} AS DATE)) AS BIGINT)
-               % {period} AS pos
+             ((CAST(date_diff('day', DATE '{anchor}',
+                             CAST({date_col} AS DATE)) AS BIGINT)
+                % {period}) + {period}) % {period} AS pos
       FROM daily
     ),
     wt AS (
@@ -479,7 +485,9 @@ def cusum_changepoint(
 
     With n observations, total S and prefix sums P_k, the centered
     cumulative sum at position k is P_k − k·(S/n); scaling by n keeps
-    it exact:  C_k = n·P_k − k·S  (BIGINT — no division, no floats).
+    it exact:  C_k = n·P_k − k·S  (BIGINT — no division, no floats;
+    exact while n·S < 2⁶³ ≈ 9.2·10¹⁸ — e.g. 10⁵ dates × 10¹³ total —
+    lift to DECIMAL beyond, the spearman/gini recipe).
     The most likely single change-point is argmax |C_k| (Page 1954 /
     Pettitt's ties to the rank form); ties break to the earliest
     date so the answer is deterministic.

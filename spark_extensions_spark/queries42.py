@@ -341,9 +341,13 @@ def q_window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.withColumn(
             "__first",
-            F.when(F.row_number().over(w_first) == 1, F.lit(1)).otherwise(
-                F.lit(0)
-            ),
+            # NULL types are excluded (SQL COUNT(DISTINCT) semantics;
+            # the oracle's native distinct window skips NULLs too)
+            F.when(
+                F.col("event_type").isNotNull()
+                & (F.row_number().over(w_first) == 1),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
         )
         .select(
             "user_id",

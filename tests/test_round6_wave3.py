@@ -519,3 +519,117 @@ def test_sliding_distinct_edges(spark):
     assert all(r["win_distinct"] == 1 for r in got)
     with pytest.raises(ValueError):
         sliding_count_distinct(df, ["u"], ["seq"], "t", k=0)
+
+
+# ---------------------------------------------------------------------
+# Review-fix regressions (round-6 wave-3 code review)
+# ---------------------------------------------------------------------
+
+
+def test_gini_huge_values_no_int64_overflow(spark):
+    """Per-term v*cnt*(2B+cnt-n) must multiply in DECIMAL: with
+    v ~ 5e17 the int64 product overflows (ANSI Spark throws)."""
+    from spark_extensions_spark.operators.stats import gini_exact
+
+    vals = [500_000_000_000_000_000] * 3 + [100_000_000_000_000_000] * 7
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    row = gini_exact(df, "v").collect()[0]
+    assert abs(row["gini"] - _gini_reference(vals)) < 1e-12
+
+
+def test_decompose_custom_column_names(spark):
+    """The trend window must order by the RENAMED column, not the
+    caller's name (resolution broke for date_col != 'd')."""
+    import datetime as dt
+
+    from spark_extensions_spark.operators.timeseries import (
+        decompose_additive,
+    )
+
+    base = dt.date(1993, 5, 1)
+    rows = [
+        (base + dt.timedelta(days=i), 10 + (i % 3)) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "order_date date, cnt long")
+    out = decompose_additive(df, "order_date", "cnt", period=7).collect()
+    assert len(out) == 10  # resolves and runs
+
+
+def test_decompose_pre_anchor_dates_positive_pos(spark):
+    """pmod, not %: dates BEFORE the anchor must land in the same
+    0..period-1 position space as dates after it."""
+    import datetime as dt
+
+    from spark_extensions_spark.operators.timeseries import (
+        decompose_additive,
+    )
+
+    base = dt.date(1991, 12, 20)  # before the 1992-01-01 anchor
+    rows = [(base + dt.timedelta(days=i), 5) for i in range(21)]
+    df = spark.createDataFrame(rows, "d date, v long")
+    got = decompose_additive(df, "d", "v", period=7).collect()
+    poses = {r["pos"] for r in got}
+    assert poses == set(range(7))
+    assert all(0 <= r["pos"] < 7 for r in got)
+
+
+def test_sliding_distinct_excludes_nulls(spark):
+    from spark_extensions_spark.operators.windows import (
+        sliding_count_distinct,
+    )
+
+    rows = [
+        (1, 1, None), (1, 2, "a"), (1, 3, None), (1, 4, "b"),
+        (1, 5, "a"), (1, 6, None),
+    ]
+    df = spark.createDataFrame(rows, "u int, seq int, t string")
+    got = {
+        r["seq"]: r["win_distinct"]
+        for r in sliding_count_distinct(df, ["u"], ["seq"], "t", k=3).collect()
+    }
+    # frames (k=3): {N}=0, {N,a}=1, {N,a,N}=1, {a,N,b}=2, {N,b,a}=2,
+    # {b,a,N}=2 — NULLs never counted, NULL rows still present
+    assert got == {1: 0, 2: 1, 3: 1, 4: 2, 5: 2, 6: 2}
+
+
+def test_skyline_null_coordinates_excluded(spark):
+    from spark_extensions_spark.operators.skyline import skyline_2d
+
+    pts = [(1, 10), (None, 99), (2, None), (0, 3)]
+    df = spark.createDataFrame(pts, "x int, y int")
+    got = sorted(
+        (r["x"], r["y"]) for r in skyline_2d(df, "x", "y").collect()
+    )
+    assert got == [(0, 3), (1, 10)]
+
+
+def test_t_closeness_null_sensitive_is_a_category(spark):
+    from spark_extensions_spark.operators.privacy import (
+        t_closeness_classes,
+    )
+
+    # class X is ALL-NULL sensitive; the old equi-join dropped it
+    rows = [("X", None), ("X", None), ("Y", "a"), ("Y", None)]
+    df = spark.createDataFrame(rows, "q string, s string")
+    got = {r["q"]: r for r in
+           t_closeness_classes(df, ["q"], "s").collect()}
+    assert set(got) == {"X", "Y"}
+    # global: NULL=3, a=1 of N=4. class X (2 rows, all NULL):
+    # |2*4-3*2|=2, absent a: 1*2=2 -> num=4, den=16 -> TVD=0.25
+    assert got["X"]["tvd_num"] == 4 and got["X"]["tvd_den"] == 16
+    # class Y (a=1, NULL=1): |1*4-1*2| + |1*4-3*2| = 2+2 -> num 4
+    assert got["Y"]["tvd_num"] == 4 and got["Y"]["tvd_den"] == 16
+    # brute-force: TVD(X) = .5*(|1-3/4| + |0-1/4|) = .25
+    assert abs(4 / 16 - 0.25) < 1e-15
+
+
+def test_t_closeness_null_quasi_is_a_class(spark):
+    from spark_extensions_spark.operators.privacy import (
+        t_closeness_classes,
+    )
+
+    rows = [(None, "a"), (None, "b"), ("Q", "a")]
+    df = spark.createDataFrame(rows, "q string, s string")
+    got = t_closeness_classes(df, ["q"], "s").collect()
+    assert len(got) == 2
+    assert any(r["q"] is None and r["class_size"] == 2 for r in got)
