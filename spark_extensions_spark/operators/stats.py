@@ -218,8 +218,17 @@ def tvd_oracle_sql(table: str, bucket_col: str, split_sql: str) -> str:
 # ---------------------------------------------------------------------
 
 
+def _ident(cat: str) -> str:
+    """Category value -> identifier-safe alias fragment (cats like
+    '1-URGENT' would otherwise break the generated SQL)."""
+    import re
+
+    return re.sub(r"[^A-Za-z0-9]", "_", cat)
+
+
 def _chi2_term(a: str, b: str) -> str:
     """One cell's (o - e)^2 / e with e = r*c/n, fixed textual order."""
+    a, b = _ident(a), _ident(b)
     o, r, c = f"o_{a}_{b}", f"r_{a}", f"c_{b}"
     return (
         f"(({o} - {r} * {c} / n) * ({o} - {r} * {c} / n) / ({r} * {c} / n))"
@@ -240,14 +249,14 @@ def chi2_exprs(
     for a in cats_x:
         aggs.append(
             (
-                f"r_{a}",
+                f"r_{_ident(a)}",
                 f"CAST(COUNT(*) FILTER (WHERE {col_x} = '{a}') AS DOUBLE)",
             )
         )
     for b in cats_y:
         aggs.append(
             (
-                f"c_{b}",
+                f"c_{_ident(b)}",
                 f"CAST(COUNT(*) FILTER (WHERE {col_y} = '{b}') AS DOUBLE)",
             )
         )
@@ -255,7 +264,7 @@ def chi2_exprs(
         for b in cats_y:
             aggs.append(
                 (
-                    f"o_{a}_{b}",
+                    f"o_{_ident(a)}_{_ident(b)}",
                     f"CAST(COUNT(*) FILTER (WHERE {col_x} = '{a}' "
                     f"AND {col_y} = '{b}') AS DOUBLE)",
                 )
@@ -1401,4 +1410,190 @@ def gini_oracle_sql(src_sql: str, value_col: str) -> str:
                / CAST(CAST(n AS HUGEINT) * total AS DOUBLE)
            END AS gini
     FROM agg
+    """
+
+
+# ---------------------------------------------------------------------
+# Cramér's V — chi-squared effect size on the same fixed-order terms
+# ---------------------------------------------------------------------
+
+def cramers_v(
+    df: DataFrame,
+    col_x: str,
+    cats_x: list[str],
+    col_y: str,
+    cats_y: list[str],
+) -> DataFrame:
+    """Cramér's V effect size: V = sqrt(chi² / (n·min(r−1, c−1))).
+
+    Chi-squared alone grows with n — at corpus scale EVERYTHING is
+    "significant"; V is the scale-free association strength a drift
+    gate can threshold.  Reuses :func:`chi2_exprs`'s fixed-textual-
+    order terms; the extra math is one division and one correctly-
+    rounded sqrt, so the value stays engine-portable.
+
+    Output: one row ``(v double, chi2 double, dof bigint, n bigint)``.
+    """
+    aggs, formula = chi2_exprs(col_x, cats_x, col_y, cats_y)
+    row = df.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        *[F.expr(sql).alias(alias) for alias, sql in aggs],
+    )
+    dof = (len(cats_x) - 1) * (len(cats_y) - 1)
+    kmin = min(len(cats_x) - 1, len(cats_y) - 1)
+    return row.select(
+        F.expr(f"sqrt(({formula}) / (n * {kmin}))").alias("v"),
+        F.expr(formula).alias("chi2"),
+        F.lit(dof).cast("bigint").alias("dof"),
+        F.col("n").cast("bigint").alias("n"),
+    )
+
+
+def cramers_v_oracle_sql(
+    table: str,
+    col_x: str,
+    cats_x: list[str],
+    col_y: str,
+    cats_y: list[str],
+) -> str:
+    """DuckDB twin of :func:`cramers_v` (same textual formula)."""
+    aggs, formula = chi2_exprs(col_x, cats_x, col_y, cats_y)
+    agg_sql = ", ".join(f"{sql} AS {alias}" for alias, sql in aggs)
+    dof = (len(cats_x) - 1) * (len(cats_y) - 1)
+    kmin = min(len(cats_x) - 1, len(cats_y) - 1)
+    return f"""
+    WITH cells AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n, {agg_sql} FROM {table}
+    )
+    SELECT sqrt(({formula}) / (n * {kmin})) AS v,
+           {formula} AS chi2,
+           CAST({dof} AS BIGINT) AS dof,
+           CAST(n AS BIGINT) AS n
+    FROM cells
+    """
+
+
+# ---------------------------------------------------------------------
+# Lorenz curve points, exact by tie-block interpolation on the domain
+# ---------------------------------------------------------------------
+
+def lorenz_points(
+    df: DataFrame, value_col: str, n_bands: int = 10
+) -> DataFrame:
+    """Exact Lorenz curve L(k/B) for k = 1..B over a nonnegative
+    INTEGER measure — the curve behind :func:`gini_exact` ("the
+    poorest p of documents hold L(p) of the tokens").
+
+    For band k the boundary sits at row n_k = ⌊n·k/B⌋ of the sorted
+    data.  That row falls inside ONE tie block of the value DOMAIN,
+    and every row in a block carries the same value v, so the
+    cumulative mass at the boundary is EXACT without sorting rows:
+
+        L_num(k) = mass_below(block) + (n_k − rows_below(block))·v
+        L_den    = total mass
+
+    Output: B rows ``(band, n_k, l_num, l_den)`` — all BIGINT; the
+    share is l_num/l_den downstream.  Bands whose boundary is row 0
+    report 0 mass.  Same scale shape as gini_exact: one hash
+    aggregate to the domain, one domain-sized cumulative window, the
+    B-row band spine broadcast onto it.
+    """
+    spark = df.sparkSession
+    cells = (
+        df.select(F.col(value_col).cast("bigint").alias("v"))
+        .where(F.col("v").isNotNull())
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cells = cells.localCheckpoint(eager=False)
+    tot = cells.agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.sum(
+            F.col("v").cast("decimal(38,0)") * F.col("cnt")
+        ).cast("decimal(38,0)").alias("total"),
+    )
+    # bounded input: one row per DISTINCT value (domain-sized)
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = cells.select(
+        "v",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("rows_below"),
+        F.coalesce(
+            F.sum(
+                F.col("v").cast("decimal(38,0)") * F.col("cnt")
+            ).over(w),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("mass_below"),
+    )
+    bands = spark.range(1, n_bands + 1).select(
+        F.col("id").cast("int").alias("band")
+    )
+    joined = F.broadcast(bands).crossJoin(F.broadcast(tot)).join(
+        ranked,
+        (
+            (F.col("rows_below") < F.expr(f"(n * band) div {n_bands}"))
+            & (
+                F.expr(f"(n * band) div {n_bands}")
+                <= F.col("rows_below") + F.col("cnt")
+            )
+        ),
+        "left",
+    )
+    return joined.select(
+        "band",
+        F.expr(f"(n * band) div {n_bands}")
+        .cast("bigint")
+        .alias("n_k"),
+        F.coalesce(
+            F.col("mass_below")
+            + (
+                F.expr(f"(n * band) div {n_bands}") - F.col("rows_below")
+            ).cast("decimal(38,0)")
+            * F.col("v"),
+            F.lit(0).cast("decimal(38,0)"),
+        )
+        .cast("bigint")
+        .alias("l_num"),
+        F.col("total").cast("bigint").alias("l_den"),
+    ).orderBy("band")
+
+
+def lorenz_oracle_sql(
+    src_sql: str, value_col: str, n_bands: int = 10
+) -> str:
+    """DuckDB twin of :func:`lorenz_points`."""
+    return f"""
+    WITH src AS ({src_sql}),
+    cells AS (
+      SELECT CAST({value_col} AS BIGINT) AS v, COUNT(*) AS cnt
+      FROM src WHERE {value_col} IS NOT NULL
+      GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+             SUM(CAST(v AS HUGEINT) * cnt) AS total
+      FROM cells
+    ),
+    ranked AS (
+      SELECT v, cnt,
+             COALESCE(SUM(cnt) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS rows_below,
+             COALESCE(SUM(CAST(v AS HUGEINT) * cnt) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS mass_below
+      FROM cells
+    ),
+    bands AS (SELECT UNNEST(generate_series(1, {n_bands})) AS band)
+    SELECT band,
+           CAST((n * band) // {n_bands} AS BIGINT) AS n_k,
+           CAST(COALESCE(
+             mass_below + ((n * band) // {n_bands} - rows_below) * v,
+             0) AS BIGINT) AS l_num,
+           CAST(total AS BIGINT) AS l_den
+    FROM bands CROSS JOIN tot
+    LEFT JOIN ranked
+      ON rows_below < (n * band) // {n_bands}
+     AND (n * band) // {n_bands} <= rows_below + cnt
+    ORDER BY band
     """

@@ -545,3 +545,7 @@ def q_window_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sliding_count_distinct(
         ev, ["user_id"], ["ts", "event_id"], "event_type", k=_SLD_K
     ).select("user_id", "event_id", "win_distinct")
+
+
+# batch 43 registers at import time, same chain as queries41 -> 42
+from spark_extensions_spark import queries43  # noqa: E402,F401  (registration side effect)

@@ -1,0 +1,115 @@
+"""t2 query registry, batch 43: effect size, Lorenz curve, streaming
+running distinct.
+
+Registered into the shared registry (imported from queries42 at module
+end). Same determinism rules as the queries.py docstring.
+
+- ``stat_cramers_v``: chi-squared effect size — the scale-free
+  association strength (chi² alone grows with n, so at corpus scale
+  everything is "significant"); reuses the fixed-textual-order chi²
+  terms plus one correctly-rounded sqrt.
+- ``analytic_lorenz``: exact Lorenz curve deciles behind stat_gini —
+  tie-block interpolation on the value domain, no row sort, all
+  BIGINT outputs.
+- ``streaming_running_distinct``: stateful streaming twin of the
+  batch running COUNT(DISTINCT) window — per-key seen-value set in
+  the state store (bounded by the value DOMAIN, not the event
+  count), sharing the batch query's DuckDB oracle VERBATIM.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_extensions_spark.operators.stats import (
+    cramers_v_oracle_sql,
+    lorenz_oracle_sql,
+)
+from spark_extensions_spark.queries import _register, _t
+
+_CV_X = ["O", "F", "P"]
+_CV_Y = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+@_register(
+    "stat_cramers_v",
+    cramers_v_oracle_sql(
+        "orders", "o_orderstatus", _CV_X, "o_orderpriority", _CV_Y
+    ),
+    doc="Cramér's V effect size over the orderstatus × orderpriority "
+    "contingency table (operators/stats.py:cramers_v): "
+    "V = sqrt(chi²/(n·min(r−1,c−1))) — the scale-free association "
+    "strength a 100 TB drift gate can threshold where raw chi² "
+    "cannot (it grows with n). Same one-aggregate-row plan and "
+    "fixed-textual-order terms as stat_chi_squared; the extra math "
+    "is one division + one correctly-rounded sqrt, engine-portable.",
+)
+def q_stat_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_extensions_spark.operators.stats import cramers_v
+
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    return cramers_v(
+        orders, "o_orderstatus", _CV_X, "o_orderpriority", _CV_Y
+    )
+
+
+@_register(
+    "analytic_lorenz",
+    lorenz_oracle_sql("SELECT n_chars FROM documents", "n_chars", 10),
+    doc="Exact Lorenz curve deciles of document lengths "
+    "(operators/stats.py:lorenz_points) — the curve behind stat_gini "
+    "('the shortest 30% of documents hold L(0.3) of the characters'). "
+    "Band boundaries fall inside ONE tie block of the value domain, "
+    "where every row carries the same value, so each cumulative mass "
+    "is an exact BIGINT without any row-level sort: one hash "
+    "aggregate, one domain-sized cumulative window, a 10-row band "
+    "spine broadcast on. The concentration audit a data-mixing "
+    "policy reads before capping domains.",
+)
+def q_analytic_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_extensions_spark.operators.stats import lorenz_points
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return lorenz_points(docs, "n_chars", n_bands=10)
+
+
+@_register(
+    "streaming_running_distinct",
+    """
+    SELECT user_id, event_id,
+           CAST(COUNT(DISTINCT event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS run_types
+    FROM events
+    """,
+    doc="STREAMING running COUNT(DISTINCT event_type) per user "
+    "(streaming/stateful.py:running_distinct_state, "
+    "applyInPandasWithState): per-key state is the seen-type SET — "
+    "bounded by the type DOMAIN, not the event count — emitted as "
+    "one row per event over an availableNow replay. Shares the "
+    "batch window form's DuckDB oracle VERBATIM (the state machine "
+    "is hash-equal to both the batch first-occurrence algebra AND "
+    "DuckDB's native distinct window), the strongest equivalence "
+    "the harness expresses.",
+)
+def q_streaming_running_distinct(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from spark_extensions_spark.queries2 import _events_stream_path
+    from spark_extensions_spark.streaming import (
+        read_stream_parquet,
+        run_available_now,
+    )
+    from spark_extensions_spark.streaming.stateful import (
+        running_distinct_state,
+    )
+
+    stream = read_stream_parquet(
+        spark, _events_stream_path(spark, sf_dir)
+    ).select("user_id", "event_id", "ts", "event_type")
+    out = running_distinct_state(
+        stream, "user_id", "ts", "event_id", "event_type"
+    )
+    return run_available_now(out, output_mode="append", state_partitions=8)

@@ -293,3 +293,74 @@ def pattern_match_state(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def running_distinct_state(
+    stream: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Streaming running COUNT(DISTINCT ``value_col``) per key — the
+    stateful twin of the batch first-occurrence-flag window
+    (``queries42.py:q_window_running_distinct``), emitting one row per
+    input event with the distinct count up to and including it.
+
+    State per key is the SET of seen values, serialized as one
+    unit-separator-joined sorted string — bounded by the per-key value
+    DOMAIN (event types, languages, ...), not the event count; this is
+    the streaming analogue of the batch operator's "distinct window
+    aggregates don't exist in Spark" workaround.  NULL values are
+    excluded from the count (SQL COUNT(DISTINCT) semantics, matching
+    the batch form and the DuckDB oracle), but NULL rows still emit.
+
+    Rows must arrive in event-time order per key across micro-batches
+    (the Kafka-partition / availableNow-replay contract shared by
+    :func:`ewma_state` / :func:`pattern_match_state`).
+    """
+    key_field = stream.select(key_col).schema.fields[0]
+    id_field = stream.select(id_col).schema.fields[0]
+    out_schema = StructType()
+    out_schema.add(key_field.name, key_field.dataType, True)
+    out_schema.add(id_field.name, id_field.dataType, True)
+    out_schema.add("run_types", "long", True)
+
+    state_schema = StructType()
+    state_schema.add("seen", "string", True)
+
+    SEP = "\x1f"
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (blob,) = state.get if state.exists else ("",)
+        seen = set(blob.split(SEP)) if blob else set()
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values([ts_col, id_col])
+        out = []
+        for row in batch.itertuples(index=False):
+            v = getattr(row, value_col)
+            if v is not None and not (isinstance(v, float) and v != v):
+                seen.add(str(v))
+            out.append(
+                {
+                    key_field.name: key[0],
+                    id_field.name: getattr(row, id_col),
+                    "run_types": len(seen),
+                }
+            )
+        state.update((SEP.join(sorted(seen)),))
+        yield pd.DataFrame(out, columns=[
+            key_field.name, id_field.name, "run_types",
+        ])
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

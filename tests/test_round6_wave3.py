@@ -633,3 +633,141 @@ def test_t_closeness_null_quasi_is_a_class(spark):
     got = t_closeness_classes(df, ["q"], "s").collect()
     assert len(got) == 2
     assert any(r["q"] is None and r["class_size"] == 2 for r in got)
+
+
+# ---------------------------------------------------------------------
+# Cramér's V
+# ---------------------------------------------------------------------
+
+
+def test_cramers_v_hand_case(spark):
+    from spark_extensions_spark.operators.stats import cramers_v
+
+    # 2x2 table: perfect association -> V = 1
+    rows = [("a", "x")] * 5 + [("b", "y")] * 5
+    df = spark.createDataFrame(rows, "u string, w string")
+    r = cramers_v(df, "u", ["a", "b"], "w", ["x", "y"]).collect()[0]
+    assert abs(r["v"] - 1.0) < 1e-12 and r["dof"] == 1
+    # independence -> V = 0
+    rows = [("a", "x"), ("a", "y"), ("b", "x"), ("b", "y")] * 3
+    df = spark.createDataFrame(rows, "u string, w string")
+    r = cramers_v(df, "u", ["a", "b"], "w", ["x", "y"]).collect()[0]
+    assert abs(r["v"]) < 1e-12
+
+
+def test_cramers_v_identifier_unsafe_categories(spark):
+    """Category values like '1-URGENT' must not break the generated
+    aliases (review of the first verify failure)."""
+    from spark_extensions_spark.operators.stats import cramers_v
+
+    rows = [("1-URGENT", "A B"), ("2-HIGH", "C/D"), ("1-URGENT", "C/D")]
+    df = spark.createDataFrame(rows, "u string, w string")
+    r = cramers_v(
+        df, "u", ["1-URGENT", "2-HIGH"], "w", ["A B", "C/D"]
+    ).collect()[0]
+    assert r["n"] == 3 and r["dof"] == 1
+
+
+# ---------------------------------------------------------------------
+# Lorenz curve
+# ---------------------------------------------------------------------
+
+
+def _lorenz_reference(vals, n_bands):
+    xs = sorted(vals)
+    n, total = len(xs), sum(xs)
+    out = []
+    for k in range(1, n_bands + 1):
+        n_k = (n * k) // n_bands
+        out.append((k, n_k, sum(xs[:n_k]), total))
+    return out
+
+
+def test_lorenz_matches_bruteforce_with_ties(spark):
+    from spark_extensions_spark.operators.stats import lorenz_points
+
+    vals = [1, 1, 1, 2, 3, 3, 10, 10, 10, 10, 50, 0, 7]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = [
+        (r["band"], r["n_k"], r["l_num"], r["l_den"])
+        for r in lorenz_points(df, "v", n_bands=10)
+        .orderBy("band")
+        .collect()
+    ]
+    assert got == _lorenz_reference(vals, 10)
+
+
+def test_lorenz_final_band_is_total(spark):
+    from spark_extensions_spark.operators.stats import lorenz_points
+
+    vals = [5, 5, 5, 5]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    rows = {r["band"]: r for r in lorenz_points(df, "v", 4).collect()}
+    assert rows[4]["l_num"] == rows[4]["l_den"] == 20
+    # uniform values -> Lorenz is the diagonal: L(k/4) = k/4
+    for k in range(1, 5):
+        assert rows[k]["l_num"] * 4 == rows[k]["l_den"] * k
+
+
+# ---------------------------------------------------------------------
+# Streaming running distinct: cross-batch state carry
+# ---------------------------------------------------------------------
+
+
+def test_streaming_running_distinct_state_carries(spark, tmp_path):
+    import datetime as _dt
+    import os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_extensions_spark.streaming import (
+        read_stream_parquet,
+        run_available_now,
+    )
+    from spark_extensions_spark.streaming.stateful import (
+        running_distinct_state,
+    )
+
+    def pd_ts(s):
+        return _dt.datetime.fromisoformat(s).replace(
+            tzinfo=_dt.timezone.utc
+        )
+
+    rows1 = [(1, 1, "2024-01-01T00:00:00", "view"),
+             (1, 2, "2024-01-01T00:00:01", "click")]
+    rows2 = [(1, 3, "2024-01-01T00:00:02", "view"),
+             (1, 4, "2024-01-01T00:00:03", "purchase")]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def write(rows, name, mtime):
+        tbl = pa.table({
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_id": pa.array([r[1] for r in rows], pa.int64()),
+            "ts": pa.array([pd_ts(r[2]) for r in rows],
+                           pa.timestamp("us", tz="UTC")),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+        })
+        p = os.path.join(src, name)
+        pq.write_table(tbl, p)
+        os.utime(p, (mtime, mtime))
+
+    now = _time.time()
+    write(rows1, "b0.parquet", now - 60)
+    write(rows2, "b1.parquet", now + 60)
+    schema = spark.read.parquet(src).schema
+    stream = read_stream_parquet(
+        spark, src, schema, max_files_per_trigger=1
+    ).select("user_id", "event_id", "ts", "event_type")
+    out = running_distinct_state(
+        stream, "user_id", "ts", "event_id", "event_type"
+    )
+    got = {
+        r["event_id"]: r["run_types"]
+        for r in run_available_now(out, output_mode="append").collect()
+    }
+    # batch 1's first 'view' is NOT new (seen in batch 0) -> state
+    # carried; 'purchase' IS new
+    assert got == {1: 1, 2: 2, 3: 2, 4: 3}

@@ -507,8 +507,48 @@ def _shape_setop_agg(rng: random.Random) -> str:
     )
 
 
+def _shape_outer_join(rng: random.Random) -> str:
+    # LEFT/FULL outer joins with an extra ON-clause predicate on the
+    # inner side — the ON-vs-WHERE placement semantics (filter before
+    # vs after null-extension) are a classic cross-engine divergence
+    # area; COUNT(col) vs COUNT(*) exercises NULL-skipping aggregation
+    lname, rname, lk, rk = rng.choice(JOINS)
+    lt, rt = TABLES[lname], TABLES[rname]
+    on_pred = _pred(rng, rt, 1, "r")
+    where_pred = _pred(rng, lt, 1, "l")
+    full = rng.random() < 0.35
+    op = "FULL OUTER JOIN" if full else "LEFT JOIN"
+    if rng.random() < 0.5:
+        # projection form: coalesce the nullable side
+        cols = [
+            f"COALESCE(l.{lk}, {rng.randint(-9, -1)}) AS k0"
+            if full
+            else f"l.{lk} AS k0",
+            f"COALESCE({_int_expr(rng, rt, 1, 'r')},"
+            f" {rng.randint(-99, 99)}) AS c1",
+            f"(CASE WHEN r.{rk} IS NULL THEN 0 ELSE 1 END) AS c2",
+        ]
+        where = "" if full else f" WHERE {where_pred}"
+        return (
+            f"SELECT {', '.join(cols)} FROM {lname} l "
+            f"{op} {rname} r ON l.{lk} = r.{rk} AND {on_pred}{where}"
+        )
+    # aggregate form: NULL-skipping COUNT(col) vs COUNT(*)
+    g = _group_key(rng, lt, "l") if not full else f"(l.{lk} % 5)"
+    where = "" if full else f" WHERE {where_pred}"
+    return (
+        f"SELECT {g} AS g0, CAST(COUNT(*) AS BIGINT) AS a0, "
+        f"CAST(COUNT(r.{rk}) AS BIGINT) AS a1, "
+        f"MIN(r.{rk}) AS a2 "
+        f"FROM {lname} l {op} {rname} r "
+        f"ON l.{lk} = r.{rk} AND {on_pred}{where} "
+        f"GROUP BY {g}"
+    )
+
+
 SHAPES = [
-    (_shape_filter_project, 0.16),
+    (_shape_filter_project, 0.12),
+    (_shape_outer_join, 0.04),
     (_shape_group_agg, 0.15),
     (_shape_join_agg, 0.13),
     (_shape_join_project, 0.10),
