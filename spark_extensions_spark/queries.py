@@ -112,7 +112,9 @@ _PRIORITY: tuple[str, ...] = (
     "udtf_word_pos",
     "multimodal_phash",
     "stat_psi",
-    "retrieval_prf",
+    # round-6 wave rotation: retrieval_prf out (retrieval keeps rrf),
+    # the never-graded privacy family in
+    "privacy_t_closeness",
     "ann_bruteforce",
     "text_contamination",
     "quality_rules",
@@ -121,10 +123,14 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_decode",
     # round-2 second-half families (one flagship each)
     "stat_ks_test",
-    "stat_linreg",
+    # round-6 wave rotation: stat_linreg out (stats keeps psi + ks),
+    # the sliding-distinct window algebra in
+    "window_sliding_distinct",
     "ts_anomaly",
     "graph_triangles",
-    "text_collocations",
+    # round-6 wave rotation: text_collocations out (text keeps
+    # gopher + contamination), the clipped-count BLEU eval in
+    "eval_bleu",
     "retrieval_rrf",
     # round-6 rotation: never-driver-graded families into the window
     "string_battery",
@@ -143,6 +149,11 @@ _PRIORITY: tuple[str, ...] = (
     # Kafka-semantics log family — kafka_log_roundtrip is position 50
     "kafka_log_roundtrip",
     # --- graded-50 boundary ---
+    # rotated-out wave-5 rows (driver-green r1-r6, families still
+    # represented in-window)
+    "retrieval_prf",
+    "stat_linreg",
+    "text_collocations",
     # rotated-out round-1 rows (longest driver-green; graded r1-r5)
     "window_rank",
     "agg_collect_list",
