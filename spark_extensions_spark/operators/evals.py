@@ -626,3 +626,106 @@ def bleu_oracle_sql(
                 AS BIGINT) AS hyp_len{mt_cols}{p_cols}
     FROM pairs p{join_clauses}
     """
+
+
+# =====================================================================
+# pass@k (Chen et al. 2021, "Evaluating LLMs Trained on Code") —
+# the unbiased estimator in exact integer arithmetic
+# =====================================================================
+
+def pass_at_k(
+    samples: DataFrame,
+    problem_col: str,
+    passed_col: str,
+    k: int,
+) -> DataFrame:
+    """Per-problem unbiased pass@k: with n samples of which c passed,
+
+        pass@k = 1 − C(n−c, k) / C(n, k)
+
+    (the probability that a random size-k subset contains at least one
+    passing sample).  Both binomials are falling factorials over k
+    consecutive integers divided by k!, so they are exact integers —
+    computed here in DECIMAL(38,0) (the factorial product passes int64
+    near n ≈ 6300 for k = 5) and emitted as the e6 fixed-point
+    estimate ``pass_at_k_e6`` (positive intdiv, portable) plus exact
+    ``n`` and ``c``.  Problems with n < k are excluded (the estimator
+    is undefined); c = 0 gives exactly 0, c ≥ n−k+1 exactly 1e6
+    (C(n−c,k) = 0 via the zero factor in the falling factorial).
+
+    The metric every best-of-n / verifier pipeline reports; corpus
+    pass@k is the mean of ``pass_at_k_e6`` downstream.
+
+    Scale shape: ONE map-side-combinable aggregate keyed by problem
+    (count + conditional count), then row-local closed-form math — no
+    window, no join, no per-sample state.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+
+    def falling(m: str) -> str:
+        # C(m, k) * k!  as an exact DECIMAL product of k terms
+        terms = " * ".join(
+            f"cast(({m} - {i}) as decimal(38,0))" if i == 0
+            else f"({m} - {i})"
+            for i in range(k)
+        )
+        return f"({terms})"
+
+    kfact = 1
+    for i in range(2, k + 1):
+        kfact *= i
+    per = (
+        samples.groupBy(F.col(problem_col).alias("problem"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(
+                F.when(F.col(passed_col), F.lit(1)).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("c"),
+        )
+        .where(F.col("n") >= k)
+    )
+    cnk = f"({falling('n')} div {kfact})"
+    cmk = f"({falling('(n - c)')} div {kfact})"
+    return per.select(
+        "problem",
+        "n",
+        "c",
+        F.expr(
+            f"cast((1000000 * ({cnk} - {cmk})) div {cnk} as bigint)"
+        ).alias("pass_at_k_e6"),
+    )
+
+
+def pass_at_k_oracle_sql(
+    samples_sql: str, problem_col: str, passed_sql: str, k: int
+) -> str:
+    """DuckDB twin of :func:`pass_at_k` (HUGEINT falling factorials)."""
+    def falling(m: str) -> str:
+        terms = " * ".join(
+            f"CAST(({m} - {i}) AS HUGEINT)" if i == 0 else f"({m} - {i})"
+            for i in range(k)
+        )
+        return f"({terms})"
+
+    kfact = 1
+    for i in range(2, k + 1):
+        kfact *= i
+    cnk = f"({falling('n')} // {kfact})"
+    cmk = f"({falling('(n - c)')} // {kfact})"
+    return f"""
+    WITH samples AS ({samples_sql}),
+    per AS (
+      SELECT {problem_col} AS problem,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN {passed_sql} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c
+      FROM samples GROUP BY 1
+    )
+    SELECT problem, n, c,
+           CAST((1000000 * ({cnk} - {cmk})) // {cnk} AS BIGINT)
+             AS pass_at_k_e6
+    FROM per WHERE n >= {k}
+    """

@@ -113,3 +113,39 @@ def q_streaming_running_distinct(
         stream, "user_id", "ts", "event_id", "event_type"
     )
     return run_available_now(out, output_mode="append", state_partitions=8)
+
+
+# =====================================================================
+# pass@k over per-user event samples
+# =====================================================================
+
+from spark_extensions_spark.operators.evals import pass_at_k_oracle_sql  # noqa: E402
+
+_PAK_K = 5
+
+
+@_register(
+    "eval_pass_at_k",
+    pass_at_k_oracle_sql(
+        "SELECT user_id, event_type FROM events",
+        "user_id",
+        "event_type = 'purchase'",
+        k=_PAK_K,
+    ),
+    doc="Unbiased pass@k estimator (operators/evals.py:pass_at_k; "
+    "Chen et al. 2021): per problem (user) with n samples and c "
+    "passes, 1 − C(n−c,k)/C(n,k) — both binomials are falling "
+    "factorials over k consecutive integers divided by k!, EXACT in "
+    "DECIMAL(38,0)/HUGEINT, emitted as e6 fixed point. The metric "
+    "every best-of-n / verifier pipeline reports. ONE map-side-"
+    "combinable aggregate + row-local closed-form math — no window, "
+    "no join, no per-sample state.",
+)
+def q_eval_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_extensions_spark.operators.evals import pass_at_k
+
+    ev = _t(spark, sf_dir, "events")["events"]
+    samples = ev.select(
+        "user_id", (F.col("event_type") == "purchase").alias("passed")
+    )
+    return pass_at_k(samples, "user_id", "passed", k=_PAK_K)

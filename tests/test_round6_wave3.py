@@ -771,3 +771,46 @@ def test_streaming_running_distinct_state_carries(spark, tmp_path):
     # batch 1's first 'view' is NOT new (seen in batch 0) -> state
     # carried; 'purchase' IS new
     assert got == {1: 1, 2: 2, 3: 2, 4: 3}
+
+
+# ---------------------------------------------------------------------
+# pass@k
+# ---------------------------------------------------------------------
+
+
+def test_pass_at_k_matches_bruteforce(spark):
+    from math import comb
+
+    from spark_extensions_spark.operators.evals import pass_at_k
+
+    cases = {  # problem -> (n, c)
+        1: (10, 0), 2: (10, 3), 3: (10, 10), 4: (10, 6),
+        5: (5, 1), 6: (4, 2),  # n < k -> excluded
+    }
+    rows = []
+    for p, (n, c) in cases.items():
+        rows += [(p, i < c) for i in range(n)]
+    df = spark.createDataFrame(rows, "p int, passed boolean")
+    got = {r["problem"]: r for r in
+           pass_at_k(df, "p", "passed", k=5).collect()}
+    assert 6 not in got  # n < k excluded
+    for p, (n, c) in cases.items():
+        if n < 5:
+            continue
+        want = 1 - comb(n - c, 5) / comb(n, 5)
+        assert got[p]["n"] == n and got[p]["c"] == c
+        assert got[p]["pass_at_k_e6"] == int(want * 1e6) or abs(
+            got[p]["pass_at_k_e6"] - want * 1e6
+        ) < 1  # floor of the exact rational
+    assert got[1]["pass_at_k_e6"] == 0
+    assert got[3]["pass_at_k_e6"] == 1_000_000
+
+
+def test_pass_at_k_rejects_bad_k(spark):
+    import pytest
+
+    from spark_extensions_spark.operators.evals import pass_at_k
+
+    df = spark.createDataFrame([(1, True)], "p int, passed boolean")
+    with pytest.raises(ValueError):
+        pass_at_k(df, "p", "passed", k=0)
