@@ -645,9 +645,10 @@ def pass_at_k(
 
     (the probability that a random size-k subset contains at least one
     passing sample).  Both binomials are falling factorials over k
-    consecutive integers divided by k!, so they are exact integers —
-    computed here in DECIMAL(38,0) (the factorial product passes int64
-    near n ≈ 6300 for k = 5) and emitted as the e6 fixed-point
+    consecutive integers divided by k! — and the k! CANCELS in the
+    ratio, so the whole computation stays in DECIMAL(38,0)/HUGEINT
+    products (exact while 10⁶·n^k < 10³⁸, i.e. n < ~2.4·10⁶ at k = 5)
+    with one final e6 fixed-point
     estimate ``pass_at_k_e6`` (positive intdiv, portable) plus exact
     ``n`` and ``c``.  Problems with n < k are excluded (the estimator
     is undefined); c = 0 gives exactly 0, c ≥ n−k+1 exactly 1e6
@@ -664,7 +665,11 @@ def pass_at_k(
         raise ValueError("k must be >= 1")
 
     def falling(m: str) -> str:
-        # C(m, k) * k!  as an exact DECIMAL product of k terms
+        # C(m, k) * k!  as an exact DECIMAL product of k terms — the
+        # k! is NEVER divided out: it cancels between numerator and
+        # denominator, which keeps the whole computation in DECIMAL
+        # (Spark's `div` returns LONG, so dividing early would drop
+        # back to int64 and overflow near n ≈ 1020 — review finding)
         terms = " * ".join(
             f"cast(({m} - {i}) as decimal(38,0))" if i == 0
             else f"({m} - {i})"
@@ -672,9 +677,6 @@ def pass_at_k(
         )
         return f"({terms})"
 
-    kfact = 1
-    for i in range(2, k + 1):
-        kfact *= i
     per = (
         samples.groupBy(F.col(problem_col).alias("problem"))
         .agg(
@@ -687,14 +689,17 @@ def pass_at_k(
         )
         .where(F.col("n") >= k)
     )
-    cnk = f"({falling('n')} div {kfact})"
-    cmk = f"({falling('(n - c)')} div {kfact})"
+    fn = falling("n")
+    fm = falling("(n - c)")
+    # k! cancels: (C(n,k)-C(n-c,k))/C(n,k) = (fn-fm)/fn, all DECIMAL;
+    # only the final e6 integral divide lands in LONG (result <= 1e6).
+    # DECIMAL(38,0) bounds: 1e6 * fn < 1e38 => n < ~2.4e6 at k = 5.
     return per.select(
         "problem",
         "n",
         "c",
         F.expr(
-            f"cast((1000000 * ({cnk} - {cmk})) div {cnk} as bigint)"
+            f"cast((1000000 * ({fn} - {fm})) div {fn} as bigint)"
         ).alias("pass_at_k_e6"),
     )
 
@@ -710,11 +715,8 @@ def pass_at_k_oracle_sql(
         )
         return f"({terms})"
 
-    kfact = 1
-    for i in range(2, k + 1):
-        kfact *= i
-    cnk = f"({falling('n')} // {kfact})"
-    cmk = f"({falling('(n - c)')} // {kfact})"
+    fn = falling("n")
+    fm = falling("(n - c)")
     return f"""
     WITH samples AS ({samples_sql}),
     per AS (
@@ -725,7 +727,7 @@ def pass_at_k_oracle_sql(
       FROM samples GROUP BY 1
     )
     SELECT problem, n, c,
-           CAST((1000000 * ({cnk} - {cmk})) // {cnk} AS BIGINT)
+           CAST((1000000 * ({fn} - {fm})) // {fn} AS BIGINT)
              AS pass_at_k_e6
     FROM per WHERE n >= {k}
     """

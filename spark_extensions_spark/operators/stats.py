@@ -219,11 +219,23 @@ def tvd_oracle_sql(table: str, bucket_col: str, split_sql: str) -> str:
 
 
 def _ident(cat: str) -> str:
-    """Category value -> identifier-safe alias fragment (cats like
-    '1-URGENT' would otherwise break the generated SQL)."""
+    """Category value -> identifier-safe AND injective alias fragment
+    (cats like '1-URGENT' would break the generated SQL; 'A B' vs
+    'A/B' would COLLIDE under plain substitution — the md5 suffix
+    keeps distinct values distinct, review finding round 6)."""
+    import hashlib
     import re
 
-    return re.sub(r"[^A-Za-z0-9]", "_", cat)
+    safe = re.sub(r"[^A-Za-z0-9]", "_", cat)
+    if safe == cat:
+        return cat
+    return f"{safe}_{hashlib.md5(cat.encode()).hexdigest()[:8]}"
+
+
+def _lit(cat: str) -> str:
+    """Category value -> single-quoted SQL literal, quote-escaped
+    (portable: '' is the escape in both Spark and DuckDB)."""
+    return "'" + cat.replace("'", "''") + "'"
 
 
 def _chi2_term(a: str, b: str) -> str:
@@ -250,14 +262,14 @@ def chi2_exprs(
         aggs.append(
             (
                 f"r_{_ident(a)}",
-                f"CAST(COUNT(*) FILTER (WHERE {col_x} = '{a}') AS DOUBLE)",
+                f"CAST(COUNT(*) FILTER (WHERE {col_x} = {_lit(a)}) AS DOUBLE)",
             )
         )
     for b in cats_y:
         aggs.append(
             (
                 f"c_{_ident(b)}",
-                f"CAST(COUNT(*) FILTER (WHERE {col_y} = '{b}') AS DOUBLE)",
+                f"CAST(COUNT(*) FILTER (WHERE {col_y} = {_lit(b)}) AS DOUBLE)",
             )
         )
     for a in cats_x:
@@ -265,8 +277,8 @@ def chi2_exprs(
             aggs.append(
                 (
                     f"o_{_ident(a)}_{_ident(b)}",
-                    f"CAST(COUNT(*) FILTER (WHERE {col_x} = '{a}' "
-                    f"AND {col_y} = '{b}') AS DOUBLE)",
+                    f"CAST(COUNT(*) FILTER (WHERE {col_x} = {_lit(a)} "
+                    f"AND {col_y} = {_lit(b)}) AS DOUBLE)",
                 )
             )
     terms = [_chi2_term(a, b) for a in cats_x for b in cats_y]
@@ -1434,6 +1446,11 @@ def cramers_v(
 
     Output: one row ``(v double, chi2 double, dof bigint, n bigint)``.
     """
+    if min(len(cats_x), len(cats_y)) < 2:
+        raise ValueError(
+            "cramers_v needs >= 2 categories per dimension "
+            "(min(r-1, c-1) would be 0)"
+        )
     aggs, formula = chi2_exprs(col_x, cats_x, col_y, cats_y)
     row = df.agg(
         F.count(F.lit(1)).cast("double").alias("n"),
@@ -1442,7 +1459,9 @@ def cramers_v(
     dof = (len(cats_x) - 1) * (len(cats_y) - 1)
     kmin = min(len(cats_x) - 1, len(cats_y) - 1)
     return row.select(
-        F.expr(f"sqrt(({formula}) / (n * {kmin}))").alias("v"),
+        F.expr(
+            f"case when n > 0 then sqrt(({formula}) / (n * {kmin})) end"
+        ).alias("v"),
         F.expr(formula).alias("chi2"),
         F.lit(dof).cast("bigint").alias("dof"),
         F.col("n").cast("bigint").alias("n"),
@@ -1465,7 +1484,8 @@ def cramers_v_oracle_sql(
     WITH cells AS (
       SELECT CAST(COUNT(*) AS DOUBLE) AS n, {agg_sql} FROM {table}
     )
-    SELECT sqrt(({formula}) / (n * {kmin})) AS v,
+    SELECT CASE WHEN n > 0
+                THEN sqrt(({formula}) / (n * {kmin})) END AS v,
            {formula} AS chi2,
            CAST({dof} AS BIGINT) AS dof,
            CAST(n AS BIGINT) AS n

@@ -308,7 +308,7 @@ def running_distinct_state(
     input event with the distinct count up to and including it.
 
     State per key is the SET of seen values, serialized as one
-    unit-separator-joined sorted string — bounded by the per-key value
+    JSON-encoded sorted list — bounded by the per-key value
     DOMAIN (event types, languages, ...), not the event count; this is
     the streaming analogue of the batch operator's "distinct window
     aggregates don't exist in Spark" workaround.  NULL values are
@@ -329,15 +329,18 @@ def running_distinct_state(
     state_schema = StructType()
     state_schema.add("seen", "string", True)
 
-    SEP = "\x1f"
+    # JSON, not a separator-joined blob: a separator encoding loses
+    # the {''} state (empty blob is falsy) and splits values that
+    # contain the separator byte (review finding, round 6)
+    import json as _json
 
     def update(
         key: tuple,
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        (blob,) = state.get if state.exists else ("",)
-        seen = set(blob.split(SEP)) if blob else set()
+        (blob,) = state.get if state.exists else (None,)
+        seen = set(_json.loads(blob)) if blob else set()
         batch = pd.concat(list(pdfs), ignore_index=True)
         batch = batch.sort_values([ts_col, id_col])
         out = []
@@ -352,7 +355,7 @@ def running_distinct_state(
                     "run_types": len(seen),
                 }
             )
-        state.update((SEP.join(sorted(seen)),))
+        state.update((_json.dumps(sorted(seen)),))
         yield pd.DataFrame(out, columns=[
             key_field.name, id_field.name, "run_types",
         ])

@@ -814,3 +814,119 @@ def test_pass_at_k_rejects_bad_k(spark):
     df = spark.createDataFrame([(1, True)], "p int, passed boolean")
     with pytest.raises(ValueError):
         pass_at_k(df, "p", "passed", k=0)
+
+
+# ---------------------------------------------------------------------
+# Second review-pass regressions
+# ---------------------------------------------------------------------
+
+
+def test_pass_at_k_large_n_stays_decimal(spark):
+    """The k! cancels, so the ratio never drops to LONG — n=6300
+    crashed the pre-fix form with ARITHMETIC_OVERFLOW."""
+    from math import comb
+
+    from spark_extensions_spark.operators.evals import pass_at_k
+
+    n, c = 6300, 100
+    rows = [(1, i < c) for i in range(n)]
+    df = spark.createDataFrame(rows, "p int, passed boolean")
+    got = pass_at_k(df, "p", "passed", k=5).collect()[0]
+    want = 1 - comb(n - c, 5) / comb(n, 5)
+    assert abs(got["pass_at_k_e6"] / 1e6 - want) < 2e-6
+
+
+def test_cramers_v_colliding_and_quoted_categories(spark):
+    """'A B' vs 'A/B' must NOT collide under alias sanitization, and
+    a quote in a category value must not break the generated SQL."""
+    import duckdb
+
+    from spark_extensions_spark.operators.stats import (
+        cramers_v,
+        cramers_v_oracle_sql,
+    )
+
+    rows = [("A B", "x"), ("A/B", "y"), ("A B", "x"), ("O'N", "y")]
+    df = spark.createDataFrame(rows, "u string, w string")
+    r = cramers_v(
+        df, "u", ["A B", "A/B", "O'N"], "w", ["x", "y"]
+    ).collect()[0]
+    assert r["n"] == 4 and r["v"] is not None
+    # oracle side runs the same generated SQL without error
+    con = duckdb.connect()
+    con.sql("CREATE TABLE t AS SELECT * FROM (VALUES "
+            "('A B','x'),('A/B','y'),('A B','x'),('O''N','y')) v(u, w)")
+    o = con.sql(
+        cramers_v_oracle_sql("t", "u", ["A B", "A/B", "O'N"], "w", ["x", "y"])
+    ).fetchall()[0]
+    assert abs(o[0] - r["v"]) < 1e-12
+
+
+def test_cramers_v_rejects_single_category(spark):
+    import pytest
+
+    from spark_extensions_spark.operators.stats import cramers_v
+
+    df = spark.createDataFrame([("a", "x")], "u string, w string")
+    with pytest.raises(ValueError):
+        cramers_v(df, "u", ["a"], "w", ["x", "y"])
+
+
+def test_running_distinct_state_empty_string_value(spark, tmp_path):
+    """A seen-set of {''} must survive the state roundtrip (the old
+    separator blob deserialized it to an empty set)."""
+    import datetime as _dt
+    import os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_extensions_spark.streaming import (
+        read_stream_parquet,
+        run_available_now,
+    )
+    from spark_extensions_spark.streaming.stateful import (
+        running_distinct_state,
+    )
+
+    def pd_ts(s):
+        return _dt.datetime.fromisoformat(s).replace(
+            tzinfo=_dt.timezone.utc
+        )
+
+    rows1 = [(1, 1, "2024-01-01T00:00:00", "")]
+    rows2 = [(1, 2, "2024-01-01T00:00:01", ""),
+             (1, 3, "2024-01-01T00:00:02", "view")]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def write(rows, name, mtime):
+        tbl = pa.table({
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_id": pa.array([r[1] for r in rows], pa.int64()),
+            "ts": pa.array([pd_ts(r[2]) for r in rows],
+                           pa.timestamp("us", tz="UTC")),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+        })
+        p = os.path.join(src, name)
+        pq.write_table(tbl, p)
+        os.utime(p, (mtime, mtime))
+
+    now = _time.time()
+    write(rows1, "b0.parquet", now - 60)
+    write(rows2, "b1.parquet", now + 60)
+    schema = spark.read.parquet(src).schema
+    stream = read_stream_parquet(
+        spark, src, schema, max_files_per_trigger=1
+    ).select("user_id", "event_id", "ts", "event_type")
+    out = running_distinct_state(
+        stream, "user_id", "ts", "event_id", "event_type"
+    )
+    got = {
+        r["event_id"]: r["run_types"]
+        for r in run_available_now(out, output_mode="append").collect()
+    }
+    # '' is a VALUE (non-NULL): batch 0 sees it (1); batch 1's ''
+    # is not new (still 1), then 'view' makes 2
+    assert got == {1: 1, 2: 1, 3: 2}
