@@ -498,3 +498,76 @@ def kmv_set_ops_oracle_sql(
                     ELSE {float(k - 1)} / max_frac END AS est_intersect
     FROM agg CROSS JOIN nb
     """
+
+
+# ---------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005) — deterministic,
+# fully oracle-checkable cells
+# ---------------------------------------------------------------------
+
+def count_min_sketch(
+    df: DataFrame, term_col: str, d: int = 4, w: int = 64
+) -> DataFrame:
+    """Count-Min sketch of a term stream: ``d`` hash rows × ``w``
+    cells, every cell an EXACT integer count — the sketch itself is
+    deterministic (md5-derived row hashes), so the full d×w table
+    hash-checks against the SQL oracle, unlike engine-internal
+    sketches (HLL/approx_count_distinct are rows-only for exactly
+    this reason).
+
+    Point estimate for a term t is min_i cell(i, h_i(t)) downstream —
+    an overestimate bounded by ε = e/w of the stream length with
+    probability 1 − e^−d (the classic CM guarantee).
+
+    Scale shape: row-local ×d expansion (explode of a literal array),
+    then ONE hash aggregate onto d·w cells — map-side combine
+    collapses every partition to ≤ d·w rows before the shuffle, so
+    shuffle volume is d·w·partitions regardless of stream size. The
+    100 TB-friendly frequency summary: merging shards = adding cell
+    tables.
+    """
+    from spark_extensions_spark.operators.dedup import hash64_expr
+
+    entries = [
+        F.struct(
+            F.lit(i).alias("row_id"),
+            F.expr(
+                f"pmod({hash64_expr(f_concat(i, term_col))}, {w})"
+            )
+            .cast("int")
+            .alias("cell"),
+        )
+        for i in range(d)
+    ]
+    return (
+        df.where(F.col(term_col).isNotNull())
+        .select(F.explode(F.array(*entries)).alias("e"))
+        .select("e.row_id", "e.cell")
+        .groupBy("row_id", "cell")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def f_concat(i: int, term_col: str) -> str:
+    """Salted hash input ``'i:' || term`` — || propagates NULL
+    identically in both engines (concat() does not)."""
+    return f"('{i}:' || {term_col})"
+
+
+def count_min_oracle_sql(
+    terms_sql: str, term_col: str, d: int = 4, w: int = 64
+) -> str:
+    """DuckDB twin of :func:`count_min_sketch` over ``terms_sql``."""
+    rows = " UNION ALL ".join(
+        f"""SELECT {i} AS row_id,
+             CAST(('0x' || substr(md5({f_concat(i, term_col)}), 1, 15))::BIGINT
+                  % {w} AS INT) AS cell
+        FROM terms WHERE {term_col} IS NOT NULL"""
+        for i in range(d)
+    )
+    return f"""
+    WITH terms AS ({terms_sql}),
+    cells AS ({rows})
+    SELECT row_id, cell, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM cells GROUP BY row_id, cell
+    """

@@ -149,3 +149,42 @@ def q_eval_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", (F.col("event_type") == "purchase").alias("passed")
     )
     return pass_at_k(samples, "user_id", "passed", k=_PAK_K)
+
+
+# =====================================================================
+# Count-Min sketch over document words
+# =====================================================================
+
+from spark_extensions_spark.operators.sketches import count_min_oracle_sql  # noqa: E402
+
+_CM_D, _CM_W = 4, 64
+
+
+@_register(
+    "agg_count_min",
+    count_min_oracle_sql(
+        "SELECT UNNEST(regexp_extract_all(LOWER(text), '[a-z0-9]+'))"
+        " AS term FROM documents",
+        "term",
+        d=_CM_D,
+        w=_CM_W,
+    ),
+    doc="Count-Min sketch of the document word stream (operators/"
+    "sketches.py:count_min_sketch; Cormode & Muthukrishnan 2005): "
+    "4 md5-derived hash rows × 64 cells, every cell an EXACT count — "
+    "the whole sketch table hash-checks, unlike engine-internal "
+    "sketches (the rows-only HLL pair). Point estimates are "
+    "min-over-rows downstream; merging shards is cell addition. "
+    "Row-local ×4 expansion + ONE map-side-combinable aggregate: "
+    "shuffle volume is 256·partitions regardless of corpus size.",
+)
+def q_agg_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_extensions_spark.operators.sketches import count_min_sketch
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    terms = docs.select(
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+        ).alias("term")
+    )
+    return count_min_sketch(terms, "term", d=_CM_D, w=_CM_W)

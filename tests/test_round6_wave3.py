@@ -930,3 +930,73 @@ def test_running_distinct_state_empty_string_value(spark, tmp_path):
     # '' is a VALUE (non-NULL): batch 0 sees it (1); batch 1's ''
     # is not new (still 1), then 'view' makes 2
     assert got == {1: 1, 2: 1, 3: 2}
+
+
+# ---------------------------------------------------------------------
+# Count-Min sketch
+# ---------------------------------------------------------------------
+
+
+def test_count_min_point_estimates_dominate_truth(spark):
+    from collections import Counter
+
+    from spark_extensions_spark.operators.sketches import (
+        count_min_sketch,
+        f_concat,
+    )
+    from spark_extensions_spark.operators.dedup import hash64_expr
+
+    import random
+
+    rng = random.Random(3)
+    terms = [rng.choice(["a", "b", "c", "dd", "ee", "ff", "g"])
+             for _ in range(500)]
+    truth = Counter(terms)
+    df = spark.createDataFrame([(t,) for t in terms], "term string")
+    d, w = 4, 16
+    sketch = {
+        (r["row_id"], r["cell"]): r["cnt"]
+        for r in count_min_sketch(df, "term", d=d, w=w).collect()
+    }
+    # total mass preserved per row
+    for i in range(d):
+        assert sum(v for (ri, _), v in sketch.items() if ri == i) == 500
+    # CM guarantee: estimate >= truth for every term
+    probe = spark.createDataFrame(
+        [(t,) for t in truth], "term string"
+    ).select(
+        "term",
+        *[
+            __import__("pyspark.sql.functions", fromlist=["expr"]).expr(
+                f"pmod({hash64_expr(f_concat(i, 'term'))}, {w})"
+            ).cast("int").alias(f"h{i}")
+            for i in range(d)
+        ],
+    )
+    for r in probe.collect():
+        est = min(sketch.get((i, r[f"h{i}"]), 0) for i in range(d))
+        assert est >= truth[r["term"]]
+
+
+def test_count_min_merge_is_cell_addition(spark):
+    from spark_extensions_spark.operators.sketches import count_min_sketch
+
+    a = spark.createDataFrame([("x",), ("y",), ("x",)], "term string")
+    b = spark.createDataFrame([("x",), ("z",)], "term string")
+    both = a.union(b)
+    s_both = {
+        (r["row_id"], r["cell"]): r["cnt"]
+        for r in count_min_sketch(both, "term", d=2, w=8).collect()
+    }
+    s_a = {
+        (r["row_id"], r["cell"]): r["cnt"]
+        for r in count_min_sketch(a, "term", d=2, w=8).collect()
+    }
+    s_b = {
+        (r["row_id"], r["cell"]): r["cnt"]
+        for r in count_min_sketch(b, "term", d=2, w=8).collect()
+    }
+    merged = dict(s_a)
+    for k, v in s_b.items():
+        merged[k] = merged.get(k, 0) + v
+    assert merged == s_both
