@@ -563,3 +563,125 @@ def cusum_oracle_sql(daily_sql: str, date_col: str, value_col: str) -> str:
     ORDER BY ABS(n * pk - k * total) DESC, d ASC
     LIMIT 1
     """
+
+
+# ---------------------------------------------------------------------
+# Autocorrelation function (exact rational form)
+# ---------------------------------------------------------------------
+
+def acf_exact(
+    daily: DataFrame, date_col: str, value_col: str, max_lag: int = 14
+) -> DataFrame:
+    """Sample autocorrelation of an INTEGER-valued regular series at
+    lags 1..``max_lag``, carried as exact integer ratios.
+
+    The mean is rational (S/n); clearing it keeps every term integral:
+    with u_t = n·x_t − S (so Σu_t = 0 exactly),
+
+        acf(ℓ) = Σ_t u_t·u_{t+ℓ} / Σ_t u_t²
+
+    (the standard biased estimator, denominator over ALL n terms).
+    Output: one row per lag ``(lag, num, den)`` — BIGINT — plus the
+    one double division ``acf``.  Exact while n·(n·x_max)² < 2⁶³,
+    e.g. 2,500 dates × values ≤ 10⁴; lift the products to DECIMAL
+    beyond (the spearman/gini recipe).
+
+    Scale shape: the per-date aggregate is domain-sized; lagged pairs
+    come from ONE lead() window per lag over that bounded set (the
+    ks_statistic contract), then a max_lag-row aggregate.  The
+    seasonality scan ts_decompose assumes — read acf(7) here first.
+    """
+    base = daily.select(
+        F.col(date_col).alias("d"),
+        F.col(value_col).cast("bigint").alias("v"),
+    )
+    tot = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("v").cast("bigint").alias("s"),
+    )
+    # bounded input: one row per DISTINCT date (domain-sized)
+    w = Window.orderBy("d")
+    with_u = base.crossJoin(F.broadcast(tot)).select(
+        "d",
+        "n",
+        (F.col("n") * F.col("v") - F.col("s")).alias("u"),
+    )
+    leads = with_u.select(
+        "n",
+        "u",
+        *[
+            F.lead("u", lag).over(w).alias(f"u{lag}")
+            for lag in range(1, max_lag + 1)
+        ],
+    )
+    agg = leads.groupBy("n").agg(
+        F.sum(F.col("u") * F.col("u")).cast("bigint").alias("den"),
+        *[
+            F.sum(F.col("u") * F.col(f"u{lag}"))
+            .cast("bigint")
+            .alias(f"num{lag}")
+            for lag in range(1, max_lag + 1)
+        ],
+    )
+    stacked = agg.selectExpr(
+        "den",
+        "stack("
+        + str(max_lag)
+        + ", "
+        + ", ".join(f"{lag}, num{lag}" for lag in range(1, max_lag + 1))
+        + ") as (lag, num)"
+    )
+    return stacked.select(
+        F.col("lag").cast("int").alias("lag"),
+        F.col("num").cast("bigint").alias("num"),
+        F.col("den").cast("bigint").alias("den"),
+        F.when(
+            F.col("den") > 0,
+            F.col("num").cast("double") / F.col("den").cast("double"),
+        ).alias("acf"),
+    )
+
+
+def acf_oracle_sql(
+    daily_sql: str, date_col: str, value_col: str, max_lag: int = 14
+) -> str:
+    """DuckDB twin of :func:`acf_exact`."""
+    lead_cols = ", ".join(
+        f"LEAD(u, {lag}) OVER (ORDER BY d) AS u{lag}"
+        for lag in range(1, max_lag + 1)
+    )
+    num_cols = ", ".join(
+        f"CAST(SUM(u * u{lag}) AS BIGINT) AS num{lag}"
+        for lag in range(1, max_lag + 1)
+    )
+    unpivot = " UNION ALL ".join(
+        f"SELECT {lag} AS lag, num{lag} AS num, den FROM agg"
+        for lag in range(1, max_lag + 1)
+    )
+    return f"""
+    WITH daily AS ({daily_sql}),
+    base AS (
+      SELECT {date_col} AS d, CAST({value_col} AS BIGINT) AS v FROM daily
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS s
+      FROM base
+    ),
+    wu AS (
+      SELECT d, n, n * v - s AS u FROM base CROSS JOIN tot
+    ),
+    leads AS (
+      SELECT n, u, {lead_cols} FROM wu
+    ),
+    agg AS (
+      SELECT CAST(SUM(u * u) AS BIGINT) AS den, {num_cols}
+      FROM leads GROUP BY n
+    )
+    SELECT CAST(lag AS INT) AS lag,
+           CAST(num AS BIGINT) AS num,
+           CAST(den AS BIGINT) AS den,
+           CASE WHEN den > 0 THEN
+             CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+           END AS acf
+    FROM ({unpivot})
+    """

@@ -188,3 +188,37 @@ def q_agg_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("term")
     )
     return count_min_sketch(terms, "term", d=_CM_D, w=_CM_W)
+
+
+# =====================================================================
+# Autocorrelation of the daily order-count series
+# =====================================================================
+
+from spark_extensions_spark.operators.timeseries import acf_oracle_sql  # noqa: E402
+
+
+@_register(
+    "ts_acf",
+    acf_oracle_sql(
+        "SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS v"
+        " FROM orders GROUP BY 1",
+        "d",
+        "v",
+        max_lag=14,
+    ),
+    doc="Sample autocorrelation of the daily order-count series at "
+    "lags 1-14 (operators/timeseries.py:acf_exact): the rational "
+    "mean clears exactly via u_t = n·x_t − S (Σu = 0), so every "
+    "num/den is an exact BIGINT and acf is one final double "
+    "division. The seasonality scan ts_decompose assumes — read "
+    "acf(7) here first. One lead() window pass over the per-date "
+    "aggregate (domain-sized bounded input) + a 14-row aggregate.",
+)
+def q_ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_extensions_spark.operators.timeseries import acf_exact
+
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    daily = orders.groupBy(
+        F.to_date("o_orderdate").alias("d")
+    ).agg(F.count(F.lit(1)).alias("v"))
+    return acf_exact(daily, "d", "v", max_lag=14)

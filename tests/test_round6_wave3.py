@@ -1000,3 +1000,47 @@ def test_count_min_merge_is_cell_addition(spark):
     for k, v in s_b.items():
         merged[k] = merged.get(k, 0) + v
     assert merged == s_both
+
+
+# ---------------------------------------------------------------------
+# ACF
+# ---------------------------------------------------------------------
+
+
+def test_acf_matches_numpy_style_reference(spark):
+    import datetime as dt
+
+    from spark_extensions_spark.operators.timeseries import acf_exact
+
+    vals = [10, 12, 9, 14, 11, 8, 13, 10, 15, 9, 12, 11, 9, 14, 10,
+            16, 8, 11, 13, 12]
+    base = dt.date(2020, 1, 1)
+    rows = [(base + dt.timedelta(days=i), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "d date, v long")
+    got = {r["lag"]: r for r in acf_exact(df, "d", "v", max_lag=3).collect()}
+    from fractions import Fraction
+
+    n = len(vals)
+    s_tot = sum(vals)
+    # exact reference with u_t = n*x_t - S (integer arithmetic)
+    us = [n * x - s_tot for x in vals]
+    den_int = sum(u * u for u in us)
+    for lag in (1, 2, 3):
+        num_int = sum(us[i] * us[i + lag] for i in range(n - lag))
+        assert got[lag]["num"] == num_int
+        assert got[lag]["den"] == den_int
+        assert abs(
+            got[lag]["acf"] - float(Fraction(num_int, den_int))
+        ) < 1e-15
+
+
+def test_acf_constant_series_null(spark):
+    import datetime as dt
+
+    from spark_extensions_spark.operators.timeseries import acf_exact
+
+    base = dt.date(2020, 1, 1)
+    rows = [(base + dt.timedelta(days=i), 7) for i in range(10)]
+    df = spark.createDataFrame(rows, "d date, v long")
+    for r in acf_exact(df, "d", "v", max_lag=2).collect():
+        assert r["den"] == 0 and r["acf"] is None
