@@ -571,3 +571,168 @@ def count_min_oracle_sql(
     SELECT row_id, cell, CAST(COUNT(*) AS BIGINT) AS cnt
     FROM cells GROUP BY row_id, cell
     """
+
+
+# ---------------------------------------------------------------------
+# Bloom-prefiltered incremental dedup (deterministic, oracle-checkable)
+# ---------------------------------------------------------------------
+
+def bloom_bits(
+    df: DataFrame, key_col: str, d: int = 3, m: int = 4096
+) -> DataFrame:
+    """The SET-BIT table of a Bloom filter over ``key_col`` —
+    ``d`` md5-derived hash functions into ``m`` bits, emitted as the
+    distinct bit positions (≤ m rows, domain-sized).  Deterministic,
+    so the whole filter hash-checks; merging shards is a bit-set
+    union (DISTINCT of the concatenation)."""
+    from spark_extensions_spark.operators.dedup import hash64_expr
+
+    bits = [
+        F.expr(
+            f"pmod({hash64_expr(f_concat(i, key_col))}, {m})"
+        )
+        .cast("int")
+        .alias("bit")
+        for i in range(d)
+    ]
+    return (
+        df.where(F.col(key_col).isNotNull())
+        .select(F.explode(F.array(*bits)).alias("bit"))
+        .distinct()
+    )
+
+
+def bloom_prefilter_dedup(
+    new_df: DataFrame,
+    hist_df: DataFrame,
+    id_col: str,
+    key_col: str,
+    d: int = 3,
+    m: int = 4096,
+) -> DataFrame:
+    """Incremental exact-dup detection of ``new_df`` against a
+    historical corpus WITHOUT joining the corpus per batch: a Bloom
+    prefilter (built once from history, broadcast as ≤ m set bits)
+    marks ``maybe_dup`` rows; only those probe the exact key join.
+
+    Output: one row per new document ``(id, maybe_dup, confirmed_dup)``
+    — ``maybe_dup AND NOT confirmed_dup`` rows are the filter's false
+    positives (rate ≈ (1 − e^{−dn/m})^d, the classic bound).  Bloom
+    never yields false NEGATIVES, so ``confirmed_dup ⇒ maybe_dup`` —
+    pinned in tests.
+
+    Scale shape (the 100 TB ingest pattern): the corpus is scanned
+    ONCE to build ≤ m bits (map-side-combinable distinct); each
+    incremental batch does row-local hashing + a broadcast-hash semi
+    join against the bit set, and only the maybe-dup subset (FPR-
+    bounded) pays the exact corpus join.  At steady state the exact
+    join probes a tiny fraction of the batch.
+    """
+    from spark_extensions_spark.operators.dedup import hash64_expr
+
+    bits = bloom_bits(hist_df, key_col, d=d, m=m)
+    probe_bits = [
+        F.expr(f"pmod({hash64_expr(f_concat(i, key_col))}, {m})")
+        .cast("int")
+        .alias(f"b{i}")
+        for i in range(d)
+    ]
+    new_keyed = new_df.select(
+        F.col(id_col).alias("id"),
+        F.col(key_col).alias("__k"),
+        *probe_bits,
+    )
+    # all-d-bits membership via d broadcast left joins onto the bit
+    # set (a left_semi per bit would drop rows; the boolean is needed)
+    cur = new_keyed
+    for i in range(d):
+        cur = cur.join(
+            F.broadcast(
+                bits.select(
+                    F.col("bit").alias(f"b{i}"),
+                    F.lit(1).alias(f"__hit{i}"),
+                )
+            ),
+            f"b{i}",
+            "left",
+        )
+    flagged = cur.select(
+        "id",
+        "__k",
+        (
+            sum(
+                (F.col(f"__hit{i}").isNotNull()).cast("int")
+                for i in range(d)
+            )
+            == d
+        ).alias("maybe_dup"),
+    )
+    hist_keys = hist_df.select(
+        F.col(key_col).alias("__k"), F.lit(1).alias("__in_hist")
+    ).distinct()
+    # only maybe-dup rows need the exact probe; the union keeps the
+    # definite-new rows out of the corpus join entirely
+    maybe = flagged.where(F.col("maybe_dup"))
+    definite = flagged.where(~F.col("maybe_dup")).select(
+        "id",
+        "maybe_dup",
+        F.lit(False).alias("confirmed_dup"),
+    )
+    confirmed = (
+        maybe.join(hist_keys, "__k", "left")
+        .select(
+            "id",
+            "maybe_dup",
+            F.col("__in_hist").isNotNull().alias("confirmed_dup"),
+        )
+    )
+    return definite.unionByName(confirmed)
+
+
+def bloom_prefilter_oracle_sql(
+    new_sql: str,
+    hist_sql: str,
+    id_col: str,
+    key_col: str,
+    d: int = 3,
+    m: int = 4096,
+) -> str:
+    """DuckDB twin of :func:`bloom_prefilter_dedup`."""
+    def h(i: int) -> str:
+        return (
+            f"CAST(('0x' || substr(md5({f_concat(i, key_col)}), 1, 15))"
+            f"::BIGINT % {m} AS INT)"
+        )
+
+    bit_rows = " UNION ALL ".join(
+        f"SELECT DISTINCT {h(i)} AS bit FROM hist"
+        f" WHERE {key_col} IS NOT NULL"
+        for i in range(d)
+    )
+    probe_cols = ", ".join(f"{h(i)} AS b{i}" for i in range(d))
+    hit_joins = "".join(
+        f"""
+      LEFT JOIN (SELECT bit AS b{i}, 1 AS hit{i} FROM bits) t{i}
+        USING (b{i})"""
+        for i in range(d)
+    )
+    all_hit = " AND ".join(f"hit{i} IS NOT NULL" for i in range(d))
+    return f"""
+    WITH new_docs AS ({new_sql}),
+    hist AS ({hist_sql}),
+    bits AS (SELECT DISTINCT bit FROM ({bit_rows})),
+    probed AS (
+      SELECT {id_col} AS id, {key_col} AS __k, {probe_cols}
+      FROM new_docs
+    ),
+    flagged AS (
+      SELECT id, __k, ({all_hit}) AS maybe_dup
+      FROM probed{hit_joins}
+    ),
+    hist_keys AS (SELECT DISTINCT {key_col} AS __k FROM hist)
+    SELECT f.id, f.maybe_dup,
+           CASE WHEN f.maybe_dup
+                THEN h.__k IS NOT NULL ELSE FALSE END AS confirmed_dup
+    FROM flagged f
+    LEFT JOIN hist_keys h ON f.maybe_dup AND f.__k = h.__k
+    """

@@ -222,3 +222,45 @@ def q_ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_date("o_orderdate").alias("d")
     ).agg(F.count(F.lit(1)).alias("v"))
     return acf_exact(daily, "d", "v", max_lag=14)
+
+
+# =====================================================================
+# Bloom-prefiltered incremental exact dedup
+# =====================================================================
+
+from spark_extensions_spark.operators.sketches import (  # noqa: E402
+    bloom_prefilter_dedup,
+    bloom_prefilter_oracle_sql,
+)
+
+_BF_D, _BF_M = 3, 4096
+_BF_HIST = "SELECT doc_id, md5(text) AS text_key FROM documents WHERE doc_id % 10 <> 0"
+_BF_NEW = "SELECT doc_id, md5(text) AS text_key FROM documents WHERE doc_id % 10 = 0"
+
+
+@_register(
+    "dedup_bloom_incremental",
+    bloom_prefilter_oracle_sql(
+        _BF_NEW, _BF_HIST, "doc_id", "text_key", d=_BF_D, m=_BF_M
+    ),
+    doc="Bloom-prefiltered incremental exact dedup (operators/"
+    "sketches.py:bloom_prefilter_dedup): the historical corpus is "
+    "scanned ONCE into <= 4096 set bits (3 md5 hashes, "
+    "deterministic — the filter itself hash-checks); each new batch "
+    "does row-local hashing + broadcast bit-membership joins, and "
+    "ONLY the maybe-dup subset pays the exact key join. False "
+    "positives surface as maybe AND NOT confirmed (FPR ~ "
+    "(1-e^{-dn/m})^d); Bloom never false-negatives, so confirmed => "
+    "maybe (pinned). THE 100 TB ingest pattern: per-batch cost is "
+    "independent of corpus size outside the FPR-bounded probe set.",
+)
+def q_dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    keyed = docs.select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("text_key")
+    )
+    hist = keyed.where(F.expr("doc_id % 10 <> 0"))
+    new = keyed.where(F.expr("doc_id % 10 = 0"))
+    return bloom_prefilter_dedup(
+        new, hist, "doc_id", "text_key", d=_BF_D, m=_BF_M
+    )

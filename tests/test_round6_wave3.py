@@ -1044,3 +1044,46 @@ def test_acf_constant_series_null(spark):
     df = spark.createDataFrame(rows, "d date, v long")
     for r in acf_exact(df, "d", "v", max_lag=2).collect():
         assert r["den"] == 0 and r["acf"] is None
+
+
+# ---------------------------------------------------------------------
+# Bloom-prefiltered incremental dedup
+# ---------------------------------------------------------------------
+
+
+def test_bloom_prefilter_no_false_negatives(spark):
+    from spark_extensions_spark.operators.sketches import (
+        bloom_prefilter_dedup,
+    )
+
+    hist = spark.createDataFrame(
+        [(i, f"key{i}") for i in range(200)], "id long, k string"
+    )
+    # 30 true dups + 170 fresh keys
+    new = spark.createDataFrame(
+        [(1000 + i, f"key{i}") for i in range(30)]
+        + [(2000 + i, f"fresh{i}") for i in range(170)],
+        "id long, k string",
+    )
+    got = {r["id"]: r for r in
+           bloom_prefilter_dedup(new, hist, "id", "k", d=3, m=512)
+           .collect()}
+    assert len(got) == 200
+    for i in range(30):  # every true dup is maybe AND confirmed
+        r = got[1000 + i]
+        assert r["maybe_dup"] is True and r["confirmed_dup"] is True
+    for r in got.values():  # Bloom never false-negatives
+        assert not (r["confirmed_dup"] and not r["maybe_dup"])
+    # fresh keys are never confirmed (maybe may be True: FPR)
+    for i in range(170):
+        assert got[2000 + i]["confirmed_dup"] is False
+
+
+def test_bloom_bits_merge_is_union(spark):
+    from spark_extensions_spark.operators.sketches import bloom_bits
+
+    a = spark.createDataFrame([("x",), ("y",)], "k string")
+    b = spark.createDataFrame([("z",)], "k string")
+    bits = lambda df: {r["bit"] for r in
+                       bloom_bits(df, "k", d=2, m=64).collect()}
+    assert bits(a.union(b)) == bits(a) | bits(b)
