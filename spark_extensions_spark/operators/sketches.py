@@ -505,10 +505,12 @@ def kmv_set_ops_oracle_sql(
 # fully oracle-checkable cells
 # ---------------------------------------------------------------------
 
-def count_min_sketch(
+def count_min_table(
     df: DataFrame, term_col: str, d: int = 4, w: int = 64
 ) -> DataFrame:
-    """Count-Min sketch of a term stream: ``d`` hash rows × ``w``
+    """Count-Min sketch AS AN ORACLE-CHECKABLE CELL TABLE (the
+    driver-side :func:`count_min_sketch` object wraps Spark's JVM
+    sketch and cannot be value-verified): ``d`` hash rows × ``w``
     cells, every cell an EXACT integer count — the sketch itself is
     deterministic (md5-derived row hashes), so the full d×w table
     hash-checks against the SQL oracle, unlike engine-internal

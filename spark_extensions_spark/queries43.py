@@ -170,7 +170,7 @@ _CM_D, _CM_W = 4, 64
         w=_CM_W,
     ),
     doc="Count-Min sketch of the document word stream (operators/"
-    "sketches.py:count_min_sketch; Cormode & Muthukrishnan 2005): "
+    "sketches.py:count_min_table; Cormode & Muthukrishnan 2005): "
     "4 md5-derived hash rows × 64 cells, every cell an EXACT count — "
     "the whole sketch table hash-checks, unlike engine-internal "
     "sketches (the rows-only HLL pair). Point estimates are "
@@ -179,7 +179,7 @@ _CM_D, _CM_W = 4, 64
     "shuffle volume is 256·partitions regardless of corpus size.",
 )
 def q_agg_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from spark_extensions_spark.operators.sketches import count_min_sketch
+    from spark_extensions_spark.operators.sketches import count_min_table
 
     docs = _t(spark, sf_dir, "documents")["documents"]
     terms = docs.select(
@@ -187,7 +187,7 @@ def q_agg_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
         ).alias("term")
     )
-    return count_min_sketch(terms, "term", d=_CM_D, w=_CM_W)
+    return count_min_table(terms, "term", d=_CM_D, w=_CM_W)
 
 
 # =====================================================================

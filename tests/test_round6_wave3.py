@@ -941,7 +941,7 @@ def test_count_min_point_estimates_dominate_truth(spark):
     from collections import Counter
 
     from spark_extensions_spark.operators.sketches import (
-        count_min_sketch,
+        count_min_table,
         f_concat,
     )
     from spark_extensions_spark.operators.dedup import hash64_expr
@@ -956,7 +956,7 @@ def test_count_min_point_estimates_dominate_truth(spark):
     d, w = 4, 16
     sketch = {
         (r["row_id"], r["cell"]): r["cnt"]
-        for r in count_min_sketch(df, "term", d=d, w=w).collect()
+        for r in count_min_table(df, "term", d=d, w=w).collect()
     }
     # total mass preserved per row
     for i in range(d):
@@ -979,22 +979,22 @@ def test_count_min_point_estimates_dominate_truth(spark):
 
 
 def test_count_min_merge_is_cell_addition(spark):
-    from spark_extensions_spark.operators.sketches import count_min_sketch
+    from spark_extensions_spark.operators.sketches import count_min_table
 
     a = spark.createDataFrame([("x",), ("y",), ("x",)], "term string")
     b = spark.createDataFrame([("x",), ("z",)], "term string")
     both = a.union(b)
     s_both = {
         (r["row_id"], r["cell"]): r["cnt"]
-        for r in count_min_sketch(both, "term", d=2, w=8).collect()
+        for r in count_min_table(both, "term", d=2, w=8).collect()
     }
     s_a = {
         (r["row_id"], r["cell"]): r["cnt"]
-        for r in count_min_sketch(a, "term", d=2, w=8).collect()
+        for r in count_min_table(a, "term", d=2, w=8).collect()
     }
     s_b = {
         (r["row_id"], r["cell"]): r["cnt"]
-        for r in count_min_sketch(b, "term", d=2, w=8).collect()
+        for r in count_min_table(b, "term", d=2, w=8).collect()
     }
     merged = dict(s_a)
     for k, v in s_b.items():
