@@ -110,7 +110,9 @@ _PRIORITY: tuple[str, ...] = (
     # one flagship per family the round-1 window previously missed
     "streaming_ewma",
     "udtf_word_pos",
-    "multimodal_phash",
+    # round-6 closer rotation: multimodal keeps multimodal_decode
+    # in-window; the sketch family gains its first graded rep
+    "agg_count_min",
     "stat_psi",
     # round-6 wave rotation: retrieval_prf out (retrieval keeps rrf),
     # the never-graded privacy family in
@@ -151,6 +153,7 @@ _PRIORITY: tuple[str, ...] = (
     # --- graded-50 boundary ---
     # rotated-out wave-5 rows (driver-green r1-r6, families still
     # represented in-window)
+    "multimodal_phash",
     "retrieval_prf",
     "stat_linreg",
     "text_collocations",
