@@ -314,9 +314,7 @@ def benford_audit(df: DataFrame, amount_col: str) -> DataFrame:
     aggregate (map-side combinable); the digit spine is a 9-row
     literal table so digits absent from the data still report 0.
     """
-    from pyspark.sql import SparkSession
-
-    spark = SparkSession.getActiveSession()
+    spark = df.sparkSession
     spine = spark.createDataFrame(
         [(d, BENFORD_E6[d - 1]) for d in range(1, 10)],
         "digit int, expected_e6 bigint",

@@ -559,7 +559,9 @@ def f_concat(i: int, term_col: str) -> str:
 def count_min_oracle_sql(
     terms_sql: str, term_col: str, d: int = 4, w: int = 64
 ) -> str:
-    """DuckDB twin of :func:`count_min_sketch` over ``terms_sql``."""
+    """DuckDB twin of :func:`count_min_table` over ``terms_sql``
+    (NOT of :func:`count_min_sketch`, which wraps Spark's JVM sketch
+    and cannot be value-verified)."""
     rows = " UNION ALL ".join(
         f"""SELECT {i} AS row_id,
              CAST(('0x' || substr(md5({f_concat(i, term_col)}), 1, 15))::BIGINT

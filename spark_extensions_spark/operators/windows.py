@@ -105,7 +105,11 @@ def sliding_count_distinct(
         pos.alias("s")
         .join(
             deltas.alias("t"),
-            [F.col(f"s.{c}") == F.col(f"t.{c}") for c in partition_cols]
+            # eqNullSafe: Window.partitionBy groups NULL keys into one
+            # partition, so a NULL-key partition is real — null-unsafe
+            # equality here would drop ALL its deltas (win_distinct=0),
+            # diverging from SQL PARTITION BY semantics (ADVICE r6).
+            [F.col(f"s.{c}").eqNullSafe(F.col(f"t.{c}")) for c in partition_cols]
             + [F.col("s.pos") == F.col("t.p")],
             "left",
         )

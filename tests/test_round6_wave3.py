@@ -592,6 +592,30 @@ def test_sliding_distinct_excludes_nulls(spark):
     assert got == {1: 0, 2: 1, 3: 1, 4: 2, 5: 2, 6: 2}
 
 
+def test_sliding_distinct_null_partition_key(spark):
+    """Window.partitionBy groups NULL keys into ONE real partition;
+    the delta join must use null-safe equality or every row in the
+    NULL-key partition gets win_distinct=0 (ADVICE r6, medium)."""
+    from spark_extensions_spark.operators.windows import (
+        sliding_count_distinct,
+    )
+
+    rows = [
+        (None, 1, "a"), (None, 2, "b"), (None, 3, "a"),
+        (1, 1, "x"), (1, 2, "x"),
+    ]
+    df = spark.createDataFrame(rows, "u int, seq int, t string")
+    got = {
+        (r["u"], r["seq"]): r["win_distinct"]
+        for r in sliding_count_distinct(df, ["u"], ["seq"], "t", k=2).collect()
+    }
+    # NULL-key partition frames (k=2): {a}=1, {a,b}=2, {b,a}=2
+    assert got == {
+        (None, 1): 1, (None, 2): 2, (None, 3): 2,
+        (1, 1): 1, (1, 2): 1,
+    }
+
+
 def test_skyline_null_coordinates_excluded(spark):
     from spark_extensions_spark.operators.skyline import skyline_2d
 
