@@ -87,25 +87,31 @@ def _register(name: str, oracle: str | None, doc: str = ""):
 # sample_dsir / embedding_quantize stay in-window as portability
 # sentinels per the verdict.
 _PRIORITY: tuple[str, ...] = (
-    "agg_pricing_summary",
-    "filter_project",
-    "join_inner",
+    # round-7 rotation: ten never-driver-graded families in (VERDICT r6
+    # #1), displacing longest-green round-1 rows; every outgoing family
+    # keeps at least one in-window rep (joins: broadcast/asof/semi/anti;
+    # agg: rollup/count_min; dedup: exact/minhash + the two incoming;
+    # cdc: scd2_history/cdc_changefeed; text: gopher/contamination;
+    # sample: token_budget/dsir; windows: sliding_distinct)
+    "eval_auc_exact",
+    "analytic_match_pattern",
+    "streaming_match_pattern",
     "join_broadcast",
     "join_asof",
-    "window_running_sum",
+    "stat_kendall_tau",
     "agg_rollup",
     "subquery_battery",
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_embedding",
-    "dedup_clusters_star",
+    "dedup_winnowing",
+    "dedup_bloom_incremental",
     "pipeline_full_curation",
-    "cdc_snapshot_diff",
-    "merge_upsert",
+    "ts_decompose",
+    "graph_pagerank",
     "scd2_history",
-    "lm_perplexity",
+    "analytic_skyline",
     "text_gopher_rules",
-    "sample_hash_split",
+    "eval_pass_at_k",
     "sample_token_budget",
     # one flagship per family the round-1 window previously missed
     "streaming_ewma",
@@ -151,6 +157,18 @@ _PRIORITY: tuple[str, ...] = (
     # Kafka-semantics log family — kafka_log_roundtrip is position 50
     "kafka_log_roundtrip",
     # --- graded-50 boundary ---
+    # round-7 rotated-out rows (driver-green r1-r6, families still
+    # represented in-window)
+    "agg_pricing_summary",
+    "filter_project",
+    "join_inner",
+    "window_running_sum",
+    "dedup_embedding",
+    "dedup_clusters_star",
+    "cdc_snapshot_diff",
+    "merge_upsert",
+    "lm_perplexity",
+    "sample_hash_split",
     # rotated-out wave-5 rows (driver-green r1-r6, families still
     # represented in-window)
     "multimodal_phash",
@@ -170,7 +188,6 @@ _PRIORITY: tuple[str, ...] = (
     "layout_zorder",
     "kafka_stream_decode_agg",
     "kafka_sink_exactly_once",
-    "graph_pagerank",
     "dedup_spans",
     # next tier (graded if the driver's window exceeds 50)
     "sample_pps",
