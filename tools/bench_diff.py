@@ -1,10 +1,16 @@
 """Perf-regression differ: compare the current BENCH_DETAIL.json against
-a baseline snapshot and flag per-query slowdowns.
+BOTH the rolling baseline (advanced each round) and a FROZEN epoch
+baseline (BENCH_EPOCH.json — pinned to the round-5 wrap detail, commit
+dbd5325, and never advanced) so slow cross-round drift cannot hide
+behind baseline advancement (VERDICT r6 "What's wrong" #1).
 
 Usage: python tools/bench_diff.py [baseline.json] [current.json] [ratio]
-Defaults: BENCH_BASELINE.json vs BENCH_DETAIL.json at 2.0x. Exit 1 when
-any query regressed past the ratio (new queries are listed, not failed).
-To (re)record the baseline: cp BENCH_DETAIL.json BENCH_BASELINE.json.
+Defaults: BENCH_BASELINE.json vs BENCH_DETAIL.json at 2.0x; the epoch
+check always runs additionally against BENCH_EPOCH.json when the file
+exists and the default baseline is in use. Exit 1 when any query
+regressed past the ratio on EITHER baseline (new queries are listed,
+not failed). To (re)record the rolling baseline:
+cp BENCH_DETAIL.json BENCH_BASELINE.json. Never overwrite the epoch.
 """
 
 from __future__ import annotations
@@ -13,35 +19,48 @@ import json
 import sys
 
 MIN_SECONDS = 1.0  # ignore noise-floor queries
+EPOCH_PATH = "BENCH_EPOCH.json"
+
+
+def diff(base_p: str, cur: dict, ratio: float, tag: str) -> int:
+    try:
+        base = json.load(open(base_p))["queries"]
+    except FileNotFoundError:
+        print(f"no baseline at {base_p}; record one with: cp BENCH_DETAIL.json {base_p}")
+        return 0
+    regressed = []
+    for name, t in sorted(cur.items()):
+        b = base.get(name)
+        if b is None:
+            if tag == "rolling":
+                print(f"NEW      {name:32s} {t:7.2f}s")
+        elif t > MIN_SECONDS and b > 0 and t / b > ratio:
+            regressed.append((name, b, t))
+    for name, b, t in sorted(regressed, key=lambda x: -x[2] / x[1]):
+        print(f"REGRESS[{tag}]  {name:32s} {b:7.2f}s -> {t:7.2f}s  ({t/b:.1f}x)")
+    gone = sorted(set(base) - set(cur))
+    if tag == "rolling":
+        for name in gone:
+            print(f"REMOVED  {name}")
+    print(
+        f"[{tag} vs {base_p}] {len(cur)} queries, {len(regressed)} regressed "
+        f"past {ratio}x, {len(set(cur) - set(base))} new, {len(gone)} removed"
+    )
+    return len(regressed)
 
 
 def main() -> int:
     base_p = sys.argv[1] if len(sys.argv) > 1 else "BENCH_BASELINE.json"
     cur_p = sys.argv[2] if len(sys.argv) > 2 else "BENCH_DETAIL.json"
     ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 2.0
-    try:
-        base = json.load(open(base_p))["queries"]
-    except FileNotFoundError:
-        print(f"no baseline at {base_p}; record one with: cp {cur_p} {base_p}")
-        return 0
     cur = json.load(open(cur_p))["queries"]
-    regressed = []
-    for name, t in sorted(cur.items()):
-        b = base.get(name)
-        if b is None:
-            print(f"NEW      {name:32s} {t:7.2f}s")
-        elif t > MIN_SECONDS and b > 0 and t / b > ratio:
-            regressed.append((name, b, t))
-    for name, b, t in sorted(regressed, key=lambda x: -x[2] / x[1]):
-        print(f"REGRESS  {name:32s} {b:7.2f}s -> {t:7.2f}s  ({t/b:.1f}x)")
-    gone = sorted(set(base) - set(cur))
-    for name in gone:
-        print(f"REMOVED  {name}")
-    print(
-        f"{len(cur)} queries, {len(regressed)} regressed past {ratio}x, "
-        f"{len(set(cur) - set(base))} new, {len(gone)} removed"
-    )
-    return 1 if regressed else 0
+    n_bad = diff(base_p, cur, ratio, "rolling")
+    if base_p == "BENCH_BASELINE.json":
+        import os
+
+        if os.path.exists(EPOCH_PATH):
+            n_bad += diff(EPOCH_PATH, cur, ratio, "epoch")
+    return 1 if n_bad else 0
 
 
 if __name__ == "__main__":
