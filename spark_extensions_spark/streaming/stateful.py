@@ -151,6 +151,158 @@ def ewma_state(
     )
 
 
+def _tri_true(col: pd.Series):
+    """Definite-True mask under SQL three-valued logic: NULL/NaN is
+    NOT True (a NULL start/end predicate never starts/closes)."""
+    import numpy as np
+
+    nn = col.notna().to_numpy()
+    return nn & col.fillna(False).astype(bool).to_numpy()
+
+
+def _tri_false(col: pd.Series):
+    """Definite-False mask: NULL/NaN is NOT False (a NULL mid
+    predicate does not break the run)."""
+    import numpy as np
+
+    nn = col.notna().to_numpy()
+    return nn & ~col.fillna(True).astype(bool).to_numpy()
+
+
+def _pattern_scan_loop(
+    ids,
+    ts_us,
+    is_a,
+    is_c,
+    brk,
+    prior: tuple,
+    min_mid: int,
+    max_mid: int | None,
+    within_us: int | None,
+):
+    """Reference row-at-a-time evaluation of the A B{min,max} C state
+    machine (the original round-6 implementation, kept verbatim as the
+    equivalence twin for :func:`_pattern_scan_vec`).
+
+    Returns ``(matches, new_state)`` where matches is a list of
+    ``(start_id, end_id, n_mid)`` and new_state the 3-long tuple.
+    """
+    a_id, a_ts_us, n_mid = prior
+    out = []
+    for j in range(len(ids)):
+        if (
+            is_c[j]
+            and a_id is not None
+            and n_mid >= min_mid
+            and (max_mid is None or n_mid <= max_mid)
+            and (within_us is None or ts_us[j] - a_ts_us <= within_us)
+        ):
+            out.append((int(a_id), int(ids[j]), int(n_mid)))
+            a_id = None
+        if is_a[j]:
+            a_id, a_ts_us, n_mid = int(ids[j]), int(ts_us[j]), 0
+        elif a_id is not None:
+            if brk[j]:
+                a_id = None
+            else:
+                n_mid += 1
+    if a_id is None:
+        return out, (None, None, None)
+    return out, (int(a_id), int(a_ts_us), int(n_mid))
+
+
+def _pattern_scan_vec(
+    ids,
+    ts_us,
+    is_a,
+    is_c,
+    brk,
+    prior: tuple,
+    min_mid: int,
+    max_mid: int | None,
+    within_us: int | None,
+):
+    """Vectorized evaluation of the same state machine (VERDICT r6 #7:
+    no per-row Python on the streaming path).
+
+    The sequential recurrence has a closed form because the machine's
+    anchor at any C row j is fully determined by position algebra:
+
+    - the binding anchor is the LATEST A strictly before j (the carried
+      state acts as a virtual A at position -1);
+    - the anchor is still open at j iff no definite-False mid row lies
+      strictly between (a break kills it, and rows between the latest A
+      and j are non-A by construction);
+    - ``n_mid`` is exactly the count of rows strictly between (every
+      non-breaking row increments it, and all of them are non-breaking
+      or the anchor is dead), i.e. ``j - i - 1`` (carry: ``n_mid0 + j``);
+    - consumption reduces to "first eligible C per anchor wins" —
+      anchors of candidate C rows are non-decreasing in j, so the
+      winners are the first occurrence of each anchor value.
+
+    Equivalence with :func:`_pattern_scan_loop` is pinned on randomized
+    sequences in tests/test_patterns.py.
+    """
+    import numpy as np
+
+    n = len(ids)
+    a_id0, a_ts0, n_mid0 = prior
+    has_carry = a_id0 is not None
+    if n == 0:
+        return [], (
+            (int(a_id0), int(a_ts0), int(n_mid0)) if has_carry
+            else (None, None, None)
+        )
+    pos = np.arange(n, dtype="int64")
+    last_a = np.maximum.accumulate(np.where(is_a, pos, -1))
+    # latest A strictly BEFORE j (row j's own A reopens AFTER its C)
+    i = np.concatenate(([np.int64(-1)], last_a[:-1]))
+    # Bpre[j] = number of breaking rows in [0, j)
+    bpre = np.concatenate(([0], np.cumsum(brk, dtype="int64")))
+    i_clip = np.clip(i, 0, None)
+    anchored = np.where(i >= 0, True, has_carry)
+    brk_between = np.where(
+        i >= 0, bpre[pos] - bpre[i_clip + 1], bpre[pos]
+    )
+    nm = np.where(
+        i >= 0, pos - i - 1, (int(n_mid0) if has_carry else 0) + pos
+    )
+    a_ts = np.where(
+        i >= 0, ts_us[i_clip], int(a_ts0) if has_carry else 0
+    )
+    eligible = is_c & anchored & (brk_between == 0) & (nm >= min_mid)
+    if max_mid is not None:
+        eligible &= nm <= max_mid
+    if within_us is not None:
+        eligible &= ts_us - a_ts <= within_us
+    cand = np.flatnonzero(eligible)
+    # anchors are non-decreasing over candidate positions → the first
+    # occurrence of each anchor value is that anchor's consuming C
+    _, first = np.unique(i[cand], return_index=True)
+    win = cand[np.sort(first)]
+    a_ids = np.where(
+        i[win] >= 0, ids[i_clip[win]], a_id0 if has_carry else 0
+    )
+    matches = [
+        (int(a), int(ids[j]), int(m))
+        for a, j, m in zip(a_ids, win, nm[win])
+    ]
+    # end-of-batch state
+    if is_a.any():
+        il = int(last_a[-1])
+        consumed = bool((i[win] == il).any())
+        broken = bpre[n] - bpre[il + 1] > 0
+        if consumed or broken:
+            return matches, (None, None, None)
+        return matches, (int(ids[il]), int(ts_us[il]), int(n - il - 1))
+    carried_dead = (
+        not has_carry or bool((i[win] == -1).any()) or bpre[n] > 0
+    )
+    if carried_dead:
+        return matches, (None, None, None)
+    return matches, (int(a_id0), int(a_ts0), int(n_mid0) + n)
+
+
 def pattern_match_state(
     stream: DataFrame,
     key_col: str,
@@ -219,66 +371,39 @@ def pattern_match_state(
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        a_id, a_ts_us, n_mid = (
-            state.get if state.exists else (None, None, None)
-        )
+        prior = state.get if state.exists else (None, None, None)
         batch = pd.concat(list(pdfs), ignore_index=True)
         batch = batch.sort_values([ts_col, id_col])
-        out = []
-
-        def tri(v):
-            # three-valued boolean: None/NaN stays None (SQL NULL)
-            if v is None or (isinstance(v, float) and v != v):
-                return None
-            return bool(v)
-
-        for row in batch.itertuples(index=False):
-            rid = getattr(row, id_col)
-            ts_us = int(
-                pd.Timestamp(getattr(row, ts_col)).value // 1000
-            )
-            # SQL three-valued logic, matching the batch window algebra
-            # exactly: a NULL start/end predicate never starts/closes
-            # (WHEN NULL falls through), and a NULL mid predicate does
-            # NOT break the run (the batch non-B counter adds 1 only
-            # when NOT is_b is TRUE, i.e. only on a definite False)
-            is_a = tri(getattr(row, start_col)) is True
-            is_c = tri(getattr(row, end_col)) is True
-            b_breaks = tri(getattr(row, mid_col)) is False
-            if (
-                is_c
-                and a_id is not None
-                and n_mid >= min_mid
-                and (max_mid is None or n_mid <= max_mid)
-                and (
-                    within_us is None or ts_us - a_ts_us <= within_us
-                )
-            ):
-                out.append(
-                    {
-                        key_field.name: key[0],
-                        "start_id": a_id,
-                        "end_id": rid,
-                        "n_mid": int(n_mid),
-                    }
-                )
-                a_id = None
-            if is_a:
-                a_id, a_ts_us, n_mid = int(rid), ts_us, 0
-            elif a_id is not None:
-                if b_breaks:
-                    a_id = None
-                else:
-                    # n_mid mirrors the batch POSITION difference: every
-                    # non-breaking row strictly between a and c counts,
-                    # including NULL-mid rows
-                    n_mid += 1
-        if a_id is None:
-            state.update((None, None, None))
-        else:
-            state.update((int(a_id), int(a_ts_us), int(n_mid)))
+        ids = batch[id_col].to_numpy()
+        ts_us = (
+            pd.to_datetime(batch[ts_col])
+            .astype("datetime64[ns]")
+            .astype("int64")
+            .to_numpy()
+            // 1000
+        )
+        matches, new_state = _pattern_scan_vec(
+            ids,
+            ts_us,
+            _tri_true(batch[start_col]),
+            _tri_true(batch[end_col]),
+            _tri_false(batch[mid_col]),
+            prior,
+            min_mid,
+            max_mid,
+            within_us,
+        )
+        state.update(new_state)
         yield pd.DataFrame(
-            out,
+            [
+                {
+                    key_field.name: key[0],
+                    "start_id": s,
+                    "end_id": e,
+                    "n_mid": m,
+                }
+                for s, e, m in matches
+            ],
             columns=[key_field.name, "start_id", "end_id", "n_mid"],
         )
 
@@ -343,22 +468,28 @@ def running_distinct_state(
         seen = set(_json.loads(blob)) if blob else set()
         batch = pd.concat(list(pdfs), ignore_index=True)
         batch = batch.sort_values([ts_col, id_col])
-        out = []
-        for row in batch.itertuples(index=False):
-            v = getattr(row, value_col)
-            if v is not None and not (isinstance(v, float) and v != v):
-                seen.add(str(v))
-            out.append(
-                {
-                    key_field.name: key[0],
-                    id_field.name: getattr(row, id_col),
-                    "run_types": len(seen),
-                }
-            )
+        # vectorized recurrence (VERDICT r6 #7): the running distinct
+        # count is len(seen) + cumulative count of first-in-batch
+        # occurrences of values not already in the carried set — no
+        # per-row Python.  notna() covers None AND float NaN (the old
+        # per-row tri-check).
+        vals = batch[value_col]
+        nn = vals.notna()
+        s = vals[nn].astype(str)
+        fresh = ~s.isin(seen) & ~s.duplicated(keep="first")
+        flag = pd.Series(0, index=batch.index, dtype="int64")
+        flag[s.index[fresh]] = 1
+        run = len(seen) + flag.cumsum()
+        seen.update(s[fresh].tolist())
         state.update((_json.dumps(sorted(seen)),))
-        yield pd.DataFrame(out, columns=[
-            key_field.name, id_field.name, "run_types",
-        ])
+        out = pd.DataFrame(
+            {
+                key_field.name: key[0],
+                id_field.name: batch[id_col],
+                "run_types": run,
+            }
+        )
+        yield out[[key_field.name, id_field.name, "run_types"]]
 
     return stream.groupBy(key_col).applyInPandasWithState(
         update,

@@ -388,3 +388,57 @@ def test_streaming_pattern_rejects_non_integral_ids(spark):
         pattern_match_state(
             df, "user_id", "ts", "event_id", "is_a", "is_b", "is_c"
         )
+
+
+def test_pattern_scan_vec_equals_loop_randomized():
+    """The vectorized anchor-group evaluation must be exactly the row
+    loop on every sequence shape: A∧C rows, C∧break rows, NULL
+    predicates, carried state (open anchor from a prior batch), every
+    (min_mid, max_mid, within) combination (VERDICT r6 #7)."""
+    import random
+
+    import numpy as np
+
+    from spark_extensions_spark.streaming.stateful import (
+        _pattern_scan_loop,
+        _pattern_scan_vec,
+    )
+
+    rng = random.Random(47)
+    for case in range(400):
+        n = rng.randint(0, 24)
+        is_a = np.array([rng.random() < 0.3 for _ in range(n)], bool)
+        is_c = np.array([rng.random() < 0.3 for _ in range(n)], bool)
+        brk = np.array([rng.random() < 0.25 for _ in range(n)], bool)
+        ids = np.arange(100, 100 + n, dtype="int64")
+        ts = np.cumsum(
+            np.array([rng.randint(0, 5) for _ in range(n)], "int64")
+        ) * 1_000_000
+        if rng.random() < 0.5:
+            prior = (7, -3_000_000, rng.randint(0, 3))
+        else:
+            prior = (None, None, None)
+        min_mid = rng.choice([0, 1, 2])
+        max_mid = rng.choice([None, 1, 3])
+        within = rng.choice([None, 4_000_000, 0])
+        got = _pattern_scan_vec(
+            ids, ts, is_a, is_c, brk, prior, min_mid, max_mid, within
+        )
+        want = _pattern_scan_loop(
+            ids, ts, is_a, is_c, brk, prior, min_mid, max_mid, within
+        )
+        assert got == want, (case, prior, min_mid, max_mid, within,
+                             is_a.tolist(), is_c.tolist(), brk.tolist())
+
+
+def test_tri_masks_null_semantics():
+    import pandas as pd
+
+    from spark_extensions_spark.streaming.stateful import (
+        _tri_false,
+        _tri_true,
+    )
+
+    s = pd.Series([True, False, None, float("nan")], dtype=object)
+    assert _tri_true(s).tolist() == [True, False, False, False]
+    assert _tri_false(s).tolist() == [False, True, False, False]
