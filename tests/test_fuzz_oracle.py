@@ -105,3 +105,65 @@ def test_known_divergence_empty_cube(spark):
     sql_norm = sql + " HAVING COUNT(*) > 0"
     assert len(spark.sql(sql_norm).collect()) == 0
     assert con.sql(sql_norm).fetchall() == []
+
+
+@pytest.mark.parametrize(
+    "profile",
+    [
+        "null_dense", "empty_mixed", "single_row",
+        "single_value", "extreme_ints", "neg_keys",
+    ],
+)
+def test_fuzz_adversarial_input_profiles(profile, spark):
+    """VERDICT r6 #5: the same shape families over adversarially
+    transformed inputs — NULL-dense columns, half-empty relations,
+    single-row tables, single-valued columns, int64-edge numerics,
+    negative/zero keys. Each profile is one portable view text applied
+    verbatim on both engines; 100 pinned cases per profile.
+
+    Reproduce standalone: python tools/fuzz_oracle.py <sf> 100
+    --seed fuzz-r7-adv --profile <profile> [--case <i>]"""
+    from fuzz_oracle import run_fuzz
+
+    n_pass, failures = run_fuzz(
+        SF_DIR, 100, seed="fuzz-r7-adv", profile=profile
+    )
+    msg = "\n".join(
+        f"case {i}: {p}\n  SQL: {sql}" for i, sql, p in failures[:5]
+    )
+    assert not failures, f"[{profile}] {len(failures)} divergences:\n{msg}"
+    assert n_pass == 100
+
+
+def test_profile_views_are_portable_and_key_stable(spark):
+    """Every profile view must parse on both engines AND preserve the
+    shape determinism contract: the table's unique key stays unique and
+    non-NULL under every transform (top-k / window shapes ORDER BY it)."""
+    import duckdb
+
+    from fuzz_oracle import PROFILES, TABLES, profile_view_sql
+    from spark_extensions_spark.session import load_tables
+
+    tables = load_tables(spark, SF_DIR, *TABLES.keys())
+    con = duckdb.connect()
+    for name, df in tables.items():
+        df.createOrReplaceTempView(f"{name}__base")
+        con.sql(
+            f"CREATE VIEW {name}__base AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/{name}.parquet')"
+        )
+    for profile in PROFILES:
+        for name, t in TABLES.items():
+            view = profile_view_sql(profile, name)
+            s = spark.sql(view)
+            d = con.sql(view)
+            assert s.columns == list(d.columns), (profile, name)
+            if t["key"]:
+                check = (
+                    f"SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+                    f"CAST(COUNT(DISTINCT {t['key']}) AS BIGINT) AS d, "
+                    f"CAST(COUNT({t['key']}) AS BIGINT) AS nn "
+                    f"FROM ({view}) v"
+                )
+                n, dk, nn = spark.sql(check).collect()[0]
+                assert n == dk == nn, (profile, name, n, dk, nn)

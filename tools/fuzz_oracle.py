@@ -574,6 +574,138 @@ def gen_case(master_seed: str, i: int) -> str:
 
 
 # ---------------------------------------------------------------------
+# Adversarial input profiles (VERDICT r6 #5): the SAME shape families
+# run over transformed views of the fixture tables — NULL-dense
+# columns, half-empty relations, single-row tables, single-valued
+# columns, int64-edge numerics, negative/zero keys.  Each profile is
+# ONE portable SQL text per table, executed verbatim on both engines,
+# so the transformed inputs are bit-identical by construction.
+#
+# Determinism constraints each profile must preserve (or the shapes
+# stop being order-stable): every table's unique key stays unique,
+# non-NULL, and monotone under the transform (top-k and window shapes
+# ORDER BY it), and FK pairs are transformed consistently on both
+# sides (or deliberately left intact).
+# ---------------------------------------------------------------------
+
+_DOUBLE_COLS = {
+    "c_acctbal", "o_totalprice", "l_quantity", "l_extendedprice",
+    "p_retailprice", "s_acctbal", "value",
+}
+
+# FK-participating columns; each domain shares one shift so joins stay
+# isomorphic after the transform
+_FK_SHIFT = {
+    "c_custkey": 800, "o_custkey": 800,
+    "o_orderkey": 8000, "l_orderkey": 8000,
+    "p_partkey": 1100, "l_partkey": 1100,
+    "s_suppkey": 60, "l_suppkey": 60,
+    "n_nationkey": 13, "c_nationkey": 13, "s_nationkey": 13,
+    "n_regionkey": 3,
+    "event_id": 5500, "user_id": 600, "doc_id": 300,
+}
+
+# per-row deterministic integer driving the NULL pattern (must itself
+# stay non-NULL, so its components are preserved by null_dense)
+_NULL_DET = {"lineitem": "(l_orderkey * 10 + l_linenumber)"}
+
+_EMPTY_TABLES = {"orders", "part", "nation", "documents"}
+
+PROFILES = (
+    "baseline", "null_dense", "empty_mixed", "single_row",
+    "single_value", "extreme_ints", "neg_keys",
+)
+
+
+def _ref_cols(t: dict) -> list[str]:
+    cols: set[str] = set()
+    for a in t["ints"]:
+        cols.update(_atom_cols(a))
+    cols.update(t["strs"])
+    cols.update(t["ts"])
+    if t["key"]:
+        cols.add(t["key"])
+    return sorted(cols)
+
+
+def profile_view_sql(profile: str, name: str) -> str:
+    """The derived-view SELECT for ``name`` under ``profile`` — one
+    shared SQL text over ``{name}__base``, valid in both engines."""
+    t = TABLES[name]
+    refs = _ref_cols(t)
+    src = f"{name}__base"
+    if profile == "baseline":
+        return f"SELECT {', '.join(refs)} FROM {src}"
+    if profile == "empty_mixed":
+        w = " WHERE 1 = 0" if name in _EMPTY_TABLES else ""
+        return f"SELECT {', '.join(refs)} FROM {src}{w}"
+    if profile == "single_row":
+        k = t["key"] or "l_orderkey"
+        return (
+            f"SELECT {', '.join(refs)} FROM {src} "
+            f"WHERE {k} = (SELECT MIN({k}) FROM {src})"
+        )
+    det = _NULL_DET.get(name, t["key"])
+    det_cols = _atom_cols(det) if det else []
+    out = []
+    for ci, c in enumerate(refs):
+        if profile == "null_dense":
+            # PK / ordering / det columns stay non-NULL (top-k and
+            # window shapes ORDER BY the key); FK sides and every data
+            # column go NULL on a deterministic ~40% of rows, with a
+            # different phase per column
+            if c == t["key"] or c in det_cols:
+                out.append(c)
+            else:
+                out.append(
+                    f"(CASE WHEN ((CAST({det} AS BIGINT) + {ci}) "
+                    f"* 40503) % 10 < 4 THEN NULL ELSE {c} END) AS {c}"
+                )
+        elif profile == "single_value":
+            # collapse every non-key data column to ONE constant —
+            # single-valued groups, all-tied orders, degenerate
+            # predicates; keys/FKs intact so joins keep their shape
+            if c == t["key"] or c in _FK_SHIFT or c in det_cols:
+                out.append(c)
+            elif c in _DOUBLE_COLS:
+                out.append(f"CAST(42.5 AS DOUBLE) AS {c}")
+            elif c in t["strs"]:
+                out.append(f"'aB' AS {c}")
+            elif c in t["ts"]:
+                out.append(f"TIMESTAMP '1995-06-17 00:00:00' AS {c}")
+            else:
+                out.append(f"7 AS {c}")
+        elif profile == "extreme_ints":
+            # keys/FKs: consistent injective monotone blow-up into the
+            # ±9e12 band (mixed signs); non-FK ints: ±(int64_max − ε);
+            # doubles: ×1e9 (products ≤1e13 < 2^53 stay exact IEEE)
+            if c in _FK_SHIFT or c == t["key"]:
+                out.append(
+                    f"(CAST({c} AS BIGINT) * 1000003 "
+                    f"- 9000000000000) AS {c}"
+                )
+            elif c in _DOUBLE_COLS:
+                out.append(f"({c} * 1e9) AS {c}")
+            elif c in t["strs"] or c in t["ts"]:
+                out.append(c)
+            else:
+                out.append(
+                    f"(CAST(({c} % 2) * 2 - 1 AS BIGINT) * "
+                    f"(9223372036854775807 - CAST({c} AS BIGINT) "
+                    f"* 4093)) AS {c}"
+                )
+        elif profile == "neg_keys":
+            # shift every FK domain through zero (both sides equally)
+            if c in _FK_SHIFT:
+                out.append(f"({c} - {_FK_SHIFT[c]}) AS {c}")
+            else:
+                out.append(c)
+        else:
+            raise ValueError(f"unknown profile {profile!r}")
+    return f"SELECT {', '.join(out)} FROM {src}"
+
+
+# ---------------------------------------------------------------------
 # Runner
 # ---------------------------------------------------------------------
 
@@ -583,6 +715,7 @@ def run_fuzz(
     seed: str = "fuzz-r6",
     only_case: int | None = None,
     verbose: bool = False,
+    profile: str = "baseline",
 ):
     """Returns (n_pass, failures) where failures is a list of
     (case_index, sql, problem_description)."""
@@ -593,14 +726,16 @@ def run_fuzz(
 
     spark = get_spark("fuzz_oracle")
     tables = load_tables(spark, sf_dir, *TABLES.keys())
-    for name, df in tables.items():
-        df.createOrReplaceTempView(name)
     con = duckdb.connect()
-    for name in TABLES:
+    for name, df in tables.items():
+        df.createOrReplaceTempView(f"{name}__base")
         con.sql(
-            f"CREATE VIEW {name} AS "
+            f"CREATE VIEW {name}__base AS "
             f"SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"
         )
+        view = profile_view_sql(profile, name)
+        spark.sql(f"CREATE OR REPLACE TEMP VIEW {name} AS {view}")
+        con.sql(f"CREATE VIEW {name} AS {view}")
     n_pass = 0
     failures: list[tuple[int, str, str]] = []
     cases = [only_case] if only_case is not None else range(n_cases)
@@ -636,13 +771,17 @@ def main() -> int:
     n = int(args[1]) if len(args) > 1 else 500
     seed = "fuzz-r6"
     only = None
+    profile = "baseline"
     for j, a in enumerate(sys.argv):
         if a == "--seed":
             seed = sys.argv[j + 1]
         if a == "--case":
             only = int(sys.argv[j + 1])
+        if a == "--profile":
+            profile = sys.argv[j + 1]
     n_pass, failures = run_fuzz(
-        sf_dir, n, seed=seed, only_case=only, verbose=only is not None
+        sf_dir, n, seed=seed, only_case=only, verbose=only is not None,
+        profile=profile,
     )
     for i, sql, problem in failures:
         print(f"FAIL case {i}: {problem}\n  SQL: {sql}", flush=True)
