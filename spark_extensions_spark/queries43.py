@@ -264,3 +264,7 @@ def q_dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_prefilter_dedup(
         new, hist, "doc_id", "text_key", d=_BF_D, m=_BF_M
     )
+
+
+# batch 44 registers at import time, same chain as queries42 -> 43
+from spark_extensions_spark import queries44  # noqa: E402,F401  (registration side effect)
