@@ -37,8 +37,9 @@ LLM-data-pipeline extension layer (SURVEY.md §7 M5).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from spark_extensions_spark.functions.text import TOKEN_PATTERN
 
@@ -224,4 +225,141 @@ def nb_classify_oracle_sql(
     FROM {table} d
     LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING ({id_col})
     CROSS JOIN prior_best pb
+    """
+
+
+# ---------------------------------------------------------------------
+# Exact-integer decision-stump split selection (Gini impurity)
+# ---------------------------------------------------------------------
+
+
+def gini_split(
+    df: DataFrame,
+    feature_cols: list[str],
+    target: Column | str,
+) -> DataFrame:
+    """Decision-stump split selection over categorical features with
+    EXACT integer arithmetic — the feature-ranking step of tree
+    ensembles (CART, Breiman et al. 1984) and of data-curation rule
+    mining ("which metadata field best predicts the quality label?").
+
+    For a binary ``target`` and each candidate feature F, the weighted
+    Gini impurity of splitting on F is
+
+        G(F) = Σ_b (n_b/n)·(1 − (pos_b/n_b)² − (neg_b/n_b)²)
+             = Σ_b (n_b² − pos_b² − neg_b²) / (n_b · n)
+
+    Every numerator/denominator is an exact integer; each branch term
+    runs through DECIMAL(38,0) (n_b² reaches 1e20 at 1e10 rows, ×1e12
+    fixed-point reaches 1e32 — int64 dies, decimals don't) and the
+    division is a DECIMAL ``div`` → exact BIGINT e12 fixed point, so
+    the ranking is bit-reproducible on any engine — float impurities
+    tie-break nondeterministically exactly when two features are
+    nearly equally good, which is the common case on weak features.
+
+    Scale shape: ONE pass — a row-local ``stack`` explodes the k
+    features (k× amplification, k is tiny), one map-side-combinable
+    hash aggregate on (feature, value) produces the DOMAIN-sized
+    branch table, and everything downstream runs on that. No window
+    over the corpus, no per-feature rescan.
+
+    Output: one row per feature —
+    ``(feature, n_branches, gini_e12, gain_e12)`` where gain is the
+    root impurity minus G(F), both e12 fixed point, all BIGINT.
+    """
+    k = len(feature_cols)
+    stack_args = ", ".join(
+        f"'{c}', cast({c} as string)" for c in feature_cols
+    )
+    tgt = F.col(target) if isinstance(target, str) else target
+    pairs = df.select(
+        F.expr(f"stack({k}, {stack_args}) as (feature, val)"),
+        tgt.cast("int").alias("__y"),
+    )
+    branches = pairs.groupBy("feature", "val").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n_b"),
+        F.sum("__y").cast("decimal(38,0)").alias("pos_b"),
+    )
+    wtot = Window.partitionBy("feature")
+    terms = branches.select(
+        "feature",
+        F.sum("n_b").over(wtot).cast("decimal(38,0)").alias("n"),
+        F.sum("pos_b").over(wtot).cast("decimal(38,0)").alias("pos"),
+        F.col("n_b"),
+        F.col("pos_b"),
+    ).select(
+        "feature",
+        "n",
+        "pos",
+        F.expr(
+            "((n_b * n_b - pos_b * pos_b"
+            " - (n_b - pos_b) * (n_b - pos_b))"
+            " * cast(1000000000000 as decimal(38,0)))"
+            " div (n_b * n)"
+        ).alias("term_e12"),
+    )
+    return (
+        terms.groupBy("feature", "n", "pos")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_branches"),
+            F.sum("term_e12").cast("bigint").alias("gini_e12"),
+        )
+        .select(
+            "feature",
+            "n_branches",
+            "gini_e12",
+            (
+                F.expr(
+                    "((n * n - pos * pos - (n - pos) * (n - pos))"
+                    " * cast(1000000000000 as decimal(38,0)))"
+                    " div (n * n)"
+                )
+                - F.col("gini_e12")
+            )
+            .cast("bigint")
+            .alias("gain_e12"),
+        )
+    )
+
+
+def gini_split_oracle_sql(
+    source_sql: str, feature_cols: list[str], target_sql: str
+) -> str:
+    """DuckDB twin of :func:`gini_split` — HUGEINT products and ``//``
+    floor division mirror the Spark side's DECIMAL(38,0) ``div``
+    exactly (both are exact-integer floor quotients for positive
+    operands)."""
+    sel = " UNION ALL ".join(
+        f"SELECT '{c}' AS feature, CAST({c} AS VARCHAR) AS val,"
+        f" CAST(({target_sql}) AS INT) AS y FROM src"
+        for c in feature_cols
+    )
+    return f"""
+    WITH src AS ({source_sql}),
+    gs_pairs AS ({sel}),
+    gs_branch AS (
+      SELECT feature, val,
+             CAST(COUNT(*) AS HUGEINT) AS n_b,
+             CAST(SUM(y) AS HUGEINT) AS pos_b
+      FROM gs_pairs GROUP BY 1, 2
+    ),
+    gs_tot AS (
+      SELECT feature, SUM(n_b) AS n, SUM(pos_b) AS pos
+      FROM gs_branch GROUP BY 1
+    ),
+    gs_terms AS (
+      SELECT b.feature, t.n, t.pos,
+             ((b.n_b * b.n_b - b.pos_b * b.pos_b
+               - (b.n_b - b.pos_b) * (b.n_b - b.pos_b))
+              * 1000000000000::HUGEINT) // (b.n_b * t.n) AS term_e12
+      FROM gs_branch b JOIN gs_tot t USING (feature)
+    )
+    SELECT feature,
+           CAST(COUNT(*) AS BIGINT) AS n_branches,
+           CAST(SUM(term_e12) AS BIGINT) AS gini_e12,
+           CAST(((MAX(n) * MAX(n) - MAX(pos) * MAX(pos)
+                  - (MAX(n) - MAX(pos)) * (MAX(n) - MAX(pos)))
+                 * 1000000000000::HUGEINT) // (MAX(n) * MAX(n))
+                - SUM(term_e12) AS BIGINT) AS gain_e12
+    FROM gs_terms GROUP BY feature
     """

@@ -1499,3 +1499,164 @@ def winnow_candidates(
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+# ---------------------------------------------------------------------
+# Asymmetric n-gram containment (quote / subset detection)
+# ---------------------------------------------------------------------
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    max_df: int = 20,
+    min_shared: int = 5,
+    min_cont_e6: int = 500_000,
+) -> DataFrame:
+    """Asymmetric near-duplicate detection by n-gram CONTAINMENT —
+    ``|A∩B| / min(|A|,|B|)`` over distinct word n-gram shingle sets
+    (Broder 1997's containment coefficient). Jaccard misses the
+    quote/boilerplate case where a short document sits INSIDE a long
+    one (the union dilutes the score); containment is the right
+    metric for "doc B embeds doc A", the common contamination shape
+    in web corpora.
+
+    Scale shape (candidate–verify, the PPJoin pattern): shingle sets
+    are row-local arrays (array_sort ∘ array_distinct — zero shuffle);
+    candidates come ONLY from shingles with document frequency
+    ≤ ``max_df`` (one hash agg + the grouped w·(w-1)/2 pair
+    expansion, so frequent boilerplate shingles — exactly the ones
+    that would explode the posting-list join — never generate pairs);
+    each candidate pair verifies EXACTLY with one row-local
+    ``array_intersect`` of the two full sets. ``max_df`` is the
+    recall/cost knob: a pair sharing only ubiquitous shingles is
+    invisible, by design — at corpus scale those pairs are the
+    quadratic blow-up.
+
+    Output: ``(id_a, id_b, shared, n_a, n_b, containment_e6)`` with
+    ``shared >= min_shared`` and containment ≥ ``min_cont_e6``.
+    """
+    from spark_extensions_spark.operators.graph import grouped_pair_edges
+    from spark_extensions_spark.session import ensure_parallelism
+
+    df = ensure_parallelism(df)
+    words = df.select(
+        F.col(id_col),
+        F.expr(
+            f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)"
+        ).alias("__words"),
+    )
+    sets = words.select(
+        id_col,
+        F.array_sort(
+            F.array_distinct(
+                F.transform(
+                    shingles_from_words("__words", n),
+                    lambda s: F.conv(
+                        F.substring(F.md5(s), 1, 15), 16, 10
+                    ).cast("bigint"),
+                )
+            )
+        ).alias("__sh"),
+    ).localCheckpoint(eager=False)
+    post = sets.select(id_col, F.explode("__sh").alias("__h"))
+    rare = (
+        post.groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter((F.col("__df") <= max_df) & (F.col("__df") >= 2))
+        .select("__h")
+    )
+    cand = grouped_pair_edges(
+        post.join(rare, "__h"), "__h", id_col, src="id_a", dst="id_b"
+    ).distinct()
+    verified = (
+        cand.join(
+            sets.select(
+                F.col(id_col).alias("id_a"), F.col("__sh").alias("__sa")
+            ),
+            "id_a",
+        )
+        .join(
+            sets.select(
+                F.col(id_col).alias("id_b"), F.col("__sh").alias("__sb")
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("__sa", "__sb"))
+            .cast("bigint")
+            .alias("shared"),
+            F.size("__sa").cast("bigint").alias("n_a"),
+            F.size("__sb").cast("bigint").alias("n_b"),
+        )
+    )
+    return verified.filter(F.col("shared") >= min_shared).select(
+        "id_a",
+        "id_b",
+        "shared",
+        "n_a",
+        "n_b",
+        F.expr(
+            "cast(floor(shared / cast(least(n_a, n_b) as double)"
+            " * 1e6 + 0.5d) as bigint)"
+        ).alias("containment_e6"),
+    ).filter(F.col("containment_e6") >= min_cont_e6)
+
+
+def ngram_containment_oracle_sql(
+    source_sql: str,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    max_df: int = 20,
+    min_shared: int = 5,
+    min_cont_e6: int = 500_000,
+) -> str:
+    """DuckDB twin of :func:`ngram_containment_pairs` — same md5
+    shingle hashes, same rare-shingle candidate rule, same row-local
+    intersect verify."""
+    ws = f"regexp_extract_all(lower({text_col}), '[a-z0-9]+')"
+    grams = (
+        f"CASE WHEN len({ws}) < {n} THEN [] "
+        f"ELSE list_transform(generate_series(0, len({ws}) - {n}), "
+        f"i -> array_to_string({ws}[i+1:i+{n}], ' ')) END"
+    )
+    return f"""
+    WITH ct_sets AS (
+      SELECT {id_col},
+             list_sort(list_distinct(list_transform({grams},
+               s -> ('0x' || substr(md5(s), 1, 15))::BIGINT))) AS sh
+      FROM ({source_sql}) ct_src
+    ),
+    ct_post AS (SELECT {id_col}, unnest(sh) AS h FROM ct_sets),
+    ct_rare AS (
+      SELECT h FROM ct_post GROUP BY h
+      HAVING COUNT(*) <= {max_df} AND COUNT(*) >= 2
+    ),
+    ct_cand AS (
+      SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b
+      FROM ct_post a
+      JOIN ct_rare r ON r.h = a.h
+      JOIN ct_post b ON b.h = a.h AND a.{id_col} < b.{id_col}
+    ),
+    ct_ver AS (
+      SELECT c.id_a, c.id_b,
+             CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS shared,
+             CAST(len(sa.sh) AS BIGINT) AS n_a,
+             CAST(len(sb.sh) AS BIGINT) AS n_b
+      FROM ct_cand c
+      JOIN ct_sets sa ON sa.{id_col} = c.id_a
+      JOIN ct_sets sb ON sb.{id_col} = c.id_b
+    )
+    SELECT id_a, id_b, shared, n_a, n_b,
+           CAST(FLOOR(shared / CAST(LEAST(n_a, n_b) AS DOUBLE)
+                * 1e6 + 0.5) AS BIGINT) AS containment_e6
+    FROM ct_ver
+    WHERE shared >= {min_shared}
+      AND FLOOR(shared / CAST(LEAST(n_a, n_b) AS DOUBLE) * 1e6 + 0.5)
+          >= {min_cont_e6}
+    """

@@ -861,3 +861,107 @@ def bfs_oracle_sql(
             f"GROUP BY node)"
         )
     return ",\n".join(parts) + f"\nSELECT node, dist FROM d{rounds}"
+
+
+# ---------------------------------------------------------------------
+# Common-neighbor link prediction
+# ---------------------------------------------------------------------
+
+
+def link_predict(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    min_common: int = 2,
+) -> DataFrame:
+    """Common-neighbor link prediction (Liben-Nowell & Kleinberg 2003):
+    rank NON-adjacent node pairs by how many neighbors they share, with
+    the neighborhood-Jaccard score as the normalized strength — the
+    classic "people you may know" / co-purchase-recommendation shape.
+
+    Scale shape: adjacency explodes each canonical edge both ways (two
+    row-local rows per edge), candidate pairs come from
+    :func:`grouped_pair_edges` over each neighbor's posting list — the
+    SAME w·(w-1)/2 grouped expansion the triangle counter uses, so cost
+    is Σ_v deg(v)², bounded by the hub degree, never an n² self-join.
+    Degrees are one hash aggregate; existing edges leave via one
+    broadcast-or-shuffle anti join on the canonical pair key.
+
+    Output: ``(id_a, id_b, common_neighbors, jaccard_e6)`` for
+    non-adjacent pairs with at least ``min_common`` shared neighbors;
+    jaccard = common / (deg_a + deg_b − common), e6 fixed point.
+    """
+    nb = edges.select(
+        F.col(src).alias("node"), F.col(dst).alias("nbr")
+    ).unionByName(
+        edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr"))
+    )
+    deg = nb.groupBy("node").agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    )
+    pairs = grouped_pair_edges(nb, "nbr", "node", src="id_a", dst="id_b")
+    common = pairs.groupBy("id_a", "id_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("common_neighbors")
+    )
+    # min_common prunes BEFORE the anti/degree joins (it is the
+    # selective predicate); the degree table is node-domain-sized —
+    # broadcast, never shuffled against the pair stream
+    non_adj = common.filter(F.col("common_neighbors") >= min_common).join(
+        edges.select(
+            F.col(src).alias("id_a"), F.col(dst).alias("id_b")
+        ),
+        ["id_a", "id_b"],
+        "left_anti",
+    )
+    return (
+        non_adj.join(
+            F.broadcast(deg.withColumnRenamed("node", "id_a")), "id_a"
+        )
+        .withColumnRenamed("deg", "deg_a")
+        .join(F.broadcast(deg.withColumnRenamed("node", "id_b")), "id_b")
+        .withColumnRenamed("deg", "deg_b")
+        .select(
+            "id_a",
+            "id_b",
+            "common_neighbors",
+            F.expr(
+                "cast(floor(common_neighbors / cast(deg_a + deg_b"
+                " - common_neighbors as double) * 1e6 + 0.5d) as bigint)"
+            ).alias("jaccard_e6"),
+        )
+    )
+
+
+def link_predict_oracle_sql(
+    table: str, group_col: str, item_col: str, min_common: int = 2
+) -> str:
+    """DuckDB twin of :func:`link_predict` over the co-occurrence graph
+    of ``item_col`` sharing ``group_col`` (same edge construction as
+    :func:`degree_oracle_sql`)."""
+    edges = cooccurrence_edges_sql(table, group_col, item_col)
+    return f"""
+    WITH lp_e AS ({edges}),
+    lp_nb AS (
+      SELECT src AS node, dst AS nbr FROM lp_e
+      UNION ALL SELECT dst, src FROM lp_e
+    ),
+    lp_deg AS (SELECT node, COUNT(*) AS deg FROM lp_nb GROUP BY 1),
+    lp_common AS (
+      SELECT a.node AS id_a, b.node AS id_b, COUNT(*) AS common_neighbors
+      FROM lp_nb a JOIN lp_nb b ON a.nbr = b.nbr AND a.node < b.node
+      GROUP BY 1, 2
+    ),
+    lp_cand AS (
+      SELECT c.* FROM lp_common c
+      LEFT JOIN lp_e e ON e.src = c.id_a AND e.dst = c.id_b
+      WHERE e.src IS NULL AND c.common_neighbors >= {min_common}
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(c.common_neighbors AS BIGINT) AS common_neighbors,
+           CAST(FLOOR(c.common_neighbors
+                / CAST(da.deg + db.deg - c.common_neighbors AS DOUBLE)
+                * 1e6 + 0.5) AS BIGINT) AS jaccard_e6
+    FROM lp_cand c
+    JOIN lp_deg da ON da.node = c.id_a
+    JOIN lp_deg db ON db.node = c.id_b
+    """

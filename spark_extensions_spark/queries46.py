@@ -1,0 +1,86 @@
+"""t2 query registry, batch 46: round-7 wave 2 — link prediction and
+asymmetric containment dedup.
+
+Registered into the shared registry (imported from queries45 at module
+end). Same determinism rules as the queries.py docstring.
+
+- ``graph_link_predict``: common-neighbor / neighborhood-Jaccard link
+  prediction on the part co-purchase graph
+  (operators/graph.py:link_predict).
+- ``dedup_containment``: quote/subset detection by n-gram containment
+  with the rare-shingle candidate rule
+  (operators/dedup.py:ngram_containment_pairs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from spark_extensions_spark.operators.dedup import (
+    ngram_containment_oracle_sql,
+    ngram_containment_pairs,
+)
+from spark_extensions_spark.operators.graph import (
+    link_predict,
+    link_predict_oracle_sql,
+)
+from spark_extensions_spark.queries import _register, _t
+
+_LP_MIN_COMMON = 3
+_LP_TOP_K = 200
+
+
+@_register(
+    "graph_link_predict",
+    link_predict_oracle_sql(
+        "lineitem", "l_orderkey", "l_partkey", min_common=_LP_MIN_COMMON
+    )
+    + f"""
+    ORDER BY common_neighbors DESC, id_a, id_b LIMIT {_LP_TOP_K}
+    """,
+    doc="Common-neighbor link prediction (Liben-Nowell & Kleinberg "
+    "2003) on the part bought-together graph: the 200 strongest "
+    "non-adjacent part pairs by shared-neighbor count (total-order "
+    "tiebreak on the pair key), scored by neighborhood Jaccard e6 "
+    "(operators/graph.py:link_predict). Candidates come from the SAME "
+    "grouped w·(w-1)/2 posting-list expansion as the triangle counter "
+    "(cost Σ deg², never an n² self-join); degrees are one hash agg; "
+    "existing edges leave via one anti join on the canonical pair; "
+    "the top-k is a TakeOrderedAndProject, never a global sort.",
+)
+def q_graph_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from spark_extensions_spark.operators.graph import canonical_edges
+    from spark_extensions_spark.queries21 import _part_edges
+
+    edges = _part_edges(spark, sf_dir)
+    scored = link_predict(
+        canonical_edges(edges, "src", "dst"),
+        min_common=_LP_MIN_COMMON,
+    )
+    return scored.orderBy(
+        F.desc("common_neighbors"), "id_a", "id_b"
+    ).limit(_LP_TOP_K)
+
+
+@_register(
+    "dedup_containment",
+    ngram_containment_oracle_sql(
+        "SELECT doc_id, text FROM documents", "doc_id", "text"
+    ),
+    doc="Asymmetric containment near-dup detection (Broder 1997): "
+    "|A∩B| / min(|A|,|B|) over distinct 3-gram shingle sets — the "
+    "quote/boilerplate case Jaccard dilutes away "
+    "(operators/dedup.py:ngram_containment_pairs). Candidate-verify "
+    "shape: row-local shingle-set arrays, candidates only from "
+    "shingles with df <= 20 (frequent boilerplate shingles never "
+    "expand pairs — that is the quadratic blow-up at corpus scale), "
+    "exact row-local array_intersect verify on the bounded candidate "
+    "set.",
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return ngram_containment_pairs(
+        docs.select("doc_id", "text"), "doc_id", "text"
+    )
