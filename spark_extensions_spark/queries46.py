@@ -84,3 +84,7 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_containment_pairs(
         docs.select("doc_id", "text"), "doc_id", "text"
     )
+
+
+# batch 47 registers at import time, same chain as queries45 -> 46
+from spark_extensions_spark import queries47  # noqa: E402,F401  (registration side effect)

@@ -1,0 +1,102 @@
+"""Brute-force twins for the round-7 wave-3 operators: the Gram
+identity behind embedding_label_coherence and the PSI invariants of
+streaming_quality_monitor."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Row
+
+
+def test_label_coherence_matches_bruteforce_pairs(spark, sf_dir):
+    from spark_extensions_spark.queries47 import (
+        _LC_QUANT,
+        q_embedding_label_coherence,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    qs = {
+        r["vec_id"]: (
+            r["label"],
+            [math.floor(float(v) * _LC_QUANT + 0.5) for v in r["embedding"]],
+        )
+        for r in emb
+    }
+    got = {
+        r["label"]: r
+        for r in q_embedding_label_coherence(spark, sf_dir).collect()
+    }
+    labels = sorted({lab for lab, _ in qs.values()})
+    ids = sorted(qs)
+    # brute force: explicit pairwise dot products (the O(n²) the
+    # operator avoids)
+    for lab in labels:
+        mine = [q for (l2, q) in (qs[i] for i in ids) if l2 == lab]
+        rest = [q for (l2, q) in (qs[i] for i in ids) if l2 != lab]
+        intra = sum(
+            sum(a * b for a, b in zip(mine[i], mine[j]))
+            for i in range(len(mine))
+            for j in range(len(mine))
+            if i != j
+        )
+        cross = sum(
+            sum(a * b for a, b in zip(m, r))
+            for m in mine
+            for r in rest
+        )
+        row = got[lab]
+        assert row["n"] == len(mine)
+        assert row["intra_num"] == intra
+        assert row["intra_den"] == len(mine) * (len(mine) - 1)
+        assert row["cross_num"] == cross
+        assert row["cross_den"] == len(mine) * len(rest)
+
+
+def test_quality_monitor_psi_invariants(spark, sf_dir):
+    from spark_extensions_spark.queries47 import (
+        _QM_TYPES,
+        q_streaming_quality_monitor,
+    )
+
+    rows = q_streaming_quality_monitor(spark, sf_dir).collect()
+    assert rows, "monitor must emit one row per day window"
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    assert sum(r["n_events"] for r in rows) == ev.count()
+    for r in rows:
+        # PSI terms are (p-r)ln(p/r) >= 0 by construction
+        assert r["psi_e12"] >= 0
+
+
+def test_quality_monitor_flags_skewed_window(spark, tmp_path):
+    # synthetic: one balanced day, one all-'error' day — the skewed
+    # window must score a much higher PSI
+    import datetime as dt
+
+    from spark_extensions_spark.queries47 import _QM_TYPES, _qm_term_sql
+
+    rows = []
+    base = dt.datetime(2024, 3, 1)
+    for i, t in enumerate(_QM_TYPES * 20):
+        rows.append(Row(ts=base + dt.timedelta(minutes=i), event_type=t))
+    for i in range(100):
+        rows.append(
+            Row(
+                ts=base + dt.timedelta(days=1, minutes=i),
+                event_type="error",
+            )
+        )
+    df = spark.createDataFrame(rows)
+    path = str(tmp_path / "events.parquet")
+    df.write.parquet(path)
+    # run the batch shape of the monitor directly on the two windows
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{path}/*.parquet')"
+    )
+    from spark_extensions_spark.queries47 import _qm_oracle
+
+    got = {r[0].day: r[2] for r in con.sql(_qm_oracle()).fetchall()}
+    assert got[1] < got[2] / 10  # balanced day ≈ 0, skewed day >> 0
