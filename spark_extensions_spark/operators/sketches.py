@@ -740,3 +740,177 @@ def bloom_prefilter_oracle_sql(
     FROM flagged f
     LEFT JOIN hist_keys h ON f.maybe_dup AND f.__k = h.__k
     """
+
+
+# ---------------------------------------------------------------------
+# Deterministic HyperLogLog register table (hash-checkable HLL)
+# ---------------------------------------------------------------------
+
+# Flajolet et al. 2007 bias constant for m >= 128: 0.7213/(1 + 1.079/m).
+# The raw-estimate numerator alpha·m²·2^55 is computed ONCE here and
+# embedded as the SAME double literal in both engines, so the final
+# division runs identical IEEE ops.
+_HLL_P = 8
+_HLL_M = 1 << _HLL_P                      # 256 registers
+_HLL_WBITS = 60 - _HLL_P                  # 54-bit rank field
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / _HLL_M)
+_HLL_EST_NUM = _HLL_ALPHA * _HLL_M * _HLL_M * float(1 << (_HLL_WBITS + 1))
+
+
+def _hll_rank_spark(key_sql: str) -> tuple[str, str]:
+    """(bucket, rank) Spark-SQL exprs from the house md5-60-bit hash.
+
+    bucket = h mod m; w = h div m (54 bits); rank = 55 − bitlength(w),
+    bitlength via the engine's exact binary-string rendering (``bin``
+    in Spark, ``bin`` in DuckDB) — integer-exact, no log2 ulp seam.
+    ``w = 0`` (probability 2^-54) pins rank to the 55 maximum.
+    """
+    k = f"cast({key_sql} as string)"
+    h = f"cast(conv(substring(md5({k}), 1, 15), 16, 10) as bigint)"
+    bucket = f"cast(pmod({h}, {_HLL_M}) as int)"
+    w = f"({h} div {_HLL_M})"
+    rank = (
+        f"cast(case when {w} = 0 then {_HLL_WBITS + 1} "
+        f"else {_HLL_WBITS + 1} - length(bin({w})) end as int)"
+    )
+    return bucket, rank
+
+
+def _hll_rank_duck(key_sql: str) -> tuple[str, str]:
+    k = f"CAST({key_sql} AS VARCHAR)"
+    h = f"(('0x' || substr(md5({k}), 1, 15))::BIGINT)"
+    bucket = f"CAST({h} % {_HLL_M} AS INT)"
+    w = f"({h} // {_HLL_M})"
+    rank = (
+        f"CAST(CASE WHEN {w} = 0 THEN {_HLL_WBITS + 1} "
+        f"ELSE {_HLL_WBITS + 1} - length(bin({w})) END AS INT)"
+    )
+    return bucket, rank
+
+
+def hll_register_table(df: DataFrame, key_col: str) -> DataFrame:
+    """The REGISTER table of a deterministic HyperLogLog sketch over
+    ``key_col`` — md5-derived 60-bit hashes split into an 8-bit bucket
+    and a 54-bit rank field, one row per non-empty register
+    ``(bucket, max_rank)``.
+
+    Unlike the JVM's HLL (engine-internal layout, rows-only checkable),
+    every register value here is an exact integer the oracle reproduces
+    — the same trick :func:`count_min_table` plays for Count-Min.
+    Merging shards is an elementwise register MAX (property-tested),
+    so the table is a mergeable partial aggregate: the 100 TB rollup
+    pattern stores register tables per partition and re-merges them at
+    query time instead of rescanning.
+
+    Scale shape: row-local hashing, ONE map-side-combinable max
+    aggregate with shuffle volume ≤ m·partitions at any corpus size.
+    """
+    bucket, rank = _hll_rank_spark(key_col)
+    return (
+        df.where(F.col(key_col).isNotNull())
+        .select(F.expr(bucket).alias("bucket"), F.expr(rank).alias("rank"))
+        .groupBy("bucket")
+        .agg(F.max("rank").alias("max_rank"))
+    )
+
+
+def hll_register_oracle_sql(source_sql: str, key_col: str) -> str:
+    """DuckDB twin of :func:`hll_register_table`."""
+    bucket, rank = _hll_rank_duck(key_col)
+    return f"""
+    SELECT {bucket} AS bucket, MAX({rank}) AS max_rank
+    FROM ({source_sql}) hll_src
+    WHERE {key_col} IS NOT NULL
+    GROUP BY 1
+    """
+
+
+def hll_estimate(df: DataFrame, key_col: str) -> DataFrame:
+    """The full deterministic-HLL cardinality estimate, hash-checkable
+    end to end: raw estimate α·m²/Σ2^(−reg) with the register sum
+    carried as the EXACT integer Σ2^(55−reg) (≤ m·2^54 < 2^61 — no
+    double-rounding seam), and the standard small-range linear-counting
+    correction m·ln(m/V) when the raw estimate is under 2.5m with V
+    empty registers. One row:
+    ``(n_registers, n_zero, sum_scaled, estimate, exact_distinct,
+    err_e6)`` — the exact distinct count rides along so the error is
+    part of the verified surface.
+    """
+    regs = hll_register_table(df, key_col)
+    zero_rank = _HLL_WBITS + 1
+    agg = regs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nonzero"),
+        F.sum(F.expr(f"cast(shiftleft(1L, {zero_rank} - max_rank) as bigint)"))
+        .cast("bigint")
+        .alias("sum_nonzero"),
+    )
+    exact = df.where(F.col(key_col).isNotNull()).agg(
+        F.countDistinct(key_col).cast("bigint").alias("exact_distinct")
+    )
+    # empty registers contribute 2^-0 = 1, i.e. 2^55 scaled units each
+    full = agg.crossJoin(exact).select(
+        F.lit(_HLL_M).cast("bigint").alias("n_registers"),
+        (F.lit(_HLL_M) - F.col("n_nonzero")).alias("n_zero"),
+        (
+            F.col("sum_nonzero")
+            + (F.lit(_HLL_M) - F.col("n_nonzero"))
+            * F.lit(1 << zero_rank).cast("bigint")
+        ).alias("sum_scaled"),
+        F.col("exact_distinct"),
+    )
+    raw = f"({_HLL_EST_NUM!r} / cast(sum_scaled as double))"
+    lin = f"({_HLL_M} * ln({_HLL_M} / cast(n_zero as double)))"
+    est = (
+        f"cast(floor(case when {raw} <= {2.5 * _HLL_M!r} and n_zero > 0 "
+        f"then {lin} else {raw} end + 0.5d) as bigint)"
+    )
+    return full.select(
+        "n_registers",
+        "n_zero",
+        "sum_scaled",
+        F.expr(est).alias("estimate"),
+        "exact_distinct",
+        F.expr(
+            "cast(floor(abs(cast(" + est + " as double) - exact_distinct)"
+            " / exact_distinct * 1e6 + 0.5d) as bigint)"
+        ).alias("err_e6"),
+    )
+
+
+def hll_estimate_oracle_sql(source_sql: str, key_col: str) -> str:
+    """DuckDB twin of :func:`hll_estimate` — same scaled-integer
+    register sum, same embedded α·m²·2^55 literal, same correction
+    branch."""
+    regs = hll_register_oracle_sql(source_sql, key_col)
+    zero_rank = _HLL_WBITS + 1
+    raw = f"({_HLL_EST_NUM!r} / CAST(sum_scaled AS DOUBLE))"
+    lin = f"({_HLL_M} * ln({_HLL_M} / CAST(n_zero AS DOUBLE)))"
+    est = (
+        f"CAST(FLOOR(CASE WHEN {raw} <= {2.5 * _HLL_M!r} AND n_zero > 0 "
+        f"THEN {lin} ELSE {raw} END + 0.5) AS BIGINT)"
+    )
+    return f"""
+    WITH hll_regs AS ({regs}),
+    hll_agg AS (
+      SELECT COUNT(*) AS n_nonzero,
+             SUM((1::BIGINT << ({zero_rank} - max_rank))) AS sum_nonzero
+      FROM hll_regs
+    ),
+    hll_full AS (
+      SELECT CAST({_HLL_M} AS BIGINT) AS n_registers,
+             CAST({_HLL_M} - n_nonzero AS BIGINT) AS n_zero,
+             CAST(sum_nonzero
+                  + ({_HLL_M} - n_nonzero) * (1::BIGINT << {zero_rank})
+                  AS BIGINT) AS sum_scaled,
+             (SELECT CAST(COUNT(DISTINCT {key_col}) AS BIGINT)
+              FROM ({source_sql}) x WHERE {key_col} IS NOT NULL)
+               AS exact_distinct
+      FROM hll_agg
+    )
+    SELECT n_registers, n_zero, sum_scaled,
+           {est} AS estimate,
+           exact_distinct,
+           CAST(FLOOR(ABS(CAST({est} AS DOUBLE) - exact_distinct)
+                / exact_distinct * 1e6 + 0.5) AS BIGINT) AS err_e6
+    FROM hll_full
+    """

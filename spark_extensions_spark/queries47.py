@@ -260,3 +260,51 @@ def q_embedding_label_coherence(
             .alias("cross_den"),
         )
     )
+
+
+# ------------------------------------------------------------------
+# deterministic HLL (hash-checkable register table + estimate)
+# ------------------------------------------------------------------
+
+from spark_extensions_spark.operators.sketches import (  # noqa: E402
+    hll_estimate,
+    hll_estimate_oracle_sql,
+    hll_register_oracle_sql,
+    hll_register_table,
+)
+
+
+@_register(
+    "agg_hll_table",
+    hll_register_oracle_sql("SELECT o_custkey FROM orders", "o_custkey"),
+    doc="Deterministic HyperLogLog REGISTER table over order customers "
+    "(operators/sketches.py:hll_register_table; Flajolet et al. 2007) "
+    "— md5-derived buckets and integer bit-length ranks make every "
+    "one of the 256 registers an exact integer, so the WHOLE sketch "
+    "hash-checks against the oracle (the JVM hll_sketch_agg twin "
+    "stays rows-only because its register layout is engine-internal). "
+    "Row-local hashing + ONE map-side-combinable max aggregate: "
+    "shuffle volume ≤ 256·partitions at any corpus size; shard merge "
+    "= elementwise register max (property-tested).",
+)
+def q_agg_hll_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")["orders"]
+    return hll_register_table(o.select("o_custkey"), "o_custkey")
+
+
+@_register(
+    "agg_hll_estimate",
+    hll_estimate_oracle_sql("SELECT o_custkey FROM orders", "o_custkey"),
+    doc="The full deterministic-HLL cardinality estimate, hash-checked "
+    "END TO END including the estimate itself "
+    "(operators/sketches.py:hll_estimate): the register sum rides as "
+    "the exact integer Σ2^(53−reg) (< 2^61, no double-rounding seam), "
+    "the α·m²·2^53 numerator is one shared literal, and the "
+    "small-range linear-counting branch is the same fixed IEEE ops in "
+    "both engines. exact_distinct and err_e6 ride along, so the "
+    "accuracy claim is part of the verified surface — no other "
+    "engine's HLL can hash-check its estimate.",
+)
+def q_agg_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")["orders"]
+    return hll_estimate(o.select("o_custkey"), "o_custkey")

@@ -100,3 +100,63 @@ def test_quality_monitor_flags_skewed_window(spark, tmp_path):
 
     got = {r[0].day: r[2] for r in con.sql(_qm_oracle()).fetchall()}
     assert got[1] < got[2] / 10  # balanced day ≈ 0, skewed day >> 0
+
+
+def test_hll_register_merge_is_elementwise_max(spark):
+    from spark_extensions_spark.operators.sketches import (
+        hll_register_table,
+    )
+
+    a = spark.range(0, 600).selectExpr("id AS k")
+    b = spark.range(400, 1000).selectExpr("id AS k")
+    both = a.unionByName(b)
+    ra = {r["bucket"]: r["max_rank"] for r in hll_register_table(a, "k").collect()}
+    rb = {r["bucket"]: r["max_rank"] for r in hll_register_table(b, "k").collect()}
+    ru = {
+        r["bucket"]: r["max_rank"]
+        for r in hll_register_table(both, "k").collect()
+    }
+    merged = {
+        k: max(ra.get(k, 0), rb.get(k, 0)) for k in set(ra) | set(rb)
+    }
+    assert merged == ru
+
+
+def test_hll_estimate_error_bound(spark):
+    from spark_extensions_spark.operators.sketches import hll_estimate
+
+    for n in (500, 5000, 50000):
+        df = spark.range(n).selectExpr("cast(id as string) AS k")
+        row = hll_estimate(df, "k").collect()[0]
+        assert row["exact_distinct"] == n
+        # m=256 -> sigma ~ 6.5%; allow 3 sigma plus small-n bias
+        assert abs(row["estimate"] - n) / n < 0.25, row
+        assert row["err_e6"] == int(
+            abs(row["estimate"] - n) / n * 1e6 + 0.5
+        )
+
+
+def test_hll_rank_bitlength_exact(spark):
+    # rank must equal 53 - floor(log2(w)) for w > 0 (bin() length),
+    # pinned against Python's bit_length on the same md5 hashes
+    import hashlib
+
+    from spark_extensions_spark.operators.sketches import (
+        _HLL_M,
+        _HLL_WBITS,
+        hll_register_table,
+    )
+
+    keys = [str(i) for i in range(2000)]
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    got = {
+        r["bucket"]: r["max_rank"]
+        for r in hll_register_table(df, "k").collect()
+    }
+    regs: dict[int, int] = {}
+    for k in keys:
+        h = int(hashlib.md5(k.encode()).hexdigest()[:15], 16)
+        b, w = h % _HLL_M, h // _HLL_M
+        rank = (_HLL_WBITS + 1) - w.bit_length() if w else _HLL_WBITS + 1
+        regs[b] = max(regs.get(b, 0), rank)
+    assert got == regs
