@@ -105,7 +105,13 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_minhash_lsh",
     "dedup_winnowing",
     "dedup_bloom_incremental",
-    "pipeline_full_curation",
+    # round-7 flagship swap: release_v2 in (the eight-stage composed
+    # release with the chained WITH RECURSIVE oracle — every construct
+    # proven in-window: recursive walk via tokenize_pack, gopher list
+    # ops via text_gopher_rules, bloom/winnow via their graded reps);
+    # full_curation rotates just past the boundary, pipeline family
+    # keeps three in-window reps
+    "pipeline_release_v2",
     "ts_decompose",
     "graph_pagerank",
     "scd2_history",
@@ -159,6 +165,7 @@ _PRIORITY: tuple[str, ...] = (
     # --- graded-50 boundary ---
     # round-7 rotated-out rows (driver-green r1-r6, families still
     # represented in-window)
+    "pipeline_full_curation",
     "agg_pricing_summary",
     "filter_project",
     "join_inner",
