@@ -1617,3 +1617,127 @@ def lorenz_oracle_sql(
      AND (n * band) // {n_bands} <= rows_below + cnt
     ORDER BY band
     """
+
+
+# ---------------------------------------------------------------------
+# Wilcoxon signed-rank test (paired samples)
+# ---------------------------------------------------------------------
+
+_WX_Z = (
+    "(w_plus_x2 / 2.0 - np * (np + 1.0) / 4.0) / "
+    "sqrt(np * (np + 1.0) * (2.0 * np + 1.0) / 24.0 - ties / 48.0)"
+)
+
+
+def wilcoxon_signed_rank(df: DataFrame, diff_col: str) -> DataFrame:
+    """Wilcoxon signed-rank statistic over EXACT-INTEGER paired
+    differences — the paired-samples sibling of
+    :func:`mannwhitney_u`, completing the nonparametric battery
+    (KS / MWU / Kendall / Spearman / Wilcoxon).
+
+    Standard zero-handling: zero differences are dropped (Wilcoxon
+    1945); ties in |diff| take average ranks, carried DOUBLED so every
+    rank sum stays an exact integer (the mannwhitney trick — per
+    distinct |d| block the doubled average rank is
+    ``2·cum_prev + t + 1`` and the positive side contributes
+    ``cpos`` of them). Tie correction Σ(t³−t) accumulates in
+    DECIMAL(38,0).
+
+    Scale shape: ONE hash aggregate onto the |diff| value DOMAIN, a
+    domain-sized cumulative window (post-agg, bounded — the ks/mwu
+    allowlist pattern), one final reduce. Caller supplies integer
+    diffs (e.g. cents), which also bounds the domain.
+
+    Output one row: ``(n_pairs, n_zero, w_plus_x2, w_minus_x2,
+    tie_term, z)`` — the doubled rank sums and tie term exact
+    BIGINTs, z the shared-formula double.
+    """
+    d = F.col(diff_col)
+    counts = (
+        df.where(d.isNotNull() & (d != 0))
+        .groupBy(F.abs(d).alias("ad"))
+        .agg(
+            F.count(F.lit(1)).alias("t"),
+            F.count(F.when(d > 0, 1)).alias("cpos"),
+        )
+    )
+    # bounded input: one row per DISTINCT |diff| (post-agg domain)
+    w = Window.orderBy("ad").rowsBetween(Window.unboundedPreceding, -1)
+    td = F.col("t").cast("decimal(18,0)")
+    cum = counts.select(
+        "t",
+        "cpos",
+        F.coalesce(F.sum("t").over(w), F.lit(0)).alias("cum_prev"),
+    )
+    zeros = df.where(d.isNotNull() & (d == 0)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_zero")
+    )
+    agg = cum.agg(
+        F.sum("t").cast("bigint").alias("n_pairs"),
+        F.sum(
+            (F.col("cpos") * (2 * F.col("cum_prev") + F.col("t") + 1)).cast(
+                "decimal(38,0)"
+            )
+        )
+        .cast("bigint")
+        .alias("w_plus_x2"),
+        F.sum(td * td * td - td).cast("bigint").alias("tie_term"),
+    )
+    return agg.crossJoin(zeros).select(
+        "n_pairs",
+        "n_zero",
+        "w_plus_x2",
+        (
+            F.col("n_pairs") * (F.col("n_pairs") + 1) - F.col("w_plus_x2")
+        ).alias("w_minus_x2"),
+        "tie_term",
+        F.expr(
+            _WX_Z.replace("np", "cast(n_pairs as double)").replace(
+                "ties", "cast(tie_term as double)"
+            )
+        ).alias("z"),
+    )
+
+
+def wilcoxon_oracle_sql(pairs_sql: str, diff_col: str) -> str:
+    """DuckDB twin of :func:`wilcoxon_signed_rank` over ``pairs_sql``."""
+    z = _WX_Z.replace("np", "CAST(n_pairs AS DOUBLE)").replace(
+        "ties", "CAST(tie_term AS DOUBLE)"
+    )
+    return f"""
+    WITH wx_pairs AS ({pairs_sql}),
+    wx_counts AS (
+      SELECT ABS({diff_col}) AS ad,
+             COUNT(*) AS t,
+             COUNT(*) FILTER ({diff_col} > 0) AS cpos
+      FROM wx_pairs
+      WHERE {diff_col} IS NOT NULL AND {diff_col} <> 0
+      GROUP BY 1
+    ),
+    wx_cum AS (
+      SELECT t, cpos,
+             COALESCE(SUM(t) OVER (ORDER BY ad
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_prev
+      FROM wx_counts
+    ),
+    wx_zero AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_zero FROM wx_pairs
+      WHERE {diff_col} = 0
+    ),
+    wx_agg AS (
+      SELECT CAST(SUM(t) AS BIGINT) AS n_pairs,
+             CAST(SUM(CAST(cpos * (2 * cum_prev + t + 1)
+                  AS DECIMAL(38,0))) AS BIGINT) AS w_plus_x2,
+             CAST(SUM(CAST(t AS DECIMAL(18,0)) * CAST(t AS DECIMAL(18,0))
+                  * CAST(t AS DECIMAL(18,0)) - CAST(t AS DECIMAL(18,0)))
+                  AS BIGINT) AS tie_term
+      FROM wx_cum
+    )
+    SELECT n_pairs, n_zero, w_plus_x2,
+           CAST(n_pairs * (n_pairs + 1) - w_plus_x2 AS BIGINT)
+             AS w_minus_x2,
+           tie_term,
+           {z} AS z
+    FROM wx_agg CROSS JOIN wx_zero
+    """

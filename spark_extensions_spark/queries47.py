@@ -308,3 +308,7 @@ def q_agg_hll_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_agg_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")["orders"]
     return hll_estimate(o.select("o_custkey"), "o_custkey")
+
+
+# batch 48 registers at import time, same chain as queries46 -> 47
+from spark_extensions_spark import queries48  # noqa: E402,F401  (registration side effect)

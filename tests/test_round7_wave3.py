@@ -160,3 +160,41 @@ def test_hll_rank_bitlength_exact(spark):
         rank = (_HLL_WBITS + 1) - w.bit_length() if w else _HLL_WBITS + 1
         regs[b] = max(regs.get(b, 0), rank)
     assert got == regs
+
+
+def test_wilcoxon_matches_scipy_convention(spark):
+    # hand case with ties and a zero: diffs [3, -1, 2, 2, 0, -5]
+    # drop 0 -> |d| ranks: 1->rank1, 2,2->avg 2.5, 3->4, 5->5
+    # W+ = ranks of positives = 1? no: d=3 (rank 4), d=2 (2.5), d=2
+    # (2.5) -> W+ = 9.0 -> x2 = 18; n=5
+    from pyspark.sql import Row
+
+    from spark_extensions_spark.operators.stats import (
+        wilcoxon_signed_rank,
+    )
+
+    df = spark.createDataFrame(
+        [Row(d=3), Row(d=-1), Row(d=2), Row(d=2), Row(d=0), Row(d=-5)]
+    )
+    r = wilcoxon_signed_rank(df, "d").collect()[0]
+    assert r["n_pairs"] == 5 and r["n_zero"] == 1
+    assert r["w_plus_x2"] == 18
+    assert r["w_minus_x2"] == 5 * 6 - 18  # = 12 -> W- = 6
+    assert r["tie_term"] == 2**3 - 2  # one tie block of size 2
+
+
+def test_wilcoxon_symmetry(spark):
+    # negating every diff swaps W+ and W-
+    from pyspark.sql import Row
+
+    from spark_extensions_spark.operators.stats import (
+        wilcoxon_signed_rank,
+    )
+
+    rows = [Row(d=v) for v in (7, -3, 12, -12, 5, 9, -2, 4)]
+    a = wilcoxon_signed_rank(spark.createDataFrame(rows), "d").collect()[0]
+    neg = [Row(d=-v.d) for v in rows]
+    b = wilcoxon_signed_rank(spark.createDataFrame(neg), "d").collect()[0]
+    assert a["w_plus_x2"] == b["w_minus_x2"]
+    assert a["w_minus_x2"] == b["w_plus_x2"]
+    assert abs(a["z"] + b["z"]) < 1e-12
