@@ -68,3 +68,135 @@ def q_stat_wilcoxon(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select((F.col("a") - F.col("b")).alias("diff_cents"))
     )
     return wilcoxon_signed_rank(pairs, "diff_cents")
+
+
+# ------------------------------------------------------------------
+# pipeline_cdc_to_scd2 — changefeed-driven dimension historization
+# ------------------------------------------------------------------
+
+_C2S_BOUNDS = ["event_id < 4000", "event_id < 7000", "TRUE"]
+
+
+def _c2s_oracle() -> str:
+    """Direct slice derivation: per user, the latest-non-error value at
+    each of the three snapshot bounds; a slice starts at every value
+    change (including reinsert-after-delete) and closes at the next
+    change — equivalent to the scd2_apply_changes chain by the SCD2
+    contract, so the oracle is an INDEPENDENT formulation, not a
+    mirror of the Spark plan."""
+    gens = ",\n".join(
+        f"""c2s_g{i + 1} AS (
+      SELECT user_id, event_id FROM (
+        SELECT user_id, event_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE {b}
+      ) WHERE rn = 1 AND event_type <> 'error'
+    )"""
+        for i, b in enumerate(_C2S_BOUNDS)
+    )
+    vals = " UNION ALL ".join(
+        f"SELECT user_id, {v} AS v, event_id AS val FROM c2s_g{v}"
+        for v in (1, 2, 3)
+    )
+    return f"""
+    WITH {gens},
+    c2s_users AS (
+      SELECT DISTINCT user_id FROM (
+        SELECT user_id FROM c2s_g1 UNION ALL
+        SELECT user_id FROM c2s_g2 UNION ALL
+        SELECT user_id FROM c2s_g3)
+    ),
+    c2s_vals AS (
+      SELECT u.user_id, g.v, s.val
+      FROM c2s_users u
+      CROSS JOIN (SELECT * FROM (VALUES (1), (2), (3)) t(v)) g
+      LEFT JOIN ({vals}) s ON s.user_id = u.user_id AND s.v = g.v
+    ),
+    c2s_seq AS (
+      SELECT user_id, v, val,
+             (v = 1 AND val IS NOT NULL)
+             OR (v > 1 AND val IS DISTINCT FROM
+                 LAG(val) OVER (PARTITION BY user_id ORDER BY v)) AS chg
+      FROM c2s_vals
+    ),
+    c2s_starts AS (
+      SELECT user_id, v AS valid_from, val FROM c2s_seq
+      WHERE chg AND val IS NOT NULL
+    )
+    SELECT s.user_id, s.val AS event_id,
+           CAST(s.valid_from AS BIGINT) AS valid_from,
+           CAST((SELECT MIN(q.v) FROM c2s_seq q
+                 WHERE q.user_id = s.user_id
+                   AND q.v > s.valid_from AND q.chg) AS BIGINT)
+             AS valid_to,
+           (SELECT MIN(q.v) FROM c2s_seq q
+            WHERE q.user_id = s.user_id
+              AND q.v > s.valid_from AND q.chg) IS NULL AS is_current
+    FROM c2s_starts s
+    """
+
+
+@_register(
+    "pipeline_cdc_to_scd2",
+    _c2s_oracle(),
+    doc="Changefeed-driven dimension historization — the lakehouse CDF "
+    "-> SCD2 pattern end to end: three latest-non-error-per-user "
+    "snapshots diff into I/U/D change sets (one full-outer join each, "
+    "the cdc_snapshot_diff shape), which drive "
+    "operators/incremental.py:scd2_apply_changes twice on top of "
+    "scd2_init — per key: unchanged passes, update closes + reopens, "
+    "delete closes, reinsert opens a fresh slice. The oracle derives "
+    "validity slices INDEPENDENTLY (per-version value grid + "
+    "change-flag window + next-change correlated min), so the chain "
+    "is verified against the SCD2 contract itself, not against a "
+    "mirror of the plan.",
+)
+def q_pipeline_cdc_to_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from spark_extensions_spark.operators.incremental import (
+        scd2_apply_changes,
+        scd2_init,
+    )
+
+    ev = _t(spark, sf_dir, "events")["events"]
+
+    def snap(bound: str) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy(F.desc("event_id"))
+        return (
+            ev.where(F.expr(bound))
+            .withColumn("rn", F.row_number().over(w))
+            .where((F.col("rn") == 1) & (F.col("event_type") != "error"))
+            .select("user_id", "event_id")
+        )
+
+    def changes(old: DataFrame, new: DataFrame) -> DataFrame:
+        o = old.select(
+            F.col("user_id"), F.col("event_id").alias("old_eid")
+        )
+        n = new.select(
+            F.col("user_id"), F.col("event_id").alias("new_eid")
+        )
+        j = o.join(n, "user_id", "full_outer")
+        return j.where(
+            F.col("old_eid").isNull()
+            | F.col("new_eid").isNull()
+            | (F.col("old_eid") != F.col("new_eid"))
+        ).select(
+            "user_id",
+            F.coalesce("new_eid", "old_eid").alias("event_id"),
+            F.when(F.col("old_eid").isNull(), "I")
+            .when(F.col("new_eid").isNull(), "D")
+            .otherwise("U")
+            .alias("op"),
+        )
+
+    g1, g2, g3 = (snap(b) for b in _C2S_BOUNDS)
+    hist = scd2_init(g1, ["user_id"], ["event_id"], load_version=1)
+    hist = scd2_apply_changes(
+        hist, changes(g1, g2), ["user_id"], ["event_id"], load_version=2
+    )
+    return scd2_apply_changes(
+        hist, changes(g2, g3), ["user_id"], ["event_id"], load_version=3
+    )
