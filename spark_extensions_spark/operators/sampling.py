@@ -1044,3 +1044,91 @@ def domain_cap_oracle_sql(
       ORDER BY md5(CAST({id_col} AS VARCHAR) || ':{salt}'), {id_col}
     ) <= {cap}
     """
+
+
+def ring_negatives(
+    df: DataFrame,
+    key_col: str,
+    k: int = 4,
+    salt: str = "negring",
+) -> DataFrame:
+    """Deterministic random negative sampling for contrastive training
+    — the reproducible form of "sample k random non-matching examples
+    per anchor".
+
+    Every row gets a position on a deterministic md5-shuffled RING
+    (:func:`deterministic_shuffle`); anchor at position p takes the
+    rows at positions ``(p + i·⌊N/(k+1)⌋) mod N`` for i = 1..k — k
+    near-uniformly spread pseudo-random picks that (a) never include
+    the anchor itself (offsets are in (0, N)), (b) are identical on
+    any cluster layout, any input order, any partition count, and
+    (c) cost ONE equi-join on the position key (k rows per anchor,
+    linear total) — where naive `ORDER BY rand() LIMIT k` per anchor
+    is a quadratic cross join and non-reproducible. Hard-negative
+    mining (embedding_hard_negatives) complements this with the
+    difficulty-ranked picks; this is the uniform background draw.
+
+    Output: ``(key_col, neg_rank, neg_<key_col>)``, k rows per anchor
+    (fewer only if N <= k).
+    """
+    pos = deterministic_shuffle(df.select(key_col), key_col, salt=salt)
+    n = pos.groupBy().agg(F.count(F.lit(1)).alias("__n"))
+    probes = (
+        pos.crossJoin(F.broadcast(n))
+        .select(
+            F.col(key_col),
+            F.col("__n"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, {k}), "
+                    f"i -> struct(i as neg_rank, "
+                    f"pmod(shuffle_pos + cast(i as bigint) * "
+                    f"(__n div {k + 1}), __n) as __tpos))"
+                )
+            ).alias("__p"),
+        )
+        .select(
+            key_col,
+            F.col("__p.neg_rank").cast("int").alias("neg_rank"),
+            F.col("__p.__tpos").alias("__tpos"),
+        )
+        .where(F.col("__tpos").isNotNull())
+    )
+    lookup = pos.select(
+        F.col("shuffle_pos").alias("__tpos"),
+        F.col(key_col).alias(f"neg_{key_col}"),
+    )
+    return (
+        probes.join(lookup, "__tpos")
+        # unconditional self-exclusion (only reachable when N <= k,
+        # where the ring stride degenerates to 0)
+        .where(F.col(key_col) != F.col(f"neg_{key_col}"))
+        .select(key_col, "neg_rank", f"neg_{key_col}")
+    )
+
+
+def ring_negatives_oracle_sql(
+    source_sql: str, key_col: str, k: int = 4, salt: str = "negring"
+) -> str:
+    """DuckDB twin of :func:`ring_negatives` — the global-window form
+    of the same ring (proving the two-phase distributed index
+    equivalent, the deterministic_shuffle contract)."""
+    h = hash_bucket_duck(key_col, salt, 1 << 60)
+    return f"""
+    WITH rn_pos AS (
+      SELECT {key_col},
+             CAST(ROW_NUMBER() OVER (ORDER BY {h}, {key_col}) - 1
+                  AS BIGINT) AS p
+      FROM ({source_sql}) rn_src
+    ),
+    rn_n AS (SELECT COUNT(*) AS n FROM rn_pos),
+    rn_probes AS (
+      SELECT {key_col}, CAST(i AS INT) AS neg_rank,
+             (p + i * (n // {k + 1})) % n AS tpos
+      FROM rn_pos CROSS JOIN rn_n
+      CROSS JOIN generate_series(1, {k}) g(i)
+    )
+    SELECT pr.{key_col}, pr.neg_rank, lk.{key_col} AS neg_{key_col}
+    FROM rn_probes pr JOIN rn_pos lk ON lk.p = pr.tpos
+    WHERE lk.{key_col} <> pr.{key_col}
+    """

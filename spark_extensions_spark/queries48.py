@@ -200,3 +200,33 @@ def q_pipeline_cdc_to_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_apply_changes(
         hist, changes(g2, g3), ["user_id"], ["event_id"], load_version=3
     )
+
+
+# ------------------------------------------------------------------
+# sample_negatives — deterministic ring negatives
+# ------------------------------------------------------------------
+
+from spark_extensions_spark.operators.sampling import (  # noqa: E402
+    ring_negatives,
+    ring_negatives_oracle_sql,
+)
+
+
+@_register(
+    "sample_negatives",
+    ring_negatives_oracle_sql("SELECT doc_id FROM documents", "doc_id", k=4),
+    doc="Deterministic random negative sampling for contrastive "
+    "training (operators/sampling.py:ring_negatives): each anchor "
+    "takes the k=4 documents sitting at evenly-spread offsets on a "
+    "deterministic md5-shuffled ring — reproducible on any cluster "
+    "layout, ONE equi-join on the position key (k rows per anchor, "
+    "linear total) where ORDER BY rand() per anchor is quadratic and "
+    "non-reproducible. The ring index is the two-phase distributed "
+    "global_sort_index; the oracle is the single-window form, so the "
+    "query ALSO re-proves the deterministic_shuffle equivalence "
+    "contract. Complements embedding_hard_negatives (difficulty-"
+    "ranked picks) as the uniform background draw.",
+)
+def q_sample_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return ring_negatives(docs.select("doc_id"), "doc_id", k=4)

@@ -198,3 +198,29 @@ def test_wilcoxon_symmetry(spark):
     assert a["w_plus_x2"] == b["w_minus_x2"]
     assert a["w_minus_x2"] == b["w_plus_x2"]
     assert abs(a["z"] + b["z"]) < 1e-12
+
+
+def test_ring_negatives_properties(spark):
+    from pyspark.sql import functions as F
+
+    from spark_extensions_spark.operators.sampling import ring_negatives
+
+    df = spark.range(100).selectExpr("id AS k")
+    out = ring_negatives(df, "k", k=4).collect()
+    assert len(out) == 400  # k per anchor
+    per_anchor: dict[int, set] = {}
+    for r in out:
+        assert r["k"] != r["neg_k"]  # never self
+        per_anchor.setdefault(r["k"], set()).add(r["neg_k"])
+    assert all(len(v) == 4 for v in per_anchor.values())  # distinct
+    # reproducible under repartitioning
+    out2 = ring_negatives(df.repartition(7), "k", k=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_ring_negatives_tiny_input_excludes_self(spark):
+    from spark_extensions_spark.operators.sampling import ring_negatives
+
+    df = spark.range(3).selectExpr("id AS k")  # N <= k: stride is 0
+    out = ring_negatives(df, "k", k=4).collect()
+    assert all(r["k"] != r["neg_k"] for r in out)
