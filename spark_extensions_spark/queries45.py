@@ -72,7 +72,6 @@ def q_analytic_markov_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     trans = seq.groupBy("from_type", "to_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_trans")
     )
-    wtot = Window.partitionBy("from_type")
     return trans.select(
         "from_type",
         "to_type",
@@ -170,9 +169,6 @@ def q_pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("bigint").alias("n_chars"),
     )
     # bounded input: post-aggregate language table (|langs| rows)
-    wall = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
     return card.select(
         "lang",
         "n_docs",

@@ -51,7 +51,6 @@ def main() -> int:
     if "--chunk" in args:
         chunk = int(args[args.index("--chunk") + 1])
 
-    names = [q.name for q in registry()]
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     qs = registry()
