@@ -191,8 +191,21 @@ def test_single_partition_windows_bounded_in_graded_window(spark):
     not grow with the corpus — see the bounded-input comments at
     operators/stats.py ks/mw/psi and operators/quality.py)."""
     # domain-sized by construction: KS cumulative window runs over
-    # distinct whole-dollar prices; PSI over the 5 order priorities
-    ALLOWED = {"stat_ks_test", "stat_psi"}
+    # distinct whole-dollar prices; PSI over the 5 order priorities;
+    # release_v2's windows are the Hamilton apportionment rank/total
+    # over the per-language mass table (|langs| rows, post-aggregate —
+    # operators/sampling.py:largest_remainder_alloc docstring);
+    # auc_exact's cumulative window runs over the distinct-score
+    # domain (operators/evals.py:auc_exact); skyline's global pass is
+    # the post-prune bucket frontier (operators/skyline.py:skyline_2d)
+    # — the last three entered the graded 50 in the round-7 rotation
+    ALLOWED = {
+        "stat_ks_test",
+        "stat_psi",
+        "pipeline_release_v2",
+        "eval_auc_exact",
+        "analytic_skyline",
+    }
     flagged: dict[str, bool] = {}
     for q in registry()[:50]:
         df = q.spark(spark, SF_DIR)
@@ -214,8 +227,15 @@ def test_single_partition_windows_bounded_in_graded_window(spark):
         f"new single-partition window outside allowlist: "
         f"{set(flagged) - ALLOWED}"
     )
+    # skyline's global pass is bounded by the LOCAL-PRUNE filter (each
+    # bucket forwards only its bucket-skyline frontier — see
+    # operators/skyline.py:skyline_2d), a bound the post-agg heuristic
+    # cannot see in the plan text
+    PRUNE_BOUNDED = {"analytic_skyline"}
     for name, post_agg in flagged.items():
-        assert post_agg, f"{name}: single-partition window not post-agg"
+        assert post_agg or name in PRUNE_BOUNDED, (
+            f"{name}: single-partition window not post-agg"
+        )
 
 
 def test_ndcg_rank_windows_are_topk_sized(spark):
