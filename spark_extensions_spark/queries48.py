@@ -230,3 +230,162 @@ from spark_extensions_spark.operators.sampling import (  # noqa: E402
 def q_sample_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")["documents"]
     return ring_negatives(docs.select("doc_id"), "doc_id", k=4)
+
+
+# ------------------------------------------------------------------
+# ts_backtest_snaive — forecast backtesting (model selection)
+# ------------------------------------------------------------------
+
+
+@_register(
+    "ts_backtest_snaive",
+    """
+    WITH bt_day AS (
+      SELECT time_bucket(INTERVAL '1 day', o_orderdate) AS d,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    bt_lag AS (
+      SELECT d, cents,
+             LAG(cents, 1) OVER (ORDER BY d) AS f_naive1,
+             LAG(cents, 7) OVER (ORDER BY d) AS f_snaive7
+      FROM bt_day
+    ),
+    bt_err AS (
+      SELECT 'naive1' AS model, ABS(cents - f_naive1) AS ae
+      FROM bt_lag WHERE f_naive1 IS NOT NULL AND f_snaive7 IS NOT NULL
+      UNION ALL
+      SELECT 'snaive7', ABS(cents - f_snaive7)
+      FROM bt_lag WHERE f_naive1 IS NOT NULL AND f_snaive7 IS NOT NULL
+    )
+    SELECT model, CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(ae) AS BIGINT) AS sum_abs_err_cents,
+           CAST(FLOOR(SUM(ae) / CAST(COUNT(*) AS DOUBLE) + 0.5)
+                AS BIGINT) AS mae_cents
+    FROM bt_err GROUP BY model
+    """,
+    doc="Forecast backtesting for model selection: naive-1 vs "
+    "seasonal-naive-7 one-step forecasts of daily revenue, scored by "
+    "MAE over the SAME evaluation days (both lags non-NULL, so the "
+    "comparison is apples-to-apples) — the hindcast harness every "
+    "production forecaster gates on before shipping a model. One hash "
+    "aggregate to the per-day series (domain-sized), two lag windows "
+    "over it, exact-cent errors; MAE is one double division "
+    "floor-quantized.",
+)
+def q_ts_backtest_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")["orders"]
+    day = o.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).alias("d")
+    ).agg(
+        F.sum(F.expr("cast(floor(o_totalprice * 100 + 0.5d) as bigint)"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    # bounded input: the per-day series (date domain) — lag windows
+    # run over |days| rows at any corpus size
+    w = Window.orderBy("d")
+    lagged = day.select(
+        "cents",
+        F.lag("cents", 1).over(w).alias("f_naive1"),
+        F.lag("cents", 7).over(w).alias("f_snaive7"),
+    ).where(
+        F.col("f_naive1").isNotNull() & F.col("f_snaive7").isNotNull()
+    )
+    err = lagged.select(
+        F.lit("naive1").alias("model"),
+        F.abs(F.col("cents") - F.col("f_naive1")).alias("ae"),
+    ).unionByName(
+        lagged.select(
+            F.lit("snaive7").alias("model"),
+            F.abs(F.col("cents") - F.col("f_snaive7")).alias("ae"),
+        )
+    )
+    return err.groupBy("model").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("ae").cast("bigint").alias("sum_abs_err_cents"),
+        F.expr(
+            "cast(floor(sum(ae) / cast(count(1) as double) + 0.5d)"
+            " as bigint)"
+        ).alias("mae_cents"),
+    )
+
+
+# ------------------------------------------------------------------
+# agg_weighted_percentile — exact weighted quantiles
+# ------------------------------------------------------------------
+
+_WP_PCTS = [25, 50, 75, 90]
+
+
+@_register(
+    "agg_weighted_percentile",
+    f"""
+    WITH wp_vals AS (
+      SELECT CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS v,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+      FROM lineitem GROUP BY 1
+    ),
+    wp_cum AS (
+      SELECT v, w,
+             CAST(SUM(w) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cw
+      FROM wp_vals
+    ),
+    wp_tot AS (SELECT SUM(w) AS tw FROM wp_vals),
+    wp_p AS (SELECT * FROM (VALUES {", ".join(f"({p})" for p in _WP_PCTS)})
+             t(pct))
+    SELECT pct,
+           MIN(CASE WHEN cw * 100 >= pct * tw THEN v END) AS price_cents
+    FROM wp_cum CROSS JOIN wp_tot CROSS JOIN wp_p
+    GROUP BY pct
+    """,
+    doc="Exact WEIGHTED percentiles (lower weighted-quantile: smallest "
+    "v whose cumulative weight reaches p·W) of line price weighted by "
+    "quantity — the quantile form sampling-weighted corpora need "
+    "(agg_percentile_exact is the unweighted interpolated twin). The "
+    "threshold compare is cross-multiplied (cw·100 ≥ pct·W) so NO "
+    "division ever happens — pure BIGINT, no float boundary seam. "
+    "One hash aggregate onto the distinct-cents domain + a "
+    "domain-sized cumulative window.",
+)
+def q_agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    vals = li.groupBy(
+        F.expr(
+            "cast(floor(l_extendedprice * 100 + 0.5d) as bigint)"
+        ).alias("v")
+    ).agg(
+        F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("w")
+    )
+    # bounded input: one row per distinct price-cents (post-agg domain)
+    w = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = vals.select(
+        "v", "w", F.sum("w").over(w).cast("bigint").alias("cw")
+    )
+    tot = vals.agg(F.sum("w").alias("tw"))
+    pcts = (
+        _t(spark, sf_dir, "lineitem")["lineitem"]
+        .sparkSession.createDataFrame([(p,) for p in _WP_PCTS], "pct int")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(pcts))
+        .groupBy("pct")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cw") * 100 >= F.col("pct") * F.col("tw"),
+                    F.col("v"),
+                )
+            ).alias("price_cents")
+        )
+    )
