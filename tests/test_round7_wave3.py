@@ -224,3 +224,48 @@ def test_ring_negatives_tiny_input_excludes_self(spark):
     df = spark.range(3).selectExpr("id AS k")  # N <= k: stride is 0
     out = ring_negatives(df, "k", k=4).collect()
     assert all(r["k"] != r["neg_k"] for r in out)
+
+
+def test_weighted_percentile_hand_case(spark, sf_dir):
+    # independent recomputation in Python from the raw table
+    import math
+
+    from spark_extensions_spark.queries48 import (
+        _WP_PCTS,
+        q_agg_weighted_percentile,
+    )
+
+    rows = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_extendedprice", "l_quantity"
+    ).collect()
+    agg: dict[int, int] = {}
+    for r in rows:
+        v = math.floor(r["l_extendedprice"] * 100 + 0.5)
+        agg[v] = agg.get(v, 0) + int(r["l_quantity"])
+    tw = sum(agg.values())
+    got = {
+        r["pct"]: r["price_cents"]
+        for r in q_agg_weighted_percentile(spark, sf_dir).collect()
+    }
+    for p in _WP_PCTS:
+        cw = 0
+        want = None
+        for v in sorted(agg):
+            cw += agg[v]
+            if cw * 100 >= p * tw:
+                want = v
+                break
+        assert got[p] == want, (p, got[p], want)
+
+
+def test_backtest_snaive_shared_eval_days(spark, sf_dir):
+    from spark_extensions_spark.queries48 import q_ts_backtest_snaive
+
+    rows = {r["model"]: r for r in q_ts_backtest_snaive(spark, sf_dir).collect()}
+    assert set(rows) == {"naive1", "snaive7"}
+    # both models score over the SAME days by construction
+    assert rows["naive1"]["n_days"] == rows["snaive7"]["n_days"] > 0
+    for r in rows.values():
+        assert r["mae_cents"] == int(
+            r["sum_abs_err_cents"] / r["n_days"] + 0.5
+        )
