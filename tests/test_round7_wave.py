@@ -140,3 +140,27 @@ def test_keyword_tag_matches_expected_docs(spark, sf_dir):
         tags = r["tags_csv"].split(",")
         assert tags == sorted(set(tags))
         assert r["n_tags"] == len(tags)
+
+
+def test_link_predict_anchored_consistent_with_global(spark):
+    from spark_extensions_spark.operators.graph import (
+        link_predict_anchored,
+    )
+
+    # path 1-2-3 plus 1-4, 3-4 (same graph as the global test)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 4), (3, 4)], "src int, dst int"
+    )
+    anchors = spark.createDataFrame([(1,), (2,)], "node int")
+    out = {
+        (r["anchor"], r["candidate"]): r
+        for r in link_predict_anchored(
+            edges, anchors, "node", min_common=2, top_k=5
+        ).collect()
+    }
+    # global pairs with common>=2 were (1,3) and (2,4); anchored at
+    # {1,2} sees each from the anchor's side
+    assert set(out) == {(1, 3), (2, 4)}
+    assert out[(1, 3)]["common_neighbors"] == 2
+    assert out[(1, 3)]["jaccard_e6"] == 1_000_000
+    assert all(r["rank"] == 1 for r in out.values())
