@@ -995,10 +995,15 @@ def link_predict_anchored(
     ``(anchor, candidate, common_neighbors, jaccard_e6, rank)`` with
     rank ≤ ``top_k``, deterministic tiebreak on candidate id.
     """
-    nb = edges.select(
-        F.col(src).alias("node"), F.col(dst).alias("nbr")
-    ).unionByName(
-        edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr"))
+    nb = (
+        edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
+        .unionByName(
+            edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr"))
+        )
+        # materialization barrier: the adjacency feeds FOUR consumers
+        # (anchor semi join, witness join, anti join, degrees) — without
+        # it the upstream edge construction re-executes per consumer
+        .localCheckpoint(eager=False)
     )
     deg = nb.groupBy("node").agg(
         F.count(F.lit(1)).cast("bigint").alias("deg")
