@@ -389,3 +389,130 @@ def q_agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("price_cents")
         )
     )
+
+
+# ------------------------------------------------------------------
+# tokenizer_bpe_pair_stats — the first BPE merge, hash-checked
+# ------------------------------------------------------------------
+
+_BPS_TOP = 20
+
+
+@_register(
+    "tokenizer_bpe_pair_stats",
+    f"""
+    WITH bps_words AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+        SELECT unnest(string_split_regex(lower(text),
+                 '[^a-z0-9'']+')) AS word
+        FROM documents
+      ) WHERE word <> '' GROUP BY word
+    ),
+    bps_pairs AS (
+      SELECT unnest(list_append(
+               CASE WHEN length(word) < 2 THEN []
+                    ELSE list_transform(
+                      generate_series(1, length(word) - 1),
+                      i -> substr(word, i, 1) || '|'
+                           || substr(word, i + 1, 1))
+               END,
+               substr(word, length(word), 1) || '|</w>')) AS pair,
+             freq
+      FROM bps_words
+    )
+    SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt
+    FROM bps_pairs GROUP BY pair
+    ORDER BY cnt DESC, pair LIMIT {_BPS_TOP}
+    """,
+    doc="The first iteration of BPE training, hash-checked: adjacent "
+    "symbol-pair counts over the corpus word-frequency table (chars + "
+    "the </w> end marker, weighted by word frequency) — the top row "
+    "IS the first merge functions/tokenizer.py:bpe_train picks "
+    "(deterministic lexicographic tie-break), pinned in pytest. The "
+    "full merge LOOP stays rows-only (tokenizer_bpe: each step needs "
+    "the global argmax, inherently sequential), but this query "
+    "converts the loop's input statistics — the part that touches "
+    "the corpus — to oracle-backed; the word table is ONE scan + one "
+    "hash agg, pair expansion is row-local over the vocabulary-sized "
+    "table, the top-k a TakeOrderedAndProject.",
+)
+def q_tokenizer_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_extensions_spark.functions.tokenizer import word_frequencies
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    wf = word_frequencies(docs, "text")
+    pairs = wf.select(
+        F.explode(
+            F.expr(
+                "array_append("
+                "  case when length(word) < 2 then array()"
+                "       else transform(sequence(1, length(word) - 1),"
+                "         i -> substr(word, i, 1) || '|'"
+                "              || substr(word, i + 1, 1)) end,"
+                "  substr(word, length(word), 1) || '|</w>')"
+            )
+        ).alias("pair"),
+        "freq",
+    )
+    agg = pairs.groupBy("pair").agg(
+        F.sum("freq").cast("bigint").alias("cnt")
+    )
+    return agg.orderBy(F.desc("cnt"), "pair").limit(_BPS_TOP)
+
+
+# ------------------------------------------------------------------
+# agg_hll_rollup_table — mergeable-sketch rollup, hash-checked
+# ------------------------------------------------------------------
+
+
+from spark_extensions_spark.operators.sketches import (  # noqa: E402
+    _hll_rank_duck,
+    _hll_rank_spark,
+)
+
+
+def _hll_rollup_oracle() -> str:
+    bucket, rank = _hll_rank_duck("o_custkey")
+    return f"""
+    WITH hr_fine AS (
+      SELECT o_orderstatus, o_orderpriority,
+             {bucket} AS bucket, MAX({rank}) AS max_rank
+      FROM orders WHERE o_custkey IS NOT NULL
+      GROUP BY 1, 2, 3
+    )
+    SELECT o_orderstatus, bucket,
+           CAST(MAX(max_rank) AS INT) AS max_rank
+    FROM hr_fine GROUP BY 1, 2
+    """
+
+
+@_register(
+    "agg_hll_rollup_table",
+    _hll_rollup_oracle(),
+    doc="Mergeable-sketch ROLLUP with the deterministic HLL: fine "
+    "(status, priority) register tables built in one scan, then "
+    "merged up to status by elementwise register MAX — the 100 TB "
+    "cube-maintenance pattern agg_hll_sketch runs on JVM sketch "
+    "bytes, now with every register value hash-checked at BOTH "
+    "levels of the hierarchy (the oracle recomputes the fine level "
+    "and merges it the same way, so the merge algebra itself is "
+    "part of the verified surface). Two hash aggregates; shuffle "
+    "volume <= groups x 256 registers at any corpus size.",
+)
+def q_agg_hll_rollup_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")["orders"]
+    bucket, rank = _hll_rank_spark("o_custkey")
+    fine = (
+        o.where(F.col("o_custkey").isNotNull())
+        .select(
+            "o_orderstatus",
+            "o_orderpriority",
+            F.expr(bucket).alias("bucket"),
+            F.expr(rank).alias("rank"),
+        )
+        .groupBy("o_orderstatus", "o_orderpriority", "bucket")
+        .agg(F.max("rank").alias("max_rank"))
+    )
+    return fine.groupBy("o_orderstatus", "bucket").agg(
+        F.max("max_rank").cast("int").alias("max_rank")
+    )

@@ -269,3 +269,23 @@ def test_backtest_snaive_shared_eval_days(spark, sf_dir):
         assert r["mae_cents"] == int(
             r["sum_abs_err_cents"] / r["n_days"] + 0.5
         )
+
+
+def test_bpe_pair_stats_top_row_is_first_merge(spark, sf_dir):
+    from spark_extensions_spark.functions.tokenizer import (
+        bpe_train,
+        word_frequencies,
+    )
+    from spark_extensions_spark.queries48 import (
+        q_tokenizer_bpe_pair_stats,
+    )
+
+    top = q_tokenizer_bpe_pair_stats(spark, sf_dir).collect()[0]
+    wf = [
+        (r["word"], r["freq"])
+        for r in word_frequencies(
+            spark.read.parquet(f"{sf_dir}/documents.parquet"), "text"
+        ).collect()
+    ]
+    first_merge = bpe_train(wf, num_merges=1)[0]
+    assert top["pair"] == f"{first_merge[0]}|{first_merge[1]}"
