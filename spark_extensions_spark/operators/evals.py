@@ -731,3 +731,134 @@ def pass_at_k_oracle_sql(
              AS pass_at_k_e6
     FROM per WHERE n >= {k}
     """
+
+
+# ---------------------------------------------------------------------
+# Krippendorff's alpha (nominal, exact integers)
+# ---------------------------------------------------------------------
+
+
+def krippendorff_alpha_nominal(
+    ratings: DataFrame, unit_col: str, label_col: str
+) -> DataFrame:
+    """Krippendorff's alpha for NOMINAL data over a (unit, label)
+    ratings table (one row per individual rating; raters anonymous —
+    alpha only needs the per-unit label multiset). The
+    inter-annotator-agreement gate of RLHF/eval labeling pipelines:
+    cohen_kappa covers exactly two raters, alpha handles any number,
+    missing ratings, and >2 labels (Krippendorff 2004).
+
+    Exact-integer formulation: with n_uc = count of label c in unit u
+    and m_u = ratings in unit u,
+
+        Do ∝ Σ_u [ Σ_{c≠k} n_uc·n_uk / (m_u − 1) ]
+        De ∝ Σ_{c≠k} n_c·n_k / (n − 1)
+
+    Units with m_u < 2 are dropped (standard — they carry no
+    coincidence information). To stay in integers across units with
+    DIFFERENT m_u, each unit's disagreement is scaled by
+    L = lcm{m_u − 1} — here computed exactly over the observed m
+    domain (tiny). Output one row: ``(n_units, n_ratings, do_scaled,
+    scale_l, de_num, alpha_e6)`` where
+    alpha = 1 − (do_scaled·(n−1)) / (L·de_num), e6-quantized from
+    exact BIGINTs — the only float op is that one division.
+
+    Plan: two hash aggregates (unit-label counts → per-unit pair
+    sums; label counts) + domain-sized reductions. One corpus scan.
+    """
+    ul = ratings.groupBy(
+        F.col(unit_col).alias("u"), F.col(label_col).alias("c")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_uc"))
+    per_unit = ul.groupBy("u").agg(
+        F.sum("n_uc").cast("bigint").alias("m_u"),
+        F.sum(F.expr("n_uc * n_uc")).cast("bigint").alias("sq"),
+    ).where(F.col("m_u") >= 2)
+    # Σ_{c≠k} n_uc·n_uk = m_u² − Σ n_uc²
+    m_domain = [
+        r["m_u"]
+        for r in per_unit.select("m_u").distinct().collect()
+    ]
+    import math
+
+    scale_l = 1
+    for m in m_domain:
+        scale_l = math.lcm(scale_l, int(m) - 1)
+    do_scaled = per_unit.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_units"),
+        F.sum(
+            F.expr(f"(m_u * m_u - sq) * ({scale_l} div (m_u - 1))")
+        )
+        .cast("bigint")
+        .alias("do_scaled"),
+    )
+    kept_units = per_unit.select("u")
+    lab = (
+        ul.join(kept_units, "u")
+        .groupBy("c")
+        .agg(F.sum("n_uc").cast("bigint").alias("n_c"))
+    )
+    de = lab.agg(
+        F.sum("n_c").cast("bigint").alias("n_ratings"),
+        (
+            F.sum("n_c") * F.sum("n_c") - F.sum(F.expr("n_c * n_c"))
+        )
+        .cast("bigint")
+        .alias("de_num"),
+    )
+    alpha = (
+        "cast(floor((1.0d - (cast(do_scaled as double)"
+        " * cast(n_ratings - 1 as double))"
+        f" / (cast({scale_l} as double) * cast(de_num as double)))"
+        " * 1e6 + 0.5d) as bigint)"
+    )
+    return do_scaled.crossJoin(de).select(
+        "n_units",
+        "n_ratings",
+        "do_scaled",
+        F.lit(scale_l).cast("bigint").alias("scale_l"),
+        "de_num",
+        F.expr(alpha).alias("alpha_e6"),
+    )
+
+
+def krippendorff_oracle_sql(
+    ratings_sql: str, unit_col: str, label_col: str, scale_l: int
+) -> str:
+    """DuckDB twin of :func:`krippendorff_alpha_nominal`. ``scale_l``
+    must equal the Spark side's lcm over the observed (m_u − 1) domain
+    — pass the same constant (the caller knows the rating design; a
+    mismatch changes do_scaled AND scale_l consistently, leaving
+    alpha identical, but the hash compares the scaled columns too)."""
+    return f"""
+    WITH ka_ul AS (
+      SELECT {unit_col} AS u, {label_col} AS c, COUNT(*) AS n_uc
+      FROM ({ratings_sql}) ka_src GROUP BY 1, 2
+    ),
+    ka_unit AS (
+      SELECT u, SUM(n_uc) AS m_u, SUM(n_uc * n_uc) AS sq
+      FROM ka_ul GROUP BY u HAVING SUM(n_uc) >= 2
+    ),
+    ka_do AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_units,
+             CAST(SUM((m_u * m_u - sq) * ({scale_l} // (m_u - 1)))
+                  AS BIGINT) AS do_scaled
+      FROM ka_unit
+    ),
+    ka_lab AS (
+      SELECT c, SUM(n_uc) AS n_c FROM ka_ul
+      JOIN ka_unit USING (u) GROUP BY c
+    ),
+    ka_de AS (
+      SELECT CAST(SUM(n_c) AS BIGINT) AS n_ratings,
+             CAST(SUM(n_c) * SUM(n_c) - SUM(n_c * n_c) AS BIGINT)
+               AS de_num
+      FROM ka_lab
+    )
+    SELECT n_units, n_ratings, do_scaled,
+           CAST({scale_l} AS BIGINT) AS scale_l, de_num,
+           CAST(FLOOR((1.0 - (CAST(do_scaled AS DOUBLE)
+                * CAST(n_ratings - 1 AS DOUBLE))
+                / (CAST({scale_l} AS DOUBLE) * CAST(de_num AS DOUBLE)))
+                * 1e6 + 0.5) AS BIGINT) AS alpha_e6
+    FROM ka_do CROSS JOIN ka_de
+    """

@@ -9,6 +9,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from spark_extensions_spark.operators.evals import (
+    krippendorff_oracle_sql,
+)
 from spark_extensions_spark.operators.stats import (
     wilcoxon_oracle_sql,
     wilcoxon_signed_rank,
@@ -516,3 +519,55 @@ def q_agg_hll_rollup_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fine.groupBy("o_orderstatus", "bucket").agg(
         F.max("max_rank").cast("int").alias("max_rank")
     )
+
+
+# ------------------------------------------------------------------
+# eval_krippendorff — multi-rater agreement
+# ------------------------------------------------------------------
+
+_KA_R1 = (
+    "CASE WHEN o_totalprice < 80000 THEN 0 "
+    "WHEN o_totalprice < 160000 THEN 1 ELSE 2 END"
+)
+_KA_R2 = (
+    "CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 2 "
+    "WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END"
+)
+_KA_R3 = (
+    "CASE WHEN o_orderstatus = 'F' THEN 2 "
+    "WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END"
+)
+_KA_RATINGS_DUCK = " UNION ALL ".join(
+    f"SELECT o_orderkey AS unit, {r} AS label FROM orders"
+    for r in (_KA_R1, _KA_R2, _KA_R3)
+)
+
+
+@_register(
+    "eval_krippendorff",
+    krippendorff_oracle_sql(_KA_RATINGS_DUCK, "unit", "label", scale_l=2),
+    doc="Krippendorff's alpha (nominal) — the inter-annotator-"
+    "agreement gate of RLHF/eval labeling pipelines "
+    "(operators/evals.py:krippendorff_alpha_nominal; Krippendorff "
+    "2004): cohen_kappa covers exactly two raters, alpha handles any "
+    "rater count and missing ratings. Three derived judgments of "
+    "each order (price band / priority band / status band) share a "
+    "{0,1,2} label space; observed and expected disagreement are "
+    "EXACT BIGINTs (per-unit pair sums m² − Σn², lcm-scaled across "
+    "unit sizes), alpha is one double division e6-quantized. Two "
+    "hash aggregates, one corpus scan.",
+)
+def q_eval_krippendorff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_extensions_spark.operators.evals import (
+        krippendorff_alpha_nominal,
+    )
+
+    o = _t(spark, sf_dir, "orders")["orders"]
+    ratings = None
+    for r in (_KA_R1, _KA_R2, _KA_R3):
+        part = o.select(
+            F.col("o_orderkey").alias("unit"),
+            F.expr(r).cast("int").alias("label"),
+        )
+        ratings = part if ratings is None else ratings.unionByName(part)
+    return krippendorff_alpha_nominal(ratings, "unit", "label")

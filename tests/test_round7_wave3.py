@@ -289,3 +289,77 @@ def test_bpe_pair_stats_top_row_is_first_merge(spark, sf_dir):
     ]
     first_merge = bpe_train(wf, num_merges=1)[0]
     assert top["pair"] == f"{first_merge[0]}|{first_merge[1]}"
+
+
+def test_krippendorff_reference_implementation(spark):
+    # small hand dataset with a missing rating (unit d has 2 raters),
+    # verified against the straight textbook computation
+    from pyspark.sql import Row
+
+    from spark_extensions_spark.operators.evals import (
+        krippendorff_alpha_nominal,
+    )
+
+    data = {
+        "a": [1, 1, 1],
+        "b": [1, 2, 2],
+        "c": [0, 0, 0],
+        "d": [2, 2],
+        "e": [0],  # dropped: single rating
+    }
+    rows = [
+        Row(unit=u, label=v) for u, vals in data.items() for v in vals
+    ]
+    out = krippendorff_alpha_nominal(
+        spark.createDataFrame(rows), "unit", "label"
+    ).collect()[0]
+    # reference: coincidence-matrix formulation
+    import itertools
+    from collections import Counter
+
+    units = {u: v for u, v in data.items() if len(v) > 1}
+    do = 0.0
+    n = 0
+    lab = Counter()
+    for vals in units.values():
+        m = len(vals)
+        n += m
+        lab.update(vals)
+        disagree = sum(
+            1
+            for x, y in itertools.permutations(range(m), 2)
+            if vals[x] != vals[y]
+        )
+        do += disagree / (m - 1)
+    de = (
+        sum(
+            lab[c] * lab[k]
+            for c in lab
+            for k in lab
+            if c != k
+        )
+        / (n - 1)
+    )
+    alpha = 1 - do / de
+    assert out["n_units"] == len(units) and out["n_ratings"] == n
+    got_alpha = 1 - (
+        out["do_scaled"] * (out["n_ratings"] - 1)
+    ) / (out["scale_l"] * out["de_num"])
+    assert abs(got_alpha - alpha) < 1e-12
+    assert out["alpha_e6"] == int(alpha * 1e6 + 0.5)
+
+
+def test_krippendorff_perfect_agreement(spark):
+    from pyspark.sql import Row
+
+    from spark_extensions_spark.operators.evals import (
+        krippendorff_alpha_nominal,
+    )
+
+    rows = [
+        Row(unit=u, label=u % 3) for u in range(30) for _ in range(3)
+    ]
+    out = krippendorff_alpha_nominal(
+        spark.createDataFrame(rows), "unit", "label"
+    ).collect()[0]
+    assert out["do_scaled"] == 0 and out["alpha_e6"] == 1_000_000
