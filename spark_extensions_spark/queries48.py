@@ -571,3 +571,7 @@ def q_eval_krippendorff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         ratings = part if ratings is None else ratings.unionByName(part)
     return krippendorff_alpha_nominal(ratings, "unit", "label")
+
+
+# batch 49 registers at import time, same chain as queries47 -> 48
+from spark_extensions_spark import queries49  # noqa: E402,F401  (registration side effect)

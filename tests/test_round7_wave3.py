@@ -363,3 +363,72 @@ def test_krippendorff_perfect_agreement(spark):
         spark.createDataFrame(rows), "unit", "label"
     ).collect()[0]
     assert out["do_scaled"] == 0 and out["alpha_e6"] == 1_000_000
+
+
+def test_runs_test_hand_sequence(spark):
+    # direct check of the run-counting logic on the registered shape:
+    # recompute from the raw day series
+    from spark_extensions_spark.queries49 import q_stat_runs_test
+
+    out = q_stat_runs_test(spark, "/root/testdata/sf0.001").collect()[0]
+    day = (
+        spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .selectExpr(
+            "date_trunc('day', o_orderdate) AS d",
+            "cast(floor(o_totalprice * 100 + 0.5d) as bigint) AS c",
+        )
+        .groupBy("d")
+        .sum("c")
+        .collect()
+    )
+    series = [r["sum(c)"] for r in sorted(day, key=lambda r: r["d"])]
+    m = sorted(series)[(len(series) + 1) // 2 - 1]
+    flags = [v > m for v in series]
+    runs = 1 + sum(
+        1 for i in range(1, len(flags)) if flags[i] != flags[i - 1]
+    )
+    assert out["n1"] == sum(flags)
+    assert out["n2"] == len(flags) - sum(flags)
+    assert out["n_runs"] == runs
+
+
+def test_theil_sen_is_median_of_slopes(spark):
+    from spark_extensions_spark.queries49 import q_ts_theil_sen
+
+    out = q_ts_theil_sen(spark, "/root/testdata/sf0.001").collect()[0]
+    day = (
+        spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .selectExpr(
+            "cast(datediff(date_trunc('day', o_orderdate),"
+            " date'1992-01-01') as bigint) AS d",
+            "cast(floor(o_totalprice * 100 + 0.5d) as bigint) AS y",
+        )
+        .groupBy("d")
+        .sum("y")
+        .collect()
+    )
+    pts = sorted((r["d"], r["sum(y)"]) for r in day)
+    slopes = sorted(
+        (
+            (pts[j][1] - pts[i][1]) / (pts[j][0] - pts[i][0]),
+            pts[j][1] - pts[i][1],
+            pts[j][0] - pts[i][0],
+        )
+        for i in range(len(pts))
+        for j in range(i + 1, len(pts))
+    )
+    assert out["n_pairs"] == len(slopes)
+    med = slopes[(len(slopes) + 1) // 2 - 1]
+    assert (out["med_dy"], out["med_dx"]) == (med[1], med[2])
+
+
+def test_jsd_symmetric_bounded(spark, sf_dir):
+    import math
+
+    from spark_extensions_spark.queries49 import q_stat_jsd_langs
+
+    rows = q_stat_jsd_langs(spark, sf_dir).collect()
+    assert len(rows) == 10  # C(5,2) language pairs
+    for r in rows:
+        assert r["lang_a"] < r["lang_b"]
+        assert 0 <= r["jsd_e12"] <= int(math.log(2) * 1e12) + len(rows)
