@@ -328,3 +328,193 @@ def q_stat_jsd_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grid.groupBy("lang_a", "lang_b").agg(
         F.sum(F.expr(f"{t1} + {t2}")).cast("bigint").alias("jsd_e12")
     )
+
+
+# ------------------------------------------------------------------
+# privacy_dp_laplace — the Laplace mechanism, seeded test mode
+# ------------------------------------------------------------------
+
+_DP_EPS = 0.5  # epsilon; sensitivity 1 (unit count contribution)
+
+
+@_register(
+    "privacy_dp_laplace",
+    f"""
+    WITH dp_counts AS (
+      SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n
+      FROM customer GROUP BY 1
+    ),
+    dp_noise AS (
+      SELECT c_nationkey, n,
+             (('0x' || substr(md5(CAST(c_nationkey AS VARCHAR)
+                || ':dplap'), 1, 15))::BIGINT)
+               / CAST(1152921504606846976 AS DOUBLE) - 0.5 AS u
+      FROM dp_counts
+    )
+    SELECT c_nationkey, n,
+           CAST(FLOOR((n - (1e0 / {_DP_EPS!r})
+                * CASE WHEN u >= 0 THEN 1e0 ELSE -1e0 END
+                * ln(1e0 - 2e0 * abs(u))) * 1e6 + 0.5)
+                AS BIGINT) AS noisy_n_e6
+    FROM dp_noise
+    """,
+    doc="The Laplace mechanism of differential privacy (Dwork et al. "
+    "2006) in SEEDED TEST MODE: per-nation customer counts plus "
+    "Laplace(sensitivity/ε) noise drawn by inverse CDF from an "
+    "md5-derived uniform — the mechanism SHAPE (sensitivity-1 count "
+    "query, ε=0.5, sign·ln transform) exactly as a production DP job "
+    "runs it, with the noise seeded so the release is reproducible "
+    "and hash-verifiable. A REAL release must draw the noise from a "
+    "secret entropy source — seeded noise provides NO privacy; this "
+    "is the pipeline-plumbing test harness (documented, like the "
+    "multimodal codec fakes). Row-local ln over the domain-sized "
+    "group table; one hash aggregate over the corpus.",
+)
+def q_privacy_dp_laplace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")["customer"]
+    counts = c.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    u = (
+        "cast(conv(substring(md5(cast(c_nationkey as string)"
+        " || ':dplap'), 1, 15), 16, 10) as bigint)"
+        " / cast(1152921504606846976 as double) - 0.5d"
+    )
+    noisy = (
+        f"cast(floor((n - (1e0 / {_DP_EPS!r})"
+        " * case when __u >= 0 then 1e0 else -1e0 end"
+        " * ln(1e0 - 2e0 * abs(__u))) * 1e6 + 0.5d) as bigint)"
+    )
+    return (
+        counts.withColumn("__u", F.expr(u))
+        .select(
+            "c_nationkey",
+            "n",
+            F.expr(noisy).alias("noisy_n_e6"),
+        )
+    )
+
+
+# ------------------------------------------------------------------
+# stat_friedman — k related samples over blocks
+# ------------------------------------------------------------------
+
+_FR_K = 5  # order priorities (treatments)
+
+
+@_register(
+    "stat_friedman",
+    f"""
+    WITH fr_cells AS (
+      SELECT EXTRACT(month FROM o_orderdate) AS m, o_orderpriority AS p,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS v
+      FROM orders GROUP BY 1, 2
+    ),
+    fr_ties AS (
+      SELECT m, v, COUNT(*) AS t FROM fr_cells GROUP BY 1, 2
+    ),
+    fr_cum AS (
+      SELECT m, v, t,
+             COALESCE(SUM(t) OVER (PARTITION BY m ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_prev
+      FROM fr_ties
+    ),
+    fr_ranked AS (
+      SELECT c.m, c.p, 2 * u.cum_prev + u.t + 1 AS d
+      FROM fr_cells c JOIN fr_cum u ON u.m = c.m AND u.v = c.v
+    ),
+    fr_treat AS (
+      SELECT p, SUM(d) AS dj FROM fr_ranked GROUP BY p
+    ),
+    fr_agg AS (
+      SELECT (SELECT CAST(COUNT(DISTINCT m) AS BIGINT) FROM fr_cells)
+               AS n_blocks,
+             (SELECT CAST(SUM(dj * dj) AS BIGINT) FROM fr_treat)
+               AS sum_dj2,
+             (SELECT CAST(SUM(d * d) AS BIGINT) FROM fr_ranked)
+               AS sum_d2
+    )
+    SELECT n_blocks, CAST({_FR_K} AS BIGINT) AS k, sum_dj2, sum_d2,
+           CAST(sum_dj2 - n_blocks * n_blocks * {_FR_K}
+                * ({_FR_K} + 1) * ({_FR_K} + 1) AS BIGINT) AS num4,
+           CAST(sum_d2 - n_blocks * {_FR_K}
+                * ({_FR_K} + 1) * ({_FR_K} + 1) AS BIGINT) AS den4,
+           CAST(FLOOR(({_FR_K} - 1e0)
+                * (sum_dj2 - n_blocks * n_blocks * {_FR_K}
+                   * ({_FR_K} + 1) * ({_FR_K} + 1))
+                / (sum_d2 - n_blocks * {_FR_K}
+                   * ({_FR_K} + 1) * ({_FR_K} + 1))
+                * 1e6 + 0.5) AS BIGINT) AS chi2_e6
+    FROM fr_agg
+    """,
+    doc="Friedman test for k related samples (Friedman 1937, "
+    "tie-corrected form): do the five order priorities rank "
+    "consistently across month blocks, or is the monthly revenue "
+    "ranking random? Within-block average ranks carried DOUBLED (the "
+    "mannwhitney cumulative idiom) so rank sums, ΣR², and the tie "
+    "correction are exact BIGINTs — χ² = (k−1)·(4ΣRj² − n²k(k+1)²) / "
+    "(4Σr² − nk(k+1)²) is one double division of exact integers, "
+    "e6-quantized. One hash aggregate over the corpus; everything "
+    "after runs on the 12×5 block-treatment grid.",
+)
+def q_stat_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")["orders"]
+    cells = o.groupBy(
+        F.month("o_orderdate").alias("m"),
+        F.col("o_orderpriority").alias("p"),
+    ).agg(
+        F.sum(F.expr("cast(floor(o_totalprice * 100 + 0.5d) as bigint)"))
+        .cast("bigint")
+        .alias("v")
+    )
+    ties = cells.groupBy("m", "v").agg(F.count(F.lit(1)).alias("t"))
+    wm = Window.partitionBy("m").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = ties.select(
+        "m",
+        "v",
+        "t",
+        F.coalesce(F.sum("t").over(wm), F.lit(0)).alias("cum_prev"),
+    )
+    ranked = cells.join(cum, ["m", "v"]).select(
+        "m", "p", (2 * F.col("cum_prev") + F.col("t") + 1).alias("d")
+    )
+    treat = ranked.groupBy("p").agg(F.sum("d").alias("dj"))
+    agg = (
+        cells.agg(F.countDistinct("m").cast("bigint").alias("n_blocks"))
+        .crossJoin(
+            treat.agg(
+                F.sum(F.expr("dj * dj")).cast("bigint").alias("sum_dj2")
+            )
+        )
+        .crossJoin(
+            ranked.agg(
+                F.sum(F.expr("d * d")).cast("bigint").alias("sum_d2")
+            )
+        )
+    )
+    k = _FR_K
+    return agg.select(
+        "n_blocks",
+        F.lit(k).cast("bigint").alias("k"),
+        "sum_dj2",
+        "sum_d2",
+        F.expr(
+            f"cast(sum_dj2 - n_blocks * n_blocks * {k}"
+            f" * ({k} + 1) * ({k} + 1) as bigint)"
+        ).alias("num4"),
+        F.expr(
+            f"cast(sum_d2 - n_blocks * {k}"
+            f" * ({k} + 1) * ({k} + 1) as bigint)"
+        ).alias("den4"),
+        F.expr(
+            f"cast(floor(({k} - 1e0)"
+            f" * (sum_dj2 - n_blocks * n_blocks * {k}"
+            f"    * ({k} + 1) * ({k} + 1))"
+            f" / (sum_d2 - n_blocks * {k} * ({k} + 1) * ({k} + 1))"
+            " * 1e6 + 0.5d) as bigint)"
+        ).alias("chi2_e6"),
+    )

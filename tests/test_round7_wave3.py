@@ -432,3 +432,59 @@ def test_jsd_symmetric_bounded(spark, sf_dir):
     for r in rows:
         assert r["lang_a"] < r["lang_b"]
         assert 0 <= r["jsd_e12"] <= int(math.log(2) * 1e12) + len(rows)
+
+
+def test_friedman_against_scipy_formula(spark):
+    # no-ties hand dataset: 3 blocks x 3 treatments, textbook formula
+    # chi2 = 12/(n k (k+1)) * sum Rj^2 - 3 n (k+1)
+    import itertools
+
+    from pyspark.sql import Row
+
+    # block values: treatment c always biggest, a always smallest
+    data = {  # block -> {treatment: value}
+        1: {"a": 10, "b": 20, "c": 30},
+        2: {"a": 11, "b": 22, "c": 33},
+        3: {"a": 5, "b": 25, "c": 26},
+    }
+    rows = [
+        Row(m=b, p=t, v=v)
+        for b, tv in data.items()
+        for t, v in tv.items()
+    ]
+    df = spark.createDataFrame(rows)
+    # rebuild the registered query's tail on this frame
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    ties = df.groupBy("m", "v").agg(F.count(F.lit(1)).alias("t"))
+    wm = Window.partitionBy("m").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = ties.select(
+        "m", "v", "t",
+        F.coalesce(F.sum("t").over(wm), F.lit(0)).alias("cum_prev"),
+    )
+    ranked = df.join(cum, ["m", "v"]).select(
+        "p", (2 * F.col("cum_prev") + F.col("t") + 1).alias("d")
+    )
+    dj = {
+        r["p"]: r["sum(d)"]
+        for r in ranked.groupBy("p").sum("d").collect()
+    }
+    n, k = 3, 3
+    sum_rj2 = sum((v / 2) ** 2 for v in dj.values())
+    chi2_ref = 12.0 / (n * k * (k + 1)) * sum_rj2 - 3 * n * (k + 1)
+    # the query's tie-corrected form must equal the textbook value
+    # when there are no ties
+    sum_dj2 = sum(v * v for v in dj.values())
+    sum_d2 = sum(
+        r["d"] ** 2 for r in ranked.collect()
+    )
+    num4 = sum_dj2 - n * n * k * (k + 1) * (k + 1)
+    den4 = sum_d2 - n * k * (k + 1) * (k + 1)
+    chi2 = (k - 1) * num4 / den4
+    assert abs(chi2 - chi2_ref) < 1e-12
+    # perfect consistency (c > b > a in every block) maximizes chi2
+    # at n(k-1) = 6
+    assert abs(chi2 - (n * (k - 1))) < 1e-12
