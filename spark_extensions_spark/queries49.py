@@ -518,3 +518,131 @@ def q_stat_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1e6 + 0.5d) as bigint)"
         ).alias("chi2_e6"),
     )
+
+
+# ------------------------------------------------------------------
+# ts_rolling_median — robust rolling smoother
+# ------------------------------------------------------------------
+
+
+@_register(
+    "ts_rolling_median",
+    """
+    WITH rm_day AS (
+      SELECT time_bucket(INTERVAL '1 day', o_orderdate) AS d,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    )
+    SELECT d, cents,
+           CAST(2 * quantile_cont(cents, 0.5) OVER (
+             ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS med7_x2
+    FROM rm_day
+    """,
+    doc="7-day rolling MEDIAN of daily revenue — the robust smoother "
+    "(one outlier day cannot move it, unlike the rolling mean in "
+    "ts_ewma/ts_resample). Spark's percentile == DuckDB's "
+    "quantile_cont over the identical 7-row frame (the "
+    "agg_percentile_exact interpolation-parity result, reused as a "
+    "WINDOW aggregate); the median of an odd/even cents window is "
+    "integer or half-integer, so ×2 emits an exact BIGINT — no "
+    "float surface at all. One hash aggregate to the day series + "
+    "one domain-sized ordered window.",
+)
+def q_ts_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")["orders"]
+    day = o.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).alias("d")
+    ).agg(
+        F.sum(F.expr("cast(floor(o_totalprice * 100 + 0.5d) as bigint)"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    # bounded input: the day series (date domain)
+    w = Window.orderBy("d").rowsBetween(-6, 0)
+    return day.select(
+        "d",
+        "cents",
+        (2 * F.expr("percentile(cents, 0.5d)").over(w))
+        .cast("bigint")
+        .alias("med7_x2"),
+    )
+
+
+# ------------------------------------------------------------------
+# analytic_abc_classification — Pareto inventory classes
+# ------------------------------------------------------------------
+
+
+@_register(
+    "analytic_abc_classification",
+    """
+    WITH abc_rev AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5)
+                  AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem GROUP BY 1
+    ),
+    abc_cum AS (
+      SELECT l_partkey, cents,
+             SUM(cents) OVER (ORDER BY cents DESC, l_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             SUM(cents) OVER () AS tot
+      FROM abc_rev
+    ),
+    abc_cls AS (
+      SELECT CASE WHEN cum * 10 <= tot * 7 THEN 'A'
+                  WHEN cum * 10 <= tot * 9 THEN 'B'
+                  ELSE 'C' END AS cls,
+             cents
+      FROM abc_cum
+    )
+    SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(cents) AS BIGINT) AS revenue_cents
+    FROM abc_cls GROUP BY cls
+    """,
+    doc="ABC (Pareto) classification of parts by cumulative revenue "
+    "share: A = parts inside the first 70% of revenue, B to 90%, C "
+    "the tail — the inventory-prioritization classic. Threshold "
+    "compares are cross-multiplied (cum·10 ≤ tot·7) so NO division "
+    "or float exists anywhere; the cumulative window runs over the "
+    "part CATALOG (a dimension that grows with the product range, "
+    "not the corpus — at catalog scale swap in the two-phase "
+    "grouped_running_sum, bit-identical). Deterministic total order "
+    "(revenue desc, part key).",
+)
+def q_analytic_abc_classification(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.expr("cast(floor(l_extendedprice * 100 + 0.5d) as bigint)")
+        )
+        .cast("bigint")
+        .alias("cents")
+    )
+    # bounded input: part catalog (dimension-sized; see doc)
+    wc = Window.orderBy(F.desc("cents"), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cls = rev.select(
+        "cents",
+        F.sum("cents").over(wc).alias("cum"),
+        F.sum("cents").over(wall).alias("tot"),
+    ).select(
+        F.when(F.col("cum") * 10 <= F.col("tot") * 7, "A")
+        .when(F.col("cum") * 10 <= F.col("tot") * 9, "B")
+        .otherwise("C")
+        .alias("cls"),
+        "cents",
+    )
+    return cls.groupBy("cls").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.sum("cents").cast("bigint").alias("revenue_cents"),
+    )
