@@ -646,3 +646,85 @@ def q_analytic_abc_classification(
         F.count(F.lit(1)).cast("bigint").alias("n_parts"),
         F.sum("cents").cast("bigint").alias("revenue_cents"),
     )
+
+
+# ------------------------------------------------------------------
+# eval_mcnemar — paired classifier comparison
+# ------------------------------------------------------------------
+
+# two rule "models" predicting a return, evaluated on the same rows:
+# the McNemar discordant cells decide if B beats A on paired evidence
+_MC_GOLD = "l_returnflag = 'R'"
+_MC_PRED_A = "l_quantity >= 25"
+_MC_PRED_B = "l_extendedprice >= 30000"
+
+
+@_register(
+    "eval_mcnemar",
+    f"""
+    WITH mc AS (
+      SELECT (({_MC_PRED_A}) = ({_MC_GOLD})) AS a_ok,
+             (({_MC_PRED_B}) = ({_MC_GOLD})) AS b_ok
+      FROM lineitem
+    ),
+    mc_agg AS (
+      SELECT CAST(COUNT(*) FILTER (a_ok AND NOT b_ok) AS BIGINT) AS b,
+             CAST(COUNT(*) FILTER (b_ok AND NOT a_ok) AS BIGINT) AS c,
+             CAST(COUNT(*) FILTER (a_ok AND b_ok) AS BIGINT)
+               AS both_ok,
+             CAST(COUNT(*) FILTER (NOT a_ok AND NOT b_ok) AS BIGINT)
+               AS both_wrong
+      FROM mc
+    )
+    SELECT b, c, both_ok, both_wrong,
+           CAST(FLOOR((b - c) * (b - c) / CAST(b + c AS DOUBLE)
+                * 1e6 + 0.5) AS BIGINT) AS chi2_e6,
+           CAST(FLOOR((abs(b - c) - 1e0) * (abs(b - c) - 1e0)
+                / CAST(b + c AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+             AS chi2_cc_e6
+    FROM mc_agg
+    """,
+    doc="McNemar's test for PAIRED classifier comparison (McNemar "
+    "1947) — the correct way to ask 'is model B better than A on the "
+    "SAME eval set' (two independent accuracy CIs overlap exactly "
+    "when the paired evidence is strongest): only the discordant "
+    "cells b (A right, B wrong) and c (B right, A wrong) carry "
+    "information; χ² = (b−c)²/(b+c), plus the Edwards continuity-"
+    "corrected form. All four contingency cells are exact BIGINTs "
+    "from ONE scan + one aggregate; the statistics are single double "
+    "divisions e6-quantized.",
+)
+def q_eval_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    mc = li.select(
+        F.expr(f"(({_MC_PRED_A}) = ({_MC_GOLD}))").alias("a_ok"),
+        F.expr(f"(({_MC_PRED_B}) = ({_MC_GOLD}))").alias("b_ok"),
+    )
+    agg = mc.agg(
+        F.count(F.when(F.col("a_ok") & ~F.col("b_ok"), 1))
+        .cast("bigint")
+        .alias("b"),
+        F.count(F.when(F.col("b_ok") & ~F.col("a_ok"), 1))
+        .cast("bigint")
+        .alias("c"),
+        F.count(F.when(F.col("a_ok") & F.col("b_ok"), 1))
+        .cast("bigint")
+        .alias("both_ok"),
+        F.count(F.when(~F.col("a_ok") & ~F.col("b_ok"), 1))
+        .cast("bigint")
+        .alias("both_wrong"),
+    )
+    return agg.select(
+        "b",
+        "c",
+        "both_ok",
+        "both_wrong",
+        F.expr(
+            "cast(floor((b - c) * (b - c) / cast(b + c as double)"
+            " * 1e6 + 0.5d) as bigint)"
+        ).alias("chi2_e6"),
+        F.expr(
+            "cast(floor((abs(b - c) - 1e0) * (abs(b - c) - 1e0)"
+            " / cast(b + c as double) * 1e6 + 0.5d) as bigint)"
+        ).alias("chi2_cc_e6"),
+    )
