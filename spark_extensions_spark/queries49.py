@@ -677,10 +677,15 @@ _MC_PRED_B = "l_extendedprice >= 30000"
       FROM mc
     )
     SELECT b, c, both_ok, both_wrong,
-           CAST(FLOOR((b - c) * (b - c) / CAST(b + c AS DOUBLE)
-                * 1e6 + 0.5) AS BIGINT) AS chi2_e6,
-           CAST(FLOOR((abs(b - c) - 1e0) * (abs(b - c) - 1e0)
-                / CAST(b + c AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+           -- b + c = 0 (models agree on every row) carries no paired
+           -- evidence: chi2 defined 0, not NaN (DuckDB refuses a
+           -- NaN->BIGINT cast; Spark nulls — both wrong)
+           CASE WHEN b + c = 0 THEN 0 ELSE
+             CAST(FLOOR((b - c) * (b - c) / CAST(b + c AS DOUBLE)
+                  * 1e6 + 0.5) AS BIGINT) END AS chi2_e6,
+           CASE WHEN b + c = 0 THEN 0 ELSE
+             CAST(FLOOR((abs(b - c) - 1e0) * (abs(b - c) - 1e0)
+                  / CAST(b + c AS DOUBLE) * 1e6 + 0.5) AS BIGINT) END
              AS chi2_cc_e6
     FROM mc_agg
     """,
@@ -720,11 +725,13 @@ def q_eval_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
         "both_ok",
         "both_wrong",
         F.expr(
-            "cast(floor((b - c) * (b - c) / cast(b + c as double)"
-            " * 1e6 + 0.5d) as bigint)"
+            "case when b + c = 0 then 0 else"
+            " cast(floor((b - c) * (b - c) / cast(b + c as double)"
+            " * 1e6 + 0.5d) as bigint) end"
         ).alias("chi2_e6"),
         F.expr(
-            "cast(floor((abs(b - c) - 1e0) * (abs(b - c) - 1e0)"
-            " / cast(b + c as double) * 1e6 + 0.5d) as bigint)"
+            "case when b + c = 0 then 0 else"
+            " cast(floor((abs(b - c) - 1e0) * (abs(b - c) - 1e0)"
+            " / cast(b + c as double) * 1e6 + 0.5d) as bigint) end"
         ).alias("chi2_cc_e6"),
     )
