@@ -805,11 +805,15 @@ def krippendorff_alpha_nominal(
         .cast("bigint")
         .alias("de_num"),
     )
+    # de_num = 0 (a single label across every unit) has no expected
+    # disagreement to normalize by; observed disagreement is then also
+    # 0 — define alpha = 1 (perfect agreement) instead of 0/0
     alpha = (
-        "cast(floor((1.0d - (cast(do_scaled as double)"
+        "case when de_num = 0 then 1000000 else"
+        " cast(floor((1.0d - (cast(do_scaled as double)"
         " * cast(n_ratings - 1 as double))"
         f" / (cast({scale_l} as double) * cast(de_num as double)))"
-        " * 1e6 + 0.5d) as bigint)"
+        " * 1e6 + 0.5d) as bigint) end"
     )
     return do_scaled.crossJoin(de).select(
         "n_units",
@@ -856,9 +860,11 @@ def krippendorff_oracle_sql(
     )
     SELECT n_units, n_ratings, do_scaled,
            CAST({scale_l} AS BIGINT) AS scale_l, de_num,
-           CAST(FLOOR((1.0 - (CAST(do_scaled AS DOUBLE)
-                * CAST(n_ratings - 1 AS DOUBLE))
-                / (CAST({scale_l} AS DOUBLE) * CAST(de_num AS DOUBLE)))
-                * 1e6 + 0.5) AS BIGINT) AS alpha_e6
+           CASE WHEN de_num = 0 THEN 1000000 ELSE
+             CAST(FLOOR((1.0 - (CAST(do_scaled AS DOUBLE)
+                  * CAST(n_ratings - 1 AS DOUBLE))
+                  / (CAST({scale_l} AS DOUBLE)
+                     * CAST(de_num AS DOUBLE)))
+                  * 1e6 + 0.5) AS BIGINT) END AS alpha_e6
     FROM ka_do CROSS JOIN ka_de
     """

@@ -488,3 +488,17 @@ def test_friedman_against_scipy_formula(spark):
     # perfect consistency (c > b > a in every block) maximizes chi2
     # at n(k-1) = 6
     assert abs(chi2 - (n * (k - 1))) < 1e-12
+
+
+def test_krippendorff_single_label_degenerate(spark):
+    from pyspark.sql import Row
+
+    from spark_extensions_spark.operators.evals import (
+        krippendorff_alpha_nominal,
+    )
+
+    rows = [Row(unit=u, label=7) for u in range(10) for _ in range(3)]
+    out = krippendorff_alpha_nominal(
+        spark.createDataFrame(rows), "unit", "label"
+    ).collect()[0]
+    assert out["de_num"] == 0 and out["alpha_e6"] == 1_000_000
