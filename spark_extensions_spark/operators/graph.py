@@ -906,7 +906,12 @@ def link_predict(
     )
     # min_common prunes BEFORE the anti/degree joins (it is the
     # selective predicate); the degree table is node-domain-sized —
-    # broadcast, never shuffled against the pair stream
+    # broadcast ONLY below _BROADCAST_NODES_MAX (a |V|-row broadcast
+    # fails outright on a web-scale graph; above the bound the shuffle
+    # join is the correct plan). deg is checkpointed so the count
+    # action and the two joins share one aggregation.
+    deg = deg.localCheckpoint(eager=False)
+    n_nodes = deg.count()
     non_adj = common.filter(F.col("common_neighbors") >= min_common).join(
         edges.select(
             F.col(src).alias("id_a"), F.col(dst).alias("id_b")
@@ -916,10 +921,14 @@ def link_predict(
     )
     return (
         non_adj.join(
-            F.broadcast(deg.withColumnRenamed("node", "id_a")), "id_a"
+            _maybe_broadcast(deg.withColumnRenamed("node", "id_a"), n_nodes),
+            "id_a",
         )
         .withColumnRenamed("deg", "deg_a")
-        .join(F.broadcast(deg.withColumnRenamed("node", "id_b")), "id_b")
+        .join(
+            _maybe_broadcast(deg.withColumnRenamed("node", "id_b"), n_nodes),
+            "id_b",
+        )
         .withColumnRenamed("deg", "deg_b")
         .select(
             "id_a",
@@ -990,7 +999,9 @@ def link_predict_anchored(
 
     Plan: one semi join (anchor adjacency), one equi join on the
     shared-neighbor key, one hash agg on (anchor, candidate), an anti
-    join dropping already-adjacent pairs, broadcast degree joins, and
+    join dropping already-adjacent pairs, degree joins (broadcast only
+    below ``_BROADCAST_NODES_MAX`` — a |V|-row broadcast is not a
+    web-scale plan), and
     a per-anchor rank window (bounded by the anchor's 2-hop). Output:
     ``(anchor, candidate, common_neighbors, jaccard_e6, rank)`` with
     rank ≤ ``top_k``, deterministic tiebreak on candidate id.
@@ -1005,9 +1016,13 @@ def link_predict_anchored(
         # it the upstream edge construction re-executes per consumer
         .localCheckpoint(eager=False)
     )
+    # degree table is |V| rows — broadcast only below the module bound
+    # (checkpoint shares the aggregation between the count action and
+    # the two score joins; above the bound the shuffle join is right)
     deg = nb.groupBy("node").agg(
         F.count(F.lit(1)).cast("bigint").alias("deg")
-    )
+    ).localCheckpoint(eager=False)
+    n_nodes = deg.count()
     a_nb = nb.join(
         F.broadcast(anchors.select(F.col(node_col).alias("node"))),
         "node",
@@ -1028,10 +1043,18 @@ def link_predict_anchored(
     )
     scored = (
         non_adj.join(
-            F.broadcast(deg.withColumnRenamed("node", "anchor")), "anchor"
+            _maybe_broadcast(
+                deg.withColumnRenamed("node", "anchor"), n_nodes
+            ),
+            "anchor",
         )
         .withColumnRenamed("deg", "deg_a")
-        .join(F.broadcast(deg.withColumnRenamed("node", "cand")), "cand")
+        .join(
+            _maybe_broadcast(
+                deg.withColumnRenamed("node", "cand"), n_nodes
+            ),
+            "cand",
+        )
         .withColumnRenamed("deg", "deg_b")
     )
     w = Window.partitionBy("anchor").orderBy(

@@ -747,12 +747,12 @@ def bloom_prefilter_oracle_sql(
 # ---------------------------------------------------------------------
 
 # Flajolet et al. 2007 bias constant for m >= 128: 0.7213/(1 + 1.079/m).
-# The raw-estimate numerator alpha·m²·2^55 is computed ONCE here and
+# The raw-estimate numerator alpha·m²·2^53 is computed ONCE here and
 # embedded as the SAME double literal in both engines, so the final
 # division runs identical IEEE ops.
 _HLL_P = 8
 _HLL_M = 1 << _HLL_P                      # 256 registers
-_HLL_WBITS = 60 - _HLL_P                  # 54-bit rank field
+_HLL_WBITS = 60 - _HLL_P                  # 52-bit rank field
 _HLL_ALPHA = 0.7213 / (1.0 + 1.079 / _HLL_M)
 _HLL_EST_NUM = _HLL_ALPHA * _HLL_M * _HLL_M * float(1 << (_HLL_WBITS + 1))
 
@@ -760,10 +760,10 @@ _HLL_EST_NUM = _HLL_ALPHA * _HLL_M * _HLL_M * float(1 << (_HLL_WBITS + 1))
 def _hll_rank_spark(key_sql: str) -> tuple[str, str]:
     """(bucket, rank) Spark-SQL exprs from the house md5-60-bit hash.
 
-    bucket = h mod m; w = h div m (54 bits); rank = 55 − bitlength(w),
+    bucket = h mod m; w = h div m (52 bits); rank = 53 − bitlength(w),
     bitlength via the engine's exact binary-string rendering (``bin``
     in Spark, ``bin`` in DuckDB) — integer-exact, no log2 ulp seam.
-    ``w = 0`` (probability 2^-54) pins rank to the 55 maximum.
+    ``w = 0`` (probability 2^-52) pins rank to the 53 maximum.
     """
     k = f"cast({key_sql} as string)"
     h = f"cast(conv(substring(md5({k}), 1, 15), 16, 10) as bigint)"
@@ -791,7 +791,7 @@ def _hll_rank_duck(key_sql: str) -> tuple[str, str]:
 def hll_register_table(df: DataFrame, key_col: str) -> DataFrame:
     """The REGISTER table of a deterministic HyperLogLog sketch over
     ``key_col`` — md5-derived 60-bit hashes split into an 8-bit bucket
-    and a 54-bit rank field, one row per non-empty register
+    and a 52-bit rank field, one row per non-empty register
     ``(bucket, max_rank)``.
 
     Unlike the JVM's HLL (engine-internal layout, rows-only checkable),
@@ -828,7 +828,7 @@ def hll_register_oracle_sql(source_sql: str, key_col: str) -> str:
 def hll_estimate(df: DataFrame, key_col: str) -> DataFrame:
     """The full deterministic-HLL cardinality estimate, hash-checkable
     end to end: raw estimate α·m²/Σ2^(−reg) with the register sum
-    carried as the EXACT integer Σ2^(55−reg) (≤ m·2^54 < 2^61 — no
+    carried as the EXACT integer Σ2^(53−reg) (≤ m·2^52 < 2^61 — no
     double-rounding seam), and the standard small-range linear-counting
     correction m·ln(m/V) when the raw estimate is under 2.5m with V
     empty registers. One row:
@@ -847,7 +847,7 @@ def hll_estimate(df: DataFrame, key_col: str) -> DataFrame:
     exact = df.where(F.col(key_col).isNotNull()).agg(
         F.countDistinct(key_col).cast("bigint").alias("exact_distinct")
     )
-    # empty registers contribute 2^-0 = 1, i.e. 2^55 scaled units each
+    # empty registers contribute 2^-0 = 1, i.e. 2^53 scaled units each
     full = agg.crossJoin(exact).select(
         F.lit(_HLL_M).cast("bigint").alias("n_registers"),
         (F.lit(_HLL_M) - F.col("n_nonzero")).alias("n_zero"),
@@ -879,7 +879,7 @@ def hll_estimate(df: DataFrame, key_col: str) -> DataFrame:
 
 def hll_estimate_oracle_sql(source_sql: str, key_col: str) -> str:
     """DuckDB twin of :func:`hll_estimate` — same scaled-integer
-    register sum, same embedded α·m²·2^55 literal, same correction
+    register sum, same embedded α·m²·2^53 literal, same correction
     branch."""
     regs = hll_register_oracle_sql(source_sql, key_col)
     zero_rank = _HLL_WBITS + 1

@@ -1623,9 +1623,12 @@ def lorenz_oracle_sql(
 # Wilcoxon signed-rank test (paired samples)
 # ---------------------------------------------------------------------
 
+# e-notation literals: a bare 2.0 parses as DECIMAL(2,1) in Spark
+# (decimal-division rescale path) but DOUBLE in DuckDB; 2e0 is DOUBLE
+# in both engines (the stat_runs_test convention).
 _WX_Z = (
-    "(w_plus_x2 / 2.0 - np * (np + 1.0) / 4.0) / "
-    "sqrt(np * (np + 1.0) * (2.0 * np + 1.0) / 24.0 - ties / 48.0)"
+    "(w_plus_x2 / 2e0 - np * (np + 1e0) / 4e0) / "
+    "sqrt(np * (np + 1e0) * (2e0 * np + 1e0) / 24e0 - ties / 48e0)"
 )
 
 

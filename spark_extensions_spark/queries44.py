@@ -255,7 +255,8 @@ def _release_v2_oracle() -> str:
     "(one md5 shuffle), (4) winnowing near-dup removal (Schleimer "
     "MOSS fingerprints, grouped pair expansion — operators/dedup.py:"
     "winnow_fingerprints), (5) benchmark decontamination (broadcast "
-    "distinct-shingle set, >=2 shared 3-grams), (6) Hamilton largest-"
+    "distinct-shingle set, >=40 shared distinct 3-grams = "
+    "_RG2_CONTAM_MIN), (6) Hamilton largest-"
     "remainder apportionment of a 9k-token budget across languages "
     "(DECIMAL(38,0) quotas, Σ alloc == budget), (7) deterministic "
     "greedy token-budget cap per language (md5-ordered window "

@@ -104,6 +104,15 @@ def q_streaming_quality_monitor(
         output_mode="update",
         state_partitions=8,
     )
+    # The update-mode memory sink APPENDS each micro-batch's updated
+    # rows: if availableNow splits the replay into >1 micro-batch a
+    # (win_start, event_type) key appears once per batch with its
+    # then-current partial count.  Counts are monotonically
+    # non-decreasing across batches, so MAX per key recovers the
+    # final value regardless of how the trigger split the input.
+    counts = counts.groupBy("win_start", "event_type").agg(
+        F.max("c").alias("c")
+    )
     wins = counts.groupBy("win_start").agg(F.sum("c").alias("n"))
     types = spark.createDataFrame(
         [(t,) for t in _QM_TYPES], "event_type string"

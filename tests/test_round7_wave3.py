@@ -365,14 +365,14 @@ def test_krippendorff_perfect_agreement(spark):
     assert out["do_scaled"] == 0 and out["alpha_e6"] == 1_000_000
 
 
-def test_runs_test_hand_sequence(spark):
+def test_runs_test_hand_sequence(spark, sf_dir):
     # direct check of the run-counting logic on the registered shape:
     # recompute from the raw day series
     from spark_extensions_spark.queries49 import q_stat_runs_test
 
-    out = q_stat_runs_test(spark, "/root/testdata/sf0.001").collect()[0]
+    out = q_stat_runs_test(spark, sf_dir).collect()[0]
     day = (
-        spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
         .selectExpr(
             "date_trunc('day', o_orderdate) AS d",
             "cast(floor(o_totalprice * 100 + 0.5d) as bigint) AS c",
@@ -392,12 +392,12 @@ def test_runs_test_hand_sequence(spark):
     assert out["n_runs"] == runs
 
 
-def test_theil_sen_is_median_of_slopes(spark):
+def test_theil_sen_is_median_of_slopes(spark, sf_dir):
     from spark_extensions_spark.queries49 import q_ts_theil_sen
 
-    out = q_ts_theil_sen(spark, "/root/testdata/sf0.001").collect()[0]
+    out = q_ts_theil_sen(spark, sf_dir).collect()[0]
     day = (
-        spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
         .selectExpr(
             "cast(datediff(date_trunc('day', o_orderdate),"
             " date'1992-01-01') as bigint) AS d",
