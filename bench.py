@@ -83,8 +83,22 @@ def main() -> int:
         state_partitions=4,
     )
 
+    # De-positioned timing order (VERDICT r7 #4): time the suite in a
+    # FIXED md5(name) order decoupled from registry order. Rotation
+    # reorders the registry head every round; when it moved queries
+    # into positions 1-2 their timings absorbed first-in-session
+    # per-shape codegen cost (measured 3-4x vs isolated-warm) and the
+    # advanced rolling baseline baked those positional costs in,
+    # desensitizing the 2x gate. Hash order is stable across rounds,
+    # so the queries paying the residual front-of-suite cost are the
+    # SAME queries every round and baselines stay comparable.
+    import hashlib
+
+    def _bench_order(name: str) -> str:
+        return hashlib.md5(name.encode()).hexdigest()
+
     timings: dict[str, float] = {}
-    for q in registry():
+    for q in sorted(registry(), key=lambda q: _bench_order(q.name)):
         if q.name in SKIP:
             continue
         t0 = time.time()

@@ -87,66 +87,55 @@ def _register(name: str, oracle: str | None, doc: str = ""):
 # sample_dsir / embedding_quantize stay in-window as portability
 # sentinels per the verdict.
 _PRIORITY: tuple[str, ...] = (
-    # round-7 rotation: ten never-driver-graded families in (VERDICT r6
-    # #1), displacing longest-green round-1 rows; every outgoing family
-    # keeps at least one in-window rep (joins: broadcast/asof/semi/anti;
-    # agg: rollup/count_min; dedup: exact/minhash + the two incoming;
-    # cdc: scd2_history/cdc_changefeed; text: gopher/contamination;
-    # sample: token_budget/dsir; windows: sliding_distinct)
+    # round-8 rotation (VERDICT r7 #2): the twelve never-driver-graded
+    # round-7 families in (hll estimate/rollup, krippendorff, mcnemar,
+    # wilcoxon, friedman, theil-sen, rolling median, dp laplace, bpe
+    # pair stats, containment dedup, cdc-to-scd2), displacing the
+    # longest-green r6/r7 rows; every outgoing family keeps >=1
+    # in-window rep (dedup: exact/minhash/containment; eval:
+    # auc/classifier_f1/krippendorff/mcnemar; stats: psi/ks/wilcoxon/
+    # friedman; ts: anomaly/theil_sen/rolling_median; agg: count_min/
+    # hll pair; pipeline: release_v2/tokenize_pack/cdc_to_scd2;
+    # privacy: dp_laplace; analytic: match_pattern; graph: triangles;
+    # streaming: ewma). sample_dsir / embedding_quantize remain the
+    # portability sentinels per the verdict.
     "eval_auc_exact",
     "analytic_match_pattern",
-    "streaming_match_pattern",
+    "agg_hll_estimate",
     "join_broadcast",
     "join_asof",
-    "stat_kendall_tau",
-    "agg_rollup",
+    "stat_wilcoxon",
+    "agg_hll_rollup_table",
     "subquery_battery",
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_winnowing",
-    "dedup_bloom_incremental",
-    # round-7 flagship swap: release_v2 in (the eight-stage composed
-    # release with the chained WITH RECURSIVE oracle — every construct
-    # proven in-window: recursive walk via tokenize_pack, gopher list
-    # ops via text_gopher_rules, bloom/winnow via their graded reps);
-    # full_curation rotates just past the boundary, pipeline family
-    # keeps three in-window reps
+    "dedup_containment",
+    "tokenizer_bpe_pair_stats",
     "pipeline_release_v2",
-    "ts_decompose",
-    "graph_pagerank",
+    "ts_theil_sen",
+    "ts_rolling_median",
     "scd2_history",
-    "analytic_skyline",
+    "pipeline_cdc_to_scd2",
     "text_gopher_rules",
-    "eval_pass_at_k",
+    "eval_krippendorff",
     "sample_token_budget",
-    # one flagship per family the round-1 window previously missed
     "streaming_ewma",
     "udtf_word_pos",
-    # round-6 closer rotation: multimodal keeps multimodal_decode
-    # in-window; the sketch family gains its first graded rep
     "agg_count_min",
     "stat_psi",
-    # round-6 wave rotation: retrieval_prf out (retrieval keeps rrf),
-    # the never-graded privacy family in
-    "privacy_t_closeness",
+    "privacy_dp_laplace",
     "ann_bruteforce",
     "text_contamination",
     "quality_rules",
     "confluent_avro_roundtrip",
     "json_variant",
     "multimodal_decode",
-    # round-2 second-half families (one flagship each)
     "stat_ks_test",
-    # round-6 wave rotation: stat_linreg out (stats keeps psi + ks),
-    # the sliding-distinct window algebra in
     "window_sliding_distinct",
     "ts_anomaly",
     "graph_triangles",
-    # round-6 wave rotation: text_collocations out (text keeps
-    # gopher + contamination), the clipped-count BLEU eval in
-    "eval_bleu",
+    "eval_mcnemar",
     "retrieval_rrf",
-    # round-6 rotation: never-driver-graded families into the window
     "string_battery",
     "date_battery",
     "join_semi",
@@ -154,15 +143,29 @@ _PRIORITY: tuple[str, ...] = (
     "set_except_all",
     "rlhf_best_of_n",
     "pipeline_tokenize_pack",
-    "pipeline_pretrain_mix",
+    "stat_friedman",
     "eval_classifier_f1",
     "cdc_changefeed",
-    # portability sentinels (3-round hash-fail history, green in r5)
+    # portability sentinels (3-round hash-fail history, green since r5)
     "sample_dsir",
     "embedding_quantize",
     # Kafka-semantics log family — kafka_log_roundtrip is position 50
     "kafka_log_roundtrip",
     # --- graded-50 boundary ---
+    # round-8 rotated-out rows (driver-green r6/r7, families still
+    # represented in-window)
+    "streaming_match_pattern",
+    "stat_kendall_tau",
+    "agg_rollup",
+    "dedup_winnowing",
+    "dedup_bloom_incremental",
+    "ts_decompose",
+    "graph_pagerank",
+    "analytic_skyline",
+    "eval_pass_at_k",
+    "eval_bleu",
+    "privacy_t_closeness",
+    "pipeline_pretrain_mix",
     # round-7 rotated-out rows (driver-green r1-r6, families still
     # represented in-window)
     "pipeline_full_curation",

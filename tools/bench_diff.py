@@ -49,7 +49,33 @@ def diff(base_p: str, cur: dict, ratio: float, tag: str) -> int:
     return len(regressed)
 
 
+def append_epoch(cur_p: str) -> int:
+    """Append-only epoch extension (VERDICT r7 #5): queries added after
+    the r5 epoch pin have no frozen anchor and diff only against the
+    in-round-advanced rolling baseline. On wrap, append any query
+    ABSENT from the epoch file with its current (idle-machine)
+    measurement; NEVER overwrite an existing epoch row."""
+    cur = json.load(open(cur_p))["queries"]
+    epoch = json.load(open(EPOCH_PATH))
+    added = 0
+    for name, t in sorted(cur.items()):
+        if name not in epoch["queries"]:
+            epoch["queries"][name] = t
+            print(f"EPOCH+   {name:32s} {t:7.2f}s")
+            added += 1
+    if added:
+        epoch["n_queries"] = len(epoch["queries"])
+        with open(EPOCH_PATH, "w") as fh:
+            json.dump(epoch, fh, indent=1, sort_keys=True)
+    print(f"[epoch-append] {added} new rows, epoch now {len(epoch['queries'])} queries")
+    return 0
+
+
 def main() -> int:
+    if len(sys.argv) > 1 and sys.argv[1] == "--append-epoch":
+        return append_epoch(
+            sys.argv[2] if len(sys.argv) > 2 else "BENCH_DETAIL.json"
+        )
     base_p = sys.argv[1] if len(sys.argv) > 1 else "BENCH_BASELINE.json"
     cur_p = sys.argv[2] if len(sys.argv) > 2 else "BENCH_DETAIL.json"
     ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 2.0
