@@ -295,9 +295,21 @@ def grouped_running_sum(
         .orderBy(*[F.col(c) for c in order_cols])
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # eqNullSafe on the group key: the Window/groupBy above treat a
+    # NULL group as a real group, so a null-unsafe using-column join
+    # would silently DROP every NULL-group row here (inner join)
+    off2 = offsets.select(
+        F.col("__grs_pid").alias("__grs_pid2"),
+        F.col(group_col).alias("__grs_g2"),
+        "__grs_off",
+    )
     return (
         withpid.withColumn("__grs_local", F.sum(tok.cast("bigint")).over(lw))
-        .join(F.broadcast(offsets), ["__grs_pid", group_col])
+        .join(
+            F.broadcast(off2),
+            (F.col("__grs_pid") == F.col("__grs_pid2"))
+            & F.col(group_col).eqNullSafe(F.col("__grs_g2")),
+        )
         .withColumn(
             out_col,
             (F.col("__grs_off") + F.col("__grs_local")).cast("bigint"),
@@ -986,10 +998,18 @@ def temperature_sample(
         .cast("bigint")
         .alias("__thr"),
     )
+    # eqNullSafe: groupBy above keeps a NULL group, so a null-unsafe
+    # inner join would silently drop every NULL-group row
+    thr2 = thresholds.select(
+        F.col(group_col).alias("__tmp_g"), "__thr"
+    )
     return (
-        df.join(F.broadcast(thresholds), group_col)
+        df.join(
+            F.broadcast(thr2),
+            F.col(group_col).eqNullSafe(F.col("__tmp_g")),
+        )
         .filter(hash_bucket(key_col, salt, 1_000_000_000) < F.col("__thr"))
-        .drop("__thr")
+        .drop("__thr", "__tmp_g")
     )
 
 

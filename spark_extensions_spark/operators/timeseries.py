@@ -58,7 +58,21 @@ def gapfill_grid(
             )
         ).alias("bucket_ts"),
     )
-    joined = grid.join(bucketed, [key_col, "bucket_ts"], "left")
+    # eqNullSafe on the key: groupBy/Window treat NULL as a group, so a
+    # NULL-key series exists in both grid and bucketed — a null-unsafe
+    # using-column join would never re-match its values (the
+    # sliding_count_distinct class bug, VERDICT r7 #7)
+    b2 = bucketed.select(
+        F.col(key_col).alias("__gf_k"),
+        F.col("bucket_ts").alias("__gf_b"),
+        "__v",
+    )
+    joined = grid.join(
+        b2,
+        F.col(key_col).eqNullSafe(F.col("__gf_k"))
+        & (F.col("bucket_ts") == F.col("__gf_b")),
+        "left",
+    ).drop("__gf_k", "__gf_b")
     w = (
         Window.partitionBy(key_col)
         .orderBy("bucket_ts")
