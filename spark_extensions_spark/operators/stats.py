@@ -72,8 +72,14 @@ def ks_statistic(
     v = F.col(value_col)
     if round_to is not None:
         v = F.round(v, round_to)
+    # NULL values are dropped (standard missing-data handling for rank
+    # statistics) — and load-bearing for portability: a NULL tie group
+    # sorts FIRST in Spark's cumulative window but LAST in DuckDB/
+    # Postgres, shifting every cumulative count differently per engine
+    # (found by the operator fuzzer, round 8)
     counts = (
         df.filter(F.col(group_col).isin(group_a, group_b))
+        .filter(F.col(value_col).isNotNull())
         .groupBy(v.alias("v"))
         .agg(
             F.count(F.when(F.col(group_col) == group_a, 1)).alias("ca"),
@@ -102,9 +108,12 @@ def ks_statistic(
             F.abs(F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a"))
         ).alias("num")
     ).select(
-        (
+        # ANSI guard: an empty sample (n_a*n_b = 0) must yield NULL,
+        # not a DIVIDE_BY_ZERO (Spark 4 ANSI throws on double/0 too)
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
             F.col("num").cast("double")
-            / (F.col("n_a") * F.col("n_b")).cast("double")
+            / (F.col("n_a") * F.col("n_b")).cast("double"),
         ).alias("d_stat"),
         F.col("n_a").cast("bigint").alias("n_a"),
         F.col("n_b").cast("bigint").alias("n_b"),
@@ -127,6 +136,7 @@ def ks_oracle_sql(
              COUNT(*) FILTER ({group_col} = '{group_b}') AS cb
       FROM {table}
       WHERE {group_col} IN ('{group_a}', '{group_b}')
+        AND {value_col} IS NOT NULL
       GROUP BY 1
     ), cum AS (
       SELECT SUM(ca) OVER (ORDER BY v) AS cum_a,
@@ -137,8 +147,9 @@ def ks_oracle_sql(
              MAX(cum_a) OVER () AS n_a, MAX(cum_b) OVER () AS n_b
       FROM cum
     )
-    SELECT CAST(MAX(ABS(cum_a * n_b - cum_b * n_a)) AS DOUBLE)
-             / CAST(n_a * n_b AS DOUBLE) AS d_stat,
+    SELECT CASE WHEN n_a > 0 AND n_b > 0 THEN
+             CAST(MAX(ABS(cum_a * n_b - cum_b * n_a)) AS DOUBLE)
+             / CAST(n_a * n_b AS DOUBLE) END AS d_stat,
            CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b
     FROM tot GROUP BY n_a, n_b
     """
@@ -586,10 +597,23 @@ def moments_oracle_sql(
 # Mann–Whitney U (rank-sum) with tie correction
 # ---------------------------------------------------------------------
 
-_MW_FINAL = (
-    "((r2a - na * (na + 1.0)) / 2.0 - na * nb / 2.0) / "
-    "sqrt(na * nb / 12.0 * ((na + nb + 1.0) "
+# Degenerate-input guard (operator fuzzer, round 8): Spark 4 ANSI mode
+# throws DIVIDE_BY_ZERO even for DOUBLE division, so an empty group
+# (na*nb = 0) or an all-tied sample (variance 0) must take a defined
+# NULL branch instead of reaching the division. NESTED CASE is
+# load-bearing: AND does not short-circuit in vectorized evaluation,
+# so the variance expression (whose inner divisor (na+nb)(na+nb-1)
+# is 0 when na+nb <= 1) may only be evaluated once na>0 AND nb>0
+# guarantees na+nb >= 2. Shared text — DuckDB CASE semantics match.
+_MW_VAR = (
+    "(na * nb / 12.0 * ((na + nb + 1.0) "
     "- ties / ((na + nb) * (na + nb - 1.0))))"
+)
+_MW_FINAL = (
+    "CASE WHEN na > 0 AND nb > 0 THEN "
+    "CASE WHEN " + _MW_VAR + " > 0 THEN "
+    "((r2a - na * (na + 1.0)) / 2.0 - na * nb / 2.0) / sqrt"
+    + _MW_VAR + " ELSE NULL END ELSE NULL END"
 )
 
 
@@ -627,8 +651,12 @@ def mannwhitney_u(
     v = F.col(value_col)
     if round_to is not None:
         v = F.round(v, round_to)
+    # NULL values dropped — same portability seam as ks_statistic: a
+    # NULL tie group sorts first in Spark's rank-cum window but last
+    # in DuckDB, changing the rank sums per engine (operator fuzzer)
     counts = (
         df.filter(F.col(group_col).isin(group_a, group_b))
+        .filter(F.col(value_col).isNotNull())
         .groupBy(v.alias("v"))
         .agg(
             F.count(F.when(F.col(group_col) == group_a, 1)).alias("ca"),
@@ -686,6 +714,7 @@ def mannwhitney_oracle_sql(
              COUNT(*) FILTER ({group_col} = '{group_b}') AS cb
       FROM {table}
       WHERE {group_col} IN ('{group_a}', '{group_b}')
+        AND {value_col} IS NOT NULL
       GROUP BY 1
     ), cum AS (
       SELECT ca, cb, ca + cb AS t,

@@ -1,0 +1,80 @@
+"""Operator-layer differential fuzzing gate (VERDICT r7 #8).
+
+``tools/fuzz_operators.py`` generates seed-pinned randomized small
+inputs per stats/evals operator — including adversarial profiles
+(empty, all-tied, single-label, NULLs) — and compares the Spark
+operator against its DuckDB ``*_oracle_sql`` twin per case.
+
+Round-8 finds (both fixed at the source, pinned here):
+- Mann-Whitney / KS kept NULL values as a tie group, which sorts
+  FIRST in Spark's cumulative window but LAST in DuckDB — engine-
+  dependent rank sums. Both now drop NULL values (standard
+  missing-data handling for rank statistics).
+- Spark 4 ANSI throws DIVIDE_BY_ZERO even on DOUBLE division, so an
+  empty group (n_a*n_b=0) or zero-variance sample crashed the MW z /
+  KS d_stat instead of yielding the oracle's NULL. Both formulas now
+  take a CASE-guarded NULL branch (nested CASE — AND does not
+  short-circuit in vectorized evaluation).
+
+Reproduce a divergence standalone:
+``python tools/fuzz_operators.py --op <name> --case <i>``
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(
+    0,
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools",
+    ),
+)
+
+from fuzz_operators import operator_cases, run_case, run_fuzz  # noqa: E402
+
+
+def test_fuzz_generation_is_seed_pinned():
+    import random
+
+    for op in operator_cases().values():
+        for i in (0, 7):
+            a = op.gen(random.Random(f"s:{op.name}:{i}"))
+            b = op.gen(random.Random(f"s:{op.name}:{i}"))
+            assert a == b, op.name
+
+
+def test_operator_fuzz_270_cases_no_divergence(spark):
+    n_pass, failures = run_fuzz(spark, n_per_op=30, seed="opfuzz-r8")
+    msg = "\n".join(f"{o}#{i}: {p}" for o, i, p in failures[:8])
+    assert not failures, f"{len(failures)} divergences:\n{msg}"
+    assert n_pass == 270
+
+
+def test_mannwhitney_empty_group_defined_null(spark):
+    """The ANSI divide-by-zero edge the fuzzer found: one empty group
+    must yield z=NULL (the oracle's value), not crash."""
+    from spark_extensions_spark.operators.stats import mannwhitney_u
+
+    df = spark.createDataFrame([(-6, "b"), (6, "b")], "v bigint, g string")
+    row = mannwhitney_u(
+        df, "v", "g", "a", "b", allow_unbounded_domain=True
+    ).collect()[0]
+    assert row["z"] is None
+    assert row["u_a"] == 0.0
+    assert (row["n_a"], row["n_b"]) == (0, 2)
+
+
+def test_ks_null_values_dropped(spark):
+    """NULL values must not form an engine-ordered tie group."""
+    from spark_extensions_spark.operators.stats import ks_statistic
+
+    rows = [(1, "a"), (2, "a"), (None, "a"), (1, "b"), (3, "b"), (None, "b")]
+    df = spark.createDataFrame(rows, "v bigint, g string")
+    row = ks_statistic(
+        df, "v", "g", "a", "b", allow_unbounded_domain=True
+    ).collect()[0]
+    assert (row["n_a"], row["n_b"]) == (2, 2)  # NULLs excluded
+    assert row["d_stat"] == 0.5

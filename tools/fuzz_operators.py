@@ -1,0 +1,373 @@
+"""Operator-layer differential fuzzer (VERDICT r7 #8).
+
+The relational fuzzer (``fuzz_oracle.py``) probes random SQL trees; the
+operators with hand-rolled exact-integer math (the stats/evals battery)
+were verified only at fixture + hand-picked twin points — their
+zero-discordant / zero-expected-disagreement edges were found by manual
+review, which a fuzzer would have caught first. This tool generates
+seed-pinned randomized SMALL inputs per operator — including
+adversarial profiles (empty input, all-tied, single label, NULLs,
+negative values) — runs the Spark operator and its DuckDB
+``*_oracle_sql`` twin on the SAME typed rows (shipped to DuckDB as an
+Arrow table so integer/NULL fidelity is exact), and compares row count,
+columns, and the order-insensitive value hash.
+
+Reproduce one case standalone:
+``python tools/fuzz_operators.py [sf_ignored] --op wilcoxon --case 7``
+
+Nine operators x 30 pinned cases = 270 cases (the pytest gate).
+"""
+
+from __future__ import annotations
+
+import random
+import sys
+from dataclasses import dataclass
+from typing import Callable
+
+import pyarrow as pa
+
+_ARROW = {
+    "bigint": pa.int64(),
+    "int": pa.int32(),
+    "string": pa.string(),
+    "boolean": pa.bool_(),
+}
+
+
+@dataclass
+class OpCase:
+    name: str
+    schema: str  # spark DDL, e.g. "d bigint"
+    gen: Callable[[random.Random], list[tuple]]
+    spark_fn: Callable  # (DataFrame) -> DataFrame
+    oracle: Callable[[str, list], str]  # (src_sql, rows) -> oracle SQL
+
+
+def _profile(rng: random.Random) -> str:
+    return rng.choice(
+        ["normal", "normal", "normal", "tiny", "ties", "degenerate",
+         "nulls", "empty"]
+    )
+
+
+def _maybe_null(rng: random.Random, v, p: float):
+    return None if rng.random() < p else v
+
+
+# ---- generators ------------------------------------------------------
+
+def gen_diffs(rng: random.Random) -> list[tuple]:
+    prof = _profile(rng)
+    if prof == "empty":
+        return []
+    n = rng.randint(1, 6) if prof == "tiny" else rng.randint(5, 40)
+    if prof == "degenerate":
+        # all zero diffs — the n_pairs=0 branch
+        return [(0,) for _ in range(n)]
+    lo, hi = (-2, 2) if prof == "ties" else (-9, 9)
+    p_null = 0.3 if prof == "nulls" else 0.05
+    return [
+        (_maybe_null(rng, rng.randint(lo, hi), p_null),) for _ in range(n)
+    ]
+
+
+def gen_ratings(rng: random.Random) -> list[tuple]:
+    prof = _profile(rng)
+    if prof == "empty":
+        return []
+    n = rng.randint(1, 6) if prof == "tiny" else rng.randint(5, 40)
+    n_units = 2 if prof == "ties" else rng.randint(2, 8)
+    n_labels = 1 if prof == "degenerate" else rng.randint(2, 4)
+    return [
+        (rng.randrange(n_units), rng.randrange(n_labels)) for _ in range(n)
+    ]
+
+
+def gen_two_sample(rng: random.Random) -> list[tuple]:
+    prof = _profile(rng)
+    if prof == "empty":
+        return []
+    n = rng.randint(2, 8) if prof == "tiny" else rng.randint(6, 40)
+    lo, hi = (0, 2) if prof in ("ties", "degenerate") else (-9, 9)
+    groups = ["a", "b"] if prof != "nulls" else ["a", "b", "c", None]
+    rows = []
+    for _ in range(n):
+        rows.append(
+            (
+                _maybe_null(rng, rng.randint(lo, hi), 0.05),
+                rng.choice(groups),
+            )
+        )
+    return rows
+
+
+def gen_xy(rng: random.Random) -> list[tuple]:
+    prof = _profile(rng)
+    if prof == "empty":
+        return []
+    n = rng.randint(1, 6) if prof == "tiny" else rng.randint(5, 40)
+    lo, hi = (0, 2) if prof in ("ties", "degenerate") else (-9, 9)
+    p_null = 0.3 if prof == "nulls" else 0.0
+    return [
+        (
+            _maybe_null(rng, rng.randint(lo, hi), p_null),
+            _maybe_null(rng, rng.randint(lo, hi), p_null),
+        )
+        for _ in range(n)
+    ]
+
+
+def gen_raters(rng: random.Random) -> list[tuple]:
+    prof = _profile(rng)
+    if prof == "empty":
+        return []
+    n = rng.randint(1, 6) if prof == "tiny" else rng.randint(5, 40)
+    n_labels = 1 if prof == "degenerate" else rng.randint(2, 4)
+    rows = []
+    for _ in range(n):
+        a = rng.randrange(n_labels)
+        # correlate raters sometimes so kappa isn't always ~0
+        b = a if rng.random() < 0.5 else rng.randrange(n_labels)
+        rows.append((str(a), str(b)))
+    return rows
+
+
+def gen_values(rng: random.Random) -> list[tuple]:
+    prof = _profile(rng)
+    if prof == "empty":
+        return []
+    n = rng.randint(1, 6) if prof == "tiny" else rng.randint(5, 40)
+    hi = 1 if prof == "degenerate" else (3 if prof == "ties" else 50)
+    p_null = 0.3 if prof == "nulls" else 0.0
+    return [
+        (_maybe_null(rng, rng.randint(0, hi), p_null),) for _ in range(n)
+    ]
+
+
+def gen_scored(rng: random.Random) -> list[tuple]:
+    prof = _profile(rng)
+    if prof == "empty":
+        return []
+    n = rng.randint(2, 8) if prof == "tiny" else rng.randint(6, 40)
+    hi = 2 if prof == "ties" else 9
+    rows = []
+    for _ in range(n):
+        s = rng.randint(0, hi)
+        if prof == "degenerate":
+            y = True  # single class: n_neg = 0 division edge
+        else:
+            y = rng.random() < 0.5
+        rows.append((s, y))
+    return rows
+
+
+# ---- operator registry ----------------------------------------------
+
+def _ops() -> list[OpCase]:
+    from spark_extensions_spark.operators.evals import (
+        auc_exact,
+        auc_exact_oracle_sql,
+        krippendorff_alpha_nominal,
+        krippendorff_oracle_sql,
+    )
+    from spark_extensions_spark.operators.stats import (
+        cohen_kappa,
+        ks_oracle_sql,
+        ks_statistic,
+        cohen_kappa_oracle_sql,
+        gini_exact,
+        gini_oracle_sql,
+        kendall_tau,
+        kendall_tau_oracle_sql,
+        mannwhitney_oracle_sql,
+        mannwhitney_u,
+        spearman_oracle_sql,
+        spearman_rho,
+        wilcoxon_oracle_sql,
+        wilcoxon_signed_rank,
+    )
+
+    return [
+        OpCase(
+            "wilcoxon",
+            "d bigint",
+            gen_diffs,
+            lambda df: wilcoxon_signed_rank(df, "d"),
+            lambda src, rows: wilcoxon_oracle_sql(src, "d"),
+        ),
+        OpCase(
+            "krippendorff",
+            "u int, c int",
+            gen_ratings,
+            lambda df: krippendorff_alpha_nominal(df, "u", "c"),
+            # scale_l: the Spark side derives L = lcm{m_u - 1} from
+            # the observed data; the harness recomputes the SAME L
+            # from the generated rows (the caller knows the design)
+            # so every output column is hash-comparable.
+            _krippendorff_oracle_with_l,
+        ),
+        OpCase(
+            "mannwhitney",
+            "v bigint, g string",
+            gen_two_sample,
+            lambda df: mannwhitney_u(
+                df, "v", "g", "a", "b", allow_unbounded_domain=True
+            ),
+            # this builder takes a TABLE name (it writes FROM {table})
+            lambda src, rows: mannwhitney_oracle_sql(
+                f"({src}) mw_src", "v", "g", "a", "b"
+            ),
+        ),
+        OpCase(
+            "ks",
+            "v bigint, g string",
+            gen_two_sample,
+            lambda df: ks_statistic(
+                df, "v", "g", "a", "b", allow_unbounded_domain=True
+            ),
+            lambda src, rows: ks_oracle_sql(
+                f"({src}) ks_src", "v", "g", "a", "b"
+            ),
+        ),
+        OpCase(
+            "kendall",
+            "x bigint, y bigint",
+            gen_xy,
+            lambda df: kendall_tau(df, "x", "y"),
+            lambda src, rows: kendall_tau_oracle_sql(src, "x", "y"),
+        ),
+        OpCase(
+            "spearman",
+            "x bigint, y bigint",
+            gen_xy,
+            lambda df: spearman_rho(df, "x", "y"),
+            lambda src, rows: spearman_oracle_sql(src, "x", "y"),
+        ),
+        OpCase(
+            "cohen_kappa",
+            "ra string, rb string",
+            gen_raters,
+            lambda df: cohen_kappa(df, "ra", "rb"),
+            lambda src, rows: cohen_kappa_oracle_sql(src, "ra", "rb"),
+        ),
+        OpCase(
+            "gini",
+            "v bigint",
+            gen_values,
+            lambda df: gini_exact(df, "v"),
+            lambda src, rows: gini_oracle_sql(src, "v"),
+        ),
+        OpCase(
+            "auc",
+            "s bigint, y boolean",
+            gen_scored,
+            lambda df: auc_exact(df, "s", "y"),
+            lambda src, rows: auc_exact_oracle_sql(src, "s", "y"),
+        ),
+    ]
+
+
+def _krippendorff_oracle_with_l(src: str, rows: list) -> str:
+    """Recompute L = lcm{m_u - 1 : m_u >= 2} from the generated rows —
+    the same derivation the Spark operator performs over the observed
+    per-unit rating counts — so do_scaled/scale_l hash-match."""
+    import math
+    from collections import Counter
+
+    from spark_extensions_spark.operators.evals import (
+        krippendorff_oracle_sql,
+    )
+
+    m = Counter(r[0] for r in rows)
+    ls = [c - 1 for c in m.values() if c >= 2]
+    scale_l = math.lcm(*ls) if ls else 1
+    return krippendorff_oracle_sql(src, "u", "c", scale_l=scale_l)
+
+
+def operator_cases() -> dict[str, OpCase]:
+    return {op.name: op for op in _ops()}
+
+
+def run_case(
+    spark, con, op: OpCase, case_idx: int, seed: str = "opfuzz-r8"
+) -> list[str]:
+    """Run one pinned case; returns compare problems (empty = match)."""
+    from spark_extensions_spark.testing import compare_result_sets
+
+    rng = random.Random(f"{seed}:{op.name}:{case_idx}")
+    rows = op.gen(rng)
+    cols = [c.strip().split()[0] for c in op.schema.split(",")]
+    types = [c.strip().split()[1] for c in op.schema.split(",")]
+    arrays = [
+        pa.array([r[i] for r in rows], type=_ARROW[t])
+        for i, t in enumerate(types)
+    ]
+    tbl = pa.table(dict(zip(cols, arrays)))
+    con.register("fuzz_src", tbl)
+    oracle = op.oracle("SELECT * FROM fuzz_src", rows)
+    rel = con.sql(oracle)
+    dcols = [d[0] for d in rel.description]
+    drows = rel.fetchall()
+    sdf = op.spark_fn(spark.createDataFrame(rows, op.schema))
+    srows = [tuple(r) for r in sdf.collect()]
+    problems = compare_result_sets(sdf.columns, srows, dcols, drows)
+    con.unregister("fuzz_src")
+    return problems
+
+
+def run_fuzz(
+    spark, n_per_op: int = 30, seed: str = "opfuzz-r8",
+    only: str | None = None,
+) -> tuple[int, list[tuple[str, int, str]]]:
+    import duckdb
+
+    con = duckdb.connect()
+    n_pass, failures = 0, []
+    for op in operator_cases().values():
+        if only and op.name != only:
+            continue
+        for i in range(n_per_op):
+            try:
+                problems = run_case(spark, con, op, i, seed)
+            except Exception as e:  # divergence includes hard errors
+                problems = [f"error: {type(e).__name__}: {str(e)[:200]}"]
+            if problems:
+                failures.append((op.name, i, "; ".join(problems)))
+            else:
+                n_pass += 1
+    return n_pass, failures
+
+
+def main() -> int:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--op", default=None)
+    ap.add_argument("--case", type=int, default=None)
+    ap.add_argument("--n", type=int, default=30)
+    ap.add_argument("--seed", default="opfuzz-r8")
+    args = ap.parse_args()
+
+    sys.path.insert(0, __file__.rsplit("/", 2)[0])
+    from spark_extensions_spark.session import get_spark
+
+    spark = get_spark("fuzz_operators")
+    import duckdb
+
+    con = duckdb.connect()
+    ops = operator_cases()
+    if args.op and args.case is not None:
+        problems = run_case(spark, con, ops[args.op], args.case, args.seed)
+        print(problems or "MATCH")
+        return 1 if problems else 0
+    n_pass, failures = run_fuzz(spark, args.n, args.seed, only=args.op)
+    for op_name, i, p in failures:
+        print(f"DIVERGE {op_name}#{i}: {p}")
+    print(f"{n_pass} pass, {len(failures)} diverge")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, __file__.rsplit("/", 2)[0])
+    raise SystemExit(main())
