@@ -735,3 +735,6 @@ def q_eval_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / cast(b + c as double) * 1e6 + 0.5d) as bigint) end"
         ).alias("chi2_cc_e6"),
     )
+
+# batch 50 registers at import time, same chain as queries48 -> 49
+from spark_extensions_spark import queries50  # noqa: E402,F401  (registration side effect)
