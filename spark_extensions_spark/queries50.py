@@ -298,3 +298,435 @@ def q_pipeline_streaming_curation(
         ["last_event", "n_events", "n_err"],
         load_version=2,
     )
+
+
+# ------------------------------------------------------------------
+# stat_mutual_info — MI between two categorical columns
+# ------------------------------------------------------------------
+
+# Per-cell fixed-point quantization BEFORE the exact cross-cell sum
+# (the psi_drift recipe): ln() is libm, so each cell's count-weighted
+# term c_xy * ln(c_xy*n/(c_x*c_y)) is floor(t*1e6+0.5)-quantized and
+# summed in DECIMAL — order-free, engine-portable within the floor's
+# ulp slack.
+_MI_TERM = (
+    "cast({c} as double) * ln((cast({c} as double) * cast({n} as double))"
+    " / (cast({cx} as double) * cast({cy} as double)))"
+)
+
+
+def _mi_oracle() -> str:
+    t = _MI_TERM.format(c="c", n="n", cx="cx", cy="cy")
+    return f"""
+    WITH mi_cells AS (
+      SELECT o_orderpriority AS x, o_orderstatus AS y, COUNT(*) AS c
+      FROM orders GROUP BY 1, 2
+    ),
+    mi_mx AS (SELECT x, SUM(c) AS cx FROM mi_cells GROUP BY x),
+    mi_my AS (SELECT y, SUM(c) AS cy FROM mi_cells GROUP BY y),
+    mi_tot AS (SELECT SUM(c) AS n, COUNT(*) AS n_cells FROM mi_cells)
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(n_cells AS BIGINT) AS n_cells,
+           CAST(SUM(CAST(FLOOR(({t}) * 1e6 + 0.5)
+                AS DECIMAL(38,0))) AS BIGINT) AS mi_num_e6,
+           CAST(SUM(CAST(FLOOR(({t}) * 1e6 + 0.5) AS DECIMAL(38,0)))
+                AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6) AS mi_nats
+    FROM mi_cells
+    JOIN mi_mx USING (x) JOIN mi_my USING (y) CROSS JOIN mi_tot
+    GROUP BY n, n_cells
+    """
+
+
+@_register(
+    "stat_mutual_info",
+    _mi_oracle(),
+    doc="Mutual information between two categorical columns (order "
+    "priority × order status) — the dependence-strength audit that "
+    "complements the chi2/Cramer's-V battery with an information-"
+    "theoretic scale (bits of leakage between fields; also the core "
+    "of MI-based feature selection). Exact-integer shape: one hash "
+    "aggregate onto the CELL domain, broadcast marginal joins "
+    "(domain-sized, the cramers_v plan), per-cell count-weighted "
+    "ln-term e6-quantized BEFORE the exact DECIMAL sum (the psi_drift "
+    "fixed-point recipe), single double division at the end.",
+)
+def q_stat_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")["orders"]
+    cells = o.groupBy(
+        F.col("o_orderpriority").alias("x"),
+        F.col("o_orderstatus").alias("y"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    mx = cells.groupBy("x").agg(F.sum("c").alias("cx"))
+    my = cells.groupBy("y").agg(F.sum("c").alias("cy"))
+    tot = cells.agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("n_cells")
+    )
+    t = _MI_TERM.format(c="c", n="n", cx="cx", cy="cy")
+    term_q = f"cast(floor(({t}) * 1e6 + 0.5d) as decimal(38,0))"
+    return (
+        cells.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("n", "n_cells")
+        .agg(F.sum(F.expr(term_q)).alias("__mi"))
+        .select(
+            F.col("n").cast("bigint").alias("n"),
+            F.col("n_cells").cast("bigint").alias("n_cells"),
+            F.col("__mi").cast("bigint").alias("mi_num_e6"),
+            (
+                F.col("__mi").cast("double")
+                / (F.col("n").cast("double") * F.lit(1e6))
+            ).alias("mi_nats"),
+        )
+    )
+
+
+# ------------------------------------------------------------------
+# ts_cusum — change detection via closed-form CUSUM
+# ------------------------------------------------------------------
+
+
+def _cusum_oracle() -> str:
+    return """
+    WITH cu_day AS (
+      SELECT time_bucket(INTERVAL '1 day', o_orderdate) AS d,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    cu_tot AS (
+      SELECT COUNT(*) AS n_days, SUM(cents) AS total FROM cu_day
+    ),
+    cu_pref AS (
+      SELECT d,
+             SUM(cents * n_days - total) OVER (ORDER BY d) AS pref
+      FROM cu_day CROSS JOIN cu_tot
+    )
+    SELECT d,
+           CAST(pref - MIN(pref) OVER (ORDER BY d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cusum_scaled,
+           (SELECT CAST(n_days AS BIGINT) FROM cu_tot) AS scale_d
+    FROM cu_pref
+    """
+
+
+@_register(
+    "ts_cusum",
+    _cusum_oracle(),
+    doc="CUSUM change detection on the daily revenue series (Page "
+    "1954) — the classic drift alarm: S_i = max(0, S_{i-1} + (x_i - "
+    "target)). The textbook form is a RECURSION no window expresses; "
+    "the closed form S_i = prefix_i - min_{j<=i} prefix_j (prefix of "
+    "deviations) collapses it to ONE cumulative sum + ONE cumulative "
+    "min over the day domain. Exactness: deviations from the mean are "
+    "kept integer by cross-multiplication (x_i*D - T, scale D = "
+    "n_days — the runs-test trick), so the whole statistic is exact "
+    "BIGINT arithmetic, zero floats. Domain-sized windows (days), "
+    "the documented bounded-input allowlist shape.",
+)
+def q_ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")["orders"]
+    day = o.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).alias("d")
+    ).agg(
+        F.sum(
+            F.expr(
+                "cast(floor(o_totalprice * 100 + 0.5d) as bigint)"
+            )
+        )
+        .cast("bigint")
+        .alias("cents")
+    )
+    wt = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    with_tot = day.select(
+        "d",
+        "cents",
+        F.count(F.lit(1)).over(wt).alias("n_days"),
+        F.sum("cents").over(wt).alias("total"),
+    )
+    wc = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pref = with_tot.select(
+        "d",
+        F.sum(
+            F.col("cents") * F.col("n_days") - F.col("total")
+        ).over(wc).alias("pref"),
+        "n_days",
+    )
+    return pref.select(
+        F.col("d").cast("date").cast("timestamp").alias("d"),
+        (F.col("pref") - F.min("pref").over(wc))
+        .cast("bigint")
+        .alias("cusum_scaled"),
+        F.col("n_days").cast("bigint").alias("scale_d"),
+    )
+
+
+# ------------------------------------------------------------------
+# eval_conformal — split-conformal forecast calibration
+# ------------------------------------------------------------------
+
+_CF_ALPHA_NUM = 9  # 1 - alpha = 9/10
+
+
+def _conformal_oracle() -> str:
+    return f"""
+    WITH cf_day AS (
+      SELECT time_bucket(INTERVAL '1 day', o_orderdate) AS d,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    cf_res AS (
+      SELECT d, ABS(cents - LAG(cents) OVER (ORDER BY d)) AS r,
+             ROW_NUMBER() OVER (ORDER BY d) AS rn,
+             COUNT(*) OVER () AS m
+      FROM cf_day
+    ),
+    cf_split AS (
+      SELECT r, rn <= (m * 7) // 10 AS is_cal
+      FROM cf_res WHERE r IS NOT NULL
+    ),
+    cf_cal AS (
+      SELECT r, ROW_NUMBER() OVER (ORDER BY r, r) AS rr,
+             COUNT(*) OVER () AS n_cal
+      FROM cf_split WHERE is_cal
+    ),
+    cf_q AS (
+      SELECT n_cal,
+             MAX(CASE WHEN rr = LEAST(
+                 ((n_cal + 1) * {_CF_ALPHA_NUM} + 9) // 10, n_cal)
+               THEN r END) AS q_hat
+      FROM cf_cal GROUP BY n_cal
+    )
+    SELECT CAST(q.n_cal AS BIGINT) AS n_cal,
+           CAST(COUNT(*) AS BIGINT) AS n_eval,
+           CAST(q.q_hat AS BIGINT) AS q_hat_cents,
+           CAST(COUNT(CASE WHEN e.r <= q.q_hat THEN 1 END) AS BIGINT)
+             AS n_covered
+    FROM (SELECT r FROM cf_split WHERE NOT is_cal) e CROSS JOIN cf_q q
+    GROUP BY q.n_cal, q.q_hat
+    """
+
+
+@_register(
+    "eval_conformal",
+    _conformal_oracle(),
+    doc="Split-conformal prediction calibration (Vovk et al.; the "
+    "distribution-free uncertainty recipe): naive-1 forecast of daily "
+    "revenue, nonconformity = |actual - forecast| in exact cents; "
+    "chronological 70/30 calibration/eval split (integer arithmetic, "
+    "no float fractions); q_hat = the ceil((n+1)*0.9)-th smallest "
+    "calibration residual via an EXACT integer rank (clamped to n_cal "
+    "when the rank overflows — small-sample degeneracy, documented); "
+    "coverage = count of eval residuals <= q_hat. Everything BIGINT; "
+    "window over the day domain only (bounded-input allowlist shape).",
+)
+def q_eval_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")["orders"]
+    day = o.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).alias("d")
+    ).agg(
+        F.sum(
+            F.expr("cast(floor(o_totalprice * 100 + 0.5d) as bigint)")
+        )
+        .cast("bigint")
+        .alias("cents")
+    )
+    wd = Window.orderBy("d")
+    wt = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    res = day.select(
+        F.abs(F.col("cents") - F.lag("cents").over(wd)).alias("r"),
+        F.row_number().over(wd).alias("rn"),
+        F.count(F.lit(1)).over(wt).alias("m"),
+    ).where(F.col("r").isNotNull())
+    # integer floor division (m*7)//10 — Spark's / on ints is double,
+    # so use div
+    split = res.select(
+        "r",
+        (F.col("rn") <= F.expr("(m * 7) div 10")).alias("is_cal"),
+    )
+    wr = Window.orderBy("r", "r")
+    cal = (
+        split.where("is_cal")
+        .select(
+            "r",
+            F.row_number().over(wr).alias("rr"),
+            F.count(F.lit(1)).over(wt).alias("n_cal"),
+        )
+    )
+    q = cal.groupBy("n_cal").agg(
+        F.max(
+            F.when(
+                F.col("rr")
+                == F.least(
+                    F.expr(
+                        f"((n_cal + 1) * {_CF_ALPHA_NUM} + 9) div 10"
+                    ),
+                    F.col("n_cal"),
+                ),
+                F.col("r"),
+            )
+        ).alias("q_hat")
+    )
+    ev = split.where(~F.col("is_cal")).select("r")
+    return (
+        ev.crossJoin(F.broadcast(q))
+        .groupBy("n_cal", "q_hat")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_eval"),
+            F.count(F.when(F.col("r") <= F.col("q_hat"), 1))
+            .cast("bigint")
+            .alias("n_covered"),
+        )
+        .select(
+            F.col("n_cal").cast("bigint").alias("n_cal"),
+            "n_eval",
+            F.col("q_hat").cast("bigint").alias("q_hat_cents"),
+            "n_covered",
+        )
+    )
+
+
+# ------------------------------------------------------------------
+# retrieval_margin_mining — bitext-style margin-criterion pair mining
+# ------------------------------------------------------------------
+
+_MM_K = 4          # neighborhood size for the margin denominator
+_MM_QUERIES = 30   # anchor subset bound (vec_id < 30 on the x side)
+_MM_MIN_E6 = 1_000_000  # mined when margin > 1.0 (ratio criterion)
+
+
+def _mm_oracle() -> str:
+    from spark_extensions_spark.queries import EMB_DIM, _cosine_duck
+
+    cos = _cosine_duck("q.embedding", "c.embedding", EMB_DIM)
+    topk = """
+      SELECT query_id, neighbor_id, c_e9, rank FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               CAST(FLOOR(({cos}) * 1e9 + 0.5) AS BIGINT) AS c_e9,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY ({cos}) DESC, c.vec_id) AS rank
+        FROM ({qs}) q CROSS JOIN ({cs}) c
+      ) WHERE rank <= {k}
+    """
+    xs = f"SELECT * FROM embeddings WHERE label % 2 = 0 AND vec_id < {_MM_QUERIES}"
+    ys = "SELECT * FROM embeddings WHERE label % 2 = 1"
+    xs_all = "SELECT * FROM embeddings WHERE label % 2 = 0"
+    fwd = topk.format(cos=cos, qs=xs, cs=ys, k=_MM_K)
+    bwd = topk.format(cos=cos, qs=ys, cs=xs_all, k=_MM_K)
+    return f"""
+    WITH mm_fwd AS ({fwd}),
+    mm_bwd AS ({bwd}),
+    mm_fsum AS (
+      SELECT query_id, SUM(c_e9) AS fwd_sum FROM mm_fwd GROUP BY 1
+    ),
+    mm_bsum AS (
+      SELECT query_id, SUM(c_e9) AS bwd_sum FROM mm_bwd GROUP BY 1
+    ),
+    mm_best AS (
+      SELECT query_id AS x_id, neighbor_id AS y_id, c_e9
+      FROM mm_fwd WHERE rank = 1
+    ),
+    mm_scored AS (
+      SELECT b.x_id, b.y_id, b.c_e9,
+             CAST(FLOOR(CAST(b.c_e9 AS DOUBLE) * {2 * _MM_K}
+                  / CAST(f.fwd_sum + bb.bwd_sum AS DOUBLE)
+                  * 1e6 + 0.5) AS BIGINT) AS margin_e6
+      FROM mm_best b
+      JOIN mm_fsum f ON f.query_id = b.x_id
+      JOIN mm_bsum bb ON bb.query_id = b.y_id
+    )
+    SELECT x_id, y_id, c_e9 AS cosine_e9, margin_e6
+    FROM mm_scored WHERE margin_e6 > {_MM_MIN_E6}
+    """
+
+
+@_register(
+    "retrieval_margin_mining",
+    _mm_oracle(),
+    doc="Margin-criterion pair mining (Artetxe & Schwenk 2019, the "
+    "LASER bitext-mining recipe — the standard way to mine aligned "
+    "training pairs across two corpora): for each anchor on side X, "
+    "its best cosine match on side Y scores margin = cos(x,y) / "
+    "mean(kNN-cosines of BOTH endpoints in the other side); pairs "
+    "with margin > 1 are mined (absolute-threshold mining "
+    "over-collects from dense hubs — the margin normalizes hubness "
+    "away). Sides = embedding label parity. Determinism: per-pair "
+    "cosine is the shared sequential-fold IEEE sequence, each "
+    "neighbor cosine is e9-quantized BEFORE the exact integer "
+    "neighborhood sums, and the final ratio is one double division "
+    "of exactly-representable ints, floor-e6-quantized. Plan: two "
+    "ann_bruteforce_topk broadcast scans (query sets bounded; at "
+    "corpus scale the IVF/LSH variants replace the scan — same "
+    "downstream margin algebra), domain-sized sum/join stages.",
+)
+def q_retrieval_margin_mining(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from spark_extensions_spark.operators.similarity import (
+        ann_bruteforce_topk,
+    )
+    from spark_extensions_spark.queries import EMB_DIM
+
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    xs_all = emb.filter(F.col("label") % 2 == 0)
+    xs = xs_all.filter(F.col("vec_id") < _MM_QUERIES)
+    ys = emb.filter(F.col("label") % 2 == 1)
+
+    def topk(queries: DataFrame, corpus: DataFrame) -> DataFrame:
+        out = ann_bruteforce_topk(
+            corpus, queries, "vec_id", "embedding",
+            "vec_id", "embedding", k=_MM_K, dim=EMB_DIM,
+        )
+        return out.select(
+            "query_id",
+            "neighbor_id",
+            F.expr(
+                "cast(floor(cosine * 1e9 + 0.5d) as bigint)"
+            ).alias("c_e9"),
+            "rank",
+        )
+
+    fwd = topk(xs, ys).localCheckpoint(eager=False)
+    bwd = topk(ys, xs_all)
+    fsum = fwd.groupBy("query_id").agg(F.sum("c_e9").alias("fwd_sum"))
+    bsum = bwd.groupBy("query_id").agg(F.sum("c_e9").alias("bwd_sum"))
+    best = fwd.where(F.col("rank") == 1).select(
+        F.col("query_id").alias("x_id"),
+        F.col("neighbor_id").alias("y_id"),
+        "c_e9",
+    )
+    scored = (
+        best.join(
+            F.broadcast(fsum.withColumnRenamed("query_id", "x_id")),
+            "x_id",
+        )
+        .join(
+            F.broadcast(bsum.withColumnRenamed("query_id", "y_id")),
+            "y_id",
+        )
+        .select(
+            "x_id",
+            "y_id",
+            F.col("c_e9").alias("cosine_e9"),
+            F.expr(
+                f"cast(floor(cast(c_e9 as double) * {2 * _MM_K}"
+                " / cast(fwd_sum + bwd_sum as double)"
+                " * 1e6 + 0.5d) as bigint)"
+            ).alias("margin_e6"),
+        )
+    )
+    return scored.where(
+        F.col("margin_e6") > _MM_MIN_E6
+    ).select("x_id", "y_id", "cosine_e9", "margin_e6")

@@ -1,0 +1,168 @@
+"""Round-8 wave: independent-recompute twins for the new queries —
+mutual information, closed-form CUSUM, split-conformal calibration,
+margin-criterion pair mining, and the streaming curation flagship's
+building blocks.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+
+def _daily_cents(spark, sf_dir):
+    rows = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .groupBy(F.date_trunc("day", "o_orderdate").alias("d"))
+        .agg(
+            F.sum(
+                F.expr("cast(floor(o_totalprice * 100 + 0.5d) as bigint)")
+            ).alias("cents")
+        )
+        .collect()
+    )
+    return [r["cents"] for r in sorted(rows, key=lambda r: r["d"])]
+
+
+def test_mutual_info_matches_python_recompute(spark, sf_dir):
+    from spark_extensions_spark.queries50 import q_stat_mutual_info
+
+    out = q_stat_mutual_info(spark, sf_dir).collect()[0]
+    cells = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .count()
+        .collect()
+    )
+    n = sum(r["count"] for r in cells)
+    cx, cy = {}, {}
+    for r in cells:
+        cx[r["o_orderpriority"]] = cx.get(r["o_orderpriority"], 0) + r["count"]
+        cy[r["o_orderstatus"]] = cy.get(r["o_orderstatus"], 0) + r["count"]
+    num = sum(
+        math.floor(
+            r["count"]
+            * math.log(
+                (r["count"] * n)
+                / (cx[r["o_orderpriority"]] * cy[r["o_orderstatus"]])
+            )
+            * 1e6
+            + 0.5
+        )
+        for r in cells
+    )
+    assert out["n"] == n
+    assert out["n_cells"] == len(cells)
+    # per-term quantization slack: each of the n_cells terms may land
+    # one unit off across ln implementations
+    assert abs(out["mi_num_e6"] - num) <= len(cells)
+    assert out["mi_nats"] >= 0
+
+
+def test_cusum_closed_form_equals_textbook_recursion(spark, sf_dir):
+    from spark_extensions_spark.queries50 import q_ts_cusum
+
+    series = _daily_cents(spark, sf_dir)
+    d_n, total = len(series), sum(series)
+    s, expect = 0, []
+    for x in series:
+        s = max(0, s + (x * d_n - total))
+        expect.append(s)
+    out = q_ts_cusum(spark, sf_dir).collect()
+    got = [r["cusum_scaled"] for r in sorted(out, key=lambda r: r["d"])]
+    assert got == expect
+    assert all(r["scale_d"] == d_n for r in out)
+
+
+def test_conformal_qhat_and_coverage_recompute(spark, sf_dir):
+    from spark_extensions_spark.queries50 import q_eval_conformal
+
+    series = _daily_cents(spark, sf_dir)
+    res = [abs(b - a) for a, b in zip(series, series[1:])]
+    # the split ranks ALL m days (day 1's NULL residual included) and
+    # keeps rn <= (m*7)//10 — so residual i (for day i+2) is
+    # calibration iff i+2 <= (m*7)//10
+    m = len(series)
+    n_cal = (m * 7) // 10 - 1
+    cal, ev = res[:n_cal], res[n_cal:]
+    rank = min(((n_cal + 1) * 9 + 9) // 10, n_cal)
+    q_hat = sorted(cal)[rank - 1]
+    out = q_eval_conformal(spark, sf_dir).collect()[0]
+    assert out["n_cal"] == n_cal
+    assert out["n_eval"] == len(ev)
+    assert out["q_hat_cents"] == q_hat
+    assert out["n_covered"] == sum(1 for r in ev if r <= q_hat)
+
+
+def test_margin_mining_matches_numpy_bruteforce(spark, sf_dir):
+    import numpy as np
+
+    from spark_extensions_spark.queries50 import (
+        _MM_K,
+        _MM_MIN_E6,
+        _MM_QUERIES,
+        q_retrieval_margin_mining,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in emb}
+    side = {r["vec_id"]: r["label"] % 2 for r in emb}
+    xs_all = sorted(i for i in vecs if side[i] == 0)
+    xs = [i for i in xs_all if i < _MM_QUERIES]
+    ys = sorted(i for i in vecs if side[i] == 1)
+
+    def cos(a, b):
+        va, vb = vecs[a], vecs[b]
+        return float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+
+    def topk(q, corpus):
+        scored = sorted(corpus, key=lambda c: (-cos(q, c), c))[:_MM_K]
+        return [(c, math.floor(cos(q, c) * 1e9 + 0.5)) for c in scored]
+
+    expect = {}
+    bwd_cache = {y: sum(e for _, e in topk(y, xs_all)) for y in ys}
+    for x in xs:
+        nn = topk(x, ys)
+        y, c_e9 = nn[0]
+        fwd = sum(e for _, e in nn)
+        margin = math.floor(
+            c_e9 * 2 * _MM_K / (fwd + bwd_cache[y]) * 1e6 + 0.5
+        )
+        if margin > _MM_MIN_E6:
+            expect[(x, y)] = (c_e9, margin)
+    got = {
+        (r["x_id"], r["y_id"]): (r["cosine_e9"], r["margin_e6"])
+        for r in q_retrieval_margin_mining(spark, sf_dir).collect()
+    }
+    # numpy accumulates the dot in a different order than the
+    # sequential fold; e9 quantization can differ by 1 unit, which can
+    # propagate one unit into margin_e6 — compare with that slack
+    assert set(got) == set(expect)
+    for k in expect:
+        assert abs(got[k][0] - expect[k][0]) <= 1, k
+        assert abs(got[k][1] - expect[k][1]) <= 2, k
+
+
+def test_streaming_curation_history_invariants(spark, sf_dir):
+    from spark_extensions_spark.queries50 import (
+        q_pipeline_streaming_curation,
+    )
+
+    rows = q_pipeline_streaming_curation(spark, sf_dir).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_users = ev.select("user_id").distinct().count()
+    assert len(by_user) == n_users
+    for u, slices in by_user.items():
+        cur = [r for r in slices if r["is_current"]]
+        assert len(cur) == 1, u
+        assert cur[0]["valid_to"] is None
+        # counts are monotone across versions; closed slice precedes
+        for r in slices:
+            if not r["is_current"]:
+                assert r["valid_from"] < r["valid_to"]
+                assert r["n_events"] <= cur[0]["n_events"]
+                assert r["n_err"] <= cur[0]["n_err"]
