@@ -1128,3 +1128,124 @@ def link_predict_anchored_oracle_sql(
            CAST(rank AS INT) AS rank
     FROM lpa_ranked WHERE rank <= {top_k}
     """
+
+
+# ---------------------------------------------------------------------
+# Degree assortativity (Newman 2002)
+# ---------------------------------------------------------------------
+
+# Pearson r over the symmetrized endpoint-degree pairs; every sum is
+# exact DECIMAL(38,0), the final r is one guarded double expression
+# (sqrt is IEEE-correctly-rounded, so the value is engine-portable).
+# CASE guard: a degree-regular graph has zero variance — ANSI Spark
+# throws on the double division, the oracle yields NULL; both now take
+# the defined NULL branch.
+_ASSORT_R = (
+    "case when (n * sxx - sx * sx) > 0 and (n * syy - sy * sy) > 0 "
+    "then (cast(n as double) * cast(sxy as double)"
+    " - cast(sx as double) * cast(sy as double))"
+    " / (sqrt(cast(n as double) * cast(sxx as double)"
+    "         - cast(sx as double) * cast(sx as double))"
+    "    * sqrt(cast(n as double) * cast(syy as double)"
+    "           - cast(sy as double) * cast(sy as double)))"
+    " else null end"
+)
+
+
+def degree_assortativity(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Degree assortativity coefficient of the undirected graph —
+    Pearson correlation between the degrees at the two ends of each
+    edge (Newman 2002). Positive: hubs link to hubs (social shape);
+    negative: hubs link to leaves (web/biology shape) — the one-number
+    audit of whether a co-occurrence graph is hub-dominated before
+    running the heavier iterative operators on it.
+
+    Exact-integer shape: degrees from ONE hash aggregate; two degree
+    joins onto the edge list (broadcast below the module node bound,
+    shuffle above — the link_predict discipline); each undirected edge
+    contributes BOTH (d_u, d_v) and (d_v, d_u) so the coefficient is
+    orientation-free; Σx, Σx², Σxy accumulate in DECIMAL(38,0) (degree
+    ≤ 2^20 and 2^40-scale squares times billions of edges stay inside
+    38 digits); ONE guarded double expression at the end.
+
+    Output one row: ``(n_pairs, sx, sxx, sxy, r)``.
+    """
+    nb = edges.select(
+        F.col(src).alias("node"), F.col(dst).alias("nbr")
+    ).unionByName(
+        edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr"))
+    )
+    deg = nb.groupBy("node").agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    ).localCheckpoint(eager=False)
+    n_nodes = deg.count()
+    sym = (
+        nb.join(
+            _maybe_broadcast(deg, n_nodes), "node"
+        )
+        .withColumnRenamed("deg", "dx")
+        .join(
+            _maybe_broadcast(
+                deg.select(
+                    F.col("node").alias("nbr"), F.col("deg").alias("dy")
+                ),
+                n_nodes,
+            ),
+            "nbr",
+        )
+    )
+    d = "decimal(38,0)"
+    agg = sym.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("dx").cast(d)).alias("sx"),
+        F.sum(F.col("dy").cast(d)).alias("sy"),
+        F.sum((F.col("dx") * F.col("dx")).cast(d)).alias("sxx"),
+        F.sum((F.col("dy") * F.col("dy")).cast(d)).alias("syy"),
+        F.sum((F.col("dx") * F.col("dy")).cast(d)).alias("sxy"),
+    )
+    return agg.select(
+        F.col("n").alias("n_pairs"),
+        F.col("sx").cast("bigint").alias("sx"),
+        F.col("sxx").cast("bigint").alias("sxx"),
+        F.col("sxy").cast("bigint").alias("sxy"),
+        F.expr(_ASSORT_R).alias("r"),
+    )
+
+
+def assortativity_oracle_sql(
+    table: str, group_col: str, item_col: str
+) -> str:
+    """DuckDB twin of :func:`degree_assortativity` over the
+    co-occurrence graph of ``item_col`` sharing ``group_col``."""
+    edges = cooccurrence_edges_sql(table, group_col, item_col)
+    return f"""
+    WITH as_e AS ({edges}),
+    as_nb AS (
+      SELECT src AS node, dst AS nbr FROM as_e
+      UNION ALL SELECT dst, src FROM as_e
+    ),
+    as_deg AS (SELECT node, COUNT(*) AS deg FROM as_nb GROUP BY 1),
+    as_sym AS (
+      SELECT dx.deg AS dx, dy.deg AS dy
+      FROM as_nb nb
+      JOIN as_deg dx ON dx.node = nb.node
+      JOIN as_deg dy ON dy.node = nb.nbr
+    ),
+    as_agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(dx AS DECIMAL(38,0))) AS sx,
+             SUM(CAST(dy AS DECIMAL(38,0))) AS sy,
+             SUM(CAST(dx AS DECIMAL(38,0)) * dx) AS sxx,
+             SUM(CAST(dy AS DECIMAL(38,0)) * dy) AS syy,
+             SUM(CAST(dx AS DECIMAL(38,0)) * dy) AS sxy
+      FROM as_sym
+    )
+    SELECT n AS n_pairs,
+           CAST(sx AS BIGINT) AS sx,
+           CAST(sxx AS BIGINT) AS sxx,
+           CAST(sxy AS BIGINT) AS sxy,
+           {_ASSORT_R} AS r
+    FROM as_agg
+    """

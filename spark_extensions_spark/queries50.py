@@ -730,3 +730,321 @@ def q_retrieval_margin_mining(
     return scored.where(
         F.col("margin_e6") > _MM_MIN_E6
     ).select("x_id", "y_id", "cosine_e9", "margin_e6")
+
+
+# ------------------------------------------------------------------
+# graph_assortativity — hub-structure audit of the part graph
+# ------------------------------------------------------------------
+
+from spark_extensions_spark.operators.graph import (  # noqa: E402
+    assortativity_oracle_sql,
+    degree_assortativity,
+)
+
+
+@_register(
+    "graph_assortativity",
+    assortativity_oracle_sql("lineitem", "l_orderkey", "l_partkey"),
+    doc="Degree assortativity of the part bought-together graph "
+    "(operators/graph.py:degree_assortativity; Newman 2002) — the "
+    "one-number hub-structure audit (hubs-link-to-hubs vs "
+    "hubs-link-to-leaves) run before committing to the heavier "
+    "iterative graph operators. Exact DECIMAL(38,0) moment sums over "
+    "the symmetrized endpoint-degree pairs, degree joins broadcast "
+    "only below the module node bound, one guarded double at the end "
+    "(zero-variance regular graph => NULL on both engines).",
+)
+def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_extensions_spark.operators.graph import grouped_pair_edges
+
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    # distinct: grouped_pair_edges emits a pair once PER shared order;
+    # assortativity is defined on the simple graph
+    edges = grouped_pair_edges(li, "l_orderkey", "l_partkey").distinct()
+    return degree_assortativity(edges)
+
+
+# ------------------------------------------------------------------
+# agg_trimmed_mean — robust location per group, domain-cumulative
+# ------------------------------------------------------------------
+
+_TM_TRIM = 10  # drop lowest and highest n//10 values per group
+
+
+def _tm_oracle() -> str:
+    return f"""
+    WITH tm_vals AS (
+      SELECT o_orderpriority AS g,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+      FROM orders
+    ),
+    tm_cells AS (
+      SELECT g, v, COUNT(*) AS cnt FROM tm_vals GROUP BY 1, 2
+    ),
+    tm_cum AS (
+      SELECT g, v, cnt,
+             COALESCE(SUM(cnt) OVER (PARTITION BY g ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS below,
+             SUM(cnt) OVER (PARTITION BY g) AS n
+      FROM tm_cells
+    ),
+    tm_kept AS (
+      SELECT g, n,
+             GREATEST(0, LEAST(below + cnt, n - n // {_TM_TRIM})
+                         - GREATEST(below, n // {_TM_TRIM})) AS kept,
+             v
+      FROM tm_cum
+    )
+    SELECT g,
+           CAST(MAX(n) AS BIGINT) AS n,
+           CAST(SUM(kept) AS BIGINT) AS n_kept,
+           CAST(SUM(CAST(v AS DECIMAL(38,0)) * kept) AS BIGINT)
+             AS sum_kept,
+           CAST(SUM(CAST(v AS DECIMAL(38,0)) * kept) AS DOUBLE)
+             / CAST(SUM(kept) AS DOUBLE) AS trimmed_mean
+    FROM tm_kept GROUP BY g
+    """
+
+
+@_register(
+    "agg_trimmed_mean",
+    _tm_oracle(),
+    doc="10% trimmed mean of order value per priority — the robust "
+    "location estimate (outlier-immune, unlike AVG; cheaper than the "
+    "median at equal exactness). NO row-level sort: per-group VALUE-"
+    "DOMAIN cells + a group-partitioned cumulative window give each "
+    "cell's overlap with the kept rank interval [n/10+1, n-n/10] in "
+    "closed form (the gini/weighted-percentile recipe); kept mass "
+    "sums exactly in DECIMAL, one double division per group. Windows "
+    "are PARTITIONED by group over the value domain — bounded and "
+    "parallel at any scale.",
+)
+def q_agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")["orders"]
+    cells = o.select(
+        F.col("o_orderpriority").alias("g"),
+        F.expr(
+            "cast(floor(o_totalprice * 100 + 0.5d) as bigint)"
+        ).alias("v"),
+    ).groupBy("g", "v").agg(F.count(F.lit(1)).alias("cnt"))
+    wb = (
+        Window.partitionBy("g")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wg = Window.partitionBy("g")
+    cum = cells.select(
+        "g",
+        "v",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(wb), F.lit(0)).alias("below"),
+        F.sum("cnt").over(wg).alias("n"),
+    )
+    kept = cum.select(
+        "g",
+        "n",
+        "v",
+        F.greatest(
+            F.lit(0),
+            F.least(
+                F.col("below") + F.col("cnt"),
+                F.col("n") - F.expr(f"n div {_TM_TRIM}"),
+            )
+            - F.greatest(F.col("below"), F.expr(f"n div {_TM_TRIM}")),
+        ).alias("kept"),
+    )
+    return kept.groupBy("g").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.sum("kept").cast("bigint").alias("n_kept"),
+        F.sum(F.col("v").cast("decimal(38,0)") * F.col("kept"))
+        .cast("bigint")
+        .alias("sum_kept"),
+        (
+            F.sum(F.col("v").cast("decimal(38,0)") * F.col("kept"))
+            .cast("double")
+            / F.sum("kept").cast("double")
+        ).alias("trimmed_mean"),
+    )
+
+
+# ------------------------------------------------------------------
+# sample_neyman — optimal stratified allocation
+# ------------------------------------------------------------------
+
+_NY_BUDGET = 1000
+
+
+def _ny_oracle() -> str:
+    from spark_extensions_spark.operators.sampling import (
+        largest_remainder_alloc_sql,
+    )
+
+    mass = f"""
+      SELECT g AS stratum, n_rows,
+             CAST(FLOOR(SQRT(CAST(var_num AS DOUBLE)) + 0.5) AS BIGINT)
+               AS w
+      FROM (
+        SELECT o_orderpriority AS g,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) AS DECIMAL(38,0))
+                 * SUM(CAST(v AS DECIMAL(38,0)) * v)
+                 - SUM(CAST(v AS DECIMAL(38,0)))
+                 * SUM(CAST(v AS DECIMAL(38,0))) AS var_num
+        FROM (SELECT o_orderpriority,
+                     CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+              FROM orders)
+        GROUP BY 1
+      )
+    """
+    alloc = largest_remainder_alloc_sql(
+        f"SELECT * FROM ({mass})", "stratum", "w", _NY_BUDGET
+    )
+    return f"""
+    WITH ny_mass AS ({mass}),
+    ny_alloc AS ({alloc})
+    SELECT m.stratum, m.n_rows, m.w, CAST(a.alloc AS BIGINT) AS alloc
+    FROM ny_mass m JOIN ny_alloc a ON a.stratum = m.stratum
+    """
+
+
+@_register(
+    "sample_neyman",
+    _ny_oracle(),
+    doc="Neyman optimal stratified-sampling allocation (Neyman 1934): "
+    "per-stratum sample size proportional to N_h*S_h — minimizes the "
+    "stratified estimator's variance at fixed budget, the principled "
+    "upgrade over proportional allocation when strata variances "
+    "differ. Exactness: N_h*S_h(population) = sqrt(N_h*Sum(x^2) - "
+    "(Sum x)^2) with the radicand an EXACT DECIMAL(38,0) moment "
+    "(decimal->double and sqrt are both correctly rounded, so the "
+    "weight is engine-portable), floor-quantized to integer units, "
+    "then the exact largest-remainder apportionment (the Hamilton "
+    "operator the pretrain-mix pipeline already uses) turns weights "
+    "into integer sample sizes summing exactly to the budget. One "
+    "scan, one group aggregate, domain-sized apportionment.",
+)
+def q_sample_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_extensions_spark.operators.sampling import (
+        largest_remainder_alloc,
+    )
+
+    o = _t(spark, sf_dir, "orders")["orders"]
+    d = "decimal(38,0)"
+    mass = (
+        o.select(
+            F.col("o_orderpriority").alias("stratum"),
+            F.expr(
+                "cast(floor(o_totalprice * 100 + 0.5d) as bigint)"
+            ).alias("v"),
+        )
+        .groupBy("stratum")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            (
+                F.count(F.lit(1)).cast(d)
+                * F.sum(F.col("v").cast(d) * F.col("v"))
+                - F.sum(F.col("v").cast(d))
+                * F.sum(F.col("v").cast(d))
+            ).alias("var_num"),
+        )
+        .select(
+            "stratum",
+            "n_rows",
+            F.expr(
+                "cast(floor(sqrt(cast(var_num as double)) + 0.5d)"
+                " as bigint)"
+            ).alias("w"),
+        )
+    )
+    alloc = largest_remainder_alloc(mass, "stratum", "w", _NY_BUDGET)
+    return mass.join(
+        alloc.select("stratum", F.col("alloc").cast("bigint").alias("alloc")),
+        "stratum",
+    ).select("stratum", "n_rows", "w", "alloc")
+
+
+# ------------------------------------------------------------------
+# embedding_matryoshka — truncation-energy audit (MRL)
+# ------------------------------------------------------------------
+
+_MK_PREFIXES = (8, 16, 32)
+
+
+def _mk_oracle() -> str:
+    from spark_extensions_spark.queries import EMB_DIM
+
+    def norm(upto: int) -> str:
+        return (
+            f"sqrt(list_reduce(list_transform(generate_series(1, {upto}),"
+            " i -> CAST(embedding[i] AS DOUBLE)"
+            " * CAST(embedding[i] AS DOUBLE)), (p, q) -> p + q))"
+        )
+
+    branches = " UNION ALL ".join(
+        f"""
+        SELECT {p} AS prefix_dim,
+               CAST(FLOOR({norm(p)} / {norm(EMB_DIM)} * 1e9 + 0.5)
+                    AS BIGINT) AS ratio_e9
+        FROM embeddings
+        """
+        for p in _MK_PREFIXES
+    )
+    return f"""
+    WITH mk_r AS ({branches})
+    SELECT prefix_dim,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(ratio_e9) AS BIGINT) AS ratio_sum_e9,
+           CAST(SUM(ratio_e9) AS DOUBLE)
+             / (CAST(COUNT(*) AS DOUBLE) * 1e9) AS avg_ratio
+    FROM mk_r GROUP BY prefix_dim
+    """
+
+
+@_register(
+    "embedding_matryoshka",
+    _mk_oracle(),
+    doc="Matryoshka truncation-energy audit (Kusupati et al. 2022, "
+    "MRL): for each prefix length p, cos(full vector, p-truncated "
+    "vector) collapses to the NORM RATIO ||v[:p]||/||v|| — the "
+    "fraction of embedding energy the first p dims retain, the "
+    "go/no-go check before serving truncated embeddings to cut ANN "
+    "index cost 2-8x. Per-vector ratio via the shared sequential-fold "
+    "dot (both sqrt and the division correctly rounded), e9-quantized "
+    "BEFORE the exact integer sum; one scan, one row-local expression "
+    "per prefix, one tiny aggregate.",
+)
+def q_embedding_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_extensions_spark.operators.similarity import dot_expr_sql
+    from spark_extensions_spark.queries import EMB_DIM
+
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+
+    def ratio(p: int) -> F.Column:
+        pre = f"slice(embedding, 1, {p})"
+        return F.expr(
+            f"cast(floor(sqrt({dot_expr_sql(pre, pre)})"
+            f" / sqrt({dot_expr_sql('embedding', 'embedding')})"
+            " * 1e9 + 0.5d) as bigint)"
+        )
+
+    parts = [
+        emb.select(
+            F.lit(p).cast("int").alias("prefix_dim"),
+            ratio(p).alias("ratio_e9"),
+        )
+        for p in _MK_PREFIXES
+    ]
+    allp = parts[0]
+    for df in parts[1:]:
+        allp = allp.unionByName(df)
+    return allp.groupBy("prefix_dim").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("ratio_e9").cast("bigint").alias("ratio_sum_e9"),
+        (
+            F.sum("ratio_e9").cast("double")
+            / (F.count(F.lit(1)).cast("double") * F.lit(1e9))
+        ).alias("avg_ratio"),
+    )

@@ -166,3 +166,129 @@ def test_streaming_curation_history_invariants(spark, sf_dir):
                 assert r["valid_from"] < r["valid_to"]
                 assert r["n_events"] <= cur[0]["n_events"]
                 assert r["n_err"] <= cur[0]["n_err"]
+
+
+def test_assortativity_matches_python_recompute(spark, sf_dir):
+    from collections import Counter
+
+    from spark_extensions_spark.queries50 import q_graph_assortativity
+
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .collect()
+    )
+    by_order = {}
+    for r in li:
+        by_order.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
+    edges = set()
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                edges.add((ps[i], ps[j]))
+    deg = Counter()
+    for u, v in edges:
+        deg[u] += 1
+        deg[v] += 1
+    pairs = [(deg[u], deg[v]) for u, v in edges] + [
+        (deg[v], deg[u]) for u, v in edges
+    ]
+    n = len(pairs)
+    sx = sum(x for x, _ in pairs)
+    sy = sum(y for _, y in pairs)
+    sxx = sum(x * x for x, _ in pairs)
+    syy = sum(y * y for _, y in pairs)
+    sxy = sum(x * y for x, y in pairs)
+    import math
+
+    r_exp = (n * sxy - sx * sy) / (
+        math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)
+    )
+    out = q_graph_assortativity(spark, sf_dir).collect()[0]
+    assert out["n_pairs"] == n
+    assert (out["sx"], out["sxx"], out["sxy"]) == (sx, sxx, sxy)
+    assert abs(out["r"] - r_exp) < 1e-12
+
+
+def test_assortativity_regular_graph_null_r(spark):
+    from spark_extensions_spark.operators.graph import degree_assortativity
+
+    # 4-cycle: every degree 2 -> zero variance -> defined NULL
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], "src int, dst int"
+    )
+    out = degree_assortativity(edges).collect()[0]
+    assert out["r"] is None
+    assert out["n_pairs"] == 8
+
+
+def test_trimmed_mean_matches_sorted_recompute(spark, sf_dir):
+    from spark_extensions_spark.queries50 import _TM_TRIM, q_agg_trimmed_mean
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .selectExpr(
+            "o_orderpriority AS g",
+            "cast(floor(o_totalprice * 100 + 0.5d) as bigint) AS v",
+        )
+        .collect()
+    )
+    by_g = {}
+    for r in rows:
+        by_g.setdefault(r["g"], []).append(r["v"])
+    out = {r["g"]: r for r in q_agg_trimmed_mean(spark, sf_dir).collect()}
+    assert set(out) == set(by_g)
+    for g, vals in by_g.items():
+        vals.sort()
+        t = len(vals) // _TM_TRIM
+        kept = vals[t : len(vals) - t]
+        assert out[g]["n"] == len(vals)
+        assert out[g]["n_kept"] == len(kept)
+        assert out[g]["sum_kept"] == sum(kept)
+
+
+def test_neyman_allocation_sums_to_budget_and_orders_by_spread(
+    spark, sf_dir
+):
+    from spark_extensions_spark.queries50 import _NY_BUDGET, q_sample_neyman
+
+    rows = q_sample_neyman(spark, sf_dir).collect()
+    assert sum(r["alloc"] for r in rows) == _NY_BUDGET
+    # weight = sqrt(N*Sum(x^2) - (Sum x)^2) recompute
+    data = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .selectExpr(
+            "o_orderpriority AS g",
+            "cast(floor(o_totalprice * 100 + 0.5d) as bigint) AS v",
+        )
+        .collect()
+    )
+    import math
+
+    by_g = {}
+    for r in data:
+        by_g.setdefault(r["g"], []).append(r["v"])
+    for r in rows:
+        vals = by_g[r["stratum"]]
+        n = len(vals)
+        rad = n * sum(v * v for v in vals) - sum(vals) ** 2
+        assert r["n_rows"] == n
+        assert r["w"] == math.floor(math.sqrt(rad) + 0.5)
+
+
+def test_matryoshka_ratios_monotone_and_bounded(spark, sf_dir):
+    from spark_extensions_spark.queries50 import q_embedding_matryoshka
+
+    rows = {
+        r["prefix_dim"]: r
+        for r in q_embedding_matryoshka(spark, sf_dir).collect()
+    }
+    assert set(rows) == {8, 16, 32}
+    prev = 0.0
+    for p in (8, 16, 32):
+        r = rows[p]
+        assert 0.0 <= r["avg_ratio"] <= 1.0 + 1e-9
+        assert r["avg_ratio"] >= prev  # energy grows with prefix
+        prev = r["avg_ratio"]
+        assert r["ratio_sum_e9"] <= r["n"] * 1_000_000_001
