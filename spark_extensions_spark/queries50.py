@@ -1048,3 +1048,274 @@ def q_embedding_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.count(F.lit(1)).cast("double") * F.lit(1e9))
         ).alias("avg_ratio"),
     )
+
+
+# ------------------------------------------------------------------
+# stat_mad — median absolute deviation per group (robust scale)
+# ------------------------------------------------------------------
+
+
+def _mad_oracle() -> str:
+    # lower median: the k-th smallest with k = (n+1)//2 — integer-exact
+    return """
+    WITH md_vals AS (
+      SELECT o_orderpriority AS g,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+      FROM orders
+    ),
+    md_cells AS (
+      SELECT g, v, COUNT(*) AS cnt FROM md_vals GROUP BY 1, 2
+    ),
+    md_cum AS (
+      SELECT g, v, cnt,
+             COALESCE(SUM(cnt) OVER (PARTITION BY g ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS below,
+             SUM(cnt) OVER (PARTITION BY g) AS n
+      FROM md_cells
+    ),
+    md_med AS (
+      SELECT g, MAX(n) AS n, MAX(v) AS med
+      FROM md_cum
+      WHERE below < (n + 1) // 2 AND (n + 1) // 2 <= below + cnt
+      GROUP BY g
+    ),
+    md_dcells AS (
+      SELECT c.g, ABS(c.v - m.med) AS d, SUM(c.cnt) AS cnt
+      FROM md_cells c JOIN md_med m ON m.g = c.g
+      GROUP BY 1, 2
+    ),
+    md_dcum AS (
+      SELECT g, d, cnt,
+             COALESCE(SUM(cnt) OVER (PARTITION BY g ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS below,
+             SUM(cnt) OVER (PARTITION BY g) AS n
+      FROM md_dcells
+    )
+    SELECT dc.g,
+           CAST(m.n AS BIGINT) AS n,
+           CAST(m.med AS BIGINT) AS median_cents,
+           CAST(MAX(dc.d) AS BIGINT) AS mad_cents
+    FROM md_dcum dc JOIN md_med m ON m.g = dc.g
+    WHERE dc.below < (dc.n + 1) // 2
+      AND (dc.n + 1) // 2 <= dc.below + dc.cnt
+    GROUP BY dc.g, m.n, m.med
+    """
+
+
+@_register(
+    "stat_mad",
+    _mad_oracle(),
+    doc="Median absolute deviation per group — THE robust scale "
+    "estimate (50% breakdown vs stddev's 0%), completing the robust "
+    "battery (trimmed mean = location, MAD = scale, Theil-Sen = "
+    "trend). Two-phase exact computation with NO row-level sort: "
+    "value-domain cells + a group-partitioned cumulative window "
+    "select the lower median (k=(n+1)//2) by rank-interval "
+    "membership; deviations re-aggregate onto the |v-med| DOMAIN "
+    "(broadcast median join) and the same selection picks the MAD. "
+    "Every quantity BIGINT; windows partitioned by group over value "
+    "domains — bounded and parallel at any scale.",
+)
+def q_stat_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")["orders"]
+    cells = (
+        o.select(
+            F.col("o_orderpriority").alias("g"),
+            F.expr(
+                "cast(floor(o_totalprice * 100 + 0.5d) as bigint)"
+            ).alias("v"),
+        )
+        .groupBy("g", "v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+
+    def kth_smallest(cdf: DataFrame, val: str) -> DataFrame:
+        wb = (
+            Window.partitionBy("g")
+            .orderBy(val)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        wg = Window.partitionBy("g")
+        cum = cdf.select(
+            "g",
+            val,
+            "cnt",
+            F.coalesce(F.sum("cnt").over(wb), F.lit(0)).alias("below"),
+            F.sum("cnt").over(wg).alias("n"),
+        )
+        k = F.expr("(n + 1) div 2")
+        return cum.where(
+            (F.col("below") < k) & (k <= F.col("below") + F.col("cnt"))
+        ).select("g", F.col(val).alias("__sel"), "n")
+
+    med = kth_smallest(cells, "v").select(
+        "g", F.col("__sel").alias("med"), "n"
+    )
+    dcells = (
+        cells.join(F.broadcast(med.select("g", "med")), "g")
+        .groupBy("g", F.abs(F.col("v") - F.col("med")).alias("d"))
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    mad = kth_smallest(dcells, "d").select(
+        "g", F.col("__sel").alias("mad")
+    )
+    return (
+        med.join(mad, "g")
+        .select(
+            "g",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("med").cast("bigint").alias("median_cents"),
+            F.col("mad").cast("bigint").alias("mad_cents"),
+        )
+    )
+
+
+# ------------------------------------------------------------------
+# eval_brier — Brier score decomposition (forecast calibration)
+# ------------------------------------------------------------------
+
+# Deterministic pseudo-forecast: p = (event_id % 100) percent that the
+# event is a click. Per-bin terms are exact-integer ratios quantized
+# e9 BEFORE the cross-bin sum (the psi recipe); the Murphy identity
+# brier = rel - res + unc then holds to quantization slack (pinned in
+# tests) because the within-bin mean prediction is exactly the bin.
+_BR_TERM_Q = "cast(floor(({t}) * 1e9 + 0.5d) as decimal(38,0))"
+
+
+def _brier_oracle() -> str:
+    def q(t: str) -> str:
+        return f"CAST(FLOOR(({t}) * 1e9 + 0.5) AS DECIMAL(38,0))"
+
+    rel_t = (
+        "CAST((p * n_k - 100 * s_k) AS DOUBLE)"
+        " * CAST((p * n_k - 100 * s_k) AS DOUBLE)"
+        " / (1e4 * CAST(n_k AS DOUBLE))"
+    )
+    res_t = (
+        "CAST(n_k AS DOUBLE) * "
+        "(CAST(s_k AS DOUBLE) / CAST(n_k AS DOUBLE)"
+        " - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))"
+        " * (CAST(s_k AS DOUBLE) / CAST(n_k AS DOUBLE)"
+        "    - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))"
+    )
+    br_t = (
+        "(CAST(p AS DOUBLE) / 100 - CAST(y AS DOUBLE))"
+        " * (CAST(p AS DOUBLE) / 100 - CAST(y AS DOUBLE))"
+    )
+    return f"""
+    WITH br_rows AS (
+      SELECT CAST(event_id % 100 AS BIGINT) AS p,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS y
+      FROM events
+    ),
+    br_bins AS (
+      SELECT p, COUNT(*) AS n_k, SUM(y) AS s_k
+      FROM br_rows GROUP BY p
+    ),
+    br_tot AS (
+      SELECT SUM(n_k) AS n, SUM(s_k) AS s FROM br_bins
+    ),
+    br_sums AS (
+      SELECT CAST(SUM({q(rel_t)}) AS BIGINT) AS rel_num_e9,
+             CAST(SUM({q(res_t)}) AS BIGINT) AS res_num_e9
+      FROM br_bins CROSS JOIN br_tot
+    ),
+    br_b AS (
+      SELECT CAST(SUM({q(br_t)}) AS BIGINT) AS brier_num_e9
+      FROM br_rows
+    )
+    SELECT CAST(t.n AS BIGINT) AS n,
+           CAST(t.s AS BIGINT) AS n_pos,
+           b.brier_num_e9, s.rel_num_e9, s.res_num_e9,
+           CAST(FLOOR(CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE)
+                * (1e0 - CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE))
+                * CAST(t.n AS DOUBLE) * 1e9 + 0.5) AS BIGINT)
+             AS unc_num_e9
+    FROM br_tot t CROSS JOIN br_sums s CROSS JOIN br_b b
+    """
+
+
+@_register(
+    "eval_brier",
+    _brier_oracle(),
+    doc="Brier score with the Murphy (1973) "
+    "reliability/resolution/uncertainty decomposition — the forecast-"
+    "calibration audit that complements calibration_ece: REL says how "
+    "far predicted probabilities sit from observed frequencies, RES "
+    "how much the forecast discriminates, UNC the base-rate floor; "
+    "brier = rel - res + unc (pinned). Deterministic percent-bin "
+    "pseudo-forecast from event ids; per-bin terms are ratios of "
+    "EXACT integers (IEEE-deterministic division) e9-quantized BEFORE "
+    "the exact DECIMAL cross-bin sum. One scan, one 100-bin "
+    "aggregate, domain-sized reductions.",
+)
+def q_eval_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events")["events"]
+    rows = e.select(
+        (F.col("event_id") % 100).cast("bigint").alias("p"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("y"),
+    )
+    bins = rows.groupBy("p").agg(
+        F.count(F.lit(1)).alias("n_k"), F.sum("y").alias("s_k")
+    )
+    wt = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    binst = bins.select(
+        "p",
+        "n_k",
+        "s_k",
+        F.sum("n_k").over(wt).alias("n"),
+        F.sum("s_k").over(wt).alias("s"),
+    )
+    rel_t = (
+        "cast((p * n_k - 100 * s_k) as double)"
+        " * cast((p * n_k - 100 * s_k) as double)"
+        " / (1e4 * cast(n_k as double))"
+    )
+    res_t = (
+        "cast(n_k as double) * "
+        "(cast(s_k as double) / cast(n_k as double)"
+        " - cast(s as double) / cast(n as double))"
+        " * (cast(s_k as double) / cast(n_k as double)"
+        "    - cast(s as double) / cast(n as double))"
+    )
+    br_t = (
+        "(cast(p as double) / 100 - cast(y as double))"
+        " * (cast(p as double) / 100 - cast(y as double))"
+    )
+    sums = binst.groupBy("n", "s").agg(
+        F.sum(F.expr(_BR_TERM_Q.format(t=rel_t)))
+        .cast("bigint")
+        .alias("rel_num_e9"),
+        F.sum(F.expr(_BR_TERM_Q.format(t=res_t)))
+        .cast("bigint")
+        .alias("res_num_e9"),
+    )
+    brier = rows.agg(
+        F.sum(F.expr(_BR_TERM_Q.format(t=br_t)))
+        .cast("bigint")
+        .alias("brier_num_e9")
+    )
+    return (
+        sums.crossJoin(F.broadcast(brier))
+        .select(
+            F.col("n").cast("bigint").alias("n"),
+            F.col("s").cast("bigint").alias("n_pos"),
+            "brier_num_e9",
+            "rel_num_e9",
+            "res_num_e9",
+            F.expr(
+                "cast(floor(cast(s as double) / cast(n as double)"
+                " * (1e0 - cast(s as double) / cast(n as double))"
+                " * cast(n as double) * 1e9 + 0.5d) as bigint)"
+            ).alias("unc_num_e9"),
+        )
+    )

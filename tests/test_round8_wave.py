@@ -292,3 +292,54 @@ def test_matryoshka_ratios_monotone_and_bounded(spark, sf_dir):
         assert r["avg_ratio"] >= prev  # energy grows with prefix
         prev = r["avg_ratio"]
         assert r["ratio_sum_e9"] <= r["n"] * 1_000_000_001
+
+
+def test_mad_matches_sorted_recompute(spark, sf_dir):
+    from spark_extensions_spark.queries50 import q_stat_mad
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .selectExpr(
+            "o_orderpriority AS g",
+            "cast(floor(o_totalprice * 100 + 0.5d) as bigint) AS v",
+        )
+        .collect()
+    )
+    by_g = {}
+    for r in rows:
+        by_g.setdefault(r["g"], []).append(r["v"])
+    out = {r["g"]: r for r in q_stat_mad(spark, sf_dir).collect()}
+    assert set(out) == set(by_g)
+    for g, vals in by_g.items():
+        vals.sort()
+        med = vals[(len(vals) + 1) // 2 - 1]
+        devs = sorted(abs(v - med) for v in vals)
+        mad = devs[(len(devs) + 1) // 2 - 1]
+        assert out[g]["n"] == len(vals)
+        assert out[g]["median_cents"] == med
+        assert out[g]["mad_cents"] == mad
+
+
+def test_brier_murphy_identity_and_recompute(spark, sf_dir):
+    from spark_extensions_spark.queries50 import q_eval_brier
+
+    out = q_eval_brier(spark, sf_dir).collect()[0]
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr(
+            "cast(event_id % 100 as bigint) AS p",
+            "case when event_type = 'click' then 1 else 0 end AS y",
+        )
+        .collect()
+    )
+    n = len(ev)
+    s = sum(r["y"] for r in ev)
+    brier = sum((r["p"] / 100 - r["y"]) ** 2 for r in ev)
+    assert out["n"] == n and out["n_pos"] == s
+    # e9 per-term quantization slack: n terms for brier
+    assert abs(out["brier_num_e9"] - brier * 1e9) <= n
+    # Murphy identity brier = rel - res + unc (numerators all scaled
+    # by n*1e9), within the combined per-term slack
+    lhs = out["brier_num_e9"]
+    rhs = out["rel_num_e9"] - out["res_num_e9"] + out["unc_num_e9"]
+    assert abs(lhs - rhs) <= n + 210  # bins*2 + 1 extra slack
