@@ -199,12 +199,21 @@ def test_single_partition_windows_bounded_in_graded_window(spark):
     # domain (operators/evals.py:auc_exact); skyline's global pass is
     # the post-prune bucket frontier (operators/skyline.py:skyline_2d)
     # — the last three entered the graded 50 in the round-7 rotation
+    # round-8 rotation additions: stat_wilcoxon's cumulative window
+    # runs over the distinct-|diff| domain (operators/stats.py:
+    # wilcoxon_signed_rank — post-agg, the ks/mwu shape);
+    # ts_theil_sen's slope-median selection and ts_rolling_median's
+    # 7-day window both run over the DAY domain (post-agg daily
+    # series — queries49.py docstrings)
     ALLOWED = {
         "stat_ks_test",
         "stat_psi",
         "pipeline_release_v2",
         "eval_auc_exact",
         "analytic_skyline",
+        "stat_wilcoxon",
+        "ts_theil_sen",
+        "ts_rolling_median",
     }
     flagged: dict[str, bool] = {}
     for q in registry()[:50]:
@@ -231,7 +240,11 @@ def test_single_partition_windows_bounded_in_graded_window(spark):
     # bucket forwards only its bucket-skyline frontier — see
     # operators/skyline.py:skyline_2d), a bound the post-agg heuristic
     # cannot see in the plan text
-    PRUNE_BOUNDED = {"analytic_skyline"}
+    # ts_theil_sen's selection window is fed by the pairwise-slope
+    # JOIN of the post-agg daily series with itself (domain² rows of
+    # a day domain — queries49.py:q_ts_theil_sen docstring), a bound
+    # the direct post-agg heuristic cannot see in the plan text
+    PRUNE_BOUNDED = {"analytic_skyline", "ts_theil_sen"}
     for name, post_agg in flagged.items():
         assert post_agg or name in PRUNE_BOUNDED, (
             f"{name}: single-partition window not post-agg"
