@@ -1319,3 +1319,196 @@ def q_eval_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("unc_num_e9"),
         )
     )
+
+
+# ------------------------------------------------------------------
+# stat_levene — Brown–Forsythe variance-equality test
+# ------------------------------------------------------------------
+
+
+def _lv_med_sql() -> str:
+    # per-group lower median by rank-interval membership (the stat_mad
+    # selection, inlined for the transformed-source oracle)
+    return """
+      SELECT g, MAX(v) AS med FROM (
+        SELECT g, v, cnt,
+               COALESCE(SUM(cnt) OVER (PARTITION BY g ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS below,
+               SUM(cnt) OVER (PARTITION BY g) AS n
+        FROM (SELECT o_orderpriority AS g,
+                     CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                       AS v, COUNT(*) AS cnt
+              FROM orders GROUP BY 1, 2)
+      ) WHERE below < (n + 1) // 2 AND (n + 1) // 2 <= below + cnt
+      GROUP BY g
+    """
+
+
+def _lv_oracle() -> str:
+    from spark_extensions_spark.operators.stats import anova_oracle_sql
+
+    z_src = f"""(
+      SELECT lv.g AS grp, ABS(lv.v - m.med) AS z
+      FROM (SELECT o_orderpriority AS g,
+                   CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+            FROM orders) lv
+      JOIN ({_lv_med_sql()}) m ON m.g = lv.g
+    )"""
+    return anova_oracle_sql(z_src, "z", "grp", scale=1)
+
+
+@_register(
+    "stat_levene",
+    _lv_oracle(),
+    doc="Brown–Forsythe variance-equality test (Brown & Forsythe "
+    "1974; the robust Levene variant) — the PRETEST the rest of the "
+    "battery assumes: ANOVA/Welch compare means under a dispersion "
+    "assumption this checks. Identity used: Brown–Forsythe IS one-way "
+    "ANOVA applied to z = |x − median_g|, so the query composes the "
+    "stat_mad median selection (value-domain rank intervals, no row "
+    "sort) with the existing operators/stats.py:anova_f — exact "
+    "integer deviations, exact DECIMAL power sums, the shared "
+    "fixed-order sb fold, one guarded double F at the end. The oracle "
+    "composes the SAME two published twins, so the test exercises "
+    "operator composition, not a bespoke formula.",
+)
+def q_stat_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from spark_extensions_spark.operators.stats import anova_f
+
+    o = _t(spark, sf_dir, "orders")["orders"]
+    vals = o.select(
+        F.col("o_orderpriority").alias("g"),
+        F.expr(
+            "cast(floor(o_totalprice * 100 + 0.5d) as bigint)"
+        ).alias("v"),
+    )
+    cells = vals.groupBy("g", "v").agg(F.count(F.lit(1)).alias("cnt"))
+    wb = (
+        Window.partitionBy("g")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wg = Window.partitionBy("g")
+    cum = cells.select(
+        "g",
+        "v",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(wb), F.lit(0)).alias("below"),
+        F.sum("cnt").over(wg).alias("n"),
+    )
+    k = F.expr("(n + 1) div 2")
+    med = (
+        cum.where(
+            (F.col("below") < k) & (k <= F.col("below") + F.col("cnt"))
+        )
+        .groupBy("g")
+        .agg(F.max("v").alias("med"))
+    )
+    z = vals.join(F.broadcast(med), "g").select(
+        F.col("g").alias("grp"),
+        F.abs(F.col("v") - F.col("med")).alias("z"),
+    )
+    return anova_f(z, "z", "grp", scale=1)
+
+
+# ------------------------------------------------------------------
+# analytic_growth_accounting — new / retained / resurrected / churned
+# ------------------------------------------------------------------
+
+
+def _ga_oracle() -> str:
+    return """
+    WITH ga_ud AS (
+      SELECT DISTINCT user_id,
+             time_bucket(INTERVAL '1 day', ts) AS d
+      FROM events
+    ),
+    ga_flag AS (
+      SELECT user_id, d,
+             LAG(d) OVER (PARTITION BY user_id ORDER BY d) AS prev_d
+      FROM ga_ud
+    ),
+    ga_day AS (
+      SELECT d,
+             CAST(COUNT(*) AS BIGINT) AS n_active,
+             CAST(COUNT(CASE WHEN prev_d IS NULL THEN 1 END) AS BIGINT)
+               AS n_new,
+             CAST(COUNT(CASE WHEN prev_d = d - INTERVAL 1 DAY THEN 1
+                  END) AS BIGINT) AS n_retained,
+             CAST(COUNT(CASE WHEN prev_d IS NOT NULL
+                  AND prev_d < d - INTERVAL 1 DAY THEN 1 END) AS BIGINT)
+               AS n_resurrected
+      FROM ga_flag GROUP BY d
+    )
+    SELECT d, n_active, n_new, n_retained, n_resurrected,
+           CAST(COALESCE(LAG(n_active) OVER (ORDER BY d), 0)
+                - n_retained AS BIGINT) AS n_churned
+    FROM ga_day
+    """
+
+
+@_register(
+    "analytic_growth_accounting",
+    _ga_oracle(),
+    doc="Growth accounting over daily active users (the Social "
+    "Capital/a16z framework): per day, actives decompose into NEW "
+    "(first-ever day), RETAINED (also active the previous day) and "
+    "RESURRECTED (returning after a gap); CHURNED(d) = actives(d-1) "
+    "- retained(d), i.e. yesterday's users who did not come back — "
+    "derived from the day-lag identity, no second pass over users. "
+    "Plan: one distinct to (user, day), one user-partitioned lag "
+    "window (parallel over users), one day hash-agg, one day-domain "
+    "lag. Exact counts and dates only. Note churn is attributed to "
+    "observed activity days (the events fixture is day-dense; on "
+    "sparse calendars compose with ts_gapfill first).",
+)
+def q_analytic_growth_accounting(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events")["events"]
+    ud = e.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("d")
+    ).distinct()
+    wl = Window.partitionBy("user_id").orderBy("d")
+    flag = ud.select(
+        "d", F.lag("d").over(wl).alias("prev_d")
+    )
+    day = flag.groupBy("d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_active"),
+        F.count(F.when(F.col("prev_d").isNull(), 1))
+        .cast("bigint")
+        .alias("n_new"),
+        F.count(
+            F.when(F.col("prev_d") == F.date_sub(F.col("d"), 1), 1)
+        )
+        .cast("bigint")
+        .alias("n_retained"),
+        F.count(
+            F.when(
+                F.col("prev_d").isNotNull()
+                & (F.col("prev_d") < F.date_sub(F.col("d"), 1)),
+                1,
+            )
+        )
+        .cast("bigint")
+        .alias("n_resurrected"),
+    )
+    wd = Window.orderBy("d")
+    return day.select(
+        "d",
+        "n_active",
+        "n_new",
+        "n_retained",
+        "n_resurrected",
+        (
+            F.coalesce(F.lag("n_active").over(wd), F.lit(0))
+            - F.col("n_retained")
+        )
+        .cast("bigint")
+        .alias("n_churned"),
+    )

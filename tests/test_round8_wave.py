@@ -343,3 +343,64 @@ def test_brier_murphy_identity_and_recompute(spark, sf_dir):
     lhs = out["brier_num_e9"]
     rhs = out["rel_num_e9"] - out["res_num_e9"] + out["unc_num_e9"]
     assert abs(lhs - rhs) <= n + 210  # bins*2 + 1 extra slack
+
+
+def test_levene_equals_anova_on_absolute_deviations(spark, sf_dir):
+    from spark_extensions_spark.operators.stats import anova_f
+    from spark_extensions_spark.queries50 import q_stat_levene
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .selectExpr(
+            "o_orderpriority AS g",
+            "cast(floor(o_totalprice * 100 + 0.5d) as bigint) AS v",
+        )
+        .collect()
+    )
+    by_g = {}
+    for r in rows:
+        by_g.setdefault(r["g"], []).append(r["v"])
+    meds = {
+        g: sorted(vs)[(len(vs) + 1) // 2 - 1] for g, vs in by_g.items()
+    }
+    z_rows = [
+        (g, abs(v - meds[g])) for g, vs in by_g.items() for v in vs
+    ]
+    ref = anova_f(
+        spark.createDataFrame(z_rows, "grp string, z bigint"),
+        "z",
+        "grp",
+        scale=1,
+    ).collect()[0]
+    out = q_stat_levene(spark, sf_dir).collect()[0]
+    assert out["k_groups"] == ref["k_groups"]
+    assert out["n_total"] == ref["n_total"]
+    assert abs(out["f_stat"] - ref["f_stat"]) < 1e-9
+
+
+def test_growth_accounting_identities(spark, sf_dir):
+    from spark_extensions_spark.queries50 import (
+        q_analytic_growth_accounting,
+    )
+
+    rows = sorted(
+        q_analytic_growth_accounting(spark, sf_dir).collect(),
+        key=lambda r: r["d"],
+    )
+    total_users = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    # actives decompose exactly; news sum to the distinct user count
+    assert sum(r["n_new"] for r in rows) == total_users
+    prev_active = 0
+    for r in rows:
+        assert (
+            r["n_active"]
+            == r["n_new"] + r["n_retained"] + r["n_resurrected"]
+        )
+        assert r["n_churned"] == prev_active - r["n_retained"]
+        assert 0 <= r["n_retained"] <= min(r["n_active"], prev_active or 10**9)
+        prev_active = r["n_active"]
