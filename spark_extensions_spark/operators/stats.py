@@ -196,9 +196,12 @@ def tvd_drift(
             ).cast("decimal(38,0)")
         ).alias("num")
     ).select(
-        (
+        # ANSI guard (operator fuzzer, round 8): an empty side makes
+        # the divisor 0 — defined NULL, matching the oracle's CASE
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
             F.col("num").cast("double")
-            / (F.lit(2) * F.col("n_a") * F.col("n_b")).cast("double")
+            / (F.lit(2) * F.col("n_a") * F.col("n_b")).cast("double"),
         ).alias("tvd"),
         F.col("n_a").cast("bigint").alias("n_a"),
         F.col("n_b").cast("bigint").alias("n_b"),
@@ -216,9 +219,10 @@ def tvd_oracle_sql(table: str, bucket_col: str, split_sql: str) -> str:
       SELECT ca, cb, SUM(ca) OVER () AS n_a, SUM(cb) OVER () AS n_b
       FROM counts
     )
-    SELECT CAST(SUM(CAST(ABS(ca * n_b - cb * n_a) AS DECIMAL(38,0)))
-                AS DOUBLE)
-             / CAST(2 * n_a * n_b AS DOUBLE) AS tvd,
+    SELECT CASE WHEN n_a > 0 AND n_b > 0 THEN
+             CAST(SUM(CAST(ABS(ca * n_b - cb * n_a) AS DECIMAL(38,0)))
+                  AS DOUBLE)
+             / CAST(2 * n_a * n_b AS DOUBLE) END AS tvd,
            CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b
     FROM tot GROUP BY n_a, n_b
     """
@@ -250,11 +254,21 @@ def _lit(cat: str) -> str:
 
 
 def _chi2_term(a: str, b: str) -> str:
-    """One cell's (o - e)^2 / e with e = r*c/n, fixed textual order."""
+    """One cell's (o - e)^2 / e with e = r*c/n, fixed textual order.
+
+    Degenerate guard (operator fuzzer, round 8): a category whose
+    margin is empty has e = 0, and Spark 4 ANSI throws on the double
+    division (DuckDB returned a NULL-poisoned sum). Standard
+    chi-squared practice excludes zero-expected cells, so the shared
+    text makes them contribute 0e0 on BOTH engines; the guard also
+    covers the empty-input n = 0 edge (chi2 = 0 then).
+    """
     a, b = _ident(a), _ident(b)
     o, r, c = f"o_{a}_{b}", f"r_{a}", f"c_{b}"
     return (
+        f"(case when n > 0e0 and {r} * {c} > 0e0 then "
         f"(({o} - {r} * {c} / n) * ({o} - {r} * {c} / n) / ({r} * {c} / n))"
+        f" else 0e0 end)"
     )
 
 
@@ -354,10 +368,21 @@ def _welch_formula() -> str:
     doubles; the formula below is textually shared.  Scaling by S
     cancels: mean_a - mean_b and sqrt(var/n) both carry 1/S.
     """
-    return (
-        "(sa / na - sb / nb) / "
-        "sqrt((qa - sa * sa / na) / (na - 1) / na "
+    # degenerate guard (operator fuzzer, round 8): a group with < 2
+    # rows or zero pooled variance crashes ANSI Spark's double
+    # division. NESTED case is load-bearing: AND does not
+    # short-circuit in vectorized evaluation, so the variance
+    # expression (divisors na-1, nb-1) may only be evaluated once the
+    # outer condition guarantees na > 1 and nb > 1.
+    var = (
+        "((qa - sa * sa / na) / (na - 1) / na "
         "+ (qb - sb * sb / nb) / (nb - 1) / nb)"
+    )
+    return (
+        "(case when na > 1e0 and nb > 1e0 then "
+        f"case when {var} > 0e0 then "
+        f"((sa / na - sb / nb) / sqrt{var}) "
+        "else null end else null end)"
     )
 
 
@@ -527,9 +552,15 @@ def _moment_formulas() -> dict[str, str]:
         "((s4 - 4.0 * s1 * s3 / n + 6.0 * s1 * s1 * s2 / (n * n) "
         "- 3.0 * s1 * s1 * s1 * s1 / (n * n * n)) / n)"
     )
+    # zero-variance guard (operator fuzzer, round 8): a constant group
+    # has m2 = 0 — ANSI Spark throws on the double division where
+    # DuckDB yields NULL; shared NULL branch on both engines. The m2
+    # condition itself is division-by-n only (n >= 1 per group).
     return {
-        "skew": f"({m3} / ({m2} * sqrt({m2})))",
-        "kurt": f"({m4} / ({m2} * {m2}) - 3.0)",
+        "skew": f"(case when {m2} > 0e0 then"
+        f" ({m3} / ({m2} * sqrt({m2}))) else null end)",
+        "kurt": f"(case when {m2} > 0e0 then"
+        f" ({m4} / ({m2} * {m2}) - 3.0) else null end)",
     }
 
 
@@ -833,7 +864,14 @@ def _anova_formula() -> str:
     sb (Σ_g s_g²/n_g). Scale-invariant, so integer ×scale cancels."""
     ssb = "(sb - st * st / n)"
     ssw = "(q - sb)"
-    return f"(({ssb} / (k - 1e0)) / ({ssw} / (n - k)))"
+    # degenerate guard (operator fuzzer, round 8): one group (k = 1),
+    # all-singleton groups (n = k) or zero within-variance make a
+    # divisor 0 — ANSI Spark throws on double/0; both engines now take
+    # the defined NULL branch. Condition operands are division-free.
+    return (
+        f"(case when k > 1e0 and n > k and {ssw} > 0e0 then "
+        f"(({ssb} / (k - 1e0)) / ({ssw} / (n - k))) else null end)"
+    )
 
 
 def anova_f(

@@ -15,6 +15,14 @@ Round-8 finds (both fixed at the source, pinned here):
   KS d_stat instead of yielding the oracle's NULL. Both formulas now
   take a CASE-guarded NULL branch (nested CASE — AND does not
   short-circuit in vectorized evaluation).
+- The second wave (chi2/cramers_v/welch/anova/moments/tvd/psi/lorenz)
+  found the SAME ANSI class in five more shared formulas: empty
+  category margins (chi2 e=0 cells — now contribute 0, the standard
+  exclusion), single groups / all-singleton groups / zero within-
+  variance (anova), <2-row groups and zero pooled variance (welch,
+  nested case), constant groups (moments m2=0), one-sided splits
+  (tvd). All guarded in the SHARED formula text, so both engines take
+  the same defined branch.
 
 Reproduce a divergence standalone:
 ``python tools/fuzz_operators.py --op <name> --case <i>``
@@ -46,11 +54,11 @@ def test_fuzz_generation_is_seed_pinned():
             assert a == b, op.name
 
 
-def test_operator_fuzz_270_cases_no_divergence(spark):
+def test_operator_fuzz_510_cases_no_divergence(spark):
     n_pass, failures = run_fuzz(spark, n_per_op=30, seed="opfuzz-r8")
     msg = "\n".join(f"{o}#{i}: {p}" for o, i, p in failures[:8])
     assert not failures, f"{len(failures)} divergences:\n{msg}"
-    assert n_pass == 270
+    assert n_pass == 510
 
 
 def test_mannwhitney_empty_group_defined_null(spark):

@@ -15,7 +15,7 @@ columns, and the order-insensitive value hash.
 Reproduce one case standalone:
 ``python tools/fuzz_operators.py [sf_ignored] --op wilcoxon --case 7``
 
-Nine operators x 30 pinned cases = 270 cases (the pytest gate).
+Seventeen operators x 30 pinned cases = 510 (the pytest gate).
 """
 
 from __future__ import annotations
@@ -286,7 +286,7 @@ def _krippendorff_oracle_with_l(src: str, rows: list) -> str:
 
 
 def operator_cases() -> dict[str, OpCase]:
-    return {op.name: op for op in _ops()}
+    return {op.name: op for op in _ops() + _second_wave_ops()}
 
 
 def run_case(
@@ -366,6 +366,142 @@ def main() -> int:
         print(f"DIVERGE {op_name}#{i}: {p}")
     print(f"{n_pass} pass, {len(failures)} diverge")
     return 1 if failures else 0
+
+
+
+
+# ---- round-8 second-wave generators ---------------------------------
+
+_FZ_CATS_X = ["a", "b", "c"]
+_FZ_CATS_Y = ["u", "v"]
+
+
+def gen_cats(rng: random.Random) -> list[tuple]:
+    prof = _profile(rng)
+    if prof == "empty":
+        return []
+    n = rng.randint(1, 6) if prof == "tiny" else rng.randint(5, 40)
+    xs = _FZ_CATS_X[:1] if prof == "degenerate" else _FZ_CATS_X
+    extra = ["zz", None] if prof == "nulls" else []
+    return [
+        (rng.choice(xs + extra), rng.choice(_FZ_CATS_Y + extra))
+        for _ in range(n)
+    ]
+
+
+def gen_grouped(rng: random.Random) -> list[tuple]:
+    prof = _profile(rng)
+    if prof == "empty":
+        return []
+    n = rng.randint(1, 6) if prof == "tiny" else rng.randint(5, 40)
+    groups = ["a"] if prof == "degenerate" else ["a", "b", "c", "d"]
+    lo, hi = (2, 2) if prof == "ties" else (-9, 9)
+    return [
+        (rng.choice(groups), rng.randint(lo, hi)) for _ in range(n)
+    ]
+
+
+def gen_bucket_flag(rng: random.Random) -> list[tuple]:
+    prof = _profile(rng)
+    if prof == "empty":
+        return []
+    n = rng.randint(1, 6) if prof == "tiny" else rng.randint(5, 40)
+    flags = [True] if prof == "degenerate" else [True, False]
+    return [
+        (str(rng.randint(0, 4)), rng.choice(flags)) for _ in range(n)
+    ]
+
+
+def _second_wave_ops() -> list[OpCase]:
+    from pyspark.sql import functions as _F
+
+    from spark_extensions_spark.operators.stats import (
+        anova_f,
+        anova_oracle_sql,
+        chi2_oracle_sql,
+        chi_squared,
+        cramers_v,
+        cramers_v_oracle_sql,
+        group_moments,
+        lorenz_oracle_sql,
+        lorenz_points,
+        moments_oracle_sql,
+        psi_drift,
+        psi_oracle_sql,
+        tvd_drift,
+        tvd_oracle_sql,
+        welch_oracle_sql,
+        welch_ttest,
+    )
+
+    return [
+        OpCase(
+            "chi2",
+            "x string, y string",
+            gen_cats,
+            lambda df: chi_squared(df, "x", _FZ_CATS_X, "y", _FZ_CATS_Y),
+            lambda src, rows: chi2_oracle_sql(
+                f"({src}) c2_src", "x", _FZ_CATS_X, "y", _FZ_CATS_Y
+            ),
+        ),
+        OpCase(
+            "cramers_v",
+            "x string, y string",
+            gen_cats,
+            lambda df: cramers_v(df, "x", _FZ_CATS_X, "y", _FZ_CATS_Y),
+            lambda src, rows: cramers_v_oracle_sql(
+                f"({src}) cv_src", "x", _FZ_CATS_X, "y", _FZ_CATS_Y
+            ),
+        ),
+        OpCase(
+            "welch",
+            "v bigint, g string",
+            gen_two_sample,
+            lambda df: welch_ttest(df, "v", "g", "a", "b", scale=1),
+            lambda src, rows: welch_oracle_sql(
+                f"({src}) wt_src", "v", "g", "a", "b", scale=1
+            ),
+        ),
+        OpCase(
+            "anova",
+            "g string, v bigint",
+            gen_grouped,
+            lambda df: anova_f(df, "v", "g", scale=1),
+            lambda src, rows: anova_oracle_sql(
+                f"({src}) av_src", "v", "g", scale=1
+            ),
+        ),
+        OpCase(
+            "moments",
+            "g string, v bigint",
+            gen_grouped,
+            lambda df: group_moments(df, "g", "v", scale=1),
+            lambda src, rows: moments_oracle_sql(
+                f"({src}) mo_src", "g", "v", scale=1
+            ),
+        ),
+        OpCase(
+            "tvd",
+            "b string, f boolean",
+            gen_bucket_flag,
+            lambda df: tvd_drift(df, "b", _F.col("f")),
+            lambda src, rows: tvd_oracle_sql(f"({src}) tv_src", "b", "f"),
+        ),
+        OpCase(
+            "psi",
+            "b string, f boolean",
+            gen_bucket_flag,
+            lambda df: psi_drift(df, "b", _F.col("f")),
+            lambda src, rows: psi_oracle_sql(f"({src}) ps_src", "b", "f"),
+        ),
+        OpCase(
+            "lorenz",
+            "v bigint",
+            gen_values,
+            lambda df: lorenz_points(df, "v", n_bands=4),
+            lambda src, rows: lorenz_oracle_sql(src, "v", n_bands=4),
+        ),
+    ]
 
 
 if __name__ == "__main__":
