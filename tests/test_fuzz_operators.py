@@ -23,6 +23,10 @@ Round-8 finds (both fixed at the source, pinned here):
   nested case), constant groups (moments m2=0), one-sided splits
   (tvd). All guarded in the SHARED formula text, so both engines take
   the same defined branch.
+- The third wave (rouge/bleu/ece/pass_at_k/poisson_bootstrap) ran
+  clean on first pass — including UNICODE text probes (precomposed
+  vs decomposed accents, CJK, emoji) through the tokenizer regex and
+  md5 hashing paths.
 
 Reproduce a divergence standalone:
 ``python tools/fuzz_operators.py --op <name> --case <i>``
@@ -54,11 +58,11 @@ def test_fuzz_generation_is_seed_pinned():
             assert a == b, op.name
 
 
-def test_operator_fuzz_510_cases_no_divergence(spark):
+def test_operator_fuzz_660_cases_no_divergence(spark):
     n_pass, failures = run_fuzz(spark, n_per_op=30, seed="opfuzz-r8")
     msg = "\n".join(f"{o}#{i}: {p}" for o, i, p in failures[:8])
     assert not failures, f"{len(failures)} divergences:\n{msg}"
-    assert n_pass == 510
+    assert n_pass == 660
 
 
 def test_mannwhitney_empty_group_defined_null(spark):

@@ -15,7 +15,7 @@ columns, and the order-insensitive value hash.
 Reproduce one case standalone:
 ``python tools/fuzz_operators.py [sf_ignored] --op wilcoxon --case 7``
 
-Seventeen operators x 30 pinned cases = 510 (the pytest gate).
+Twenty-two operators x 30 pinned cases = 660 (the pytest gate).
 """
 
 from __future__ import annotations
@@ -286,7 +286,10 @@ def _krippendorff_oracle_with_l(src: str, rows: list) -> str:
 
 
 def operator_cases() -> dict[str, OpCase]:
-    return {op.name: op for op in _ops() + _second_wave_ops()}
+    return {
+        op.name: op
+        for op in _ops() + _second_wave_ops() + _third_wave_ops()
+    }
 
 
 def run_case(
@@ -500,6 +503,153 @@ def _second_wave_ops() -> list[OpCase]:
             gen_values,
             lambda df: lorenz_points(df, "v", n_bands=4),
             lambda src, rows: lorenz_oracle_sql(src, "v", n_bands=4),
+        ),
+    ]
+
+
+
+
+# ---- round-8 third wave: evals + unicode text -----------------------
+
+_FZ_WORDS = [
+    "the", "cat", "sat", "on", "mat", "dog", "ran", "fast",
+    # unicode probes: NFC/NFD seams, CJK, emoji, accents — the
+    # tokenizer regex and md5 hashing must agree across engines
+    "café", "café", "日本語", "\U0001f600",
+    "straße", "ñandú", "123", "a1b2",
+]
+
+
+def gen_text_pairs(rng: random.Random) -> list[tuple]:
+    prof = _profile(rng)
+    if prof == "empty":
+        return []
+    n = rng.randint(1, 4) if prof == "tiny" else rng.randint(3, 15)
+    rows = []
+    for i in range(n):
+        if prof == "degenerate":
+            ref, hyp = "", ""
+        else:
+            nw = rng.randint(0, 8)
+            ref = " ".join(rng.choice(_FZ_WORDS) for _ in range(nw))
+            hyp = (
+                ref
+                if rng.random() < 0.3
+                else " ".join(
+                    rng.choice(_FZ_WORDS)
+                    for _ in range(rng.randint(0, 8))
+                )
+            )
+        if prof == "nulls" and rng.random() < 0.3:
+            hyp = None
+        rows.append((i, ref, hyp))
+    return rows
+
+
+def gen_scored_conf(rng: random.Random) -> list[tuple]:
+    prof = _profile(rng)
+    if prof == "empty":
+        return []
+    n = rng.randint(1, 6) if prof == "tiny" else rng.randint(5, 40)
+    rows = []
+    for _ in range(n):
+        if prof == "degenerate":
+            c = 1000  # all max-confidence: the top-bin clamp edge
+        elif prof == "ties":
+            c = rng.choice([0, 500, 1000])
+        else:
+            c = rng.randint(0, 1000)
+        rows.append((c, rng.random() < 0.5))
+    return rows
+
+
+def gen_samples(rng: random.Random) -> list[tuple]:
+    prof = _profile(rng)
+    if prof == "empty":
+        return []
+    n = rng.randint(2, 8) if prof == "tiny" else rng.randint(6, 40)
+    n_problems = rng.randint(1, 5)
+    rows = []
+    for _ in range(n):
+        p = rng.randrange(n_problems)
+        passed = (
+            False if prof == "degenerate" else rng.random() < 0.3
+        )
+        rows.append((p, passed))
+    return rows
+
+
+def gen_id_values(rng: random.Random) -> list[tuple]:
+    prof = _profile(rng)
+    if prof == "empty":
+        return []
+    n = rng.randint(1, 6) if prof == "tiny" else rng.randint(5, 30)
+    return [(i, rng.randint(-9, 9)) for i in range(n)]
+
+
+def _third_wave_ops() -> list[OpCase]:
+    from spark_extensions_spark.operators.evals import (
+        bleu_counts,
+        bleu_oracle_sql,
+        calibration_ece,
+        calibration_ece_oracle_sql,
+        pass_at_k,
+        pass_at_k_oracle_sql,
+        poisson_bootstrap_oracle_sql,
+        poisson_bootstrap_replicates,
+        rouge_n,
+        rouge_n_oracle_sql,
+    )
+
+    return [
+        OpCase(
+            "rouge",
+            "id int, ref string, hyp string",
+            gen_text_pairs,
+            lambda df: rouge_n(df, "id", "ref", "hyp", n=2),
+            lambda src, rows: rouge_n_oracle_sql(
+                src, "id", "ref", "hyp", n=2
+            ),
+        ),
+        OpCase(
+            "bleu",
+            "id int, ref string, hyp string",
+            gen_text_pairs,
+            lambda df: bleu_counts(df, "id", "ref", "hyp", max_n=2),
+            lambda src, rows: bleu_oracle_sql(
+                src, "id", "ref", "hyp", max_n=2
+            ),
+        ),
+        OpCase(
+            "ece",
+            "c bigint, y boolean",
+            gen_scored_conf,
+            lambda df: calibration_ece(df, "c", "y", bins=10),
+            # builder wraps FROM ({scored_sql}) itself
+            lambda src, rows: calibration_ece_oracle_sql(
+                src, "c", "y", bins=10
+            ),
+        ),
+        OpCase(
+            "pass_at_k",
+            "p int, ok boolean",
+            gen_samples,
+            lambda df: pass_at_k(df, "p", "ok", k=3),
+            # builder wraps the source in a WITH samples AS (...) CTE
+            lambda src, rows: pass_at_k_oracle_sql(
+                src, "p", "ok", k=3
+            ),
+        ),
+        OpCase(
+            "poisson_bootstrap",
+            "id int, v bigint",
+            gen_id_values,
+            lambda df: poisson_bootstrap_replicates(
+                df, "id", "v", n_replicates=8, salt="fz"
+            ),
+            lambda src, rows: poisson_bootstrap_oracle_sql(
+                src, "id", "v", n_replicates=8, salt="fz"
+            ),
         ),
     ]
 
