@@ -15,7 +15,7 @@ columns, and the order-insensitive value hash.
 Reproduce one case standalone:
 ``python tools/fuzz_operators.py [sf_ignored] --op wilcoxon --case 7``
 
-Twenty-two operators x 30 pinned cases = 660 (the pytest gate).
+Twenty-seven operators x 30 pinned cases = 810 (the pytest gate).
 """
 
 from __future__ import annotations
@@ -32,6 +32,7 @@ _ARROW = {
     "int": pa.int32(),
     "string": pa.string(),
     "boolean": pa.bool_(),
+    "double": pa.float64(),
 }
 
 
@@ -289,6 +290,7 @@ def operator_cases() -> dict[str, OpCase]:
     return {
         op.name: op
         for op in _ops() + _second_wave_ops() + _third_wave_ops()
+        + _fourth_wave_ops()
     }
 
 
@@ -649,6 +651,157 @@ def _third_wave_ops() -> list[OpCase]:
             ),
             lambda src, rows: poisson_bootstrap_oracle_sql(
                 src, "id", "v", n_replicates=8, salt="fz"
+            ),
+        ),
+    ]
+
+
+
+
+# ---- round-8 fourth wave: dedup/text/quality/classify ----------------
+
+def gen_docs(rng: random.Random) -> list[tuple]:
+    prof = _profile(rng)
+    if prof == "empty":
+        return []
+    n = rng.randint(1, 4) if prof == "tiny" else rng.randint(3, 12)
+    rows = []
+    base = [rng.choice(_FZ_WORDS) for _ in range(10)]
+    for i in range(n):
+        if prof == "degenerate":
+            text = ""
+        elif prof == "ties":
+            # near-dups: shared base with small edits — exercises the
+            # candidate + verify path, not just empty intersections
+            text = " ".join(
+                base[: rng.randint(6, 10)]
+                + [rng.choice(_FZ_WORDS) for _ in range(rng.randint(0, 3))]
+            )
+        else:
+            text = " ".join(
+                rng.choice(_FZ_WORDS)
+                for _ in range(rng.randint(0, 14))
+            )
+        if prof == "nulls" and rng.random() < 0.3:
+            text = None
+        rows.append((i, text))
+    return rows
+
+
+def gen_amounts(rng: random.Random) -> list[tuple]:
+    prof = _profile(rng)
+    if prof == "empty":
+        return []
+    n = rng.randint(1, 6) if prof == "tiny" else rng.randint(5, 40)
+    rows = []
+    for _ in range(n):
+        if prof == "degenerate":
+            v = 0.5  # below-1 exclusion edge
+        else:
+            v = rng.choice(
+                [rng.uniform(0, 1), rng.uniform(1, 9), rng.uniform(10, 999),
+                 float(rng.randint(1, 10**6))]
+            )
+        rows.append((_maybe_null(rng, v, 0.1 if prof == "nulls" else 0.0),))
+    return rows
+
+
+def gen_keys(rng: random.Random) -> list[tuple]:
+    prof = _profile(rng)
+    if prof == "empty":
+        return []
+    n = rng.randint(1, 6) if prof == "tiny" else rng.randint(5, 40)
+    hot = prof in ("ties", "degenerate")
+    return [
+        (
+            "hot"
+            if hot and rng.random() < 0.8
+            else str(rng.randint(0, 9)),
+        )
+        for _ in range(n)
+    ]
+
+
+def gen_features(rng: random.Random) -> list[tuple]:
+    prof = _profile(rng)
+    if prof == "empty":
+        return []
+    n = rng.randint(1, 6) if prof == "tiny" else rng.randint(5, 40)
+    f1s = ["a"] if prof == "degenerate" else ["a", "b", "c"]
+    return [
+        (
+            rng.choice(f1s),
+            str(rng.randint(0, 3)),
+            rng.random() < 0.5,
+        )
+        for _ in range(n)
+    ]
+
+
+def _fourth_wave_ops() -> list[OpCase]:
+    from spark_extensions_spark.operators.classify import (
+        gini_split,
+        gini_split_oracle_sql,
+    )
+    from spark_extensions_spark.operators.dedup import (
+        ngram_containment_oracle_sql,
+        ngram_containment_pairs,
+        winnow_fingerprints,
+        winnow_fingerprints_oracle_sql,
+    )
+    from spark_extensions_spark.operators.quality import (
+        benford_audit,
+        benford_oracle_sql,
+        diagnose_skew,
+        skew_oracle_sql,
+    )
+
+    return [
+        OpCase(
+            "winnow",
+            "id int, text string",
+            gen_docs,
+            lambda df: winnow_fingerprints(df, "id", "text", k=2, w=2),
+            lambda src, rows: winnow_fingerprints_oracle_sql(
+                src, "id", "text", k=2, w=2
+            ),
+        ),
+        OpCase(
+            "containment",
+            "id int, text string",
+            gen_docs,
+            lambda df: ngram_containment_pairs(
+                df, "id", "text", n=2, max_df=20,
+                min_shared=1, min_cont_e6=0,
+            ),
+            lambda src, rows: ngram_containment_oracle_sql(
+                src, "id", "text", n=2, max_df=20,
+                min_shared=1, min_cont_e6=0,
+            ),
+        ),
+        OpCase(
+            "benford",
+            "v double",
+            gen_amounts,
+            lambda df: benford_audit(df, "v"),
+            lambda src, rows: benford_oracle_sql(src, "v"),
+        ),
+        OpCase(
+            "skew",
+            "k string",
+            gen_keys,
+            lambda df: diagnose_skew(df, "k", top_k=3),
+            lambda src, rows: skew_oracle_sql(
+                f"({src}) sk_src", "k", top_k=3
+            ),
+        ),
+        OpCase(
+            "gini_split",
+            "f1 string, f2 string, y boolean",
+            gen_features,
+            lambda df: gini_split(df, ["f1", "f2"], "y"),
+            lambda src, rows: gini_split_oracle_sql(
+                src, ["f1", "f2"], "y"
             ),
         ),
     ]
