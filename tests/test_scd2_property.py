@@ -1,0 +1,176 @@
+"""Property-based testing of the SCD2/CDC state machine.
+
+The fixture queries exercise specific change sequences; this harness
+drives ``scd2_init`` + chained ``scd2_apply_changes`` with RANDOM
+I/U/D sequences (Hypothesis, seed-pinned by its deterministic mode
+under pytest) and compares the full history against an independent
+Python reference that replays the SCD2 contract row by row:
+
+- open row without a change passes through untouched;
+- I/U with a different tracked value closes the old slice at the load
+  version and opens a new one; identical value = no-op;
+- D closes the slice; D of an absent key is a no-op;
+- I/U of an absent (or previously deleted) key opens a fresh slice.
+
+This is the class of operator where hand-picked fixtures miss
+interactions (delete-then-reinsert-then-update, repeated no-op
+updates, changes to never-seen keys) — the randomized walk covers
+them by volume.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _reference_apply(history, changes, version):
+    """history: {key: [slices]}, slice = dict(val, vfrom, vto, cur)."""
+    for key, op, val in changes:
+        slices = history.setdefault(key, [])
+        open_s = next((s for s in slices if s["cur"]), None)
+        if op == "D":
+            if open_s is not None:
+                open_s["vto"] = version
+                open_s["cur"] = False
+            continue
+        # I/U behave identically (upsert semantics)
+        if open_s is None:
+            slices.append(
+                {"val": val, "vfrom": version, "vto": None, "cur": True}
+            )
+        elif open_s["val"] != val:
+            open_s["vto"] = version
+            open_s["cur"] = False
+            slices.append(
+                {"val": val, "vfrom": version, "vto": None, "cur": True}
+            )
+    return history
+
+
+def _changes_strategy():
+    one_version = st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),  # key
+            st.sampled_from(["I", "U", "D"]),
+            st.integers(min_value=0, max_value=3),  # tracked value
+        ),
+        min_size=0,
+        max_size=8,
+        # at most one change per key per version (the operator's
+        # documented input contract)
+        unique_by=lambda t: t[0],
+    )
+    return st.lists(one_version, min_size=1, max_size=4)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(seq=_changes_strategy())
+def test_scd2_chain_matches_reference(spark, seq):
+    from spark_extensions_spark.operators.incremental import (
+        scd2_apply_changes,
+        scd2_init,
+    )
+
+    # version 1 bootstraps from the first batch's upserts (a snapshot)
+    first = [(k, v) for k, op, v in seq[0] if op != "D"]
+    hist_df = scd2_init(
+        spark.createDataFrame(first or [(999, 0)], "k int, val int"),
+        ["k"],
+        ["val"],
+        load_version=1,
+    )
+    ref = {}
+    boot = [(k, "I", v) for k, v in (first or [(999, 0)])]
+    _reference_apply(ref, boot, 1)
+
+    for i, batch in enumerate(seq[1:], start=2):
+        ch_df = spark.createDataFrame(
+            [(k, v, op) for k, op, v in batch] or [(None, None, "X")],
+            "k int, val int, op string",
+        )
+        if not batch:
+            ch_df = ch_df.where("op <> 'X'")
+        hist_df = scd2_apply_changes(
+            hist_df, ch_df, ["k"], ["val"], load_version=i
+        )
+        _reference_apply(ref, batch, i)
+
+    got = sorted(
+        (r["k"], r["val"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in hist_df.collect()
+    )
+    want = sorted(
+        (k, s["val"], s["vfrom"], s["vto"], s["cur"])
+        for k, slices in ref.items()
+        for s in slices
+    )
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    batch=st.lists(
+        st.tuples(
+            st.integers(0, 3),
+            st.sampled_from(["U", "D"]),
+            st.integers(0, 2),
+        ),
+        min_size=0,
+        max_size=4,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_scd2_apply_is_idempotent_for_noop_reapply(spark, batch):
+    """Re-applying the SAME change set at a later version must be a
+    no-op except for deletes of already-deleted keys (no-op too) and
+    values that already match (no-op by contract)."""
+    from spark_extensions_spark.operators.incremental import (
+        scd2_apply_changes,
+        scd2_init,
+    )
+
+    base = scd2_init(
+        spark.createDataFrame([(0, 0), (1, 1)], "k int, val int"),
+        ["k"],
+        ["val"],
+        load_version=1,
+    )
+    ch = spark.createDataFrame(
+        [(k, v, op) for k, op, v in batch] or [(None, None, "X")],
+        "k int, val int, op string",
+    )
+    if not batch:
+        ch = ch.where("op <> 'X'")
+    once = scd2_apply_changes(base, ch, ["k"], ["val"], load_version=2)
+    twice = scd2_apply_changes(once, ch, ["k"], ["val"], load_version=3)
+
+    def hist_set(df):
+        return sorted(
+            (r["k"], r["val"], r["valid_from"], r["valid_to"],
+             r["is_current"])
+            for r in df.collect()
+        )
+
+    h1, h2 = hist_set(once), hist_set(twice)
+    # deletes already applied and matching-value upserts are no-ops;
+    # the ONLY legal difference is a re-opened slice for keys that a
+    # delete closed and an I/U in the same batch re-inserts — which
+    # unique_by forbids here, so re-apply must change NOTHING except
+    # re-inserting rows for keys deleted in round 2 with op I/U... and
+    # those were closed, so an I/U reopens them at version 3.
+    reinserts = {
+        k for k, op, v in batch
+        if op in ("I", "U")
+        and any(t[0] == k and t[3] == 2 and t[1] == v for t in h1)
+    }
+    if not reinserts:
+        assert h1 == h2
+    else:
+        assert [t for t in h2 if t[0] not in reinserts] == [
+            t for t in h1 if t[0] not in reinserts
+        ]
