@@ -868,3 +868,110 @@ def krippendorff_oracle_sql(
                   * 1e6 + 0.5) AS BIGINT) END AS alpha_e6
     FROM ka_do CROSS JOIN ka_de
     """
+
+
+# ---------------------------------------------------------------------
+# Average precision / area under the precision-recall curve
+# ---------------------------------------------------------------------
+
+def auc_pr(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Average precision (area under the PR curve, step convention)
+    from exact integer block counting — ROC-AUC's better-behaved
+    sibling under class imbalance, the metric retrieval/filter-model
+    evals actually report.
+
+    Ties are handled at the DISTINCT-SCORE block level: walking blocks
+    in descending score order with cumulative counts (cum_n, cum_pos),
+
+        AP = Σ_b pos_b · (cum_pos_b / cum_n_b) / P
+
+    i.e. every positive in a block takes the precision at the block
+    BOUNDARY (the deterministic tie convention both engines share; a
+    per-row walk would be tie-order-dependent). Each block term
+    ``pos_b · cum_pos_b / cum_n_b`` is a ratio of exact integers
+    (IEEE-deterministic division), floor-e9-quantized BEFORE the exact
+    cross-block sum — the psi recipe — and the final /P is one double
+    division, CASE-guarded NULL when the input has no positives.
+
+    ``score_col`` must be integer-typed, ``label_col`` boolean.
+    Scale shape: one hash aggregate onto the score DOMAIN, one
+    domain-sized cumulative window (bounded input — the auc_exact
+    plan), one reduce. Output one row:
+    ``(n, n_pos, ap_num_e9, ap)``.
+
+    Reference scope note: extension-layer operator (no analogue in the
+    reference library, which has no eval surface).
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(F.col(score_col).alias("v")).agg(
+        F.count(F.when(F.col(label_col), 1)).alias("pos"),
+        F.count(F.lit(1)).alias("t"),
+    )
+    w = Window.orderBy(F.desc("v")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wt = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = counts.select(
+        "pos",
+        F.sum("t").over(w).alias("cum_n"),
+        F.sum("pos").over(w).alias("cum_pos"),
+        F.sum("pos").over(wt).alias("p_tot"),
+        F.sum("t").over(wt).alias("n_tot"),
+    )
+    term = (
+        "cast(floor(cast(pos as double) * cast(cum_pos as double)"
+        " / cast(cum_n as double) * 1e9 + 0.5d) as decimal(38,0))"
+    )
+    return (
+        cum.groupBy("p_tot", "n_tot")
+        .agg(F.sum(F.expr(term)).alias("ap_num"))
+        .select(
+            F.col("n_tot").cast("bigint").alias("n"),
+            F.col("p_tot").cast("bigint").alias("n_pos"),
+            F.col("ap_num").cast("bigint").alias("ap_num_e9"),
+            F.expr(
+                "case when p_tot > 0 then cast(ap_num as double)"
+                " / (cast(p_tot as double) * 1e9) else null end"
+            ).alias("ap"),
+        )
+    )
+
+
+def auc_pr_oracle_sql(
+    scored_sql: str, score_col: str, label_col: str
+) -> str:
+    """DuckDB twin of :func:`auc_pr` (same block convention)."""
+    return f"""
+    WITH pr_counts AS (
+      SELECT {score_col} AS v,
+             COUNT(*) FILTER ({label_col}) AS pos,
+             COUNT(*) AS t
+      FROM ({scored_sql}) pr_src GROUP BY 1
+    ),
+    pr_cum AS (
+      SELECT pos,
+             SUM(t) OVER (ORDER BY v DESC) AS cum_n,
+             SUM(pos) OVER (ORDER BY v DESC) AS cum_pos,
+             SUM(pos) OVER () AS p_tot,
+             SUM(t) OVER () AS n_tot
+      FROM pr_counts
+    )
+    SELECT CAST(n_tot AS BIGINT) AS n,
+           CAST(p_tot AS BIGINT) AS n_pos,
+           CAST(SUM(CAST(FLOOR(CAST(pos AS DOUBLE)
+                * CAST(cum_pos AS DOUBLE) / CAST(cum_n AS DOUBLE)
+                * 1e9 + 0.5) AS DECIMAL(38,0))) AS BIGINT) AS ap_num_e9,
+           CASE WHEN p_tot > 0 THEN
+             CAST(SUM(CAST(FLOOR(CAST(pos AS DOUBLE)
+                  * CAST(cum_pos AS DOUBLE) / CAST(cum_n AS DOUBLE)
+                  * 1e9 + 0.5) AS DECIMAL(38,0))) AS DOUBLE)
+             / (CAST(p_tot AS DOUBLE) * 1e9) END AS ap
+    FROM pr_cum GROUP BY p_tot, n_tot
+    """

@@ -1524,3 +1524,38 @@ def q_analytic_growth_accounting(
         .cast("bigint")
         .alias("n_churned"),
     )
+
+
+# ------------------------------------------------------------------
+# eval_auc_pr — average precision (PR curve area)
+# ------------------------------------------------------------------
+
+from spark_extensions_spark.operators.evals import (  # noqa: E402
+    auc_pr,
+    auc_pr_oracle_sql,
+)
+
+
+@_register(
+    "eval_auc_pr",
+    auc_pr_oracle_sql(
+        """SELECT CAST(event_id % 100 AS BIGINT) AS s,
+                  event_type = 'click' AS y FROM events""",
+        "s",
+        "y",
+    ),
+    doc="Average precision / area under the precision-recall curve "
+    "(operators/evals.py:auc_pr) — ROC-AUC's sibling that stays "
+    "informative under the heavy class imbalance every quality-filter "
+    "eval has. Distinct-score block convention for ties; per-block "
+    "exact-integer precision ratios e9-quantized before the exact "
+    "cross-block sum; zero-positive input yields a defined NULL on "
+    "both engines. Same domain-cumulative plan as eval_auc_exact.",
+)
+def q_eval_auc_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")["events"]
+    scored = e.select(
+        (F.col("event_id") % 100).cast("bigint").alias("s"),
+        (F.col("event_type") == "click").alias("y"),
+    )
+    return auc_pr(scored, "s", "y")

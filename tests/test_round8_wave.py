@@ -404,3 +404,38 @@ def test_growth_accounting_identities(spark, sf_dir):
         assert r["n_churned"] == prev_active - r["n_retained"]
         assert 0 <= r["n_retained"] <= min(r["n_active"], prev_active or 10**9)
         prev_active = r["n_active"]
+
+
+def test_auc_pr_matches_sklearn_style_recompute(spark, sf_dir):
+    from spark_extensions_spark.queries50 import q_eval_auc_pr
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr(
+            "cast(event_id % 100 as bigint) AS s",
+            "event_type = 'click' AS y",
+        )
+        .collect()
+    )
+    from collections import Counter
+
+    pos, tot = Counter(), Counter()
+    for r in rows:
+        tot[r["s"]] += 1
+        pos[r["s"]] += int(r["y"])
+    p_tot = sum(pos.values())
+    cum_n = cum_p = 0
+    ap_num = 0
+    import math
+
+    for s in sorted(tot, reverse=True):
+        cum_n += tot[s]
+        cum_p += pos[s]
+        ap_num += math.floor(pos[s] * cum_p / cum_n * 1e9 + 0.5)
+    out = q_eval_auc_pr(spark, sf_dir).collect()[0]
+    assert out["n"] == len(rows)
+    assert out["n_pos"] == p_tot
+    assert abs(out["ap_num_e9"] - ap_num) <= len(tot)
+    assert abs(out["ap"] - ap_num / (p_tot * 1e9)) < 1e-9
+    # AP of a random scorer ~ base rate; sanity bound
+    assert 0.0 <= out["ap"] <= 1.0

@@ -15,7 +15,7 @@ columns, and the order-insensitive value hash.
 Reproduce one case standalone:
 ``python tools/fuzz_operators.py [sf_ignored] --op wilcoxon --case 7``
 
-Twenty-seven operators x 30 pinned cases = 810 (the pytest gate).
+Twenty-eight operators x 30 pinned cases = 840 (the pytest gate).
 """
 
 from __future__ import annotations
@@ -591,6 +591,8 @@ def gen_id_values(rng: random.Random) -> list[tuple]:
 
 def _third_wave_ops() -> list[OpCase]:
     from spark_extensions_spark.operators.evals import (
+        auc_pr,
+        auc_pr_oracle_sql,
         bleu_counts,
         bleu_oracle_sql,
         calibration_ece,
@@ -604,6 +606,13 @@ def _third_wave_ops() -> list[OpCase]:
     )
 
     return [
+        OpCase(
+            "auc_pr",
+            "s bigint, y boolean",
+            gen_scored,
+            lambda df: auc_pr(df, "s", "y"),
+            lambda src, rows: auc_pr_oracle_sql(src, "s", "y"),
+        ),
         OpCase(
             "rouge",
             "id int, ref string, hyp string",
