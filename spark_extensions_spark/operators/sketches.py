@@ -356,7 +356,12 @@ def kmv_sketch(
     Output: one row ``(n_seen bigint, k_used int, est_distinct
     double)`` — exact count when the distinct count ≤ k.
     """
-    hashed = df.select(
+    # NULL keys are dropped BEFORE hashing (operator fuzzer, round 8):
+    # md5(NULL) is NULL, which Spark's ORDER BY places FIRST but
+    # DuckDB places LAST — a NULL would occupy a k-min slot on one
+    # engine only, shifting the kth hash and the estimate. A NULL key
+    # is not a distinct value; exclude it on both sides.
+    hashed = df.where(F.col(key_col).isNotNull()).select(
         F.md5(
             F.concat(F.col(key_col).cast("string"), F.lit(":" + salt))
         ).alias("h")
@@ -386,7 +391,7 @@ def kmv_oracle_sql(
     return f"""
     WITH hashed AS (
       SELECT DISTINCT md5(CAST({key_col} AS VARCHAR) || ':{salt}') AS h
-      FROM {table}
+      FROM {table} WHERE {key_col} IS NOT NULL
     ),
     kmin AS (
       SELECT h FROM hashed ORDER BY h LIMIT {k}
@@ -425,7 +430,9 @@ def kmv_set_ops(
     Only k hashes ever leave the aggregation.
     """
     def hashes(df: DataFrame) -> DataFrame:
-        return df.select(
+        # NULL keys dropped pre-hash — the kmv_sketch NULL-ordering
+        # seam (operator fuzzer, round 8) applies to the merge too
+        return df.where(F.col(key_col).isNotNull()).select(
             F.md5(
                 F.concat(F.col(key_col).cast("string"), F.lit(":" + salt))
             ).alias("h")
@@ -473,10 +480,10 @@ def kmv_set_ops_oracle_sql(
     return f"""
     WITH ha AS (
       SELECT DISTINCT md5(CAST({key_col} AS VARCHAR) || ':{salt}') AS h
-      FROM {table_a}
+      FROM {table_a} WHERE {key_col} IS NOT NULL
     ), hb AS (
       SELECT DISTINCT md5(CAST({key_col} AS VARCHAR) || ':{salt}') AS h
-      FROM {table_b}
+      FROM {table_b} WHERE {key_col} IS NOT NULL
     ), kmin AS (
       SELECT h FROM (SELECT h FROM ha UNION SELECT h FROM hb)
       ORDER BY h LIMIT {k}

@@ -183,10 +183,22 @@ def _z_formula() -> str:
     expression is engine-portable; sample variance over the PRECEDING
     frame only (the tested point is excluded from its own baseline).
     """
-    return (
-        "(CAST(xs AS DOUBLE) - CAST(s AS DOUBLE) / CAST(c AS DOUBLE)) / "
-        "sqrt((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) "
+    # degenerate guard (operator fuzzer, round 8): a constant (or
+    # single-point) preceding frame has zero sample variance — Spark 4
+    # ANSI throws on the double division where DuckDB yields NULL.
+    # NESTED case: the variance expression divides by c-1, so it may
+    # only be evaluated once c > 1 holds (AND does not short-circuit
+    # under vectorized evaluation). Shared text, both engines.
+    var = (
+        "((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) "
         "/ CAST(c AS DOUBLE)) / (CAST(c AS DOUBLE) - 1.0))"
+    )
+    return (
+        "(CASE WHEN c > 1 THEN "
+        f"CASE WHEN {var} > 0e0 THEN "
+        "((CAST(xs AS DOUBLE) - CAST(s AS DOUBLE) / CAST(c AS DOUBLE))"
+        f" / sqrt{var}) "
+        "ELSE NULL END ELSE NULL END)"
     )
 
 

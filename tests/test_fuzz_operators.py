@@ -32,6 +32,14 @@ Round-8 finds (both fixed at the source, pinned here):
   md5-shingle-hash and exact-integer-fixed-point recipes hold on
   randomized near-dup corpora, empty docs, NULL texts, and sub-1
   amounts.
+- The fifth wave (KMV, Count-Min, HLL register/estimate, skyline,
+  triangles, degrees, EWMA, rolling z-score) found two more real
+  seams: a NULL key hashed to a NULL that occupies a KMV k-min slot
+  in Spark (NULLS FIRST) but not DuckDB (NULLS LAST), shifting the
+  estimate — NULL keys now dropped pre-hash in kmv_sketch AND
+  kmv_set_ops and both oracles; and rolling_zscore's zero-variance
+  frame hit the ANSI double-divide class — _z_formula now carries
+  the shared nested-CASE guard.
 
 Reproduce a divergence standalone:
 ``python tools/fuzz_operators.py --op <name> --case <i>``
@@ -63,11 +71,11 @@ def test_fuzz_generation_is_seed_pinned():
             assert a == b, op.name
 
 
-def test_operator_fuzz_840_cases_no_divergence(spark):
+def test_operator_fuzz_1110_cases_no_divergence(spark):
     n_pass, failures = run_fuzz(spark, n_per_op=30, seed="opfuzz-r8")
     msg = "\n".join(f"{o}#{i}: {p}" for o, i, p in failures[:8])
     assert not failures, f"{len(failures)} divergences:\n{msg}"
-    assert n_pass == 840
+    assert n_pass == 1110
 
 
 def test_mannwhitney_empty_group_defined_null(spark):

@@ -15,7 +15,7 @@ columns, and the order-insensitive value hash.
 Reproduce one case standalone:
 ``python tools/fuzz_operators.py [sf_ignored] --op wilcoxon --case 7``
 
-Twenty-eight operators x 30 pinned cases = 840 (the pytest gate).
+Thirty-seven operators x 30 pinned cases = 1110 (the pytest gate).
 """
 
 from __future__ import annotations
@@ -290,7 +290,7 @@ def operator_cases() -> dict[str, OpCase]:
     return {
         op.name: op
         for op in _ops() + _second_wave_ops() + _third_wave_ops()
-        + _fourth_wave_ops()
+        + _fourth_wave_ops() + _fifth_wave_ops()
     }
 
 
@@ -811,6 +811,174 @@ def _fourth_wave_ops() -> list[OpCase]:
             lambda df: gini_split(df, ["f1", "f2"], "y"),
             lambda src, rows: gini_split_oracle_sql(
                 src, ["f1", "f2"], "y"
+            ),
+        ),
+    ]
+
+
+
+
+# ---- round-8 fifth wave: sketches / skyline / graph / timeseries ----
+
+def gen_terms(rng: random.Random) -> list[tuple]:
+    prof = _profile(rng)
+    if prof == "empty":
+        return []
+    n = rng.randint(1, 6) if prof == "tiny" else rng.randint(5, 40)
+    dom = 1 if prof == "degenerate" else (3 if prof == "ties" else 20)
+    p_null = 0.3 if prof == "nulls" else 0.0
+    return [
+        (_maybe_null(rng, f"t{rng.randrange(dom)}", p_null),)
+        for _ in range(n)
+    ]
+
+
+def gen_points(rng: random.Random) -> list[tuple]:
+    prof = _profile(rng)
+    if prof == "empty":
+        return []
+    n = rng.randint(1, 6) if prof == "tiny" else rng.randint(5, 40)
+    hi = 1 if prof in ("degenerate", "ties") else 9
+    return [
+        (rng.randint(0, hi), rng.randint(0, hi)) for _ in range(n)
+    ]
+
+
+def gen_memberships(rng: random.Random) -> list[tuple]:
+    """(group, item) rows — the co-occurrence graph source."""
+    prof = _profile(rng)
+    if prof == "empty":
+        return []
+    n = rng.randint(2, 8) if prof == "tiny" else rng.randint(6, 30)
+    n_groups = 1 if prof == "degenerate" else rng.randint(2, 6)
+    n_items = 3 if prof == "ties" else rng.randint(3, 10)
+    return [
+        (rng.randrange(n_groups), rng.randrange(n_items))
+        for _ in range(n)
+    ]
+
+
+def gen_series(rng: random.Random) -> list[tuple]:
+    """(key, ts, id, value) rows for the per-key window operators."""
+    prof = _profile(rng)
+    if prof == "empty":
+        return []
+    n = rng.randint(2, 8) if prof == "tiny" else rng.randint(6, 40)
+    keys = ["a"] if prof == "degenerate" else ["a", "b", "c"]
+    rows = []
+    for i in range(n):
+        v = 5 if prof == "ties" else rng.randint(-9, 9)
+        rows.append((rng.choice(keys), i // 3, i, v))
+    return rows
+
+
+def _fifth_wave_ops() -> list[OpCase]:
+    from spark_extensions_spark.operators.graph import (
+        degree_distribution,
+        degree_oracle_sql,
+        grouped_pair_edges,
+        triangle_count,
+        triangle_oracle_sql,
+    )
+    from spark_extensions_spark.operators.sketches import (
+        count_min_oracle_sql,
+        count_min_table,
+        hll_estimate,
+        hll_estimate_oracle_sql,
+        hll_register_oracle_sql,
+        hll_register_table,
+        kmv_oracle_sql,
+        kmv_sketch,
+    )
+    from spark_extensions_spark.operators.skyline import (
+        skyline_2d,
+        skyline_oracle_sql,
+    )
+    from spark_extensions_spark.operators.timeseries import (
+        ewma,
+        ewma_oracle_sql,
+        rolling_zscore,
+        zscore_oracle_sql,
+    )
+
+    return [
+        OpCase(
+            "kmv",
+            "t string",
+            gen_terms,
+            lambda df: kmv_sketch(df, "t", k=8, salt="fz"),
+            lambda src, rows: kmv_oracle_sql(
+                f"({src}) km_src", "t", k=8, salt="fz"
+            ),
+        ),
+        OpCase(
+            "count_min",
+            "t string",
+            gen_terms,
+            lambda df: count_min_table(df, "t", d=2, w=8),
+            lambda src, rows: count_min_oracle_sql(src, "t", d=2, w=8),
+        ),
+        OpCase(
+            "hll_register",
+            "t string",
+            gen_terms,
+            lambda df: hll_register_table(df, "t"),
+            lambda src, rows: hll_register_oracle_sql(src, "t"),
+        ),
+        OpCase(
+            "hll_estimate",
+            "t string",
+            gen_terms,
+            lambda df: hll_estimate(df, "t"),
+            lambda src, rows: hll_estimate_oracle_sql(src, "t"),
+        ),
+        OpCase(
+            "skyline",
+            "x bigint, y bigint",
+            gen_points,
+            lambda df: skyline_2d(df, "x", "y", n_buckets=4),
+            lambda src, rows: skyline_oracle_sql(src, "x", "y"),
+        ),
+        OpCase(
+            "triangles",
+            "grp int, item int",
+            gen_memberships,
+            lambda df: triangle_count(
+                grouped_pair_edges(df, "grp", "item")
+            ),
+            lambda src, rows: triangle_oracle_sql(
+                f"({src})", "grp", "item"
+            ),
+        ),
+        OpCase(
+            "degrees",
+            "grp int, item int",
+            gen_memberships,
+            lambda df: degree_distribution(
+                grouped_pair_edges(df, "grp", "item")
+            ),
+            lambda src, rows: degree_oracle_sql(
+                f"({src})", "grp", "item"
+            ),
+        ),
+        OpCase(
+            "ewma",
+            "k string, ts bigint, id bigint, v bigint",
+            gen_series,
+            lambda df: ewma(df, "k", "ts", "id", "v", alpha=0.5, k=4),
+            lambda src, rows: ewma_oracle_sql(
+                f"({src}) ew_src", "k", "ts", "id", "v", alpha=0.5, k=4
+            ),
+        ),
+        OpCase(
+            "zscore",
+            "k string, ts bigint, id bigint, v bigint",
+            gen_series,
+            lambda df: rolling_zscore(
+                df, "k", "ts", "id", "v", k=4, scale=1
+            ),
+            lambda src, rows: zscore_oracle_sql(
+                f"({src}) zs_src", "k", "ts", "id", "v", k=4, scale=1
             ),
         ),
     ]
