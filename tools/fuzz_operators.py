@@ -15,7 +15,7 @@ columns, and the order-insensitive value hash.
 Reproduce one case standalone:
 ``python tools/fuzz_operators.py [sf_ignored] --op wilcoxon --case 7``
 
-Thirty-seven operators x 30 pinned cases = 1110 (the pytest gate).
+Forty operators x 30 pinned cases = 1200 (the pytest gate).
 """
 
 from __future__ import annotations
@@ -290,7 +290,7 @@ def operator_cases() -> dict[str, OpCase]:
     return {
         op.name: op
         for op in _ops() + _second_wave_ops() + _third_wave_ops()
-        + _fourth_wave_ops() + _fifth_wave_ops()
+        + _fourth_wave_ops() + _fifth_wave_ops() + _sixth_wave_ops()
     }
 
 
@@ -979,6 +979,80 @@ def _fifth_wave_ops() -> list[OpCase]:
             ),
             lambda src, rows: zscore_oracle_sql(
                 f"({src}) zs_src", "k", "ts", "id", "v", k=4, scale=1
+            ),
+        ),
+    ]
+
+
+
+
+# ---- round-8 sixth wave: sampling --------------------------------
+
+def gen_weighted_keys(rng: random.Random) -> list[tuple]:
+    prof = _profile(rng)
+    if prof == "empty":
+        return []
+    n = rng.randint(1, 6) if prof == "tiny" else rng.randint(5, 40)
+    w_hi = 1 if prof == "degenerate" else (3 if prof == "ties" else 50)
+    return [
+        (i, rng.randint(1, w_hi)) for i in range(n)
+    ]
+
+
+def gen_domain_rows(rng: random.Random) -> list[tuple]:
+    prof = _profile(rng)
+    if prof == "empty":
+        return []
+    n = rng.randint(1, 6) if prof == "tiny" else rng.randint(5, 40)
+    n_dom = 1 if prof in ("degenerate", "ties") else rng.randint(2, 5)
+    return [(i, f"d{rng.randrange(n_dom)}") for i in range(n)]
+
+
+def gen_ids(rng: random.Random) -> list[tuple]:
+    prof = _profile(rng)
+    if prof == "empty":
+        return []
+    n = rng.randint(1, 6) if prof == "tiny" else rng.randint(3, 30)
+    return [(i,) for i in range(n)]
+
+
+def _sixth_wave_ops() -> list[OpCase]:
+    from spark_extensions_spark.operators.sampling import (
+        domain_cap,
+        domain_cap_oracle_sql,
+        pps_oracle_sql,
+        pps_systematic,
+        ring_negatives,
+        ring_negatives_oracle_sql,
+    )
+
+    return [
+        OpCase(
+            "pps",
+            "k bigint, w bigint",
+            gen_weighted_keys,
+            lambda df: pps_systematic(df, "k", "w", k=5, salt="fz"),
+            lambda src, rows: pps_oracle_sql(
+                f"({src}) pp_src", "k", "w", k=5, salt="fz"
+            ),
+        ),
+        OpCase(
+            "domain_cap",
+            "id bigint, dom string",
+            gen_domain_rows,
+            lambda df: domain_cap(df, "id", "dom", cap=3, salt="fz"),
+            # builder writes FROM {table_sql} directly
+            lambda src, rows: domain_cap_oracle_sql(
+                f"({src})", "id", "dom", cap=3, salt="fz"
+            ),
+        ),
+        OpCase(
+            "ring_negatives",
+            "id bigint",
+            gen_ids,
+            lambda df: ring_negatives(df, "id", k=3, salt="fz"),
+            lambda src, rows: ring_negatives_oracle_sql(
+                src, "id", k=3, salt="fz"
             ),
         ),
     ]
