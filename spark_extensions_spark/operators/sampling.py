@@ -314,9 +314,10 @@ def grouped_running_sum(
             out_col,
             (F.col("__grs_off") + F.col("__grs_local")).cast("bigint"),
         )
-        # the using-column join reorders columns (join keys first) —
-        # restore the input order so two_phase callers get the same
-        # schema SHAPE as the single-window form, not just values
+        # the eqNullSafe join keeps the right side's temp columns
+        # (__grs_pid2/__grs_g2/__grs_off) — project back to the input
+        # schema so two_phase callers get the same SHAPE as the
+        # single-window form, not just values
         .select(*df.columns, out_col)
     )
 

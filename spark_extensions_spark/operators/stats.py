@@ -1811,3 +1811,72 @@ def wilcoxon_oracle_sql(pairs_sql: str, diff_col: str) -> str:
            {z} AS z
     FROM wx_agg CROSS JOIN wx_zero
     """
+
+
+# ---------------------------------------------------------------------
+# Shared per-group lower-median selection over value-domain cells
+# ---------------------------------------------------------------------
+
+def group_kth_from_cells(
+    cells: DataFrame,
+    group_col: str = "g",
+    val_col: str = "v",
+    cnt_col: str = "cnt",
+) -> DataFrame:
+    """Lower median (the ``(n+1)//2``-th smallest) per group from a
+    ``(group, value, count)`` CELL table — the shared rank-interval
+    selection behind :func:`~...queries50.q_stat_mad` (twice: median
+    and MAD) and ``q_stat_levene``; hoisted here so the five former
+    copies stay in sync (round-8 review finding).
+
+    The value DOMAIN carries the cumulative window (group-partitioned,
+    bounded, no row sort): the selected value is the one whose
+    ``(below, below+cnt]`` rank interval contains k. Output:
+    ``(group_col, med, n)`` — exact integers.
+    """
+    wb = (
+        Window.partitionBy(group_col)
+        .orderBy(val_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wg = Window.partitionBy(group_col)
+    cum = cells.select(
+        group_col,
+        val_col,
+        cnt_col,
+        F.coalesce(F.sum(cnt_col).over(wb), F.lit(0)).alias("__below"),
+        F.sum(cnt_col).over(wg).alias("__n"),
+    )
+    k = F.expr("(__n + 1) div 2")
+    return (
+        cum.where(
+            (F.col("__below") < k)
+            & (k <= F.col("__below") + F.col(cnt_col))
+        )
+        .groupBy(group_col)
+        .agg(
+            F.max(val_col).alias("med"), F.max("__n").alias("n")
+        )
+    )
+
+
+def group_kth_cells_sql(
+    cells_sql: str,
+    group_col: str = "g",
+    val_col: str = "v",
+    cnt_col: str = "cnt",
+) -> str:
+    """DuckDB twin of :func:`group_kth_from_cells` over ``cells_sql``
+    (a query producing (group, value, count) rows). Returns SQL
+    selecting ``(group_col, med, n)``."""
+    return f"""
+      SELECT {group_col}, MAX({val_col}) AS med, MAX(n) AS n FROM (
+        SELECT {group_col}, {val_col}, {cnt_col},
+               COALESCE(SUM({cnt_col}) OVER (PARTITION BY {group_col}
+                 ORDER BY {val_col} ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND 1 PRECEDING), 0) AS below,
+               SUM({cnt_col}) OVER (PARTITION BY {group_col}) AS n
+        FROM ({cells_sql})
+      ) WHERE below < (n + 1) // 2 AND (n + 1) // 2 <= below + {cnt_col}
+      GROUP BY {group_col}
+    """

@@ -376,7 +376,11 @@ def q_kafka_cdc_stream_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        # awaitTermination(timeout) returns False WITHOUT stopping the
+        # query — fail loudly rather than read a partial CDC state
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("cdc ingest did not finish in 300s")
 
     produce(cdc_messages(e.filter(F.col("event_id") < 5000)), root, "cdc",
             num_partitions=8)

@@ -168,12 +168,16 @@ def q_pipeline_streaming_curation(
             d=_SC_BLOOM_D,
             m=_SC_BLOOM_M,
         )
+        # one materialization: the seen-key append AND the partials
+        # aggregate both consume this plan (parse + dedup + bloom +
+        # exact confirm — re-running it per consumer doubles the
+        # per-batch work; round-8 review finding)
         fresh = keyed.join(
             flags.where(~F.col("confirmed_dup")).select(
                 F.col("id").alias("event_id")
             ),
             "event_id",
-        )
+        ).localCheckpoint()
         # seen-state append BEFORE the fold publish: a batch replayed
         # after a crash between the two writes re-runs as a no-op
         # (every key confirms dup), i.e. the dedup state converts the
@@ -232,7 +236,14 @@ def q_pipeline_streaming_curation(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        # awaitTermination(timeout) returns False WITHOUT stopping the
+        # query — a silent partial fold would corrupt the SCD2 history
+        # (round-8 review finding); fail loudly instead
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "streaming_curation ingest did not finish in 300s"
+            )
 
     def snapshot() -> DataFrame:
         state = read_cdc_state(spark, state_dir)
@@ -403,8 +414,8 @@ def _cusum_oracle() -> str:
       FROM cu_day CROSS JOIN cu_tot
     )
     SELECT d,
-           CAST(pref - MIN(pref) OVER (ORDER BY d
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           CAST(pref - LEAST(MIN(pref) OVER (ORDER BY d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
              AS BIGINT) AS cusum_scaled,
            (SELECT CAST(n_days AS BIGINT) FROM cu_tot) AS scale_d
     FROM cu_pref
@@ -459,9 +470,13 @@ def q_ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).over(wc).alias("pref"),
         "n_days",
     )
+    # the min must include the EMPTY prefix (pref_0 = 0): without the
+    # least(..., 0) anchor, S_1 collapses to 0 whenever the series
+    # starts above the mean — the closed form then diverges from the
+    # Page recursion (round-8 review finding, reproduced at sf0.1)
     return pref.select(
         F.col("d").cast("date").cast("timestamp").alias("d"),
-        (F.col("pref") - F.min("pref").over(wc))
+        (F.col("pref") - F.least(F.min("pref").over(wc), F.lit(0)))
         .cast("bigint")
         .alias("cusum_scaled"),
         F.col("n_days").cast("bigint").alias("scale_d"),
@@ -494,7 +509,7 @@ def _conformal_oracle() -> str:
       FROM cf_res WHERE r IS NOT NULL
     ),
     cf_cal AS (
-      SELECT r, ROW_NUMBER() OVER (ORDER BY r, r) AS rr,
+      SELECT r, ROW_NUMBER() OVER (ORDER BY r) AS rr,
              COUNT(*) OVER () AS n_cal
       FROM cf_split WHERE is_cal
     ),
@@ -556,7 +571,9 @@ def q_eval_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r",
         (F.col("rn") <= F.expr("(m * 7) div 10")).alias("is_cal"),
     )
-    wr = Window.orderBy("r", "r")
+    # ties in r need no tiebreak: every row at the selected rank
+    # shares the same r value, which is all the query reads
+    wr = Window.orderBy("r")
     cal = (
         split.where("is_cal")
         .select(
@@ -640,9 +657,10 @@ def _mm_oracle() -> str:
     ),
     mm_scored AS (
       SELECT b.x_id, b.y_id, b.c_e9,
-             CAST(FLOOR(CAST(b.c_e9 AS DOUBLE) * {2 * _MM_K}
-                  / CAST(f.fwd_sum + bb.bwd_sum AS DOUBLE)
-                  * 1e6 + 0.5) AS BIGINT) AS margin_e6
+             CASE WHEN f.fwd_sum + bb.bwd_sum > 0 THEN
+               CAST(FLOOR(CAST(b.c_e9 AS DOUBLE) * {2 * _MM_K}
+                    / CAST(f.fwd_sum + bb.bwd_sum AS DOUBLE)
+                    * 1e6 + 0.5) AS BIGINT) END AS margin_e6
       FROM mm_best b
       JOIN mm_fsum f ON f.query_id = b.x_id
       JOIN mm_bsum bb ON bb.query_id = b.y_id
@@ -732,10 +750,16 @@ def q_retrieval_margin_mining(
             "x_id",
             "y_id",
             F.col("c_e9").alias("cosine_e9"),
+            # ANSI guard: a neighborhood whose quantized cosines sum
+            # to 0 (orthogonal/anti-correlated sides) must yield NULL,
+            # not a DIVIDE_BY_ZERO; a non-positive denominator would
+            # also invert the margin criterion — same CASE on both
+            # engines (round-8 review finding)
             F.expr(
+                f"case when fwd_sum + bwd_sum > 0 then "
                 f"cast(floor(cast(c_e9 as double) * {2 * _MM_K}"
                 " / cast(fwd_sum + bwd_sum as double)"
-                " * 1e6 + 0.5d) as bigint)"
+                " * 1e6 + 0.5d) as bigint) else null end"
             ).alias("margin_e6"),
         )
     )
@@ -1068,51 +1092,29 @@ def q_embedding_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _mad_oracle() -> str:
-    # lower median: the k-th smallest with k = (n+1)//2 — integer-exact
-    return """
-    WITH md_vals AS (
-      SELECT o_orderpriority AS g,
-             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS v
-      FROM orders
-    ),
-    md_cells AS (
-      SELECT g, v, COUNT(*) AS cnt FROM md_vals GROUP BY 1, 2
-    ),
-    md_cum AS (
-      SELECT g, v, cnt,
-             COALESCE(SUM(cnt) OVER (PARTITION BY g ORDER BY v
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-               AS below,
-             SUM(cnt) OVER (PARTITION BY g) AS n
-      FROM md_cells
-    ),
-    md_med AS (
-      SELECT g, MAX(n) AS n, MAX(v) AS med
-      FROM md_cum
-      WHERE below < (n + 1) // 2 AND (n + 1) // 2 <= below + cnt
-      GROUP BY g
-    ),
-    md_dcells AS (
-      SELECT c.g, ABS(c.v - m.med) AS d, SUM(c.cnt) AS cnt
-      FROM md_cells c JOIN md_med m ON m.g = c.g
-      GROUP BY 1, 2
-    ),
-    md_dcum AS (
-      SELECT g, d, cnt,
-             COALESCE(SUM(cnt) OVER (PARTITION BY g ORDER BY d
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-               AS below,
-             SUM(cnt) OVER (PARTITION BY g) AS n
-      FROM md_dcells
+    from spark_extensions_spark.operators.stats import (
+        group_kth_cells_sql,
     )
-    SELECT dc.g,
+
+    cells = """
+      SELECT o_orderpriority AS g,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS v,
+             COUNT(*) AS cnt
+      FROM orders GROUP BY 1, 2
+    """
+    med = group_kth_cells_sql(cells)
+    dcells = f"""
+      SELECT c.g, ABS(c.v - m.med) AS v, SUM(c.cnt) AS cnt
+      FROM ({cells}) c JOIN ({med}) m ON m.g = c.g
+      GROUP BY 1, 2
+    """
+    mad = group_kth_cells_sql(dcells)
+    return f"""
+    SELECT m.g,
            CAST(m.n AS BIGINT) AS n,
            CAST(m.med AS BIGINT) AS median_cents,
-           CAST(MAX(dc.d) AS BIGINT) AS mad_cents
-    FROM md_dcum dc JOIN md_med m ON m.g = dc.g
-    WHERE dc.below < (dc.n + 1) // 2
-      AND (dc.n + 1) // 2 <= dc.below + dc.cnt
-    GROUP BY dc.g, m.n, m.med
+           CAST(d.med AS BIGINT) AS mad_cents
+    FROM ({med}) m JOIN ({mad}) d ON d.g = m.g
     """
 
 
@@ -1131,7 +1133,9 @@ def _mad_oracle() -> str:
     "domains — bounded and parallel at any scale.",
 )
 def q_stat_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    from spark_extensions_spark.operators.stats import (
+        group_kth_from_cells,
+    )
 
     o = _t(spark, sf_dir, "orders")["orders"]
     cells = (
@@ -1145,36 +1149,14 @@ def q_stat_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
         .localCheckpoint(eager=False)
     )
-
-    def kth_smallest(cdf: DataFrame, val: str) -> DataFrame:
-        wb = (
-            Window.partitionBy("g")
-            .orderBy(val)
-            .rowsBetween(Window.unboundedPreceding, -1)
-        )
-        wg = Window.partitionBy("g")
-        cum = cdf.select(
-            "g",
-            val,
-            "cnt",
-            F.coalesce(F.sum("cnt").over(wb), F.lit(0)).alias("below"),
-            F.sum("cnt").over(wg).alias("n"),
-        )
-        k = F.expr("(n + 1) div 2")
-        return cum.where(
-            (F.col("below") < k) & (k <= F.col("below") + F.col("cnt"))
-        ).select("g", F.col(val).alias("__sel"), "n")
-
-    med = kth_smallest(cells, "v").select(
-        "g", F.col("__sel").alias("med"), "n"
-    )
+    med = group_kth_from_cells(cells)
     dcells = (
         cells.join(F.broadcast(med.select("g", "med")), "g")
-        .groupBy("g", F.abs(F.col("v") - F.col("med")).alias("d"))
+        .groupBy("g", F.abs(F.col("v") - F.col("med")).alias("v"))
         .agg(F.sum("cnt").alias("cnt"))
     )
-    mad = kth_smallest(dcells, "d").select(
-        "g", F.col("__sel").alias("mad")
+    mad = group_kth_from_cells(dcells).select(
+        "g", F.col("med").alias("mad")
     )
     return (
         med.join(mad, "g")
@@ -1339,22 +1321,17 @@ def q_eval_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lv_med_sql() -> str:
-    # per-group lower median by rank-interval membership (the stat_mad
-    # selection, inlined for the transformed-source oracle)
-    return """
-      SELECT g, MAX(v) AS med FROM (
-        SELECT g, v, cnt,
-               COALESCE(SUM(cnt) OVER (PARTITION BY g ORDER BY v
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                 AS below,
-               SUM(cnt) OVER (PARTITION BY g) AS n
-        FROM (SELECT o_orderpriority AS g,
-                     CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
-                       AS v, COUNT(*) AS cnt
-              FROM orders GROUP BY 1, 2)
-      ) WHERE below < (n + 1) // 2 AND (n + 1) // 2 <= below + cnt
-      GROUP BY g
+    from spark_extensions_spark.operators.stats import (
+        group_kth_cells_sql,
+    )
+
+    cells = """
+      SELECT o_orderpriority AS g,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS v,
+             COUNT(*) AS cnt
+      FROM orders GROUP BY 1, 2
     """
+    return group_kth_cells_sql(cells)
 
 
 def _lv_oracle() -> str:
@@ -1386,9 +1363,10 @@ def _lv_oracle() -> str:
     "operator composition, not a bespoke formula.",
 )
 def q_stat_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
-    from spark_extensions_spark.operators.stats import anova_f
+    from spark_extensions_spark.operators.stats import (
+        anova_f,
+        group_kth_from_cells,
+    )
 
     o = _t(spark, sf_dir, "orders")["orders"]
     vals = o.select(
@@ -1398,27 +1376,7 @@ def q_stat_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("v"),
     )
     cells = vals.groupBy("g", "v").agg(F.count(F.lit(1)).alias("cnt"))
-    wb = (
-        Window.partitionBy("g")
-        .orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    wg = Window.partitionBy("g")
-    cum = cells.select(
-        "g",
-        "v",
-        "cnt",
-        F.coalesce(F.sum("cnt").over(wb), F.lit(0)).alias("below"),
-        F.sum("cnt").over(wg).alias("n"),
-    )
-    k = F.expr("(n + 1) div 2")
-    med = (
-        cum.where(
-            (F.col("below") < k) & (k <= F.col("below") + F.col("cnt"))
-        )
-        .groupBy("g")
-        .agg(F.max("v").alias("med"))
-    )
+    med = group_kth_from_cells(cells).select("g", "med")
     z = vals.join(F.broadcast(med), "g").select(
         F.col("g").alias("grp"),
         F.abs(F.col("v") - F.col("med")).alias("z"),

@@ -439,3 +439,33 @@ def test_auc_pr_matches_sklearn_style_recompute(spark, sf_dir):
     assert abs(out["ap"] - ap_num / (p_tot * 1e9)) < 1e-9
     # AP of a random scorer ~ base rate; sanity bound
     assert 0.0 <= out["ap"] <= 1.0
+
+
+def test_cusum_handles_series_starting_above_mean(spark):
+    """The round-8 review bug: without the empty-prefix (pref_0 = 0)
+    anchor in the cumulative min, S_1 collapsed to 0 whenever day 1
+    sat above the mean. Pin a hand series where it does."""
+    # series 9, 1, 2 (mean 4): textbook S (scaled by D=3, T=12):
+    # dev = [15, -9, -6]; S = [15, 6, 0]
+    series = [9, 1, 2]
+    d_n, total = len(series), sum(series)
+    s_val, expect = 0, []
+    for x in series:
+        s_val = max(0, s_val + (x * d_n - total))
+        expect.append(s_val)
+    assert expect == [15, 6, 0]
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE TABLE orders AS SELECT * FROM (VALUES "
+        "(DATE '2024-01-01', 9.0), (DATE '2024-01-02', 1.0), "
+        "(DATE '2024-01-03', 2.0)) t(o_orderdate, o_totalprice)"
+    )
+    from spark_extensions_spark.queries50 import _cusum_oracle
+
+    got = [
+        r[1]
+        for r in sorted(con.sql(_cusum_oracle()).fetchall())
+    ]
+    assert got == [v * 100 for v in expect]  # cents scaling

@@ -5,6 +5,7 @@ dbd5325, and never advanced) so slow cross-round drift cannot hide
 behind baseline advancement (VERDICT r6 "What's wrong" #1).
 
 Usage: python tools/bench_diff.py [baseline.json] [current.json] [ratio]
+       python tools/bench_diff.py --append-epoch [current.json]
 Defaults: BENCH_BASELINE.json vs BENCH_DETAIL.json at 2.0x; the epoch
 check always runs additionally against BENCH_EPOCH.json when the file
 exists and the default baseline is in use. Exit 1 when any query
@@ -56,7 +57,12 @@ def append_epoch(cur_p: str) -> int:
     ABSENT from the epoch file with its current (idle-machine)
     measurement; NEVER overwrite an existing epoch row."""
     cur = json.load(open(cur_p))["queries"]
-    epoch = json.load(open(EPOCH_PATH))
+    try:
+        epoch = json.load(open(EPOCH_PATH))
+    except FileNotFoundError:
+        print(f"no epoch at {EPOCH_PATH}; record one first with: "
+              f"cp {cur_p} {EPOCH_PATH}")
+        return 0
     added = 0
     for name, t in sorted(cur.items()):
         if name not in epoch["queries"]:
