@@ -268,6 +268,14 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n = nodes.count()
+    if n == 0:
+        # empty graph: no nodes, no ranks (operator fuzzer, round 8 —
+        # the driver-side integer division below would raise on n = 0)
+        return nodes.select(
+            F.col("node"),
+            F.lit(0.0).alias("rank"),
+            F.lit(0).cast("bigint").alias("rank_scaled"),
+        )
     outdeg = E.groupBy("src").agg(F.count("*").alias("outdeg"))
     e_deg = E.join(outdeg, "src").localCheckpoint(eager=True)
 

@@ -71,11 +71,11 @@ def test_fuzz_generation_is_seed_pinned():
             assert a == b, op.name
 
 
-def test_operator_fuzz_1200_cases_no_divergence(spark):
+def test_operator_fuzz_1320_cases_no_divergence(spark):
     n_pass, failures = run_fuzz(spark, n_per_op=30, seed="opfuzz-r8")
     msg = "\n".join(f"{o}#{i}: {p}" for o, i, p in failures[:8])
     assert not failures, f"{len(failures)} divergences:\n{msg}"
-    assert n_pass == 1200
+    assert n_pass == 1320
 
 
 def test_mannwhitney_empty_group_defined_null(spark):

@@ -15,7 +15,7 @@ columns, and the order-insensitive value hash.
 Reproduce one case standalone:
 ``python tools/fuzz_operators.py [sf_ignored] --op wilcoxon --case 7``
 
-Forty operators x 30 pinned cases = 1200 (the pytest gate).
+Forty-four operators x 30 pinned cases = 1320 (the pytest gate).
 """
 
 from __future__ import annotations
@@ -291,6 +291,7 @@ def operator_cases() -> dict[str, OpCase]:
         op.name: op
         for op in _ops() + _second_wave_ops() + _third_wave_ops()
         + _fourth_wave_ops() + _fifth_wave_ops() + _sixth_wave_ops()
+        + _seventh_wave_ops()
     }
 
 
@@ -1053,6 +1054,105 @@ def _sixth_wave_ops() -> list[OpCase]:
             lambda df: ring_negatives(df, "id", k=3, salt="fz"),
             lambda src, rows: ring_negatives_oracle_sql(
                 src, "id", k=3, salt="fz"
+            ),
+        ),
+    ]
+
+
+
+
+# ---- round-8 seventh wave: iterative graph operators -----------------
+
+def gen_edges(rng: random.Random) -> list[tuple]:
+    """Random small graphs: paths, cliques-ish, disconnected pieces."""
+    prof = _profile(rng)
+    if prof == "empty":
+        return []
+    n_nodes = rng.randint(2, 4) if prof == "tiny" else rng.randint(3, 10)
+    edges = set()
+    if prof == "degenerate":
+        # a path — the deep-diameter shape fixed-round ops truncate
+        for i in range(n_nodes - 1):
+            edges.add((i, i + 1))
+    else:
+        n_edges = rng.randint(1, n_nodes * 2)
+        for _ in range(n_edges):
+            a, b = rng.randrange(n_nodes), rng.randrange(n_nodes)
+            if a != b:
+                edges.add((min(a, b), max(a, b)))
+        if not edges:
+            edges.add((0, 1))
+    return sorted(edges)
+
+
+def _edges_sql(src: str) -> str:
+    # the oracle builders require DISTINCT canonical src < dst pairs —
+    # the generator already emits exactly that shape
+    return f"SELECT src, dst FROM ({src}) ge"
+
+
+def _seventh_wave_ops() -> list[OpCase]:
+    from spark_extensions_spark.operators.graph import (
+        bfs_layers,
+        bfs_oracle_sql,
+        k_core,
+        kcore_oracle_sql,
+        label_propagation,
+        lpa_oracle_sql,
+        pagerank,
+        pagerank_oracle_sql,
+    )
+
+    def seeds(df):
+        from pyspark.sql import functions as _F
+
+        return (
+            df.select(_F.col("src").alias("node"))
+            .unionByName(df.select(_F.col("dst").alias("node")))
+            .where(_F.col("node") % 3 == 0)
+            .distinct()
+        )
+
+    seeds_sql = (
+        "SELECT DISTINCT node FROM (SELECT src AS node FROM ({src}) s1 "
+        "UNION ALL SELECT dst FROM ({src}) s2) WHERE node % 3 = 0"
+    )
+
+    return [
+        OpCase(
+            "pagerank",
+            "src bigint, dst bigint",
+            gen_edges,
+            lambda df: pagerank(df, iterations=2),
+            lambda src, rows: pagerank_oracle_sql(
+                _edges_sql(src), iterations=2
+            ),
+        ),
+        OpCase(
+            "lpa",
+            "src bigint, dst bigint",
+            gen_edges,
+            lambda df: label_propagation(df, iterations=2),
+            lambda src, rows: lpa_oracle_sql(
+                _edges_sql(src), iterations=2
+            ),
+        ),
+        OpCase(
+            "kcore",
+            "src bigint, dst bigint",
+            gen_edges,
+            lambda df: k_core(df, k=2, rounds=2),
+            lambda src, rows: kcore_oracle_sql(
+                _edges_sql(src), k=2, rounds=2
+            ),
+        ),
+        OpCase(
+            "bfs",
+            "src bigint, dst bigint",
+            gen_edges,
+            lambda df: bfs_layers(df, seeds(df), rounds=2),
+            lambda src, rows: bfs_oracle_sql(
+                _edges_sql(src), seeds_sql.format(src=src), rounds=2
             ),
         ),
     ]
