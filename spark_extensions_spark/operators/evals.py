@@ -893,7 +893,8 @@ def auc_pr(
     BOUNDARY (the deterministic tie convention both engines share; a
     per-row walk would be tie-order-dependent). Each block term
     ``pos_b · cum_pos_b / cum_n_b`` is a ratio of exact integers
-    (IEEE-deterministic division), floor-e9-quantized BEFORE the exact
+    (IEEE-deterministic division), round-half-up e9-quantized
+    (``floor(x*1e9 + 0.5)``) BEFORE the exact
     cross-block sum — the psi recipe — and the final /P is one double
     division, CASE-guarded NULL when the input has no positives.
 

@@ -1,0 +1,66 @@
+"""Round-9 wave: verdict-r8 fixes.
+
+- link_predict_anchored anchor-set broadcast guard (VERDICT r8 #4 /
+  "what's wrong" #3): the served anchor set is counted once and the
+  function refuses beyond ``_ANCHORS_BROADCAST_MAX``, naming the
+  shuffle/IVF alternatives — mirroring hard_negatives.
+- pagerank empty-graph branch emits the SAME column order as the main
+  path (ADVICE r8), so positional consumers / unionAll bind identically.
+"""
+
+import pytest
+
+
+def test_link_predict_anchored_refuses_oversized_anchor_set(
+    spark, monkeypatch
+):
+    import spark_extensions_spark.operators.graph as g
+
+    monkeypatch.setattr(g, "_ANCHORS_BROADCAST_MAX", 1)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 4), (3, 4)], "src int, dst int"
+    )
+    anchors = spark.createDataFrame([(1,), (2,)], "node int")
+    with pytest.raises(ValueError, match="exceeds the broadcast bound"):
+        g.link_predict_anchored(
+            edges, anchors, "node", min_common=2, top_k=5
+        )
+    # the refusal message must name the alternatives a user would reach for
+    try:
+        g.link_predict_anchored(edges, anchors, "node")
+    except ValueError as e:
+        assert "link_predict" in str(e)
+        assert "IVF" in str(e)
+
+
+def test_link_predict_anchored_unchanged_below_anchor_bound(spark):
+    from spark_extensions_spark.operators.graph import (
+        link_predict_anchored,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 4), (3, 4)], "src int, dst int"
+    )
+    anchors = spark.createDataFrame([(1,), (2,)], "node int")
+    out = {
+        (r["anchor"], r["candidate"]): r["common_neighbors"]
+        for r in link_predict_anchored(
+            edges, anchors, "node", min_common=2, top_k=5
+        ).collect()
+    }
+    assert out == {(1, 3): 2, (2, 4): 2}
+
+
+def test_pagerank_empty_graph_column_order_matches_main_path(spark):
+    from spark_extensions_spark.operators.graph import pagerank
+
+    empty = spark.createDataFrame([], "src int, dst int")
+    nonempty = spark.createDataFrame([(1, 2)], "src int, dst int")
+    cols_empty = pagerank(empty, iterations=1).columns
+    cols_main = pagerank(nonempty, iterations=1).columns
+    assert cols_empty == cols_main == ["node", "rank_scaled", "rank"]
+    # the branches must union positionally without mis-binding
+    u = pagerank(empty, iterations=1).union(pagerank(nonempty, iterations=1))
+    rows = u.collect()
+    assert {r["node"] for r in rows} == {1, 2}
+    assert all(r["rank_scaled"] >= 0 for r in rows)

@@ -157,20 +157,10 @@ def test_scd2_apply_is_idempotent_for_noop_reapply(spark, batch):
         )
 
     h1, h2 = hist_set(once), hist_set(twice)
-    # deletes already applied and matching-value upserts are no-ops;
-    # the ONLY legal difference is a re-opened slice for keys that a
-    # delete closed and an I/U in the same batch re-inserts — which
-    # unique_by forbids here, so re-apply must change NOTHING except
-    # re-inserting rows for keys deleted in round 2 with op I/U... and
-    # those were closed, so an I/U reopens them at version 3.
-    reinserts = {
-        k for k, op, v in batch
-        if op in ("I", "U")
-        and any(t[0] == k and t[3] == 2 and t[1] == v for t in h1)
-    }
-    if not reinserts:
-        assert h1 == h2
-    else:
-        assert [t for t in h2 if t[0] not in reinserts] == [
-            t for t in h1 if t[0] not in reinserts
-        ]
+    # deletes already applied and matching-value upserts are no-ops,
+    # and unique_by forbids the one I/U-after-D-in-batch scenario that
+    # could legally reopen a slice — so re-apply must be a pure no-op.
+    # (Round-9 advice: the earlier `reinserts` branch was dead code —
+    # ops are sampled from {U, D} only and the closed-slice value can
+    # never equal the batch value when a slice actually closed.)
+    assert h1 == h2
