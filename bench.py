@@ -26,6 +26,38 @@ from spark_extensions_spark.session import get_spark  # noqa: E402
 # sign-plane ann_lsh) runs in the headline wall-clock.
 SKIP: set[str] = set()
 
+# Re-measure thresholds — must mirror tools/bench_diff.py's gate so the
+# rows the differ would flag are exactly the rows that get a second,
+# back-to-back measurement.
+REMEASURE_RATIO = 2.0
+REMEASURE_MIN_SECONDS = 1.0
+
+
+def remeasure_contended(
+    run_one,
+    timings: dict[str, float],
+    baseline: dict[str, float],
+    ratio: float = REMEASURE_RATIO,
+    min_seconds: float = REMEASURE_MIN_SECONDS,
+) -> dict[str, dict[str, float]]:
+    """Re-run every query whose first timing tripped the regression
+    gate vs ``baseline`` and return {name: {first, remeasured}}.
+
+    The second measurement runs back-to-back in the same session after
+    the whole suite, so transient machine contention during the first
+    pass (the round-8 driver-run artifact: untouched sub-second queries
+    recorded 5-11x) is absorbed while a real code regression reproduces.
+    bench_diff gates on the re-measured value when present.
+    """
+    out: dict[str, dict[str, float]] = {}
+    for name, t in sorted(timings.items()):
+        b = baseline.get(name)
+        if b is None or b <= 0:
+            continue
+        if t > min_seconds and t / b > ratio:
+            out[name] = {"first": t, "remeasured": run_one(name)}
+    return out
+
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -97,14 +129,38 @@ def main() -> int:
     def _bench_order(name: str) -> str:
         return hashlib.md5(name.encode()).hexdigest()
 
+    by_name = {q.name: q for q in registry()}
+
+    def run_one(name: str) -> float:
+        t0 = time.time()
+        by_name[name].spark(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return round(time.time() - t0, 3)
+
     timings: dict[str, float] = {}
     for q in sorted(registry(), key=lambda q: _bench_order(q.name)):
         if q.name in SKIP:
             continue
-        t0 = time.time()
-        df = q.spark(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[q.name] = round(time.time() - t0, 3)
+        timings[q.name] = run_one(q.name)
+
+    # Self-defending re-measure pass (VERDICT r8 #3): a contended bench
+    # machine inflates untouched sub-second queries 5-11x and nothing
+    # distinguishes that from a real regression. Re-measure (same
+    # session, right after the suite) every query whose first timing
+    # exceeded the gate ratio vs the rolling baseline; BENCH_DETAIL
+    # records {"first", "remeasured"} per such row and bench_diff gates
+    # on the re-measured value. A real regression re-measures slow; a
+    # contention artifact re-measures at baseline.
+    base_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json"
+    )
+    try:
+        with open(base_path) as fh:
+            base_q = json.load(fh)["queries"]
+    except (FileNotFoundError, KeyError, json.JSONDecodeError):
+        base_q = {}
+    remeasured = remeasure_contended(run_one, timings, base_q)
 
     total = round(sum(timings.values()), 3)
     ordered = sorted(timings.values())
@@ -117,8 +173,16 @@ def main() -> int:
     )
     with open(detail_path, "w") as fh:
         json.dump(
-            {"sf": sf, "n_queries": len(timings), "queries": timings}, fh,
-            indent=1, sort_keys=True,
+            {
+                "sf": sf,
+                "n_queries": len(timings),
+                "queries": timings,
+                # gate on these where present (see remeasure_contended)
+                "remeasured": remeasured,
+            },
+            fh,
+            indent=1,
+            sort_keys=True,
         )
     print(
         json.dumps(
@@ -133,6 +197,7 @@ def main() -> int:
                 # median and count are.
                 "n_queries": len(timings),
                 "median_query_sec": median,
+                "n_remeasured": len(remeasured),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -69,7 +69,24 @@ def word_frequencies(df: DataFrame, text_col: str) -> DataFrame:
 def bpe_train(
     word_freqs: list[tuple[str, int]], num_merges: int
 ) -> list[tuple[str, str]]:
-    """Learn ``num_merges`` BPE merges from a (word, freq) table.
+    """Learn ``num_merges`` BPE merges from a (word, freq) table."""
+    return _bpe_train_full(word_freqs, num_merges)[0]
+
+
+def bpe_train_stats(
+    word_freqs: list[tuple[str, int]], num_merges: int
+) -> list[tuple[str, str, int]]:
+    """Like :func:`bpe_train` but returns ``(left, right, count)`` per
+    merge — the pair count at the moment the merge was selected. This
+    is the hash-checkable MERGE TABLE the tokenizer_bpe_merges oracle
+    recomputes round-by-round in SQL."""
+    return _bpe_train_full(word_freqs, num_merges)[1]
+
+
+def _bpe_train_full(
+    word_freqs: list[tuple[str, int]], num_merges: int
+) -> tuple[list[tuple[str, str]], list[tuple[str, str, int]]]:
+    """Greedy BPE merge learning; returns (merges, merge stats).
 
     Greedy textbook loop: represent each word as a symbol sequence
     (chars + trailing END_OF_WORD), repeatedly merge the globally most
@@ -106,6 +123,7 @@ def bpe_train(
         _add_word_pairs(i, +1)
 
     merges: list[tuple[str, str]] = []
+    stats: list[tuple[str, str, int]] = []
     for _ in range(num_merges):
         best: tuple[str, str] | None = None
         best_n = 1
@@ -115,6 +133,7 @@ def bpe_train(
         if best is None:
             break
         merges.append(best)
+        stats.append((best[0], best[1], best_n))
         merged = best[0] + best[1]
         for i in list(pair_words.get(best, ())):
             seq = words[i]
@@ -137,7 +156,7 @@ def bpe_train(
             words[i] = out
             _add_word_pairs(i, +1)
         pair_counts = {p: n for p, n in pair_counts.items() if n > 0}
-    return merges
+    return merges, stats
 
 
 def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:

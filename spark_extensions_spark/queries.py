@@ -87,19 +87,38 @@ def _register(name: str, oracle: str | None, doc: str = ""):
 # sample_dsir / embedding_quantize stay in-window as portability
 # sentinels per the verdict.
 _PRIORITY: tuple[str, ...] = (
-    # round-8 rotation (VERDICT r7 #2): the twelve never-driver-graded
-    # round-7 families in (hll estimate/rollup, krippendorff, mcnemar,
-    # wilcoxon, friedman, theil-sen, rolling median, dp laplace, bpe
-    # pair stats, containment dedup, cdc-to-scd2), displacing the
-    # longest-green r6/r7 rows; every outgoing family keeps >=1
-    # in-window rep (dedup: exact/minhash/containment; eval:
-    # auc/classifier_f1/krippendorff/mcnemar; stats: psi/ks/wilcoxon/
-    # friedman; ts: anomaly/theil_sen/rolling_median; agg: count_min/
-    # hll pair; pipeline: release_v2/tokenize_pack/cdc_to_scd2;
-    # privacy: dp_laplace; analytic: match_pattern; graph: triangles;
-    # streaming: ewma). sample_dsir / embedding_quantize remain the
-    # portability sentinels per the verdict.
-    "eval_auc_exact",
+    # round-9 rotation (VERDICT r8 #2): the fourteen never-driver-graded
+    # round-8 additions (streaming-curation flagship, margin mining,
+    # cusum, mutual info, conformal, brier, levene, mad, trimmed mean,
+    # neyman, assortativity, matryoshka, auc_pr) plus the two
+    # fuzzer-fixed never-graded stats (mannwhitney, runs_test) and the
+    # NEW tokenizer_bpe_merges (VERDICT r8 #9 — the merge loop itself,
+    # now oracle-backed), displacing the longest-green rows; every
+    # outgoing family keeps >=1 in-window rep (eval: krippendorff/
+    # mcnemar/conformal/brier/auc_pr; stats: wilcoxon/friedman + the
+    # five incoming; ts: theil_sen/rolling_median/cusum; graph:
+    # assortativity; retrieval: margin_mining; sample: neyman/dsir;
+    # agg: hll pair/trimmed_mean; pipeline: release_v2/cdc_to_scd2/
+    # streaming_curation; text: contamination; join: broadcast/asof;
+    # battery: string_battery; scd2: pipeline_cdc_to_scd2; streaming:
+    # pipeline_streaming_curation). sample_dsir / embedding_quantize
+    # remain the portability sentinels per the verdict.
+    "pipeline_streaming_curation",
+    "retrieval_margin_mining",
+    "ts_cusum",
+    "stat_mutual_info",
+    "eval_conformal",
+    "eval_brier",
+    "stat_levene",
+    "stat_mad",
+    "agg_trimmed_mean",
+    "sample_neyman",
+    "graph_assortativity",
+    "embedding_matryoshka",
+    "eval_auc_pr",
+    "stat_mannwhitney",
+    "stat_runs_test",
+    "tokenizer_bpe_merges",
     "analytic_match_pattern",
     "agg_hll_estimate",
     "join_broadcast",
@@ -114,15 +133,9 @@ _PRIORITY: tuple[str, ...] = (
     "pipeline_release_v2",
     "ts_theil_sen",
     "ts_rolling_median",
-    "scd2_history",
     "pipeline_cdc_to_scd2",
-    "text_gopher_rules",
     "eval_krippendorff",
-    "sample_token_budget",
-    "streaming_ewma",
     "udtf_word_pos",
-    "agg_count_min",
-    "stat_psi",
     "privacy_dp_laplace",
     "ann_bruteforce",
     "text_contamination",
@@ -130,21 +143,12 @@ _PRIORITY: tuple[str, ...] = (
     "confluent_avro_roundtrip",
     "json_variant",
     "multimodal_decode",
-    "stat_ks_test",
     "window_sliding_distinct",
-    "ts_anomaly",
-    "graph_triangles",
     "eval_mcnemar",
-    "retrieval_rrf",
     "string_battery",
-    "date_battery",
-    "join_semi",
-    "join_anti",
     "set_except_all",
     "rlhf_best_of_n",
-    "pipeline_tokenize_pack",
     "stat_friedman",
-    "eval_classifier_f1",
     "cdc_changefeed",
     # portability sentinels (3-round hash-fail history, green since r5)
     "sample_dsir",
@@ -152,6 +156,24 @@ _PRIORITY: tuple[str, ...] = (
     # Kafka-semantics log family — kafka_log_roundtrip is position 50
     "kafka_log_roundtrip",
     # --- graded-50 boundary ---
+    # round-9 rotated-out rows (driver-green r8, families still
+    # represented in-window)
+    "eval_auc_exact",
+    "eval_classifier_f1",
+    "stat_psi",
+    "stat_ks_test",
+    "ts_anomaly",
+    "graph_triangles",
+    "retrieval_rrf",
+    "sample_token_budget",
+    "agg_count_min",
+    "pipeline_tokenize_pack",
+    "text_gopher_rules",
+    "join_semi",
+    "join_anti",
+    "date_battery",
+    "scd2_history",
+    "streaming_ewma",
     # round-8 rotated-out rows (driver-green r6/r7, families still
     # represented in-window)
     "streaming_match_pattern",
@@ -207,7 +229,6 @@ _PRIORITY: tuple[str, ...] = (
     "text_line_dedup",
     "sample_shuffle_index",
     "analytic_attribution",
-    "stat_mannwhitney",
     "agg_moments",
     "layout_compaction",
     "quality_skew_audit",

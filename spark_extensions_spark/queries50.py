@@ -1517,3 +1517,6 @@ def q_eval_auc_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_type") == "click").alias("y"),
     )
     return auc_pr(scored, "s", "y")
+
+
+from spark_extensions_spark import queries51  # noqa: E402,F401  (registration side effect)

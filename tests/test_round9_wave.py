@@ -51,6 +51,44 @@ def test_link_predict_anchored_unchanged_below_anchor_bound(spark):
     assert out == {(1, 3): 2, (2, 4): 2}
 
 
+def test_bpe_merges_oracle_matches_trainer_on_hand_corpus(spark):
+    """The unrolled-CTE DuckDB oracle and the real trainer agree
+    round-by-round on the classic Sennrich corpus (low/lower/newest/
+    widest) — merge pairs, tie-breaks, AND selection-time counts."""
+    import duckdb
+
+    from spark_extensions_spark.functions.tokenizer import (
+        bpe_train_stats,
+        word_frequencies,
+    )
+    from spark_extensions_spark.queries51 import _bpm_oracle
+
+    corpus = (
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    )
+    docs = spark.createDataFrame(
+        [(0, " ".join(corpus))], "doc_id int, text string"
+    )
+    wf = word_frequencies(docs, "text").filter("freq >= 2").collect()
+    stats = bpe_train_stats(
+        [(r["word"], r["freq"]) for r in wf], 3
+    )
+    con = duckdb.connect()
+    text = " ".join(corpus)
+    con.execute(
+        f"CREATE VIEW documents AS SELECT 0 AS doc_id, '{text}' AS text"
+    )
+    oracle = con.execute(_bpm_oracle(3)).fetchall()
+    assert [(le, ri, c) for le, ri, c in stats] == [
+        (row[1], row[2], row[3]) for row in sorted(oracle)
+    ]
+    # pin the textbook result so both engines are checked against a
+    # third, hand-derivable source (9 = 6 newest + 3 widest)
+    assert stats[0] == ("e", "s", 9)
+    assert stats[1] == ("es", "t", 9)
+    assert stats[2] == ("est", "</w>", 9)
+
+
 def test_pagerank_empty_graph_column_order_matches_main_path(spark):
     from spark_extensions_spark.operators.graph import pagerank
 

@@ -9,7 +9,28 @@ UNSHIFTED single copies so the dimension joins fan IN exactly like a
 real 10x corpus (every copy shares the same 25-nation world — also the
 realistic skew shape).
 
-Usage: python tools/make_sf1.py [out_dir] [k] [src_sf_dir]
+Usage: python tools/make_sf1.py [out_dir] [k] [src_sf_dir] [--zipf [alpha]]
+
+``--zipf`` (VERDICT r8 #1) produces the SKEWED variant of the same
+fixture: every gate in the repo runs on uniformly-distributed keys,
+yet production 100 TB joins and windows die on Zipfian key skew — the
+one unmeasured scale risk. The variant keeps row counts and FK
+integrity identical to the uniform fixture and re-draws only the
+distribution of three hot surfaces:
+
+- ``orders.o_custkey``  → bounded-Zipf(alpha, 10·|customer|) draw
+- ``lineitem.l_partkey`` → bounded-Zipf(alpha, 10·|part|) draw
+- ``events.ts``          → one hot day absorbing ~25% of all events
+  (time-of-day preserved, so session/tumbling windows still spread)
+
+Draw mechanics: u = xxhash64(row pk) mapped to [0,1) (deterministic,
+seed-free), rank = inverse-CDF of the bounded zeta distribution
+    rank = floor((1 - u·(1 - N^(1-alpha)))^(-1/(alpha-1)))
+(frequency ∝ rank^-alpha, the textbook Zipf tail; alpha defaults to
+1.1 — hot enough that the single hottest customer takes ~2-3% of all
+orders at N = 150k), then rank maps back into the striped key layout
+(idx = rank % per_copy, copy = rank // per_copy) so every drawn key
+EXISTS in the dimension table and joins stay referentially intact.
 """
 
 from __future__ import annotations
@@ -19,6 +40,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from pyspark.sql import Column, DataFrame  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
 from spark_extensions_spark.session import (  # noqa: E402
@@ -46,13 +68,90 @@ STRIDES: dict[str, dict[str, int]] = {
 }
 
 
+def zipf_rank(u: Column, n_keys: int, alpha: float) -> Column:
+    """Inverse-CDF of the bounded zeta distribution: u in [0,1) ->
+    0-based rank in [0, n_keys), frequency ∝ (rank+1)^-alpha."""
+    b = 1.0 - float(n_keys) ** (1.0 - alpha)
+    k_cont = F.pow(F.lit(1.0) - u * F.lit(b), F.lit(-1.0 / (alpha - 1.0)))
+    rank = (F.floor(k_cont) - F.lit(1)).cast("bigint")
+    return F.greatest(F.lit(0), F.least(rank, F.lit(n_keys - 1)))
+
+
+def _unit_hash(*cols: str) -> Column:
+    """Deterministic seed-free uniform draw in [0,1) from row identity."""
+    return F.pmod(F.xxhash64(*cols), F.lit(1 << 20)) / float(1 << 20)
+
+
+def apply_zipf_skew(
+    name: str,
+    outdf: DataFrame,
+    per_copy: dict[str, int],
+    k: int,
+    alpha: float,
+) -> DataFrame:
+    """Re-draw the hot join keys of one scaled table (see module doc)."""
+    def remap(df, key_col, u, n_per_copy, stride):
+        rank = zipf_rank(u, n_per_copy * k, alpha)
+        dt = dict(df.dtypes)[key_col]
+        return df.withColumn(
+            key_col,
+            (
+                F.pmod(rank, F.lit(n_per_copy))
+                + F.lit(stride) * (rank / F.lit(n_per_copy)).cast("bigint")
+            ).cast(dt),
+        )
+
+    if name == "orders":
+        return remap(
+            outdf,
+            "o_custkey",
+            _unit_hash("o_orderkey"),
+            per_copy["customer"],
+            STRIDES["customer"]["c_custkey"],
+        )
+    if name == "lineitem":
+        return remap(
+            outdf,
+            "l_partkey",
+            _unit_hash("l_orderkey", "l_linenumber"),
+            per_copy["part"],
+            STRIDES["part"]["p_partkey"],
+        )
+    if name == "events":
+        # one hot day absorbing ~25% of events, time-of-day preserved
+        hot = F.to_timestamp(F.lit("2024-03-15"))
+        return outdf.withColumn(
+            "ts",
+            F.when(
+                F.pmod(F.xxhash64("event_id"), F.lit(4)) == 0,
+                hot + (F.col("ts") - F.date_trunc("day", F.col("ts"))),
+            ).otherwise(F.col("ts")),
+        )
+    return outdf
+
+
 def main() -> int:
-    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
-    k = int(sys.argv[2]) if len(sys.argv) > 2 else 10
-    src = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    zipf = "--zipf" in sys.argv
+    alpha = 1.1
+    if zipf:
+        zi = sys.argv.index("--zipf")
+        if zi + 1 < len(sys.argv) and not sys.argv[zi + 1].startswith("--"):
+            try:
+                alpha = float(sys.argv[zi + 1])
+                args = [a for a in args if a != sys.argv[zi + 1]]
+            except ValueError:
+                pass
+    out = args[0] if len(args) > 0 else "/tmp/sf1"
+    k = int(args[1]) if len(args) > 1 else 10
+    src = args[2] if len(args) > 2 else "/root/testdata/sf0.1"
     spark = get_spark("make_sf1")
     tables = load_tables(spark, src, *ALL_TABLES)
     os.makedirs(out, exist_ok=True)
+    per_copy = {
+        "customer": tables["customer"].count(),
+        "part": tables["part"].count(),
+    }
     for name in ALL_TABLES:
         df = tables[name]
         strides = STRIDES[name]
@@ -72,6 +171,8 @@ def main() -> int:
         outdf = copies[0]
         for p in copies[1:]:
             outdf = outdf.unionAll(p)
+        if zipf:
+            outdf = apply_zipf_skew(name, outdf, per_copy, k, alpha)
         outdf.write.mode("overwrite").parquet(dest)
         n = spark.read.parquet(dest).count()
         print(f"{name}: {n} rows -> {dest}", flush=True)
