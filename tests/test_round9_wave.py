@@ -89,6 +89,49 @@ def test_bpe_merges_oracle_matches_trainer_on_hand_corpus(spark):
     assert stats[2] == ("est", "</w>", 9)
 
 
+def test_aqe_skew_join_split_fires_on_hot_key(spark):
+    """Plan-pin for the skew defense the Zipf audit relies on
+    (tools/skew_evidence.py): a hot-key sort-merge join under
+    fixture-scaled thresholds must show SortMergeJoin(skew=true) with
+    a skewed AQEShuffleRead in the FINAL adaptive plan. Executes the
+    DataFrame's own QueryExecution (count() would build a separate
+    aggregate plan and leave this one unfinal)."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(120_000).select(
+            F.when(F.col("id") < 100_000, F.lit(7))
+            .otherwise(F.col("id") % 50)
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(50).select(
+            F.col("id").alias("k"), F.col("id").alias("w")
+        )
+        j = left.join(right, "k").select("v", "w")
+        n = j.rdd.count()
+        assert n == 120_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:1500]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_pagerank_empty_graph_column_order_matches_main_path(spark):
     from spark_extensions_spark.operators.graph import pagerank
 
