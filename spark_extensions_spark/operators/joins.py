@@ -247,11 +247,12 @@ def interval_join_binned(
     right_start: str,
     right_end: str,
     bin_width: int,
+    on: str | list[str] | None = None,
 ) -> DataFrame:
-    """KEYLESS interval-overlap join as an EQUI-join on time grains —
-    the scalable form of the overlap join (the shape range-join
-    optimizers rewrite to; `interval_join`'s docstring prescribes it
-    and this operator provides it).
+    """Interval-overlap join as an EQUI-join on time grains — the
+    scalable form of the overlap join (the shape range-join optimizers
+    rewrite to; `interval_join`'s docstring prescribes it and this
+    operator provides it).
 
     Each side explodes its [start, end] span into the grains of width
     ``bin_width`` it covers (integer units — cast timestamps to epoch
@@ -263,11 +264,24 @@ def interval_join_binned(
     the earlier one reaches it — exactly-once emission with no distinct
     shuffle.
 
+    ``on`` (round 9, from the Zipf-fixture audit): optional equi keys
+    COMPOSED with the grain. A keyed interval self-join on a Zipf-hot
+    key is the measured 100 TB failure mode — the plain SMJ residual
+    form concentrates the hot key's quadratic pair expansion on ONE
+    task (215x on the skewed sf1 fixture); joining on (key, grain)
+    spreads the same key across its lifetime's grains, restoring
+    parallelism ∝ active-days / bin_width while emitting the identical
+    pair set. Keys must carry the SAME column name on both sides; like
+    an equi-join, the output keeps one copy of each key column.
+
     Cost: explosion factor = avg(span / bin_width) per side; pick
     ``bin_width`` near the typical span so the factor stays ~1-2.
-    Output columns: every left column then every right column (caller
-    should disambiguate names beforehand).
+    Output columns: [keys] + left columns + right columns (key columns
+    excluded from the per-side lists; disambiguate the rest
+    beforehand).
     """
+    keys = [on] if isinstance(on, str) else list(on or [])
+
     def grains(df, start, end):
         g = F.explode(
             F.sequence(
@@ -287,10 +301,12 @@ def interval_join_binned(
     once = F.col("l.__grain") == F.greatest(
         F.col("l.__start_grain"), F.col("r.__start_grain")
     )
-    out = l.join(
-        r, (F.col("l.__grain") == F.col("r.__grain")) & overlap & once
-    )
+    cond = (F.col("l.__grain") == F.col("r.__grain")) & overlap & once
+    for k in keys:
+        cond = cond & (F.col(f"l.{k}") == F.col(f"r.{k}"))
+    out = l.join(r, cond)
     return out.select(
-        *[F.col(f"l.{c}") for c in left.columns],
-        *[F.col(f"r.{c}") for c in right.columns],
+        *[F.col(f"l.{k}") for k in keys],
+        *[F.col(f"l.{c}") for c in left.columns if c not in keys],
+        *[F.col(f"r.{c}") for c in right.columns if c not in keys],
     )

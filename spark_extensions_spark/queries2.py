@@ -922,30 +922,46 @@ def q_session_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
      AND r.o_orderdate <= l.o_orderdate + INTERVAL '30 days'
      AND l.o_orderkey <> r.o_orderkey
     """,
-    doc="Interval-overlap join (operators/joins.py:interval_join): "
-    "per-customer 30-day order windows that intersect; equi key keeps "
-    "it a hash/sort-merge join with the range as residual.",
+    doc="Interval-overlap join executed as an equi-join on (customer, "
+    "31-day grain) via operators/joins.py:interval_join_binned — the "
+    "skew-safe form. The previous plan (SMJ on the bare key, range as "
+    "residual) concentrated a Zipf-hot customer's quadratic pair "
+    "expansion on ONE task (215x on the round-9 skewed-sf1 audit); "
+    "composing the grain into the join key spreads a hot key across "
+    "its lifetime's grains with the identical pair output (exactly-"
+    "once emission in the later-start grain). Output remains "
+    "inherently pair-quadratic per (key, grain) — output-bound under "
+    "skew, but parallel.",
 )
 def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from spark_extensions_spark.operators.joins import interval_join
+    from spark_extensions_spark.operators.joins import interval_join_binned
 
     o = _t(spark, sf_dir, "orders")["orders"]
-    win = o.select(
-        "o_orderkey",
+    days = F.datediff(
+        F.col("o_orderdate"), F.lit("1970-01-01").cast("date")
+    ).cast("long")
+    l = o.select(
         "o_custkey",
-        F.col("o_orderdate").alias("w_start"),
-        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("w_end"),
+        F.col("o_orderkey").alias("key_a"),
+        days.alias("ls"),
+        (days + 30).alias("le"),
     )
-    joined = interval_join(
-        win, win, on="o_custkey",
-        left_start="w_start", left_end="w_end",
-        right_start="w_start", right_end="w_end",
+    r = o.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("key_b"),
+        days.alias("rs"),
+        (days + 30).alias("re"),
     )
-    return joined.filter(
-        F.col("l.o_orderkey") != F.col("r.o_orderkey")
-    ).select(
-        F.col("l.o_orderkey").alias("key_a"),
-        F.col("r.o_orderkey").alias("key_b"),
+    # bin 61 ≈ 2x the 30-day span: measured best of {31, 61, 121} on
+    # BOTH fixtures (uniform sf0.1 epoch-flat at 0.70s; skewed sf1
+    # 48s vs 59s at 31) — wider bins halve the explosion factor, and
+    # per-grain groups stay small enough that the extra residual
+    # comparisons don't bite
+    joined = interval_join_binned(
+        l, r, "ls", "le", "rs", "re", bin_width=61, on="o_custkey"
+    )
+    return joined.filter(F.col("key_a") != F.col("key_b")).select(
+        "key_a", "key_b"
     )
 
 
@@ -1171,7 +1187,12 @@ def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Window frames: value-based RANGE BETWEEN 90 PRECEDING (trailing "
     "90-day spend) and bounded ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING; "
-    "decimal accumulation keeps both frames order-exact.",
+    "decimal accumulation keeps both frames order-exact. Round-9 Zipf "
+    "audit note: the hot-customer inflation is 3.8x (frame cost grows "
+    "with per-key density — data, not plan); a per-day partial-sum + "
+    "join-back rewrite was MEASURED SLOWER on both fixtures (the extra "
+    "shuffle/join exceeds the frame savings at this density) and "
+    "reverted — the sliding range frame is the right plan here.",
 )
 def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")["orders"]
