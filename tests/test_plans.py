@@ -205,6 +205,17 @@ def test_single_partition_windows_bounded_in_graded_window(spark):
     # ts_theil_sen's slope-median selection and ts_rolling_median's
     # 7-day window both run over the DAY domain (post-agg daily
     # series — queries49.py docstrings)
+    # round-9 rotation additions (each verified post-agg by the second
+    # assert below): stat_mannwhitney — cumulative rank window over
+    # the distinct-value domain (operators/stats.py, the ks shape);
+    # stat_runs_test — sign-run window over the post-agg daily series;
+    # ts_cusum — prefix/prefix-min over the post-agg daily series;
+    # eval_auc_pr — cumulative window over the distinct-score domain
+    # (the auc_exact plan, operators/evals.py:auc_pr); eval_brier —
+    # bin-domain reliability terms; eval_conformal — quantile-rank
+    # window over the post-agg calibration residual domain;
+    # sample_neyman — Hamilton apportionment rank over the strata
+    # table (|strata| rows, operators/sampling.py).
     ALLOWED = {
         "stat_ks_test",
         "stat_psi",
@@ -214,6 +225,13 @@ def test_single_partition_windows_bounded_in_graded_window(spark):
         "stat_wilcoxon",
         "ts_theil_sen",
         "ts_rolling_median",
+        "stat_mannwhitney",
+        "stat_runs_test",
+        "ts_cusum",
+        "eval_auc_pr",
+        "eval_brier",
+        "eval_conformal",
+        "sample_neyman",
     }
     flagged: dict[str, bool] = {}
     for q in registry()[:50]:
