@@ -152,14 +152,19 @@ def main() -> int:
     # records {"first", "remeasured"} per such row and bench_diff gates
     # on the re-measured value. A real regression re-measures slow; a
     # contention artifact re-measures at baseline.
-    base_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json"
-    )
-    try:
-        with open(base_path) as fh:
-            base_q = json.load(fh)["queries"]
-    except (FileNotFoundError, KeyError, json.JSONDecodeError):
-        base_q = {}
+    # trigger baseline = per-query MIN over BOTH gates (rolling AND the
+    # frozen epoch): bench_diff gates against both, so a row only the
+    # epoch would flag must also get its back-to-back re-measurement
+    here = os.path.dirname(os.path.abspath(__file__))
+    base_q: dict[str, float] = {}
+    for fname in ("BENCH_BASELINE.json", "BENCH_EPOCH.json"):
+        try:
+            with open(os.path.join(here, fname)) as fh:
+                for k, v in json.load(fh)["queries"].items():
+                    if k not in base_q or v < base_q[k]:
+                        base_q[k] = v
+        except (FileNotFoundError, KeyError, json.JSONDecodeError):
+            pass
     remeasured = remeasure_contended(run_one, timings, base_q)
 
     total = round(sum(timings.values()), 3)
