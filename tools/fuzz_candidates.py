@@ -28,6 +28,12 @@ asserts both exact-set equivalence and the documented guarantees:
   recall limit — with n_probe = n_lists the result equals the exact
   brute-force cosine top-k.
 
+Wave 2 (same round): incremental-LSH (new-batch x persisted-index
+band join, both index input shapes), SimHash (bit-majority twin incl.
+the empty-text edge), exact n-gram Jaccard (inverted-index pair set +
+float score), sorted-neighborhood (global sort index + banded pairing
+vs the positional twin).
+
 Every case is seed-pinned; reproduce one standalone:
 ``python tools/fuzz_candidates.py --family minhash --case 7``
 """
@@ -444,6 +450,138 @@ def run_ivf(spark, rng: random.Random) -> list[str]:
     return problems
 
 
+# ---- wave 2 (round 9): incremental LSH, simhash, jaccard, SNM --------
+
+def twin_simhash(text: str, bits: int) -> tuple[int, int]:
+    ws = _tok(text)
+    hs = [_gram_hash(w) for w in ws]
+    if not hs:
+        return 0, 0
+    v = 0
+    for j in range(bits):
+        ones = sum((h >> j) & 1 for h in hs)
+        if 2 * ones >= len(hs):
+            v |= 1 << j
+    return v, len(ws)
+
+
+def run_incremental(spark, rng: random.Random) -> list[str]:
+    from spark_extensions_spark.operators.dedup import (
+        minhash_band_table,
+        minhash_lsh_candidates_incremental,
+    )
+
+    num_hashes, bands = rng.choice([(4, 2), (8, 4), (12, 4)])
+    sw = rng.choice([1, 2, 3])
+    corpus, _ = gen_corpus(rng)
+    # new batch: a couple of fresh docs + one copied from the corpus
+    nb = [(100 + i, _rand_doc(rng)) for i in range(rng.randint(2, 5))]
+    nb.append((199, corpus[rng.randrange(len(corpus))][1]))
+    cdf = spark.createDataFrame(corpus, "id bigint, text string")
+    ndf = spark.createDataFrame(nb, "id bigint, text string")
+
+    want_nb = twin_band_rows(nb, num_hashes, bands, sw)
+    want_cb = twin_band_rows(corpus, num_hashes, bands, sw)
+    by_band: dict[tuple[int, str], list[int]] = {}
+    for doc_id, bi, key in want_cb:
+        by_band.setdefault((bi, key), []).append(doc_id)
+    want = set()
+    for doc_id, bi, key in want_nb:
+        for idx_id in by_band.get((bi, key), []):
+            want.add((doc_id, idx_id))
+
+    # raw-docs index path AND the persisted band-table path must agree
+    for idx in (cdf, minhash_band_table(cdf, "id", "text", num_hashes, bands, sw)):
+        got = {
+            (r["new_id"], r["index_id"])
+            for r in minhash_lsh_candidates_incremental(
+                ndf, idx, "id", "text", num_hashes, bands, sw
+            ).collect()
+        }
+        if got != want:
+            return [
+                f"incremental pairs diverge (idx={idx.columns}): "
+                f"{got ^ want}"
+            ]
+    return []
+
+
+def run_simhash(spark, rng: random.Random) -> list[str]:
+    from spark_extensions_spark.operators.dedup import simhash
+
+    bits = rng.choice([8, 16, 32])
+    docs, _ = gen_corpus(rng)
+    docs.append((901, ""))  # empty-text edge: simhash 0, n_words 0
+    df = spark.createDataFrame(docs, "id bigint, text string")
+    got = {
+        (r["id"], r["simhash"], r["n_words"])
+        for r in simhash(df, "id", "text", bits=bits).collect()
+    }
+    want = {(d, *twin_simhash(t, bits)) for d, t in docs}
+    if got != want:
+        return [f"simhash diverges (bits={bits}): {got ^ want}"]
+    return []
+
+
+def run_jaccard(spark, rng: random.Random) -> list[str]:
+    from spark_extensions_spark.operators.dedup import ngram_jaccard_pairs
+
+    n = rng.choice([2, 3])
+    threshold = rng.choice([0.2, 0.4, 0.6])
+    docs, _ = gen_corpus(rng)
+    df = spark.createDataFrame(docs, "id bigint, text string")
+    got = {
+        (r["id_a"], r["id_b"], r["inter_cnt"], round(r["jaccard"], 12))
+        for r in ngram_jaccard_pairs(
+            df, "id", "text", n=n, threshold=threshold
+        ).collect()
+    }
+    sets = {
+        d: {_gram_hash(g) for g in _shingles(_tok(t), n)} for d, t in docs
+    }
+    want = set()
+    ids = sorted(sets)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = ids[i], ids[j]
+            inter = len(sets[a] & sets[b])
+            if inter == 0:
+                continue  # inverted index: no shared shingle, no pair
+            jac = inter / (len(sets[a]) + len(sets[b]) - inter)
+            if jac >= threshold:
+                want.add((a, b, inter, round(jac, 12)))
+    if got != want:
+        return [f"jaccard diverges (n={n} t={threshold}): {got ^ want}"]
+    return []
+
+
+def run_snm(spark, rng: random.Random) -> list[str]:
+    from spark_extensions_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    window = rng.choice([1, 2, 4])
+    n = rng.randint(4, 14)
+    rows = [(i, rng.choice(_VOCAB)) for i in range(n)]
+    df = spark.createDataFrame(rows, "id bigint, k string")
+    got = {
+        (r["id_a"], r["id_b"], r["key_a"], r["key_b"], r["pos_gap"])
+        for r in sorted_neighborhood_pairs(
+            df, "id", "k", window=window
+        ).collect()
+    }
+    order = sorted(rows, key=lambda r: (r[1], r[0]))
+    want = set()
+    for i in range(len(order)):
+        for j in range(i + 1, min(i + window + 1, len(order))):
+            want.add(
+                (order[i][0], order[j][0], order[i][1], order[j][1], j - i)
+            )
+    if got != want:
+        return [f"snm diverges (w={window}): {got ^ want}"]
+    return []
+
+
 def families() -> dict[str, Family]:
     return {
         f.name: f
@@ -452,6 +590,11 @@ def families() -> dict[str, Family]:
             Family("winnow", 60, run_winnow),
             Family("containment", 50, run_containment),
             Family("ivf", 40, run_ivf),
+            # wave 2 (round 9)
+            Family("incremental", 40, run_incremental),
+            Family("simhash", 40, run_simhash),
+            Family("jaccard", 40, run_jaccard),
+            Family("snm", 40, run_snm),
         ]
     }
 
