@@ -337,3 +337,124 @@ def test_seen_append_before_fold_makes_replay_a_noop(spark, tmp_path):
         batch2, spark.read.parquet(seen_dir), "event_id", "k"
     )
     assert flags2.where(~F.col("confirmed_dup")).count() == 5
+
+
+# ---------------------------------------------------------------------
+# optimistic concurrency: the CAS at the _CURRENT swap
+# ---------------------------------------------------------------------
+
+
+def test_cdc_concurrent_writer_raises_and_loses_nothing(
+    spark, tmp_path, monkeypatch
+):
+    """A second writer committing between this apply's snapshot read
+    and its publish must trigger ConcurrentStateUpdateError (the
+    lakehouse log-CAS analogue) — blindly repointing would silently
+    drop the other writer's fold. The loser's retry then converges."""
+    state_dir = str(tmp_path / "state")
+    _apply(spark, state_dir, BATCH1)
+    live_before = inc._current_version(state_dir)
+
+    real = inc._current_version
+    calls = {"n": 0}
+
+    def racing(d):
+        calls["n"] += 1
+        # 1st call = snapshot read (real); 2nd = the publish-time CAS
+        # check — simulate a concurrent commit having advanced the log
+        if calls["n"] == 2:
+            return "/phantom/other-writer-version"
+        return real(d)
+
+    monkeypatch.setattr(inc, "_current_version", racing)
+    with pytest.raises(inc.ConcurrentStateUpdateError, match="advanced"):
+        _apply(spark, state_dir, BATCH2)
+    monkeypatch.undo()
+
+    # the loser published nothing: pointer and state are untouched
+    assert inc._current_version(state_dir) == live_before
+    assert _state_rows(spark, state_dir) == AFTER1
+    # retry after re-read converges
+    _apply(spark, state_dir, BATCH2)
+    assert _state_rows(spark, state_dir) == AFTER2
+
+
+# ---------------------------------------------------------------------
+# end-to-end: streaming crash mid-foreachBatch + checkpoint restart
+# ---------------------------------------------------------------------
+
+
+def test_streaming_crash_after_fold_replays_idempotently(spark, tmp_path):
+    """The integration the unit boundaries compose into: a foreachBatch
+    fold CRASHES AFTER its CoW state commit but BEFORE Spark writes the
+    checkpoint commit log. On restart Spark replays the whole
+    micro-batch; the fold (LWW upsert keyed on the batch's absolute
+    values) re-applies idempotently — final state equals the
+    single-fold expectation, reader-visible at every step."""
+    import spark_extensions_spark.sources.filekafka as fkm
+
+    fkm.register_filekafka(spark)
+    root = str(tmp_path / "log")
+    state_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    msgs = spark.createDataFrame(
+        [(str(i % 4).encode(), f"v{i}".encode(), i) for i in range(40)],
+        "key binary, value binary, ts_us long",
+    )
+    fkm.ensure_topic(root, "t", 2)
+    fkm.produce(msgs, root, "t", num_partitions=2)
+
+    crashed = {"flag": False}
+
+    def fold(batch_df, batch_id):
+        from pyspark.sql import functions as F
+
+        agg = (
+            batch_df.groupBy(F.col("key").cast("string").alias("k"))
+            .agg(
+                F.count(F.lit(1)).cast("int").alias("v"),
+                F.max("offset").cast("bigint").alias("seq"),
+            )
+            .withColumn("op", F.lit("U"))
+        )
+        inc.apply_cdc_batch(
+            agg, state_dir, keys=["k"], order_col="seq", n_buckets=4
+        )
+        if not crashed["flag"]:
+            crashed["flag"] = True
+            raise RuntimeError("injected: died after fold, before ckpt")
+
+    def run_stream():
+        s = (
+            spark.readStream.format("filekafka")
+            .option("path", root)
+            .option("topic", "t")
+            .load()
+        )
+        q = (
+            s.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    with pytest.raises(Exception, match="injected"):
+        run_stream()
+    # the fold committed before the crash — readers already see it
+    mid = _state_rows_kv(spark, state_dir)
+    assert mid == {"0": 10, "1": 10, "2": 10, "3": 10}
+
+    run_stream()  # restart: Spark replays the batch from the checkpoint
+    assert _state_rows_kv(spark, state_dir) == {
+        "0": 10, "1": 10, "2": 10, "3": 10,
+    }
+    # the replayed fold published a NEW version with identical values
+    # (idempotent by value) — the commit log shows both applies
+    with open(inc._log_path(state_dir)) as f:
+        assert len([ln for ln in f if ln.strip()]) == 2
+
+
+def _state_rows_kv(spark, state_dir):
+    st = inc.read_cdc_state(spark, state_dir)
+    return {r["k"]: r["v"] for r in st.collect()}
