@@ -26,11 +26,11 @@ from spark_extensions_spark.session import get_spark  # noqa: E402
 # sign-plane ann_lsh) runs in the headline wall-clock.
 SKIP: set[str] = set()
 
-# Re-measure thresholds — must mirror tools/bench_diff.py's gate so the
+# Re-measure thresholds shared with tools/bench_diff.py's gate so the
 # rows the differ would flag are exactly the rows that get a second,
-# back-to-back measurement.
-REMEASURE_RATIO = 2.0
-REMEASURE_MIN_SECONDS = 1.0
+# back-to-back measurement (single source of truth — round-9 review).
+from tools.bench_diff import DEFAULT_RATIO as REMEASURE_RATIO  # noqa: E402
+from tools.bench_diff import MIN_SECONDS as REMEASURE_MIN_SECONDS  # noqa: E402
 
 
 def remeasure_contended(
@@ -166,6 +166,14 @@ def main() -> int:
         except (FileNotFoundError, KeyError, json.JSONDecodeError):
             pass
     remeasured = remeasure_contended(run_one, timings, base_q)
+    # fold the re-measurement into the canonical per-query map: the
+    # documented baseline advance is `cp BENCH_DETAIL.json
+    # BENCH_BASELINE.json`, and recording the contended FIRST timing
+    # there would loosen every future gate by the contention factor
+    # (round-9 review: text_readability would have advanced at 1.87s
+    # against a true 0.34s). {first, remeasured} keeps provenance.
+    for name, rm in remeasured.items():
+        timings[name] = min(timings[name], rm["remeasured"])
 
     total = round(sum(timings.values()), 3)
     ordered = sorted(timings.values())

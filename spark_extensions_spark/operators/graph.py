@@ -1044,7 +1044,11 @@ def link_predict_anchored(
     # it once and refuse beyond the broadcast bound, naming the
     # alternatives, mirroring hard_negatives
     # (operators/alignment.py:305-310).
-    anchor_set = anchors.select(F.col(node_col).alias("node"))
+    # checkpoint shares the (possibly expensive) anchors lineage
+    # between the count action and the broadcast join below
+    anchor_set = anchors.select(F.col(node_col).alias("node")).localCheckpoint(
+        eager=False
+    )
     n_anchors = anchor_set.count()
     if n_anchors > _ANCHORS_BROADCAST_MAX:
         raise ValueError(

@@ -43,14 +43,15 @@ def _bpm_oracle(rounds: int) -> str:
     applied by replace() on the wrapped representation.
     """
     parts = [
-        """bpm_words AS (
+        f"""bpm_words AS (
       SELECT word, freq FROM (
         SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
           SELECT unnest(string_split_regex(lower(text),
                    '[^a-z0-9'']+')) AS word
           FROM documents
         ) WHERE word <> '' GROUP BY word
-      ) WHERE freq >= 2 ORDER BY freq DESC, word LIMIT 1000000
+      ) WHERE freq >= {_BPM_MIN_COUNT}
+      ORDER BY freq DESC, word LIMIT {_BPM_MAX_VOCAB}
     )""",
         r"""w0 AS (
       SELECT regexp_replace(word, '(.)', '(\1)', 'g') || '(</w>)'

@@ -25,12 +25,13 @@ def test_link_predict_anchored_refuses_oversized_anchor_set(
         g.link_predict_anchored(
             edges, anchors, "node", min_common=2, top_k=5
         )
-    # the refusal message must name the alternatives a user would reach for
-    try:
+    # the refusal message must name the alternatives a user would
+    # reach for (pytest.raises so a no-raise regression FAILS here
+    # rather than silently skipping the message assertions)
+    with pytest.raises(ValueError) as ei:
         g.link_predict_anchored(edges, anchors, "node")
-    except ValueError as e:
-        assert "link_predict" in str(e)
-        assert "IVF" in str(e)
+    assert "link_predict" in str(ei.value)
+    assert "IVF" in str(ei.value)
 
 
 def test_link_predict_anchored_unchanged_below_anchor_bound(spark):

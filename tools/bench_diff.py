@@ -20,6 +20,7 @@ import json
 import sys
 
 MIN_SECONDS = 1.0  # ignore noise-floor queries
+DEFAULT_RATIO = 2.0  # shared with bench.py's re-measure trigger
 EPOCH_PATH = "BENCH_EPOCH.json"
 
 
@@ -142,7 +143,7 @@ def main() -> int:
         )
     base_p = sys.argv[1] if len(sys.argv) > 1 else "BENCH_BASELINE.json"
     cur_p = sys.argv[2] if len(sys.argv) > 2 else "BENCH_DETAIL.json"
-    ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 2.0
+    ratio = float(sys.argv[3]) if len(sys.argv) > 3 else DEFAULT_RATIO
     detail = json.load(open(cur_p))
     cur = detail["queries"]
     remeasured = detail.get("remeasured") or {}

@@ -70,9 +70,16 @@ STRIDES: dict[str, dict[str, int]] = {
 
 def zipf_rank(u: Column, n_keys: int, alpha: float) -> Column:
     """Inverse-CDF of the bounded zeta distribution: u in [0,1) ->
-    0-based rank in [0, n_keys), frequency ∝ (rank+1)^-alpha."""
-    b = 1.0 - float(n_keys) ** (1.0 - alpha)
-    k_cont = F.pow(F.lit(1.0) - u * F.lit(b), F.lit(-1.0 / (alpha - 1.0)))
+    0-based rank in [0, n_keys), frequency ∝ (rank+1)^-alpha.
+    alpha == 1 takes the log-form limit (F(k) = ln k / ln N →
+    k = N^u); the natural value to sweep when calibrating skew."""
+    if abs(alpha - 1.0) < 1e-9:
+        k_cont = F.pow(F.lit(float(n_keys)), u)
+    else:
+        b = 1.0 - float(n_keys) ** (1.0 - alpha)
+        k_cont = F.pow(
+            F.lit(1.0) - u * F.lit(b), F.lit(-1.0 / (alpha - 1.0))
+        )
     rank = (F.floor(k_cont) - F.lit(1)).cast("bigint")
     return F.greatest(F.lit(0), F.least(rank, F.lit(n_keys - 1)))
 

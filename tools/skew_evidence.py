@@ -15,7 +15,7 @@ and prints the evidence the audit table cites:
 3. ``salted_join`` on the same shape — asserts exact row parity with
    the plain join and reports the post-salt partition balance.
 
-Usage: python tools/skew_evidence.py [skew_dir] [uniform_dir]
+Usage: python tools/skew_evidence.py [skew_dir]
 """
 
 from __future__ import annotations
