@@ -582,6 +582,148 @@ def run_snm(spark, rng: random.Random) -> list[str]:
     return []
 
 
+# ---- wave 3 (round 9): join-shape rewrites vs brute-force twins ------
+
+def run_binned_interval(spark, rng: random.Random) -> list[str]:
+    """interval_join_binned (incl. the round-9 `on=` keys) must emit
+    the EXACT pair set of the naive overlap predicate, exactly once —
+    the invariant the join_interval skew fix rides on."""
+    from spark_extensions_spark.operators.joins import interval_join_binned
+
+    bin_width = rng.choice([1, 3, 7])
+    keyed = rng.random() < 0.7
+    n_l, n_r = rng.randint(0, 14), rng.randint(0, 14)
+
+    def side(n, tag):
+        return [
+            (
+                tag * 1000 + i,
+                rng.randint(0, 3) if keyed else 0,
+                rng.randint(0, 60),
+                rng.randint(0, 8),
+            )
+            for i in range(n)
+        ]
+
+    lrows = [(i, k, s, s + sp) for i, k, s, sp in side(n_l, 1)]
+    rrows = [(i, k, s, s + sp) for i, k, s, sp in side(n_r, 2)]
+    l = spark.createDataFrame(
+        lrows or [(None, None, None, None)],
+        "lid bigint, k bigint, ls bigint, le bigint",
+    )
+    r = spark.createDataFrame(
+        rrows or [(None, None, None, None)],
+        "rid bigint, k bigint, rs bigint, re bigint",
+    )
+    if not lrows:
+        l = l.where("lid IS NOT NULL")
+    if not rrows:
+        r = r.where("rid IS NOT NULL")
+    if keyed:
+        out = interval_join_binned(
+            l, r, "ls", "le", "rs", "re", bin_width, on="k"
+        )
+        got = sorted(
+            (row["k"], row["lid"], row["rid"]) for row in out.collect()
+        )
+        want = sorted(
+            (lk, lid, rid)
+            for lid, lk, ls, le in lrows
+            for rid, rk, rs, re in rrows
+            if lk == rk and ls <= re and rs <= le
+        )
+    else:
+        out = interval_join_binned(
+            l.drop("k"), r.drop("k"), "ls", "le", "rs", "re", bin_width
+        )
+        got = sorted((row["lid"], row["rid"]) for row in out.collect())
+        want = sorted(
+            (lid, rid)
+            for lid, _, ls, le in lrows
+            for rid, _, rs, re in rrows
+            if ls <= re and rs <= le
+        )
+    if got != want:
+        return [
+            f"binned interval diverges (bw={bin_width} keyed={keyed}): "
+            f"got {len(got)} want {len(want)}"
+        ]
+    return []
+
+
+def run_band(spark, rng: random.Random) -> list[str]:
+    from spark_extensions_spark.operators.joins import band_join
+
+    delta = rng.choice([1.0, 1.5, 3.0])
+    lrows = [
+        (i, rng.randint(-20, 20)) for i in range(rng.randint(1, 15))
+    ]
+    rrows = [
+        (100 + i, rng.randint(-20, 20)) for i in range(rng.randint(1, 15))
+    ]
+    l = spark.createDataFrame(lrows, "lid bigint, lv bigint")
+    r = spark.createDataFrame(rrows, "rid bigint, rv bigint")
+    got = sorted(
+        (row["lid"], row["rid"])
+        for row in band_join(l, r, "lv", "rv", delta).collect()
+    )
+    want = sorted(
+        (lid, rid)
+        for lid, lv in lrows
+        for rid, rv in rrows
+        if abs(lv - rv) <= delta
+    )
+    if got != want:
+        return [f"band join diverges (delta={delta}): {len(got)} vs {len(want)}"]
+    return []
+
+
+def run_asof(spark, rng: random.Random) -> list[str]:
+    from spark_extensions_spark.operators.joins import asof_join
+
+    direction = rng.choice(["backward", "forward"])
+    how = rng.choice(["left", "inner"])
+    lrows = [
+        (i, rng.randint(0, 2), rng.randint(0, 30))
+        for i in range(rng.randint(1, 12))
+    ]
+    rrows = [
+        (100 + i, rng.randint(0, 2), rng.randint(0, 30))
+        for i in range(rng.randint(0, 12))
+    ]
+    l = spark.createDataFrame(lrows, "lid bigint, k bigint, t bigint")
+    r = spark.createDataFrame(rrows, "rid bigint, k bigint, rt bigint")
+    out = asof_join(
+        l, r, on="k", left_time="t", right_time="rt",
+        right_values=["rid"], how=how, direction=direction,
+        right_tiebreak="rid",
+    )
+    got = sorted(
+        (row["lid"], row["rid"], row["rt"]) for row in out.collect()
+    )
+    want = []
+    for lid, lk, t in lrows:
+        if direction == "backward":
+            cands = [(rt, rid) for rid, rk, rt in rrows if rk == lk and rt <= t]
+            best = max(cands) if cands else None
+        else:
+            cands = [(rt, rid) for rid, rk, rt in rrows if rk == lk and rt >= t]
+            # forward winner: earliest time; among ties the SMALLEST
+            # tiebreak (the operator's desc-order last_value pick)
+            best = min(cands) if cands else None
+        if best is None:
+            if how == "left":
+                want.append((lid, None, None))
+        else:
+            want.append((lid, best[1], best[0]))
+    if got != sorted(want):
+        return [
+            f"asof diverges ({direction}/{how}): got {got} want "
+            f"{sorted(want)}"
+        ]
+    return []
+
+
 def families() -> dict[str, Family]:
     return {
         f.name: f
@@ -595,6 +737,10 @@ def families() -> dict[str, Family]:
             Family("simhash", 40, run_simhash),
             Family("jaccard", 40, run_jaccard),
             Family("snm", 40, run_snm),
+            # wave 3 (round 9): join-shape rewrites
+            Family("binned_interval", 50, run_binned_interval),
+            Family("band", 40, run_band),
+            Family("asof", 40, run_asof),
         ]
     }
 
