@@ -133,6 +133,85 @@ def test_aqe_skew_join_split_fires_on_hot_key(spark):
                 spark.conf.set(k, v)
 
 
+def test_zipf_fixture_generator_shape_and_fk_integrity(spark, tmp_path):
+    """Pin tools/make_sf1.py --zipf, which the round-9 skew audit rides
+    on: FK integrity must survive the re-draw (every drawn key exists
+    in its dimension), the head must be Zipf-shaped (monotone counts,
+    hot key far above uniform), and the hot day must absorb ~25% of
+    events with time-of-day preserved."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools",
+        ),
+    )
+    from make_sf1 import STRIDES, apply_zipf_skew, zipf_rank  # noqa: E402
+
+    from pyspark.sql import functions as F
+
+    from spark_extensions_spark.session import load_tables
+
+    src = "/root/testdata/sf0.001"
+    t = load_tables(spark, src, "orders", "customer", "events")
+    per_copy = {"customer": t["customer"].count(), "part": 1}
+    k = 1  # single copy: stride math degenerates to identity ranges
+    orders = apply_zipf_skew("orders", t["orders"], per_copy, k, 1.1)
+    counts = (
+        orders.groupBy("o_custkey")
+        .count()
+        .orderBy(F.desc("count"), "o_custkey")
+        .limit(5)
+        .collect()
+    )
+    head = [r["count"] for r in counts]
+    assert head == sorted(head, reverse=True)
+    n_orders = t["orders"].count()
+    uniform = n_orders / per_copy["customer"]
+    assert head[0] > 10 * uniform, "hot key must dwarf the uniform rate"
+    # FK integrity: every drawn key exists in customer
+    orphans = orders.join(
+        t["customer"],
+        orders.o_custkey == t["customer"].c_custkey,
+        "left_anti",
+    ).count()
+    assert orphans == 0
+    # events hot day ~25%, time-of-day preserved
+    ev = apply_zipf_skew("events", t["events"], per_copy, k, 1.1)
+    byday = (
+        ev.groupBy(F.to_date("ts").alias("d"))
+        .count()
+        .orderBy(F.desc("count"))
+        .limit(1)
+        .collect()[0]
+    )
+    n_ev = t["events"].count()
+    assert str(byday["d"]) == "2024-03-15"
+    assert 0.15 < byday["count"] / n_ev < 0.35
+    moved = ev.where(F.to_date("ts") == "2024-03-15")
+    orig = t["events"].select(
+        "event_id", F.date_format("ts", "HH:mm:ss").alias("tod")
+    )
+    mism = (
+        moved.select(
+            "event_id", F.date_format("ts", "HH:mm:ss").alias("tod2")
+        )
+        .join(orig, "event_id")
+        .where(F.col("tod") != F.col("tod2"))
+        .count()
+    )
+    assert mism == 0, "time-of-day must be preserved on the hot day"
+    # alpha=1 log-form limit stays in-domain
+    r = spark.range(1000).select(
+        zipf_rank((F.col("id") % 100) / 100.0, 50, 1.0).alias("rk")
+    )
+    lo, hi = r.agg(F.min("rk"), F.max("rk")).collect()[0]
+    assert 0 <= lo and hi <= 49
+
+
 def test_pagerank_empty_graph_column_order_matches_main_path(spark):
     from spark_extensions_spark.operators.graph import pagerank
 
