@@ -142,3 +142,205 @@ def q_tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i + 1, le, ri, c) for i, (le, ri, c) in enumerate(stats)],
         "merge_rank int, left_sym string, right_sym string, cnt bigint",
     )
+
+
+# ---------------------------------------------------------------------
+# eval_bradley_terry — pairwise-preference strength ranking (MM loop)
+# ---------------------------------------------------------------------
+
+_BT_ITERS = 3
+_BT_P0 = 10**9  # e9 fixed-point strength scale
+# n*SCALE div (p_i+p_j) and W*SCALE: exact while n, W <= ~9.2e5
+# (int64 headroom) — holds through sf1 with margin; at larger corpora
+# shrink the scale, trading precision linearly
+_BT_TERM_SCALE = 10**13
+
+
+def _bt_matches_sql() -> str:
+    """Deterministic pairwise matches from the events table: event 2k
+    vs event 2k+1, winner by value (ties to the lexicographically
+    smaller model); self-matches dropped."""
+    return """
+    SELECT CASE WHEN a.value > b.value THEN a.event_type
+                WHEN b.value > a.value THEN b.event_type
+                ELSE least(a.event_type, b.event_type) END AS winner,
+           a.event_type AS m_a, b.event_type AS m_b
+    FROM events a JOIN events b ON b.event_id = a.event_id + 1
+    WHERE a.event_id % 2 = 0 AND a.event_type <> b.event_type
+      AND a.value IS NOT NULL AND b.value IS NOT NULL
+    """
+
+
+def _bt_oracle(iters: int) -> str:
+    parts = [
+        f"bt_m AS ({_bt_matches_sql()})",
+        """bt_pairs AS (
+      SELECT m_i, m_j, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        SELECT m_a AS m_i, m_b AS m_j FROM bt_m
+        UNION ALL
+        SELECT m_b AS m_i, m_a AS m_j FROM bt_m
+      ) GROUP BY 1, 2
+    )""",
+        """bt_models AS (SELECT DISTINCT m_i AS m FROM bt_pairs)""",
+        """bt_wins AS (
+      SELECT m, CAST(COUNT(w.winner) AS BIGINT) AS w
+      FROM bt_models LEFT JOIN bt_m w ON w.winner = bt_models.m
+      GROUP BY 1
+    )""",
+        f"""bt_p0 AS (
+      SELECT m, CAST({_BT_P0} // (SELECT COUNT(*) FROM bt_models)
+                  AS BIGINT) AS p
+      FROM bt_models
+    )""",
+    ]
+    prev = "bt_p0"
+    for it in range(1, iters + 1):
+        parts.append(
+            f"""bt_p{it} AS (
+      SELECT w.m,
+             CASE WHEN COALESCE(d.denom, 0) > 0
+                  THEN CAST((w.w * {_BT_TERM_SCALE}) // d.denom AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END AS p
+      FROM bt_wins w LEFT JOIN (
+        SELECT pr.m_i AS m,
+               SUM(CASE WHEN pi.p + pj.p > 0
+                        THEN (pr.n * {_BT_TERM_SCALE}) // (pi.p + pj.p)
+                        ELSE 0 END) AS denom
+        FROM bt_pairs pr
+        JOIN {prev} pi ON pi.m = pr.m_i
+        JOIN {prev} pj ON pj.m = pr.m_j
+        GROUP BY 1
+      ) d ON d.m = w.m
+    )"""
+        )
+        prev = f"bt_p{it}"
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT p.m AS model, p.p AS strength_e9, w.w AS wins,
+           CAST(COALESCE(nm.n_matches, 0) AS BIGINT) AS n_matches
+    FROM {prev} p
+    JOIN bt_wins w ON w.m = p.m
+    LEFT JOIN (SELECT m_i AS m, SUM(n) AS n_matches FROM bt_pairs
+               GROUP BY 1) nm ON nm.m = p.m
+    """
+    )
+
+
+@_register(
+    "eval_bradley_terry",
+    _bt_oracle(_BT_ITERS),
+    doc="Bradley-Terry pairwise-preference strength ranking (the "
+    "Elo/leaderboard aggregate of RLHF and arena-style evals; Bradley "
+    "& Terry 1952, MM iteration per Hunter 2004): deterministic "
+    "matches from consecutive event pairs, then three "
+    "minorization-maximization rounds p_i' = W_i / sum_j n_ij / "
+    "(p_i + p_j) in exact e9 fixed-point — every per-pair term "
+    "integer-floor-divided BEFORE the exact BIGINT sum (the pagerank "
+    "recipe), so both engines run bit-identical arithmetic; "
+    "zero-denominator and zero-win models take CASE-guarded 0. Scale "
+    "shape: ONE corpus scan builds the match table, everything after "
+    "runs on the model-pair DOMAIN (|models|^2 rows); the oracle "
+    "unrolls the identical recursion in CTEs.",
+)
+def q_eval_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")["events"]
+    a = ev.select(
+        F.col("event_id").alias("eid"),
+        F.col("event_type").alias("m_a"),
+        F.col("value").alias("va"),
+    ).where(F.col("eid") % 2 == 0)
+    b = ev.select(
+        (F.col("event_id") - 1).alias("eid"),
+        F.col("event_type").alias("m_b"),
+        F.col("value").alias("vb"),
+    )
+    matches = (
+        a.join(b, "eid")
+        .where(
+            (F.col("m_a") != F.col("m_b"))
+            & F.col("va").isNotNull()
+            & F.col("vb").isNotNull()
+        )
+        .select(
+            F.when(F.col("va") > F.col("vb"), F.col("m_a"))
+            .when(F.col("vb") > F.col("va"), F.col("m_b"))
+            .otherwise(F.least("m_a", "m_b"))
+            .alias("winner"),
+            "m_a",
+            "m_b",
+        )
+        .localCheckpoint(eager=False)
+    )
+    pairs = (
+        matches.select(F.col("m_a").alias("m_i"), F.col("m_b").alias("m_j"))
+        .unionAll(
+            matches.select(
+                F.col("m_b").alias("m_i"), F.col("m_a").alias("m_j")
+            )
+        )
+        .groupBy("m_i", "m_j")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    models = pairs.select(F.col("m_i").alias("m")).distinct()
+    wins = (
+        models.join(
+            matches.groupBy(F.col("winner").alias("m")).agg(
+                F.count(F.lit(1)).cast("bigint").alias("w")
+            ),
+            "m",
+            "left",
+        )
+        .select("m", F.coalesce("w", F.lit(0)).cast("bigint").alias("w"))
+        .localCheckpoint(eager=False)
+    )
+    n_models = models.count()
+    p = models.select(
+        "m", F.lit(_BT_P0 // n_models).cast("bigint").alias("p")
+    )
+    for _ in range(_BT_ITERS):
+        pi = p.select(F.col("m").alias("m_i"), F.col("p").alias("p_i"))
+        pj = p.select(F.col("m").alias("m_j"), F.col("p").alias("p_j"))
+        denom = (
+            pairs.join(F.broadcast(pi), "m_i")
+            .join(F.broadcast(pj), "m_j")
+            .select(
+                F.col("m_i").alias("m"),
+                F.expr(
+                    f"case when p_i + p_j > 0 then "
+                    f"(n * {_BT_TERM_SCALE}) div (p_i + p_j) "
+                    f"else 0L end"
+                ).alias("t"),
+            )
+            .groupBy("m")
+            .agg(F.sum("t").alias("denom"))
+        )
+        p = (
+            wins.join(F.broadcast(denom), "m", "left")
+            .select(
+                "m",
+                F.expr(
+                    f"case when coalesce(denom, 0L) > 0 then "
+                    f"(w * {_BT_TERM_SCALE}) div denom else 0L end"
+                )
+                .cast("bigint")
+                .alias("p"),
+            )
+        )
+    n_matches = pairs.groupBy(F.col("m_i").alias("m")).agg(
+        F.sum("n").alias("n_matches")
+    )
+    return (
+        p.join(wins, "m")
+        .join(F.broadcast(n_matches), "m", "left")
+        .select(
+            F.col("m").alias("model"),
+            F.col("p").alias("strength_e9"),
+            F.col("w").alias("wins"),
+            F.coalesce("n_matches", F.lit(0)).cast("bigint").alias(
+                "n_matches"
+            ),
+        )
+    )

@@ -133,6 +133,66 @@ def test_aqe_skew_join_split_fires_on_hot_key(spark):
                 spark.conf.set(k, v)
 
 
+def test_bradley_terry_matches_python_recompute(spark, sf_dir):
+    """Independent pure-Python recompute of the e9 fixed-point MM
+    recursion over the same deterministic match table; also sanity:
+    strengths order consistently with win RATE on this fixture."""
+    import duckdb
+
+    from spark_extensions_spark.queries51 import (
+        _BT_ITERS,
+        _BT_P0,
+        _BT_TERM_SCALE,
+        _bt_matches_sql,
+        q_eval_bradley_terry,
+    )
+
+    got = {
+        r["model"]: (r["strength_e9"], r["wins"], r["n_matches"])
+        for r in q_eval_bradley_terry(spark, sf_dir).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    m = con.execute(_bt_matches_sql()).fetchall()
+    pairs: dict[tuple[str, str], int] = {}
+    wins: dict[str, int] = {}
+    for winner, a, b in m:
+        pairs[(a, b)] = pairs.get((a, b), 0) + 1
+        pairs[(b, a)] = pairs.get((b, a), 0) + 1
+        wins[winner] = wins.get(winner, 0) + 1
+    models = sorted({k for k, _ in pairs})
+    p = {mm: _BT_P0 // len(models) for mm in models}
+    for _ in range(_BT_ITERS):
+        nxt = {}
+        for mi in models:
+            denom = sum(
+                (n * _BT_TERM_SCALE) // (p[mi] + p[mj])
+                for (a, mj), n in pairs.items()
+                if a == mi and p[mi] + p[mj] > 0
+            )
+            w = wins.get(mi, 0)
+            nxt[mi] = (w * _BT_TERM_SCALE) // denom if denom > 0 else 0
+        p = nxt
+    want = {
+        mm: (
+            p[mm],
+            wins.get(mm, 0),
+            sum(n for (a, _), n in pairs.items() if a == mm),
+        )
+        for mm in models
+    }
+    assert got == want
+    # more wins per match -> higher strength (monotone on this fixture)
+    rate = {mm: wins.get(mm, 0) / want[mm][2] for mm in models}
+    by_rate = sorted(models, key=lambda mm: rate[mm])
+    by_strength = sorted(models, key=lambda mm: got[mm][0])
+    assert by_rate == by_strength
+
+
 def test_zipf_fixture_generator_shape_and_fk_integrity(spark, tmp_path):
     """Pin tools/make_sf1.py --zipf, which the round-9 skew audit rides
     on: FK integrity must survive the re-draw (every drawn key exists
