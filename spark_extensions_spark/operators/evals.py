@@ -976,3 +976,115 @@ def auc_pr_oracle_sql(
              / (CAST(p_tot AS DOUBLE) * 1e9) END AS ap
     FROM pr_cum GROUP BY p_tot, n_tot
     """
+
+
+# ---------------------------------------------------------------------
+# Bradley-Terry pairwise-preference strengths (MM, e9 fixed-point)
+# ---------------------------------------------------------------------
+
+BT_P0 = 10**9  # e9 fixed-point strength scale
+# n*SCALE div (p_i+p_j) and W*SCALE: exact while n, W <= ~9.2e5 (int64
+# headroom) — at larger corpora shrink the scale (precision trades
+# linearly)
+BT_TERM_SCALE = 10**13
+
+
+def bradley_terry_strengths(
+    matches: DataFrame,
+    winner_col: str = "winner",
+    a_col: str = "m_a",
+    b_col: str = "m_b",
+    iters: int = 3,
+) -> DataFrame:
+    """Bradley-Terry strength ranking from a pairwise-match table — the
+    Elo/leaderboard aggregate of arena-style RLHF evals (Bradley &
+    Terry 1952; MM iteration per Hunter 2004, Ann. Statist. 32(1)).
+
+    ``iters`` rounds of p_i' = W_i / Σ_j n_ij / (p_i + p_j) in exact
+    e9 fixed-point: every per-pair term is integer-floor-divided
+    BEFORE the exact BIGINT sum (the pagerank recipe) so any engine
+    reproduces the arithmetic bit-for-bit; zero-win and isolated
+    models take CASE-guarded 0. Scale shape: ONE pass over the match
+    table builds (pair, n) and (model, wins) aggregates; the MM loop
+    then runs entirely on the model-pair DOMAIN (|models|² rows,
+    broadcast-joined) — corpus-size-independent per iteration.
+
+    Output: ``(model, strength_e9, wins, n_matches)``.
+
+    Reference scope note: extension-layer operator (no analogue in the
+    reference library, which has no eval surface).
+    """
+    m = matches.select(
+        F.col(winner_col).alias("winner"),
+        F.col(a_col).alias("m_a"),
+        F.col(b_col).alias("m_b"),
+    ).localCheckpoint(eager=False)
+    pairs = (
+        m.select(F.col("m_a").alias("m_i"), F.col("m_b").alias("m_j"))
+        .unionAll(m.select(F.col("m_b").alias("m_i"), F.col("m_a").alias("m_j")))
+        .groupBy("m_i", "m_j")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    models = pairs.select(F.col("m_i").alias("m")).distinct()
+    wins = (
+        models.join(
+            m.groupBy(F.col("winner").alias("m")).agg(
+                F.count(F.lit(1)).cast("bigint").alias("w")
+            ),
+            "m",
+            "left",
+        )
+        .select("m", F.coalesce("w", F.lit(0)).cast("bigint").alias("w"))
+        .localCheckpoint(eager=False)
+    )
+    n_models = models.count()
+    if n_models == 0:
+        return models.select(
+            F.col("m").alias("model"),
+            F.lit(0).cast("bigint").alias("strength_e9"),
+            F.lit(0).cast("bigint").alias("wins"),
+            F.lit(0).cast("bigint").alias("n_matches"),
+        )
+    p = models.select(
+        "m", F.lit(BT_P0 // n_models).cast("bigint").alias("p")
+    )
+    for _ in range(iters):
+        pi = p.select(F.col("m").alias("m_i"), F.col("p").alias("p_i"))
+        pj = p.select(F.col("m").alias("m_j"), F.col("p").alias("p_j"))
+        denom = (
+            pairs.join(F.broadcast(pi), "m_i")
+            .join(F.broadcast(pj), "m_j")
+            .select(
+                F.col("m_i").alias("m"),
+                F.expr(
+                    f"case when p_i + p_j > 0 then "
+                    f"(n * {BT_TERM_SCALE}) div (p_i + p_j) "
+                    f"else 0L end"
+                ).alias("t"),
+            )
+            .groupBy("m")
+            .agg(F.sum("t").alias("denom"))
+        )
+        p = wins.join(F.broadcast(denom), "m", "left").select(
+            "m",
+            F.expr(
+                f"case when coalesce(denom, 0L) > 0 then "
+                f"(w * {BT_TERM_SCALE}) div denom else 0L end"
+            )
+            .cast("bigint")
+            .alias("p"),
+        )
+    n_matches = pairs.groupBy(F.col("m_i").alias("m")).agg(
+        F.sum("n").alias("n_matches")
+    )
+    return (
+        p.join(wins, "m")
+        .join(F.broadcast(n_matches), "m", "left")
+        .select(
+            F.col("m").alias("model"),
+            F.col("p").alias("strength_e9"),
+            F.col("w").alias("wins"),
+            F.coalesce("n_matches", F.lit(0)).cast("bigint").alias("n_matches"),
+        )
+    )

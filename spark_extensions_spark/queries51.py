@@ -149,11 +149,12 @@ def q_tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------
 
 _BT_ITERS = 3
-_BT_P0 = 10**9  # e9 fixed-point strength scale
-# n*SCALE div (p_i+p_j) and W*SCALE: exact while n, W <= ~9.2e5
-# (int64 headroom) — holds through sf1 with margin; at larger corpora
-# shrink the scale, trading precision linearly
-_BT_TERM_SCALE = 10**13
+# fixed-point scales live with the operator:
+# operators/evals.py BT_P0 / BT_TERM_SCALE (imported for the oracle)
+from spark_extensions_spark.operators.evals import (  # noqa: E402
+    BT_P0 as _BT_P0,
+    BT_TERM_SCALE as _BT_TERM_SCALE,
+)
 
 
 def _bt_matches_sql() -> str:
@@ -245,6 +246,10 @@ def _bt_oracle(iters: int) -> str:
     "unrolls the identical recursion in CTEs.",
 )
 def q_eval_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_extensions_spark.operators.evals import (
+        bradley_terry_strengths,
+    )
+
     ev = _t(spark, sf_dir, "events")["events"]
     a = ev.select(
         F.col("event_id").alias("eid"),
@@ -271,76 +276,5 @@ def q_eval_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
             "m_a",
             "m_b",
         )
-        .localCheckpoint(eager=False)
     )
-    pairs = (
-        matches.select(F.col("m_a").alias("m_i"), F.col("m_b").alias("m_j"))
-        .unionAll(
-            matches.select(
-                F.col("m_b").alias("m_i"), F.col("m_a").alias("m_j")
-            )
-        )
-        .groupBy("m_i", "m_j")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-        .localCheckpoint(eager=False)
-    )
-    models = pairs.select(F.col("m_i").alias("m")).distinct()
-    wins = (
-        models.join(
-            matches.groupBy(F.col("winner").alias("m")).agg(
-                F.count(F.lit(1)).cast("bigint").alias("w")
-            ),
-            "m",
-            "left",
-        )
-        .select("m", F.coalesce("w", F.lit(0)).cast("bigint").alias("w"))
-        .localCheckpoint(eager=False)
-    )
-    n_models = models.count()
-    p = models.select(
-        "m", F.lit(_BT_P0 // n_models).cast("bigint").alias("p")
-    )
-    for _ in range(_BT_ITERS):
-        pi = p.select(F.col("m").alias("m_i"), F.col("p").alias("p_i"))
-        pj = p.select(F.col("m").alias("m_j"), F.col("p").alias("p_j"))
-        denom = (
-            pairs.join(F.broadcast(pi), "m_i")
-            .join(F.broadcast(pj), "m_j")
-            .select(
-                F.col("m_i").alias("m"),
-                F.expr(
-                    f"case when p_i + p_j > 0 then "
-                    f"(n * {_BT_TERM_SCALE}) div (p_i + p_j) "
-                    f"else 0L end"
-                ).alias("t"),
-            )
-            .groupBy("m")
-            .agg(F.sum("t").alias("denom"))
-        )
-        p = (
-            wins.join(F.broadcast(denom), "m", "left")
-            .select(
-                "m",
-                F.expr(
-                    f"case when coalesce(denom, 0L) > 0 then "
-                    f"(w * {_BT_TERM_SCALE}) div denom else 0L end"
-                )
-                .cast("bigint")
-                .alias("p"),
-            )
-        )
-    n_matches = pairs.groupBy(F.col("m_i").alias("m")).agg(
-        F.sum("n").alias("n_matches")
-    )
-    return (
-        p.join(wins, "m")
-        .join(F.broadcast(n_matches), "m", "left")
-        .select(
-            F.col("m").alias("model"),
-            F.col("p").alias("strength_e9"),
-            F.col("w").alias("wins"),
-            F.coalesce("n_matches", F.lit(0)).cast("bigint").alias(
-                "n_matches"
-            ),
-        )
-    )
+    return bradley_terry_strengths(matches, iters=_BT_ITERS)

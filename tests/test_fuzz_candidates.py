@@ -10,11 +10,13 @@ pairs always candidates; the winnowing shared-run theorem; the
 containment max_df visibility bound applied identically in the twin;
 full-probe IVF == exact brute-force top-k).
 
-500 pinned cases (wave 1: minhash 60, winnow 60, containment 50,
+530 pinned cases (wave 1: minhash 60, winnow 60, containment 50,
 ivf 40; wave 2: incremental-LSH 40, simhash 40, jaccard 40,
 sorted-neighborhood 40; wave 3 — the join-shape rewrites the round-9
 skew fixes ride on: keyed/keyless binned interval join 50, band join
-40, asof join 40 — each vs an exact brute-force twin).
+40, asof join 40; wave 4: bradley_terry 30, fixed-point MM vs the
+python twin incl. dominant/zero-win/tiny profiles — each vs an exact
+brute-force twin).
 Reproduce one standalone:
 ``python tools/fuzz_candidates.py --family <name> --case <i>``
 """
@@ -62,8 +64,8 @@ def test_winnow_twin_hand_case():
     assert fps == {min(h["w0 w1"], h["w1 w0"])}
 
 
-def test_candidate_fuzz_500_cases_no_divergence(spark):
+def test_candidate_fuzz_530_cases_no_divergence(spark):
     n_pass, failures = run_fuzz(spark, seed="candfuzz-r9")
     msg = "\n".join(f"{f}#{i}: {p}" for f, i, p in failures[:8])
     assert not failures, f"{len(failures)} divergences:\n{msg}"
-    assert n_pass == 500
+    assert n_pass == 530

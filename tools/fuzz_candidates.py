@@ -724,6 +724,77 @@ def run_asof(spark, rng: random.Random) -> list[str]:
     return []
 
 
+# ---- wave 4 (round 9): iterative eval operators -----------------------
+
+def twin_bradley_terry(matches, iters, p0, scale):
+    """Pure-Python twin of the e9 fixed-point MM recursion."""
+    pairs: dict[tuple[str, str], int] = {}
+    wins: dict[str, int] = {}
+    for winner, a, b in matches:
+        pairs[(a, b)] = pairs.get((a, b), 0) + 1
+        pairs[(b, a)] = pairs.get((b, a), 0) + 1
+        wins[winner] = wins.get(winner, 0) + 1
+    models = sorted({k for k, _ in pairs})
+    if not models:
+        return {}
+    p = {m: p0 // len(models) for m in models}
+    for _ in range(iters):
+        nxt = {}
+        for mi in models:
+            denom = sum(
+                (n * scale) // (p[mi] + p[mj])
+                for (a, mj), n in pairs.items()
+                if a == mi and p[mi] + p[mj] > 0
+            )
+            w = wins.get(mi, 0)
+            nxt[mi] = (w * scale) // denom if denom > 0 else 0
+        p = nxt
+    return {
+        m: (
+            p[m],
+            wins.get(m, 0),
+            sum(n for (a, _), n in pairs.items() if a == m),
+        )
+        for m in models
+    }
+
+
+def run_bradley_terry(spark, rng: random.Random) -> list[str]:
+    from spark_extensions_spark.operators.evals import (
+        BT_P0,
+        BT_TERM_SCALE,
+        bradley_terry_strengths,
+    )
+
+    prof = rng.choice(["normal", "normal", "dominant", "zero_win", "tiny"])
+    models = [f"m{i}" for i in range(rng.randint(2, 6))]
+    n = rng.randint(1, 40) if prof != "tiny" else 1
+    matches = []
+    for _ in range(n):
+        a, b = rng.sample(models, 2)
+        if prof == "dominant":
+            w = models[0] if models[0] in (a, b) else rng.choice([a, b])
+        elif prof == "zero_win":
+            # model[-1] never wins
+            w = a if a != models[-1] else b
+        else:
+            w = rng.choice([a, b])
+        matches.append((w, a, b))
+    iters = rng.choice([1, 3, 5])
+    df = spark.createDataFrame(
+        matches, "winner string, m_a string, m_b string"
+    )
+    got = {
+        r["model"]: (r["strength_e9"], r["wins"], r["n_matches"])
+        for r in bradley_terry_strengths(df, iters=iters).collect()
+    }
+    want = twin_bradley_terry(matches, iters, BT_P0, BT_TERM_SCALE)
+    if got != want:
+        return [f"bradley-terry diverges (iters={iters} prof={prof}): "
+                f"{got} vs {want}"]
+    return []
+
+
 def families() -> dict[str, Family]:
     return {
         f.name: f
@@ -741,6 +812,8 @@ def families() -> dict[str, Family]:
             Family("binned_interval", 50, run_binned_interval),
             Family("band", 40, run_band),
             Family("asof", 40, run_asof),
+            # wave 4 (round 9): iterative eval operators
+            Family("bradley_terry", 30, run_bradley_terry),
         ]
     }
 
