@@ -1038,6 +1038,24 @@ def bradley_terry_strengths(
         .select("m", F.coalesce("w", F.lit(0)).cast("bigint").alias("w"))
         .localCheckpoint(eager=False)
     )
+    # Loud int64-headroom guard (ADVICE r9): n*BT_TERM_SCALE and
+    # w*BT_TERM_SCALE wrap silently in non-ANSI Spark once per-pair
+    # match counts exceed INT64_MAX/BT_TERM_SCALE (~9.2e5), while the
+    # DuckDB oracle raises — the engines would diverge silently.
+    max_count = 9223372036854775807 // BT_TERM_SCALE
+    hot = (
+        pairs.agg(F.max("n").alias("mn"))
+        .crossJoin(wins.agg(F.max("w").alias("mw")))
+        .first()
+    )
+    if hot is not None and max(hot["mn"] or 0, hot["mw"] or 0) > max_count:
+        raise ValueError(
+            f"bradley_terry_strengths: per-pair match count or win count "
+            f"{max(hot['mn'], hot['mw'])} exceeds the e13 fixed-point "
+            f"int64 headroom ({max_count}); pre-aggregate matches (e.g. "
+            f"sample or bucket the match log per pair) or lower "
+            f"BT_TERM_SCALE before ranking"
+        )
     n_models = models.count()
     if n_models == 0:
         return models.select(

@@ -632,10 +632,20 @@ def label_propagation(
     labels localCheckpoint-ed per round to truncate lineage (same
     pattern as connected_components).  Output: (node, community).
     """
+    from pyspark import StorageLevel
+
     e = canonical_edges(edges, src, dst)
+    # persist (columnar, compressed, disk-spilling) instead of
+    # localCheckpoint for the BIG reused input: the round-10 memory
+    # audit showed the deserialized row-RDD checkpoint blocks (216 MiB
+    # /partition at sf1) OOM-ing a 0.5 g/core session during the
+    # per-round join; the columnar cache is ~10× smaller and evicts
+    # to disk cleanly. Lineage above sym is one union — truncation is
+    # only load-bearing for the per-round LABELS, which stay
+    # localCheckpoint-ed below.
     sym = e.unionAll(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=False)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     nodes = sym.select(F.col("src").alias("node")).distinct()
     # the checkpointed labels table has no size stats, so the per-round
     # join would plan SMJ and re-shuffle sym every round — hint

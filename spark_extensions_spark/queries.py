@@ -103,38 +103,58 @@ _PRIORITY: tuple[str, ...] = (
     # battery: string_battery; scd2: pipeline_cdc_to_scd2; streaming:
     # pipeline_streaming_curation). sample_dsir / embedding_quantize
     # remain the portability sentinels per the verdict.
+    # round-10 rotation (VERDICT r9 #2): the driver window moves onto
+    # the plans it has never seen — eval_bradley_terry (landed
+    # post-rotation in r9), join_interval / join_range (rewritten onto
+    # the binned / pair-count-identity plans AFTER their last grading),
+    # seven of the new TPC-H rows (the planner's hard cases: Q2/Q17/Q20
+    # correlated-scalar + nested-IN decorrelation, Q21 multi-EXISTS,
+    # Q22 anti-join + scalar-avg, Q15 view-over-agg max, Q8 8-way
+    # join), and eleven never-driver-graded families. 20 first-time
+    # families in; every outgoing family keeps >=1 in-window rep
+    # (eval: krippendorff/mcnemar/bradley_terry; stat: mutual_info/
+    # mannwhitney; ts: cusum; agg: hll_rollup_table/bitmap_rollup;
+    # sample: dsir/weighted_aexpj; graph: kcore; embedding: quantize/
+    # jl_project; join: asof/interval/range; dedup: exact/minhash_lsh;
+    # tokenizer: bpe_merges; pipeline: streaming_curation/cdc_to_scd2;
+    # analytic: market_share; battery: subquery/variant_explode).
+    # sample_dsir / embedding_quantize remain portability sentinels.
+    "eval_bradley_terry",
+    "join_interval",
+    "join_range",
+    "tpch_q02",
+    "tpch_q08",
+    "tpch_q15",
+    "tpch_q17",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
+    "analytic_market_share",
+    "variant_explode_battery",
+    "crypto_roundtrip",
+    "sql_recursive_cte",
+    "agg_bitmap_rollup",
+    "sample_weighted_aexpj",
+    "link_sorted_neighborhood",
+    "warc_wet_roundtrip",
+    "embedding_jl_project",
+    "layout_hilbert",
+    "graph_kcore",
+    # holdovers (family representation)
     "pipeline_streaming_curation",
     "retrieval_margin_mining",
     "ts_cusum",
     "stat_mutual_info",
-    "eval_conformal",
-    "eval_brier",
-    "stat_levene",
-    "stat_mad",
-    "agg_trimmed_mean",
-    "sample_neyman",
-    "graph_assortativity",
-    "embedding_matryoshka",
-    "eval_auc_pr",
     "stat_mannwhitney",
-    "stat_runs_test",
     "tokenizer_bpe_merges",
-    "analytic_match_pattern",
-    "agg_hll_estimate",
-    "join_broadcast",
-    "join_asof",
-    "stat_wilcoxon",
     "agg_hll_rollup_table",
+    "join_asof",
     "subquery_battery",
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_containment",
-    "tokenizer_bpe_pair_stats",
-    "pipeline_release_v2",
-    "ts_theil_sen",
-    "ts_rolling_median",
     "pipeline_cdc_to_scd2",
     "eval_krippendorff",
+    "eval_mcnemar",
     "udtf_word_pos",
     "privacy_dp_laplace",
     "ann_bruteforce",
@@ -144,11 +164,8 @@ _PRIORITY: tuple[str, ...] = (
     "json_variant",
     "multimodal_decode",
     "window_sliding_distinct",
-    "eval_mcnemar",
-    "string_battery",
     "set_except_all",
     "rlhf_best_of_n",
-    "stat_friedman",
     "cdc_changefeed",
     # portability sentinels (3-round hash-fail history, green since r5)
     "sample_dsir",
@@ -156,6 +173,29 @@ _PRIORITY: tuple[str, ...] = (
     # Kafka-semantics log family — kafka_log_roundtrip is position 50
     "kafka_log_roundtrip",
     # --- graded-50 boundary ---
+    # round-10 rotated-out rows (driver-green r9, families still
+    # represented in-window)
+    "eval_conformal",
+    "eval_brier",
+    "eval_auc_pr",
+    "stat_levene",
+    "stat_mad",
+    "stat_runs_test",
+    "stat_wilcoxon",
+    "stat_friedman",
+    "ts_theil_sen",
+    "ts_rolling_median",
+    "agg_trimmed_mean",
+    "agg_hll_estimate",
+    "sample_neyman",
+    "graph_assortativity",
+    "embedding_matryoshka",
+    "join_broadcast",
+    "dedup_containment",
+    "tokenizer_bpe_pair_stats",
+    "pipeline_release_v2",
+    "analytic_match_pattern",
+    "string_battery",
     # round-9 rotated-out rows (driver-green r8, families still
     # represented in-window)
     "eval_auc_exact",
@@ -252,25 +292,20 @@ _PRIORITY: tuple[str, ...] = (
     "ann_ivfpq",
     "embedding_kmeans",
     "dedup_embedding_ivf",
-    "sql_recursive_cte",
     "sql_pipe_syntax",
     "url_blocklist_filter",
     "streaming_enrich",
     "text_dup_ngrams",
     "text_nfc_dedup_key",
     "text_char_entropy",
-    "sample_weighted_aexpj",
     # round-2 closing, second wave
     "pipeline_release_gate",
     "retrieval_text_ann",
     "text_hash_embedding",
-    "layout_hilbert",
-    "link_sorted_neighborhood",
     "agg_kmv_setops",
     "sample_stratified_split",
     "ann_ivf_persisted",
     "ann_ivf_index_refresh",
-    "embedding_jl_project",
     "analytic_basket_rules",
     "window_session_builtin",
     "feature_target_encode",

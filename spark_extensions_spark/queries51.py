@@ -278,3 +278,6 @@ def q_eval_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return bradley_terry_strengths(matches, iters=_BT_ITERS)
+
+
+from spark_extensions_spark import queries52  # noqa: E402,F401  (registration side effect)

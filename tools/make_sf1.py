@@ -85,8 +85,15 @@ def zipf_rank(u: Column, n_keys: int, alpha: float) -> Column:
 
 
 def _unit_hash(*cols: str) -> Column:
-    """Deterministic seed-free uniform draw in [0,1) from row identity."""
-    return F.pmod(F.xxhash64(*cols), F.lit(1 << 20)) / float(1 << 20)
+    """Deterministic seed-free uniform draw in [0,1) from row identity.
+
+    40 hash bits (ADVICE r9): u resolution must exceed the key-domain
+    size or the inverse-CDF quantizes the Zipf tail — 20 bits capped
+    distinct ranks at ~1M while sf1 draws 1.5M+ keys.
+    """
+    return (F.pmod(F.xxhash64(*cols), F.lit(1 << 40)) / float(1 << 40)).cast(
+        "double"
+    )
 
 
 def apply_zipf_skew(
@@ -159,6 +166,23 @@ def main() -> int:
         "customer": tables["customer"].count(),
         "part": tables["part"].count(),
     }
+    if zipf:
+        # The Zipf remap (pmod(rank, n) + stride*copy) assumes DENSE
+        # 0-BASED dimension keys; on 1-based TPC-H data rank 0 — the
+        # single hottest key — would map to a nonexistent key and
+        # silently orphan the head of the distribution (ADVICE r9).
+        # Fail loudly instead.
+        for dim, key in (("customer", "c_custkey"), ("part", "p_partkey")):
+            lo, hi = tables[dim].agg(
+                F.min(key), F.max(key)
+            ).first()
+            n = per_copy[dim]
+            if lo != 0 or hi != n - 1:
+                raise SystemExit(
+                    f"--zipf requires dense 0-based {key}: got "
+                    f"min={lo} max={hi} count={n}; offset the source "
+                    f"keys (key - min) before scaling"
+                )
     for name in ALL_TABLES:
         df = tables[name]
         strides = STRIDES[name]

@@ -16,10 +16,18 @@ govern 100 TB behavior:
 - ``python``     — Arrow/pandas evaluation operators (the deliberate
   slow-path exceptions: sketches, ANN, multimodal).
 
-Run:  python tools/plan_audit.py [sf_dir] [--write]
+Run:  python tools/plan_audit.py [sf_dir] [--write] [--gate]
 With --write, rewrites PLANS.md at the repo root; otherwise prints the
 table. Streaming and iterative queries execute real jobs to reach a
 final plan, so the audit takes ~1 min at sf0.01.
+
+--gate (VERDICT r9 #5) additionally enforces the single-partition-
+window bound over the FULL registry (test_plans.py enforces the same
+check over the graded window every pytest run; both share one
+allowlist constant — spark_extensions_spark/plans/window_gate.py).
+Exit code 1 if any query outside the allowlist plans a Window fed by
+Exchange SinglePartition, or an allowlisted one loses its post-agg
+domain bound.
 """
 
 from __future__ import annotations
@@ -33,6 +41,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from spark_extensions_spark.queries import registry  # noqa: E402
 from spark_extensions_spark.session import get_spark  # noqa: E402
 from spark_extensions_spark.plans import explain_str  # noqa: E402
+from spark_extensions_spark.plans.window_gate import (  # noqa: E402
+    PRUNE_BOUNDED,
+    SINGLE_PARTITION_WINDOW_ALLOWED,
+    flag_single_partition_windows,
+)
 
 # Queries whose builder runs jobs by design (iterative convergence /
 # streaming replay); their "plan" is the final stage's and the audit
@@ -87,10 +100,12 @@ def audit_one(df) -> dict[str, object]:
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     write = "--write" in sys.argv
+    gate = "--gate" in sys.argv
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     spark = get_spark("plan-audit")
 
     rows: list[tuple[str, str]] = []
+    gate_violations: list[str] = []
     for q in registry():
         if q.name in ITERATIVE | STREAMING:
             kind = "iterative" if q.name in ITERATIVE else "streaming replay"
@@ -98,6 +113,20 @@ def main() -> int:
             continue
         try:
             df = q.spark(spark, sf_dir)
+            if gate:
+                plan = df._jdf.queryExecution().executedPlan().toString()
+                has_spw, post_agg = flag_single_partition_windows(plan)
+                if has_spw:
+                    if q.name not in SINGLE_PARTITION_WINDOW_ALLOWED:
+                        gate_violations.append(
+                            f"{q.name}: single-partition Window outside "
+                            f"allowlist"
+                        )
+                    elif not post_agg and q.name not in PRUNE_BOUNDED:
+                        gate_violations.append(
+                            f"{q.name}: allowlisted single-partition "
+                            f"Window lost its post-agg domain bound"
+                        )
             a = audit_one(df)
             scans = "+".join(str(s) for s in a["scans"]) or "0"
             joins = []
@@ -147,6 +176,13 @@ def main() -> int:
         print(f"wrote PLANS.md ({len(rows)} queries)")
     else:
         print(out)
+    if gate:
+        if gate_violations:
+            print("GATE FAIL:")
+            for v in gate_violations:
+                print(f"  {v}")
+            return 1
+        print(f"GATE PASS: {len(rows)} plans, 0 violations")
     return 0
 
 
