@@ -261,16 +261,26 @@ def pagerank(
     quality prior, and what makes the DuckDB oracle an exact unrolled
     CTE chain.
     """
+    from pyspark import StorageLevel
+
+    # STATIC inputs persist columnar (compressed, disk-spilling) —
+    # the round-10 memory audit measured the deserialized row-RDD
+    # localCheckpoint blocks as the heap hog of the graph family
+    # (pagerank peaked at 3.2 GB of a 4 GB cap before this change);
+    # lineage above them is one distinct, so truncation buys nothing.
+    # Per-round RANKS need no checkpoint either: each round rebuilds
+    # from the cached nodes/e_deg, so plan depth grows linearly in
+    # the fixed iteration count.
     E = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     nodes = (
         E.select(F.col("src").alias("node"))
         .union(E.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n = nodes.count()
     if n == 0:
@@ -284,7 +294,7 @@ def pagerank(
             F.lit(0.0).alias("rank"),
         )
     outdeg = E.groupBy("src").agg(F.count("*").alias("outdeg"))
-    e_deg = E.join(outdeg, "src").localCheckpoint(eager=True)
+    e_deg = E.join(outdeg, "src").persist(StorageLevel.MEMORY_AND_DISK)
 
     base = (PAGERANK_SCALE * (100 - damping_pct)) // (100 * n)
     r0 = PAGERANK_SCALE // n

@@ -178,21 +178,34 @@ def q_agg_collect_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_min_max_by",
     """
     SELECT o_custkey,
-           arg_min(o_orderkey, o_totalprice) AS cheapest_order,
-           arg_max(o_orderkey, o_totalprice) AS priciest_order,
+           arg_min(o_orderkey, printf('%018d|%018d',
+             CAST(ROUND(o_totalprice * 100) AS BIGINT), o_orderkey))
+             AS cheapest_order,
+           arg_max(o_orderkey, printf('%018d|%018d',
+             CAST(ROUND(o_totalprice * 100) AS BIGINT), o_orderkey))
+             AS priciest_order,
            MIN(o_totalprice) AS min_price,
            MAX(o_totalprice) AS max_price
     FROM (SELECT o_custkey, o_orderkey, o_totalprice FROM orders) GROUP BY o_custkey
     """,
-    doc="min_by/max_by (argmin/argmax) — deterministic because "
-    "o_totalprice ties cannot occur within a customer in this data; "
-    "min/max alongside.",
+    doc="min_by/max_by (argmin/argmax) with a DETERMINISTIC composite "
+    "order key: zero-padded (price-cents | orderkey) string, so equal "
+    "prices argmin to the smallest orderkey in both engines. The "
+    "plain-price form was tie-free on the driver fixture but "
+    "hash-diverged on the round-10 copied/skewed fixture, where the "
+    "10x key-shifted copies put identical prices under one customer "
+    "— min_by ties are engine-arbitrary; min/max alongside.",
 )
 def q_agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")["orders"]
+    okey = F.format_string(
+        "%018d|%018d",
+        F.expr("cast(round(o_totalprice * 100) as bigint)"),
+        F.col("o_orderkey"),
+    )
     return o.groupBy("o_custkey").agg(
-        F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
-        F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+        F.min_by("o_orderkey", okey).alias("cheapest_order"),
+        F.max_by("o_orderkey", okey).alias("priciest_order"),
         F.min("o_totalprice").alias("min_price"),
         F.max("o_totalprice").alias("max_price"),
     )

@@ -36,7 +36,7 @@ from spark_extensions_spark.multimodal.media import (
     WITH corpus AS (
       SELECT doc_id, text FROM documents
       UNION ALL
-      SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 20
+      SELECT doc_id + 1000000000000, text FROM documents WHERE doc_id < 20
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS INT) AS hamming
     FROM corpus a JOIN corpus b
@@ -51,9 +51,14 @@ from spark_extensions_spark.multimodal.media import (
 )
 def q_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")["documents"]
+    # re-key offset 1e12: far beyond any scaled fixture's id range —
+    # the old 1e6 offset COLLIDED with make_sf1's doc_id stride (1e6),
+    # creating duplicate ids whose pair counts diverged between the
+    # engines on the round-10 skewed fixture (distinct pairs vs
+    # duplicate join rows)
     corpus = docs.select("doc_id", "text").unionAll(
         docs.filter(F.col("doc_id") < 20).select(
-            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+            (F.col("doc_id") + 1000000000000).alias("doc_id"), "text"
         )
     )
     media = corpus.select(

@@ -30,9 +30,11 @@ def main() -> int:
     spark = get_spark("verify_local")
     con = duckdb.connect()
     for t in ALL_TABLES:
-        con.sql(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+        # driver fixtures are single files; Spark-written fixtures
+        # (make_sf1.py output) are parquet DIRECTORIES — glob those
+        p = f"{sf_dir}/{t}.parquet"
+        src = f"'{p}/**/*.parquet'" if os.path.isdir(p) else f"'{p}'"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet({src})")
     qs = queries()
     oracles = oracle_sql()
     n_pass = n_fail = n_rowsonly = 0
