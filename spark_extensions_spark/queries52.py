@@ -1310,3 +1310,52 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cntrycode")
     )
+
+
+# =====================================================================
+# ANN index store serving path (round 10): the crash-safe versioned
+# store (operators/ann_store.py) oracle-checked end-to-end — publish
+# the full corpus, read the CURRENT manifest back, serve top-k.
+# Results are identical to the inline det-IVF by construction (same
+# codebook trainer, same assignment exprs, parquet float roundtrip is
+# exact), so it shares ann_ivf's oracle.
+# =====================================================================
+
+def _ann_ivf_store_oracle() -> str:
+    from spark_extensions_spark.queries2 import _ann_ivf_oracle
+
+    return _ann_ivf_oracle()
+
+
+@_register(
+    "ann_ivf_store_served",
+    _ann_ivf_store_oracle(),
+    doc="Serving reads through the versioned ANN index store "
+    "(operators/ann_store.py: publish_base -> _CURRENT manifest -> "
+    "read_index + serving_codebook -> ann_ivf_query_index): the "
+    "store's publish/read path is hash-checked against the inline "
+    "det-IVF oracle, complementing the crash-boundary fault tests "
+    "(test_ann_store_faults.py). Probe-side broadcast join on "
+    "list_id-partitioned immutable segments — no corpus Exchange.",
+)
+def q_ann_ivf_store_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from spark_extensions_spark.operators import ann_store as st
+    from spark_extensions_spark.operators.similarity import (
+        ann_ivf_query_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 10)
+    d = tempfile.mkdtemp(prefix="annstore_q_")
+    st.publish_base(emb, d, "vec_id", "embedding", n_lists=16)
+    idx = st.read_index(spark, d).select(
+        F.col("id").alias("vec_id"),
+        F.col("vec").alias("embedding"),
+        "list_id",
+    )
+    return ann_ivf_query_index(
+        idx, st.serving_codebook(d), queries,
+        "vec_id", "embedding", "vec_id", "embedding", k=5, n_probe=4,
+    )

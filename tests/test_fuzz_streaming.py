@@ -1,11 +1,11 @@
 """Pytest gate for the streaming micro-batch boundary fuzzer
-(VERDICT r9 #6): 115 pinned cases across six stateful operator
+(VERDICT r9 #6): 127 pinned cases across seven stateful operator
 classes (running agg / exact-integer EWMA / CEP pattern / running
-distinct / dedup / CDC fold), each under seeded random micro-batch
-boundaries with rotating single / late-file-restart / crash-replay
-modes. Stream result must equal the batch twin exactly; a
-non-idempotent replay surfaces as a value divergence (see
-tools/fuzz_streaming.py module doc)."""
+distinct / dedup / tumbling window agg / CDC fold), each under
+seeded random micro-batch boundaries with rotating single /
+late-file-restart / crash-replay modes. Stream result must equal the
+batch twin exactly; a non-idempotent replay surfaces as a value
+divergence (see tools/fuzz_streaming.py module doc)."""
 
 from __future__ import annotations
 
@@ -14,7 +14,7 @@ def test_streaming_fuzzer_pinned_cases(spark):
     from tools.fuzz_streaming import run_all
 
     total, failures = run_all(spark)
-    assert total == 115
+    assert total == 127
     assert not failures, (
         f"{len(failures)} divergences: "
         + "; ".join(f"{c} seed={s} mode={m}" for c, s, m, _, _ in failures[:5])

@@ -367,6 +367,57 @@ def case_dedup(spark, seed: int, workdir: str):
     return got, want
 
 
+def case_window_agg(spark, seed: int, workdir: str):
+    """Tumbling event-time window aggregate (watermarked, update
+    mode): per (window, key) counts are monotone across batches, so
+    the final state is the max-count row — compared against the batch
+    floor-to-hour groupBy."""
+    from spark_extensions_spark.streaming.ops import windowed_aggregate
+
+    rng = random.Random(60_000 + seed)
+    n = rng.randrange(40, 120)
+    keys = rng.randrange(2, 5)
+    rows = []
+    for i in range(n):
+        rows.append(
+            {
+                "k": f"k{rng.randrange(keys)}",
+                "id": i,
+                # spread over ~4 hours, strictly increasing
+                "ts": _EPOCH + dt.timedelta(seconds=i * (14400 // n)),
+                "v": float(rng.randrange(0, 100)),
+                "t": "A",
+            }
+        )
+    chunks = _split(rng, rows)
+
+    def build(s):
+        return windowed_aggregate(
+            s,
+            "ts",
+            "1 hour",
+            aggs=[F.count("*").alias("n_events")],
+            keys=["k"],
+            watermark_delay="4 hours",
+        )
+
+    out = _drive(spark, build, chunks, workdir, "update", _mode_for(seed))
+    got: dict = {}
+    for r in out:
+        key = (r["win_start"], r["k"])
+        if key not in got or r["n_events"] > got[key]:
+            got[key] = r["n_events"]
+    want: dict = {}
+    for r in rows:
+        h = r["ts"].replace(minute=0, second=0, microsecond=0)
+        key = (h, r["k"])
+        want[key] = want.get(key, 0) + 1
+    # memory-sink timestamps come back tz-naive; normalize both sides
+    got = {(str(w), k): v for (w, k), v in got.items()}
+    want = {(str(w.replace(tzinfo=None)), k): v for (w, k), v in want.items()}
+    return got, want
+
+
 def case_cdc_fold(spark, seed: int, workdir: str):
     import spark_extensions_spark.operators.incremental as inc
 
@@ -441,16 +492,18 @@ CASES = {
     "pattern": case_pattern,
     "running_distinct": case_running_distinct,
     "dedup": case_dedup,
+    "window_agg": case_window_agg,
     "cdc_fold": case_cdc_fold,
 }
 
-# pinned gate sizes: 115 cases total, every class covers all 3 modes
+# pinned gate sizes: 127 cases total, every class covers all 3 modes
 N_PER_CLASS = {
     "running_agg": 24,
     "ewma": 24,
     "pattern": 24,
     "running_distinct": 15,
     "dedup": 15,
+    "window_agg": 12,
     "cdc_fold": 13,
 }
 
