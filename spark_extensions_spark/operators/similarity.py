@@ -121,10 +121,17 @@ def ann_bruteforce_topk(
 
     Output: ``(query_id, neighbor_id, cosine, rank)``.
     """
+    from spark_extensions_spark.session import ensure_parallelism
+
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qv")
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    # the scoring join broadcasts q, so every per-pair dot runs in the
+    # corpus scan's stage — single-task on a one-row-group fixture
+    # (ensure_parallelism no-ops on real multi-split corpora)
+    c = ensure_parallelism(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    )
     if scorer == "jvm":
         q = q.withColumn(
             "__qn", F.expr(f"sqrt({dot_expr_sql('qv', 'qv', dim)})")
@@ -201,8 +208,12 @@ def ann_lsh_topk(
     cost). Multi-probe (flipping one bit) can be added by exploding a
     small array of probe buckets per query — kept single-probe here.
     """
+    from spark_extensions_spark.session import ensure_parallelism
+
     bucketize = lsh_bucket_udf(dim, n_planes, seed)
-    c = corpus.select(
+    # small query sides auto-broadcast, so bucketing + scoring run in
+    # the corpus scan's stage — widen a one-row-group corpus first
+    c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         bucketize(F.col(vec_col)).alias("bucket"),
@@ -290,7 +301,11 @@ def ann_ivf_topk(
     def probe(vecs: pd.Series) -> pd.Series:
         return pd.Series(list(_nearest_lists(vecs, n_probe).astype("int32")))
 
-    c = corpus.select(
+    from spark_extensions_spark.session import ensure_parallelism
+
+    # Arrow assignment + scoring run in the corpus scan's stage when the
+    # probed query side broadcasts — widen a one-row-group corpus first
+    c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         assign(F.col(vec_col)).alias("list_id"),
@@ -570,7 +585,11 @@ def ann_ivfpq_topk(
             out[i] = s
         return pd.Series(out)
 
-    c = corpus.select(
+    from spark_extensions_spark.session import ensure_parallelism
+
+    # Arrow assign/encode + ADC run in the corpus scan's stage when the
+    # probed query side broadcasts — widen a one-row-group corpus first
+    c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         assign(F.col(vec_col)).alias("list_id"),
@@ -716,8 +735,14 @@ def ann_lsh_topk_det(
     you persist once.
     """
     planes = signplane_signs(n_planes, dim, seed)
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    from spark_extensions_spark.session import ensure_parallelism
+
+    # bucketing codegen + within-bucket scoring run in the corpus
+    # scan's stage when the query side broadcasts — widen first
+    c = ensure_parallelism(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        )
     ).withColumn("__qq", F.expr(quantize_vec_expr("cv")))
     c = c.withColumn("bucket", lsh_bucket_from_quantized("__qq", planes)).drop(
         "__qq"
@@ -855,9 +880,15 @@ def ann_ivf_topk_det(
     corpus — the corpus is never shuffled.
     """
     cents = ivf_centroids_det(corpus, id_col, vec_col, n_lists)
+    from spark_extensions_spark.session import ensure_parallelism
+
+    # quantize+assign codegen and the broadcast-probe scoring all run
+    # in the corpus scan's stage; restore width first (no-op at scale)
     c = (
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        ensure_parallelism(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+            )
         )
         .withColumn("__qq", F.expr(quantize_vec_expr("cv")))
         .withColumn("list_id", F.expr(ivf_assign_expr("__qq", cents)))
@@ -993,9 +1024,15 @@ def ann_ivfpq_topk_det(
     """
     cents = ivf_centroids_det(corpus, id_col, vec_col, n_lists)
     books = pq_codebooks_det(corpus, id_col, vec_col, m, ksub)
+    from spark_extensions_spark.session import ensure_parallelism
+
+    # assign/encode codegen + the ADC fold run in the corpus scan's
+    # stage (the probe join broadcasts q) — restore width first
     c = (
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        ensure_parallelism(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+            )
         )
         .withColumn("__qq", F.expr(quantize_vec_expr("cv")))
         .withColumn("list_id", F.expr(ivf_assign_expr("__qq", cents)))

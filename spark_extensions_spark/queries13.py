@@ -220,8 +220,12 @@ def q_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_fuzzy_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_extensions_spark.operators.dedup import fuzzy_blocked_pairs
+    from spark_extensions_spark.session import ensure_parallelism
 
-    part = _t(spark, sf_dir, "part")["part"]
+    # the block self-join broadcasts one side, so the |block|²
+    # Levenshtein verify runs in the probe scan's stage — one task on
+    # the one-row-group fixture (measured 1.4 s single-task at sf0.1)
+    part = ensure_parallelism(_t(spark, sf_dir, "part")["part"])
     named = part.withColumn(
         "__entity_nm",
         F.concat_ws(" ", F.col("p_brand"), F.col("p_name"), F.col("p_type")),

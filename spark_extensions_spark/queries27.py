@@ -1201,8 +1201,12 @@ def q_text_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash_embedding_cols,
         hash_embedding_sql,
     )
+    from spark_extensions_spark.session import ensure_parallelism
 
-    docs = _t(spark, sf_dir, "documents")["documents"]
+    # md5-per-word over every document fuses into the scan stage; the
+    # one-row-group fixture made that a single task (2.8 s on one core
+    # at sf0.1) — restore width before the heavy projection
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents")["documents"])
     w_col, hb_col, cnt_col = hash_embedding_cols("text", 64)
     # barrier: CollapseProject would inline __hb (and its per-word md5)
     # into every per-bucket filter of __cnt — 64× the md5 work
@@ -1271,8 +1275,13 @@ def q_retrieval_text_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_extensions_spark.operators.similarity import (
         ann_bruteforce_topk,
     )
+    from spark_extensions_spark.session import ensure_parallelism
 
-    docs = _t(spark, sf_dir, "documents")["documents"]
+    # same single-task embedding stage as text_hash_embedding (measured
+    # 10.7 s + 3.4 s single-task jobs at sf0.1): the checkpoint chain
+    # inherits the one-row-group scan's single partition, so every
+    # downstream stage ran one-core — widen once, before the chain
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents")["documents"])
     w_col, hb_col, cnt_col = hash_embedding_cols("text", 64)
     # three barriers: __hb (md5-per-word), __cnt (64-bucket counts) and
     # the final vectors — every downstream reference (normalize uses
@@ -2161,11 +2170,15 @@ def q_udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.udtf.register("widen_struct_q", WidenStruct)
     _t(spark, sf_dir, "orders")
+    # The key filter lives INSIDE the lateral's input subquery: Catalyst
+    # does not push predicates below a BatchEvalPythonUDTF, so the
+    # WHERE-outside form evaluated the Python UDTF over EVERY orders row
+    # and filtered afterwards (measured at sf0.1: the whole table paid
+    # the Python boundary for a 0.3% selection — guide §4).
     return spark.sql(
         """
-        SELECT u.* FROM orders o,
+        SELECT u.* FROM (SELECT * FROM orders WHERE o_orderkey <= 2000) o,
         LATERAL widen_struct_q(struct(o.o_orderkey, o.o_totalprice)) u
-        WHERE o.o_orderkey <= 2000
         """
     )
 

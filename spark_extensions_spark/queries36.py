@@ -235,7 +235,15 @@ def _wet_dir(spark: SparkSession, sf_dir: str) -> str:
         cache = {}
         spark._sx_wet_cache = cache
     if sf_dir not in cache:
-        docs = _t(spark, sf_dir, "documents")["documents"]
+        from spark_extensions_spark.session import ensure_parallelism
+
+        # one archive segment per partition: the one-row-group fixture
+        # otherwise renders a SINGLE .wet file, and the strict reader's
+        # one-task-per-archive contract then parses the whole corpus on
+        # one core (measured 3.8 s at sf0.1). Real WET dumps are many
+        # ~1 GB segments — splitting here mirrors that layout and is a
+        # no-op on already-split inputs.
+        docs = ensure_parallelism(_t(spark, sf_dir, "documents")["documents"])
         path = tempfile.mkdtemp(prefix="wet_q_")
         write_wet(
             docs.select(

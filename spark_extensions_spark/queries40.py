@@ -310,8 +310,12 @@ def q_eval_ann_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_eval_rouge2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_extensions_spark.operators.evals import rouge_n
+    from spark_extensions_spark.session import ensure_parallelism
 
-    docs = _t(spark, sf_dir, "documents")["documents"]
+    # the bigram explosion runs in the join's output stage, which
+    # inherits the one-row-group scan's single partition (measured two
+    # ~1 s single-task jobs at sf0.1) — widen the scan first
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents")["documents"])
     pairs = (
         docs.alias("r")
         .join(

@@ -150,8 +150,11 @@ _BLEU_PAIRS_DUCK = """
 )
 def q_eval_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_extensions_spark.operators.evals import bleu_counts
+    from spark_extensions_spark.session import ensure_parallelism
 
-    docs = _t(spark, sf_dir, "documents")["documents"]
+    # same single-partition gram-explosion stage as eval_rouge2
+    # (measured: six ~1 s single-task jobs at sf0.1) — widen the scan
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents")["documents"])
     pairs = (
         docs.alias("r")
         .join(

@@ -236,7 +236,13 @@ def q_text_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     "functions (zero shuffle, whole-stage codegen).",
 )
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")["documents"]
+    from spark_extensions_spark.session import ensure_parallelism
+
+    # the whole battery is row-local compute fused into the scan stage,
+    # and the fixture is one row group = one task (measured 2.6 s on one
+    # core at sf0.1); restore width first — no-op on real multi-split
+    # inputs
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents")["documents"])
     ws = F.split(F.col("text"), " ")
     n = F.size(ws)
     nd = F.size(F.array_distinct(ws))
