@@ -31,8 +31,10 @@ from __future__ import annotations
 # - analytic_skyline: post-prune bucket frontier (each bucket forwards
 #   only its local skyline — operators/skyline.py:skyline_2d).
 # - stat_wilcoxon: cumulative window over the distinct-|diff| domain.
-# - ts_theil_sen: slope-median selection over the pairwise join of the
-#   post-agg DAILY series with itself (day-domain², not corpus rows).
+# - ts_theil_sen: REMOVED round 10 — rewritten onto a distributed
+#   k-th selection (range-partition + per-partition counts + local
+#   row_number inside the target partition); no single-partition
+#   window remains in its plan.
 # - ts_rolling_median / stat_runs_test / ts_cusum: windows over the
 #   post-agg daily series (day domain).
 # - eval_brier: bin-domain reliability terms; eval_conformal:
@@ -71,7 +73,6 @@ SINGLE_PARTITION_WINDOW_ALLOWED: frozenset[str] = frozenset(
         "eval_auc_exact",
         "analytic_skyline",
         "stat_wilcoxon",
-        "ts_theil_sen",
         "ts_rolling_median",
         "stat_mannwhitney",
         "stat_runs_test",
@@ -103,7 +104,7 @@ SINGLE_PARTITION_WINDOW_ALLOWED: frozenset[str] = frozenset(
 # domain-squared join that the "HashAggregate feeds the exchange"
 # heuristic cannot see in plan text.
 PRUNE_BOUNDED: frozenset[str] = frozenset(
-    {"analytic_skyline", "ts_theil_sen", "analytic_lorenz"}
+    {"analytic_skyline", "analytic_lorenz"}
 )
 
 

@@ -190,26 +190,61 @@ def q_ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("yb") - F.col("ya")).alias("dy"),
         (F.col("db") - F.col("da")).alias("dx"),
     )
-    # bounded input: days² pairs (domain-sized — see doc)
-    wr = Window.orderBy(
-        F.expr("cast(dy as double) / dx"), F.col("dy"), F.col("dx")
+    # Distributed exact k-th selection (was: row_number + count over a
+    # GLOBAL window — Exchange SinglePartition + a one-task sort of all
+    # days² pairs, measured 3.6 s single-task at sf0.1). The pair count
+    # is determined by the day count alone (np = C(nd, 2) — the a.d<b.d
+    # self-join emits each unordered day pair exactly once), so the
+    # count-over-all window is a driver-side integer; the median is
+    # then picked by range-partitioning on the full sort key,
+    # cumulating per-partition counts (a P-row collect), and running
+    # row_number only INSIDE the one partition that holds global rank
+    # k. Every heavy step — the pair join, the range sort, the target
+    # partition's local sort — is parallel; ties are safe because
+    # RangePartitioner sends identical keys to one partition and tied
+    # rows are identical in every output column. Same selection, same
+    # oracle, no single-partition exchange.
+    spark = day.sparkSession
+    nd = day.count()
+    np_ = nd * (nd - 1) // 2
+    if np_ == 0:
+        return spark.createDataFrame(
+            [],
+            "n_pairs bigint, med_dy bigint, med_dx bigint, "
+            "slope_e6_cents_per_day bigint",
+        )
+    k = (np_ + 1) // 2
+    width = spark.sparkContext.defaultParallelism
+    ranged = (
+        pairs.withColumn("sl", F.expr("cast(dy as double) / dx"))
+        .repartitionByRange(width, "sl", "dy", "dx")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
-    wall = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
+    cnts = dict(
+        (r["pid"], r["n"])
+        for r in ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("n")).collect()
     )
-    ranked = pairs.select(
-        "dy",
-        "dx",
-        F.row_number().over(wr).alias("rn"),
-        F.count(F.lit(1)).over(wall).alias("np"),
-    )
-    return ranked.where(F.expr("rn = (np + 1) div 2")).select(
-        F.col("np").cast("bigint").alias("n_pairs"),
-        F.col("dy").alias("med_dy"),
-        F.col("dx").alias("med_dx"),
-        F.expr(
-            "cast(floor(cast(dy as double) / dx * 1e6 + 0.5d) as bigint)"
-        ).alias("slope_e6_cents_per_day"),
+    running = 0
+    target_pid, local_rank = None, None
+    for pid in sorted(cnts):
+        if running + cnts[pid] >= k:
+            target_pid, local_rank = pid, k - running
+            break
+        running += cnts[pid]
+    wloc = Window.partitionBy("pid").orderBy("sl", F.col("dy"), F.col("dx"))
+    return (
+        ranged.where(F.col("pid") == target_pid)
+        .withColumn("rn", F.row_number().over(wloc))
+        .where(F.col("rn") == local_rank)
+        .select(
+            F.lit(np_).cast("bigint").alias("n_pairs"),
+            F.col("dy").alias("med_dy"),
+            F.col("dx").alias("med_dx"),
+            F.expr(
+                "cast(floor(cast(dy as double) / dx * 1e6 + 0.5d) as bigint)"
+            ).alias("slope_e6_cents_per_day"),
+        )
     )
 
 

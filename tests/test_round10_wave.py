@@ -39,3 +39,46 @@ def test_bradley_terry_guard_passes_under_bound(spark):
     rows = {r["model"]: r for r in bradley_terry_strengths(matches).collect()}
     assert set(rows) == {"a", "b"}
     assert rows["a"]["strength_e9"] > rows["b"]["strength_e9"]
+
+
+def test_theil_sen_selection_distributed_and_exact(spark, sf_dir):
+    """Round-10 rewrite: the slope median is picked by range-partition +
+    per-partition counts + a pid-local row_number — the plan must not
+    funnel the pair set through Exchange SinglePartition, and the
+    selected element must equal the brute-force k-th of the full sorted
+    pair list."""
+    from spark_extensions_spark.queries49 import q_ts_theil_sen
+
+    out = q_ts_theil_sen(spark, sf_dir)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+
+    row = out.collect()[0]
+    # brute-force twin over the same daily series
+    days = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .groupBy(
+            F.expr(
+                "cast(datediff(date_trunc('day', o_orderdate),"
+                " date'1992-01-01') as bigint)"
+            ).alias("d")
+        )
+        .agg(
+            F.sum(
+                F.expr("cast(floor(o_totalprice * 100 + 0.5d) as bigint)")
+            ).alias("y")
+        )
+        .collect()
+    )
+    pts = sorted((r["d"], r["y"]) for r in days)
+    slopes = []
+    for i in range(len(pts)):
+        for j in range(i + 1, len(pts)):
+            dy = pts[j][1] - pts[i][1]
+            dx = pts[j][0] - pts[i][0]
+            slopes.append((dy / dx, dy, dx))
+    slopes.sort()
+    k = (len(slopes) + 1) // 2
+    med = slopes[k - 1]
+    assert row["n_pairs"] == len(slopes)
+    assert (row["med_dy"], row["med_dx"]) == (med[1], med[2])
