@@ -985,6 +985,12 @@ def ngram_jaccard_pairs_prefix(
     sets = shingled.groupBy(id_col).agg(
         F.sort_array(F.collect_list("sh")).alias("shs")
     )
+    # the candidate pair set is tiny in BYTES, so AQE coalesces its
+    # exchange to a couple of partitions — and with `sets` under the
+    # broadcast threshold the whole array_intersect verify then runs in
+    # that coalesced stage (measured 2.6 s on 3 tasks at sf0.1); widen
+    # the verify probe side (no-op once candidates outgrow core count)
+    cands = ensure_parallelism(cands)
     verified = (
         cands.join(
             sets.select(F.col(id_col).alias("id_a"), F.col("shs").alias("sh_a")),
@@ -1571,6 +1577,11 @@ def ngram_containment_pairs(
     cand = grouped_pair_edges(
         post.join(rare, "__h"), "__h", id_col, src="id_a", dst="id_b"
     ).distinct()
+    # same verify-stage width fix as the prefix-join operator: the
+    # candidate exchange is tiny in bytes and AQE coalesces it, while
+    # the checkpointed `sets` broadcasts below threshold — leaving the
+    # per-pair array_intersect on 2 tasks at sf0.1; widen the probe
+    cand = ensure_parallelism(cand)
     verified = (
         cand.join(
             sets.select(
