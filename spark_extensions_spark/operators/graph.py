@@ -298,24 +298,47 @@ def pagerank(
 
     base = (PAGERANK_SCALE * (100 - damping_pct)) // (100 * n)
     r0 = PAGERANK_SCALE // n
-    ranks = nodes.select("node", F.lit(r0).cast("bigint").alias("r"))
-    for _ in range(iterations):
-        # ranks/s are node-sized with checkpoint-hidden stats: hint
-        # broadcast below the bound so the edge list never re-shuffles
-        contrib = e_deg.join(
-            _maybe_broadcast(ranks, n), e_deg["src"] == ranks["node"]
-        ).select(F.col("dst"), F.expr("r div outdeg").alias("c"))
-        s = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
-        ranks = (
-            nodes.join(_maybe_broadcast(s, n), nodes["node"] == s["dst"], "left")
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.expr(f"({damping_pct} * coalesce(s, 0L)) div 100")
-                ).cast("bigint").alias("r"),
-            )
+    # Rank of a node given the previous round's contribution sums s:
+    #   r = base + (damping * coalesce(s, 0)) div 100
+    # Every edge src IS a node, so attaching ranks to e_deg never needs
+    # the node table: the rank expression is computed INLINE on the
+    # contribution join against the previous round's s (one broadcast
+    # join per round instead of two — the nodes ⟕ s backfill join only
+    # runs once, at the end, to emit zero-in-degree nodes). Round 1's
+    # ranks are the constant r0, so it needs no join at all. Bit-exact
+    # vs the two-join form: identical int64 expressions on the same
+    # rows, only the join that carried them is folded away.
+    r_expr = (
+        f"(cast({base} as bigint)"
+        f" + ({damping_pct} * coalesce(s, 0L)) div 100)"
+    )
+    s = None
+    if iterations == 0:
+        return nodes.select(
+            "node",
+            F.lit(r0).cast("bigint").alias("rank_scaled"),
+            (F.lit(r0).cast("double") / F.lit(float(PAGERANK_SCALE))).alias(
+                "rank"
+            ),
         )
+    for i in range(iterations):
+        if s is None:
+            contrib = e_deg.select(
+                F.col("dst"), F.expr(f"cast({r0} as bigint) div outdeg").alias("c")
+            )
+        else:
+            # s is node-sized with checkpoint-hidden stats: hint
+            # broadcast below the bound so the edge list never
+            # re-shuffles
+            contrib = e_deg.join(
+                _maybe_broadcast(s.withColumnRenamed("dst", "sn"), n),
+                e_deg["src"] == F.col("sn"),
+                "left",
+            ).select(F.col("dst"), F.expr(f"{r_expr} div outdeg").alias("c"))
+        s = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+    ranks = nodes.join(
+        _maybe_broadcast(s, n), nodes["node"] == s["dst"], "left"
+    ).select("node", F.expr(r_expr).cast("bigint").alias("r"))
     return ranks.select(
         "node",
         F.col("r").alias("rank_scaled"),

@@ -184,9 +184,18 @@ def q_ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("y")
     )
-    a = day.select(F.col("d").alias("da"), F.col("y").alias("ya"))
+    # The d<d' pair expansion is a BroadcastNestedLoopJoin whose STREAM
+    # side is the day aggregate's output — AQE coalesces that tiny
+    # exchange to one partition, so the days²-row expansion ran as a
+    # single 5.6 s task (profile_sweep, sf0.1). Widen the stream side
+    # to core count (trivial bytes) and pin the build side broadcast:
+    # the quadratic blowup then spreads across every core.
+    width0 = spark.sparkContext.defaultParallelism
+    a = day.repartition(width0).select(
+        F.col("d").alias("da"), F.col("y").alias("ya")
+    )
     b = day.select(F.col("d").alias("db"), F.col("y").alias("yb"))
-    pairs = a.join(b, F.col("da") < F.col("db")).select(
+    pairs = a.join(F.broadcast(b), F.col("da") < F.col("db")).select(
         (F.col("yb") - F.col("ya")).alias("dy"),
         (F.col("db") - F.col("da")).alias("dx"),
     )
