@@ -504,44 +504,38 @@ def triangle_count(
     dst: str = "dst",
     degree_ordered: bool | str = "auto",
 ) -> DataFrame:
-    """Count triangles: two self-joins over an oriented edge list.
+    """Count triangles by adjacency-set intersection over an oriented
+    edge list: Σ over oriented edges (u,v) of |N⁺(u) ∩ N⁺(v)|.
 
-    ``degree_ordered=True`` re-orients every canonical edge from its
-    lower-(degree, id) endpoint to the higher one before the wedge
-    join.  Wedges are then generated only at each triangle's
-    LOWEST-RANK vertex — Σ C(outdeg, 2) work instead of Σ C(deg, 2),
-    the standard degree-ordering bound (O(m^1.5) total wedges for any
-    graph); on power-law graphs this is the difference between a
-    hot-key blowup and an even spread, because hubs get high rank and
-    generate no wedges.  Costs one extra aggregate + two rank-attach
-    joins — broadcastable while the degree table fits, shuffle joins
-    beyond.  ``False`` skips straight to the id-oriented join (cheaper
-    on small uniform graphs).
+    Orientation makes the edge list acyclic, so every triangle has
+    exactly one "base" edge (its two lowest-order vertices) and is
+    counted exactly once — no wedge materialization.  The previous
+    formulation joined the edge list with itself to enumerate all
+    Σ C(outdeg, 2) wedges and probed the closing edge with a third
+    join; at sf0.1 that materialized 49M wedge join rows for 1.2M
+    edges (one 6 s stage).  Intersecting per-edge neighbor arrays does
+    Σ (outdeg(u)+outdeg(v)) row-local hash work instead — O(m·d̄)
+    versus O(Σ C(d,2)) — and the only data movement is attaching the
+    node-sized adjacency table twice (broadcast while it fits,
+    shuffle joins beyond; the GraphFrames/vertex-cut shape).
 
-    The default ``"auto"`` probes the degree histogram first
-    (:func:`should_degree_order`) so the O(m^1.5) path engages on
-    skewed graphs without the caller knowing the flag — uniform graphs
-    keep the cheaper id orientation.
+    ``degree_ordered=True`` orients each canonical edge from its
+    lower-(degree, id) endpoint to the higher one, which caps outdeg —
+    and therefore both the intersection work (O(m^1.5) total) and the
+    largest adjacency array (O(√m)) — on power-law graphs; hubs get
+    high rank and tiny out-lists.  ``False`` keeps the cheaper id
+    orientation (better on uniform graphs).  The default ``"auto"``
+    probes the degree histogram (:func:`should_degree_order`) and
+    decides per input.
 
-    Orientation never changes the count: each triangle is counted
-    exactly once either way.  Output: one row (n_triangles bigint).
-
-    The canonical edge list is localCheckpoint-ed first: it feeds
-    three join aliases (plus the degree aggregate), and truncating the
-    lineage materializes the upstream pair-generation ONCE instead of
-    per-alias (same trick as connected_components).
-
-    The wedge join runs as broadcast-hash joins over the probe side, so
-    the whole wedge expansion + closing probe lands in ONE stage whose
-    task count equals the checkpointed edge list's partition count —
-    and that count comes from an AQE bytes-coalesced exchange that is
-    blind to the O(Σ outdeg²) row expansion downstream (measured at
-    sf0.1: 10 tasks on 32 cores, 3.5 s for a stage that takes ~1.1 s at
-    full width). The probe alias is therefore parallelism-restored
-    (round-robin repartition, a no-op whenever the input already has
-    ≥ core-count partitions — i.e. on any real-scale edge list); the
-    broadcast aliases read the checkpoint directly, an exchange there
-    would be wasted work before a driver collect.
+    Output: one row (n_triangles bigint).  The canonical edge list is
+    localCheckpoint-ed first: the adjacency aggregate and the probe
+    side both read it, and truncating lineage materializes the
+    upstream pair-generation ONCE (same trick as
+    connected_components).  The probe side is parallelism-restored
+    (round-robin repartition, no-op on real multi-split edge lists):
+    the per-row intersection is the compute-heavy stage and must keep
+    scan width even when the checkpointed list coalesced small.
     """
     from spark_extensions_spark.session import ensure_parallelism
 
@@ -569,42 +563,34 @@ def triangle_count(
         lo_first = (F.col("ds") < F.col("dd")) | (
             (F.col("ds") == F.col("dd")) & (F.col("src") < F.col("dst"))
         )
+        # the (deg, id) rank order only needs to ORIENT the edges; the
+        # intersection itself never compares ranks again
         e = with_d.select(
             F.when(lo_first, F.col("src")).otherwise(F.col("dst")).alias("src"),
-            F.when(lo_first, F.struct("ds", F.col("src").alias("n")))
-            .otherwise(F.struct(F.col("dd").alias("ds"), F.col("dst").alias("n")))
-            .alias("src_rank"),
             F.when(lo_first, F.col("dst")).otherwise(F.col("src")).alias("dst"),
-            F.when(lo_first, F.struct(F.col("dd").alias("ds"), F.col("dst").alias("n")))
-            .otherwise(F.struct("ds", F.col("src").alias("n")))
-            .alias("dst_rank"),
-        )
-        e1 = ensure_parallelism(e).alias("e1")
-        e2, e3 = e.alias("e2"), e.alias("e3")
-        # wedge at the lowest-rank vertex u: two out-edges (u,v), (u,w)
-        # with rank(v) < rank(w); closes iff oriented edge (v,w) exists
-        wedges = e1.join(
-            e2,
-            (F.col("e1.src") == F.col("e2.src"))
-            & (F.col("e1.dst_rank") < F.col("e2.dst_rank")),
-        )
-        closed = wedges.join(
-            e3,
-            (F.col("e1.dst") == F.col("e3.src"))
-            & (F.col("e2.dst") == F.col("e3.dst")),
-        )
-        return closed.agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_triangles")
-        )
-    e1 = ensure_parallelism(e).alias("e1")
-    e2, e3 = e.alias("e2"), e.alias("e3")
-    wedges = e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
-    closed = wedges.join(
-        e3,
-        (F.col("e1.src") == F.col("e3.src"))
-        & (F.col("e2.dst") == F.col("e3.dst")),
+        ).localCheckpoint(eager=False)
+    # m gates the adjacency broadcast: the table holds one array entry
+    # per edge, so EDGE count (not node count) bounds its bytes
+    m = e.count()
+    adj = e.groupBy("src").agg(F.collect_list("dst").alias("__nbrs"))
+    adj = adj.localCheckpoint(eager=False)
+    a_u = _maybe_broadcast(
+        adj.select(F.col("src").alias("__u"), F.col("__nbrs").alias("__nu")), m
     )
-    return closed.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    a_v = _maybe_broadcast(
+        adj.select(F.col("src").alias("__v"), F.col("__nbrs").alias("__nv")), m
+    )
+    probe = ensure_parallelism(e)
+    closed = probe.join(a_u, probe["src"] == F.col("__u")).join(
+        a_v, F.col("dst") == F.col("__v")
+    )
+    return closed.agg(
+        F.coalesce(
+            F.sum(F.size(F.array_intersect("__nu", "__nv"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("n_triangles")
+    )
 
 
 def degree_distribution(
