@@ -426,8 +426,17 @@ def grouped_pair_edges(
     duplicate items within a group cannot produce self-pairs no matter
     what the caller fed in.
     """
-    items = df.groupBy(group_col).agg(
-        F.sort_array(F.collect_set(item_col)).alias("__gpe_ps")
+    from spark_extensions_spark.session import expansion_width
+
+    # Pin the group exchange's width: the w·(w-1)/2 expansion below
+    # runs in the post-exchange stage, and AQE coalesces the exchange
+    # by its (tiny) byte size, blind to the downstream blowup — an
+    # explicit keyed repartition replaces the exchange the groupBy
+    # would insert anyway and is exempt from AQE coalescing.
+    items = (
+        df.repartition(expansion_width(df.sparkSession), group_col)
+        .groupBy(group_col)
+        .agg(F.sort_array(F.collect_set(item_col)).alias("__gpe_ps"))
     )
     return items.select(
         F.explode(

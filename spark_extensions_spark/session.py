@@ -208,6 +208,24 @@ def ensure_parallelism(df, min_parts: int | None = None):
     return df.repartition(want)
 
 
+def expansion_width(spark) -> int:
+    """Partition count for a KEYED exchange that feeds a row-expanding
+    or compute-heavy stage and therefore must not be AQE-bytes-coalesced
+    (AQE sizes post-shuffle partitions by the exchange's bytes and is
+    blind to downstream O(w²) expansion — measured 2-task 0.8 s stages
+    on a 32-core session at sf0.1). Returns the LARGER of the session's
+    shuffle width and core count, so pinning never lowers real-scale
+    parallelism; an explicit ``repartition(expansion_width(s), key)``
+    replaces the exchange the following groupBy would have inserted
+    anyway (same key ⇒ the aggregation reuses the partitioning)."""
+    sc_width = spark.sparkContext.defaultParallelism
+    try:
+        conf_width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        conf_width = 0
+    return max(sc_width, conf_width)
+
+
 ALL_TABLES = (
     "region",
     "nation",
