@@ -555,8 +555,21 @@ def embedding_neardup_pairs_blocked(
 
     id_type = df.schema[id_col].dataType.simpleString()
     if n_blocks is None:
+        import math
+
         n = df.count()
-        n_blocks = max(1, -(-n // block_rows))
+        # block_rows bounds per-task matrix size; ADDITIONALLY floor the
+        # block count so nb·(nb+1)/2 score groups cover the session's
+        # cores — a corpus under block_rows rows otherwise collapses to
+        # ONE applyInPandas group and the whole all-pairs scores on a
+        # single task (measured 2.0 s of a 4 s query at sf0.1). Extra
+        # replication cost is n·nb vectors — negligible exactly when
+        # this floor binds (small n); at scale n/block_rows dominates
+        # and the floor is a no-op. The pair SET and every cosine are
+        # blocking-independent, so results are bit-identical.
+        want = df.sparkSession.sparkContext.defaultParallelism
+        nb_par = math.ceil((math.sqrt(8.0 * want + 1) - 1) / 2)
+        n_blocks = max(1, -(-n // block_rows), min(nb_par, n))
     nb = int(n_blocks)
 
     base = df.select(
