@@ -292,7 +292,16 @@ def pack_chunks(
         pdf[bin_col] = pd.array(bins, dtype="int32")
         return pdf
 
-    return df.groupBy(group_col).applyInPandas(pack, out_schema)
+    from spark_extensions_spark.session import expansion_width
+
+    # pin the grouped-map exchange's width (AQE coalesces by bytes and
+    # cannot see the per-group python-call cost; the keyed repartition
+    # replaces the exchange the groupBy inserts anyway)
+    return (
+        df.repartition(expansion_width(df.sparkSession), group_col)
+        .groupBy(group_col)
+        .applyInPandas(pack, out_schema)
+    )
 
 
 def corpus_line_dedup(df, id_col: str, text_col: str, sep: str = "\n"):

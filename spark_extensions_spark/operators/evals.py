@@ -766,13 +766,27 @@ def krippendorff_alpha_nominal(
     Plan: two hash aggregates (unit-label counts → per-unit pair
     sums; label counts) + domain-sized reductions. One corpus scan.
     """
-    ul = ratings.groupBy(
-        F.col(unit_col).alias("u"), F.col(label_col).alias("c")
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_uc"))
-    per_unit = ul.groupBy("u").agg(
-        F.sum("n_uc").cast("bigint").alias("m_u"),
-        F.sum(F.expr("n_uc * n_uc")).cast("bigint").alias("sq"),
-    ).where(F.col("m_u") >= 2)
+    # Materialize the (unit,label) counts once: FOUR consumers read
+    # this lineage (the m-domain collect, the Do aggregate, the kept-
+    # units semi-join, the label totals) and without the checkpoint
+    # each re-ran the ratings-source scan + first aggregate from
+    # scratch (measured 5 repeated 0.4-0.6 s jobs at sf0.1).
+    ul = (
+        ratings.groupBy(
+            F.col(unit_col).alias("u"), F.col(label_col).alias("c")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_uc"))
+        .localCheckpoint(eager=False)
+    )
+    per_unit = (
+        ul.groupBy("u")
+        .agg(
+            F.sum("n_uc").cast("bigint").alias("m_u"),
+            F.sum(F.expr("n_uc * n_uc")).cast("bigint").alias("sq"),
+        )
+        .where(F.col("m_u") >= 2)
+        .localCheckpoint(eager=False)
+    )
     # Σ_{c≠k} n_uc·n_uk = m_u² − Σ n_uc²
     m_domain = [
         r["m_u"]

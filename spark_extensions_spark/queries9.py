@@ -130,10 +130,20 @@ def q_grouped_apply_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    return ev.groupBy("user_id").applyInPandas(
-        summarize,
-        "user_id long, n_events long, first_ts timestamp_ntz, "
-        "last_ts timestamp_ntz, types_csv string",
+    from spark_extensions_spark.session import expansion_width
+
+    # pin the grouped-map exchange's width: AQE coalesces it by bytes
+    # (3 tasks at sf0.1) while the cost is per-GROUP python calls the
+    # byte estimate cannot see; the keyed repartition replaces the
+    # exchange the groupBy would insert anyway
+    return (
+        ev.repartition(expansion_width(spark), "user_id")
+        .groupBy("user_id")
+        .applyInPandas(
+            summarize,
+            "user_id long, n_events long, first_ts timestamp_ntz, "
+            "last_ts timestamp_ntz, types_csv string",
+        )
     )
 
 
