@@ -94,36 +94,38 @@ def kmeans_fit(
     centroids = [
         [float(x) for x in r[vec_col]] for r in seed_rows
     ]
-    for _ in range(iters):
-        assigned = df.select(
-            assign_clusters(vec_col, centroids).alias("__c"),
-            F.posexplode(F.col(vec_col)).alias("__pos", "__val"),
-        )
-        sums = (
-            assigned.groupBy("__c", "__pos")
-            .agg(
-                # float -> double FIRST (exact widening); a direct
-                # float -> decimal cast goes through the float's short
-                # decimal string and silently loses ~1e-8 per element
-                F.sum(
-                    F.expr(
-                        "cast(cast(__val as double) as decimal(28,12))"
-                    )
-                ).alias("__s"),
-                F.count(F.lit(1)).alias("__n"),
+    # Per-dim sums as k×dim WIDE aggregate columns instead of
+    # posexplode + groupBy(__c, __pos): the explode multiplied the
+    # aggregate's input by dim; one sum column per position keeps the
+    # input at n rows and the identical decimal totals (exact, order-
+    # free) reach the driver as k rows of dim columns.
+    dim = len(centroids[0])
+    aggs = [
+        # float -> double FIRST (exact widening); a direct
+        # float -> decimal cast goes through the float's short
+        # decimal string and silently loses ~1e-8 per element
+        F.sum(
+            F.expr(
+                f"cast(cast({vec_col}[{p}] as double) as decimal(28,12))"
             )
+        ).alias(f"__s{p}")
+        for p in range(dim)
+    ] + [F.count(F.lit(1)).alias("__n")]
+    for _ in range(iters):
+        sums = (
+            df.select(
+                assign_clusters(vec_col, centroids).alias("__c"),
+                F.col(vec_col),
+            )
+            .groupBy("__c")
+            .agg(*aggs)
             .collect()
         )
         new_centroids = [list(c) for c in centroids]
-        acc: dict[int, dict[int, tuple[float, int]]] = {}
         for r in sums:
-            acc.setdefault(int(r["__c"]), {})[int(r["__pos"])] = (
-                float(r["__s"]),
-                int(r["__n"]),
-            )
-        for ci, dims in acc.items():
+            ci, n = int(r["__c"]), int(r["__n"])
             new_centroids[ci] = [
-                dims[p][0] / dims[p][1] for p in sorted(dims)
+                float(r[f"__s{p}"]) / n for p in range(dim)
             ]
         centroids = new_centroids
     return centroids
@@ -208,27 +210,32 @@ def kmeans_fit_det(
     qdf = df.select(
         F.expr(quantize_vec_expr(vec_col)).alias("__qq")
     ).localCheckpoint(eager=False)
+    # Per-dim sums as k×dim WIDE aggregate columns instead of
+    # posexplode + groupBy(__c, __pos): the explode multiplied the
+    # aggregate's input by dim (n·dim rows shuffled per iteration);
+    # extracting each position into its own sum keeps the input at n
+    # rows and the same exact integer totals reach the driver (k rows
+    # of dim columns vs k·dim rows — identical numbers, order-free).
+    dim = len(cents[0])
+    aggs = [
+        F.sum(F.col("__qq")[p]).alias(f"__s{p}") for p in range(dim)
+    ] + [F.count(F.lit(1)).alias("__n")]
     for _ in range(iters):
         sums = (
             qdf.select(
                 ivf_assign_int_pandas(cents)(F.col("__qq")).alias("__c"),
-                F.posexplode(F.col("__qq")).alias("__pos", "__val"),
+                "__qq",
             )
-            .groupBy("__c", "__pos")
-            .agg(
-                F.sum("__val").alias("__s"),
-                F.count(F.lit(1)).alias("__n"),
-            )
+            .groupBy("__c")
+            .agg(*aggs)
             .collect()
         )
         nxt = [list(c) for c in cents]
-        acc: dict[int, dict[int, int]] = {}
         for r in sums:
-            acc.setdefault(int(r["__c"]), {})[int(r["__pos"])] = math.floor(
-                float(r["__s"]) / int(r["__n"])
-            )
-        for ci, dims in acc.items():
-            nxt[ci] = [dims[p] for p in sorted(dims)]
+            ci, n = int(r["__c"]), int(r["__n"])
+            nxt[ci] = [
+                math.floor(float(r[f"__s{p}"]) / n) for p in range(dim)
+            ]
         cents = nxt
     return cents
 
