@@ -941,6 +941,65 @@ def ann_ivf_topk_det(
     )
 
 
+def ann_ivf_candidates_det(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+    dim: int,
+    n_lists: int = 16,
+    n_probe_max: int = 4,
+) -> DataFrame:
+    """Scored deterministic-IVF candidates with their PROBE RANK —
+    the shared sub-plan of a probe-tuning sweep.
+
+    Returns ``(query_id, neighbor_id, probe_rank, cosine)`` where
+    ``probe_rank`` is the 0-based position of the matched list in the
+    query's (distance, list id)-ordered probe sequence. Filtering
+    ``probe_rank < p`` yields EXACTLY the candidate set
+    :func:`ann_ivf_topk_det` would score at ``n_probe = p`` (probe
+    sequences are nested prefixes of one deterministic ordering), so a
+    whole n_probe curve shares ONE corpus quantize+assign and ONE
+    scoring join instead of re-encoding the corpus per arm.
+    """
+    from spark_extensions_spark.session import ensure_parallelism
+
+    cents = ivf_centroids_det(corpus, id_col, vec_col, n_lists)
+    c = (
+        ensure_parallelism(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("cv"),
+            )
+        )
+        .withColumn("__qq", F.expr(quantize_vec_expr("cv")))
+        .withColumn("list_id", F.expr(ivf_assign_expr("__qq", cents)))
+        .drop("__qq")
+    )
+    q = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vec_col).alias("qv"),
+        )
+        .withColumn("__qq", F.expr(quantize_vec_expr("qv")))
+        .select(
+            "query_id",
+            "qv",
+            F.posexplode(
+                F.expr(ivf_probe_expr("__qq", cents, n_probe_max))
+            ).alias("probe_rank", "list_id"),
+        )
+    )
+    return F.broadcast(q).join(c, "list_id").select(
+        "query_id",
+        "neighbor_id",
+        "probe_rank",
+        cosine_pandas_cols(F.col("qv"), F.col("cv")).alias("cosine"),
+    )
+
+
 # ---------------------------------------------------------------------
 # Deterministic IVF-PQ (oracle-checkable product quantization)
 # ---------------------------------------------------------------------

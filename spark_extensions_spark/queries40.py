@@ -13,7 +13,7 @@ end). Same determinism rules as the queries.py docstring.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spark_extensions_spark.queries import _register, _t
@@ -248,7 +248,7 @@ def _probe_curve_oracle() -> str:
 )
 def q_eval_ann_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_extensions_spark.operators.similarity import (
-        ann_ivf_topk_det,
+        ann_ivf_candidates_det,
     )
     from spark_extensions_spark.queries38 import exact_topk_spark
     from spark_extensions_spark.queries import EMB_DIM
@@ -260,12 +260,26 @@ def q_eval_ann_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
         .localCheckpoint(eager=False)
     )
+    # ONE corpus quantize+assign and ONE scoring join for the whole
+    # curve: probe sequences are nested prefixes of one deterministic
+    # ordering, so arm p's candidate set is exactly probe_rank < p —
+    # previously each arm re-ran the full IVF pipeline (3× corpus
+    # encode at sf0.1)
+    cand = ann_ivf_candidates_det(
+        emb, queries, "vec_id", "embedding", "vec_id", "embedding",
+        dim=EMB_DIM, n_lists=_PC_LISTS, n_probe_max=max(_PC_PROBES),
+    ).localCheckpoint(eager=False)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
     arms = []
     for p in _PC_PROBES:
-        approx = ann_ivf_topk_det(
-            emb, queries, "vec_id", "embedding", "vec_id", "embedding",
-            k=_PC_K, dim=EMB_DIM, n_lists=_PC_LISTS, n_probe=p,
-        ).select("query_id", "neighbor_id", F.lit(1).alias("__hit"))
+        approx = (
+            cand.filter(F.col("probe_rank") < p)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= _PC_K)
+            .select("query_id", "neighbor_id", F.lit(1).alias("__hit"))
+        )
         arms.append(
             exact.join(approx, ["query_id", "neighbor_id"], "left")
             .agg(
