@@ -46,6 +46,11 @@ from spark_extensions_spark.functions.text import TOKEN_PATTERN
 
 def _token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, w, k) bag-of-words counts — row-local explode + one agg."""
+    from spark_extensions_spark.session import ensure_parallelism
+
+    # the tokenize+explode+partial-agg runs in the scan's stage; widen
+    # an unsplittable one-row-group input first (no-op at scale)
+    df = ensure_parallelism(df)
     return (
         df.select(
             F.col(id_col),
@@ -70,7 +75,16 @@ def nb_train(
     toks = _token_counts(df, id_col, text_col).join(
         df.select(id_col, F.col(label_col).alias("__c")), id_col
     )
-    cw = toks.groupBy("__c", "w").agg(F.sum("k").alias("cnt"))
+    # Materialize the (class, token) counts once: vocab (broadcast),
+    # ctot (twice) and likelihood all read this lineage, and without
+    # the checkpoint each consumer re-ran the corpus tokenize + both
+    # aggregates from scratch (measured as four repeated ~0.7 s
+    # single-task jobs at sf0.1).
+    cw = (
+        toks.groupBy("__c", "w")
+        .agg(F.sum("k").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
     ctot = cw.groupBy("__c").agg(F.sum("cnt").alias("tok_c"))
     vocab = cw.select("w").distinct().agg(F.count(F.lit(1)).alias("v"))
     ndocs = df.groupBy(F.col(label_col).alias("__c")).agg(
