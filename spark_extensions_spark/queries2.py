@@ -1393,7 +1393,11 @@ def q_analytic_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_extensions_spark.operators.dedup import shingles_from_words
 
-    docs = _t(spark, sf_dir, "documents")["documents"]
+    from spark_extensions_spark.session import ensure_parallelism
+
+    # the regexp+shingle explode runs in the one-row-group scan's
+    # single task (measured 3.1 s) — widen first (no-op at scale)
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents")["documents"])
     words = docs.select(
         "doc_id",
         F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").alias("__words"),
