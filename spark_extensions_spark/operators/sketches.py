@@ -613,6 +613,12 @@ def bloom_bits(
     )
 
 
+# Largest filter carried as a single-row packed-long map (m/8 bytes in
+# one broadcast row); bigger filters keep the per-bit broadcast-join
+# probe, whose build never concentrates the mask in one row.
+_BLOOM_LITERAL_MAX_M = 1 << 24
+
+
 def bloom_prefilter_dedup(
     new_df: DataFrame,
     hist_df: DataFrame,
@@ -633,11 +639,18 @@ def bloom_prefilter_dedup(
     pinned in tests.
 
     Scale shape (the 100 TB ingest pattern): the corpus is scanned
-    ONCE to build ≤ m bits (map-side-combinable distinct); each
-    incremental batch does row-local hashing + a broadcast-hash semi
-    join against the bit set, and only the maybe-dup subset (FPR-
-    bounded) pays the exact corpus join.  At steady state the exact
-    join probes a tiny fraction of the batch.
+    ONCE to build ≤ m bits (map-side-combinable distinct), folded into
+    m/64 packed words carried as a single-row map and attached to the
+    batch by a 1-row broadcast; each incremental batch then does
+    row-local hashing against the mask, and only the maybe-dup subset
+    (FPR-bounded) pays the exact corpus join.  At steady state the
+    exact join probes a tiny fraction of the batch.
+
+    The packed-mask probe replaces the previous d per-bit-lane
+    broadcast-join builds (each one a driver job + exchange every
+    micro-batch, each re-running the history scan); above
+    ``_BLOOM_LITERAL_MAX_M`` bits the single mask row would be
+    outsized, so oversized filters keep the per-bit broadcast probe.
     """
     from spark_extensions_spark.operators.dedup import hash64_expr
 
@@ -653,31 +666,59 @@ def bloom_prefilter_dedup(
         F.col(key_col).alias("__k"),
         *probe_bits,
     )
-    # all-d-bits membership via d broadcast left joins onto the bit
-    # set (a left_semi per bit would drop rows; the boolean is needed)
-    cur = new_keyed
-    for i in range(d):
-        cur = cur.join(
-            F.broadcast(
-                bits.select(
-                    F.col("bit").alias(f"b{i}"),
-                    F.lit(1).alias(f"__hit{i}"),
-                )
-            ),
-            f"b{i}",
-            "left",
+    if m <= _BLOOM_LITERAL_MAX_M:
+        # fold the set-bit table into packed 64-bit words and carry
+        # them as ONE single-row map attached by a 1-row broadcast
+        # nested-loop join: the whole filter costs one scan of the
+        # history (the d-broadcast probe re-ran it per bit lane) and
+        # one tiny broadcast per batch, with no driver collect
+        words = bits.groupBy(
+            F.shiftright(F.col("bit"), 6).alias("w")
+        ).agg(F.expr("bit_or(shiftleft(1L, bit & 63))").alias("word"))
+        mask_row = words.agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("w", "word"))
+            ).alias("__mask")
         )
-    flagged = cur.select(
-        "id",
-        "__k",
-        (
-            sum(
-                (F.col(f"__hit{i}").isNotNull()).cast("int")
-                for i in range(d)
+        all_hit = " AND ".join(
+            f"(shiftright(element_at(__mask, shiftright(b{i}, 6)),"
+            f" b{i} & 63) & 1) = 1"
+            for i in range(d)
+        )
+        # NULL keys hash to NULL bits, and unset words are absent from
+        # the map (element_at → NULL): the join path yields no match
+        # (False) for both, so the mask path coalesces NULL to False
+        flagged = new_keyed.join(F.broadcast(mask_row)).select(
+            "id",
+            "__k",
+            F.expr(f"coalesce({all_hit}, false)").alias("maybe_dup"),
+        )
+    else:
+        # all-d-bits membership via d broadcast left joins onto the bit
+        # set (a left_semi per bit would drop rows; the boolean is needed)
+        cur = new_keyed
+        for i in range(d):
+            cur = cur.join(
+                F.broadcast(
+                    bits.select(
+                        F.col("bit").alias(f"b{i}"),
+                        F.lit(1).alias(f"__hit{i}"),
+                    )
+                ),
+                f"b{i}",
+                "left",
             )
-            == d
-        ).alias("maybe_dup"),
-    )
+        flagged = cur.select(
+            "id",
+            "__k",
+            (
+                sum(
+                    (F.col(f"__hit{i}").isNotNull()).cast("int")
+                    for i in range(d)
+                )
+                == d
+            ).alias("maybe_dup"),
+        )
     hist_keys = hist_df.select(
         F.col(key_col).alias("__k"), F.lit(1).alias("__in_hist")
     ).distinct()
