@@ -487,7 +487,19 @@ def global_sort_index(
     preceding partitions' row counts. Driver traffic is one integer
     per partition — no single-partition global window.
     """
-    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    # Default width: the session's parallelism, CAPPED at the input's
+    # own planned partition count — fanning a one-split local fixture
+    # into 32 range partitions costs 32 sort tasks + 32 checkpoint
+    # blocks + a 32-row offset collect for rows that fit one task. At
+    # real scale the input arrives as thousands of splits and the cap
+    # is a no-op (width stays defaultParallelism, as before).
+    parts = num_partitions or max(
+        1,
+        min(
+            df.sparkSession.sparkContext.defaultParallelism,
+            df.rdd.getNumPartitions(),
+        ),
+    )
     cols = [F.col(c) for c in order_cols]
     ranged = (
         df.repartitionByRange(parts, *cols)
