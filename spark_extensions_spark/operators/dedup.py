@@ -378,7 +378,12 @@ def ngram_jaccard_pairs(
             lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint"),
         )
     )
-    shingled = words.select(F.col(id_col), F.explode(sh_hashes).alias("sh"))
+    # materialize the narrow (id, hash) postings once: the size agg
+    # and BOTH sides of the inverted-index self-join consume this
+    # subtree (3 executions of the regexp+md5 scan when lazy)
+    shingled = words.select(
+        F.col(id_col), F.explode(sh_hashes).alias("sh")
+    ).localCheckpoint(eager=False)
     sizes = shingled.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = shingled.alias("a")
     b = shingled.alias("b")
@@ -965,7 +970,16 @@ def ngram_jaccard_pairs_prefix(
             lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint"),
         )
     )
-    shingled = words.select(F.col(id_col), F.explode(sh_hashes).alias("sh"))
+    # One materialization of the exploded (id, shingle-hash) postings:
+    # freq, the rank join, the full-set agg AND both sides of the
+    # prefix self-join consume this subtree — lazily recomputed it
+    # executes the regexp+md5 shingle scan five times per run
+    # (profiled as five near-identical 32-task jobs at sf0.1). The
+    # rows are two bigints, the narrow-aggregate shape localCheckpoint
+    # wins at (OPTIMIZATION_r10.md "Rejected experiments").
+    shingled = words.select(
+        F.col(id_col), F.explode(sh_hashes).alias("sh")
+    ).localCheckpoint(eager=False)
     freq = shingled.groupBy("sh").agg(F.count("*").alias("df"))
     w_rank = Window.partitionBy(id_col).orderBy("df", "sh")
     w_doc = Window.partitionBy(id_col)
@@ -984,6 +998,15 @@ def ngram_jaccard_pairs_prefix(
     ).select(id_col, "sh")
     a = prefix.alias("a")
     b = prefix.alias("b")
+    # the candidate pair set is tiny in BYTES, so AQE coalesces its
+    # dedupe exchange to a couple of partitions — and with `sets`
+    # under the broadcast threshold the whole array_intersect verify
+    # then runs in that coalesced stage (measured 2.6 s on 3 tasks at
+    # sf0.1). Pin the exchange the distinct needs anyway with a
+    # numbered keyed repartition (REPARTITION_BY_NUM, exempt from AQE
+    # coalescing; the same-key distinct reuses it — no extra shuffle).
+    from spark_extensions_spark.session import expansion_width
+
     cands = (
         a.join(
             b,
@@ -993,17 +1016,12 @@ def ngram_jaccard_pairs_prefix(
         .select(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
+        .repartition(expansion_width(df.sparkSession), "id_a", "id_b")
         .distinct()
     )
     sets = shingled.groupBy(id_col).agg(
         F.sort_array(F.collect_list("sh")).alias("shs")
     )
-    # the candidate pair set is tiny in BYTES, so AQE coalesces its
-    # exchange to a couple of partitions — and with `sets` under the
-    # broadcast threshold the whole array_intersect verify then runs in
-    # that coalesced stage (measured 2.6 s on 3 tasks at sf0.1); widen
-    # the verify probe side (no-op once candidates outgrow core count)
-    cands = ensure_parallelism(cands)
     verified = (
         cands.join(
             sets.select(F.col(id_col).alias("id_a"), F.col("shs").alias("sh_a")),
@@ -1580,6 +1598,8 @@ def ngram_containment_pairs(
             )
         ).alias("__sh"),
     ).localCheckpoint(eager=False)
+    from spark_extensions_spark.session import expansion_width
+
     post = sets.select(id_col, F.explode("__sh").alias("__h"))
     rare = (
         post.groupBy("__h")
@@ -1587,14 +1607,23 @@ def ngram_containment_pairs(
         .filter((F.col("__df") <= max_df) & (F.col("__df") >= 2))
         .select("__h")
     )
-    cand = grouped_pair_edges(
-        post.join(rare, "__h"), "__h", id_col, src="id_a", dst="id_b"
-    ).distinct()
-    # same verify-stage width fix as the prefix-join operator: the
-    # candidate exchange is tiny in bytes and AQE coalesces it, while
-    # the checkpointed `sets` broadcasts below threshold — leaving the
-    # per-pair array_intersect on 2 tasks at sf0.1; widen the probe
-    cand = ensure_parallelism(cand)
+    # verify-stage width: the candidate dedupe exchange is tiny in
+    # BYTES so AQE coalesces its read (measured 2 tasks at sf0.1),
+    # and with the checkpointed `sets` broadcasting below threshold
+    # the whole dedupe + array_intersect verify then runs in that
+    # coalesced stage. ensure_parallelism cannot see this (the PLANNED
+    # width is already the shuffle width; only AQE's runtime coalesce
+    # shrinks it), so pin the exchange the dedupe needs anyway with an
+    # explicit numbered keyed repartition — REPARTITION_BY_NUM is
+    # exempt from AQE coalescing and the same-key distinct reuses it
+    # (no extra shuffle at any scale).
+    cand = (
+        grouped_pair_edges(
+            post.join(rare, "__h"), "__h", id_col, src="id_a", dst="id_b"
+        )
+        .repartition(expansion_width(df.sparkSession), "id_a", "id_b")
+        .distinct()
+    )
     verified = (
         cand.join(
             sets.select(

@@ -414,6 +414,7 @@ def grouped_pair_edges(
     item_col: str,
     src: str = "src",
     dst: str = "dst",
+    pre_partitioned: bool = False,
 ) -> DataFrame:
     """Co-occurrence pairs via ONE groupBy + a row-local expansion over
     each group's sorted DISTINCT item set: emits each unordered pair
@@ -432,11 +433,14 @@ def grouped_pair_edges(
     # runs in the post-exchange stage, and AQE coalesces the exchange
     # by its (tiny) byte size, blind to the downstream blowup — an
     # explicit keyed repartition replaces the exchange the groupBy
-    # would insert anyway and is exempt from AQE coalescing.
-    items = (
-        df.repartition(expansion_width(df.sparkSession), group_col)
-        .groupBy(group_col)
-        .agg(F.sort_array(F.collect_set(item_col)).alias("__gpe_ps"))
+    # would insert anyway and is exempt from AQE coalescing. A caller
+    # that already pinned a hashpartitioning(group_col) exchange
+    # passes pre_partitioned=True so the same exchange serves both
+    # (guide: operations keyed the same way share one exchange).
+    if not pre_partitioned:
+        df = df.repartition(expansion_width(df.sparkSession), group_col)
+    items = df.groupBy(group_col).agg(
+        F.sort_array(F.collect_set(item_col)).alias("__gpe_ps")
     )
     return items.select(
         F.explode(
