@@ -615,7 +615,9 @@ def degree_distribution(
     degree sequence summary used for skew diagnosis before running the
     heavier graph passes.
     """
-    e = canonical_edges(edges, src, dst)
+    # materialize the canonical edges once: both endpoint-union
+    # branches embed the caller's full edge construction otherwise
+    e = canonical_edges(edges, src, dst).localCheckpoint(eager=False)
     nodes = e.select(F.col("src").alias("node")).unionAll(
         e.select(F.col("dst").alias("node"))
     )
@@ -1265,10 +1267,16 @@ def degree_assortativity(
 
     Output one row: ``(n_pairs, sx, sxx, sxy, r)``.
     """
-    nb = edges.select(
-        F.col(src).alias("node"), F.col(dst).alias("nbr")
-    ).unionByName(
-        edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr"))
+    nb = (
+        edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
+        .unionByName(
+            edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr"))
+        )
+        # materialization barrier: the degree aggregate and the two
+        # score joins all consume nb, and each union branch embeds the
+        # caller's full edge construction — lazily the co-purchase
+        # pair expansion executed up to four times per run
+        .localCheckpoint(eager=False)
     )
     deg = nb.groupBy("node").agg(
         F.count(F.lit(1)).cast("bigint").alias("deg")

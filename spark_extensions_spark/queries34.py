@@ -50,7 +50,10 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from spark_extensions_spark.queries21 import _part_edges
 
-    edges = _part_edges(spark, sf_dir)
+    # one materialization of the w·(w-1)/2 co-purchase expansion: the
+    # seed scan and the BFS symmetrization both consume it (lazily it
+    # re-ran as two identical 2.2 s jobs at sf0.1)
+    edges = _part_edges(spark, sf_dir).localCheckpoint(eager=False)
     seeds = (
         canonical_edges(edges, "src", "dst")
         .filter(F.col("src") % 50 == 0)

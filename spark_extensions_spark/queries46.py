@@ -59,7 +59,12 @@ def q_graph_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_extensions_spark.operators.graph import canonical_edges
     from spark_extensions_spark.queries21 import _part_edges
 
-    edges = canonical_edges(_part_edges(spark, sf_dir), "src", "dst")
+    # one materialization of the co-purchase expansion + canonicalize:
+    # the anchor-node scan and the operator's adjacency build both
+    # consume it (lazily it re-ran as two identical 2.2 s jobs)
+    edges = canonical_edges(
+        _part_edges(spark, sf_dir), "src", "dst"
+    ).localCheckpoint(eager=False)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
