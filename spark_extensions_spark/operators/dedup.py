@@ -107,6 +107,11 @@ def minhash_signatures(
     Catalyst projection-collapse re-inlining (which made the naive
     per-seed ``array_min(transform(...))`` formulation O(shingles²)).
     """
+    from spark_extensions_spark.session import ensure_parallelism
+
+    # per-shingle md5 is the CPU-heavy row-local stage; keep scan
+    # width on one-file inputs (measured 1.2 s on ONE task at sf0.1)
+    df = ensure_parallelism(df)
     sentinel = "g" * 32  # > every md5 hex digest ('g' > 'f')
     words = df.select(
         F.col(id_col),
@@ -1447,6 +1452,12 @@ def winnow_fingerprints(
 
     Output: ``(id_col, fp)`` distinct rows, fp BIGINT.
     """
+    from spark_extensions_spark.session import ensure_parallelism
+
+    # gram hashing is the CPU-heavy row-local stage; keep scan width
+    # even when the input is one unsplittable file (measured 2.15 s on
+    # ONE task at sf0.1 straight off the single-row-group fixture)
+    df = ensure_parallelism(df)
     words = df.select(
         F.col(id_col),
         F.expr(

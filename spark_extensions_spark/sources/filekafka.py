@@ -292,7 +292,13 @@ def produce(
         )
     else:
         cols.append(F.lit(0).cast("bigint").alias("ts_us"))
-    msgs = df.select(*cols)
+    from spark_extensions_spark.session import ensure_parallelism
+
+    # the murmur2 placement below is a Python-worker stage: keep the
+    # producer's scan width even when the source is one unsplittable
+    # file (measured 2.3 s on ONE task hashing 100k keys at sf0.1);
+    # no-ops on already-wide inputs
+    msgs = ensure_parallelism(df.select(*cols))
 
     parts = num_partitions
 
