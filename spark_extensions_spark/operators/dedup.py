@@ -324,6 +324,11 @@ def simhash(
     hash has bit j set is >= half the word count (ties round up). Output:
     ``(id_col, simhash bigint, n_words int)``.
     """
+    from spark_extensions_spark.session import ensure_parallelism
+
+    # per-word md5 is the CPU-heavy row-local stage; keep scan width
+    # on one-file inputs (measured 0.9 s on ONE task at sf0.1)
+    df = ensure_parallelism(df)
     words_sql = f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)"
     hashes_sql = f"transform({words_sql}, w -> {hash64_expr('w')})"
     bit_terms = " + ".join(
@@ -899,7 +904,12 @@ def ngram_contamination(
     it exactly. Output: ``(corpus_id, overlap_cnt)``.
     """
     def shingle_hashes(df: DataFrame, id_c: str, text_c: str) -> DataFrame:
-        words = df.select(
+        from spark_extensions_spark.session import ensure_parallelism
+
+        # shingle md5 is the CPU-heavy row-local stage; keep scan
+        # width on one-file inputs (measured 2.4 s on ONE task at
+        # sf0.1); no-op on real multi-split corpora
+        words = ensure_parallelism(df).select(
             F.col(id_c),
             F.expr(
                 f"regexp_extract_all(lower({text_c}), '[a-z0-9]+', 0)"

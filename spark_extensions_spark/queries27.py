@@ -1965,12 +1965,18 @@ def q_io_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     if sf_dir not in cache:
         t = _t(spark, sf_dir, "orders", "customer")
         base = tempfile.mkdtemp(prefix="bucketed_q_")
+        # cluster by the bucket key at bucket count before the write:
+        # all 8 buckets still get exactly one file each, but they
+        # write in parallel instead of through the single task the
+        # one-file source scan plans (measured 1.5 s on 1 task)
         write_table(
-            t["orders"], f"{base}/ord_b", mode="overwrite",
+            t["orders"].repartition(8, F.col("o_custkey")),
+            f"{base}/ord_b", mode="overwrite",
             bucket_by=(8, ["o_custkey"]), table_name="ord_b_q",
         )
         write_table(
-            t["customer"], f"{base}/cust_b", mode="overwrite",
+            t["customer"].repartition(8, F.col("c_custkey")),
+            f"{base}/cust_b", mode="overwrite",
             bucket_by=(8, ["c_custkey"]), table_name="cust_b_q",
         )
         cache[sf_dir] = ("ord_b_q", "cust_b_q")
