@@ -388,12 +388,7 @@ def ngram_jaccard_pairs(
             lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint"),
         )
     )
-    # materialize the narrow (id, hash) postings once: the size agg
-    # and BOTH sides of the inverted-index self-join consume this
-    # subtree (3 executions of the regexp+md5 scan when lazy)
-    shingled = words.select(
-        F.col(id_col), F.explode(sh_hashes).alias("sh")
-    ).localCheckpoint(eager=False)
+    shingled = words.select(F.col(id_col), F.explode(sh_hashes).alias("sh"))
     sizes = shingled.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = shingled.alias("a")
     b = shingled.alias("b")
