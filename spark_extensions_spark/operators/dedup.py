@@ -107,11 +107,6 @@ def minhash_signatures(
     Catalyst projection-collapse re-inlining (which made the naive
     per-seed ``array_min(transform(...))`` formulation O(shingles²)).
     """
-    from spark_extensions_spark.session import ensure_parallelism
-
-    # per-shingle md5 is the CPU-heavy row-local stage; keep scan
-    # width on one-file inputs (measured 1.2 s on ONE task at sf0.1)
-    df = ensure_parallelism(df)
     sentinel = "g" * 32  # > every md5 hex digest ('g' > 'f')
     words = df.select(
         F.col(id_col),
@@ -899,12 +894,7 @@ def ngram_contamination(
     it exactly. Output: ``(corpus_id, overlap_cnt)``.
     """
     def shingle_hashes(df: DataFrame, id_c: str, text_c: str) -> DataFrame:
-        from spark_extensions_spark.session import ensure_parallelism
-
-        # shingle md5 is the CPU-heavy row-local stage; keep scan
-        # width on one-file inputs (measured 2.4 s on ONE task at
-        # sf0.1); no-op on real multi-split corpora
-        words = ensure_parallelism(df).select(
+        words = df.select(
             F.col(id_c),
             F.expr(
                 f"regexp_extract_all(lower({text_c}), '[a-z0-9]+', 0)"
@@ -1457,12 +1447,6 @@ def winnow_fingerprints(
 
     Output: ``(id_col, fp)`` distinct rows, fp BIGINT.
     """
-    from spark_extensions_spark.session import ensure_parallelism
-
-    # gram hashing is the CPU-heavy row-local stage; keep scan width
-    # even when the input is one unsplittable file (measured 2.15 s on
-    # ONE task at sf0.1 straight off the single-row-group fixture)
-    df = ensure_parallelism(df)
     words = df.select(
         F.col(id_col),
         F.expr(

@@ -354,12 +354,7 @@ def collocations(
     Output: (gram, c_xy, lift) ordered for display.
     """
     from spark_extensions_spark.operators.dedup import shingles_from_words
-    from spark_extensions_spark.session import ensure_parallelism
 
-    # tokenize + bigram explode is the CPU-heavy row-local stage; keep
-    # scan width on one-file inputs (three 0.6-0.9 s 1-task jobs at
-    # sf0.1 otherwise)
-    docs = ensure_parallelism(docs)
     words = docs.select(
         F.expr(
             f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)"

@@ -631,12 +631,7 @@ def dsir_weights(
     ``df`` (NULLs for token-free documents).
     """
     def occurrences(data: DataFrame) -> DataFrame:
-        from spark_extensions_spark.session import ensure_parallelism
-
-        # tokenize+bigram explode is the CPU-heavy row-local stage —
-        # keep scan width on one-file inputs (measured as 1-task
-        # 0.9-1.7 s jobs per branch at sf0.1)
-        return ensure_parallelism(data).select(
+        return data.select(
             F.col(id_col),
             F.expr(
                 f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)"

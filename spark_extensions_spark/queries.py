@@ -1452,11 +1452,7 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "projection (functions/text.py:lang_id).",
 )
 def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from spark_extensions_spark.session import ensure_parallelism
-
-    # lang_id is a heavy row-local expression tree; keep scan width on
-    # the one-file fixture (0.7 s on ONE task at sf0.1 otherwise)
-    docs = ensure_parallelism(_t(spark, sf_dir, "documents")["documents"])
+    docs = _t(spark, sf_dir, "documents")["documents"]
     return docs.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),

@@ -1364,13 +1364,7 @@ def q_analytic_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     li = _t(spark, sf_dir, "lineitem")["lineitem"]
-    # one materialization: the order count, per-item counts and the
-    # pair expansion all consume the distinct basket table
-    baskets = (
-        li.select("l_orderkey", "l_partkey")
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
     n_orders = baskets.agg(
         F.countDistinct("l_orderkey").cast("bigint").alias("n_orders")
     )
@@ -1383,18 +1377,10 @@ def q_analytic_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     # grouped_pair_edges): each order's sorted distinct basket emits
     # each unordered pair once (w(w-1)/2 rows, already a < b) — the
     # self-join form materializes w² rows per order first
-    from spark_extensions_spark.session import expansion_width
-
-    # the pair-count exchange is tiny in BYTES so AQE coalesces its
-    # read and the final count over millions of expanded pair rows ran
-    # on ONE task (2.7 s at sf0.1); pin the exchange the aggregate
-    # needs anyway with a numbered keyed repartition (AQE-exempt, and
-    # the same-key groupBy reuses it — no extra shuffle at any scale)
     pairs = (
         grouped_pair_edges(
             baskets, "l_orderkey", "l_partkey", src="item_a", dst="item_b"
         )
-        .repartition(expansion_width(spark), "item_a", "item_b")
         .groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("pair_n"))
     )

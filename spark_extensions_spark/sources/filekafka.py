@@ -294,10 +294,11 @@ def produce(
         cols.append(F.lit(0).cast("bigint").alias("ts_us"))
     from spark_extensions_spark.session import ensure_parallelism
 
-    # the murmur2 placement below is a Python-worker stage: keep the
-    # producer's scan width even when the source is one unsplittable
-    # file (measured 2.3 s on ONE task hashing 100k keys at sf0.1);
-    # no-ops on already-wide inputs
+    # the murmur2 placement below is an Arrow/pandas-UDF stage: a
+    # one-split source would serialize every message through ONE
+    # Python worker before the 8-way placement shuffle (the kafka CDC
+    # flagship measured 12.6 -> 8.6 s bench one-shot from this fix);
+    # no-op on already-wide inputs
     msgs = ensure_parallelism(df.select(*cols))
 
     parts = num_partitions
