@@ -1015,6 +1015,17 @@ def pq_codebooks_det(
     repaired by the exact-cosine rerank stage); the collect is bounded
     at ``ksub`` rows."""
     rows = ivf_centroids_det(corpus, id_col, vec_col, ksub)
+    return pq_codebooks_from_rows(rows, m)
+
+
+def pq_codebooks_from_rows(
+    rows: list[list[int]], m: int
+) -> list[list[list[int]]]:
+    """Split already-selected quantized sample rows into ``m`` PQ
+    codebooks (the second half of :func:`pq_codebooks_det`). Callers
+    that already hold the same smallest-md5(id) sample — the IVF
+    coarse codebook when ``ksub == n_lists`` — reuse it instead of
+    re-running the two selection jobs."""
     dim = len(rows[0])
     dsub = dim // m
     return [
@@ -1097,7 +1108,14 @@ def ann_ivfpq_topk_det(
     reaches the Python cosine stage.
     """
     cents = ivf_centroids_det(corpus, id_col, vec_col, n_lists)
-    books = pq_codebooks_det(corpus, id_col, vec_col, m, ksub)
+    # ksub == n_lists ⇒ the PQ sample is the SAME smallest-md5(id) row
+    # set as the coarse codebook — reuse it (saves the two selection
+    # jobs of a second ivf_centroids_det pass; bit-identical books)
+    books = (
+        pq_codebooks_from_rows(cents, m)
+        if ksub == n_lists
+        else pq_codebooks_det(corpus, id_col, vec_col, m, ksub)
+    )
     from spark_extensions_spark.session import ensure_parallelism
 
     # assign/encode codegen + the ADC fold run in the corpus scan's

@@ -82,3 +82,21 @@ def test_theil_sen_selection_distributed_and_exact(spark, sf_dir):
     med = slopes[k - 1]
     assert row["n_pairs"] == len(slopes)
     assert (row["med_dy"], row["med_dx"]) == (med[1], med[2])
+
+
+def test_pq_codebooks_from_rows_matches_det(spark, sf_dir):
+    """ann_ivfpq reuses the IVF coarse sample as the PQ sample when
+    ksub == n_lists (saves the second two-job selection pass); the
+    derived codebooks must be bit-identical to an independent
+    pq_codebooks_det call."""
+    from spark_extensions_spark.operators.similarity import (
+        ivf_centroids_det,
+        pq_codebooks_det,
+        pq_codebooks_from_rows,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = ivf_centroids_det(emb, "vec_id", "embedding", 16)
+    assert pq_codebooks_from_rows(rows, 8) == pq_codebooks_det(
+        emb, "vec_id", "embedding", 8, 16
+    )
