@@ -307,10 +307,11 @@ def produce(
 
         @F.pandas_udf("int")
         def _placement(key: pd.Series) -> pd.Series:
+            # one murmur2 per DISTINCT key per batch (keys are entity
+            # ids and repeat heavily; the hash was the per-row cost)
+            place = _memoized_placement(parts)
             return key.map(
-                lambda k: default_partition(
-                    None if k is None else bytes(k), parts
-                )
+                lambda k: place(None if k is None else bytes(k))
             ).astype("int32")
 
         pid_col = _placement(F.col("key"))
@@ -758,27 +759,31 @@ class _FileKafkaStreamReader(DataSourceStreamReader):
 # ---------------------------------------------------------------------
 
 
-def _stage_rows(root, topic, num_partitions, task_id, rows):
-    """Executor side: bucket rows by placement and stage one uniquely
-    named file per touched partition; returns
-    [(pid, staged_path, count), ...]. Offsets are NOT assigned here —
-    only the single driver-side commit does that, so task retries /
-    speculative duplicates are shed at commit (last message per task
-    wins) and a failed job publishes nothing."""
+def _memoized_placement(num_partitions):
+    """Per-task placement function caching murmur2 per DISTINCT key —
+    keys repeat heavily (entity ids), and the pure-Python murmur2 was
+    the dominant per-row cost of the staging path."""
+    cache: dict[bytes | None, int] = {}
+
+    def place(k):
+        pid = cache.get(k)
+        if pid is None:
+            pid = default_partition(k, num_partitions)
+            cache[k] = pid
+        return pid
+
+    return place
+
+
+def _write_staged(root, topic, task_id, buckets):
+    """Write one uniquely named staged parquet file per touched
+    partition from {pid: [(key, value, ts_us), ...]} buckets; shared by
+    the Row- and Arrow-iterator staging paths."""
     import uuid
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    buckets: dict[int, list] = {}
-    for row in rows:
-        k = row["key"]
-        k = None if k is None else bytes(k)
-        v = bytes(row["value"])
-        # Row.__contains__ matches VALUES, not field names — use __fields__
-        ts = row["ts_us"] if "ts_us" in row.__fields__ else 0
-        pid = default_partition(k, num_partitions)
-        buckets.setdefault(pid, []).append((k, v, int(ts or 0)))
     sdir = os.path.join(_topic_dir(root, topic), ".staging")
     os.makedirs(sdir, exist_ok=True)
     staged = []
@@ -799,6 +804,45 @@ def _stage_rows(root, topic, num_partitions, task_id, rows):
         )
         staged.append((pid, path, len(items)))
     return staged
+
+
+def _stage_rows(root, topic, num_partitions, task_id, rows):
+    """Executor side: bucket rows by placement and stage one uniquely
+    named file per touched partition; returns
+    [(pid, staged_path, count), ...]. Offsets are NOT assigned here —
+    only the single driver-side commit does that, so task retries /
+    speculative duplicates are shed at commit (last message per task
+    wins) and a failed job publishes nothing."""
+    place = _memoized_placement(num_partitions)
+    buckets: dict[int, list] = {}
+    for row in rows:
+        k = row["key"]
+        k = None if k is None else bytes(k)
+        v = bytes(row["value"])
+        # Row.__contains__ matches VALUES, not field names — use __fields__
+        ts = row["ts_us"] if "ts_us" in row.__fields__ else 0
+        buckets.setdefault(place(k), []).append((k, v, int(ts or 0)))
+    return _write_staged(root, topic, task_id, buckets)
+
+
+def _stage_batches(root, topic, num_partitions, task_id, batches):
+    """Arrow twin of :func:`_stage_rows` for the DataSourceArrowWriter
+    fast path: the same placement, per-partition (key, value) sort and
+    staged-file layout, but rows arrive as RecordBatches — no pickled
+    Row objects, binary columns unwrap to ``bytes`` in one call."""
+    place = _memoized_placement(num_partitions)
+    buckets: dict[int, list] = {}
+    for b in batches:
+        names = b.schema.names
+        keys = b.column(names.index("key")).to_pylist()
+        vals = b.column(names.index("value")).to_pylist()
+        if "ts_us" in names:
+            tss = b.column(names.index("ts_us")).to_pylist()
+        else:
+            tss = [0] * b.num_rows
+        for k, v, ts in zip(keys, vals, tss):
+            buckets.setdefault(place(k), []).append((k, v, int(ts or 0)))
+    return _write_staged(root, topic, task_id, buckets)
 
 
 def _commit_marker_path(root, topic, pid, batch_id) -> str:
@@ -901,7 +945,10 @@ class FileKafkaDataSource(DataSource):
         return _FileKafkaStreamReader(self.options)
 
     def writer(self, schema: StructType, overwrite: bool):
-        from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+        from pyspark.sql.datasource import (
+            DataSourceArrowWriter,
+            WriterCommitMessage,
+        )
 
         options = self.options
 
@@ -909,7 +956,7 @@ class FileKafkaDataSource(DataSource):
             def __init__(self, staged):
                 self.staged = staged
 
-        class _BatchWriter(DataSourceWriter):
+        class _BatchWriter(DataSourceArrowWriter):
             def __init__(self):
                 self.root = options["path"]
                 self.topic = options["topic"]
@@ -921,7 +968,9 @@ class FileKafkaDataSource(DataSource):
 
                 tid = TaskContext.get().partitionId()
                 return _Msg(
-                    _stage_rows(self.root, self.topic, self.parts, tid, iterator)
+                    _stage_batches(
+                        self.root, self.topic, self.parts, tid, iterator
+                    )
                 )
 
             def commit(self, messages):
@@ -948,7 +997,7 @@ class FileKafkaDataSource(DataSource):
 
     def streamWriter(self, schema: StructType, overwrite: bool):
         from pyspark.sql.datasource import (
-            DataSourceStreamWriter,
+            DataSourceStreamArrowWriter,
             WriterCommitMessage,
         )
 
@@ -958,7 +1007,7 @@ class FileKafkaDataSource(DataSource):
             def __init__(self, staged):
                 self.staged = staged
 
-        class _StreamWriter(DataSourceStreamWriter):
+        class _StreamWriter(DataSourceStreamArrowWriter):
             def __init__(self):
                 self.root = options["path"]
                 self.topic = options["topic"]
@@ -970,8 +1019,9 @@ class FileKafkaDataSource(DataSource):
 
                 ctx = TaskContext.get()
                 return _Msg(
-                    _stage_rows(
-                        self.root, self.topic, self.parts, ctx.partitionId(), iterator
+                    _stage_batches(
+                        self.root, self.topic, self.parts,
+                        ctx.partitionId(), iterator,
                     )
                 )
 
