@@ -1068,6 +1068,13 @@ def q_pipeline_release_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("__s", s_col)
         .withColumn("__st", st_col)
         .withColumn("__ks", ks_col)
+        # __st (the run-starts array) feeds __ks and nothing else —
+        # drop it so the checkpoint doesn't materialize it per row
+        # (it stays evaluated once in its own projection level; the
+        # select only prunes the checkpointed columns)
+        .select(
+            "doc_id", "lang", "text", "n_chars", "s2", "__s", "__ks"
+        )
         .localCheckpoint(eager=False)
     )
     # Materialization barriers (one above, one here): without them
@@ -1076,8 +1083,13 @@ def q_pipeline_release_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # measured 88s vs 10s at sf0.01. The first barrier computes each
     # array once per row; this one computes the two scalars and drops
     # the arrays before anything downstream.
+    # guide §8: every decision below needs only (hash, lang, n_chars) —
+    # compute the md5 dedup key HERE and drop the text payload, so the
+    # second checkpoint and the dedup window shuffle carry 16-byte
+    # hashes instead of documents (same md5, same groups, same result)
     scored = feats.select(
-        "doc_id", "lang", "text", "n_chars",
+        "doc_id", "lang", "n_chars",
+        F.md5("text").alias("__h"),
         F.expr(dup_chars_from_sorted_sql("s2", "text")).alias("__dup2"),
         F.expr(char_entropy_sql("__ks", "__s")).alias("__ent"),
     ).localCheckpoint(eager=False)
@@ -1085,10 +1097,10 @@ def q_pipeline_release_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").between(40, 100000)
         & (F.col("__dup2") < 0.30)
         & (F.col("__ent") > 2.0)
-    ).select("doc_id", "lang", "text", "n_chars")
+    ).select("doc_id", "lang", "__h", "n_chars")
     from pyspark.sql import Window
 
-    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    w = Window.partitionBy("__h").orderBy("doc_id")
     deduped = (
         gated.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
