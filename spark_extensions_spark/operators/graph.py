@@ -293,8 +293,20 @@ def pagerank(
             F.lit(0).cast("bigint").alias("rank_scaled"),
             F.lit(0.0).alias("rank"),
         )
+    from spark_extensions_spark.session import expansion_width
+
     outdeg = E.groupBy("src").agg(F.count("*").alias("outdeg"))
-    e_deg = E.join(outdeg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    # Hash-partition the persisted (src, dst, outdeg) table by dst
+    # ONCE: the per-round broadcast rank join preserves the stream
+    # side's partitioning, so every round's groupBy(dst) contribution
+    # sum runs exchange-free — one exchange here replaces one per
+    # round (guide §2.4). Beyond the broadcast bound the rank join
+    # itself reshuffles by src and the dst layout is simply unused.
+    e_deg = (
+        E.join(outdeg, "src")
+        .repartition(expansion_width(E.sparkSession), "dst")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     base = (PAGERANK_SCALE * (100 - damping_pct)) // (100 * n)
     r0 = PAGERANK_SCALE // n
@@ -693,9 +705,21 @@ def label_propagation(
     # to disk cleanly. Lineage above sym is one union — truncation is
     # only load-bearing for the per-round LABELS, which stay
     # localCheckpoint-ed below.
-    sym = e.unionAll(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    from spark_extensions_spark.session import expansion_width
+
+    # Hash-partition the persisted edge list by src ONCE: partitioning
+    # by src satisfies the clustering requirement of BOTH per-round
+    # aggregates (groupBy (node,label) and groupBy node, node = src),
+    # and the broadcast label join preserves the stream side's
+    # partitioning — so every round runs exchange-free. One exchange
+    # here replaces 2 × iterations exchanges (guide §2.4).
+    sym = (
+        e.unionAll(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .repartition(expansion_width(e.sparkSession), "src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     nodes = sym.select(F.col("src").alias("node")).distinct()
     # the checkpointed labels table has no size stats, so the per-round
     # join would plan SMJ and re-shuffle sym every round — hint
@@ -877,7 +901,9 @@ def bfs_layers(
 
     Fixed rounds keep the result a pure function of the input (and the
     oracle an unrolled CTE); run-to-fixpoint needs a data-dependent
-    diameter bound.  ``seeds`` is a one-column (``node``) DataFrame.
+    diameter bound.  ``seeds`` is a one-column (``node``) DataFrame of
+    DISTINCT nodes (the frontier form below unions it into the output
+    verbatim; every caller passes a distinct set).
 
     Per round: one join of the current distance table onto the
     symmetrized edge list + one min-aggregate — the same O(m)-shuffle
@@ -885,30 +911,57 @@ def bfs_layers(
     localCheckpoint-ed per round so lineage stays flat.  Output:
     ``(node, dist)`` for every reached node.
     """
+    from spark_extensions_spark.session import expansion_width
+
     e = canonical_edges(edges, src, dst)
-    sym = e.unionAll(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=False)
+    # dst-partitioned so each round's frontier-expansion aggregate
+    # reuses the layout (broadcast joins preserve the stream side's
+    # partitioning) — zero per-round exchanges below the broadcast
+    # bound; the checkpoint records the partitioning.
+    sym = (
+        e.unionAll(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .repartition(expansion_width(e.sparkSession), "dst")
+        .localCheckpoint(eager=False)
+    )
     dist = seeds.select(
         F.col("node"), F.lit(0).cast("bigint").alias("dist")
     )
     n_nodes = sym.select("src").distinct().count()
+    # Frontier BFS: a node's distance is FINAL the round it is first
+    # reached (synchronous expansion — later paths are never shorter),
+    # so only the newly reached frontier needs expanding and already-
+    # labeled nodes are dropped by an anti join instead of re-deriving
+    # every node's min over the full reached set each round. Same
+    # (node, dist) output as the min-over-union form; per-round work
+    # falls from O(edges touching everything reached) to O(edges
+    # touching the frontier) — Σ over rounds = O(m) total.
+    frontier = dist
     for _ in range(rounds):
-        # dist is node-sized with checkpoint-hidden stats — hint
-        # broadcast below the bound so the edge list never shuffles
+        # frontier/dist are node-sized with checkpoint-hidden stats —
+        # hint broadcast below the bound so the edge list never shuffles
         reached = sym.join(
-            _maybe_broadcast(dist.withColumnRenamed("node", "src"), n_nodes),
+            _maybe_broadcast(
+                frontier.withColumnRenamed("node", "src"), n_nodes
+            ),
             "src",
         ).select(
             F.col("dst").alias("node"),
             (F.col("dist") + F.lit(1)).alias("dist"),
         )
-        dist = (
-            dist.unionAll(reached)
-            .groupBy("node")
+        new = (
+            reached.groupBy("node")
             .agg(F.min("dist").cast("bigint").alias("dist"))
+            .join(
+                _maybe_broadcast(dist.select("node"), n_nodes),
+                "node",
+                "left_anti",
+            )
             .localCheckpoint(eager=False)
         )
+        dist = dist.unionAll(new).localCheckpoint(eager=False)
+        frontier = new
     return dist
 
 
