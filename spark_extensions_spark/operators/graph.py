@@ -166,6 +166,13 @@ def connected_components_star(
         .union(E0.select(F.col("v").alias("node")))
         .distinct()
     )
+    # Node-count upper bound (2 per edge) for broadcast gating: the
+    # per-phase min-label tables below are node-sized, and the
+    # checkpointed edge set has no stats, so without a hint both
+    # phase joins plan SMJ and shuffle the EDGE-sized side every
+    # round; broadcasting the label table ships partial-aggregated
+    # node-sized rows instead (the LPA/pagerank recipe, guide §3.1).
+    n_bound = 2 * E0.count()
 
     # one distinct per ROUND (after small_star): intermediate duplicate
     # edges don't change either phase's min aggregates, so per-phase
@@ -176,7 +183,7 @@ def connected_components_star(
             F.least(F.min("v"), F.first("u")).alias("m")
         )
         return (
-            bi.join(m, "u")
+            bi.join(_maybe_broadcast(m, n_bound), "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
         )
@@ -192,7 +199,7 @@ def connected_components_star(
             directed.select("u", F.col("u").alias("v"))
         )
         return (
-            with_self.join(m, "u")
+            with_self.join(_maybe_broadcast(m, n_bound), "u")
             .filter(F.col("v") != F.col("m"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .distinct()
@@ -807,51 +814,55 @@ def k_core(
     data-dependent round count); callers wanting the true core loop
     until the edge count stops changing.
 
-    Per round: one degree aggregate (map-side combinable) + two
-    semi-joins pruning the edge list, lineage localCheckpoint-ed — the
-    same per-round shape as :func:`label_propagation`, O(m) shuffle
-    per round, no driver-side state.  Output: ``(node, deg)`` for every
-    endpoint surviving all rounds (``deg`` = its residual degree).
+    The edge list is symmetrized ONCE into ``(node, other)`` rows (both
+    directions of every canonical edge) and hash-partitioned by
+    ``node`` up front: the per-round degree aggregate then groups on
+    the partitioning key (no exchange), and the two node-sized
+    broadcast semi-joins preserve the stream side's layout — every
+    round runs exchange-free, the same one-keyed-layout shape as
+    :func:`label_propagation`/pagerank.  Doubling costs 2m rows once;
+    the previous per-round src/dst endpoint union rebuilt the same 2m
+    rows EVERY round and paid 1-2 exchanges each.  Symmetry makes the
+    prune self-consistent: a ``(a, b)`` row survives iff both
+    endpoints survive, so its mirror ``(b, a)`` survives too and the
+    doubled set stays an exact doubling of the pruned edge set.
+    Output: ``(node, deg)`` for every endpoint surviving all rounds
+    (``deg`` = its residual degree).
     """
-    e = canonical_edges(edges, src, dst).localCheckpoint(eager=False)
+    from spark_extensions_spark.session import expansion_width
 
-    def sym(d: DataFrame) -> DataFrame:
-        return d.select(F.col("src").alias("node")).unionAll(
-            d.select(F.col("dst").alias("node"))
+    e = canonical_edges(edges, src, dst)
+    sym = (
+        e.select(F.col("src").alias("node"), F.col("dst").alias("other"))
+        .unionAll(
+            e.select(F.col("dst").alias("node"), F.col("src").alias("other"))
         )
-
-    n_nodes = sym(e).select("node").distinct().count()
+        .repartition(expansion_width(e.sparkSession), "node")
+        .localCheckpoint(eager=False)
+    )
+    n_nodes = sym.select("node").distinct().count()
     for _ in range(rounds):
         keep = (
-            sym(e)
-            .groupBy("node")
+            sym.groupBy("node")
             .agg(F.count(F.lit(1)).alias("deg"))
             .filter(F.col("deg") >= k)
             .select("node")
         )
         # keep is node-sized with checkpoint-hidden stats — hint
         # broadcast below the bound so the edge list never shuffles
-        e = (
-            e.join(
-                _maybe_broadcast(
-                    keep.withColumnRenamed("node", "src"), n_nodes
-                ),
-                "src",
-                "left_semi",
-            )
+        sym = (
+            sym.join(_maybe_broadcast(keep, n_nodes), "node", "left_semi")
             .join(
                 _maybe_broadcast(
-                    keep.withColumnRenamed("node", "dst"), n_nodes
+                    keep.withColumnRenamed("node", "other"), n_nodes
                 ),
-                "dst",
+                "other",
                 "left_semi",
             )
             .localCheckpoint(eager=False)
         )
-    return (
-        sym(e)
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    return sym.groupBy("node").agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
     )
 
 
@@ -901,9 +912,10 @@ def bfs_layers(
 
     Fixed rounds keep the result a pure function of the input (and the
     oracle an unrolled CTE); run-to-fixpoint needs a data-dependent
-    diameter bound.  ``seeds`` is a one-column (``node``) DataFrame of
-    DISTINCT nodes (the frontier form below unions it into the output
-    verbatim; every caller passes a distinct set).
+    diameter bound.  ``seeds`` is a one-column (``node``) DataFrame;
+    it is defensively deduplicated below (the frontier form unions the
+    seed set into the output verbatim, so a caller-side duplicate would
+    otherwise duplicate output rows — ADVICE r10).
 
     Per round: one join of the current distance table onto the
     symmetrized edge list + one min-aggregate — the same O(m)-shuffle
@@ -925,7 +937,7 @@ def bfs_layers(
         .repartition(expansion_width(e.sparkSession), "dst")
         .localCheckpoint(eager=False)
     )
-    dist = seeds.select(
+    dist = seeds.select("node").distinct().select(
         F.col("node"), F.lit(0).cast("bigint").alias("dist")
     )
     n_nodes = sym.select("src").distinct().count()
@@ -960,6 +972,12 @@ def bfs_layers(
             )
             .localCheckpoint(eager=False)
         )
+        # an empty frontier can never add rows — stop instead of
+        # launching join+aggregate+anti-join jobs over empty data for
+        # every remaining round (the isEmpty probe is one cheap job on
+        # the checkpoint being materialized anyway; output unchanged)
+        if new.isEmpty():
+            break
         dist = dist.unionAll(new).localCheckpoint(eager=False)
         frontier = new
     return dist

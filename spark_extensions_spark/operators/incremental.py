@@ -599,8 +599,16 @@ def backfill_partitions(
         if str(r[0]) not in have
     )
     if todo:
+        spark = src.sparkSession
+        width = int(spark.sparkContext.defaultParallelism)
         (
             src.filter(F.col(partition_col).cast("string").isin(todo))
+            # cluster by the partition column before the partitioned
+            # write: unclustered, EVERY task emits a file into every
+            # partition dir (tasks x partitions small files + commits
+            # per backfill — guide §6); clustered, each partition gets
+            # ~one file and the commit is O(#partitions)
+            .repartition(min(width, max(len(todo), 1)), F.col(partition_col))
             .write.mode("append")
             .partitionBy(partition_col)
             .parquet(sink_dir)

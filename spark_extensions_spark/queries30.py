@@ -463,9 +463,13 @@ def q_backfill_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d", F.to_date("ts").cast("string")
     )
     sink = tempfile.mkdtemp(prefix="backfill_q_")
-    # initial load: dates strictly before the cutoff
+    # initial load: dates strictly before the cutoff, clustered by the
+    # partition column so each date gets ~one file instead of one per
+    # task (tasks x dates files + commits otherwise — guide §6)
+    width = int(spark.sparkContext.defaultParallelism)
     (
         e.filter(F.col("d") < "2024-01-15")
+        .repartition(width, F.col("d"))
         .write.mode("append")
         .partitionBy("d")
         .parquet(sink)

@@ -759,17 +759,22 @@ class _FileKafkaStreamReader(DataSourceStreamReader):
 # ---------------------------------------------------------------------
 
 
-def _memoized_placement(num_partitions):
+def _memoized_placement(num_partitions, max_entries: int = 1 << 20):
     """Per-task placement function caching murmur2 per DISTINCT key —
     keys repeat heavily (entity ids), and the pure-Python murmur2 was
-    the dominant per-row cost of the staging path."""
+    the dominant per-row cost of the staging path. The cache stops
+    admitting past ``max_entries`` (≈60 MB of key bytes at typical id
+    sizes) so a near-unique key distribution cannot hold every key's
+    bytes in executor memory for the task lifetime with no hit-rate
+    benefit (ADVICE r10)."""
     cache: dict[bytes | None, int] = {}
 
     def place(k):
         pid = cache.get(k)
         if pid is None:
             pid = default_partition(k, num_partitions)
-            cache[k] = pid
+            if len(cache) < max_entries:
+                cache[k] = pid
         return pid
 
     return place
@@ -841,6 +846,13 @@ def _stage_batches(root, topic, num_partitions, task_id, batches):
         else:
             tss = [0] * b.num_rows
         for k, v, ts in zip(keys, vals, tss):
+            if v is None:
+                # match the Row path, which fails on bytes(None): a
+                # NULL value must not silently stage as a parquet null
+                # or surface later as an opaque sort TypeError
+                raise ValueError(
+                    "filekafka message 'value' must not be NULL"
+                )
             buckets.setdefault(place(k), []).append((k, v, int(ts or 0)))
     return _write_staged(root, topic, task_id, buckets)
 

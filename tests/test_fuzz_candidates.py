@@ -27,6 +27,8 @@ import os
 import random
 import sys
 
+import pytest
+
 sys.path.insert(
     0,
     os.path.join(
@@ -64,8 +66,19 @@ def test_winnow_twin_hand_case():
     assert fps == {min(h["w0 w1"], h["w1 w0"])}
 
 
+@pytest.mark.slow
 def test_candidate_fuzz_530_cases_no_divergence(spark):
     n_pass, failures = run_fuzz(spark, seed="candfuzz-r9")
     msg = "\n".join(f"{f}#{i}: {p}" for f, i, p in failures[:8])
     assert not failures, f"{len(failures)} divergences:\n{msg}"
     assert n_pass == 530
+
+
+def test_candidate_fuzz_smoke(spark):
+    """Fast default-profile twin of the 530-case gate: the first two
+    seed-pinned cases of EVERY family vs the same brute-force twins;
+    the full sweep runs under ``-m slow``."""
+    n_pass, failures = run_fuzz(spark, seed="candfuzz-r9", n_override=2)
+    msg = "\n".join(f"{f}#{i}: {p}" for f, i, p in failures[:8])
+    assert not failures, f"{len(failures)} divergences:\n{msg}"
+    assert n_pass == 2 * len(families())

@@ -50,6 +50,8 @@ from __future__ import annotations
 import os
 import sys
 
+import pytest
+
 sys.path.insert(
     0,
     os.path.join(
@@ -71,11 +73,23 @@ def test_fuzz_generation_is_seed_pinned():
             assert a == b, op.name
 
 
+@pytest.mark.slow
 def test_operator_fuzz_1320_cases_no_divergence(spark):
     n_pass, failures = run_fuzz(spark, n_per_op=30, seed="opfuzz-r8")
     msg = "\n".join(f"{o}#{i}: {p}" for o, i, p in failures[:8])
     assert not failures, f"{len(failures)} divergences:\n{msg}"
     assert n_pass == 1320
+
+
+def test_operator_fuzz_smoke(spark):
+    """Fast default-profile twin of the 1320-case gate: the first two
+    seed-pinned cases of EVERY operator (same generator, same oracle
+    comparison) — catches harness rot and gross divergences in
+    seconds; the full sweep runs under ``-m slow``."""
+    n_pass, failures = run_fuzz(spark, n_per_op=2, seed="opfuzz-r8")
+    msg = "\n".join(f"{o}#{i}: {p}" for o, i, p in failures[:8])
+    assert not failures, f"{len(failures)} divergences:\n{msg}"
+    assert n_pass == 2 * len(operator_cases())
 
 
 def test_mannwhitney_empty_group_defined_null(spark):

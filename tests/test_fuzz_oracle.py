@@ -35,6 +35,7 @@ def test_fuzz_generation_is_seed_pinned():
     assert len({gen_case("fuzz-r6", i) for i in range(25)}) > 15
 
 
+@pytest.mark.slow
 def test_fuzz_500_cases_no_divergence(spark):
     """The graded invariant: 500 seed-pinned random query trees agree
     between Spark and DuckDB, exactly."""
@@ -44,6 +45,18 @@ def test_fuzz_500_cases_no_divergence(spark):
     )
     assert not failures, f"{len(failures)} divergences:\n{msg}"
     assert n_pass == 500
+
+
+def test_fuzz_smoke_40_cases_no_divergence(spark):
+    """Fast default-profile twin of the 500-case gate: the first 40
+    seed-pinned query trees (same generator prefix, same comparison);
+    the full sweep runs under ``-m slow``."""
+    n_pass, failures = run_fuzz(SF_DIR, 40, seed="fuzz-r6")
+    msg = "\n".join(
+        f"case {i}: {p}\n  SQL: {sql}" for i, sql, p in failures[:5]
+    )
+    assert not failures, f"{len(failures)} divergences:\n{msg}"
+    assert n_pass == 40
 
 
 def test_fuzz_harness_catches_real_divergence(spark):
@@ -64,6 +77,7 @@ def test_fuzz_harness_catches_real_divergence(spark):
 
 
 @pytest.mark.parametrize("seed", ["fuzz-r6-b", "fuzz-r6-c"])
+@pytest.mark.slow
 def test_fuzz_alternate_seeds_spot(seed, spark):
     """Two additional 60-case spot sweeps on fresh seeds, so the green
     bar isn't an artifact of one lucky master seed."""
@@ -114,6 +128,7 @@ def test_known_divergence_empty_cube(spark):
         "single_value", "extreme_ints", "neg_keys",
     ],
 )
+@pytest.mark.slow
 def test_fuzz_adversarial_input_profiles(profile, spark):
     """VERDICT r6 #5: the same shape families over adversarially
     transformed inputs — NULL-dense columns, half-empty relations,
@@ -133,6 +148,24 @@ def test_fuzz_adversarial_input_profiles(profile, spark):
     )
     assert not failures, f"[{profile}] {len(failures)} divergences:\n{msg}"
     assert n_pass == 100
+
+
+def test_fuzz_adversarial_profiles_smoke(spark):
+    """Fast default-profile twin of the 6x100 adversarial sweep: the
+    first 12 cases of every profile; the full sweep runs under
+    ``-m slow``."""
+    for profile in (
+        "null_dense", "empty_mixed", "single_row",
+        "single_value", "extreme_ints", "neg_keys",
+    ):
+        n_pass, failures = run_fuzz(
+            SF_DIR, 12, seed="fuzz-r7-adv", profile=profile
+        )
+        msg = "\n".join(
+            f"case {i}: {p}\n  SQL: {sql}" for i, sql, p in failures[:3]
+        )
+        assert not failures, f"[{profile}] {len(failures)}:\n{msg}"
+        assert n_pass == 12
 
 
 def test_profile_views_are_portable_and_key_stable(spark):
