@@ -741,6 +741,102 @@ def bloom_prefilter_dedup(
     return definite.unionByName(confirmed)
 
 
+def bloom_prefilter_fresh(
+    new_df: DataFrame,
+    hist_df: DataFrame,
+    key_col: str,
+    d: int = 3,
+    m: int = 4096,
+) -> DataFrame:
+    """The FUSED fresh-set form of :func:`bloom_prefilter_dedup` for
+    pipelines that keep the full batch row: returns exactly the rows of
+    ``new_df`` whose key is NOT a confirmed duplicate of the history
+    (same mask probe, same FPR-bounded exact confirm, NULL keys kept),
+    but filters the batch in ONE pass — definitely-new rows drop out
+    row-locally after the 1-row mask broadcast, and only the
+    FPR-bounded maybe set pays an anti join against the history.
+
+    Callers previously computed ``bloom_prefilter_dedup`` flags and
+    equi-joined them BACK onto the batch, shipping every batch row
+    through a second join per micro-batch; the fused form removes that
+    join while keeping the flag form's row set bit-identical (pinned
+    by a pytest equivalence test).
+    """
+    from spark_extensions_spark.operators.dedup import hash64_expr
+
+    if m <= _BLOOM_LITERAL_MAX_M:
+        bits = bloom_bits(hist_df, key_col, d=d, m=m)
+        words = bits.groupBy(
+            F.shiftright(F.col("bit"), 6).alias("w")
+        ).agg(F.expr("bit_or(shiftleft(1L, bit & 63))").alias("word"))
+        mask_row = words.agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("w", "word"))
+            ).alias("__bpf_mask")
+        )
+        probed = new_df
+        for i in range(d):
+            probed = probed.withColumn(
+                f"__bpf_b{i}",
+                F.expr(
+                    f"pmod({hash64_expr(f_concat(i, key_col))}, {m})"
+                ).cast("int"),
+            )
+        all_hit = " AND ".join(
+            f"(shiftright(element_at(__bpf_mask,"
+            f" shiftright(__bpf_b{i}, 6)), __bpf_b{i} & 63) & 1) = 1"
+            for i in range(d)
+        )
+        probed = probed.join(F.broadcast(mask_row)).withColumn(
+            "__bpf_maybe", F.expr(f"coalesce({all_hit}, false)")
+        )
+    else:
+        # oversized filters keep the per-bit broadcast probe (the mask
+        # row would be outsized) — same shape as the flag form's else
+        # branch, inlined so the batch still flows through once
+        bits = bloom_bits(hist_df, key_col, d=d, m=m)
+        probed = new_df
+        for i in range(d):
+            probed = probed.withColumn(
+                f"__bpf_b{i}",
+                F.expr(
+                    f"pmod({hash64_expr(f_concat(i, key_col))}, {m})"
+                ).cast("int"),
+            )
+        for i in range(d):
+            probed = probed.join(
+                F.broadcast(
+                    bits.select(
+                        F.col("bit").alias(f"__bpf_b{i}"),
+                        F.lit(1).alias(f"__bpf_hit{i}"),
+                    )
+                ),
+                f"__bpf_b{i}",
+                "left",
+            )
+        probed = probed.withColumn(
+            "__bpf_maybe",
+            sum(
+                (F.col(f"__bpf_hit{i}").isNotNull()).cast("int")
+                for i in range(d)
+            )
+            == d,
+        )
+    hist_keys = hist_df.select(F.col(key_col).alias("__bpf_k")).distinct()
+    cols = new_df.columns
+    definite = probed.where(~F.col("__bpf_maybe")).select(*cols)
+    confirmed_new = (
+        probed.where(F.col("__bpf_maybe"))
+        .join(
+            hist_keys,
+            F.col(key_col) == F.col("__bpf_k"),
+            "left_anti",
+        )
+        .select(*cols)
+    )
+    return definite.unionByName(confirmed_new)
+
+
 def bloom_prefilter_oracle_sql(
     new_sql: str,
     hist_sql: str,

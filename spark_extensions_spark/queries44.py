@@ -28,7 +28,7 @@ from spark_extensions_spark.operators.sampling import (
     token_budget_cap,
 )
 from spark_extensions_spark.operators.sketches import (
-    bloom_prefilter_dedup,
+    bloom_prefilter_fresh,
     bloom_prefilter_oracle_sql,
 )
 from spark_extensions_spark.queries import _register, _t
@@ -317,14 +317,11 @@ def q_pipeline_release_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     prior = hash_bucket("doc_id", "relv1") < _RG2_HIST_CUT
     hist = gated.filter(prior)
     batch = gated.filter(~prior)
-    flags = bloom_prefilter_dedup(
-        batch, hist, "doc_id", "text_key", d=_RG2_BF_D, m=_RG2_BF_M
-    )
-    fresh = batch.join(
-        flags.filter(~F.col("confirmed_dup")).select(
-            F.col("id").alias("doc_id")
-        ),
-        "doc_id",
+    # fused fresh-set form (one pass: mask probe + FPR-bounded anti
+    # join) — the flag form + join-back this replaced shipped every
+    # batch row's TEXT through a second doc_id join; row-identical
+    fresh = bloom_prefilter_fresh(
+        batch, hist, "text_key", d=_RG2_BF_D, m=_RG2_BF_M
     )
     wdup = Window.partitionBy("text_key").orderBy("doc_id")
     dd = (

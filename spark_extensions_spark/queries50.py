@@ -115,7 +115,7 @@ def q_pipeline_streaming_curation(
         scd2_init,
     )
     from spark_extensions_spark.operators.sketches import (
-        bloom_prefilter_dedup,
+        bloom_prefilter_fresh,
     )
     from spark_extensions_spark.sources.filekafka import (
         produce,
@@ -160,24 +160,29 @@ def q_pipeline_streaming_curation(
             .dropDuplicates(["event_id"])
         )
         keyed = parsed.withColumn("k", F.col("event_id").cast("string"))
-        flags = bloom_prefilter_dedup(
-            keyed,
-            read_seen(s),
-            "event_id",
-            "k",
-            d=_SC_BLOOM_D,
-            m=_SC_BLOOM_M,
-        )
+        # Fused fresh-set dedup (one pass over the batch: mask probe +
+        # FPR-bounded anti join — bloom_prefilter_fresh is row-for-row
+        # the flag form + join-back this replaced, pinned by pytest).
+        # First generation has NO history: nothing can be a dup, so
+        # skip the mask/anti-join plan entirely (replayed batches see
+        # the seen dir and take the full path — crash semantics keep).
+        import os as _os
+
+        if _os.path.exists(seen_dir):
+            fresh = bloom_prefilter_fresh(
+                keyed,
+                read_seen(s),
+                "k",
+                d=_SC_BLOOM_D,
+                m=_SC_BLOOM_M,
+            )
+        else:
+            fresh = keyed
         # one materialization: the seen-key append AND the partials
         # aggregate both consume this plan (parse + dedup + bloom +
         # exact confirm — re-running it per consumer doubles the
         # per-batch work; round-8 review finding)
-        fresh = keyed.join(
-            flags.where(~F.col("confirmed_dup")).select(
-                F.col("id").alias("event_id")
-            ),
-            "event_id",
-        ).localCheckpoint()
+        fresh = fresh.localCheckpoint()
         # seen-state append BEFORE the fold publish: a batch replayed
         # after a crash between the two writes re-runs as a no-op
         # (every key confirms dup), i.e. the dedup state converts the

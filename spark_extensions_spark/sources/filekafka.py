@@ -50,8 +50,10 @@ import json
 import os
 import re
 from dataclasses import dataclass
+from typing import TYPE_CHECKING
 
-import pandas as pd
+if TYPE_CHECKING:  # pandas is only used by produce(); importing it
+    import pandas as pd  # eagerly costs every DataSource runner ~0.25s
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -277,6 +279,13 @@ def produce(
     not cross-system placement compatibility. Both are stable, so a
     topic must keep one partitioner for its lifetime.
     """
+    # bind pandas as a module global on first use: produce() is the
+    # only pandas consumer here, and pandas_udf resolves the stringized
+    # pd.Series hints against module globals — while the DataSource
+    # runner processes that unpickle this module never pay the import
+    global pd
+    import pandas as pd
+
     from pyspark.sql import functions as F
 
     ensure_topic(root, topic, num_partitions)

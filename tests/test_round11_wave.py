@@ -83,6 +83,66 @@ def test_cc_star_broadcast_gate_matches_shuffle_path(spark):
     assert {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)} <= got
 
 
+def _bloom_fresh_vs_flags(spark, m):
+    from spark_extensions_spark.operators.sketches import (
+        bloom_prefilter_dedup,
+        bloom_prefilter_fresh,
+    )
+
+    # history: keys h0..h49; batch: 30 dups, 30 new, a NULL key, and
+    # keys crafted near the hash range to exercise FP confirm paths
+    hist = spark.createDataFrame(
+        [(f"h{i}",) for i in range(50)], "k string"
+    )
+    new = spark.createDataFrame(
+        [(i, f"h{i}") for i in range(30)]
+        + [(100 + i, f"n{i}") for i in range(30)]
+        + [(999, None)],
+        "id bigint, k string",
+    )
+    flags = bloom_prefilter_dedup(new, hist, "id", "k", d=3, m=m)
+    want = sorted(
+        (r["id"], r["k"])
+        for r in new.join(
+            flags.where(~F.col("confirmed_dup")).select(
+                F.col("id").alias("id")
+            ),
+            "id",
+        ).collect()
+    )
+    got = sorted(
+        (r["id"], r["k"])
+        for r in bloom_prefilter_fresh(new, hist, "k", d=3, m=m).collect()
+    )
+    assert got == want
+    # the 30 new keys + the NULL key survive; every hist dup is gone
+    assert len(got) == 31
+    assert (999, None) in got
+
+
+def test_bloom_prefilter_fresh_equals_flag_form_mask_path(spark):
+    _bloom_fresh_vs_flags(spark, m=4096)
+
+
+def test_bloom_prefilter_fresh_equals_flag_form_perbit_path(spark):
+    from spark_extensions_spark.operators import sketches as S
+
+    # force the oversized-filter branch with a tiny threshold
+    old = S._BLOOM_LITERAL_MAX_M
+    S._BLOOM_LITERAL_MAX_M = 1
+    try:
+        _bloom_fresh_vs_flags(spark, m=4096)
+    finally:
+        S._BLOOM_LITERAL_MAX_M = old
+
+
+def test_bloom_prefilter_fresh_tiny_m_forces_fp_confirm(spark):
+    # m=8 bits over 50 hist keys: nearly every probe is maybe_dup, so
+    # the anti-join confirm path carries real weight and false
+    # positives MUST survive via the exact confirm
+    _bloom_fresh_vs_flags(spark, m=8)
+
+
 def test_backfill_partitions_clustered_write_one_file_per_partition(
     spark, tmp_path
 ):
